@@ -1,0 +1,281 @@
+"""Deterministic synthetic source-code corpus (the `input_hint` table).
+
+Schema: ``repo:string, path:string, commit:string, lang:string,
+content:string`` — the Parquet shape the engine ingests
+(``BASELINE.json input_hint``).  Everything is seeded (seed=42 convention)
+so tests, the oracle, and both bench parallelism levels see byte-identical
+input; ``commit`` is ``sha256(f"{repo}:{path}")[:40]`` per FIXTURES.md §1.
+
+Content exercises every tokenizer rule (camelCase, ACRONYMNames,
+snake_case, 1-char tokens, punctuation runs), carries docstring phrases the
+reference query set targets, and Zipf-skews a few hot terms (``import``,
+``return``, ``self``, ``func``) so skew handling is observable.  ~5% of rows
+live under skip-dirs and ~3% use unsupported extensions to exercise the
+F1/F2 predicates (/root/reference/codesearch/indexer/repo_indexer.py:331-342,
+parser/factory.py:56-64).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import random
+from typing import List, Optional
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SKIP_DIRS = [
+    "node_modules", "venv", ".venv", "__pycache__", ".git", "dist", "build",
+    "target", ".tox", ".pytest_cache", "vendor", "third_party", "external",
+]
+
+SUPPORTED_EXTENSIONS = {
+    ".py": "python", ".pyw": "python",
+    ".js": "javascript", ".jsx": "javascript", ".mjs": "javascript", ".cjs": "javascript",
+    ".ts": "typescript", ".tsx": "typescript",
+    ".go": "go", ".rs": "rust",
+}
+
+_IDENTS = [
+    "parseJSONData", "serialize_json", "HTTPClientFactory", "fetchData",
+    "validate_email", "sendHTTPRequest", "parse_json", "encodeURL",
+    "DataLoader", "readFileSync", "writeBuffer", "AuthToken", "login_user",
+    "download_file", "save_to_disk", "XMLHttpRequest", "handle_response",
+    "retryPolicy", "computeHash", "MergeSortedLists", "a", "x", "db",
+    "cfg_v2", "HTMLParser", "get", "post", "request", "urlJoin",
+]
+_PHRASES = [
+    "Parse a JSON string into a dictionary",
+    "Convert object to JSON string",
+    "Validate an email address",
+    "send HTTP request to the remote server",
+    "download a file and save it to disk",
+    "authenticate the user and return a token",
+    "compute the cyclomatic complexity of a function",
+    "merge two sorted lists into one",
+    "retry the request with exponential backoff",
+    "load configuration values from the environment",
+]
+_HOT = ["import", "return", "self", "func"]
+
+
+def _py_file(rng: random.Random) -> str:
+    lines = ["import os", "import json", ""]
+    n_items = rng.randint(1, 4)
+    for _ in range(n_items):
+        name = rng.choice(_IDENTS)
+        phrase = rng.choice(_PHRASES)
+        hot = " ".join(rng.choices(_HOT, k=rng.randint(1, 6)))
+        if rng.random() < 0.3:
+            cls = rng.choice(_IDENTS)
+            lines += [
+                f"class {cls}:",
+                f'    """{phrase} {hot}"""',
+                f"    def {name}(self, data, timeout=30):",
+                f'        """{rng.choice(_PHRASES)}"""',
+                "        return self.run(data)",
+                "",
+            ]
+        else:
+            deco = "@app.route('/api')\n" if rng.random() < 0.2 else ""
+            lines += [
+                f"{deco}def {name}(payload, *args, **kwargs):",
+                f'    """{phrase} {hot}"""',
+                "    if payload:",
+                "        return json.dumps(payload)",
+                "    return None",
+                "",
+            ]
+    return "\n".join(lines)
+
+
+def _js_file(rng: random.Random, ts: bool) -> str:
+    lines = ["import fs from 'fs';", ""]
+    for _ in range(rng.randint(1, 4)):
+        name = rng.choice(_IDENTS)
+        phrase = rng.choice(_PHRASES)
+        hot = " ".join(rng.choices(_HOT, k=rng.randint(1, 4)))
+        kind = rng.random()
+        if kind < 0.3:
+            cls = rng.choice(_IDENTS)
+            lines += [
+                f"/** {phrase} {hot} */",
+                f"class {cls} extends Base {{",
+                f"  {name}(req, res) {{ return res.send(req); }}",
+                "}",
+                "",
+            ]
+        elif kind < 0.6:
+            lines += [
+                f"/** {phrase} {hot} */",
+                f"const {name} = async (url) => fetch(url);",
+                "",
+            ]
+        else:
+            anno = ": Promise<void>" if ts else ""
+            lines += [
+                f"/** {phrase} {hot} */",
+                f"export async function {name}(url, opts){anno} {{",
+                "  return fetch(url).then(r => r.json());",
+                "}",
+                "",
+            ]
+    return "\n".join(lines)
+
+
+def _go_file(rng: random.Random) -> str:
+    lines = ["package main", "", 'import "fmt"', ""]
+    for _ in range(rng.randint(1, 4)):
+        name = rng.choice(_IDENTS).replace("_", "")
+        phrase = rng.choice(_PHRASES)
+        hot = " ".join(rng.choices(_HOT, k=rng.randint(1, 4)))
+        kind = rng.random()
+        if kind < 0.25:
+            lines += [f"// {phrase} {hot}", f"type {name} struct {{", "\tName string", "}", ""]
+        elif kind < 0.4:
+            lines += [f"// {phrase}", f"type {name} interface {{", "\tRun() error", "}", ""]
+        elif kind < 0.7:
+            recv = rng.choice(["s", "c", "h"])
+            lines += [
+                f"// {phrase} {hot}",
+                f"func ({recv} *Server) {name}(w io.Writer, r *Request) {{",
+                "\tfmt.Println(r)",
+                "}",
+                "",
+            ]
+        else:
+            lines += [
+                f"// {phrase} {hot}",
+                f"func {name}(ctx context.Context) error {{",
+                "\treturn nil",
+                "}",
+                "",
+            ]
+    return "\n".join(lines)
+
+
+def _rs_file(rng: random.Random) -> str:
+    lines = ["use std::io;", ""]
+    for _ in range(rng.randint(1, 4)):
+        name = rng.choice(_IDENTS).lower()
+        phrase = rng.choice(_PHRASES)
+        hot = " ".join(rng.choices(_HOT, k=rng.randint(1, 4)))
+        kind = rng.random()
+        if kind < 0.25:
+            s = rng.choice(_IDENTS)
+            lines += [f"/// {phrase} {hot}", f"pub struct {s} {{", "    name: String,", "}", ""]
+        elif kind < 0.4:
+            t = rng.choice(_IDENTS)
+            lines += [f"/// {phrase}", f"pub trait {t} {{", "    fn run(&self);", "}", ""]
+        elif kind < 0.6:
+            imp = rng.choice(_IDENTS)
+            lines += [
+                f"impl {imp} {{",
+                f"    /// {phrase} {hot}",
+                f"    pub fn {name}(&self, data: &str) -> String {{",
+                "        data.to_string()",
+                "    }",
+                "}",
+                "",
+            ]
+        else:
+            lines += [
+                f"/// {phrase} {hot}",
+                f"pub async fn {name}(url: &str) -> Result<(), io::Error> {{",
+                "    Ok(())",
+                "}",
+                "",
+            ]
+    return "\n".join(lines)
+
+
+_EXT_BY_LANG = {
+    "python": [".py", ".pyw"],
+    "javascript": [".js", ".jsx", ".mjs", ".cjs"],
+    "typescript": [".ts", ".tsx"],
+    "go": [".go"],
+    "rust": [".rs"],
+}
+_LANGS = ["python", "javascript", "typescript", "go", "rust"]
+
+
+def gen_corpus_rows(n_files: int, seed: int = 42):
+    """Yield deterministic (repo, path, commit, lang, content) dicts."""
+    rng = random.Random(seed)
+    for i in range(n_files):
+        repo = f"org{i % 7}/repo{i % 13}"
+        lang = _LANGS[rng.randrange(len(_LANGS))]
+        ext = rng.choice(_EXT_BY_LANG[lang])
+        r = rng.random()
+        if r < 0.05:
+            subdir = rng.choice(SKIP_DIRS)
+            path = f"{subdir}/pkg{i % 11}/file_{i}{ext}"
+        elif r < 0.08:
+            ext = rng.choice([".md", ".txt"])
+            path = f"docs/file_{i}{ext}"
+            lang = "unknown"
+        else:
+            path = f"src/mod{i % 19}/file_{i}{ext}"
+        if lang == "python":
+            content = _py_file(rng)
+        elif lang in ("javascript", "typescript"):
+            content = _js_file(rng, ts=(lang == "typescript"))
+        elif lang == "go":
+            content = _go_file(rng)
+        elif lang == "rust":
+            content = _rs_file(rng)
+        else:
+            content = f"# notes {i}\n" + rng.choice(_PHRASES)
+        commit = hashlib.sha256(f"{repo}:{path}".encode()).hexdigest()[:40]
+        yield {"repo": repo, "path": path, "commit": commit, "lang": lang, "content": content}
+
+
+def gen_corpus_table(n_files: int, seed: int = 42) -> pa.Table:
+    rows = list(gen_corpus_rows(n_files, seed))
+    return pa.table(
+        {
+            "repo": pa.array([r["repo"] for r in rows], pa.string()),
+            "path": pa.array([r["path"] for r in rows], pa.string()),
+            "commit": pa.array([r["commit"] for r in rows], pa.string()),
+            "lang": pa.array([r["lang"] for r in rows], pa.string()),
+            "content": pa.array([r["content"] for r in rows], pa.string()),
+        }
+    )
+
+
+def write_corpus(
+    out_dir: str, n_files: int, seed: int = 42, num_shards: Optional[int] = None
+) -> str:
+    """Write the corpus as sharded Parquet (one file per shard => read
+    parallelism; never one giant file).  Idempotent on same params."""
+    os.makedirs(out_dir, exist_ok=True)
+    marker = os.path.join(out_dir, "_COMPLETE")
+    stamp = f"n={n_files} seed={seed}"
+    if os.path.exists(marker) and open(marker).read() == stamp:
+        return out_dir
+    table = gen_corpus_table(n_files, seed)
+    if num_shards is None:
+        num_shards = max(1, min(64, n_files // 2000))
+    per = -(-n_files // num_shards)
+    for s in range(num_shards):
+        chunk = table.slice(s * per, per)
+        if len(chunk) == 0:
+            break
+        pq.write_table(chunk, os.path.join(out_dir, f"part-{s:05d}.parquet"))
+    with open(marker, "w") as f:
+        f.write(stamp)
+    return out_dir
+
+
+def read_corpus(path: str, columns: Optional[List[str]] = None):
+    """`ray.data` reader for a corpus directory/file (column-pruned)."""
+    import ray.data as rd
+
+    paths = path
+    if os.path.isdir(path):
+        paths = [
+            os.path.join(path, f) for f in sorted(os.listdir(path)) if f.endswith(".parquet")
+        ]
+    return rd.read_parquet(paths, columns=columns)

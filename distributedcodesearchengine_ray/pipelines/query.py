@@ -1,0 +1,325 @@
+"""Query engine: BM25 top-k over the sharded index via an actor pool.
+
+Replaces the reference's dense single-process scorer
+(``/root/reference/codesearch/storage/bm25_index.py:117-170``: BM25Okapi
+``get_scores`` over every doc, threshold, post-score filters, stable sort)
+with index-shard actors — each actor owns a set of doc-range partitions
+(postings + docmeta loaded once in ``__init__``) and scores its local docs
+exactly; the driver fans the query's ``{term: idf}`` out and heap-merges
+per-shard top-k by ``(-score, doc_id)``, reproducing the reference's
+insertion-order tie-break (SURVEY.md §2.6 K1).
+
+Exactness contract (vs the vendored oracle, bit-for-bit modulo the
+average_idf reduction order):
+
+* per-query-token accumulation in query order with duplicates kept;
+* contribution ``idf * tf*(k1+1)/(tf + k1*(1-b+b*dl/avgdl))`` evaluated in
+  float64 with the same expression shapes as ``rank_bm25``;
+* threshold ``score >= 0.01 * max(all scores)`` where the max is over the
+  UNFILTERED corpus — each shard reports its local unfiltered max, the
+  driver takes the global max, then prunes the merged candidates;
+* metadata filters (language / entity_type / repo_name) applied after
+  scoring, never touching idf/avgdl (F3 semantics, ``bm25_index.py:157-164``);
+* the rare ``max <= 0`` branch (all-negative idf) falls back to a dense
+  ranking over every doc, as the reference does.
+
+The global lexicon is consulted per query through parquet predicate
+pushdown on the sorted ``term`` column (no vocabulary is ever loaded
+whole), with a small driver-side cache for repeated terms.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.dataset as pads
+import pyarrow.parquet as pq
+
+from ..functions.codec import delta_varint_decode, varint_decode
+from ..functions.tokenizer import tokenize
+from ..state.manifest import IndexManifest
+
+_HEAVY_META = {"source_code", "doc_text"}
+
+
+class IndexShard:
+    """One scorer actor: holds N doc-range partitions' postings + docmeta.
+
+    State loaded once per actor (the actor-pool replacement for the
+    reference's in-memory ``BM25Index`` singleton, SURVEY.md §2.3 ST4):
+    per-partition ``{term -> postings row}`` lazily-decoded compressed
+    postings, plus docmeta arrays (doc_len and the filterable columns).
+    """
+
+    def __init__(self, index_dir: str, part_ids: Sequence[int]):
+        manifest = IndexManifest.load(index_dir)
+        self.k1 = manifest.k1
+        self.b = manifest.b
+        self.avgdl = manifest.avgdl
+        self.parts: List[dict] = []
+        n_local = 0
+        for pid in part_ids:
+            post_path = os.path.join(index_dir, "postings", f"part-{pid:05d}.parquet")
+            meta_path = os.path.join(index_dir, "docmeta", f"part-{pid:05d}.parquet")
+            if not os.path.exists(post_path):
+                continue
+            post = pq.read_table(post_path)
+            terms = post["term"].to_pylist()
+            term_row = {t: i for i, t in enumerate(terms)}
+            meta_tbl = pq.read_table(meta_path)
+            meta_cols = [c for c in meta_tbl.column_names if c not in _HEAVY_META]
+            meta = meta_tbl.select(meta_cols)
+            doc_len = meta["doc_len"].to_numpy(zero_copy_only=False).astype(np.float64)
+            doc_lo = int(meta["doc_id"][0].as_py()) if len(meta) else 0
+            part = {
+                "pid": pid,
+                "doc_lo": doc_lo,
+                "n": len(meta),
+                "local_base": n_local,
+                "term_row": term_row,
+                "doc_ids_enc": post["doc_ids"].to_pylist(),
+                "tfs_enc": post["tfs"].to_pylist(),
+                "meta": meta,
+                # query-independent norm, same expression as rank_bm25
+                "normf": self.k1 * (1 - self.b + self.b * doc_len / self.avgdl),
+            }
+            n_local += part["n"]
+            self.parts.append(part)
+        self.n_local = n_local
+        # concatenated filter columns / doc ids across this shard's partitions
+        self._doc_ids = np.concatenate(
+            [p["meta"]["doc_id"].to_numpy(zero_copy_only=False) for p in self.parts]
+        ) if self.parts else np.empty(0, dtype=np.int64)
+        self._filter_cols: Dict[str, np.ndarray] = {}
+        for col, meta_name in (
+            ("language", "lang"),
+            ("entity_type", "entity_type"),
+            ("repo_name", "repo_name"),
+            ("repo", "repo"),
+        ):
+            arrays = []
+            ok = True
+            for p in self.parts:
+                if meta_name in p["meta"].column_names:
+                    arrays.append(np.asarray(p["meta"][meta_name].to_pylist(), dtype=object))
+                else:
+                    ok = False
+                    break
+            if ok and arrays:
+                self._filter_cols[col] = np.concatenate(arrays)
+
+    def ping(self) -> int:
+        return self.n_local
+
+    def _dense_scores(self, query_tokens: List[str], idfs: Dict[str, float]) -> np.ndarray:
+        scores = np.zeros(self.n_local, dtype=np.float64)
+        for q in query_tokens:  # duplicates kept, query order preserved
+            idf = idfs.get(q) or 0
+            if not idf:
+                continue
+            for p in self.parts:
+                row = p["term_row"].get(q)
+                if row is None:
+                    continue
+                ids = delta_varint_decode(p["doc_ids_enc"][row])
+                tfs = varint_decode(p["tfs_enc"][row]).astype(np.float64)
+                local = ids - p["doc_lo"] + p["local_base"]
+                normf = p["normf"][ids - p["doc_lo"]]
+                scores[local] += idf * (tfs * (self.k1 + 1) / (tfs + normf))
+        return scores
+
+    def _filter_mask(self, filters: Optional[Dict[str, str]], idx: np.ndarray) -> np.ndarray:
+        mask = np.ones(len(idx), dtype=bool)
+        if not filters:
+            return mask
+        for key, val in filters.items():
+            col = key
+            if key == "repo_name" and "repo_name" not in self._filter_cols:
+                col = "repo"  # file mode: repo column plays the role
+            arr = self._filter_cols.get(col)
+            if arr is None:
+                mask[:] = False
+                return mask
+            mask &= arr[idx] == val
+        return mask
+
+    def search(
+        self,
+        query_tokens: List[str],
+        idfs: Dict[str, float],
+        limit: int,
+        filters: Optional[Dict[str, str]] = None,
+        dense_all: bool = False,
+    ) -> Tuple[float, List[dict]]:
+        """Return (local unfiltered max score, top-``limit`` candidate rows).
+
+        ``dense_all=True`` ranks every local doc (zero scores included) —
+        the reference's ``max <= 0`` fallback branch.
+        """
+        if self.n_local == 0:
+            return 0.0, []
+        scores = self._dense_scores(query_tokens, idfs)
+        local_max = float(scores.max()) if len(scores) else 0.0
+        if dense_all:
+            cand = np.arange(self.n_local)
+        else:
+            cand = np.flatnonzero(scores > 0)
+            neg = np.flatnonzero(scores < 0)
+            if len(neg):
+                cand = np.concatenate([cand, neg])
+        if len(cand) == 0:
+            return local_max, []
+        mask = self._filter_mask(filters, cand)
+        cand = cand[mask]
+        if len(cand) == 0:
+            return local_max, []
+        order = np.lexsort((self._doc_ids[cand], -scores[cand]))[:limit]
+        cand = cand[order]
+        rows = []
+        for i in cand:
+            rows.append(
+                {
+                    "doc_id": int(self._doc_ids[i]),
+                    "score": float(scores[i]),
+                    "_local": int(i),
+                }
+            )
+        return local_max, rows
+
+    def fetch_meta(self, local_idx: List[int], columns: Optional[List[str]] = None) -> List[dict]:
+        """Metadata rows for result docs (J4: docID -> entity lookup)."""
+        out = []
+        for i in local_idx:
+            # locate partition by local base
+            for p in self.parts:
+                if p["local_base"] <= i < p["local_base"] + p["n"]:
+                    row = {
+                        c: p["meta"][c][i - p["local_base"]].as_py()
+                        for c in (columns or p["meta"].column_names)
+                        if c in p["meta"].column_names
+                    }
+                    out.append(row)
+                    break
+        return out
+
+
+class LexiconReader:
+    """Per-query term -> idf lookup via parquet predicate pushdown."""
+
+    def __init__(self, index_dir: str):
+        self.path = os.path.join(index_dir, "lexicon")
+        self._cache: Dict[str, float] = {}
+
+    def idfs(self, terms: List[str]) -> Dict[str, float]:
+        missing = sorted({t for t in terms if t not in self._cache})
+        if missing:
+            dataset = pads.dataset(self.path, format="parquet")
+            tbl = dataset.to_table(
+                columns=["term", "idf"], filter=pads.field("term").isin(missing)
+            )
+            found = dict(zip(tbl["term"].to_pylist(), tbl["idf"].to_pylist()))
+            for t in missing:
+                self._cache[t] = found.get(t, 0.0)
+        return {t: self._cache[t] for t in set(terms)}
+
+
+class QueryEngine:
+    """Driver-side fan-out/merge over the shard-actor pool."""
+
+    def __init__(self, index_dir: str, num_actors: Optional[int] = None):
+        import ray
+
+        self.index_dir = index_dir
+        self.manifest = IndexManifest.load(index_dir)
+        self.lexicon = LexiconReader(index_dir)
+        part_ids = [p.part_id for p in self.manifest.partitions if p.n_docs > 0]
+        if num_actors is None:
+            num_actors = max(1, min(len(part_ids), int(ray.available_resources().get("CPU", 4))))
+        num_actors = max(1, min(num_actors, len(part_ids) or 1))
+        Actor = ray.remote(IndexShard)
+        self.actors = [
+            Actor.options(num_cpus=1).remote(index_dir, part_ids[i::num_actors])
+            for i in range(num_actors)
+        ]
+        ray.get([a.ping.remote() for a in self.actors])  # surface init errors
+
+    def close(self) -> None:
+        import ray
+
+        for a in self.actors:
+            ray.kill(a)
+        self.actors = []
+
+    def search(
+        self,
+        query: str,
+        limit: int = 20,
+        filters: Optional[Dict[str, str]] = None,
+    ) -> List[dict]:
+        """Reference-semantics BM25 search -> ranked [{doc_id, score}]."""
+        return self.search_batch([(query, filters)], limit=limit)[0]
+
+    def search_batch(
+        self,
+        queries: List[Tuple[str, Optional[Dict[str, str]]]],
+        limit: int = 20,
+    ) -> List[List[dict]]:
+        import ray
+
+        token_lists = [tokenize(q) for q, _ in queries]
+        all_terms = [t for toks in token_lists for t in toks]
+        idfs = self.lexicon.idfs(all_terms) if all_terms else {}
+
+        results: List[List[dict]] = [[] for _ in queries]
+        pending = []
+        for qi, ((query, filters), toks) in enumerate(zip(queries, token_lists)):
+            if not toks:
+                continue
+            q_idfs = {t: idfs.get(t, 0.0) for t in set(toks)}
+            refs = [
+                a.search.remote(toks, q_idfs, limit, filters, False) for a in self.actors
+            ]
+            pending.append((qi, toks, q_idfs, limit, queries[qi][1], refs))
+        for qi, toks, q_idfs, lim, filters, refs in pending:
+            parts = ray.get(refs)
+            global_max = max((m for m, _ in parts), default=0.0)
+            if global_max > 0:
+                min_score = global_max * 0.01
+                rows = [r for _, rs in parts for r in rs if r["score"] >= min_score]
+            else:
+                # reference keeps everything when max <= 0: dense fallback
+                refs2 = [
+                    a.search.remote(toks, q_idfs, lim, filters, True) for a in self.actors
+                ]
+                rows = [r for _, rs in ray.get(refs2) for r in rs]
+            rows.sort(key=lambda r: (-r["score"], r["doc_id"]))
+            results[qi] = [
+                {"doc_id": r["doc_id"], "score": r["score"]} for r in rows[:lim]
+            ]
+        return results
+
+    def search_with_meta(
+        self,
+        query: str,
+        limit: int = 20,
+        filters: Optional[Dict[str, str]] = None,
+        columns: Optional[List[str]] = None,
+    ) -> pd.DataFrame:
+        """Search + metadata join (docmeta parquet filtered by doc_id)."""
+        hits = self.search(query, limit=limit, filters=filters)
+        if not hits:
+            return pd.DataFrame({"rank": [], "doc_id": [], "score": []})
+        ids = [h["doc_id"] for h in hits]
+        dataset = pads.dataset(os.path.join(self.index_dir, "docmeta"), format="parquet")
+        cols = columns
+        if cols is not None and "doc_id" not in cols:
+            cols = ["doc_id"] + cols
+        meta = dataset.to_table(columns=cols, filter=pads.field("doc_id").isin(ids)).to_pandas()
+        out = pd.DataFrame(
+            {"rank": np.arange(len(hits)), "doc_id": ids, "score": [h["score"] for h in hits]}
+        )
+        return out.merge(meta, on="doc_id", how="left")

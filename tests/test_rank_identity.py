@@ -1,0 +1,164 @@
+"""End-to-end rank-identity: distributed build+query vs the vendored oracle.
+
+The oracle (pure single-process BM25Okapi semantics + the reference's
+search wrapper) is fed the same canonical doc order — (repo, path, commit)
+lexicographic — that the distributed build assigns docIDs from; every query
+must produce identical doc_id rankings and scores to 1e-9.
+"""
+
+import numpy as np
+import pytest
+
+from distributedcodesearchengine_ray.functions.tokenizer import tokenize
+from distributedcodesearchengine_ray.pipelines.oracle import BM25Oracle, oracle_search
+from distributedcodesearchengine_ray.sources.corpus import (
+    SKIP_DIRS,
+    SUPPORTED_EXTENSIONS,
+    gen_corpus_rows,
+    write_corpus,
+)
+
+QUERIES = [
+    "JSON parsing",
+    "parse json",
+    "send HTTP request",
+    "validate an email address",
+    "import return",          # hot terms
+    "json json parse",        # duplicated query tokens double-count
+    "download file save disk",
+    "qzxqzx nonexistent",     # no hits
+    "@#$ a",                  # empty after tokenization
+    "HTTPClientFactory",
+    "merge sorted lists",
+]
+
+
+def _keep(path: str) -> bool:
+    if any(path.startswith(d + "/") or f"/{d}/" in path for d in SKIP_DIRS):
+        return False
+    return any(path.lower().endswith(ext) for ext in SUPPORTED_EXTENSIONS)
+
+
+@pytest.fixture(scope="module")
+def corpus_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("corpus")
+    return write_corpus(str(d), n_files=300, seed=42, num_shards=4)
+
+
+@pytest.fixture(scope="module")
+def oracle_docs():
+    rows = [r for r in gen_corpus_rows(300, seed=42) if _keep(r["path"])]
+    rows.sort(key=lambda r: (r["repo"], r["path"], r["commit"]))
+    return rows
+
+
+@pytest.fixture(scope="module")
+def file_index(ray_session, corpus_dir, tmp_path_factory):
+    from distributedcodesearchengine_ray.pipelines.build_index import build_index
+
+    idx = str(tmp_path_factory.mktemp("index_file"))
+    manifest = build_index(
+        corpus_dir, idx, mode="file", docs_per_partition=40, resume=True
+    )
+    return idx, manifest
+
+
+def test_build_stats_match_oracle(file_index, oracle_docs):
+    _, manifest = file_index
+    corpus_tokens = [tokenize(r["content"]) for r in oracle_docs]
+    oracle = BM25Oracle(corpus_tokens)
+    assert manifest.n_docs == len(oracle_docs)
+    assert manifest.avgdl == pytest.approx(oracle.avgdl, rel=1e-12)
+    assert manifest.vocab_size == len(oracle.idf)
+    assert manifest.average_idf == pytest.approx(oracle.average_idf, rel=1e-9)
+
+
+def test_docmeta_sha256_invariant(file_index, oracle_docs):
+    import hashlib
+    import pyarrow.dataset as pads
+
+    idx, _ = file_index
+    meta = (
+        pads.dataset(f"{idx}/docmeta", format="parquet")
+        .to_table(columns=["doc_id", "repo", "path", "sha256"])
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    assert len(meta) == len(oracle_docs)
+    for i, r in enumerate(oracle_docs):
+        assert meta["repo"][i] == r["repo"]
+        assert meta["path"][i] == r["path"]
+        assert meta["sha256"][i] == hashlib.sha256(r["content"].encode()).hexdigest()
+
+
+def test_rank_identity_file_mode(file_index, oracle_docs):
+    from distributedcodesearchengine_ray.pipelines.query import QueryEngine
+
+    idx, _ = file_index
+    corpus_tokens = [tokenize(r["content"]) for r in oracle_docs]
+    oracle = BM25Oracle(corpus_tokens)
+    engine = QueryEngine(idx, num_actors=3)
+    try:
+        for q in QUERIES:
+            expected = oracle_search(oracle, q, limit=20)
+            got = engine.search(q, limit=20)
+            assert [h["doc_id"] for h in got] == [d for d, _ in expected], f"query={q!r}"
+            np.testing.assert_allclose(
+                [h["score"] for h in got], [s for _, s in expected], rtol=1e-9,
+                err_msg=f"query={q!r}",
+            )
+    finally:
+        engine.close()
+
+
+def test_rank_identity_with_filters(file_index, oracle_docs):
+    from distributedcodesearchengine_ray.pipelines.query import QueryEngine
+
+    idx, _ = file_index
+    corpus_tokens = [tokenize(r["content"]) for r in oracle_docs]
+    oracle = BM25Oracle(corpus_tokens)
+    meta = [{"language": r["lang"], "repo_name": r["repo"]} for r in oracle_docs]
+    engine = QueryEngine(idx, num_actors=2)
+    try:
+        for q, filt in [
+            ("parse json", {"language": "python"}),
+            ("send HTTP request", {"language": "go"}),
+            ("parse json", {"repo_name": "org1/repo1"}),
+            ("import return", {"language": "rust"}),
+        ]:
+            expected = oracle_search(oracle, q, limit=20, doc_meta=meta, filters=filt)
+            got = engine.search(q, limit=20, filters=filt)
+            assert [h["doc_id"] for h in got] == [d for d, _ in expected], f"{q!r} {filt}"
+            np.testing.assert_allclose(
+                [h["score"] for h in got], [s for _, s in expected], rtol=1e-9
+            )
+    finally:
+        engine.close()
+
+
+def test_resume_skips_completed_partitions(ray_session, corpus_dir, tmp_path_factory):
+    import os
+
+    from distributedcodesearchengine_ray.pipelines.build_index import build_index
+
+    idx = str(tmp_path_factory.mktemp("index_resume"))
+    m1 = build_index(corpus_dir, idx, mode="file", docs_per_partition=40)
+    mtimes = {
+        f: os.path.getmtime(os.path.join(idx, "postings", f))
+        for f in os.listdir(os.path.join(idx, "postings"))
+    }
+    # simulate a crash that lost one partition (data + lineage)
+    lost = sorted(mtimes)[0]
+    pid = int(lost.split("-")[1].split(".")[0])
+    os.remove(os.path.join(idx, "postings", lost))
+    os.remove(os.path.join(idx, "lineage", f"part-{pid:05d}.json"))
+
+    m2 = build_index(corpus_dir, idx, mode="file", docs_per_partition=40)
+    assert m2.n_docs == m1.n_docs
+    assert m2.build_id == m1.build_id
+    assert os.path.exists(os.path.join(idx, "postings", lost))
+    for f, t in mtimes.items():
+        if f != lost:
+            assert os.path.getmtime(os.path.join(idx, "postings", f)) == t, (
+                "completed partition was rebuilt"
+            )

@@ -257,10 +257,14 @@ def parse_javascript(content: str, file_path: str, repo_name: str) -> List[dict]
     entities: List[dict] = []
     lines = content.split("\n")
     current_class: Optional[str] = None
+    brace_depth = 0  # tracks nesting so methods after the first survive
+    class_depth = 0
     for i, line in enumerate(lines):
         cm = _JS_CLASS.match(line)
         if cm:
             current_class, extends = cm.group(1), cm.group(2)
+            class_depth = brace_depth
+            brace_depth += line.count("{") - line.count("}")
             entities.append(
                 _entity(
                     name=current_class,
@@ -340,7 +344,8 @@ def parse_javascript(content: str, file_path: str, repo_name: str) -> List[dict]
                         loc=1,
                     )
                 )
-        if line.strip() == "}":
+        brace_depth += line.count("{") - line.count("}")
+        if current_class is not None and brace_depth <= class_depth:
             current_class = None
     return entities
 

@@ -1,0 +1,155 @@
+"""Similarity search over an embedding column.
+
+Baseline: brute-force cosine top-k — the query matrix is broadcast once via
+``ray.put`` and read inside each task (never re-shipped per batch); each
+batch computes a vectorized ``numpy`` matmul and emits only its local top-k
+candidates, which the driver heap-merges (candidates ≍ num_blocks·Q·k rows,
+never the full corpus).
+
+Scale path: LSH-bucketed variant — random-hyperplane signatures assign every
+vector to a bucket; queries probe only their own bucket's partitions
+(``groupby(bucket)`` layout), trading recall for a ~2^bits fan-in reduction.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+import pyarrow as pa
+
+
+class _BlockTopK:
+    """map_batches task: per-block cosine top-k against broadcast queries."""
+
+    def __init__(self, queries_ref, k: int, id_column: str, normalize: bool):
+        import ray
+
+        q = ray.get(queries_ref)
+        self.q = np.asarray(q, dtype=np.float32)
+        if normalize:
+            n = np.linalg.norm(self.q, axis=1, keepdims=True)
+            n[n == 0] = 1.0
+            self.q = self.q / n
+        self.k = k
+        self.id_column = id_column
+        self.normalize = normalize
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        emb = batch["embedding"]
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        if pa.types.is_fixed_size_list(emb.type):
+            dim = emb.type.list_size
+            mat = np.asarray(emb.values.to_numpy(zero_copy_only=False), dtype=np.float32).reshape(-1, dim)
+        else:
+            lst = emb.to_pylist()
+            mat = np.asarray(lst, dtype=np.float32)
+        if self.normalize:
+            n = np.linalg.norm(mat, axis=1, keepdims=True)
+            n[n == 0] = 1.0
+            mat = mat / n
+        sims = mat @ self.q.T  # B x Q
+        ids = batch[self.id_column].to_numpy(zero_copy_only=False)
+        k = min(self.k, sims.shape[0])
+        out_ids, out_q, out_s = [], [], []
+        for qi in range(sims.shape[1]):
+            col = sims[:, qi]
+            top = np.argpartition(-col, k - 1)[:k] if k < len(col) else np.arange(len(col))
+            out_ids.append(ids[top])
+            out_q.append(np.full(len(top), qi, dtype=np.int64))
+            out_s.append(col[top].astype(np.float64))
+        return pa.table(
+            {
+                self.id_column: pa.array(np.concatenate(out_ids)),
+                "query_idx": pa.array(np.concatenate(out_q), pa.int64()),
+                "score": pa.array(np.concatenate(out_s), pa.float64()),
+            }
+        )
+
+
+def vector_topk(
+    ds,
+    queries: np.ndarray,
+    k: int = 10,
+    id_column: str = "vec_id",
+    normalize: bool = True,
+) -> pa.Table:
+    """Exact cosine top-k of each query row against ``ds.embedding``.
+
+    Returns (query_idx, rank, <id_column>, score) sorted by
+    (query_idx, -score, id) — deterministic tie-break on id.
+    """
+    import ray
+
+    qref = ray.put(np.asarray(queries, dtype=np.float32))
+    cands = ds.map_batches(
+        _BlockTopK(qref, k, id_column, normalize),
+        batch_format="pyarrow",
+        batch_size=8192,
+        zero_copy_batch=True,
+    ).to_pandas()
+    out = {"query_idx": [], "rank": [], id_column: [], "score": []}
+    for qi, grp in cands.groupby("query_idx"):
+        grp = grp.sort_values(["score", id_column], ascending=[False, True], kind="mergesort")
+        top = grp.head(k)
+        out["query_idx"].extend([qi] * len(top))
+        out["rank"].extend(range(len(top)))
+        out[id_column].extend(top[id_column].tolist())
+        out["score"].extend(top["score"].tolist())
+    return pa.table(
+        {
+            "query_idx": pa.array(out["query_idx"], pa.int64()),
+            "rank": pa.array(out["rank"], pa.int64()),
+            id_column: pa.array(out[id_column], pa.int64()),
+            "score": pa.array(out["score"], pa.float64()),
+        }
+    )
+
+
+def lsh_signatures(mat: np.ndarray, n_bits: int = 16, seed: int = 42) -> np.ndarray:
+    """Random-hyperplane LSH bucket ids (the IVF/LSH scale path)."""
+    rng = np.random.default_rng(seed)
+    dim = mat.shape[1]
+    planes = rng.standard_normal((dim, n_bits)).astype(np.float32)
+    bits = (mat @ planes) > 0
+    weights = (1 << np.arange(n_bits, dtype=np.int64))
+    return bits @ weights
+
+
+def vector_topk_lsh(
+    ds,
+    queries: np.ndarray,
+    k: int = 10,
+    id_column: str = "vec_id",
+    n_bits: int = 8,
+    seed: int = 42,
+) -> pa.Table:
+    """Approximate top-k: probe only blocks sharing the query's LSH bucket.
+
+    Recall < 1.0 by construction; at scale the bucket column becomes the
+    partition key (``write_parquet(partition_cols=["bucket"])``) so a query
+    touches ~1/2^bits of the corpus.
+    """
+    qmat = np.asarray(queries, dtype=np.float32)
+    qn = np.linalg.norm(qmat, axis=1, keepdims=True)
+    qn[qn == 0] = 1.0
+    qbuckets = set(lsh_signatures(qmat / qn, n_bits, seed).tolist())
+
+    def bucket_filter(batch: pa.Table) -> pa.Table:
+        emb = batch["embedding"]
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        if pa.types.is_fixed_size_list(emb.type):
+            dim = emb.type.list_size
+            mat = np.asarray(emb.values.to_numpy(zero_copy_only=False), dtype=np.float32).reshape(-1, dim)
+        else:
+            mat = np.asarray(emb.to_pylist(), dtype=np.float32)
+        n = np.linalg.norm(mat, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        sig = lsh_signatures(mat / n, n_bits, seed)
+        mask = np.isin(sig, list(qbuckets))
+        return batch.filter(pa.array(mask))
+
+    filtered = ds.map_batches(bucket_filter, batch_format="pyarrow", batch_size=8192)
+    return vector_topk(filtered, queries, k=k, id_column=id_column)

@@ -1,0 +1,152 @@
+"""Mock embedder / vector top-k / RRF fusion / hybrid engine tests."""
+
+import hashlib
+
+import numpy as np
+import pytest
+
+from distributedcodesearchengine_ray.functions.embed import mock_embed_text, searchable_text
+from distributedcodesearchengine_ray.pipelines.hybrid import enhance_query, http_boost, rrf_fuse
+
+
+def test_mock_embedding_matches_reference_algorithm():
+    # independent recomputation of the reference MockEmbedder recipe
+    # (generator.py:216-239): sha256 -> BE 4-byte chunks -> [-1,1] -> pad -> L2
+    text = "parse_json function def parse_json(data)"
+    h = hashlib.sha256(text.encode()).digest()
+    vals = [int.from_bytes(h[i : i + 4], "big") / 2**32 * 2 - 1 for i in range(0, 32, 4)]
+    exp = np.zeros(768)
+    exp[: len(vals)] = vals
+    exp = exp / np.linalg.norm(exp)
+    got = mock_embed_text(text)
+    np.testing.assert_allclose(got, exp.astype(np.float32), rtol=1e-6)
+    assert np.isclose(np.linalg.norm(got), 1.0, atol=1e-5)
+    # deterministic
+    np.testing.assert_array_equal(got, mock_embed_text(text))
+
+
+def test_searchable_text_projection():
+    # M9 (models.py:66-103)
+    s = searchable_text(
+        "add", "method", "def add(self, x, y)", ["self", "x", "y"],
+        '"""Add two numbers."""', "int", "Calculator",
+    )
+    assert s == (
+        "add function def add(self, x, y) parameters: self x y "
+        "Add two numbers. returns int method of Calculator"
+    )
+
+
+def test_enhance_query_cases():
+    assert enhance_query("handle http requests") == (
+        "function that sends makes HTTP requests GET POST PUT DELETE PATCH"
+    )
+    assert enhance_query("send http request") == (
+        "function that sends or makes HTTP requests: send http request"
+    )
+    assert enhance_query("parse json data") == "JSON parsing function: parse json data"
+    assert enhance_query("user login token") == "authentication function: user login token"
+    assert enhance_query("save file to disk") == "file handling function: save file to disk"
+    assert enhance_query("sort a list") == "function or method that sort a list"
+
+
+def test_http_boost_table():
+    q = "make http request"
+    assert http_boost(q, "request", "requests/api.py") == 1.5
+    assert http_boost(q, "helper", "requests/api.py") == 1.0
+    assert http_boost(q, "send", "requests/sessions.py") == 1.5
+    assert http_boost(q, "send", "requests/adapters.py") == 1.3
+    assert http_boost(q, "handle_request", "x.py") == 0.7
+    assert http_boost("sort a list", "handle_request", "x.py") == 1.0
+
+
+def test_rrf_fusion_math():
+    sem = [(1, 0.95), (2, 0.80)]
+    bm = [(2, 7.0), (3, 5.0)]
+    out = rrf_fuse(sem, bm, semantic_weight=0.7)
+    scores = {d: s for d, s, _, _ in out}
+    # raw fused: d1 = 0.7/61; d2 = 0.7/62 + 0.3/61; d3 = 0.3/62
+    raw = {1: 0.7 / 61, 2: 0.7 / 62 + 0.3 / 61, 3: 0.3 / 62}
+    mx = max(raw.values())
+    for d in (1, 2, 3):
+        assert scores[d] == pytest.approx(raw[d] / mx, rel=1e-12)
+    assert out[0][0] == 2  # highest fused first, normalized to 1.0
+    assert out[0][1] == pytest.approx(1.0)
+
+
+def test_rrf_low_diversity_fallback():
+    # semantic range < 0.05 => weight drops to 0.3
+    sem = [(1, 0.91), (2, 0.90)]
+    bm = [(3, 9.0)]
+    out = rrf_fuse(sem, bm, semantic_weight=0.7)
+    raw = {1: 0.3 / 61, 2: 0.3 / 62, 3: 0.7 / 61}
+    mx = max(raw.values())
+    scores = {d: s for d, s, _, _ in out}
+    for d in raw:
+        assert scores[d] == pytest.approx(raw[d] / mx, rel=1e-12)
+
+
+def test_vector_topk_exact(ray_session):
+    import ray.data as rd
+
+    from distributedcodesearchengine_ray.stages.annsearch import vector_topk
+
+    ds = rd.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+    df = ds.to_pandas()
+    mat = np.stack(df["embedding"].to_numpy())
+    qs = mat[:3]
+    got = vector_topk(ds, qs, k=5, id_column="vec_id").to_pandas()
+    # numpy oracle
+    matn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    qn = qs / np.linalg.norm(qs, axis=1, keepdims=True)
+    sims = matn @ qn.T
+    for qi in range(3):
+        order = np.lexsort((df["vec_id"].to_numpy(), -sims[:, qi]))[:5]
+        exp_ids = df["vec_id"].to_numpy()[order].tolist()
+        sub = got[got.query_idx == qi].sort_values("rank")
+        assert sub["vec_id"].tolist() == exp_ids
+        np.testing.assert_allclose(sub["score"].to_numpy(), sims[:, qi][order], rtol=1e-5)
+
+
+def test_vector_topk_lsh_recall(ray_session):
+    import ray.data as rd
+
+    from distributedcodesearchengine_ray.stages.annsearch import vector_topk, vector_topk_lsh
+
+    ds = rd.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+    df = ds.to_pandas()
+    mat = np.stack(df["embedding"].to_numpy())
+    qs = mat[:2]
+    exact = vector_topk(ds, qs, k=10, id_column="vec_id").to_pandas()
+    approx = vector_topk_lsh(ds, qs, k=10, id_column="vec_id", n_bits=4).to_pandas()
+    # the query vector itself must be found (same bucket by construction)
+    for qi in range(2):
+        ids = approx[approx.query_idx == qi]["vec_id"].tolist()
+        assert df["vec_id"][qi] in ids
+        inter = len(set(ids) & set(exact[exact.query_idx == qi]["vec_id"].tolist()))
+        assert inter >= 3  # decent recall on clustered synthetic data
+
+
+def test_hybrid_end_to_end(ray_session, tmp_path):
+    from distributedcodesearchengine_ray.pipelines.build_index import build_index
+    from distributedcodesearchengine_ray.pipelines.hybrid import HybridEngine
+    from distributedcodesearchengine_ray.sources.corpus import write_corpus
+    from distributedcodesearchengine_ray.stages.embed_stage import build_embeddings
+
+    corpus = write_corpus(str(tmp_path / "c"), n_files=120, seed=42, num_shards=2)
+    idx = str(tmp_path / "idx")
+    build_index(corpus, idx, mode="entity", docs_per_partition=200)
+    build_embeddings(idx, concurrency=2)
+
+    eng = HybridEngine(idx, num_actors=2)
+    try:
+        hits = eng.search("parse json data", limit=10)
+        assert 0 < len(hits) <= 10
+        assert hits[0]["score"] == pytest.approx(1.0)  # normalized
+        assert all(h["score"] <= 1.0 + 1e-12 for h in hits)
+        assert {"doc_id", "semantic_score", "bm25_score", "name"} <= set(hits[0])
+        # bm25-only path still works
+        only_bm = eng.search("parse json data", limit=10, use_hybrid=False)
+        assert len(only_bm) > 0
+    finally:
+        eng.close()

@@ -1,0 +1,328 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All variants follow the same scale pattern: per-batch vectorized signature
+computation (``map_batches``), then ONE hash-keyed ``groupby`` whose groups
+are signature buckets (bounded fan-in; hot buckets are rare by construction
+because signatures are near-uniform), then cheap within-bucket work.  The
+corpus is never pairwise-compared globally.
+
+* exact: content-hash partition + per-group min-id winner (the reference's
+  J2/D1 dedup generalized from uuid identity to content identity).
+* MinHash + LSH: word-shingle -> k minhash perms -> b bands; docs sharing a
+  band bucket become candidate pairs, verified with true Jaccard.
+* SimHash: 64-bit weighted-bit signature; near-dups = small Hamming
+  distance, banded into 4x16-bit chunks for bucketing.
+* n-gram Jaccard: exact verification kernel used by the LSH variants.
+* embedding cosine: near-dup pairs over an embedding column via the LSH
+  bucket path in ``stages.annsearch``.
+
+Determinism: all hash seeds fixed; pandas ``hash_array`` (fixed-key
+siphash) for string hashing — identical across processes and parallelism
+levels.
+"""
+
+from __future__ import annotations
+
+import itertools
+from typing import List, Optional, Tuple
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+# Mersenne prime 2^31-1: products a*x (a, x < 2^31) fit in uint64, so the
+# MinHash permutations are exact and fully vectorized without bigint math.
+_MERSENNE = (1 << 31) - 1
+
+
+def _stable_hash(strings: np.ndarray) -> np.ndarray:
+    return pd.util.hash_array(strings.astype(object)).astype(np.uint64)
+
+
+# ------------------------------------------------------------------ exact
+
+
+def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Keep the first (min id) row per exact content hash.
+
+    Returns a Dataset with the surviving rows' original columns.
+    """
+
+    def add_hash(t: pa.Table) -> pa.Table:
+        h = _stable_hash(t[text_col].to_numpy(zero_copy_only=False))
+        return t.append_column("__h", pa.array(h.astype(np.int64)))
+
+    def first_per_group(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(id_col, kind="mergesort").head(1)
+
+    return (
+        ds.map_batches(add_hash, batch_format="pyarrow")
+        .groupby("__h")
+        .map_groups(first_per_group, batch_format="pandas")
+        .drop_columns(["__h"])
+    )
+
+
+def dedup_first_by_key(ds, key_cols: List[str], id_col: str = "doc_id"):
+    """Keep the min-id row per composite key (groupby + within-group first)."""
+
+    def first_per_group(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(id_col, kind="mergesort").head(1)
+
+    return ds.groupby(key_cols[0] if len(key_cols) == 1 else key_cols).map_groups(
+        first_per_group, batch_format="pandas"
+    )
+
+
+# ---------------------------------------------------------------- minhash
+
+
+def _shingle_hashes(text: str, n: int = 3) -> np.ndarray:
+    """Word n-gram shingles -> stable uint64 hashes."""
+    words = text.split()
+    if len(words) < n:
+        shingles = [" ".join(words)] if words else [""]
+    else:
+        shingles = [" ".join(words[i : i + n]) for i in range(len(words) - n + 1)]
+    return np.unique(_stable_hash(np.asarray(shingles, dtype=object)))
+
+
+def _perm_params(num_perm: int, seed: int = 42) -> Tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.uint64)
+    b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+def _minhash_from_shingles(sh: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """min over shingles of (a*x + b) mod p, vectorized (k x n in uint64)."""
+    num_perm = len(a)
+    if len(sh) == 0:
+        return np.full(num_perm, _MERSENNE, dtype=np.uint64)
+    x = (sh % np.uint64(_MERSENNE)).astype(np.uint64)
+    vals = (a[:, None] * x[None, :] + b[:, None]) % np.uint64(_MERSENNE)
+    return vals.min(axis=1)
+
+
+def minhash_signature(text: str, num_perm: int = 64, shingle_n: int = 3, seed: int = 42) -> np.ndarray:
+    """k-perm MinHash of a document's shingle set (uint64[num_perm])."""
+    a, b = _perm_params(num_perm, seed)
+    return _minhash_from_shingles(_shingle_hashes(text, shingle_n), a, b)
+
+
+class MinHashStage:
+    """Actor-pool ``map_batches`` stage: text -> minhash signature matrix.
+
+    Permutation params are built once per actor in ``__init__`` (ST-style
+    stateful stage); the per-batch path is one vectorized modmul per band of
+    permutations rather than per-document python loops.
+    """
+
+    def __init__(self, num_perm: int = 64, shingle_n: int = 3, seed: int = 42,
+                 text_col: str = "text", id_col: str = "doc_id"):
+        self.a, self.b = _perm_params(num_perm, seed)
+        self.num_perm = num_perm
+        self.shingle_n = shingle_n
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.text_col].to_pylist()
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        sigs = np.stack(
+            [
+                _minhash_from_shingles(
+                    _shingle_hashes(t or "", self.shingle_n), self.a, self.b
+                )
+                for t in texts
+            ]
+        )
+        sig_col = pa.FixedSizeListArray.from_arrays(
+            pa.array(sigs.reshape(-1).astype(np.uint64)), self.num_perm
+        )
+        return pa.table({self.id_col: pa.array(ids), "minhash": sig_col})
+
+
+def minhash_lsh_candidates(
+    ds,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    seed: int = 42,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """MinHash -> LSH banding -> candidate pairs Dataset (id_a < id_b).
+
+    Pipeline: signature ``map_batches`` -> explode to (band, band_hash, id)
+    rows -> ``groupby(band, band_hash)`` -> within-bucket pair emission.
+    Bucket sizes are near-uniform (hash keys), so the shuffle has no hot
+    reducers even on skewed corpora.
+    """
+    rows_per_band = num_perm // bands
+    stage = MinHashStage(num_perm, shingle_n, seed, text_col, id_col)
+
+    def to_bands(t: pa.Table) -> pa.Table:
+        sig = t["minhash"]
+        if isinstance(sig, pa.ChunkedArray):
+            sig = sig.combine_chunks()
+        mat = np.asarray(sig.values.to_numpy(zero_copy_only=False)).reshape(-1, num_perm)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        n = len(ids)
+        band_ids = np.repeat(np.arange(bands, dtype=np.int64), n)
+        doc_ids = np.tile(ids, bands)
+        hashes = np.empty(bands * n, dtype=np.int64)
+        for bnd in range(bands):
+            chunk = mat[:, bnd * rows_per_band : (bnd + 1) * rows_per_band].astype(np.uint64)
+            # deterministic polynomial combine of the band's minhash values
+            h = np.full(n, np.uint64(1469598103934665603))
+            for j in range(chunk.shape[1]):
+                h = h * np.uint64(1099511628211) + chunk[:, j]
+            hashes[bnd * n : (bnd + 1) * n] = h.view(np.int64)
+        return pa.table(
+            {
+                "band": pa.array(band_ids),
+                "band_hash": pa.array(hashes),
+                id_col: pa.array(doc_ids),
+            }
+        )
+
+    def emit_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(df[id_col].unique().tolist())
+        if len(ids) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": []})
+        pairs = list(itertools.combinations(ids, 2))
+        return pd.DataFrame(
+            {"id_a": [a for a, _ in pairs], "id_b": [b for _, b in pairs]}
+        )
+
+    return (
+        ds.map_batches(stage, batch_format="pyarrow", batch_size=2048)
+        .map_batches(to_bands, batch_format="pyarrow")
+        .groupby(["band", "band_hash"])
+        .map_groups(emit_pairs, batch_format="pandas")
+    )
+
+
+def jaccard(text_a: str, text_b: str, shingle_n: int = 3) -> float:
+    """Exact word-n-gram Jaccard similarity (verification kernel)."""
+    a = set(map(int, _shingle_hashes(text_a, shingle_n)))
+    b = set(map(int, _shingle_hashes(text_b, shingle_n)))
+    if not a and not b:
+        return 1.0
+    return len(a & b) / len(a | b)
+
+
+# ---------------------------------------------------------------- simhash
+
+
+def simhash_batch(texts: List[Optional[str]]) -> np.ndarray:
+    """64-bit SimHash per text: tf-weighted token-hash bit votes."""
+    out = np.zeros(len(texts), dtype=np.uint64)
+    for i, t in enumerate(texts):
+        words = (t or "").split()
+        if not words:
+            continue
+        uniq, counts = np.unique(np.asarray(words, dtype=object), return_counts=True)
+        hashes = _stable_hash(uniq)
+        bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
+        votes = ((bits * 2 - 1) * counts[:, None]).sum(axis=0)
+        sig = np.uint64(0)
+        for b in range(64):
+            if votes[b] > 0:
+                sig |= np.uint64(1) << np.uint64(b)
+        out[i] = sig
+    return out
+
+
+def simhash_candidates(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Near-dup candidates: equal 16-bit SimHash chunk (4 bands => catches
+    all pairs with Hamming distance <= 3)."""
+
+    def add_sig(t: pa.Table) -> pa.Table:
+        sig = simhash_batch(t[text_col].to_pylist())
+        ids = t[id_col]
+        tables = []
+        for band in range(4):
+            chunk = ((sig >> np.uint64(16 * band)) & np.uint64(0xFFFF)).astype(np.int64)
+            tables.append(
+                pa.table(
+                    {
+                        "band": pa.array(np.full(len(t), band, dtype=np.int64)),
+                        "band_hash": pa.array(chunk),
+                        id_col: ids,
+                        "simhash": pa.array(sig.astype(np.int64)),
+                    }
+                )
+            )
+        return pa.concat_tables(tables)
+
+    def emit_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        rows = df.drop_duplicates(id_col).sort_values(id_col)
+        ids = rows[id_col].tolist()
+        sigs = rows["simhash"].tolist()
+        out_a, out_b, out_d = [], [], []
+        for (ia, sa), (ib, sb) in itertools.combinations(zip(ids, sigs), 2):
+            d = int(bin(np.uint64(sa) ^ np.uint64(sb)).count("1"))
+            out_a.append(ia)
+            out_b.append(ib)
+            out_d.append(d)
+        return pd.DataFrame({"id_a": out_a, "id_b": out_b, "hamming": out_d})
+
+    return (
+        ds.map_batches(add_sig, batch_format="pyarrow")
+        .groupby(["band", "band_hash"])
+        .map_groups(emit_pairs, batch_format="pandas")
+    )
+
+
+# ------------------------------------------------------- embedding cosine
+
+
+def embedding_near_dups(
+    ds,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    n_bits: int = 8,
+    seed: int = 42,
+):
+    """Near-dup pairs (cosine >= threshold) via LSH bucket blocking."""
+    from .annsearch import lsh_signatures
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        emb = t["embedding"]
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        if pa.types.is_fixed_size_list(emb.type):
+            dim = emb.type.list_size
+            mat = np.asarray(emb.values.to_numpy(zero_copy_only=False), dtype=np.float32).reshape(-1, dim)
+        else:
+            mat = np.asarray(emb.to_pylist(), dtype=np.float32)
+        n = np.linalg.norm(mat, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        sig = lsh_signatures(mat / n, n_bits, seed)
+        return t.append_column("bucket", pa.array(sig.astype(np.int64)))
+
+    def emit_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(id_col)
+        mat = np.stack(df["embedding"].to_numpy()).astype(np.float32)
+        nrm = np.linalg.norm(mat, axis=1, keepdims=True)
+        nrm[nrm == 0] = 1.0
+        mat = mat / nrm
+        sims = mat @ mat.T
+        ids = df[id_col].to_numpy()
+        ia, ib = np.triu_indices(len(ids), k=1)
+        mask = sims[ia, ib] >= threshold
+        return pd.DataFrame(
+            {
+                "id_a": ids[ia[mask]],
+                "id_b": ids[ib[mask]],
+                "cosine": sims[ia[mask], ib[mask]].astype(np.float64),
+            }
+        )
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(emit_pairs, batch_format="pandas")
+    )

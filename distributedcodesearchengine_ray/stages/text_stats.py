@@ -1,0 +1,167 @@
+"""Text-analysis operators for training-data pipelines.
+
+All implemented as vectorized ``map_batches`` transforms over Arrow string
+columns (pyarrow.compute kernels + numpy; no per-row Python in the hot
+path except the rolling-hash fingerprinter, which is numpy-vectorized per
+document).
+
+* quality metrics: token counts, length/punct/digit/upper/stopword ratios;
+* token counting: whitespace tokens and a BPE-ish regex token count;
+* language ID: character-frequency n-gram heuristic over built-in profiles;
+* document fingerprinting: winnowing (rolling k-gram hash, window minima).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+STOPWORDS = {
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "that",
+    "for", "on", "with", "as", "was", "at", "by", "be", "this",
+}
+
+# GPT-2-flavoured pretokenizer (RE2-compatible subset, no lookahead):
+# contractions | word pieces | number runs | punct runs
+BPE_ISH_PATTERN = r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+"
+
+
+def quality_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Per-doc quality metrics (vectorized)."""
+    txt = batch[text_col]
+    if isinstance(txt, pa.ChunkedArray):
+        txt = txt.combine_chunks()
+    txt = pc.fill_null(txt, "")
+    n_chars = pc.utf8_length(txt).cast(pa.int64())
+    ws_tokens = pc.split_pattern_regex(txt, r"\s+")
+    flat = pc.list_flatten(ws_tokens)
+    parents = pc.list_parent_indices(ws_tokens).to_numpy(zero_copy_only=False)
+    nonempty = pc.greater(pc.utf8_length(flat), 0)
+    flat_ne = flat.filter(nonempty)
+    par_ne = parents[nonempty.to_numpy(zero_copy_only=False)]
+    n = len(batch)
+    n_tokens = np.bincount(par_ne, minlength=n).astype(np.int64)
+    tok_len_sum = np.bincount(
+        par_ne, weights=pc.utf8_length(flat_ne).to_numpy(zero_copy_only=False), minlength=n
+    )
+    stop_mask = pc.is_in(
+        pc.utf8_lower(flat_ne), value_set=pa.array(sorted(STOPWORDS))
+    ).to_numpy(zero_copy_only=False)
+    n_stop = np.bincount(par_ne[stop_mask], minlength=n).astype(np.int64)
+
+    def _char_class_count(pattern: str) -> np.ndarray:
+        return pc.count_substring_regex(txt, pattern).to_numpy(zero_copy_only=False).astype(np.int64)
+
+    n_punct = _char_class_count(r"[^\w\s]")
+    n_digit = _char_class_count(r"[0-9]")
+    n_upper = _char_class_count(r"[A-Z]")
+    nc = n_chars.to_numpy(zero_copy_only=False).astype(np.float64)
+    nc_safe = np.maximum(nc, 1.0)
+    nt_safe = np.maximum(n_tokens, 1).astype(np.float64)
+    return pa.table(
+        {
+            "n_chars": n_chars,
+            "n_tokens": pa.array(n_tokens),
+            "avg_token_len": pa.array(tok_len_sum / nt_safe, pa.float64()),
+            "stopword_ratio": pa.array(n_stop / nt_safe, pa.float64()),
+            "punct_ratio": pa.array(n_punct / nc_safe, pa.float64()),
+            "digit_ratio": pa.array(n_digit / nc_safe, pa.float64()),
+            "upper_ratio": pa.array(n_upper / nc_safe, pa.float64()),
+        }
+    )
+
+
+def token_counts(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Whitespace + BPE-ish token counts per document."""
+    txt = batch[text_col]
+    if isinstance(txt, pa.ChunkedArray):
+        txt = txt.combine_chunks()
+    txt = pc.fill_null(txt, "")
+    ws = pc.split_pattern_regex(txt, r"\s+")
+    flat = pc.list_flatten(ws)
+    parents = pc.list_parent_indices(ws).to_numpy(zero_copy_only=False)
+    nonempty = pc.greater(pc.utf8_length(flat), 0).to_numpy(zero_copy_only=False)
+    n = len(batch)
+    ws_count = np.bincount(parents[nonempty], minlength=n).astype(np.int64)
+    bpe_count = pc.count_substring_regex(txt, BPE_ISH_PATTERN).to_numpy(zero_copy_only=False).astype(np.int64)
+    return pa.table(
+        {
+            "ws_tokens": pa.array(ws_count),
+            "bpe_tokens": pa.array(bpe_count),
+        }
+    )
+
+
+# ------------------------------------------------------------ language id
+
+# tiny per-language marker-word profiles (deterministic heuristic; a real
+# system would use fasttext — out of scope for this container)
+_LANG_MARKERS = {
+    "en": {"the", "and", "of", "is", "to", "in", "that", "with"},
+    "de": {"der", "die", "das", "und", "ist", "nicht", "mit", "ein"},
+    "fr": {"le", "la", "les", "et", "est", "une", "des", "dans"},
+    "es": {"el", "la", "los", "las", "es", "una", "que", "por"},
+    "zh": set(),  # CJK detected by codepoint range below
+}
+
+
+def lang_id_batch(texts: List[Optional[str]]) -> List[str]:
+    """Marker-word + codepoint heuristic language ID."""
+    out = []
+    for t in texts:
+        t = t or ""
+        if any("一" <= ch <= "鿿" for ch in t[:2000]):
+            out.append("zh")
+            continue
+        words = set(t.lower().split())
+        best, best_score = "unknown", 0
+        for lang, markers in _LANG_MARKERS.items():
+            if not markers:
+                continue
+            score = len(words & markers)
+            if score > best_score:
+                best, best_score = lang, score
+        out.append(best if best_score > 0 else "unknown")
+    return out
+
+
+def lang_id(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    return batch.append_column(
+        "lang_pred", pa.array(lang_id_batch(batch[text_col].to_pylist()), pa.string())
+    )
+
+
+# --------------------------------------------------------- fingerprinting
+
+
+def winnow_fingerprints(text: str, k: int = 5, window: int = 4) -> np.ndarray:
+    """Winnowing document fingerprints: rolling k-gram hashes, per-window
+    minima (standard local fingerprinting; deterministic)."""
+    data = np.frombuffer((text or "").encode("utf-8", "replace"), dtype=np.uint8)
+    if len(data) < k:
+        return np.unique(pd.util.hash_array(np.asarray([text or ""], dtype=object)).astype(np.uint64))
+    # rolling polynomial hash over k-byte grams, vectorized via strides
+    n = len(data) - k + 1
+    weights = np.power(np.uint64(257), np.arange(k - 1, -1, -1, dtype=np.uint64))
+    grams = np.lib.stride_tricks.sliding_window_view(data, k).astype(np.uint64)
+    hashes = (grams * weights[None, :]).sum(axis=1)  # uint64 wraparound ok
+    if n <= window:
+        return np.unique(hashes.min(keepdims=True))
+    wins = np.lib.stride_tricks.sliding_window_view(hashes, window)
+    return np.unique(wins.min(axis=1))
+
+
+def fingerprint_stats(batch: pa.Table, text_col: str = "text", k: int = 5, window: int = 4) -> pa.Table:
+    fps = [winnow_fingerprints(t, k, window) for t in batch[text_col].to_pylist()]
+    return pa.table(
+        {
+            "n_fingerprints": pa.array([len(f) for f in fps], pa.int64()),
+            "min_fingerprint": pa.array(
+                [int(f.min()) if len(f) else 0 for f in fps], pa.uint64()
+            ),
+        }
+    )

@@ -1,0 +1,170 @@
+"""Dedup + text-analysis + multimodal stage tests (documents/embeddings
+testdata as inputs)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_exact_dedup(ray_session):
+    import ray.data as rd
+
+    from distributedcodesearchengine_ray.stages.dedup import exact_dedup
+
+    ds = rd.read_parquet(f"{SF}/documents.parquet")
+    dup = ds.map_batches(  # duplicate every row with a shifted id
+        lambda t: pa.concat_tables(
+            [t, t.set_column(0, "doc_id", pa.compute.add(t["doc_id"], 100000))]
+        ),
+        batch_format="pyarrow",
+    )
+    out = exact_dedup(dup).to_pandas()
+    orig = ds.to_pandas()
+    assert len(out) == len(orig)
+    # min-id winner => the original ids survive
+    assert sorted(out["doc_id"].tolist()) == sorted(orig["doc_id"].tolist())
+
+
+def test_minhash_jaccard_estimates(ray_session):
+    from distributedcodesearchengine_ray.stages.dedup import jaccard, minhash_signature
+
+    a = "the quick brown fox jumps over the lazy dog again and again today"
+    b = "the quick brown fox jumps over the lazy cat again and again today"
+    sa = minhash_signature(a, num_perm=256)
+    sb = minhash_signature(b, num_perm=256)
+    est = (sa == sb).mean()
+    true = jaccard(a, b)
+    assert abs(est - true) < 0.15
+    assert (minhash_signature(a, num_perm=256) == sa).all()  # deterministic
+
+
+def test_minhash_lsh_finds_near_dups(ray_session):
+    import ray.data as rd
+
+    from distributedcodesearchengine_ray.stages.dedup import minhash_lsh_candidates
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+    rows = []
+    for i in range(20):
+        rows.append({"doc_id": i, "text": f"unique document {i} " + " ".join(f"w{i}{j}" for j in range(30))})
+    rows.append({"doc_id": 100, "text": base})
+    rows.append({"doc_id": 101, "text": base + " tail"})
+    ds = rd.from_pandas(pd.DataFrame(rows))
+    pairs = minhash_lsh_candidates(ds, num_perm=64, bands=16).to_pandas()
+    pairs = pairs.drop_duplicates(["id_a", "id_b"])
+    assert ((pairs.id_a == 100) & (pairs.id_b == 101)).any()
+
+
+def test_simhash_candidates(ray_session):
+    import ray.data as rd
+
+    from distributedcodesearchengine_ray.stages.dedup import simhash_candidates
+
+    base = "one two three four five six seven eight nine ten " * 3
+    rows = [
+        {"doc_id": 0, "text": base},
+        {"doc_id": 1, "text": base + "extra word tail"},
+        {"doc_id": 2, "text": " ".join(f"z{i}" for i in range(50))},
+    ]
+    ds = rd.from_pandas(pd.DataFrame(rows))
+    pairs = simhash_candidates(ds).to_pandas().drop_duplicates(["id_a", "id_b"])
+    match = pairs[(pairs.id_a == 0) & (pairs.id_b == 1)]
+    assert len(match) == 1
+    assert match["hamming"].iloc[0] <= 16
+
+
+def test_embedding_near_dups(ray_session):
+    import ray.data as rd
+
+    from distributedcodesearchengine_ray.stages.dedup import embedding_near_dups
+
+    rng = np.random.default_rng(0)
+    base = rng.standard_normal(32).astype(np.float32)
+    rows = []
+    for i in range(10):
+        v = rng.standard_normal(32).astype(np.float32)
+        rows.append({"vec_id": i, "embedding": v})
+    rows.append({"vec_id": 100, "embedding": base})
+    rows.append({"vec_id": 101, "embedding": base + 0.001 * rng.standard_normal(32).astype(np.float32)})
+    ds = rd.from_pandas(pd.DataFrame(rows))
+    pairs = embedding_near_dups(ds, threshold=0.99).to_pandas()
+    assert ((pairs.id_a == 100) & (pairs.id_b == 101)).any()
+
+
+def test_quality_stats_vectorized(ray_session):
+    from distributedcodesearchengine_ray.stages.text_stats import quality_stats
+
+    t = pa.table({"text": ["The quick brown fox!", "", "a b c 123 DEF."]})
+    out = quality_stats(t).to_pandas()
+    assert out["n_tokens"].tolist() == [4, 0, 5]
+    assert out["n_chars"].tolist() == [20, 0, 14]
+    assert out["stopword_ratio"][0] == pytest.approx(1 / 4)
+    assert out["digit_ratio"][2] == pytest.approx(3 / 14)
+    assert out["upper_ratio"][2] == pytest.approx(3 / 14)
+
+
+def test_token_counts():
+    from distributedcodesearchengine_ray.stages.text_stats import token_counts
+
+    t = pa.table({"text": ["hello world", "it's a test-case 42", ""]})
+    out = token_counts(t).to_pandas()
+    assert out["ws_tokens"].tolist() == [2, 4, 0]
+    assert out["bpe_tokens"][0] == 2
+    assert out["bpe_tokens"][2] == 0
+
+
+def test_lang_id_heuristic():
+    from distributedcodesearchengine_ray.stages.text_stats import lang_id_batch
+
+    assert lang_id_batch(["the cat is in the house and that is fine"]) == ["en"]
+    assert lang_id_batch(["der hund ist nicht mit der katze"]) == ["de"]
+    assert lang_id_batch(["le chat est dans la maison et les chiens"]) == ["fr"]
+    assert lang_id_batch(["el perro es una mascota que vive por aqui"]) == ["es"]
+    assert lang_id_batch(["这是一个中文句子"]) == ["zh"]
+    assert lang_id_batch(["zzz qqq xxx"]) == ["unknown"]
+
+
+def test_winnow_fingerprints_deterministic():
+    from distributedcodesearchengine_ray.stages.text_stats import winnow_fingerprints
+
+    a = winnow_fingerprints("some document text for fingerprinting purposes")
+    b = winnow_fingerprints("some document text for fingerprinting purposes")
+    np.testing.assert_array_equal(a, b)
+    c = winnow_fingerprints("completely different content here")
+    assert set(a.tolist()) != set(c.tolist())
+    # shared long substring => shared fingerprints
+    d = winnow_fingerprints("XX some document text for fingerprinting purposes YY")
+    assert len(set(a.tolist()) & set(d.tolist())) > 0
+
+
+def test_multimodal_pipeline(ray_session):
+    import ray.data as rd
+
+    from distributedcodesearchengine_ray.stages.multimodal import (
+        FrameSampleStage,
+        MediaDecodeStage,
+        MediaFeatureStage,
+        gen_media_table,
+    )
+
+    tbl = gen_media_table(30)
+    ds = rd.from_arrow(tbl)
+    decoded = ds.map_batches(
+        MediaDecodeStage, batch_format="pyarrow", batch_size=8, concurrency=2
+    ).to_pandas()
+    assert len(decoded) == 30
+    assert (decoded["width"] >= 16).all()
+    feats = ds.map_batches(
+        MediaFeatureStage, batch_format="pyarrow", batch_size=8, concurrency=2
+    ).to_pandas()
+    assert len(feats) == 30
+    assert len(feats["embedding"][0]) == 64
+    frames = ds.map_batches(
+        FrameSampleStage, batch_format="pyarrow", concurrency=2
+    ).to_pandas()
+    assert (frames["media_id"].nunique()) == 10  # every 3rd row is video
+    with pytest.raises(NotImplementedError):
+        MediaDecodeStage(use_real=True)

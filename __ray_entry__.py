@@ -1,44 +1,60 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship distributed BM25 build+query over the
+sf0.001 ``documents`` table; ``queries()`` exposes one callable per
+implemented operator/pipeline (SURVEY.md §2 + the training-data operator
+suite); ``oracle_sql()`` provides the matching DuckDB oracles (same column
+names, integer-rounded float encodings on both sides).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in the library) calls ``ray.init()`` / ``ray.shutdown()``.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from distributedcodesearchengine_ray.pipelines import queries as Q
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001: build the sharded BM25
+    index over documents (tokenize -> partitioned postings -> lexicon
+    shuffle -> manifest) and answer the reference-style keyword query."""
+    return Q.bm25_topk("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # code-search core (SURVEY.md §2: M7/A1/A2/K1/F3/F4 + J2/D1, A3)
+        "tokenize_counts": Q.tokenize_counts,
+        "term_df_top100": Q.term_df_top100,
+        "bm25_topk": Q.bm25_topk,
+        "bm25_topk_lang": Q.bm25_topk_lang,
+        "lang_histogram": Q.lang_histogram,
+        # dedup suite
+        "dedup_exact": Q.dedup_exact,
+        "dedup_by_key": Q.dedup_by_key,
+        "minhash_near_dups": Q.minhash_near_dups,  # rows-only (no SQL oracle)
+        # text analysis
+        "quality_by_lang": Q.quality_by_lang,
+        "token_totals": Q.token_totals,
+        # similarity search
+        "knn_cosine": Q.knn_cosine,
+        # streaming-shaped events
+        "events_hourly": Q.events_hourly,
+        "sessionize": Q.sessionize,
+        # relational coverage (joins / grouped aggregates / top-k)
+        "q1_lineitem": Q.q1_lineitem,
+        "top_parts_by_revenue": Q.top_parts_by_revenue,
+        "orders_by_nation": Q.orders_by_nation,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return Q.build_oracle_sql()

@@ -1,0 +1,696 @@
+"""Driver-contract query implementations over the testdata tables.
+
+Each function here backs one ``queries()`` entry in ``__ray_entry__.py`` and
+is paired with an ANSI-SQL oracle (DuckDB) in ``oracle_sql()``.  Column
+names and value encodings (micro/cent integer rounding for floats —
+``floor(x*scale + 0.5)`` on BOTH sides) are chosen so the driver's
+order-insensitive value-hash comparison is byte-stable.
+
+The BM25 queries are the headline: they run the full distributed
+build+query engine over the ``documents`` table (file mode, one document
+per row) and are checked against a pure-SQL BM25Okapi implementation —
+independent, end-to-end evidence of score/rank identity.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from typing import Dict, Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pcc
+
+from ..functions.tokenizer import token_count_array, tokenize_array
+from ..stages.text_stats import BPE_ISH_PATTERN, STOPWORDS
+
+BM25_QUERY = "merge sort join the data stream"
+BM25_QUERY_FILTERED = "hash table scan filter"
+
+
+def _micro(x: np.ndarray, scale: float = 1e6) -> np.ndarray:
+    return np.floor(np.asarray(x, dtype=np.float64) * scale + 0.5).astype(np.int64)
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+
+
+# ------------------------------------------------------------- tokenizer
+
+
+def tokenize_counts(sf_dir: str):
+    """Per-doc code-tokenizer token count (M7 over documents.text)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": t["doc_id"], "n_tokens": token_count_array(t["text"])}
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def term_df_top100(sf_dir: str):
+    """Global document frequencies, top 100 by (df desc, term asc).
+
+    Partial-aggregate pattern: per-batch distinct (term, doc) explosion ->
+    one ``groupby(term)`` over partial dfs (A1's df computation).
+    """
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        toks = tokenize_array(t["text"])
+        flat = pcc.list_flatten(toks)
+        parents = pcc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        df_ = pd.DataFrame({"term": flat.to_pandas(), "d": parents})
+        per_doc = df_.drop_duplicates()
+        partial = per_doc.groupby("term", sort=False).size().reset_index(name="df")
+        return pa.table(
+            {"term": pa.array(partial["term"], pa.string()),
+             "df": pa.array(partial["df"].to_numpy(), pa.int64())}
+        )
+
+    out = (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("df", alias_name="df"))
+        .to_pandas()
+    )
+    out = out.sort_values(["df", "term"], ascending=[False, True], kind="mergesort").head(100)
+    return pa.table(
+        {"term": pa.array(out["term"], pa.string()), "df": pa.array(out["df"], pa.int64())}
+    )
+
+
+# ------------------------------------------------------------------ bm25
+
+
+def _documents_index(sf_dir: str) -> str:
+    """Build (resume-cached) the file-mode BM25 index over documents."""
+    from .build_index import build_index
+
+    tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
+    idx = f"/tmp/rcs_cache/docidx-{tag}"
+    os.makedirs(idx, exist_ok=True)
+    ds = _read(sf_dir, "documents")
+
+    def to_corpus(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "repo": pa.array(["docs"] * len(t), pa.string()),
+                "path": pa.array([f"{i:012d}.txt" for i in ids], pa.string()),
+                "commit": pa.array(["0" * 40] * len(t), pa.string()),
+                "lang": t["lang"],
+                "content": t["text"],
+            }
+        )
+
+    corpus = ds.map_batches(to_corpus, batch_format="pyarrow")
+    build_index(
+        corpus, idx, mode="file", docs_per_partition=2000,
+        apply_path_filters=False, resume=True,
+    )
+    return idx
+
+
+def bm25_topk(sf_dir: str, query: str = BM25_QUERY, limit: int = 20,
+              filters: Optional[Dict[str, str]] = None):
+    """Distributed BM25 top-k over documents -> (rank, doc_id, score_micro)."""
+    from .query import QueryEngine
+
+    idx = _documents_index(sf_dir)
+    engine = QueryEngine(idx, num_actors=2)
+    try:
+        hits = engine.search(query, limit=limit, filters=filters)
+    finally:
+        engine.close()
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(len(hits)), pa.int64()),
+            "doc_id": pa.array([h["doc_id"] for h in hits], pa.int64()),
+            "score_micro": pa.array(_micro([h["score"] for h in hits]), pa.int64()),
+        }
+    )
+
+
+def bm25_topk_lang(sf_dir: str):
+    """BM25 with a post-scoring language filter (F3 semantics)."""
+    return bm25_topk(sf_dir, query=BM25_QUERY_FILTERED, filters={"language": "en"})
+
+
+_TOKENIZE_SQL = r"""list_filter(regexp_split_to_array(
+    regexp_replace(regexp_replace(lower(
+      regexp_replace(regexp_replace({col},'([a-z])([A-Z])','\1 \2','g'),
+                     '([A-Z]+)([A-Z][a-z])','\1 \2','g')),
+      '[_\-./\\]',' ','g'),'[^a-z0-9\s]',' ','g'),'\s+'),
+    x -> length(x) >= 2)"""
+
+
+def _tok_sql(col: str) -> str:
+    return _TOKENIZE_SQL.format(col=col)
+
+
+def bm25_sql(query: str, limit: int = 20, lang_filter: Optional[str] = None) -> str:
+    """Pure-SQL BM25Okapi (k1=1.5 b=0.75 eps=0.25) over documents.text."""
+    from ..functions.tokenizer import tokenize
+
+    terms = tokenize(query)
+    # duplicates in the query multiply their term's contribution
+    mult: Dict[str, int] = {}
+    for t in terms:
+        mult[t] = mult.get(t, 0) + 1
+    qvalues = ", ".join(f"('{t}', {m})" for t, m in sorted(mult.items()))
+    filt = f"AND lang = '{lang_filter}'" if lang_filter else ""
+    return f"""
+WITH tok AS (
+  SELECT doc_id, {_tok_sql('text')} AS toks FROM documents
+),
+stats AS (SELECT count(*) AS n, avg(len(toks)) AS avgdl FROM tok),
+tf AS (
+  SELECT doc_id, t AS term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(toks) AS t FROM tok) GROUP BY doc_id, t
+),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+idf0 AS (
+  SELECT term, ln((SELECT n FROM stats) - df + 0.5) - ln(df + 0.5) AS idf_raw
+  FROM df
+),
+eps AS (SELECT 0.25 * avg(idf_raw) AS e FROM idf0),
+idf AS (
+  SELECT term,
+         CASE WHEN idf_raw < 0 THEN (SELECT e FROM eps) ELSE idf_raw END AS idf
+  FROM idf0
+),
+q(term, mult) AS (VALUES {qvalues}),
+dl AS (SELECT doc_id, len(toks) AS dl FROM tok),
+scores AS (
+  SELECT tf.doc_id,
+         sum(q.mult * idf.idf * tf.tf * 2.5 /
+             (tf.tf + 1.5 * (1 - 0.75 + 0.75 * dl.dl / (SELECT avgdl FROM stats)))) AS score
+  FROM tf
+  JOIN q ON q.term = tf.term
+  JOIN idf ON idf.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  GROUP BY tf.doc_id
+),
+scores_all AS (
+  -- the reference scores EVERY doc (zeros for no-match); the max that feeds
+  -- the threshold and the max<=0 keep-all branch both include those zeros
+  SELECT d.doc_id, d.lang, COALESCE(s.score, 0) AS score
+  FROM documents d LEFT JOIN scores s ON s.doc_id = d.doc_id
+),
+mx AS (SELECT max(score) AS m FROM scores_all),
+kept AS (
+  SELECT doc_id, score FROM scores_all
+  WHERE ((SELECT m FROM mx) <= 0 OR score >= 0.01 * (SELECT m FROM mx)) {filt}
+)
+SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) - 1 AS rank,
+       doc_id,
+       CAST(floor(score * 1000000 + 0.5) AS BIGINT) AS score_micro
+FROM kept ORDER BY score DESC, doc_id ASC LIMIT {limit}
+"""
+
+
+# ----------------------------------------------------------------- dedup
+
+
+def dedup_exact(sf_dir: str):
+    """Exact dedup winners: min doc_id + count per identical text."""
+    from ray.data.aggregate import Count, Min
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def add_hash(t: pa.Table) -> pa.Table:
+        h = pd.util.hash_array(np.asarray(t["text"].to_pylist(), dtype=object))
+        return pa.table({"doc_id": t["doc_id"], "__h": pa.array(h.astype(np.int64))})
+
+    out = (
+        ds.map_batches(add_hash, batch_format="pyarrow")
+        .groupby("__h")
+        .aggregate(Min("doc_id", alias_name="doc_id"), Count(alias_name="n"))
+        .to_pandas()
+    )
+    out = out.sort_values("doc_id", ignore_index=True)
+    return pa.table(
+        {"doc_id": pa.array(out["doc_id"], pa.int64()), "n": pa.array(out["n"], pa.int64())}
+    )
+
+
+def dedup_by_key(sf_dir: str):
+    """First-per-group dedup on (lang, source): min doc_id + group size."""
+    from ray.data.aggregate import Count, Min
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "source"])
+    out = (
+        ds.groupby(["lang", "source"])
+        .aggregate(Min("doc_id", alias_name="doc_id"), Count(alias_name="n"))
+        .to_pandas()
+        .sort_values(["lang", "source"], ignore_index=True)
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def minhash_near_dups(sf_dir: str):
+    """Near-dup pairs (Jaccard >= 0.5) via MinHash-LSH candidates, verified
+    with exact n-gram Jaccard.  No SQL oracle (rows-only check)."""
+    from ..stages.dedup import jaccard, minhash_lsh_candidates
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = (
+        minhash_lsh_candidates(ds, num_perm=64, bands=16)
+        .to_pandas()
+        .drop_duplicates(["id_a", "id_b"])
+    )
+    if len(pairs) == 0:
+        return pa.table(
+            {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
+             "jaccard_micro": pa.array([], pa.int64())}
+        )
+    texts = (
+        _read(sf_dir, "documents", columns=["doc_id", "text"]).to_pandas()
+        .set_index("doc_id")["text"]
+    )
+    keep_a, keep_b, jac = [], [], []
+    for a, b in zip(pairs["id_a"], pairs["id_b"]):
+        j = jaccard(texts[a], texts[b])
+        if j >= 0.5:
+            keep_a.append(int(a))
+            keep_b.append(int(b))
+            jac.append(j)
+    order = np.lexsort((keep_b, keep_a))
+    return pa.table(
+        {
+            "id_a": pa.array(np.asarray(keep_a, dtype=np.int64)[order]),
+            "id_b": pa.array(np.asarray(keep_b, dtype=np.int64)[order]),
+            "jaccard_micro": pa.array(_micro(np.asarray(jac, dtype=np.float64)[order])),
+        }
+    )
+
+
+# ------------------------------------------------------------ text stats
+
+
+def lang_histogram(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    out = (
+        _read(sf_dir, "documents", columns=["lang"])
+        .groupby("lang")
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+        .sort_values("lang", ignore_index=True)
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def quality_by_lang(sf_dir: str):
+    """Per-lang averaged quality metrics (whitespace-token definition)."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def stats(t: pa.Table) -> pa.Table:
+        from ..stages.text_stats import quality_stats
+
+        q = quality_stats(t)
+        return pa.table(
+            {
+                "lang": t["lang"],
+                "n_tokens": q["n_tokens"],
+                "stop": pcc.multiply(
+                    q["stopword_ratio"], pcc.cast(q["n_tokens"], pa.float64())
+                ),
+            }
+        )
+
+    out = (
+        ds.map_batches(stats, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(
+            Sum("n_tokens", alias_name="tok_sum"),
+            Sum("stop", alias_name="stop_sum"),
+            Count(alias_name="docs"),
+        )
+        .to_pandas()
+        .sort_values("lang", ignore_index=True)
+    )
+    return pa.table(
+        {
+            "lang": pa.array(out["lang"], pa.string()),
+            "docs": pa.array(out["docs"], pa.int64()),
+            "tok_sum": pa.array(out["tok_sum"], pa.int64()),
+            "stop_micro": pa.array(_micro(out["stop_sum"].to_numpy())),
+        }
+    )
+
+
+def token_totals(sf_dir: str):
+    """Whitespace + BPE-ish token totals per lang."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", columns=["text", "lang"])
+
+    def counts(t: pa.Table) -> pa.Table:
+        from ..stages.text_stats import token_counts
+
+        c = token_counts(t)
+        return pa.table(
+            {"lang": t["lang"], "ws_tokens": c["ws_tokens"], "bpe_tokens": c["bpe_tokens"]}
+        )
+
+    out = (
+        ds.map_batches(counts, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(
+            Sum("ws_tokens", alias_name="ws_tokens"),
+            Sum("bpe_tokens", alias_name="bpe_tokens"),
+        )
+        .to_pandas()
+        .sort_values("lang", ignore_index=True)
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+# ------------------------------------------------------------ similarity
+
+
+def knn_cosine(sf_dir: str):
+    """Brute-force cosine top-10 of query vectors (vec_id < 3) vs all."""
+    from ..stages.annsearch import vector_topk
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    qdf = (
+        _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+        .filter(lambda r: r["vec_id"] < 3)
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    qs = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
+    out = vector_topk(ds, qs, k=10, id_column="vec_id", normalize=True, dtype=np.float64).to_pandas()
+    qids = qdf["vec_id"].to_numpy()
+    return pa.table(
+        {
+            "q_id": pa.array(qids[out["query_idx"].to_numpy()], pa.int64()),
+            "rank": pa.array(out["rank"], pa.int64()),
+            "vec_id": pa.array(out["vec_id"], pa.int64()),
+            "score_micro": pa.array(_micro(out["score"].to_numpy())),
+        }
+    )
+
+
+# ---------------------------------------------------------- events tables
+
+
+def events_hourly(sf_dir: str):
+    """Tumbling 1h windows per event_type: count + cent-summed value."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def window(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "window_start": pcc.floor_temporal(t["ts"], unit="hour"),
+                "value": t["value"],
+            }
+        )
+
+    out = (
+        ds.map_batches(window, batch_format="pyarrow")
+        .groupby(["event_type", "window_start"])
+        .aggregate(Count(alias_name="n"), Sum("value", alias_name="v"))
+        .to_pandas()
+        .sort_values(["event_type", "window_start"], ignore_index=True)
+    )
+    return pa.table(
+        {
+            "event_type": pa.array(out["event_type"], pa.string()),
+            "window_start": pa.array(out["window_start"]),
+            "n": pa.array(out["n"], pa.int64()),
+            "value_c": pa.array(_micro(out["v"].to_numpy(), scale=100.0)),
+        }
+    )
+
+
+def sessionize(sf_dir: str, gap_minutes: int = 30):
+    """Session windows per user (gap > 30min opens a session): session count
+    and event count (the streaming-shaped operator: sort-within-partition +
+    stateful scan inside ``map_groups``)."""
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    gap = pd.Timedelta(minutes=gap_minutes)
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["ts", "event_id"])
+        new_sess = df["ts"].diff().isna() | (df["ts"].diff() > gap)
+        return pd.DataFrame(
+            {
+                "user_id": [df["user_id"].iloc[0]],
+                "n_events": [len(df)],
+                "n_sessions": [int(new_sess.sum())],
+            }
+        )
+
+    out = (
+        ds.groupby("user_id")
+        .map_groups(per_user, batch_format="pandas")
+        .to_pandas()
+        .sort_values("user_id", ignore_index=True)
+    )
+    return pa.table(
+        {
+            "user_id": pa.array(out["user_id"], pa.int64()),
+            "n_events": pa.array(out["n_events"], pa.int64()),
+            "n_sessions": pa.array(out["n_sessions"], pa.int64()),
+        }
+    )
+
+
+# ------------------------------------------------------------- relational
+
+
+def q1_lineitem(sf_dir: str):
+    """TPC-H Q1-shaped grouped aggregate (pre-aggregated inside batches)."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def revenue(t: pa.Table) -> pa.Table:
+        disc = pcc.multiply(t["l_extendedprice"], pcc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return t.append_column("disc_price", disc)
+
+    out = (
+        ds.map_batches(revenue, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("l_extendedprice", alias_name="sum_base"),
+            Sum("disc_price", alias_name="sum_disc"),
+            Count(alias_name="n"),
+        )
+        .to_pandas()
+        .sort_values(["l_returnflag", "l_linestatus"], ignore_index=True)
+    )
+    return pa.table(
+        {
+            "l_returnflag": pa.array(out["l_returnflag"], pa.string()),
+            "l_linestatus": pa.array(out["l_linestatus"], pa.string()),
+            "sum_qty_c": pa.array(_micro(out["sum_qty"].to_numpy(), 100.0)),
+            "sum_base_c": pa.array(_micro(out["sum_base"].to_numpy(), 100.0)),
+            "sum_disc_c": pa.array(_micro(out["sum_disc"].to_numpy(), 100.0)),
+            "n": pa.array(out["n"], pa.int64()),
+        }
+    )
+
+
+def top_parts_by_revenue(sf_dir: str):
+    """Broadcast hash join (small side via ray.put) + grouped top-10."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_name"]).to_pandas()
+    part_ref = ray.put(dict(zip(part["p_partkey"], part["p_name"])))
+
+    ds = _read(sf_dir, "lineitem", columns=["l_partkey", "l_extendedprice", "l_discount"])
+
+    class JoinRevenue:
+        def __init__(self):
+            self.names = ray.get(part_ref)  # fetched once per actor
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            rev = pcc.multiply(
+                t["l_extendedprice"], pcc.subtract(pa.scalar(1.0), t["l_discount"])
+            )
+            return pa.table({"p_partkey": t["l_partkey"], "revenue": rev})
+
+    out = (
+        ds.map_batches(JoinRevenue, batch_format="pyarrow", concurrency=2)
+        .groupby("p_partkey")
+        .aggregate(Sum("revenue", alias_name="revenue"))
+        .to_pandas()
+    )
+    out["revenue_c"] = _micro(out["revenue"].to_numpy(), 100.0)
+    out = out.sort_values(
+        ["revenue_c", "p_partkey"], ascending=[False, True], kind="mergesort"
+    ).head(10)
+    names = dict(zip(part["p_partkey"], part["p_name"]))
+    return pa.table(
+        {
+            "p_partkey": pa.array(out["p_partkey"], pa.int64()),
+            "p_name": pa.array([names.get(k) for k in out["p_partkey"]], pa.string()),
+            "revenue_c": pa.array(out["revenue_c"], pa.int64()),
+        }
+    )
+
+
+def orders_by_nation(sf_dir: str):
+    """orders x customer x nation via broadcast dimension lookup."""
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).to_pandas()
+    nation = _read(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
+    nmap = dict(zip(nation["n_nationkey"], nation["n_name"]))
+    cmap = {k: nmap[v] for k, v in zip(cust["c_custkey"], cust["c_nationkey"])}
+    cref = ray.put(cmap)
+
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    class AddNation:
+        def __init__(self):
+            self.cmap = ray.get(cref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            keys = t["o_custkey"].to_numpy(zero_copy_only=False)
+            names = [self.cmap.get(int(k)) for k in keys]
+            return pa.table(
+                {"n_name": pa.array(names, pa.string()), "o_totalprice": t["o_totalprice"]}
+            )
+
+    out = (
+        ds.map_batches(AddNation, batch_format="pyarrow", concurrency=2)
+        .groupby("n_name")
+        .aggregate(Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="total"))
+        .to_pandas()
+        .sort_values("n_name", ignore_index=True)
+    )
+    return pa.table(
+        {
+            "n_name": pa.array(out["n_name"], pa.string()),
+            "n_orders": pa.array(out["n_orders"], pa.int64()),
+            "total_c": pa.array(_micro(out["total"].to_numpy(), 100.0)),
+        }
+    )
+
+
+# ----------------------------------------------------------- SQL oracles
+
+
+def build_oracle_sql() -> Dict[str, str]:
+    tok = _tok_sql("text")
+    stop_list = ", ".join(f"'{w}'" for w in sorted(STOPWORDS))
+    return {
+        "tokenize_counts": f"SELECT doc_id, CAST(len({tok}) AS BIGINT) AS n_tokens FROM documents",
+        "term_df_top100": f"""
+            WITH tok AS (SELECT doc_id, {tok} AS toks FROM documents),
+            pairs AS (SELECT DISTINCT doc_id, unnest(toks) AS term FROM tok)
+            SELECT term, count(*) AS df FROM pairs GROUP BY term
+            ORDER BY df DESC, term ASC LIMIT 100
+        """,
+        "bm25_topk": bm25_sql(BM25_QUERY, limit=20),
+        "bm25_topk_lang": bm25_sql(BM25_QUERY_FILTERED, limit=20, lang_filter="en"),
+        "dedup_exact": """
+            SELECT min(doc_id) AS doc_id, count(*) AS n
+            FROM documents GROUP BY text ORDER BY doc_id
+        """,
+        "dedup_by_key": """
+            SELECT lang, source, min(doc_id) AS doc_id, count(*) AS n
+            FROM documents GROUP BY lang, source ORDER BY lang, source
+        """,
+        "lang_histogram": "SELECT lang, count(*) AS n FROM documents GROUP BY lang ORDER BY lang",
+        "quality_by_lang": f"""
+            WITH tok AS (
+              SELECT lang,
+                     list_filter(regexp_split_to_array(text, '\\s+'), x -> length(x) > 0) AS toks
+              FROM documents)
+            SELECT lang, count(*) AS docs,
+                   CAST(sum(len(toks)) AS BIGINT) AS tok_sum,
+                   CAST(floor(sum(len(list_filter(toks, x -> lower(x) IN ({stop_list})))) * 1000000 + 0.5) AS BIGINT) AS stop_micro
+            FROM tok GROUP BY lang ORDER BY lang
+        """,
+        "token_totals": f"""
+            SELECT lang,
+                   CAST(sum(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> length(x) > 0))) AS BIGINT) AS ws_tokens,
+                   CAST(sum(len(regexp_extract_all(text, '{BPE_ISH_PATTERN.replace("'", "''")}'))) AS BIGINT) AS bpe_tokens
+            FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "knn_cosine": """
+            WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < 3),
+            sims AS (
+              SELECT q.q_id, e.vec_id,
+                     list_cosine_similarity(e.embedding::DOUBLE[], q.qe) AS score
+              FROM embeddings e CROSS JOIN q),
+            ranked AS (
+              SELECT q_id, vec_id, score,
+                     row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id ASC) - 1 AS rank
+              FROM sims)
+            SELECT q_id, rank, vec_id,
+                   CAST(floor(score * 1000000 + 0.5) AS BIGINT) AS score_micro
+            FROM ranked WHERE rank < 10 ORDER BY q_id, rank
+        """,
+        "events_hourly": """
+            SELECT event_type, date_trunc('hour', ts) AS window_start,
+                   count(*) AS n,
+                   CAST(floor(sum(value) * 100 + 0.5) AS BIGINT) AS value_c
+            FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "sessionize": """
+            WITH ordered AS (
+              SELECT user_id,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                               OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+            SELECT user_id, count(*) AS n_events, CAST(sum(new_sess) AS BIGINT) AS n_sessions
+            FROM ordered GROUP BY user_id ORDER BY user_id
+        """,
+        "q1_lineitem": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(floor(sum(l_quantity) * 100 + 0.5) AS BIGINT) AS sum_qty_c,
+                   CAST(floor(sum(l_extendedprice) * 100 + 0.5) AS BIGINT) AS sum_base_c,
+                   CAST(floor(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.5) AS BIGINT) AS sum_disc_c,
+                   count(*) AS n
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "top_parts_by_revenue": """
+            WITH rev AS (
+              SELECT l_partkey AS p_partkey,
+                     CAST(floor(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.5) AS BIGINT) AS revenue_c
+              FROM lineitem GROUP BY l_partkey)
+            SELECT r.p_partkey, p.p_name, r.revenue_c
+            FROM rev r JOIN part p ON p.p_partkey = r.p_partkey
+            ORDER BY r.revenue_c DESC, r.p_partkey ASC LIMIT 10
+        """,
+        "orders_by_nation": """
+            SELECT n.n_name, count(*) AS n_orders,
+                   CAST(floor(sum(o.o_totalprice) * 100 + 0.5) AS BIGINT) AS total_c
+            FROM orders o
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            JOIN nation n ON n.n_nationkey = c.c_nationkey
+            GROUP BY n.n_name ORDER BY n.n_name
+        """,
+    }

@@ -22,11 +22,13 @@ import pyarrow as pa
 class _BlockTopK:
     """map_batches task: per-block cosine top-k against broadcast queries."""
 
-    def __init__(self, queries_ref, k: int, id_column: str, normalize: bool):
+    def __init__(self, queries_ref, k: int, id_column: str, normalize: bool,
+                 dtype=np.float32):
         import ray
 
+        self.dtype = dtype
         q = ray.get(queries_ref)
-        self.q = np.asarray(q, dtype=np.float32)
+        self.q = np.asarray(q, dtype=dtype)
         if normalize:
             n = np.linalg.norm(self.q, axis=1, keepdims=True)
             n[n == 0] = 1.0
@@ -41,10 +43,10 @@ class _BlockTopK:
             emb = emb.combine_chunks()
         if pa.types.is_fixed_size_list(emb.type):
             dim = emb.type.list_size
-            mat = np.asarray(emb.values.to_numpy(zero_copy_only=False), dtype=np.float32).reshape(-1, dim)
+            mat = np.asarray(emb.values.to_numpy(zero_copy_only=False), dtype=self.dtype).reshape(-1, dim)
         else:
             lst = emb.to_pylist()
-            mat = np.asarray(lst, dtype=np.float32)
+            mat = np.asarray(lst, dtype=self.dtype)
         if self.normalize:
             n = np.linalg.norm(mat, axis=1, keepdims=True)
             n[n == 0] = 1.0
@@ -74,6 +76,7 @@ def vector_topk(
     k: int = 10,
     id_column: str = "vec_id",
     normalize: bool = True,
+    dtype=np.float32,
 ) -> pa.Table:
     """Exact cosine top-k of each query row against ``ds.embedding``.
 
@@ -82,9 +85,9 @@ def vector_topk(
     """
     import ray
 
-    qref = ray.put(np.asarray(queries, dtype=np.float32))
+    qref = ray.put(np.asarray(queries, dtype=dtype))
     cands = ds.map_batches(
-        _BlockTopK(qref, k, id_column, normalize),
+        _BlockTopK(qref, k, id_column, normalize, dtype),
         batch_format="pyarrow",
         batch_size=8192,
         zero_copy_batch=True,

@@ -1,0 +1,184 @@
+"""Benchmark harness (driver-run per round; also the scaling evidence).
+
+Headline: entity-mode inverted-index build throughput (files/sec) over the
+deterministic synthetic corpus, plus warm query latency p50/p99 over the
+reference-style query set, plus the training-data pipelines over
+``$GRAFT_SF_DIR`` (default /root/testdata/sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <headline sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., "num_cpus": N}
+
+``--scaling``: runs the same build+query job in fresh processes at
+num_cpus=8 and num_cpus=32 on identical input and reports both throughputs
+plus efficiency = (t_8 / t_32) / 4 (the sandbox stand-in for N vs 4N
+nodes; results recorded in BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import subprocess
+import sys
+import time
+
+BENCH_QUERIES = [
+    "JSON parsing",
+    "parse json",
+    "send HTTP request",
+    "validate an email address",
+    "import return",
+    "json json parse",
+    "download file save disk",
+    "HTTPClientFactory",
+    "merge sorted lists",
+    "authenticate user token",
+    "retry request backoff",
+    "load configuration environment",
+]
+
+
+def run_bench() -> dict:
+    import ray
+
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    n_files = int(os.environ.get("GRAFT_BENCH_FILES", "50000"))
+
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from distributedcodesearchengine_ray.pipelines import queries as Q
+    from distributedcodesearchengine_ray.pipelines.build_index import build_index
+    from distributedcodesearchengine_ray.pipelines.query import QueryEngine
+    from distributedcodesearchengine_ray.sources.corpus import write_corpus
+
+    results: dict = {}
+
+    # corpus: generated once, cached on disk (identical at every CPU level)
+    corpus_dir = f"/tmp/rcs_bench/corpus-{n_files}"
+    t0 = time.time()
+    write_corpus(corpus_dir, n_files=n_files, seed=42, num_shards=32)
+    results["corpus_gen_sec"] = round(time.time() - t0, 3)
+
+    # warm the page cache so we measure compute+shuffle, not first disk read
+    import pyarrow.dataset as pads
+
+    pads.dataset(corpus_dir, format="parquet").to_table(columns=["repo"])
+
+    # --- headline: entity-mode index build (parse -> postings -> lexicon)
+    index_dir = f"/tmp/rcs_bench/index-{num_cpus}-{n_files}"
+    import shutil
+
+    shutil.rmtree(index_dir, ignore_errors=True)
+    t0 = time.time()
+    manifest = build_index(
+        corpus_dir, index_dir, mode="entity",
+        docs_per_partition=max(2000, manifest_docs_hint(n_files)), resume=False,
+    )
+    build_sec = time.time() - t0
+    results["build_sec"] = round(build_sec, 3)
+    results["build_files_per_sec"] = round(n_files / build_sec, 1)
+    results["build_docs"] = manifest.n_docs
+    results["build_partitions"] = manifest.num_partitions
+
+    # --- query latency (warm actors)
+    engine = QueryEngine(index_dir, num_actors=min(8, num_cpus))
+    try:
+        engine.search("warmup query", limit=20)
+        lats = []
+        for _ in range(3):
+            for q in BENCH_QUERIES:
+                t0 = time.time()
+                engine.search(q, limit=20)
+                lats.append(time.time() - t0)
+        lats.sort()
+        results["query_p50_ms"] = round(1000 * statistics.median(lats), 2)
+        results["query_p99_ms"] = round(1000 * lats[int(0.99 * (len(lats) - 1))], 2)
+        # batched throughput
+        t0 = time.time()
+        engine.search_batch([(q, None) for q in BENCH_QUERIES] * 4, limit=20)
+        results["query_batch_qps"] = round(len(BENCH_QUERIES) * 4 / (time.time() - t0), 1)
+    finally:
+        engine.close()
+
+    # --- training-data pipelines over the sf dir
+    for name, fn in (
+        ("bm25_topk", Q.bm25_topk),
+        ("term_df_top100", Q.term_df_top100),
+        ("dedup_exact", Q.dedup_exact),
+        ("minhash_near_dups", Q.minhash_near_dups),
+        ("knn_cosine", Q.knn_cosine),
+        ("q1_lineitem", Q.q1_lineitem),
+        ("events_hourly", Q.events_hourly),
+    ):
+        t0 = time.time()
+        res = fn(sf_dir)
+        try:  # force execution if lazy
+            import ray.data
+
+            if isinstance(res, ray.data.Dataset):
+                res.count()
+        except Exception:
+            pass
+        results[f"{name}_sec"] = round(time.time() - t0, 3)
+
+    out = {
+        "metric": "entity-index build files/sec + query p50/p99 + pipeline secs",
+        "value": round(build_sec, 3),
+        "unit": "sec",
+        "queries": results,
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+    }
+    ray.shutdown()
+    return out
+
+
+def manifest_docs_hint(n_files: int) -> int:
+    # ~6 entities per file; target ~32 partitions at bench scale
+    return max(2000, (n_files * 6) // 32)
+
+
+def run_scaling() -> dict:
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    lo, hi = 8, 32
+
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.join(os.path.dirname(__file__) or ".", "bench.py")],
+            env=env, capture_output=True, text=True, check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    r_lo, r_hi = run(lo), run(hi)
+    t_lo, t_hi = r_lo["value"], r_hi["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    return {
+        "metric": "index-build scaling efficiency (N=8 vs 4N=32 cpus)",
+        "sec_8": t_lo,
+        "sec_32": t_hi,
+        "files_per_sec_8": r_lo["queries"]["build_files_per_sec"],
+        "files_per_sec_32": r_hi["queries"]["build_files_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+        "sf": sf_dir,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -333,35 +333,65 @@ def build_index(
     corpus_path = corpus if isinstance(corpus, str) else None
 
     import functools
+    import json as _json
+
+    # Entity mode: the parse stage dominates, so extract ONCE into a staged
+    # parquet (much smaller than the corpus: doc_text projections, no file
+    # bodies) and run the key/count/build passes over the staging with column
+    # pruning, instead of re-parsing the corpus three times.
+    staged_path: Optional[str] = None
+    if mode == "entity":
+        staged_path = os.path.join(index_dir, "staged")
+        marker = os.path.join(index_dir, "_STAGED.json")
+        stamp = {
+            "mode": mode,
+            "corpus": corpus_path,
+            "apply_path_filters": apply_path_filters,
+        }
+        valid = False
+        if resume and corpus_path is not None and os.path.exists(marker):
+            try:
+                valid = _json.load(open(marker)) == stamp
+            except (ValueError, OSError):
+                valid = False
+        if not valid:
+            import shutil
+
+            shutil.rmtree(staged_path, ignore_errors=True)
+            src = read_corpus(corpus_path) if corpus_path is not None else corpus
+            src.map_batches(
+                functools.partial(_extract_entity_docs, apply_filters=apply_path_filters),
+                batch_format="pyarrow",
+            ).write_parquet(staged_path)
+            with open(marker, "w") as f:
+                _json.dump(stamp, f)
 
     def docs_ds(columns: Optional[List[str]] = None):
         """Fresh Dataset of extracted docs; column-pruned at the read when
         only key columns are needed (passes A/B never read content in file
-        mode)."""
+        mode, and read only ``skey`` from the staging in entity mode)."""
+        import ray.data as rd
+
         key_only = columns is not None and set(columns) <= {"skey", "repo", "path", "commit"}
+        if staged_path is not None:
+            return rd.read_parquet(
+                staged_path, columns=["skey"] if key_only else None
+            )
         if corpus_path is not None:
-            read_cols = ["repo", "path", "commit"] if key_only and mode == "file" else None
+            read_cols = ["repo", "path", "commit"] if key_only else None
             ds = read_corpus(corpus_path, columns=read_cols)
         else:
             ds = corpus
-        if mode == "file":
-            if key_only:
-                def key_batch(t: pa.Table) -> pa.Table:
-                    if apply_path_filters:
-                        t = filter_corpus_batch(t)
-                    return pa.table({"skey": _skey(t["repo"], t["path"], t["commit"])})
-                return ds.map_batches(key_batch, batch_format="pyarrow")
-            return ds.map_batches(
-                functools.partial(_extract_file_docs, apply_filters=apply_path_filters),
-                batch_format="pyarrow",
-            )
-        out = ds.map_batches(
-            functools.partial(_extract_entity_docs, apply_filters=apply_path_filters),
+        if key_only:
+            def key_batch(t: pa.Table) -> pa.Table:
+                if apply_path_filters:
+                    t = filter_corpus_batch(t)
+                return pa.table({"skey": _skey(t["repo"], t["path"], t["commit"])})
+            return ds.map_batches(key_batch, batch_format="pyarrow")
+        return ds.map_batches(
+            functools.partial(_extract_file_docs, apply_filters=apply_path_filters),
             batch_format="pyarrow",
         )
-        if key_only:
-            out = out.select_columns(["skey"])
-        return out
 
     # --- pass A: count + deterministic key sample -> boundaries
     keys = docs_ds(columns=["skey"])

@@ -61,15 +61,28 @@ _PHRASES = [
 _HOT = ["import", "return", "self", "func"]
 
 
+def _ident(rng: random.Random) -> str:
+    """Identifier with a Zipf-ish head (the fixed vocabulary) and a long
+    tail of numbered/composed variants — gives the index a realistic
+    vocabulary size so the lexicon groupby is actually exercised."""
+    base = rng.choice(_IDENTS)
+    r = rng.random()
+    if r < 0.5:
+        return base
+    if r < 0.8:
+        return f"{base}{rng.randrange(1, 10000)}"
+    return f"{base}_{rng.choice(_IDENTS)}{rng.randrange(1, 100)}"
+
+
 def _py_file(rng: random.Random) -> str:
     lines = ["import os", "import json", ""]
     n_items = rng.randint(1, 4)
     for _ in range(n_items):
-        name = rng.choice(_IDENTS)
+        name = _ident(rng)
         phrase = rng.choice(_PHRASES)
         hot = " ".join(rng.choices(_HOT, k=rng.randint(1, 6)))
         if rng.random() < 0.3:
-            cls = rng.choice(_IDENTS)
+            cls = _ident(rng)
             lines += [
                 f"class {cls}:",
                 f'    """{phrase} {hot}"""',
@@ -94,12 +107,12 @@ def _py_file(rng: random.Random) -> str:
 def _js_file(rng: random.Random, ts: bool) -> str:
     lines = ["import fs from 'fs';", ""]
     for _ in range(rng.randint(1, 4)):
-        name = rng.choice(_IDENTS)
+        name = _ident(rng)
         phrase = rng.choice(_PHRASES)
         hot = " ".join(rng.choices(_HOT, k=rng.randint(1, 4)))
         kind = rng.random()
         if kind < 0.3:
-            cls = rng.choice(_IDENTS)
+            cls = _ident(rng)
             lines += [
                 f"/** {phrase} {hot} */",
                 f"class {cls} extends Base {{",
@@ -128,7 +141,7 @@ def _js_file(rng: random.Random, ts: bool) -> str:
 def _go_file(rng: random.Random) -> str:
     lines = ["package main", "", 'import "fmt"', ""]
     for _ in range(rng.randint(1, 4)):
-        name = rng.choice(_IDENTS).replace("_", "")
+        name = _ident(rng).replace("_", "")
         phrase = rng.choice(_PHRASES)
         hot = " ".join(rng.choices(_HOT, k=rng.randint(1, 4)))
         kind = rng.random()
@@ -159,18 +172,18 @@ def _go_file(rng: random.Random) -> str:
 def _rs_file(rng: random.Random) -> str:
     lines = ["use std::io;", ""]
     for _ in range(rng.randint(1, 4)):
-        name = rng.choice(_IDENTS).lower()
+        name = _ident(rng).lower()
         phrase = rng.choice(_PHRASES)
         hot = " ".join(rng.choices(_HOT, k=rng.randint(1, 4)))
         kind = rng.random()
         if kind < 0.25:
-            s = rng.choice(_IDENTS)
+            s = _ident(rng)
             lines += [f"/// {phrase} {hot}", f"pub struct {s} {{", "    name: String,", "}", ""]
         elif kind < 0.4:
-            t = rng.choice(_IDENTS)
+            t = _ident(rng)
             lines += [f"/// {phrase}", f"pub trait {t} {{", "    fn run(&self);", "}", ""]
         elif kind < 0.6:
-            imp = rng.choice(_IDENTS)
+            imp = _ident(rng)
             lines += [
                 f"impl {imp} {{",
                 f"    /// {phrase} {hot}",

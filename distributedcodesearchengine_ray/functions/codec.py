@@ -15,21 +15,24 @@ _MASKS = 0x7F
 _CONT = 0x80
 
 
+def varint_lengths(values: np.ndarray) -> np.ndarray:
+    """Encoded byte length per value (ceil(bit_length/7), min 1)."""
+    v = np.asarray(values, dtype=np.uint64)
+    lens = np.ones(len(v), dtype=np.int64)
+    tmp = v >> np.uint64(7)
+    while (tmp > 0).any():
+        lens[tmp > 0] += 1
+        tmp >>= np.uint64(7)
+    return lens
+
+
 def varint_encode(values: np.ndarray) -> bytes:
     """Vectorized LEB128 encode of a uint64 array."""
     v = np.asarray(values, dtype=np.uint64)
     n = len(v)
     if n == 0:
         return b""
-    # bytes needed per value: ceil(bit_length/7), min 1
-    bits = np.zeros(n, dtype=np.int64)
-    tmp = v.copy()
-    nz = tmp > 0
-    while nz.any():
-        bits[nz] += 1
-        tmp >>= np.uint64(7)
-        nz = tmp > 0
-    nbytes = np.maximum(bits, 1)
+    nbytes = varint_lengths(v)
     ends = np.cumsum(nbytes)
     total = int(ends[-1])
     starts = ends - nbytes

@@ -206,54 +206,76 @@ class _PartitionBuilder:
 
         flat = pc.list_flatten(tokens)
         parents = pc.list_parent_indices(tokens).to_numpy(zero_copy_only=False)
-        tf_frame = pd.DataFrame({"t": flat.to_pandas(), "d": parents})
-        grouped = tf_frame.groupby(["t", "d"], sort=True).size()
-        terms_arr = grouped.index.get_level_values(0).to_numpy()
-        d_arr = grouped.index.get_level_values(1).to_numpy().astype(np.int64)
-        tf_arr = grouped.to_numpy().astype(np.int64)
+        # (term, doc) -> tf fully vectorized: dictionary-encode terms, sort
+        # (code, doc) pairs, run-length the sorted pairs.  Term order on disk
+        # is first-occurrence order (irrelevant: query-time lookup is by
+        # dict); doc order within a term is ascending (delta encoding).
+        codes, uniques = pd.factorize(flat.to_pandas(), sort=False)
+        codes = codes.astype(np.int64)
+        order = np.lexsort((parents, codes))
+        c_s, d_s = codes[order], parents[order].astype(np.int64)
+        if len(c_s):
+            pair_bound = np.flatnonzero((c_s[1:] != c_s[:-1]) | (d_s[1:] != d_s[:-1])) + 1
+            pair_starts = np.concatenate(([0], pair_bound))
+            tf_arr = np.diff(np.concatenate((pair_starts, [len(c_s)]))).astype(np.int64)
+            term_codes = c_s[pair_starts]
+            d_arr = d_s[pair_starts]
+        else:
+            tf_arr = np.empty(0, dtype=np.int64)
+            term_codes = np.empty(0, dtype=np.int64)
+            d_arr = np.empty(0, dtype=np.int64)
+        uniq_arr = np.asarray(uniques, dtype=object)
+        terms_arr = uniq_arr[term_codes] if len(term_codes) else np.empty(0, dtype=object)
 
         # term group boundaries over the (term, doc)-sorted postings
         if len(terms_arr):
-            change = np.flatnonzero(terms_arr[1:] != terms_arr[:-1]) + 1
+            change = np.flatnonzero(term_codes[1:] != term_codes[:-1]) + 1
             starts = np.concatenate(([0], change, [len(terms_arr)]))
         else:
             starts = np.array([0], dtype=np.int64)
         n_terms = len(starts) - 1
+        g_lo, g_hi = starts[:-1], starts[1:]
+        term_names = terms_arr[g_lo].tolist() if n_terms else []
+        dfs = (g_hi - g_lo).astype(np.int64)
 
-        term_names: List[str] = []
-        dfs = np.empty(n_terms, dtype=np.int64)
-        doc_bufs: List[bytes] = []
-        tf_bufs: List[bytes] = []
-        blk_last: List[bytes] = []
-        blk_maxtf: List[bytes] = []
-        blk_mindl: List[bytes] = []
-        global_d = doc_ids[d_arr] if len(d_arr) else d_arr
-        for k in range(n_terms):
-            lo, hi = starts[k], starts[k + 1]
-            term_names.append(terms_arr[lo])
-            dfs[k] = hi - lo
-            ids = global_d[lo:hi]
+        # one vectorized varint pass over ALL postings; per-term buffers are
+        # pure byte-range slices (no per-term encode calls — this is the hot
+        # loop at realistic vocabulary sizes)
+        global_d = (doc_ids[d_arr] if len(d_arr) else d_arr).astype(np.uint64)
+        deltas = global_d.copy()
+        if len(deltas) > 1:
+            deltas[1:] = global_d[1:] - global_d[:-1]
+        deltas[g_lo] = global_d[g_lo]  # absolute value at each group start
+        from ..functions.codec import varint_lengths
+
+        dbuf = varint_encode(deltas)
+        dpos = np.concatenate(([0], np.cumsum(varint_lengths(deltas))))
+        tf_u = tf_arr.astype(np.uint64)
+        tbuf = varint_encode(tf_u)
+        tpos = np.concatenate(([0], np.cumsum(varint_lengths(tf_u))))
+        doc_bufs = [dbuf[dpos[lo] : dpos[hi]] for lo, hi in zip(g_lo, g_hi)]
+        tf_bufs = [tbuf[tpos[lo] : tpos[hi]] for lo, hi in zip(g_lo, g_hi)]
+
+        blk_last: List[bytes] = [b""] * n_terms
+        blk_maxtf: List[bytes] = [b""] * n_terms
+        blk_mindl: List[bytes] = [b""] * n_terms
+        for k in np.flatnonzero(dfs > BLOCK):  # rare: only long postings
+            lo, hi = g_lo[k], g_hi[k]
+            ids = global_d[lo:hi].astype(np.int64)
             tfs = tf_arr[lo:hi]
-            doc_bufs.append(delta_varint_encode(ids))
-            tf_bufs.append(varint_encode(tfs.astype(np.uint64)))
-            if hi - lo > BLOCK:
-                nb = -(-(hi - lo) // BLOCK)
-                lasts = ids[np.minimum(np.arange(1, nb + 1) * BLOCK - 1, hi - lo - 1)]
-                mx = np.array(
-                    [tfs[j * BLOCK : (j + 1) * BLOCK].max() for j in range(nb)], dtype=np.uint64
-                )
-                dl_local = doc_len[d_arr[lo:hi]]
-                mn = np.array(
-                    [dl_local[j * BLOCK : (j + 1) * BLOCK].min() for j in range(nb)],
-                    dtype=np.uint64,
-                )
-                blk_last.append(delta_varint_encode(lasts))
-                blk_maxtf.append(varint_encode(mx))
-                blk_mindl.append(varint_encode(mn))
-            else:
-                blk_last.append(b"")
-                blk_maxtf.append(b"")
-                blk_mindl.append(b"")
+            nb = -(-(hi - lo) // BLOCK)
+            lasts = ids[np.minimum(np.arange(1, nb + 1) * BLOCK - 1, hi - lo - 1)]
+            mx = np.array(
+                [tfs[j * BLOCK : (j + 1) * BLOCK].max() for j in range(nb)], dtype=np.uint64
+            )
+            dl_local = doc_len[d_arr[lo:hi]]
+            mn = np.array(
+                [dl_local[j * BLOCK : (j + 1) * BLOCK].min() for j in range(nb)],
+                dtype=np.uint64,
+            )
+            blk_last[k] = delta_varint_encode(lasts)
+            blk_maxtf[k] = varint_encode(mx)
+            blk_mindl[k] = varint_encode(mn)
 
         postings = pa.table(
             {

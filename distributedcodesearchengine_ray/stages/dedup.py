@@ -129,14 +129,25 @@ class MinHashStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch[self.text_col].to_pylist()
         ids = batch[self.id_col].to_numpy(zero_copy_only=False)
-        sigs = np.stack(
-            [
-                _minhash_from_shingles(
-                    _shingle_hashes(t or "", self.shingle_n), self.a, self.b
-                )
-                for t in texts
-            ]
-        )
+        # flatten every doc's shingle set and take per-doc minima with ONE
+        # (k x n_shingles) modmul + minimum.reduceat per chunk — no
+        # per-document permutation loops
+        shingle_sets = [_shingle_hashes(t or "", self.shingle_n) for t in texts]
+        sigs = np.empty((len(texts), self.num_perm), dtype=np.uint64)
+        CHUNK = 200_000  # shingles per vectorized chunk (bounds k x CHUNK memory)
+        i = 0
+        while i < len(shingle_sets):
+            j, total = i, 0
+            while j < len(shingle_sets) and (total == 0 or total + len(shingle_sets[j]) <= CHUNK):
+                total += len(shingle_sets[j])
+                j += 1
+            flat = np.concatenate(shingle_sets[i:j])
+            lens = np.fromiter((len(s) for s in shingle_sets[i:j]), dtype=np.int64)
+            starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            x = (flat % np.uint64(_MERSENNE)).astype(np.uint64)
+            vals = (self.a[:, None] * x[None, :] + self.b[:, None]) % np.uint64(_MERSENNE)
+            sigs[i:j, :] = np.minimum.reduceat(vals, starts, axis=1).T
+            i = j
         sig_col = pa.FixedSizeListArray.from_arrays(
             pa.array(sigs.reshape(-1).astype(np.uint64)), self.num_perm
         )
@@ -196,9 +207,48 @@ def minhash_lsh_candidates(
             {"id_a": [a for a, _ in pairs], "id_b": [b for _, b in pairs]}
         )
 
-    return (
+    import ray
+    from ray.data.aggregate import Count
+
+    bands_ds = (
         ds.map_batches(stage, batch_format="pyarrow", batch_size=2048)
         .map_batches(to_bands, batch_format="pyarrow")
+        .materialize()
+    )
+    # almost every (band, band_hash) bucket is a singleton; count first and
+    # only run pair emission over buckets with >= 2 members (tiny set) —
+    # avoids per-singleton-group overhead and is the scalable shape.
+    hot = (
+        bands_ds.groupby(["band", "band_hash"])
+        .aggregate(Count(alias_name="n"))
+        .map_batches(
+            lambda t: t.filter(np.asarray(t["n"].to_numpy(zero_copy_only=False) >= 2)),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+    hot_keys = set(zip(hot["band"].tolist(), hot["band_hash"].tolist()))
+    if not hot_keys:
+        import ray.data as rd
+
+        return rd.from_pandas(pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                                            "id_b": pd.Series([], dtype="int64")}))
+    keys_ref = ray.put(hot_keys)
+
+    class KeepHot:
+        def __init__(self):
+            self.keys = ray.get(keys_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            b = t["band"].to_numpy(zero_copy_only=False)
+            h = t["band_hash"].to_numpy(zero_copy_only=False)
+            mask = np.fromiter(
+                ((bb, hh) in self.keys for bb, hh in zip(b, h)), dtype=bool, count=len(b)
+            )
+            return t.filter(pa.array(mask))
+
+    return (
+        bands_ds.map_batches(KeepHot, batch_format="pyarrow", concurrency=2)
         .groupby(["band", "band_hash"])
         .map_groups(emit_pairs, batch_format="pandas")
     )
@@ -269,8 +319,48 @@ def simhash_candidates(ds, text_col: str = "text", id_col: str = "doc_id"):
             out_d.append(d)
         return pd.DataFrame({"id_a": out_a, "id_b": out_b, "hamming": out_d})
 
+    import ray
+    from ray.data.aggregate import Count
+
+    bands_ds = ds.map_batches(add_sig, batch_format="pyarrow").materialize()
+    hot = (
+        bands_ds.groupby(["band", "band_hash"])
+        .aggregate(Count(alias_name="n"))
+        .map_batches(
+            lambda t: t.filter(np.asarray(t["n"].to_numpy(zero_copy_only=False) >= 2)),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+    hot_keys = set(zip(hot["band"].tolist(), hot["band_hash"].tolist()))
+    if not hot_keys:
+        import ray.data as rd
+
+        return rd.from_pandas(
+            pd.DataFrame(
+                {
+                    "id_a": pd.Series([], dtype="int64"),
+                    "id_b": pd.Series([], dtype="int64"),
+                    "hamming": pd.Series([], dtype="int64"),
+                }
+            )
+        )
+    keys_ref = ray.put(hot_keys)
+
+    class KeepHot:
+        def __init__(self):
+            self.keys = ray.get(keys_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            b = t["band"].to_numpy(zero_copy_only=False)
+            h = t["band_hash"].to_numpy(zero_copy_only=False)
+            mask = np.fromiter(
+                ((bb, hh) in self.keys for bb, hh in zip(b, h)), dtype=bool, count=len(b)
+            )
+            return t.filter(pa.array(mask))
+
     return (
-        ds.map_batches(add_sig, batch_format="pyarrow")
+        bands_ds.map_batches(KeepHot, batch_format="pyarrow", concurrency=2)
         .groupby(["band", "band_hash"])
         .map_groups(emit_pairs, batch_format="pandas")
     )

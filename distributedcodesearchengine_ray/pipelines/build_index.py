@@ -353,6 +353,13 @@ def build_index(
 
     os.makedirs(index_dir, exist_ok=True)
     corpus_path = corpus if isinstance(corpus, str) else None
+    phase_sec: Dict[str, float] = {}
+    _t = time.time()
+
+    def _mark(name: str) -> None:
+        nonlocal _t
+        phase_sec[name] = round(time.time() - _t, 3)
+        _t = time.time()
 
     import functools
     import json as _json
@@ -387,6 +394,7 @@ def build_index(
             ).write_parquet(staged_path)
             with open(marker, "w") as f:
                 _json.dump(stamp, f)
+        _mark("stage_extract")
 
     def docs_ds(columns: Optional[List[str]] = None):
         """Fresh Dataset of extracted docs; column-pruned at the read when
@@ -418,6 +426,7 @@ def build_index(
     # --- pass A: count + deterministic key sample -> boundaries
     keys = docs_ds(columns=["skey"])
     n_docs = keys.count()
+    _mark("count")
     if n_docs == 0:
         raise ValueError("corpus produced zero documents after filtering")
     num_partitions = max(1, min(max_partitions, -(-n_docs // docs_per_partition)))
@@ -433,6 +442,7 @@ def build_index(
         )
         .take_all()
     )
+    _mark("sample")
     sample_keys = sorted(r["skey"] for r in sampled)
     boundaries: List[str] = []
     if num_partitions > 1 and sample_keys:
@@ -458,6 +468,7 @@ def build_index(
         .aggregate(Count(alias_name="n"))
         .to_pandas()
     )
+    _mark("part_counts")
     counts = {int(r.part_id): int(r.n) for r in counts_df.itertuples()}
     offsets: Dict[int, int] = {}
     acc = 0
@@ -479,6 +490,7 @@ def build_index(
         .to_pandas()
     )
 
+    _mark("partition_build")
     total_tokens = int(summaries["total_tokens"].sum())
     avgdl = total_tokens / n_docs
 
@@ -526,6 +538,7 @@ def build_index(
         lex_dir, row_group_size=8192
     )
 
+    _mark("lexicon")
     partitions = [
         PartitionRecord.from_dict(r)
         for r in summaries.sort_values("part_id").to_dict("records")
@@ -544,6 +557,7 @@ def build_index(
         build_id=build_id,
         boundaries=boundaries,
         partitions=partitions,
+        extra={"phase_sec": phase_sec},
     )
     manifest.save(index_dir)
     return manifest

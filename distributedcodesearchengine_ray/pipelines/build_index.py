@@ -61,10 +61,12 @@ from ..state.manifest import (
 from ..stages.parse import parse_batch
 
 BLOCK = 128  # postings per block-max block
+LEX_BUCKETS = 16  # hash buckets of the global lexicon (term -> bucket file)
 
 DOCMETA_EXTRA_ENTITY = [
     "name", "entity_type", "file_path", "repo_name", "start_line", "end_line",
-    "signature", "docstring", "return_type", "parent_class", "loc",
+    "signature", "docstring", "parameters", "return_type", "decorators",
+    "parent_class", "complexity", "loc", "source_code",
 ]
 
 
@@ -188,30 +190,40 @@ class _PartitionBuilder:
         self.mode = mode
         self.resume = resume
 
-    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+    def __call__(self, tbl: pa.Table, pid: int) -> dict:
+        """Arrow-native end to end: no pandas / per-row Python objects (they
+        were the memory-allocator contention point under 32 concurrent
+        tasks)."""
+        # one Ray task = one CPU: stop Arrow's internal pool from spawning a
+        # machine-wide thread set per concurrent task (oversubscription made
+        # each task ~6x slower at 32-way concurrency)
+        if pa.cpu_count() != 1:
+            pa.set_cpu_count(1)
+            pa.set_io_thread_count(2)
         t0 = time.time()
-        pid = int(df["part_id"].iloc[0])
         base = self.offsets[pid]
-        n = len(df)
+        n = len(tbl)
         if self.resume:
             rec = read_lineage(self.index_dir, pid)
             if rec is not None and rec.build_id == self.build_id and rec.n_docs == n:
-                return pd.DataFrame([rec.to_dict()])
+                return rec.to_dict()
 
-        df = df.sort_values("skey", kind="mergesort", ignore_index=True)
+        tbl = tbl.take(pc.sort_indices(tbl["skey"]))
         doc_ids = base + np.arange(n, dtype=np.int64)
-        texts = pa.array(df["doc_text"].tolist(), type=pa.string())
-        tokens = tokenize_array(texts)
+        tokens = tokenize_array(tbl["doc_text"])
         doc_len = pc.list_value_length(tokens).to_numpy(zero_copy_only=False).astype(np.int64)
 
         flat = pc.list_flatten(tokens)
         parents = pc.list_parent_indices(tokens).to_numpy(zero_copy_only=False)
-        # (term, doc) -> tf fully vectorized: dictionary-encode terms, sort
-        # (code, doc) pairs, run-length the sorted pairs.  Term order on disk
-        # is first-occurrence order (irrelevant: query-time lookup is by
-        # dict); doc order within a term is ascending (delta encoding).
-        codes, uniques = pd.factorize(flat.to_pandas(), sort=False)
-        codes = codes.astype(np.int64)
+        # (term, doc) -> tf fully vectorized: dictionary-encode terms (Arrow,
+        # C++), sort (code, doc) pairs, run-length the sorted pairs.  Term
+        # order on disk is dictionary order (irrelevant: query-time lookup is
+        # by hash); doc order within a term is ascending (delta encoding).
+        dict_arr = pc.dictionary_encode(flat)
+        if isinstance(dict_arr, pa.ChunkedArray):
+            dict_arr = dict_arr.combine_chunks()
+        codes = np.asarray(dict_arr.indices.to_numpy(zero_copy_only=False), dtype=np.int64)
+        dictionary = dict_arr.dictionary
         order = np.lexsort((parents, codes))
         c_s, d_s = codes[order], parents[order].astype(np.int64)
         if len(c_s):
@@ -224,18 +236,19 @@ class _PartitionBuilder:
             tf_arr = np.empty(0, dtype=np.int64)
             term_codes = np.empty(0, dtype=np.int64)
             d_arr = np.empty(0, dtype=np.int64)
-        uniq_arr = np.asarray(uniques, dtype=object)
-        terms_arr = uniq_arr[term_codes] if len(term_codes) else np.empty(0, dtype=object)
-
         # term group boundaries over the (term, doc)-sorted postings
-        if len(terms_arr):
+        if len(term_codes):
             change = np.flatnonzero(term_codes[1:] != term_codes[:-1]) + 1
-            starts = np.concatenate(([0], change, [len(terms_arr)]))
+            starts = np.concatenate(([0], change, [len(term_codes)]))
         else:
             starts = np.array([0], dtype=np.int64)
         n_terms = len(starts) - 1
         g_lo, g_hi = starts[:-1], starts[1:]
-        term_names = terms_arr[g_lo].tolist() if n_terms else []
+        term_col = (
+            pc.take(dictionary, pa.array(term_codes[g_lo], pa.int64()))
+            if n_terms
+            else pa.array([], pa.string())
+        )
         dfs = (g_hi - g_lo).astype(np.int64)
 
         # one vectorized varint pass over ALL postings; per-term buffers are
@@ -279,7 +292,7 @@ class _PartitionBuilder:
 
         postings = pa.table(
             {
-                "term": pa.array(term_names, pa.string()),
+                "term": term_col.cast(pa.string()),
                 "df": pa.array(dfs, pa.int64()),
                 "doc_ids": pa.array(doc_bufs, pa.binary()),
                 "tfs": pa.array(tf_bufs, pa.binary()),
@@ -291,16 +304,17 @@ class _PartitionBuilder:
 
         meta_cols: Dict[str, pa.Array] = {
             "doc_id": pa.array(doc_ids, pa.int64()),
-            "repo": pa.array(df["repo"].tolist(), pa.string()),
-            "path": pa.array(df["path"].tolist(), pa.string()),
-            "commit": pa.array(df["commit"].tolist(), pa.string()),
-            "lang": pa.array(df["lang"].tolist(), pa.string()),
-            "sha256": pa.array(df["sha256"].tolist(), pa.string()),
+            "repo": tbl["repo"],
+            "path": tbl["path"],
+            "commit": tbl["commit"],
+            "lang": tbl["lang"],
+            "sha256": tbl["sha256"],
             "doc_len": pa.array(doc_len, pa.int64()),
         }
         if self.mode == "entity":
             for col in DOCMETA_EXTRA_ENTITY:
-                meta_cols[col] = pa.array(df[col].tolist())
+                if col in tbl.column_names:
+                    meta_cols[col] = tbl[col]
         docmeta = pa.table(meta_cols)
 
         for sub in ("postings", "docmeta"):
@@ -324,7 +338,7 @@ class _PartitionBuilder:
             build_id=self.build_id,
         )
         write_lineage(self.index_dir, rec)
-        return pd.DataFrame([rec.to_dict()])
+        return rec.to_dict()
 
 
 def build_index(
@@ -345,12 +359,11 @@ def build_index(
     ``mode="file"`` indexes each file's raw content as one document;
     ``mode="entity"`` extracts code entities first and indexes the
     entity->document projection (the reference's BM25 corpus,
-    ``bm25_index.py:74-84``).  ``docs_per_partition`` bounds per-worker
-    memory (at production scale size this by bytes, not rows).
+    ``bm25_index.py:74-84``).  ``docs_per_partition`` is the target corpus
+    FILES per doc-range partition and bounds per-worker memory (at
+    production scale size this by bytes, not rows).
     """
-    import ray.data as rd
-    from ray.data.aggregate import Count
-
+    files_per_partition = docs_per_partition
     os.makedirs(index_dir, exist_ok=True)
     corpus_path = corpus if isinstance(corpus, str) else None
     phase_sec: Dict[str, float] = {}
@@ -363,94 +376,67 @@ def build_index(
 
     import functools
     import json as _json
+    import shutil
 
-    # Entity mode: the parse stage dominates, so extract ONCE into a staged
-    # parquet (much smaller than the corpus: doc_text projections, no file
-    # bodies) and run the key/count/build passes over the staging with column
-    # pruning, instead of re-parsing the corpus three times.
-    staged_path: Optional[str] = None
-    if mode == "entity":
-        staged_path = os.path.join(index_dir, "staged")
-        marker = os.path.join(index_dir, "_STAGED.json")
-        stamp = {
-            "mode": mode,
-            "corpus": corpus_path,
-            "apply_path_filters": apply_path_filters,
-        }
-        valid = False
-        if resume and corpus_path is not None and os.path.exists(marker):
-            try:
-                valid = _json.load(open(marker)) == stamp
-            except (ValueError, OSError):
-                valid = False
-        if not valid:
-            import shutil
+    import ray
 
-            shutil.rmtree(staged_path, ignore_errors=True)
-            src = read_corpus(corpus_path) if corpus_path is not None else corpus
-            src.map_batches(
-                functools.partial(_extract_entity_docs, apply_filters=apply_path_filters),
-                batch_format="pyarrow",
-            ).write_parquet(staged_path)
-            with open(marker, "w") as f:
-                _json.dump(stamp, f)
-        _mark("stage_extract")
-
-    def docs_ds(columns: Optional[List[str]] = None):
-        """Fresh Dataset of extracted docs; column-pruned at the read when
-        only key columns are needed (passes A/B never read content in file
-        mode, and read only ``skey`` from the staging in entity mode)."""
-        import ray.data as rd
-
-        key_only = columns is not None and set(columns) <= {"skey", "repo", "path", "commit"}
-        if staged_path is not None:
-            return rd.read_parquet(
-                staged_path, columns=["skey"] if key_only else None
-            )
-        if corpus_path is not None:
-            read_cols = ["repo", "path", "commit"] if key_only else None
-            ds = read_corpus(corpus_path, columns=read_cols)
-        else:
-            ds = corpus
-        if key_only:
-            def key_batch(t: pa.Table) -> pa.Table:
-                if apply_path_filters:
-                    t = filter_corpus_batch(t)
-                return pa.table({"skey": _skey(t["repo"], t["path"], t["commit"])})
-            return ds.map_batches(key_batch, batch_format="pyarrow")
-        return ds.map_batches(
-            functools.partial(_extract_file_docs, apply_filters=apply_path_filters),
-            batch_format="pyarrow",
+    # --- pass A: partition boundaries from the corpus FILE keys — three
+    # pruned columns, no parse.  File-key boundaries induce contiguous
+    # entity doc ranges because the canonical entity key is its file key
+    # plus an ordinal suffix (lexicographic extension), so one cheap key
+    # pass serves both modes.
+    if corpus_path is not None:
+        keys_src = read_corpus(corpus_path, columns=["repo", "path", "commit"])
+        # row count from parquet METADATA (no scan); filters only shave a few
+        # percent and partition sizing is approximate by design
+        n_files = 0
+        files = (
+            [corpus_path]
+            if os.path.isfile(corpus_path)
+            else [
+                os.path.join(corpus_path, f)
+                for f in os.listdir(corpus_path)
+                if f.endswith(".parquet")
+            ]
         )
-
-    # --- pass A: count + deterministic key sample -> boundaries
-    keys = docs_ds(columns=["skey"])
-    n_docs = keys.count()
+        for f in files:
+            n_files += pq.ParquetFile(f).metadata.num_rows
+    else:
+        keys_src = corpus
+        n_files = corpus.count()
     _mark("count")
-    if n_docs == 0:
-        raise ValueError("corpus produced zero documents after filtering")
-    num_partitions = max(1, min(max_partitions, -(-n_docs // docs_per_partition)))
-    target_sample = min(100_000, max(1_000, 200 * num_partitions))
-    modulus = max(1, n_docs // target_sample)
 
-    sampled = (
-        keys.map_batches(
-            lambda t: pa.table(
-                {"skey": _deterministic_sample(t["skey"].to_numpy(zero_copy_only=False), modulus)}
-            ),
-            batch_format="pyarrow",
-        )
-        .take_all()
-    )
+    def key_batch(t: pa.Table) -> pa.Table:
+        if apply_path_filters:
+            t = filter_corpus_batch(t)
+        return pa.table({"skey": _skey(t["repo"], t["path"], t["commit"])})
+
+    keys = keys_src.map_batches(key_batch, batch_format="pyarrow")
+    if n_files == 0:
+        raise ValueError("corpus has zero rows")
+    num_partitions = max(1, min(max_partitions, -(-n_files // files_per_partition)))
+    target_sample = min(100_000, max(1_000, 200 * num_partitions))
+    modulus = max(1, n_files // target_sample)
+
+    sampled = keys.map_batches(
+        lambda t: pa.table(
+            {"skey": _deterministic_sample(t["skey"].to_numpy(zero_copy_only=False), modulus)}
+        ),
+        batch_format="pyarrow",
+    ).take_all()
     _mark("sample")
     sample_keys = sorted(r["skey"] for r in sampled)
     boundaries: List[str] = []
     if num_partitions > 1 and sample_keys:
         idx = (np.arange(1, num_partitions) * len(sample_keys)) // num_partitions
         boundaries = sorted(set(sample_keys[i] for i in idx))
-    params = {"mode": mode, "k1": k1, "b": b, "epsilon": epsilon}
-    build_id = compute_build_id(n_docs, boundaries, params)
+    params = {
+        "mode": mode, "k1": k1, "b": b, "epsilon": epsilon,
+        "apply_path_filters": apply_path_filters,
+    }
+    build_id = compute_build_id(n_files, boundaries, params)
     bnd_arr = np.array(boundaries, dtype=object)
+    P = len(boundaries) + 1
 
     def add_part_id(t: pa.Table) -> pa.Table:
         sk = t["skey"].to_numpy(zero_copy_only=False)
@@ -460,84 +446,140 @@ def build_index(
             pid = np.zeros(len(sk), dtype=np.int64)
         return t.append_column("part_id", pa.array(pid, pa.int64()))
 
-    # --- pass B: per-partition counts -> docID offsets (prefix sums)
-    counts_df = (
-        docs_ds(columns=["skey"])
-        .map_batches(add_part_id, batch_format="pyarrow")
-        .groupby("part_id")
-        .aggregate(Count(alias_name="n"))
-        .to_pandas()
-    )
-    _mark("part_counts")
-    counts = {int(r.part_id): int(r.n) for r in counts_df.itertuples()}
+    # --- pass B: extract + doc-range partitioning in ONE streaming pass.
+    # A hive-partitioned write (each task appends its rows to part_id=K
+    # subdirs) replaces a groupby(part_id) sort shuffle — the all-to-all
+    # goes through the filesystem with no ordering barrier (measured: the
+    # sort-based groupby cost 5-10x the partition builds themselves).  The
+    # repartition coalesces to a few large blocks first so blocks x
+    # partitions doesn't explode into tiny files.
+    staged_parts = os.path.join(index_dir, "staged_parts")
+    marker2 = os.path.join(index_dir, "_PARTED.json")
+    parted_valid = False
+    if resume and os.path.exists(marker2):
+        try:
+            parted_valid = _json.load(open(marker2)).get("build_id") == build_id
+        except (ValueError, OSError):
+            parted_valid = False
+    if not parted_valid:
+        shutil.rmtree(staged_parts, ignore_errors=True)
+        src = read_corpus(corpus_path) if corpus_path is not None else corpus
+        extract = functools.partial(
+            _extract_entity_docs if mode == "entity" else _extract_file_docs,
+            apply_filters=apply_path_filters,
+        )
+        src.map_batches(extract, batch_format="pyarrow").map_batches(
+            add_part_id, batch_format="pyarrow"
+        ).repartition(16).write_parquet(staged_parts, partition_cols=["part_id"])
+        with open(marker2, "w") as f:
+            _json.dump({"build_id": build_id}, f)
+    _mark("extract_partition_write")
+
+    # per-partition doc counts: parquet METADATA only (no data read)
+    counts_vec = np.zeros(P, dtype=np.int64)
+    for p in range(P):
+        sub = os.path.join(staged_parts, f"part_id={p}")
+        if os.path.isdir(sub):
+            for f in os.listdir(sub):
+                if f.endswith(".parquet"):
+                    counts_vec[p] += pq.ParquetFile(os.path.join(sub, f)).metadata.num_rows
+    n_docs = int(counts_vec.sum())
+    if n_docs == 0:
+        raise ValueError("corpus produced zero documents after extraction")
     offsets: Dict[int, int] = {}
     acc = 0
-    for p in range(len(boundaries) + 1):
+    for p in range(P):
         offsets[p] = acc
-        acc += counts.get(p, 0)
+        acc += int(counts_vec[p])
+    _mark("part_counts")
 
-    # --- pass C: build partitions (map_groups over doc ranges)
+    # --- pass C: independent per-partition index builds (pure Ray tasks)
     builder = _PartitionBuilder(index_dir, offsets, build_id, mode, resume)
 
-    def build_partition(df: pd.DataFrame) -> pd.DataFrame:
-        return builder(df)
+    @ray.remote(num_cpus=1)
+    def build_one(pid: int) -> dict:
+        rec = read_lineage(index_dir, pid) if resume else None
+        if rec is not None and rec.build_id == build_id:
+            return rec.to_dict()
+        sub = os.path.join(staged_parts, f"part_id={pid}")
+        return builder(pq.read_table(sub), pid)
 
-    summaries = (
-        docs_ds()
-        .map_batches(add_part_id, batch_format="pyarrow")
-        .groupby("part_id")
-        .map_groups(build_partition, batch_format="pandas")
-        .to_pandas()
-    )
-
+    live_parts = [p for p in range(P) if counts_vec[p] > 0]
+    summaries = pd.DataFrame(ray.get([build_one.remote(p) for p in live_parts]))
     _mark("partition_build")
     total_tokens = int(summaries["total_tokens"].sum())
     avgdl = total_tokens / n_docs
 
-    # --- pass D: global lexicon via groupby(term) partial-df merge
-    from ray.data.aggregate import Sum
-
+    # --- pass D: global lexicon — the groupby(term)-aggregate merge of the
+    # per-partition partial dfs, implemented as an explicit hash-partitioned
+    # exchange: LEX_BUCKETS parallel tasks each aggregate the terms whose
+    # stable hash lands in their bucket (reading only the tiny term/df
+    # columns of every partition's postings), then a second tiny round
+    # applies the epsilon floor once the driver has combined the per-bucket
+    # (sum_idf, vocab) partials.  Buckets are written sorted-by-term with
+    # small row groups, so a query term resolves via bucket hash + parquet
+    # predicate pushdown — the vocabulary is never loaded whole anywhere.
     post_files = sorted(
         os.path.join(index_dir, "postings", f)
         for f in os.listdir(os.path.join(index_dir, "postings"))
         if f.endswith(".parquet")
     )
-    lex = (
-        rd.read_parquet(post_files, columns=["term", "df"])
-        .groupby("term")
-        .aggregate(Sum("df", alias_name="df"))
-    )
-
-    def add_idf(t: pa.Table) -> pa.Table:
-        df_ = t["df"].to_numpy(zero_copy_only=False).astype(np.float64)
-        idf_raw = np.log(n_docs - df_ + 0.5) - np.log(df_ + 0.5)
-        return t.append_column("idf_raw", pa.array(idf_raw, pa.float64()))
-
-    lex = lex.map_batches(add_idf, batch_format="pyarrow").materialize()
-    from ray.data.aggregate import Mean
-
-    agg = lex.aggregate(Mean("idf_raw", alias_name="avg"), Count(alias_name="vocab"))
-    average_idf = float(agg["avg"]) if agg["vocab"] else 0.0
-    vocab_size = int(agg["vocab"])
-    eps_floor = epsilon * average_idf
-
-    def floor_idf(t: pa.Table) -> pa.Table:
-        raw = t["idf_raw"].to_numpy(zero_copy_only=False)
-        idf = np.where(raw < 0, eps_floor, raw)
-        return pa.table(
-            {"term": t["term"], "df": t["df"], "idf": pa.array(idf, pa.float64())}
-        )
-
     lex_dir = os.path.join(index_dir, "lexicon")
     os.makedirs(lex_dir, exist_ok=True)
     for f in os.listdir(lex_dir):
         os.remove(os.path.join(lex_dir, f))
-    # sorted by term + small row groups => query terms resolve via parquet
-    # predicate pushdown instead of loading the vocabulary anywhere.
-    lex.map_batches(floor_idf, batch_format="pyarrow").sort("term").write_parquet(
-        lex_dir, row_group_size=8192
-    )
 
+    @ray.remote(num_cpus=1)
+    def lex_bucket(b: int) -> tuple:
+        if pa.cpu_count() != 1:
+            pa.set_cpu_count(1)
+        tbl = pa.concat_tables(
+            pq.read_table(f, columns=["term", "df"]) for f in post_files
+        )
+        terms = tbl["term"].combine_chunks()
+        h = pd.util.hash_array(np.asarray(terms.to_pylist(), dtype=object))
+        mask = (h % LEX_BUCKETS) == b
+        sub = tbl.filter(pa.array(mask))
+        dict_arr = pc.dictionary_encode(sub["term"].combine_chunks())
+        if isinstance(dict_arr, pa.ChunkedArray):
+            dict_arr = dict_arr.combine_chunks()
+        codes = dict_arr.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        dfs_local = sub["df"].to_numpy(zero_copy_only=False)
+        agg = np.bincount(codes, weights=dfs_local).astype(np.int64)
+        idf_raw = np.log(n_docs - agg.astype(np.float64) + 0.5) - np.log(
+            agg.astype(np.float64) + 0.5
+        )
+        out = pa.table(
+            {
+                "term": dict_arr.dictionary,
+                "df": pa.array(agg, pa.int64()),
+                "idf_raw": pa.array(idf_raw, pa.float64()),
+            }
+        )
+        out = out.take(pc.sort_indices(out["term"]))
+        pq.write_table(out, os.path.join(lex_dir, f"bucket-{b:04d}.tmp"))
+        return float(idf_raw.sum()), int(len(agg))
+
+    partials = ray.get([lex_bucket.remote(b) for b in range(LEX_BUCKETS)])
+    vocab_size = int(sum(c for _, c in partials))
+    average_idf = float(sum(s for s, _ in partials)) / vocab_size if vocab_size else 0.0
+    eps_floor = epsilon * average_idf
+
+    @ray.remote(num_cpus=1)
+    def lex_floor(b: int) -> None:
+        tmp = os.path.join(lex_dir, f"bucket-{b:04d}.tmp")
+        t = pq.read_table(tmp)
+        raw = t["idf_raw"].to_numpy(zero_copy_only=False)
+        idf = np.where(raw < 0, eps_floor, raw)
+        out = pa.table(
+            {"term": t["term"], "df": t["df"], "idf": pa.array(idf, pa.float64())}
+        )
+        pq.write_table(
+            out, os.path.join(lex_dir, f"bucket-{b:04d}.parquet"), row_group_size=8192
+        )
+        os.remove(tmp)
+
+    ray.get([lex_floor.remote(b) for b in range(LEX_BUCKETS)])
     _mark("lexicon")
     partitions = [
         PartitionRecord.from_dict(r)
@@ -557,7 +599,7 @@ def build_index(
         build_id=build_id,
         boundaries=boundaries,
         partitions=partitions,
-        extra={"phase_sec": phase_sec},
+        extra={"phase_sec": phase_sec, "lex_buckets": LEX_BUCKETS},
     )
     manifest.save(index_dir)
     return manifest

@@ -208,20 +208,45 @@ class IndexShard:
 
 
 class LexiconReader:
-    """Per-query term -> idf lookup via parquet predicate pushdown."""
+    """Per-query term -> idf lookup: bucket hash selects the lexicon shard
+    file, parquet predicate pushdown (sorted term + small row groups)
+    selects the row — the vocabulary is never loaded whole."""
 
-    def __init__(self, index_dir: str):
+    def __init__(self, index_dir: str, lex_buckets: Optional[int] = None):
         self.path = os.path.join(index_dir, "lexicon")
+        if lex_buckets is None:
+            try:
+                lex_buckets = IndexManifest.load(index_dir).extra.get("lex_buckets")
+            except (OSError, ValueError):
+                lex_buckets = None
+        self.buckets = lex_buckets
         self._cache: Dict[str, float] = {}
+
+    def _bucket_of(self, terms: List[str]) -> Dict[int, List[str]]:
+        h = pd.util.hash_array(np.asarray(terms, dtype=object))
+        out: Dict[int, List[str]] = {}
+        for t, b in zip(terms, (h % self.buckets).astype(int)):
+            out.setdefault(b, []).append(t)
+        return out
 
     def idfs(self, terms: List[str]) -> Dict[str, float]:
         missing = sorted({t for t in terms if t not in self._cache})
         if missing:
-            dataset = pads.dataset(self.path, format="parquet")
-            tbl = dataset.to_table(
-                columns=["term", "idf"], filter=pads.field("term").isin(missing)
-            )
-            found = dict(zip(tbl["term"].to_pylist(), tbl["idf"].to_pylist()))
+            found: Dict[str, float] = {}
+            if self.buckets:
+                for b, ts in self._bucket_of(missing).items():
+                    f = os.path.join(self.path, f"bucket-{b:04d}.parquet")
+                    if not os.path.exists(f):
+                        continue
+                    tbl = pads.dataset(f, format="parquet").to_table(
+                        columns=["term", "idf"], filter=pads.field("term").isin(ts)
+                    )
+                    found.update(zip(tbl["term"].to_pylist(), tbl["idf"].to_pylist()))
+            else:  # legacy layout: one sorted dataset
+                tbl = pads.dataset(self.path, format="parquet").to_table(
+                    columns=["term", "idf"], filter=pads.field("term").isin(missing)
+                )
+                found = dict(zip(tbl["term"].to_pylist(), tbl["idf"].to_pylist()))
             for t in missing:
                 self._cache[t] = found.get(t, 0.0)
         return {t: self._cache[t] for t in set(terms)}

@@ -74,9 +74,9 @@ def _ident(rng: random.Random) -> str:
     return f"{base}_{rng.choice(_IDENTS)}{rng.randrange(1, 100)}"
 
 
-def _py_file(rng: random.Random) -> str:
+def _py_file(rng: random.Random, richness: int = 1) -> str:
     lines = ["import os", "import json", ""]
-    n_items = rng.randint(1, 4)
+    n_items = rng.randint(1, 4 * richness)
     for _ in range(n_items):
         name = _ident(rng)
         phrase = rng.choice(_PHRASES)
@@ -104,9 +104,9 @@ def _py_file(rng: random.Random) -> str:
     return "\n".join(lines)
 
 
-def _js_file(rng: random.Random, ts: bool) -> str:
+def _js_file(rng: random.Random, ts: bool, richness: int = 1) -> str:
     lines = ["import fs from 'fs';", ""]
-    for _ in range(rng.randint(1, 4)):
+    for _ in range(rng.randint(1, 4 * richness)):
         name = _ident(rng)
         phrase = rng.choice(_PHRASES)
         hot = " ".join(rng.choices(_HOT, k=rng.randint(1, 4)))
@@ -138,9 +138,9 @@ def _js_file(rng: random.Random, ts: bool) -> str:
     return "\n".join(lines)
 
 
-def _go_file(rng: random.Random) -> str:
+def _go_file(rng: random.Random, richness: int = 1) -> str:
     lines = ["package main", "", 'import "fmt"', ""]
-    for _ in range(rng.randint(1, 4)):
+    for _ in range(rng.randint(1, 4 * richness)):
         name = _ident(rng).replace("_", "")
         phrase = rng.choice(_PHRASES)
         hot = " ".join(rng.choices(_HOT, k=rng.randint(1, 4)))
@@ -169,9 +169,9 @@ def _go_file(rng: random.Random) -> str:
     return "\n".join(lines)
 
 
-def _rs_file(rng: random.Random) -> str:
+def _rs_file(rng: random.Random, richness: int = 1) -> str:
     lines = ["use std::io;", ""]
-    for _ in range(rng.randint(1, 4)):
+    for _ in range(rng.randint(1, 4 * richness)):
         name = _ident(rng).lower()
         phrase = rng.choice(_PHRASES)
         hot = " ".join(rng.choices(_HOT, k=rng.randint(1, 4)))
@@ -214,39 +214,47 @@ _EXT_BY_LANG = {
 _LANGS = ["python", "javascript", "typescript", "go", "rust"]
 
 
-def gen_corpus_rows(n_files: int, seed: int = 42):
-    """Yield deterministic (repo, path, commit, lang, content) dicts."""
-    rng = random.Random(seed)
+def gen_corpus_row(i: int, seed: int = 42, richness: int = 1) -> dict:
+    """One deterministic (repo, path, commit, lang, content) row.
+
+    Seeded per row (not per stream) so shard generation parallelizes while
+    staying byte-identical at every parallelism level.  ``richness`` scales
+    entities-per-file (bench corpora use >1 for realistic file sizes)."""
+    rng = random.Random((seed << 24) ^ i)
+    repo = f"org{i % 7}/repo{i % 13}"
+    lang = _LANGS[rng.randrange(len(_LANGS))]
+    ext = rng.choice(_EXT_BY_LANG[lang])
+    r = rng.random()
+    if r < 0.05:
+        subdir = rng.choice(SKIP_DIRS)
+        path = f"{subdir}/pkg{i % 11}/file_{i}{ext}"
+    elif r < 0.08:
+        ext = rng.choice([".md", ".txt"])
+        path = f"docs/file_{i}{ext}"
+        lang = "unknown"
+    else:
+        path = f"src/mod{i % 19}/file_{i}{ext}"
+    if lang == "python":
+        content = _py_file(rng, richness)
+    elif lang in ("javascript", "typescript"):
+        content = _js_file(rng, ts=(lang == "typescript"), richness=richness)
+    elif lang == "go":
+        content = _go_file(rng, richness)
+    elif lang == "rust":
+        content = _rs_file(rng, richness)
+    else:
+        content = f"# notes {i}\n" + rng.choice(_PHRASES)
+    commit = hashlib.sha256(f"{repo}:{path}".encode()).hexdigest()[:40]
+    return {"repo": repo, "path": path, "commit": commit, "lang": lang, "content": content}
+
+
+def gen_corpus_rows(n_files: int, seed: int = 42, richness: int = 1):
+    """Yield deterministic corpus rows."""
     for i in range(n_files):
-        repo = f"org{i % 7}/repo{i % 13}"
-        lang = _LANGS[rng.randrange(len(_LANGS))]
-        ext = rng.choice(_EXT_BY_LANG[lang])
-        r = rng.random()
-        if r < 0.05:
-            subdir = rng.choice(SKIP_DIRS)
-            path = f"{subdir}/pkg{i % 11}/file_{i}{ext}"
-        elif r < 0.08:
-            ext = rng.choice([".md", ".txt"])
-            path = f"docs/file_{i}{ext}"
-            lang = "unknown"
-        else:
-            path = f"src/mod{i % 19}/file_{i}{ext}"
-        if lang == "python":
-            content = _py_file(rng)
-        elif lang in ("javascript", "typescript"):
-            content = _js_file(rng, ts=(lang == "typescript"))
-        elif lang == "go":
-            content = _go_file(rng)
-        elif lang == "rust":
-            content = _rs_file(rng)
-        else:
-            content = f"# notes {i}\n" + rng.choice(_PHRASES)
-        commit = hashlib.sha256(f"{repo}:{path}".encode()).hexdigest()[:40]
-        yield {"repo": repo, "path": path, "commit": commit, "lang": lang, "content": content}
+        yield gen_corpus_row(i, seed, richness)
 
 
-def gen_corpus_table(n_files: int, seed: int = 42) -> pa.Table:
-    rows = list(gen_corpus_rows(n_files, seed))
+def _rows_to_table(rows: List[dict]) -> pa.Table:
     return pa.table(
         {
             "repo": pa.array([r["repo"] for r in rows], pa.string()),
@@ -258,25 +266,43 @@ def gen_corpus_table(n_files: int, seed: int = 42) -> pa.Table:
     )
 
 
+def gen_corpus_table(n_files: int, seed: int = 42) -> pa.Table:
+    return _rows_to_table(list(gen_corpus_rows(n_files, seed)))
+
+
 def write_corpus(
-    out_dir: str, n_files: int, seed: int = 42, num_shards: Optional[int] = None
+    out_dir: str, n_files: int, seed: int = 42, num_shards: Optional[int] = None,
+    richness: int = 1,
 ) -> str:
     """Write the corpus as sharded Parquet (one file per shard => read
     parallelism; never one giant file).  Idempotent on same params."""
     os.makedirs(out_dir, exist_ok=True)
     marker = os.path.join(out_dir, "_COMPLETE")
-    stamp = f"n={n_files} seed={seed}"
+    stamp = f"n={n_files} seed={seed} richness={richness}"
     if os.path.exists(marker) and open(marker).read() == stamp:
         return out_dir
-    table = gen_corpus_table(n_files, seed)
     if num_shards is None:
         num_shards = max(1, min(64, n_files // 2000))
     per = -(-n_files // num_shards)
-    for s in range(num_shards):
-        chunk = table.slice(s * per, per)
-        if len(chunk) == 0:
-            break
-        pq.write_table(chunk, os.path.join(out_dir, f"part-{s:05d}.parquet"))
+
+    def write_shard(s: int) -> None:
+        lo, hi = s * per, min((s + 1) * per, n_files)
+        if lo >= hi:
+            return
+        rows = [gen_corpus_row(i, seed, richness) for i in range(lo, hi)]
+        pq.write_table(_rows_to_table(rows), os.path.join(out_dir, f"part-{s:05d}.parquet"))
+
+    try:  # parallel generation when a Ray session is live (bench path)
+        import ray
+
+        if ray.is_initialized():
+            shard_task = ray.remote(write_shard)
+            ray.get([shard_task.remote(s) for s in range(num_shards)])
+        else:
+            raise ImportError
+    except ImportError:
+        for s in range(num_shards):
+            write_shard(s)
     with open(marker, "w") as f:
         f.write(stamp)
     return out_dir

@@ -101,6 +101,18 @@ def run_bench() -> dict:
     results["build_docs"] = manifest.n_docs
     results["build_partitions"] = manifest.num_partitions
 
+    if os.environ.get("GRAFT_BENCH_BUILD_ONLY"):
+        out = {
+            "metric": "entity-index build sec (build-only mode)",
+            "value": round(build_sec, 3),
+            "unit": "sec",
+            "queries": results,
+            "sf": sf_dir,
+            "num_cpus": num_cpus,
+        }
+        ray.shutdown()
+        return out
+
     # --- query latency (warm actors)
     engine = QueryEngine(index_dir, num_actors=min(8, num_cpus))
     try:
@@ -155,8 +167,8 @@ def run_bench() -> dict:
 
 
 def manifest_docs_hint(n_files: int) -> int:
-    # ~6 entities per file; target ~32 partitions at bench scale
-    return max(2000, (n_files * 6) // 32)
+    # target ~45 doc-range partitions (files per partition) at bench scale
+    return max(1000, n_files // 45)
 
 
 def run_scaling() -> dict:
@@ -169,14 +181,18 @@ def run_scaling() -> dict:
     hi = int(os.environ.get("GRAFT_SCALE_HI", "16"))
 
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BENCH_BUILD_ONLY="1")
         out = subprocess.run(
             [sys.executable, os.path.join(os.path.dirname(__file__) or ".", "bench.py")],
             env=env, capture_output=True, text=True, check=True,
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    r_lo, r_hi = run(lo), run(hi)
+    # interleaved best-of-3 per level: wall-clock on this box drifts by up
+    # to 2x run-to-run, which would otherwise swamp the ratio
+    runs = [run(lo), run(hi), run(lo), run(hi), run(lo), run(hi)]
+    r_lo = min(runs[0::2], key=lambda r: r["value"])
+    r_hi = min(runs[1::2], key=lambda r: r["value"])
     t_lo, t_hi = r_lo["value"], r_hi["value"]
     eff = (t_lo / t_hi) / (hi / lo)
     return {

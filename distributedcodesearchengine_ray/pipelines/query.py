@@ -60,6 +60,7 @@ class IndexShard:
         self.k1 = manifest.k1
         self.b = manifest.b
         self.avgdl = manifest.avgdl
+        self._decoded: Dict[Tuple[int, int], tuple] = {}
         self.parts: List[dict] = []
         n_local = 0
         for pid in part_ids:
@@ -115,22 +116,143 @@ class IndexShard:
     def ping(self) -> int:
         return self.n_local
 
+    _CACHE_CAP = 4096
+
+    def _postings(self, part_idx: int, row: int):
+        """Decoded posting list for (partition, term row): (local_idx,
+        query-independent per-doc weight wtf).  LRU-ish cached — decode
+        cost for Zipf-hot terms is paid once per actor, not per query."""
+        key = (part_idx, row)
+        hit = self._decoded.get(key)
+        if hit is not None:
+            return hit
+        p = self.parts[part_idx]
+        ids = delta_varint_decode(p["doc_ids_enc"][row])
+        tfs = varint_decode(p["tfs_enc"][row]).astype(np.float64)
+        rel = ids - p["doc_lo"]
+        local = rel + p["local_base"]
+        normf = p["normf"][rel]
+        wtf = tfs * (self.k1 + 1) / (tfs + normf)
+        if len(self._decoded) >= self._CACHE_CAP:
+            self._decoded.pop(next(iter(self._decoded)))
+        self._decoded[key] = (local, wtf)
+        return local, wtf
+
     def _dense_scores(self, query_tokens: List[str], idfs: Dict[str, float]) -> np.ndarray:
         scores = np.zeros(self.n_local, dtype=np.float64)
         for q in query_tokens:  # duplicates kept, query order preserved
             idf = idfs.get(q) or 0
             if not idf:
                 continue
-            for p in self.parts:
-                row = p["term_row"].get(q)
+            for pi in range(len(self.parts)):
+                row = self.parts[pi]["term_row"].get(q)
                 if row is None:
                     continue
-                ids = delta_varint_decode(p["doc_ids_enc"][row])
-                tfs = varint_decode(p["tfs_enc"][row]).astype(np.float64)
-                local = ids - p["doc_lo"] + p["local_base"]
-                normf = p["normf"][ids - p["doc_lo"]]
-                scores[local] += idf * (tfs * (self.k1 + 1) / (tfs + normf))
+                local, wtf = self._postings(pi, row)
+                scores[local] += idf * wtf
         return scores
+
+    def _term_lists(self, query_tokens: List[str], idfs: Dict[str, float]):
+        """Per distinct term: (weight = idf * multiplicity, ascending local
+        idx array, wtf array) merged across this shard's partitions."""
+        mult: Dict[str, int] = {}
+        for q in query_tokens:
+            mult[q] = mult.get(q, 0) + 1
+        lists = []
+        for term, m in mult.items():
+            idf = idfs.get(term) or 0
+            if not idf:
+                continue
+            locs, wtfs = [], []
+            for pi in range(len(self.parts)):
+                row = self.parts[pi]["term_row"].get(term)
+                if row is not None:
+                    l, w = self._postings(pi, row)
+                    locs.append(l)
+                    wtfs.append(w)
+            if not locs:
+                continue
+            # partitions are ordered by local_base => concatenation ascends
+            lists.append((idf * m, np.concatenate(locs), np.concatenate(wtfs)))
+        return lists
+
+    def _wand_topk(
+        self,
+        query_tokens: List[str],
+        idfs: Dict[str, float],
+        limit: int,
+        filters: Optional[Dict[str, str]],
+    ) -> Tuple[float, List[Tuple[int, float]]]:
+        """Score-exact block-max-WAND-style top-k: document-at-a-time with
+        per-term upper-bound pruning (prune strictly below the running
+        threshold, so score AND tie ordering match the dense scorer
+        exactly).  Wins over the dense path when postings are long and k is
+        small; the dense path stays the default on in-memory shards.
+
+        Returns (unfiltered local max score, [(local_idx, score)] top-k).
+        """
+        import heapq
+
+        lists = self._term_lists(query_tokens, idfs)
+        if not lists:
+            return 0.0, []
+        fmask = None
+        if filters:
+            fmask = self._filter_mask(filters, np.arange(self.n_local))
+        ubs = [max(w * wt.max(), w * wt.min()) for w, _, wt in lists]
+        ptrs = [0] * len(lists)
+        sizes = [len(l) for _, l, _ in lists]
+        heap: List[Tuple[float, int]] = []  # (score, -local): weakest first
+        unfiltered_max = 0.0
+        order = sorted(range(len(lists)), key=lambda i: -ubs[i])
+        while True:
+            # sort live lists by current doc
+            live = [i for i in range(len(lists)) if ptrs[i] < sizes[i]]
+            if not live:
+                break
+            live.sort(key=lambda i: lists[i][1][ptrs[i]])
+            # pivot: smallest doc d such that sum of ubs of lists whose
+            # current doc <= d reaches the threshold
+            theta = heap[0][0] if len(heap) >= limit else float("-inf")
+            acc = 0.0
+            pivot_idx = None
+            for i in live:
+                acc += ubs[i]
+                # >= so score==theta ties are still evaluated (they can win
+                # the docID tie-break) — keeps WAND rank-identical to dense
+                if acc >= theta:
+                    pivot_idx = i
+                    break
+            if pivot_idx is None:
+                break  # no doc can beat theta
+            pivot_doc = int(lists[pivot_idx][1][ptrs[pivot_idx]])
+            first_doc = int(lists[live[0]][1][ptrs[live[0]]])
+            if first_doc == pivot_doc:
+                # fully score pivot_doc
+                score = 0.0
+                for i in live:
+                    w, l, wt = lists[i]
+                    pi = ptrs[i]
+                    if pi < sizes[i] and int(l[pi]) == pivot_doc:
+                        score += w * wt[pi]
+                        ptrs[i] += 1
+                if score > unfiltered_max:
+                    unfiltered_max = score
+                if fmask is None or fmask[pivot_doc]:
+                    item = (score, -pivot_doc)
+                    if len(heap) < limit:
+                        heapq.heappush(heap, item)
+                    elif item > heap[0]:
+                        heapq.heapreplace(heap, item)
+            else:
+                # advance lists before the pivot up to pivot_doc
+                for i in live:
+                    w, l, wt = lists[i]
+                    if int(l[ptrs[i]]) >= pivot_doc:
+                        break
+                    ptrs[i] = int(np.searchsorted(l, pivot_doc, side="left"))
+        out = sorted(((s, -nl) for s, nl in heap), key=lambda x: (-x[0], x[1]))
+        return unfiltered_max, [(doc, s) for s, doc in out]
 
     def _filter_mask(self, filters: Optional[Dict[str, str]], idx: np.ndarray) -> np.ndarray:
         mask = np.ones(len(idx), dtype=bool)
@@ -154,14 +276,27 @@ class IndexShard:
         limit: int,
         filters: Optional[Dict[str, str]] = None,
         dense_all: bool = False,
+        method: str = "dense",
     ) -> Tuple[float, List[dict]]:
         """Return (local unfiltered max score, top-``limit`` candidate rows).
 
         ``dense_all=True`` ranks every local doc (zero scores included) —
-        the reference's ``max <= 0`` fallback branch.
+        the reference's ``max <= 0`` fallback branch.  ``method="wand"``
+        uses the upper-bound-pruned document-at-a-time scorer (identical
+        results; wins when postings are long/disk-resident).
         """
         if self.n_local == 0:
             return 0.0, []
+        if method == "wand" and not dense_all:
+            local_max, top = self._wand_topk(query_tokens, idfs, limit, filters)
+            if filters and top is not None:
+                _, top1 = self._wand_topk(query_tokens, idfs, 1, None)
+                local_max = top1[0][1] if top1 else 0.0
+            rows = [
+                {"doc_id": int(self._doc_ids[l]), "score": float(s), "_local": int(l)}
+                for l, s in top
+            ]
+            return local_max, rows
         scores = self._dense_scores(query_tokens, idfs)
         local_max = float(scores.max()) if len(scores) else 0.0
         if dense_all:
@@ -284,14 +419,16 @@ class QueryEngine:
         query: str,
         limit: int = 20,
         filters: Optional[Dict[str, str]] = None,
+        method: str = "dense",
     ) -> List[dict]:
         """Reference-semantics BM25 search -> ranked [{doc_id, score}]."""
-        return self.search_batch([(query, filters)], limit=limit)[0]
+        return self.search_batch([(query, filters)], limit=limit, method=method)[0]
 
     def search_batch(
         self,
         queries: List[Tuple[str, Optional[Dict[str, str]]]],
         limit: int = 20,
+        method: str = "dense",
     ) -> List[List[dict]]:
         import ray
 
@@ -306,7 +443,8 @@ class QueryEngine:
                 continue
             q_idfs = {t: idfs.get(t, 0.0) for t in set(toks)}
             refs = [
-                a.search.remote(toks, q_idfs, limit, filters, False) for a in self.actors
+                a.search.remote(toks, q_idfs, limit, filters, False, method)
+                for a in self.actors
             ]
             pending.append((qi, toks, q_idfs, limit, queries[qi][1], refs))
         for qi, toks, q_idfs, lim, filters, refs in pending:

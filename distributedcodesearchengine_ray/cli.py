@@ -1,0 +1,117 @@
+"""CLI — the reference's ``codesearch index|search|stats`` surface
+(/root/reference/codesearch/cli/main.py) over the distributed engine.
+
+Usage:
+    python -m distributedcodesearchengine_ray.cli index  <corpus_dir> --index-dir DIR [--mode entity|file] [--no-resume] [--embeddings]
+    python -m distributedcodesearchengine_ray.cli search "<query>" --index-dir DIR [--limit N]
+        [--language L] [--entity-type T] [--repo R] [--hybrid] [--method dense|wand]
+    python -m distributedcodesearchengine_ray.cli stats  --index-dir DIR
+
+Owns its Ray session (guarded init; the driver-facing entry points never
+call ray.init).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _ensure_ray() -> None:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="distributedcodesearchengine-ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pi = sub.add_parser("index", help="build the sharded index from a parquet corpus")
+    pi.add_argument("corpus")
+    pi.add_argument("--index-dir", required=True)
+    pi.add_argument("--mode", choices=["entity", "file"], default="entity")
+    pi.add_argument("--no-resume", action="store_true")
+    pi.add_argument("--embeddings", action="store_true")
+    pi.add_argument("--docs-per-partition", type=int, default=50_000)
+
+    ps = sub.add_parser("search", help="BM25 / hybrid search")
+    ps.add_argument("query")
+    ps.add_argument("--index-dir", required=True)
+    ps.add_argument("--limit", type=int, default=20)
+    ps.add_argument("--language")
+    ps.add_argument("--entity-type")
+    ps.add_argument("--repo")
+    ps.add_argument("--hybrid", action="store_true")
+    ps.add_argument("--method", choices=["dense", "wand"], default="dense")
+
+    pt = sub.add_parser("stats", help="index stats")
+    pt.add_argument("--index-dir", required=True)
+
+    args = p.parse_args(argv)
+    _ensure_ray()
+    from .engine import CodeSearchEngine
+
+    eng = CodeSearchEngine(args.index_dir, mode=getattr(args, "mode", "entity"))
+    try:
+        if args.cmd == "index":
+            m = eng.index_corpus(
+                args.corpus,
+                resume=not args.no_resume,
+                with_embeddings=args.embeddings,
+                docs_per_partition=args.docs_per_partition,
+            )
+            print(
+                json.dumps(
+                    {
+                        "n_docs": m.n_docs,
+                        "vocab_size": m.vocab_size,
+                        "num_partitions": m.num_partitions,
+                        "build_id": m.build_id,
+                        "phase_sec": m.extra.get("phase_sec", {}),
+                    }
+                )
+            )
+        elif args.cmd == "search":
+            hits = eng.search(
+                args.query,
+                limit=args.limit,
+                language=args.language,
+                entity_type=args.entity_type,
+                repo_filter=args.repo,
+                use_hybrid=args.hybrid,
+                method=args.method,
+            )
+            for h in hits:
+                print(
+                    json.dumps(
+                        {
+                            k: h.get(k)
+                            for k in (
+                                "rank", "doc_id", "score", "name", "path",
+                                "file_path", "signature", "highlights",
+                            )
+                            if k in h
+                        },
+                        default=str,
+                    )
+                )
+        elif args.cmd == "stats":
+            print(json.dumps(eng.stats()))
+    finally:
+        eng.close()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,178 @@
+"""High-level engine facade — the reference's user-facing surface
+(``LocalSearchEngine`` / ``HybridSearchEngine`` / ``RepoIndexer``,
+/root/reference/codesearch/search/engine.py:135-238,393-521 and
+indexer/repo_indexer.py:94-270) re-expressed over the distributed index.
+
+A user of the reference maps 1:1:
+
+| reference                              | here                          |
+|----------------------------------------|-------------------------------|
+| ``RepoIndexer.index_directory``        | ``CodeSearchEngine.index_corpus`` (parquet corpus in, sharded index out) |
+| ``LocalSearchEngine.search``           | ``search(..., use_hybrid=False)`` (BM25 + score normalization K4) |
+| ``HybridSearchEngine.search``          | ``search(..., use_hybrid=True)`` (mock-embed semantic + RRF) |
+| ``BM25Index.remove_by_repo`` (D2)      | ``remove_by_repo`` (filter corpus -> rebuild; the reference also refits the whole index) |
+| ``BM25Index.count`` / Qdrant ``get_stats`` (A4) | ``count`` / ``stats``  |
+| highlights (M11, engine.py:112-124)    | ``highlights`` field on hits  |
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional
+
+from .pipelines.build_index import build_index
+from .pipelines.hybrid import HybridEngine
+from .pipelines.query import QueryEngine
+from .state.manifest import IndexManifest
+
+
+def _highlights(hit: dict) -> List[str]:
+    out = []
+    doc = hit.get("docstring")
+    if doc:
+        out.append(doc[:200])
+    sig = hit.get("signature")
+    if sig:
+        out.append(sig)
+    return out
+
+
+class CodeSearchEngine:
+    """Build + query facade over one index directory."""
+
+    def __init__(self, index_dir: str, mode: str = "entity"):
+        self.index_dir = index_dir
+        self.mode = mode
+        self._query_engine: Optional[QueryEngine] = None
+        self._hybrid_engine: Optional[HybridEngine] = None
+
+    # ------------------------------------------------------------- build
+
+    def index_corpus(
+        self,
+        corpus,
+        resume: bool = True,
+        with_embeddings: bool = False,
+        **build_kwargs,
+    ) -> IndexManifest:
+        """Index a (repo, path, commit, lang, content) parquet corpus."""
+        self.close()
+        manifest = build_index(
+            corpus, self.index_dir, mode=self.mode, resume=resume, **build_kwargs
+        )
+        if with_embeddings:
+            from .stages.embed_stage import build_embeddings
+
+            build_embeddings(self.index_dir)
+        return manifest
+
+    def remove_by_repo(self, corpus, repo_name: str, **build_kwargs) -> IndexManifest:
+        """D2 semantics: drop a repo and refit.  The reference rebuilds its
+        whole in-memory index (bm25_index.py:172-202); here the rebuild is
+        a fresh deterministic build over the filtered corpus — unchanged
+        doc-range partitions are NOT reusable because docIDs are global
+        insertion ranks, exactly as in the reference."""
+        import pyarrow.compute as pc
+
+        from .sources.corpus import read_corpus
+
+        ds = read_corpus(corpus) if isinstance(corpus, str) else corpus
+        filtered = ds.map_batches(
+            lambda t: t.filter(pc.invert(pc.equal(t["repo"], repo_name))),
+            batch_format="pyarrow",
+        )
+        self.close()
+        import shutil
+
+        shutil.rmtree(self.index_dir, ignore_errors=True)
+        return build_index(
+            filtered, self.index_dir, mode=self.mode, resume=False, **build_kwargs
+        )
+
+    # ------------------------------------------------------------- query
+
+    def _bm25(self) -> QueryEngine:
+        if self._query_engine is None:
+            self._query_engine = QueryEngine(self.index_dir)
+        return self._query_engine
+
+    def _hybrid(self) -> HybridEngine:
+        if self._hybrid_engine is None:
+            self._hybrid_engine = HybridEngine(self.index_dir)
+        return self._hybrid_engine
+
+    def search(
+        self,
+        query: str,
+        limit: int = 20,
+        language: Optional[str] = None,
+        entity_type: Optional[str] = None,
+        repo_filter: Optional[str] = None,
+        use_hybrid: bool = False,
+        method: str = "dense",
+        normalize: bool = True,
+    ) -> List[dict]:
+        """Ranked hits with metadata + highlights.
+
+        BM25-only path normalizes scores by the top score (K4,
+        engine.py:484-490); hybrid path is already RRF-normalized.
+        """
+        filters: Dict[str, str] = {}
+        if language:
+            filters["language"] = language
+        if entity_type:
+            filters["entity_type"] = entity_type
+        if repo_filter:
+            filters["repo_name"] = repo_filter
+        if use_hybrid:
+            hits = self._hybrid().search(query, limit=limit, filters=filters or None)
+            for h in hits:
+                h["highlights"] = _highlights(h)
+            return hits
+        df = self._bm25().search_with_meta(
+            query, limit=limit, filters=filters or None
+        )
+        hits = df.to_dict("records")
+        if hits and normalize:
+            top = hits[0]["score"] if hits[0]["score"] > 0 else 1.0
+            for h in hits:
+                h["bm25_score"] = h["score"]
+                h["score"] = h["score"] / top
+        for h in hits:
+            h["highlights"] = _highlights(h)
+        return hits
+
+    # ------------------------------------------------------------- stats
+
+    def count(self) -> int:
+        return IndexManifest.load(self.index_dir).n_docs
+
+    def stats(self) -> dict:
+        """A4: index counts + per-language histogram + manifest scalars."""
+        import pyarrow.dataset as pads
+
+        m = IndexManifest.load(self.index_dir)
+        langs: Dict[str, int] = {}
+        meta = pads.dataset(os.path.join(self.index_dir, "docmeta"), format="parquet")
+        for batch in meta.to_batches(columns=["lang"]):
+            import collections
+
+            for lang, n in collections.Counter(batch["lang"].to_pylist()).items():
+                langs[lang] = langs.get(lang, 0) + n
+        return {
+            "mode": m.mode,
+            "n_docs": m.n_docs,
+            "vocab_size": m.vocab_size,
+            "avgdl": m.avgdl,
+            "num_partitions": m.num_partitions,
+            "languages": dict(sorted(langs.items())),
+            "total_tokens": m.total_tokens,
+        }
+
+    def close(self) -> None:
+        if self._query_engine is not None:
+            self._query_engine.close()
+            self._query_engine = None
+        if self._hybrid_engine is not None:
+            self._hybrid_engine.close()
+            self._hybrid_engine = None

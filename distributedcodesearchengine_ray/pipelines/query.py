@@ -398,11 +398,17 @@ class QueryEngine:
         self.lexicon = LexiconReader(index_dir)
         part_ids = [p.part_id for p in self.manifest.partitions if p.n_docs > 0]
         if num_actors is None:
-            num_actors = max(1, min(len(part_ids), int(ray.available_resources().get("CPU", 4))))
+            # leave headroom: a query-actor pool that reserves every CPU
+            # starves any concurrently-running Dataset pipeline (deadlock in
+            # the worst case) — size to half the cluster by default
+            total = int(ray.cluster_resources().get("CPU", 4))
+            num_actors = max(1, min(len(part_ids), total // 2))
         num_actors = max(1, min(num_actors, len(part_ids) or 1))
         Actor = ray.remote(IndexShard)
+        # fractional num_cpus: scoring bursts are short; 0.5 lets builds and
+        # other stages interleave with a resident query pool
         self.actors = [
-            Actor.options(num_cpus=1).remote(index_dir, part_ids[i::num_actors])
+            Actor.options(num_cpus=0.5).remote(index_dir, part_ids[i::num_actors])
             for i in range(num_actors)
         ]
         ray.get([a.ping.remote() for a in self.actors])  # surface init errors

@@ -1,0 +1,103 @@
+"""Facade + CLI parity tests (reference engine surface)."""
+
+import json
+import subprocess
+import sys
+
+import pytest
+
+from distributedcodesearchengine_ray.sources.corpus import write_corpus
+
+
+@pytest.fixture(scope="module")
+def corpus_dir(tmp_path_factory):
+    return write_corpus(str(tmp_path_factory.mktemp("c")), n_files=150, seed=42, num_shards=2)
+
+
+@pytest.fixture(scope="module")
+def engine(ray_session, corpus_dir, tmp_path_factory):
+    from distributedcodesearchengine_ray.engine import CodeSearchEngine
+
+    eng = CodeSearchEngine(str(tmp_path_factory.mktemp("idx")), mode="entity")
+    eng.index_corpus(corpus_dir, docs_per_partition=50, with_embeddings=True)
+    yield eng
+    eng.close()
+
+
+def test_search_normalized_with_highlights(engine):
+    hits = engine.search("parse json data", limit=10)
+    assert hits
+    assert hits[0]["score"] == pytest.approx(1.0)  # K4 normalization
+    assert all(0 <= h["score"] <= 1.0 + 1e-12 for h in hits)
+    assert any(h["highlights"] for h in hits)  # M11
+    # filters thread through
+    py = engine.search("parse json data", limit=10, language="python")
+    assert all(h["lang"] == "python" for h in py)
+
+
+def test_hybrid_path(engine):
+    hits = engine.search("send http request", limit=10, use_hybrid=True)
+    assert hits
+    assert "semantic_score" in hits[0]
+    assert "highlights" in hits[0]
+
+
+def test_wand_method(engine):
+    dense = engine.search("validate email address", limit=10, method="dense")
+    wand = engine.search("validate email address", limit=10, method="wand")
+    assert [h["doc_id"] for h in dense] == [h["doc_id"] for h in wand]
+
+
+def test_stats_and_count(engine):
+    s = engine.stats()
+    assert s["n_docs"] == engine.count() > 0
+    assert s["vocab_size"] > 0
+    assert set(s["languages"]) <= {"python", "javascript", "typescript", "go", "rust"}
+
+
+def test_remove_by_repo(ray_session, corpus_dir, tmp_path_factory):
+    from distributedcodesearchengine_ray.engine import CodeSearchEngine
+
+    eng = CodeSearchEngine(str(tmp_path_factory.mktemp("idx2")), mode="entity")
+    try:
+        m1 = eng.index_corpus(corpus_dir, docs_per_partition=50)
+        before = eng.stats()
+        victim = "org1/repo1"
+        hits = eng.search("parse json", limit=50)
+        m2 = eng.remove_by_repo(corpus_dir, victim, docs_per_partition=50)
+        assert m2.n_docs < m1.n_docs
+        after_hits = eng.search("parse json", limit=50)
+        assert all(h.get("repo_name") != victim for h in after_hits)
+    finally:
+        eng.close()
+
+
+def test_cli_end_to_end(corpus_dir, tmp_path_factory):
+    idx = str(tmp_path_factory.mktemp("idx3"))
+    env = None
+    out = subprocess.run(
+        [sys.executable, "-m", "distributedcodesearchengine_ray.cli", "index", corpus_dir,
+         "--index-dir", idx, "--docs-per-partition", "100"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    info = json.loads(out.stdout.strip().splitlines()[-1])
+    assert info["n_docs"] > 0
+
+    out = subprocess.run(
+        [sys.executable, "-m", "distributedcodesearchengine_ray.cli", "search",
+         "parse json", "--index-dir", idx, "--limit", "5"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    lines = [json.loads(l) for l in out.stdout.strip().splitlines() if l.startswith("{")]
+    assert 0 < len(lines) <= 5
+    assert "doc_id" in lines[0]
+
+    out = subprocess.run(
+        [sys.executable, "-m", "distributedcodesearchengine_ray.cli", "stats",
+         "--index-dir", idx],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert json.loads(out.stdout.strip().splitlines()[-1])["n_docs"] == info["n_docs"]

@@ -35,6 +35,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tokenize_counts": Q.tokenize_counts,
         "term_df_top100": Q.term_df_top100,
         "bm25_topk": Q.bm25_topk,
+        "bm25_topk_wand": Q.bm25_topk_wand,
         "bm25_topk_lang": Q.bm25_topk_lang,
         "lang_histogram": Q.lang_histogram,
         # dedup suite
@@ -52,6 +53,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # relational coverage (joins / grouped aggregates / top-k)
         "q1_lineitem": Q.q1_lineitem,
         "top_parts_by_revenue": Q.top_parts_by_revenue,
+        "revenue_by_part_type": Q.revenue_by_part_type,
         "orders_by_nation": Q.orders_by_nation,
     }
 

@@ -146,6 +146,26 @@ def bm25_topk_lang(sf_dir: str):
     return bm25_topk(sf_dir, query=BM25_QUERY_FILTERED, filters={"language": "en"})
 
 
+def bm25_topk_wand(sf_dir: str):
+    """Same query through the block-max WAND scorer — must be identical to
+    the dense scorer, so it shares bm25_topk's SQL oracle."""
+    from .query import QueryEngine
+
+    idx = _documents_index(sf_dir)
+    engine = QueryEngine(idx, num_actors=2)
+    try:
+        hits = engine.search(BM25_QUERY, limit=20, method="wand")
+    finally:
+        engine.close()
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(len(hits)), pa.int64()),
+            "doc_id": pa.array([h["doc_id"] for h in hits], pa.int64()),
+            "score_micro": pa.array(_micro([h["score"] for h in hits]), pa.int64()),
+        }
+    )
+
+
 _TOKENIZE_SQL = r"""list_filter(regexp_split_to_array(
     regexp_replace(regexp_replace(lower(
       regexp_replace(regexp_replace({col},'([a-z])([A-Z])','\1 \2','g'),
@@ -555,6 +575,36 @@ def top_parts_by_revenue(sf_dir: str):
     )
 
 
+def revenue_by_part_type(sf_dir: str):
+    """Distributed hash join via ``Dataset.join`` (both sides as Datasets),
+    then grouped revenue by part type — exercises the native join operator
+    (the broadcast pattern in ``top_parts_by_revenue`` remains the
+    preferred shape when one side is small)."""
+    from ray.data.aggregate import Sum
+
+    line = _read(sf_dir, "lineitem", columns=["l_partkey", "l_extendedprice", "l_discount"])
+
+    def revenue(t: pa.Table) -> pa.Table:
+        rev = pcc.multiply(t["l_extendedprice"], pcc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table({"p_partkey": t["l_partkey"], "revenue": rev})
+
+    line = line.map_batches(revenue, batch_format="pyarrow")
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_type"])
+    joined = line.join(part, join_type="inner", num_partitions=8, on=("p_partkey",))
+    out = (
+        joined.groupby("p_type")
+        .aggregate(Sum("revenue", alias_name="revenue"))
+        .to_pandas()
+        .sort_values("p_type", ignore_index=True)
+    )
+    return pa.table(
+        {
+            "p_type": pa.array(out["p_type"], pa.string()),
+            "revenue_c": pa.array(_micro(out["revenue"].to_numpy(), 100.0)),
+        }
+    )
+
+
 def orders_by_nation(sf_dir: str):
     """orders x customer x nation via broadcast dimension lookup."""
     import ray
@@ -610,6 +660,7 @@ def build_oracle_sql() -> Dict[str, str]:
             ORDER BY df DESC, term ASC LIMIT 100
         """,
         "bm25_topk": bm25_sql(BM25_QUERY, limit=20),
+        "bm25_topk_wand": bm25_sql(BM25_QUERY, limit=20),
         "bm25_topk_lang": bm25_sql(BM25_QUERY_FILTERED, limit=20, lang_filter="en"),
         "dedup_exact": """
             SELECT min(doc_id) AS doc_id, count(*) AS n
@@ -684,6 +735,12 @@ def build_oracle_sql() -> Dict[str, str]:
             SELECT r.p_partkey, p.p_name, r.revenue_c
             FROM rev r JOIN part p ON p.p_partkey = r.p_partkey
             ORDER BY r.revenue_c DESC, r.p_partkey ASC LIMIT 10
+        """,
+        "revenue_by_part_type": """
+            SELECT p.p_type,
+                   CAST(floor(sum(l.l_extendedprice * (1 - l.l_discount)) * 100 + 0.5) AS BIGINT) AS revenue_c
+            FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+            GROUP BY p.p_type ORDER BY p.p_type
         """,
         "orders_by_nation": """
             SELECT n.n_name, count(*) AS n_orders,

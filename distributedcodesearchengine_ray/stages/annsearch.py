@@ -110,6 +110,83 @@ def vector_topk(
     )
 
 
+def _emb_matrix(emb, dtype=np.float32) -> np.ndarray:
+    if isinstance(emb, pa.ChunkedArray):
+        emb = emb.combine_chunks()
+    if pa.types.is_fixed_size_list(emb.type):
+        dim = emb.type.list_size
+        return np.asarray(emb.values.to_numpy(zero_copy_only=False), dtype=dtype).reshape(-1, dim)
+    return np.asarray(emb.to_pylist(), dtype=dtype)
+
+
+def ivf_train_centroids(
+    ds, n_centroids: int = 16, sample_size: int = 4096, iters: int = 10, seed: int = 42
+) -> np.ndarray:
+    """Tiny k-means (IVF coarse quantizer) trained on a driver-side sample.
+
+    The sample is deterministic (first blocks up to ``sample_size`` rows);
+    centroids are L2-normalized so assignment = argmax dot product.
+    """
+    sample = ds.limit(sample_size).to_pandas()
+    mat = np.stack(sample["embedding"].to_numpy()).astype(np.float64)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    mat = mat / norms
+    rng = np.random.default_rng(seed)
+    cent = mat[rng.choice(len(mat), size=min(n_centroids, len(mat)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(mat @ cent.T, axis=1)
+        for c in range(len(cent)):
+            members = mat[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    cent[c] = v / n
+    return cent.astype(np.float32)
+
+
+def vector_topk_ivf(
+    ds,
+    queries: np.ndarray,
+    k: int = 10,
+    id_column: str = "vec_id",
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+) -> pa.Table:
+    """IVF scale path: brute-force only over vectors whose nearest centroid
+    is among each query's ``n_probe`` closest centroids.  At scale the
+    centroid id becomes the partition key (``partition_cols=["ivf_cell"]``)
+    so a query touches ~n_probe/n_centroids of the corpus.  Approximate
+    (recall < 1) by construction."""
+    import ray
+
+    cent = ivf_train_centroids(ds, n_centroids=n_centroids, seed=seed)
+    qmat = np.asarray(queries, dtype=np.float32)
+    qn = np.linalg.norm(qmat, axis=1, keepdims=True)
+    qn[qn == 0] = 1.0
+    qcells = np.argsort(-(qmat / qn) @ cent.T, axis=1)[:, :n_probe]
+    probe = set(np.unique(qcells).tolist())
+    cent_ref = ray.put(cent)
+
+    class CellFilter:
+        def __init__(self):
+            self.cent = ray.get(cent_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            mat = _emb_matrix(batch["embedding"])
+            n = np.linalg.norm(mat, axis=1, keepdims=True)
+            n[n == 0] = 1.0
+            cells = np.argmax((mat / n) @ self.cent.T, axis=1)
+            return batch.filter(pa.array(np.isin(cells, list(probe))))
+
+    filtered = ds.map_batches(
+        CellFilter, batch_format="pyarrow", batch_size=8192, concurrency=2
+    )
+    return vector_topk(filtered, queries, k=k, id_column=id_column)
+
+
 def lsh_signatures(mat: np.ndarray, n_bits: int = 16, seed: int = 42) -> np.ndarray:
     """Random-hyperplane LSH bucket ids (the IVF/LSH scale path)."""
     rng = np.random.default_rng(seed)

@@ -150,3 +150,21 @@ def test_hybrid_end_to_end(ray_session, tmp_path):
         assert len(only_bm) > 0
     finally:
         eng.close()
+
+
+def test_vector_topk_ivf_recall(ray_session):
+    import ray.data as rd
+
+    from distributedcodesearchengine_ray.stages.annsearch import vector_topk, vector_topk_ivf
+
+    ds = rd.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+    df = ds.to_pandas()
+    mat = np.stack(df["embedding"].to_numpy())
+    qs = mat[:3]
+    exact = vector_topk(ds, qs, k=10, id_column="vec_id").to_pandas()
+    approx = vector_topk_ivf(ds, qs, k=10, id_column="vec_id", n_centroids=8, n_probe=3).to_pandas()
+    for qi in range(3):
+        ids = approx[approx.query_idx == qi]["vec_id"].tolist()
+        assert df["vec_id"][qi] in ids  # the query vector itself is found
+        inter = len(set(ids) & set(exact[exact.query_idx == qi]["vec_id"].tolist()))
+        assert inter >= 5  # clustered synthetic data => good recall

@@ -15,3 +15,25 @@ streaming, and partitioned end to end.
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    # lazy top-level exports (keep `import distributedcodesearchengine_ray` light; ray is
+    # only imported when a pipeline actually runs)
+    if name == "CodeSearchEngine":
+        from .engine import CodeSearchEngine
+
+        return CodeSearchEngine
+    if name == "build_index":
+        from .pipelines.build_index import build_index
+
+        return build_index
+    if name == "QueryEngine":
+        from .pipelines.query import QueryEngine
+
+        return QueryEngine
+    if name == "HybridEngine":
+        from .pipelines.hybrid import HybridEngine
+
+        return HybridEngine
+    raise AttributeError(name)

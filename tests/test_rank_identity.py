@@ -162,3 +162,38 @@ def test_resume_skips_completed_partitions(ray_session, corpus_dir, tmp_path_fac
             assert os.path.getmtime(os.path.join(idx, "postings", f)) == t, (
                 "completed partition was rebuilt"
             )
+
+
+def test_hot_term_lexicon_matches_oracle(file_index, oracle_docs):
+    """Zipf-hot terms ('import' appears in most docs): the bucketed lexicon
+    merge must produce the exact global df and eps-floored idf."""
+    from distributedcodesearchengine_ray.pipelines.query import LexiconReader
+
+    idx, manifest = file_index
+    corpus_tokens = [tokenize(r["content"]) for r in oracle_docs]
+    oracle = BM25Oracle(corpus_tokens)
+    reader = LexiconReader(idx)
+    for term in ("import", "return", "json", "func", "self"):
+        if term not in oracle.idf:
+            continue
+        got = reader.idfs([term])[term]
+        assert got == pytest.approx(oracle.idf[term], rel=1e-9), term
+
+
+def test_staging_invalidation_on_param_change(ray_session, corpus_dir, tmp_path_factory):
+    """A build with different params must not reuse the old staging or
+    lineage (different build_id)."""
+    import os
+
+    from distributedcodesearchengine_ray.pipelines.build_index import build_index
+
+    idx = str(tmp_path_factory.mktemp("index_inval"))
+    m1 = build_index(corpus_dir, idx, mode="file", docs_per_partition=40)
+    m2 = build_index(corpus_dir, idx, mode="file", docs_per_partition=40, k1=1.2)
+    assert m2.build_id != m1.build_id
+    assert m2.n_docs == m1.n_docs
+    # lost staging marker => staging rebuilt, then build succeeds
+    os.remove(os.path.join(idx, "_PARTED.json"))
+    m3 = build_index(corpus_dir, idx, mode="file", docs_per_partition=40, k1=1.2)
+    assert m3.build_id == m2.build_id
+    assert m3.n_docs == m2.n_docs

@@ -114,7 +114,7 @@ def run_bench() -> dict:
         return out
 
     # --- query latency (warm actors)
-    engine = QueryEngine(index_dir, num_actors=min(8, num_cpus))
+    engine = QueryEngine(index_dir, num_actors=min(8, num_cpus), prewarm_terms=256)
     try:
         engine.search("warmup query", limit=20)
         lats = []

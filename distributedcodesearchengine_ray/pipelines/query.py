@@ -116,6 +116,19 @@ class IndexShard:
     def ping(self) -> int:
         return self.n_local
 
+    def prewarm(self, terms: List[str]) -> int:
+        """Decode the given (typically highest-df) terms' postings into the
+        cache — moves the cold-decode cost of Zipf-hot terms out of the
+        first queries' latency."""
+        n = 0
+        for t in terms:
+            for pi in range(len(self.parts)):
+                row = self.parts[pi]["term_row"].get(t)
+                if row is not None:
+                    self._postings(pi, row)
+                    n += 1
+        return n
+
     _CACHE_CAP = 4096
 
     def _postings(self, part_idx: int, row: int):
@@ -390,7 +403,12 @@ class LexiconReader:
 class QueryEngine:
     """Driver-side fan-out/merge over the shard-actor pool."""
 
-    def __init__(self, index_dir: str, num_actors: Optional[int] = None):
+    def __init__(
+        self,
+        index_dir: str,
+        num_actors: Optional[int] = None,
+        prewarm_terms: int = 0,
+    ):
         import ray
 
         self.index_dir = index_dir
@@ -412,6 +430,34 @@ class QueryEngine:
             for i in range(num_actors)
         ]
         ray.get([a.ping.remote() for a in self.actors])  # surface init errors
+        if prewarm_terms:
+            hot = self._hot_terms(prewarm_terms)
+            ray.get([a.prewarm.remote(hot) for a in self.actors])
+
+    def _hot_terms(self, n: int) -> List[str]:
+        """Top-n terms by global df from the lexicon (df column only)."""
+        import heapq
+
+        lex_dir = os.path.join(self.index_dir, "lexicon")
+        if not os.path.isdir(lex_dir):
+            return []
+        best: List[Tuple[int, str]] = []
+        for f in sorted(os.listdir(lex_dir)):
+            if not f.endswith(".parquet"):
+                continue
+            t = pq.read_table(os.path.join(lex_dir, f), columns=["term", "df"])
+            dfs = t["df"].to_numpy(zero_copy_only=False)
+            if len(dfs) == 0:
+                continue
+            k = min(n, len(dfs))
+            top = np.argpartition(-dfs, k - 1)[:k]
+            for i in top:
+                item = (int(dfs[i]), t["term"][int(i)].as_py())
+                if len(best) < n:
+                    heapq.heappush(best, item)
+                elif item > best[0]:
+                    heapq.heapreplace(best, item)
+        return [term for _, term in sorted(best, reverse=True)]
 
     def close(self) -> None:
         import ray

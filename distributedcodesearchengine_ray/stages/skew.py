@@ -37,6 +37,8 @@ def detect_hot_terms(
     """Terms appearing in more than ``threshold`` of (hash-sampled) docs."""
     from ray.data.aggregate import Sum
 
+    SENTINEL = "\x00__sampled_docs__"
+
     def sample_partial(t: pa.Table) -> pa.Table:
         texts = t[text_col]
         if isinstance(texts, pa.ChunkedArray):
@@ -49,22 +51,26 @@ def detect_hot_terms(
         parents = pcc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
         df_ = pd.DataFrame({"term": flat.to_pandas(), "d": parents}).drop_duplicates()
         partial = df_.groupby("term", sort=False).size().reset_index(name="df")
-        partial["n_docs"] = int(keep.sum())
+        # the sampled-doc denominator travels as a sentinel row ("\x00"
+        # sorts before any real token, which cannot contain control chars)
+        partial = pd.concat(
+            [partial, pd.DataFrame({"term": [SENTINEL], "df": [int(keep.sum())]})],
+            ignore_index=True,
+        )
         return pa.Table.from_pandas(partial, preserve_index=False)
 
     agg = (
         ds.map_batches(sample_partial, batch_format="pyarrow")
         .groupby("term")
-        .aggregate(Sum("df", alias_name="df"), Sum("n_docs", alias_name="weight"))
+        .aggregate(Sum("df", alias_name="df"))
         .to_pandas()
     )
-    # n_docs was repeated per row within a batch; recover total sampled docs
-    # from any single batch contribution is not possible post-agg, so use the
-    # max df as the denominator proxy bound and the threshold on df share.
-    total = agg["df"].max() if len(agg) else 1  # df of the hottest term
+    total_row = agg[agg["term"] == SENTINEL]
+    total = int(total_row["df"].iloc[0]) if len(total_row) else 0
     if total == 0:
         return set()
-    return set(agg.loc[agg["df"] >= threshold * total, "term"].tolist())
+    terms = agg[agg["term"] != SENTINEL]
+    return set(terms.loc[terms["df"] >= threshold * total, "term"].tolist())
 
 
 def term_df_salted(

@@ -168,3 +168,73 @@ def test_vector_topk_ivf_recall(ray_session):
         assert df["vec_id"][qi] in ids  # the query vector itself is found
         inter = len(set(ids) & set(exact[exact.query_idx == qi]["vec_id"].tolist()))
         assert inter >= 5  # clustered synthetic data => good recall
+
+
+def test_hybrid_golden_fusion(ray_session, tmp_path):
+    """End-to-end hybrid result == independent recomputation of the full
+    reference semantics: mock-embed(enhanced query) cosine ranking + BM25
+    ranking + weighted RRF (k=60, w=0.7, low-diversity fallback, HTTP
+    boost) + max normalization."""
+    import pandas as pd
+
+    from distributedcodesearchengine_ray.functions.embed import mock_embed_text, searchable_text
+    from distributedcodesearchengine_ray.functions.tokenizer import tokenize
+    from distributedcodesearchengine_ray.pipelines.build_index import build_index
+    from distributedcodesearchengine_ray.pipelines.hybrid import HybridEngine, enhance_query
+    from distributedcodesearchengine_ray.pipelines.oracle import BM25Oracle, oracle_search
+    from distributedcodesearchengine_ray.sources.corpus import gen_corpus_rows, write_corpus
+    from distributedcodesearchengine_ray.stages.embed_stage import build_embeddings
+    from distributedcodesearchengine_ray.stages.parse import entity_document, parse_content
+    from tests.test_rank_identity import _keep
+
+    n = 100
+    corpus = write_corpus(str(tmp_path / "c"), n_files=n, seed=42, num_shards=2)
+    idx = str(tmp_path / "idx")
+    build_index(corpus, idx, mode="entity", docs_per_partition=40)
+    build_embeddings(idx, concurrency=2)
+
+    # oracle entities in docID order
+    rows = [r for r in gen_corpus_rows(n, seed=42) if _keep(r["path"])]
+    rows.sort(key=lambda r: (r["repo"], r["path"], r["commit"]))
+    ents = []
+    for r in rows:
+        ents.extend(parse_content(r["content"], r["path"], r["repo"], r["lang"]))
+
+    query, limit = "parse json data", 8
+    # semantic side: cosine of mock embeddings vs enhanced query, top 2*limit
+    qv = mock_embed_text(enhance_query(query)).astype(np.float64)
+    sims = []
+    for i, e in enumerate(ents):
+        ev = mock_embed_text(
+            searchable_text(
+                e["name"], e["entity_type"], e["signature"], e["parameters"],
+                e["docstring"], e["return_type"], e["parent_class"],
+            )
+        ).astype(np.float64)
+        sims.append((i, float(ev @ qv)))
+    sims.sort(key=lambda x: (-x[1], x[0]))
+    sem = sims[: 2 * limit]
+    # bm25 side
+    oracle = BM25Oracle([tokenize(entity_document(e)) for e in ents])
+    bm = oracle_search(oracle, query, limit=2 * limit)
+    # reference RRF (recomputed independently, not via rrf_fuse)
+    svals = [s for _, s in sem]
+    w = 0.3 if svals and (max(svals) - min(svals) < 0.05) else 0.7
+    acc = {}
+    for rank, (d, s) in enumerate(sem):
+        acc[d] = [w / (60 + rank + 1), 0.0]
+    for rank, (d, s) in enumerate(bm):
+        acc.setdefault(d, [0.0, 0.0])[1] = (1 - w) / (60 + rank + 1)
+    fused = sorted(((d, a + b) for d, (a, b) in acc.items()), key=lambda x: (-x[1], x[0]))
+    mx = fused[0][1]
+    expected = [(d, s / mx) for d, s in fused][:limit]
+
+    eng = HybridEngine(idx, num_actors=2)
+    try:
+        got = eng.search(query, limit=limit)
+    finally:
+        eng.close()
+    assert [h["doc_id"] for h in got] == [d for d, _ in expected]
+    np.testing.assert_allclose(
+        [h["score"] for h in got], [s for _, s in expected], rtol=1e-9
+    )

@@ -59,6 +59,15 @@ def main(argv=None) -> int:
     pt.add_argument("--index-dir", required=True)
 
     args = p.parse_args(argv)
+    import os
+
+    if args.cmd in ("search", "stats") and not os.path.exists(
+        os.path.join(args.index_dir, "manifest.json")
+    ):
+        print(
+            f"error: no index at {args.index_dir} (run `index` first)", file=sys.stderr
+        )
+        return 2
     _ensure_ray()
     from .engine import CodeSearchEngine
 

@@ -44,7 +44,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_near_dups": Q.minhash_near_dups,  # rows-only (no SQL oracle)
         # text analysis
         "quality_by_lang": Q.quality_by_lang,
+        "quality_filter": Q.quality_filter,
         "token_totals": Q.token_totals,
+        "fingerprint_profile": Q.fingerprint_profile,  # rows-only
         # similarity search
         "knn_cosine": Q.knn_cosine,
         # streaming-shaped events

@@ -399,6 +399,48 @@ def token_totals(sf_dir: str):
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def quality_filter(sf_dir: str):
+    """Training-data quality gate: keep docs with 20..200 ws-tokens and
+    stopword_ratio < 0.25 (the standard C4-style heuristic shape)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        from ..stages.text_stats import quality_stats
+
+        q = quality_stats(t)
+        nt = q["n_tokens"].to_numpy(zero_copy_only=False)
+        sr = q["stopword_ratio"].to_numpy(zero_copy_only=False)
+        keep = (nt >= 20) & (nt <= 200) & (sr < 0.25)
+        return pa.table({"doc_id": t["doc_id"]}).filter(pa.array(keep))
+
+    out = ds.map_batches(fn, batch_format="pyarrow").to_pandas().sort_values(
+        "doc_id", ignore_index=True
+    )
+    return pa.table({"doc_id": pa.array(out["doc_id"], pa.int64())})
+
+
+def fingerprint_profile(sf_dir: str):
+    """Winnowing fingerprint counts per doc (rows-only: rolling-hash
+    fingerprints are not expressible in SQL)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        from ..stages.text_stats import fingerprint_stats
+
+        f = fingerprint_stats(t)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_fingerprints": f["n_fingerprints"],
+            }
+        )
+
+    out = ds.map_batches(fn, batch_format="pyarrow").to_pandas().sort_values(
+        "doc_id", ignore_index=True
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 # ------------------------------------------------------------ similarity
 
 
@@ -680,6 +722,17 @@ def build_oracle_sql() -> Dict[str, str]:
                    CAST(sum(len(toks)) AS BIGINT) AS tok_sum,
                    CAST(floor(sum(len(list_filter(toks, x -> lower(x) IN ({stop_list})))) * 1000000 + 0.5) AS BIGINT) AS stop_micro
             FROM tok GROUP BY lang ORDER BY lang
+        """,
+        "quality_filter": f"""
+            WITH tok AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(text, '\\s+'), x -> length(x) > 0) AS toks
+              FROM documents)
+            SELECT doc_id FROM tok
+            WHERE len(toks) BETWEEN 20 AND 200
+              AND len(list_filter(toks, x -> lower(x) IN ({", ".join(f"'{w}'" for w in sorted(STOPWORDS))})))
+                  < 0.25 * greatest(len(toks), 1)
+            ORDER BY doc_id
         """,
         "token_totals": f"""
             SELECT lang,

@@ -197,3 +197,26 @@ def test_staging_invalidation_on_param_change(ray_session, corpus_dir, tmp_path_
     m3 = build_index(corpus_dir, idx, mode="file", docs_per_partition=40, k1=1.2)
     assert m3.build_id == m2.build_id
     assert m3.n_docs == m2.n_docs
+
+
+def test_rank_identity_k12_preset(ray_session, corpus_dir, oracle_docs, tmp_path_factory):
+    """north_star parameters (k1=1.2, b=0.75): config plumbs through the
+    whole build+query path and still matches the oracle exactly."""
+    from distributedcodesearchengine_ray.pipelines.build_index import build_index
+    from distributedcodesearchengine_ray.pipelines.query import QueryEngine
+
+    idx = str(tmp_path_factory.mktemp("index_k12"))
+    build_index(corpus_dir, idx, mode="file", docs_per_partition=60, k1=1.2)
+    corpus_tokens = [tokenize(r["content"]) for r in oracle_docs]
+    oracle = BM25Oracle(corpus_tokens, k1=1.2)
+    engine = QueryEngine(idx, num_actors=2)
+    try:
+        for q in ("parse json", "send HTTP request", "import return"):
+            expected = oracle_search(oracle, q, limit=15)
+            got = engine.search(q, limit=15)
+            assert [h["doc_id"] for h in got] == [d for d, _ in expected], q
+            np.testing.assert_allclose(
+                [h["score"] for h in got], [s for _, s in expected], rtol=1e-9
+            )
+    finally:
+        engine.close()

@@ -294,10 +294,14 @@ def minhash_near_dups(sf_dir: str):
             {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
              "jaccard_micro": pa.array([], pa.int64())}
         )
-    texts = (
-        _read(sf_dir, "documents", columns=["doc_id", "text"]).to_pandas()
-        .set_index("doc_id")["text"]
-    )
+    # pushdown-read only the candidate docs' texts (candidate set << corpus)
+    import pyarrow.dataset as pads
+
+    cand_ids = sorted(set(pairs["id_a"]) | set(pairs["id_b"]))
+    ttbl = pads.dataset(
+        os.path.join(sf_dir, "documents.parquet"), format="parquet"
+    ).to_table(columns=["doc_id", "text"], filter=pads.field("doc_id").isin(cand_ids))
+    texts = pd.Series(ttbl["text"].to_pylist(), index=ttbl["doc_id"].to_pylist())
     keep_a, keep_b, jac = [], [], []
     for a, b in zip(pairs["id_a"], pairs["id_b"]):
         j = jaccard(texts[a], texts[b])

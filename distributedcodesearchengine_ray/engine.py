@@ -130,7 +130,7 @@ class CodeSearchEngine:
                 h["highlights"] = _highlights(h)
             return hits
         df = self._bm25().search_with_meta(
-            query, limit=limit, filters=filters or None
+            query, limit=limit, filters=filters or None, method=method
         )
         hits = df.to_dict("records")
         if hits and normalize:

@@ -463,6 +463,12 @@ def build_index(
             parted_valid = False
     if not parted_valid:
         shutil.rmtree(staged_parts, ignore_errors=True)
+        # the build changed (input/params/boundaries): every derived artifact
+        # is stale.  Clearing here is what prevents an old, larger build's
+        # partition files from leaking into the new lexicon (stale df >
+        # n_docs => log of a negative => NaN idf) or docmeta joins.
+        for derived in ("postings", "docmeta", "lineage", "embeddings"):
+            shutil.rmtree(os.path.join(index_dir, derived), ignore_errors=True)
         src = read_corpus(corpus_path) if corpus_path is not None else corpus
         extract = functools.partial(
             _extract_entity_docs if mode == "entity" else _extract_file_docs,
@@ -529,17 +535,43 @@ def build_index(
     for f in os.listdir(lex_dir):
         os.remove(os.path.join(lex_dir, f))
 
+    # phase 0 (map side of the term exchange): each postings file is read
+    # ONCE; its term/df rows are split by term-hash into per-bucket fragment
+    # files.  No task ever materializes more than one file's terms.
+    lex_tmp = os.path.join(index_dir, "lex_tmp")
+    shutil.rmtree(lex_tmp, ignore_errors=True)
+    # NB: loop var must not shadow the BM25 `b` parameter (it reaches the
+    # manifest below)
+    for bk in range(LEX_BUCKETS):
+        os.makedirs(os.path.join(lex_tmp, f"bucket={bk}"), exist_ok=True)
+
+    @ray.remote(num_cpus=1)
+    def lex_split(file_idx: int) -> None:
+        if pa.cpu_count() != 1:
+            pa.set_cpu_count(1)
+        tbl = pq.read_table(post_files[file_idx], columns=["term", "df"])
+        terms = tbl["term"].combine_chunks()
+        h = pd.util.hash_array(np.asarray(terms.to_pylist(), dtype=object))
+        buckets = (h % LEX_BUCKETS).astype(np.int64)
+        for b in np.unique(buckets):
+            sub = tbl.filter(pa.array(buckets == b))
+            pq.write_table(
+                sub, os.path.join(lex_tmp, f"bucket={b}", f"frag-{file_idx:05d}.parquet")
+            )
+
+    ray.get([lex_split.remote(i) for i in range(len(post_files))])
+
     @ray.remote(num_cpus=1)
     def lex_bucket(b: int) -> tuple:
         if pa.cpu_count() != 1:
             pa.set_cpu_count(1)
-        tbl = pa.concat_tables(
-            pq.read_table(f, columns=["term", "df"]) for f in post_files
+        frag_dir = os.path.join(lex_tmp, f"bucket={b}")
+        frags = sorted(os.listdir(frag_dir))
+        if not frags:
+            return 0.0, 0
+        sub = pa.concat_tables(
+            pq.read_table(os.path.join(frag_dir, f)) for f in frags
         )
-        terms = tbl["term"].combine_chunks()
-        h = pd.util.hash_array(np.asarray(terms.to_pylist(), dtype=object))
-        mask = (h % LEX_BUCKETS) == b
-        sub = tbl.filter(pa.array(mask))
         dict_arr = pc.dictionary_encode(sub["term"].combine_chunks())
         if isinstance(dict_arr, pa.ChunkedArray):
             dict_arr = dict_arr.combine_chunks()
@@ -568,6 +600,8 @@ def build_index(
     @ray.remote(num_cpus=1)
     def lex_floor(b: int) -> None:
         tmp = os.path.join(lex_dir, f"bucket-{b:04d}.tmp")
+        if not os.path.exists(tmp):  # empty bucket
+            return
         t = pq.read_table(tmp)
         raw = t["idf_raw"].to_numpy(zero_copy_only=False)
         idf = np.where(raw < 0, eps_floor, raw)
@@ -580,6 +614,7 @@ def build_index(
         os.remove(tmp)
 
     ray.get([lex_floor.remote(b) for b in range(LEX_BUCKETS)])
+    shutil.rmtree(lex_tmp, ignore_errors=True)
     _mark("lexicon")
     partitions = [
         PartitionRecord.from_dict(r)

@@ -84,6 +84,10 @@ class IndexShard:
                 "term_row": term_row,
                 "doc_ids_enc": post["doc_ids"].to_pylist(),
                 "tfs_enc": post["tfs"].to_pylist(),
+                # block-max metadata: per-128-posting (max_tf, min_dl) — the
+                # WAND upper bounds come from these without full decode
+                "blk_maxtf_enc": post["block_max_tf"].to_pylist(),
+                "blk_mindl_enc": post["block_min_dl"].to_pylist(),
                 "meta": meta,
                 # query-independent norm, same expression as rank_bm25
                 "normf": self.k1 * (1 - self.b + self.b * doc_len / self.avgdl),
@@ -165,28 +169,62 @@ class IndexShard:
                 scores[local] += idf * wtf
         return scores
 
+    def _term_ub(self, part_idx: int, row: int) -> float:
+        """Upper bound on a term's per-doc wtf from the stored block-max
+        metadata (max_tf, min_dl per 128-posting block) — no posting decode
+        needed; short lists (single block, empty metadata) fall back to the
+        decoded exact max."""
+        p = self.parts[part_idx]
+        enc_mt = p["blk_maxtf_enc"][row]
+        if enc_mt:
+            mt = varint_decode(enc_mt).astype(np.float64)
+            md = varint_decode(p["blk_mindl_enc"][row]).astype(np.float64)
+            normf = self.k1 * (1 - self.b + self.b * md / self.avgdl)
+            return float((mt * (self.k1 + 1) / (mt + normf)).max())
+        _, wtf = self._postings(part_idx, row)
+        return float(wtf.max()) if len(wtf) else 0.0
+
     def _term_lists(self, query_tokens: List[str], idfs: Dict[str, float]):
-        """Per distinct term: (weight = idf * multiplicity, ascending local
-        idx array, wtf array) merged across this shard's partitions."""
+        """Per distinct term, in FIRST-OCCURRENCE query order: dict with
+        single-occurrence weight ``w``, multiplicity ``m``, ascending local
+        idx + wtf arrays (merged across partitions), and a pruning upper
+        bound ``ub`` (0 for non-positive weights: a doc lacking the term
+        contributes 0 > any negative contribution, so 0 is the valid
+        per-term bound)."""
         mult: Dict[str, int] = {}
+        order: List[str] = []
         for q in query_tokens:
+            if q not in mult:
+                order.append(q)
             mult[q] = mult.get(q, 0) + 1
         lists = []
-        for term, m in mult.items():
+        for term in order:
+            m = mult[term]
             idf = idfs.get(term) or 0
             if not idf:
                 continue
-            locs, wtfs = [], []
+            locs, wtfs, ubs = [], [], []
             for pi in range(len(self.parts)):
                 row = self.parts[pi]["term_row"].get(term)
                 if row is not None:
                     l, w = self._postings(pi, row)
                     locs.append(l)
                     wtfs.append(w)
+                    ubs.append(self._term_ub(pi, row))
             if not locs:
                 continue
             # partitions are ordered by local_base => concatenation ascends
-            lists.append((idf * m, np.concatenate(locs), np.concatenate(wtfs)))
+            ub = max(0.0, idf * m * max(ubs)) if idf > 0 else 0.0
+            lists.append(
+                {
+                    "term": term,
+                    "w": idf,
+                    "m": m,
+                    "local": np.concatenate(locs),
+                    "wtf": np.concatenate(wtfs),
+                    "ub": ub,
+                }
+            )
         return lists
 
     def _wand_topk(
@@ -197,10 +235,13 @@ class IndexShard:
         filters: Optional[Dict[str, str]],
     ) -> Tuple[float, List[Tuple[int, float]]]:
         """Score-exact block-max-WAND-style top-k: document-at-a-time with
-        per-term upper-bound pruning (prune strictly below the running
-        threshold, so score AND tie ordering match the dense scorer
-        exactly).  Wins over the dense path when postings are long and k is
-        small; the dense path stays the default on in-memory shards.
+        per-term upper-bound pruning.  Bit-exactness contract vs the dense
+        scorer: pruning uses non-negative per-term bounds and is strict
+        (``acc >= theta``), and full scoring adds contributions in query
+        token order with duplicate occurrences added separately — the same
+        float64 operation sequence per doc as the dense path.  Wins over
+        the dense path when postings are long and k is small; the dense
+        path stays the default on in-memory shards.
 
         Returns (unfiltered local max score, [(local_idx, score)] top-k).
         """
@@ -212,25 +253,31 @@ class IndexShard:
         fmask = None
         if filters:
             fmask = self._filter_mask(filters, np.arange(self.n_local))
-        ubs = [max(w * wt.max(), w * wt.min()) for w, _, wt in lists]
-        ptrs = [0] * len(lists)
-        sizes = [len(l) for _, l, _ in lists]
+        n_lists = len(lists)
+        # per-occurrence scoring order: dense accumulates once per token
+        # occurrence in query order (interleaved duplicates included) — we
+        # replay exactly that float64 addition sequence at each pivot
+        term_to_list = {}
+        for i, e in enumerate(lists):
+            term_to_list[e["term"]] = i
+        occurrence_seq = [term_to_list[q] for q in query_tokens if q in term_to_list]
+        ptrs = [0] * n_lists
+        sizes = [len(e["local"]) for e in lists]
         heap: List[Tuple[float, int]] = []  # (score, -local): weakest first
         unfiltered_max = 0.0
-        order = sorted(range(len(lists)), key=lambda i: -ubs[i])
         while True:
             # sort live lists by current doc
-            live = [i for i in range(len(lists)) if ptrs[i] < sizes[i]]
+            live = [i for i in range(n_lists) if ptrs[i] < sizes[i]]
             if not live:
                 break
-            live.sort(key=lambda i: lists[i][1][ptrs[i]])
-            # pivot: smallest doc d such that sum of ubs of lists whose
-            # current doc <= d reaches the threshold
+            live.sort(key=lambda i: lists[i]["local"][ptrs[i]])
+            # pivot: smallest doc d such that the sum of (non-negative) ubs
+            # of lists whose current doc <= d reaches the threshold
             theta = heap[0][0] if len(heap) >= limit else float("-inf")
             acc = 0.0
             pivot_idx = None
             for i in live:
-                acc += ubs[i]
+                acc += lists[i]["ub"]
                 # >= so score==theta ties are still evaluated (they can win
                 # the docID tie-break) — keeps WAND rank-identical to dense
                 if acc >= theta:
@@ -238,17 +285,22 @@ class IndexShard:
                     break
             if pivot_idx is None:
                 break  # no doc can beat theta
-            pivot_doc = int(lists[pivot_idx][1][ptrs[pivot_idx]])
-            first_doc = int(lists[live[0]][1][ptrs[live[0]]])
+            pivot_doc = int(lists[pivot_idx]["local"][ptrs[pivot_idx]])
+            first_doc = int(lists[live[0]]["local"][ptrs[live[0]]])
             if first_doc == pivot_doc:
-                # fully score pivot_doc
-                score = 0.0
-                for i in live:
-                    w, l, wt = lists[i]
+                # fully score pivot_doc — replay the dense path's
+                # per-occurrence addition sequence exactly
+                contribs: Dict[int, float] = {}
+                for i in range(n_lists):
+                    e = lists[i]
                     pi = ptrs[i]
-                    if pi < sizes[i] and int(l[pi]) == pivot_doc:
-                        score += w * wt[pi]
+                    if pi < sizes[i] and int(e["local"][pi]) == pivot_doc:
+                        contribs[i] = e["w"] * e["wtf"][pi]
                         ptrs[i] += 1
+                score = 0.0
+                for li in occurrence_seq:
+                    if li in contribs:
+                        score += contribs[li]
                 if score > unfiltered_max:
                     unfiltered_max = score
                 if fmask is None or fmask[pivot_doc]:
@@ -260,10 +312,10 @@ class IndexShard:
             else:
                 # advance lists before the pivot up to pivot_doc
                 for i in live:
-                    w, l, wt = lists[i]
-                    if int(l[ptrs[i]]) >= pivot_doc:
+                    e = lists[i]
+                    if int(e["local"][ptrs[i]]) >= pivot_doc:
                         break
-                    ptrs[i] = int(np.searchsorted(l, pivot_doc, side="left"))
+                    ptrs[i] = int(np.searchsorted(e["local"], pivot_doc, side="left"))
         out = sorted(((s, -nl) for s, nl in heap), key=lambda x: (-x[0], x[1]))
         return unfiltered_max, [(doc, s) for s, doc in out]
 
@@ -337,22 +389,6 @@ class IndexShard:
                 }
             )
         return local_max, rows
-
-    def fetch_meta(self, local_idx: List[int], columns: Optional[List[str]] = None) -> List[dict]:
-        """Metadata rows for result docs (J4: docID -> entity lookup)."""
-        out = []
-        for i in local_idx:
-            # locate partition by local base
-            for p in self.parts:
-                if p["local_base"] <= i < p["local_base"] + p["n"]:
-                    row = {
-                        c: p["meta"][c][i - p["local_base"]].as_py()
-                        for c in (columns or p["meta"].column_names)
-                        if c in p["meta"].column_names
-                    }
-                    out.append(row)
-                    break
-        return out
 
 
 class LexiconReader:
@@ -523,9 +559,10 @@ class QueryEngine:
         limit: int = 20,
         filters: Optional[Dict[str, str]] = None,
         columns: Optional[List[str]] = None,
+        method: str = "dense",
     ) -> pd.DataFrame:
         """Search + metadata join (docmeta parquet filtered by doc_id)."""
-        hits = self.search(query, limit=limit, filters=filters)
+        hits = self.search(query, limit=limit, filters=filters, method=method)
         if not hits:
             return pd.DataFrame({"rank": [], "doc_id": [], "score": []})
         ids = [h["doc_id"] for h in hits]

@@ -31,12 +31,9 @@ SKIP_DIRS = [
     "target", ".tox", ".pytest_cache", "vendor", "third_party", "external",
 ]
 
-SUPPORTED_EXTENSIONS = {
-    ".py": "python", ".pyw": "python",
-    ".js": "javascript", ".jsx": "javascript", ".mjs": "javascript", ".cjs": "javascript",
-    ".ts": "typescript", ".tsx": "typescript",
-    ".go": "go", ".rs": "rust",
-}
+# single source of truth: the parser registry's extension map (keeps the F2
+# path filter and parser dispatch from diverging)
+from ..stages.parse import EXTENSION_LANG as SUPPORTED_EXTENSIONS  # noqa: E402
 
 _IDENTS = [
     "parseJSONData", "serialize_json", "HTTPClientFactory", "fetchData",
@@ -281,6 +278,11 @@ def write_corpus(
     stamp = f"n={n_files} seed={seed} richness={richness}"
     if os.path.exists(marker) and open(marker).read() == stamp:
         return out_dir
+    # params changed: clear stale shards (a smaller rewrite would otherwise
+    # leave old higher-numbered part files mixed into the corpus)
+    for f in os.listdir(out_dir):
+        if f.endswith(".parquet") or f == "_COMPLETE":
+            os.remove(os.path.join(out_dir, f))
     if num_shards is None:
         num_shards = max(1, min(64, n_files // 2000))
     per = -(-n_files // num_shards)

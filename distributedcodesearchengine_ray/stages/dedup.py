@@ -74,6 +74,49 @@ def dedup_first_by_key(ds, key_cols: List[str], id_col: str = "doc_id"):
     )
 
 
+
+def _pairs_from_hot_buckets(bands_ds, emit_pairs, empty_df: pd.DataFrame):
+    """Shared LSH-banding tail: count (band, band_hash) buckets, keep only
+    buckets with >= 2 members (almost all are singletons), and run pair
+    emission over that tiny filtered set.  The count is a vectorized
+    aggregate; per-singleton-group overhead never happens."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    hot = (
+        bands_ds.groupby(["band", "band_hash"])
+        .aggregate(Count(alias_name="n"))
+        .map_batches(
+            lambda t: t.filter(np.asarray(t["n"].to_numpy(zero_copy_only=False) >= 2)),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+    hot_keys = set(zip(hot["band"].tolist(), hot["band_hash"].tolist()))
+    if not hot_keys:
+        return rd.from_pandas(empty_df)
+    keys_ref = ray.put(hot_keys)
+
+    class KeepHot:
+        def __init__(self):
+            self.keys = ray.get(keys_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            b = t["band"].to_numpy(zero_copy_only=False)
+            h = t["band_hash"].to_numpy(zero_copy_only=False)
+            mask = np.fromiter(
+                ((bb, hh) in self.keys for bb, hh in zip(b, h)), dtype=bool, count=len(b)
+            )
+            return t.filter(pa.array(mask))
+
+    return (
+        bands_ds.map_batches(KeepHot, batch_format="pyarrow", concurrency=2)
+        .groupby(["band", "band_hash"])
+        .map_groups(emit_pairs, batch_format="pandas")
+    )
+
+
 # ---------------------------------------------------------------- minhash
 
 
@@ -207,51 +250,15 @@ def minhash_lsh_candidates(
             {"id_a": [a for a, _ in pairs], "id_b": [b for _, b in pairs]}
         )
 
-    import ray
-    from ray.data.aggregate import Count
-
     bands_ds = (
         ds.map_batches(stage, batch_format="pyarrow", batch_size=2048)
         .map_batches(to_bands, batch_format="pyarrow")
         .materialize()
     )
-    # almost every (band, band_hash) bucket is a singleton; count first and
-    # only run pair emission over buckets with >= 2 members (tiny set) —
-    # avoids per-singleton-group overhead and is the scalable shape.
-    hot = (
-        bands_ds.groupby(["band", "band_hash"])
-        .aggregate(Count(alias_name="n"))
-        .map_batches(
-            lambda t: t.filter(np.asarray(t["n"].to_numpy(zero_copy_only=False) >= 2)),
-            batch_format="pyarrow",
-        )
-        .to_pandas()
+    empty = pd.DataFrame(
+        {"id_a": pd.Series([], dtype="int64"), "id_b": pd.Series([], dtype="int64")}
     )
-    hot_keys = set(zip(hot["band"].tolist(), hot["band_hash"].tolist()))
-    if not hot_keys:
-        import ray.data as rd
-
-        return rd.from_pandas(pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
-                                            "id_b": pd.Series([], dtype="int64")}))
-    keys_ref = ray.put(hot_keys)
-
-    class KeepHot:
-        def __init__(self):
-            self.keys = ray.get(keys_ref)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            b = t["band"].to_numpy(zero_copy_only=False)
-            h = t["band_hash"].to_numpy(zero_copy_only=False)
-            mask = np.fromiter(
-                ((bb, hh) in self.keys for bb, hh in zip(b, h)), dtype=bool, count=len(b)
-            )
-            return t.filter(pa.array(mask))
-
-    return (
-        bands_ds.map_batches(KeepHot, batch_format="pyarrow", concurrency=2)
-        .groupby(["band", "band_hash"])
-        .map_groups(emit_pairs, batch_format="pandas")
-    )
+    return _pairs_from_hot_buckets(bands_ds, emit_pairs, empty)
 
 
 def jaccard(text_a: str, text_b: str, shingle_n: int = 3) -> float:
@@ -301,7 +308,9 @@ def simhash_candidates(ds, text_col: str = "text", id_col: str = "doc_id"):
                         "band": pa.array(np.full(len(t), band, dtype=np.int64)),
                         "band_hash": pa.array(chunk),
                         id_col: ids,
-                        "simhash": pa.array(sig.astype(np.int64)),
+                        # bit-preserving view, not a wrapping cast (numpy>=2
+                        # rejects uint64->int64 astype overflow)
+                        "simhash": pa.array(sig.view(np.int64)),
                     }
                 )
             )
@@ -312,58 +321,23 @@ def simhash_candidates(ds, text_col: str = "text", id_col: str = "doc_id"):
         ids = rows[id_col].tolist()
         sigs = rows["simhash"].tolist()
         out_a, out_b, out_d = [], [], []
+        mask64 = (1 << 64) - 1
         for (ia, sa), (ib, sb) in itertools.combinations(zip(ids, sigs), 2):
-            d = int(bin(np.uint64(sa) ^ np.uint64(sb)).count("1"))
+            d = ((int(sa) ^ int(sb)) & mask64).bit_count()
             out_a.append(ia)
             out_b.append(ib)
             out_d.append(d)
         return pd.DataFrame({"id_a": out_a, "id_b": out_b, "hamming": out_d})
 
-    import ray
-    from ray.data.aggregate import Count
-
     bands_ds = ds.map_batches(add_sig, batch_format="pyarrow").materialize()
-    hot = (
-        bands_ds.groupby(["band", "band_hash"])
-        .aggregate(Count(alias_name="n"))
-        .map_batches(
-            lambda t: t.filter(np.asarray(t["n"].to_numpy(zero_copy_only=False) >= 2)),
-            batch_format="pyarrow",
-        )
-        .to_pandas()
+    empty = pd.DataFrame(
+        {
+            "id_a": pd.Series([], dtype="int64"),
+            "id_b": pd.Series([], dtype="int64"),
+            "hamming": pd.Series([], dtype="int64"),
+        }
     )
-    hot_keys = set(zip(hot["band"].tolist(), hot["band_hash"].tolist()))
-    if not hot_keys:
-        import ray.data as rd
-
-        return rd.from_pandas(
-            pd.DataFrame(
-                {
-                    "id_a": pd.Series([], dtype="int64"),
-                    "id_b": pd.Series([], dtype="int64"),
-                    "hamming": pd.Series([], dtype="int64"),
-                }
-            )
-        )
-    keys_ref = ray.put(hot_keys)
-
-    class KeepHot:
-        def __init__(self):
-            self.keys = ray.get(keys_ref)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            b = t["band"].to_numpy(zero_copy_only=False)
-            h = t["band_hash"].to_numpy(zero_copy_only=False)
-            mask = np.fromiter(
-                ((bb, hh) in self.keys for bb, hh in zip(b, h)), dtype=bool, count=len(b)
-            )
-            return t.filter(pa.array(mask))
-
-    return (
-        bands_ds.map_batches(KeepHot, batch_format="pyarrow", concurrency=2)
-        .groupby(["band", "band_hash"])
-        .map_groups(emit_pairs, batch_format="pandas")
-    )
+    return _pairs_from_hot_buckets(bands_ds, emit_pairs, empty)
 
 
 # ------------------------------------------------------- embedding cosine

@@ -220,3 +220,36 @@ def test_rank_identity_k12_preset(ray_session, corpus_dir, oracle_docs, tmp_path
             )
     finally:
         engine.close()
+
+
+def test_rebuild_smaller_corpus_clears_stale_partitions(ray_session, tmp_path_factory):
+    """Rebuilding a SMALLER corpus into an existing index dir must not leak
+    the old build's partition files into the lexicon (regression: stale
+    df > n_docs made idf NaN) or docmeta."""
+    import math
+    import os
+
+    from distributedcodesearchengine_ray.pipelines.build_index import build_index
+    from distributedcodesearchengine_ray.pipelines.query import LexiconReader, QueryEngine
+
+    big = write_corpus(str(tmp_path_factory.mktemp("big")), n_files=400, seed=42, num_shards=4)
+    small = write_corpus(str(tmp_path_factory.mktemp("small")), n_files=60, seed=42, num_shards=1)
+    idx = str(tmp_path_factory.mktemp("idx_reb"))
+    m1 = build_index(big, idx, mode="file", docs_per_partition=40)
+    n_parts_before = len(os.listdir(os.path.join(idx, "postings")))
+    m2 = build_index(small, idx, mode="file", docs_per_partition=40)
+    assert m2.n_docs < m1.n_docs
+    assert len(os.listdir(os.path.join(idx, "postings"))) < n_parts_before
+    idf = LexiconReader(idx).idfs(["json"])["json"]
+    assert math.isfinite(idf)
+    # and queries still rank-identically vs a fresh oracle of the small corpus
+    rows = [r for r in gen_corpus_rows(60, seed=42) if _keep(r["path"])]
+    rows.sort(key=lambda r: (r["repo"], r["path"], r["commit"]))
+    oracle = BM25Oracle([tokenize(r["content"]) for r in rows])
+    engine = QueryEngine(idx, num_actors=2)
+    try:
+        expected = oracle_search(oracle, "parse json", limit=10)
+        got = engine.search("parse json", limit=10)
+        assert [h["doc_id"] for h in got] == [d for d, _ in expected]
+    finally:
+        engine.close()

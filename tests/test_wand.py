@@ -17,10 +17,9 @@ def test_wand_matches_dense(file_index):
             dense = engine.search(q, limit=20, method="dense")
             wand = engine.search(q, limit=20, method="wand")
             assert [h["doc_id"] for h in wand] == [h["doc_id"] for h in dense], q
-            # accumulation order differs (doc-at-a-time vs term-at-a-time)
-            np.testing.assert_allclose(
-                [h["score"] for h in wand], [h["score"] for h in dense], rtol=1e-12
-            )
+            # bitwise identical: WAND replays the dense per-occurrence
+            # float64 addition sequence at each scored doc
+            assert [h["score"] for h in wand] == [h["score"] for h in dense], q
         for q, filt in [
             ("parse json", {"language": "python"}),
             ("send HTTP request", {"language": "go"}),

@@ -1,0 +1,78 @@
+"""HTTP API surface tests (reference api/server.py route contract)."""
+
+import json
+import urllib.error
+import urllib.request
+
+import pytest
+
+from distributedcodesearchengine_ray.sources.corpus import write_corpus
+
+
+@pytest.fixture(scope="module")
+def server(ray_session, tmp_path_factory):
+    from distributedcodesearchengine_ray.pipelines.build_index import build_index
+    from distributedcodesearchengine_ray.server import SearchServer
+
+    corpus = write_corpus(str(tmp_path_factory.mktemp("c")), n_files=120, seed=42, num_shards=2)
+    idx = str(tmp_path_factory.mktemp("idx"))
+    build_index(corpus, idx, mode="entity", docs_per_partition=100)
+    srv = SearchServer(idx)
+    port = srv.start()
+    yield f"http://127.0.0.1:{port}"
+    srv.stop()
+
+
+def _get(url):
+    with urllib.request.urlopen(url, timeout=60) as r:
+        return r.status, json.loads(r.read())
+
+
+def test_health(server):
+    status, body = _get(f"{server}/health")
+    assert status == 200 and body == {"status": "ok"}
+
+
+def test_stats(server):
+    status, body = _get(f"{server}/stats")
+    assert status == 200 and body["n_docs"] > 0
+
+
+def test_search_get(server):
+    status, body = _get(f"{server}/search?q=parse+json&limit=5")
+    assert status == 200
+    assert 0 < body["total"] <= 5
+    assert {"doc_id", "score", "name", "highlights"} <= set(body["results"][0])
+
+
+def test_search_post(server):
+    req = urllib.request.Request(
+        f"{server}/search",
+        data=json.dumps({"query": "send http request", "limit": 3, "language": "go"}).encode(),
+        headers={"Content-Type": "application/json"},
+        method="POST",
+    )
+    with urllib.request.urlopen(req, timeout=60) as r:
+        body = json.loads(r.read())
+    assert all(h["lang"] == "go" for h in body["results"])
+
+
+def test_search_missing_query_400(server):
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(f"{server}/search")
+    assert e.value.code == 400
+
+
+def test_unknown_route_404(server):
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(f"{server}/nope")
+    assert e.value.code == 404
+
+
+def test_bad_json_post_400(server):
+    req = urllib.request.Request(
+        f"{server}/search", data=b"{not json", method="POST"
+    )
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req, timeout=60)
+    assert e.value.code == 400

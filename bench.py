@@ -208,8 +208,60 @@ def run_scaling() -> dict:
     }
 
 
+def run_reference_baseline() -> dict:
+    """Measured single-process reference-equivalent baseline: the same
+    parse -> entity-doc projection -> tokenize -> BM25Okapi fit -> dense
+    query semantics the reference runs in one process
+    (repo_indexer.index_directory + BM25Index), on a subset of the bench
+    corpus.  Recorded in BASELINE.md for the matches-or-beats comparison."""
+    import time
+
+    from distributedcodesearchengine_ray.functions.tokenizer import tokenize
+    from distributedcodesearchengine_ray.pipelines.oracle import BM25Oracle, oracle_search
+    from distributedcodesearchengine_ray.sources.corpus import gen_corpus_rows
+    from distributedcodesearchengine_ray.stages.parse import entity_document, parse_content
+    from distributedcodesearchengine_ray.sources.corpus import SKIP_DIRS, SUPPORTED_EXTENSIONS
+
+    n_files = int(os.environ.get("GRAFT_REF_FILES", "20000"))
+    richness = int(os.environ.get("GRAFT_BENCH_RICHNESS", "4"))
+
+    def keep(path):
+        if any(path.startswith(d + "/") or f"/{d}/" in path for d in SKIP_DIRS):
+            return False
+        return any(path.lower().endswith(e) for e in SUPPORTED_EXTENSIONS)
+
+    rows = [r for r in gen_corpus_rows(n_files, seed=42, richness=richness) if keep(r["path"])]
+    rows.sort(key=lambda r: (r["repo"], r["path"], r["commit"]))
+
+    t0 = time.time()
+    corpus_tokens = []
+    for r in rows:
+        for e in parse_content(r["content"], r["path"], r["repo"], r["lang"]):
+            corpus_tokens.append(tokenize(entity_document(e)))
+    oracle = BM25Oracle(corpus_tokens)
+    build_sec = time.time() - t0
+
+    lats = []
+    for q in BENCH_QUERIES:
+        t0 = time.time()
+        oracle_search(oracle, q, limit=20)
+        lats.append(time.time() - t0)
+    lats.sort()
+    return {
+        "metric": "reference-equivalent single-process baseline",
+        "n_files": n_files,
+        "n_docs": len(corpus_tokens),
+        "build_sec": round(build_sec, 3),
+        "files_per_sec": round(n_files / build_sec, 1),
+        "query_p50_ms": round(1000 * statistics.median(lats), 1),
+        "query_max_ms": round(1000 * lats[-1], 1),
+    }
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--reference-baseline" in sys.argv:
+        print(json.dumps(run_reference_baseline()))
     else:
         print(json.dumps(run_bench()))

@@ -74,7 +74,7 @@ def _sha256_column(contents: List[Optional[str]]) -> List[str]:
     return [hashlib.sha256((c or "").encode()).hexdigest() for c in contents]
 
 
-def _path_keep_mask(paths) -> pa.Array:
+def _path_keep_mask(paths, extra_extensions: Optional[Dict[str, str]] = None) -> pa.Array:
     """F1 (skip-dir) + F2 (supported extension) predicates, vectorized.
 
     Mirrors /root/reference/codesearch/indexer/repo_indexer.py:331-342 and
@@ -90,15 +90,21 @@ def _path_keep_mask(paths) -> pa.Array:
         )
         bad = hit if bad is None else pc.or_(bad, hit)
     lower = pc.utf8_lower(paths)
+    exts = (
+        list(SUPPORTED_EXTENSIONS)
+        + list(extra_extensions or ())
+    )
     ext_ok = None
-    for ext in SUPPORTED_EXTENSIONS:
+    for ext in exts:
         hit = pc.ends_with(lower, ext)
         ext_ok = hit if ext_ok is None else pc.or_(ext_ok, hit)
     return pc.and_(pc.invert(bad), ext_ok)
 
 
-def filter_corpus_batch(batch: pa.Table) -> pa.Table:
-    return batch.filter(_path_keep_mask(batch["path"]))
+def filter_corpus_batch(
+    batch: pa.Table, extra_extensions: Optional[Dict[str, str]] = None
+) -> pa.Table:
+    return batch.filter(_path_keep_mask(batch["path"], extra_extensions))
 
 
 def _skey(repo, path, commit, ent_ord=None):
@@ -108,9 +114,13 @@ def _skey(repo, path, commit, ent_ord=None):
     return pc.binary_join_element_wise(repo, path, commit, ordpad, "\x00")
 
 
-def _extract_file_docs(batch: pa.Table, apply_filters: bool = True) -> pa.Table:
+def _extract_file_docs(
+    batch: pa.Table,
+    apply_filters: bool = True,
+    extra_extensions: Optional[Dict[str, str]] = None,
+) -> pa.Table:
     if apply_filters:
-        batch = filter_corpus_batch(batch)
+        batch = filter_corpus_batch(batch, extra_extensions)
     return pa.table(
         {
             "skey": _skey(batch["repo"], batch["path"], batch["commit"]),
@@ -124,12 +134,17 @@ def _extract_file_docs(batch: pa.Table, apply_filters: bool = True) -> pa.Table:
     )
 
 
-def _extract_entity_docs(batch: pa.Table, apply_filters: bool = True) -> pa.Table:
+def _extract_entity_docs(
+    batch: pa.Table,
+    apply_filters: bool = True,
+    extra_parsers=None,
+    extra_extensions: Optional[Dict[str, str]] = None,
+) -> pa.Table:
     if apply_filters:
-        batch = filter_corpus_batch(batch)
+        batch = filter_corpus_batch(batch, extra_extensions)
     sha = pa.array(_sha256_column(batch["content"].to_pylist()), pa.string())
     batch = batch.append_column("sha_file", sha)
-    ents = parse_batch(batch)
+    ents = parse_batch(batch, extra_parsers, extra_extensions)
     # parse_batch drops sha; rejoin per (repo,path,commit) within the batch
     sha_map = {
         (r, p, c): s
@@ -353,6 +368,8 @@ def build_index(
     max_partitions: int = 512,
     resume: bool = True,
     apply_path_filters: bool = True,
+    extra_parsers=None,
+    extra_extensions: Optional[Dict[str, str]] = None,
 ) -> IndexManifest:
     """Build a sharded BM25 index from a corpus parquet path / Dataset.
 
@@ -361,7 +378,10 @@ def build_index(
     entity->document projection (the reference's BM25 corpus,
     ``bm25_index.py:74-84``).  ``docs_per_partition`` is the target corpus
     FILES per doc-range partition and bounds per-worker memory (at
-    production scale size this by bytes, not rows).
+    production scale size this by bytes, not rows).  ``extra_parsers`` /
+    ``extra_extensions`` extend the language registry for this build — they
+    are shipped inside the pipeline closures (driver-side registry mutation
+    does not reach Ray workers).
     """
     files_per_partition = docs_per_partition
     os.makedirs(index_dir, exist_ok=True)
@@ -408,7 +428,7 @@ def build_index(
 
     def key_batch(t: pa.Table) -> pa.Table:
         if apply_path_filters:
-            t = filter_corpus_batch(t)
+            t = filter_corpus_batch(t, extra_extensions)
         return pa.table({"skey": _skey(t["repo"], t["path"], t["commit"])})
 
     keys = keys_src.map_batches(key_batch, batch_format="pyarrow")
@@ -433,6 +453,8 @@ def build_index(
     params = {
         "mode": mode, "k1": k1, "b": b, "epsilon": epsilon,
         "apply_path_filters": apply_path_filters,
+        "extra_langs": sorted((extra_parsers or {}).keys())
+        + sorted((extra_extensions or {}).keys()),
     }
     build_id = compute_build_id(n_files, boundaries, params)
     bnd_arr = np.array(boundaries, dtype=object)
@@ -470,10 +492,19 @@ def build_index(
         for derived in ("postings", "docmeta", "lineage", "embeddings"):
             shutil.rmtree(os.path.join(index_dir, derived), ignore_errors=True)
         src = read_corpus(corpus_path) if corpus_path is not None else corpus
-        extract = functools.partial(
-            _extract_entity_docs if mode == "entity" else _extract_file_docs,
-            apply_filters=apply_path_filters,
-        )
+        if mode == "entity":
+            extract = functools.partial(
+                _extract_entity_docs,
+                apply_filters=apply_path_filters,
+                extra_parsers=extra_parsers,
+                extra_extensions=extra_extensions,
+            )
+        else:
+            extract = functools.partial(
+                _extract_file_docs,
+                apply_filters=apply_path_filters,
+                extra_extensions=extra_extensions,
+            )
         src.map_batches(extract, batch_format="pyarrow").map_batches(
             add_part_id, batch_format="pyarrow"
         ).repartition(16).write_parquet(staged_parts, partition_cols=["part_id"])

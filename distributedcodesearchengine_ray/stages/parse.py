@@ -564,12 +564,27 @@ EXTENSION_LANG = {
 }
 
 
-def parse_content(content: str, file_path: str, repo_name: str, lang: Optional[str] = None) -> List[dict]:
-    """Dispatch on language (or file extension) -> entity dicts."""
-    if lang is None:
+def parse_content(
+    content: str,
+    file_path: str,
+    repo_name: str,
+    lang: Optional[str] = None,
+    parsers: Optional[Dict[str, Callable]] = None,
+    extensions: Optional[Dict[str, str]] = None,
+) -> List[dict]:
+    """Dispatch on language (or file extension) -> entity dicts.
+
+    ``parsers``/``extensions`` extend the built-in registries for THIS call
+    — in a distributed build, extensions must travel with the pipeline
+    closure (driver-side mutation of the module dicts does not reach Ray
+    worker processes); ``build_index(extra_parsers=...)`` threads them
+    through."""
+    ext_map = EXTENSION_LANG if not extensions else {**EXTENSION_LANG, **extensions}
+    parser_map = PARSERS if not parsers else {**PARSERS, **parsers}
+    if lang is None or lang not in parser_map:
         ext = "." + file_path.rsplit(".", 1)[-1].lower() if "." in file_path else ""
-        lang = EXTENSION_LANG.get(ext)
-    fn = PARSERS.get(lang or "")
+        lang = ext_map.get(ext, lang)
+    fn = parser_map.get(lang or "")
     if fn is None:
         return []
     return fn(content, file_path, repo_name)
@@ -589,7 +604,11 @@ def entity_document(e: dict) -> str:
     return " ".join(p for p in parts if p)
 
 
-def parse_batch(batch: pa.Table) -> pa.Table:
+def parse_batch(
+    batch: pa.Table,
+    parsers: Optional[Dict[str, Callable]] = None,
+    extensions: Optional[Dict[str, str]] = None,
+) -> pa.Table:
     """``map_batches`` UDF: corpus rows -> entity rows (1 file -> N entities).
 
     Adds provenance columns (repo/path/commit/ent_ord) and the BM25
@@ -604,7 +623,7 @@ def parse_batch(batch: pa.Table) -> pa.Table:
     out: Dict[str, list] = {name: [] for name, _ in ENTITY_FIELDS}
     prov: Dict[str, list] = {"repo": [], "path": [], "commit": [], "ent_ord": [], "doc_text": []}
     for repo, path, commit, lang, content in zip(repos, paths, commits, langs, contents):
-        ents = parse_content(content or "", path, repo, lang)
+        ents = parse_content(content or "", path, repo, lang, parsers, extensions)
         for k, e in enumerate(ents):
             for name, _ in ENTITY_FIELDS:
                 out[name].append(e[name])

@@ -336,9 +336,9 @@ class _PartitionBuilder:
             os.makedirs(os.path.join(self.index_dir, sub), exist_ok=True)
         post_path = os.path.join(self.index_dir, "postings", f"part-{pid:05d}.parquet")
         meta_path = os.path.join(self.index_dir, "docmeta", f"part-{pid:05d}.parquet")
-        for tbl, path in ((postings, post_path), (docmeta, meta_path)):
+        for out_tbl, path in ((postings, post_path), (docmeta, meta_path)):
             tmp = f"{path}.tmp-{os.getpid()}"
-            pq.write_table(tbl, tmp)
+            pq.write_table(out_tbl, tmp)
             os.replace(tmp, path)
 
         rec = PartitionRecord(
@@ -365,7 +365,9 @@ def build_index(
     b: float = 0.75,
     epsilon: float = 0.25,
     docs_per_partition: int = 50_000,
-    max_partitions: int = 512,
+    partition_bytes: int = 512 << 20,
+    coalesce_block_bytes: int = 256 << 20,
+    max_partitions: int = 4096,
     resume: bool = True,
     apply_path_filters: bool = True,
     extra_parsers=None,
@@ -376,12 +378,19 @@ def build_index(
     ``mode="file"`` indexes each file's raw content as one document;
     ``mode="entity"`` extracts code entities first and indexes the
     entity->document projection (the reference's BM25 corpus,
-    ``bm25_index.py:74-84``).  ``docs_per_partition`` is the target corpus
-    FILES per doc-range partition and bounds per-worker memory (at
-    production scale size this by bytes, not rows).  ``extra_parsers`` /
-    ``extra_extensions`` extend the language registry for this build — they
-    are shipped inside the pipeline closures (driver-side registry mutation
-    does not reach Ray workers).
+    ``bm25_index.py:74-84``).  Partition sizing is BYTE-aware: the number of
+    doc-range partitions is the max of a rows-based target
+    (``docs_per_partition`` corpus FILES per partition) and a bytes-based
+    target (``partition_bytes`` uncompressed source bytes per partition,
+    estimated from parquet row-group metadata — no data scan), so a corpus
+    of few huge files still fans out and a corpus of many tiny files does
+    not explode into thousands of partitions.  The staging coalesce before
+    the hive-partitioned write is likewise input-proportional
+    (``coalesce_block_bytes`` per block) instead of a fixed block count, so
+    no staged block exceeds ~2x the target at any corpus size.
+    ``extra_parsers`` / ``extra_extensions`` extend the language registry
+    for this build — they are shipped inside the pipeline closures
+    (driver-side registry mutation does not reach Ray workers).
     """
     files_per_partition = docs_per_partition
     os.makedirs(index_dir, exist_ok=True)
@@ -407,9 +416,11 @@ def build_index(
     # pass serves both modes.
     if corpus_path is not None:
         keys_src = read_corpus(corpus_path, columns=["repo", "path", "commit"])
-        # row count from parquet METADATA (no scan); filters only shave a few
-        # percent and partition sizing is approximate by design
+        # row count + uncompressed byte estimate from parquet METADATA (no
+        # scan); filters only shave a few percent and partition sizing is
+        # approximate by design
         n_files = 0
+        est_bytes = 0
         files = (
             [corpus_path]
             if os.path.isfile(corpus_path)
@@ -420,10 +431,14 @@ def build_index(
             ]
         )
         for f in files:
-            n_files += pq.ParquetFile(f).metadata.num_rows
+            md = pq.ParquetFile(f).metadata
+            n_files += md.num_rows
+            for rg in range(md.num_row_groups):
+                est_bytes += md.row_group(rg).total_byte_size
     else:
         keys_src = corpus
         n_files = corpus.count()
+        est_bytes = int(corpus.size_bytes() or 0)
     _mark("count")
 
     def key_batch(t: pa.Table) -> pa.Table:
@@ -434,7 +449,11 @@ def build_index(
     keys = keys_src.map_batches(key_batch, batch_format="pyarrow")
     if n_files == 0:
         raise ValueError("corpus has zero rows")
-    num_partitions = max(1, min(max_partitions, -(-n_files // files_per_partition)))
+    # rows-based OR bytes-based, whichever fans out more: few huge files
+    # still split by bytes; billions of tiny files don't explode (clamped)
+    parts_by_rows = -(-n_files // files_per_partition)
+    parts_by_bytes = -(-est_bytes // partition_bytes) if est_bytes else 0
+    num_partitions = max(1, min(max_partitions, max(parts_by_rows, parts_by_bytes)))
     target_sample = min(100_000, max(1_000, 200 * num_partitions))
     modulus = max(1, n_files // target_sample)
 
@@ -473,8 +492,11 @@ def build_index(
     # subdirs) replaces a groupby(part_id) sort shuffle — the all-to-all
     # goes through the filesystem with no ordering barrier (measured: the
     # sort-based groupby cost 5-10x the partition builds themselves).  The
-    # repartition coalesces to a few large blocks first so blocks x
-    # partitions doesn't explode into tiny files.
+    # repartition coalesces to input-proportional blocks first
+    # (~coalesce_block_bytes each) so blocks x partitions doesn't explode
+    # into tiny files, while no single staged block grows unbounded with the
+    # corpus (a fixed count would make 16 giant blocks at 100x input:
+    # object-store pressure + a 16-task ceiling on write parallelism).
     staged_parts = os.path.join(index_dir, "staged_parts")
     marker2 = os.path.join(index_dir, "_PARTED.json")
     parted_valid = False
@@ -505,9 +527,16 @@ def build_index(
                 apply_filters=apply_path_filters,
                 extra_extensions=extra_extensions,
             )
+        # extraction expands bytes (~2x in entity mode: source_code + entity
+        # metadata travel per row) — size blocks on the expanded estimate
+        staged_bytes = est_bytes * (2 if mode == "entity" else 1)
+        n_coalesce = int(max(16, -(-staged_bytes // coalesce_block_bytes))) if est_bytes else 16
+        # keep the fragment-file product (blocks x partitions) bounded: each
+        # staged block writes at most one file per partition it overlaps
+        n_coalesce = min(n_coalesce, 8 * num_partitions)
         src.map_batches(extract, batch_format="pyarrow").map_batches(
             add_part_id, batch_format="pyarrow"
-        ).repartition(16).write_parquet(staged_parts, partition_cols=["part_id"])
+        ).repartition(n_coalesce).write_parquet(staged_parts, partition_cols=["part_id"])
         with open(marker2, "w") as f:
             _json.dump({"build_id": build_id}, f)
     _mark("extract_partition_write")

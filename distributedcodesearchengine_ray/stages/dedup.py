@@ -24,11 +24,22 @@ levels.
 from __future__ import annotations
 
 import itertools
+import logging
 from typing import List, Optional, Tuple
 
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+
+_LOG = logging.getLogger(__name__)
+
+# Buckets larger than this emit STAR pairs (every member paired with the
+# bucket's min id) instead of all C(n,2) pairs.  A cluster of k
+# near-identical docs — common in web/code corpora — otherwise makes one
+# bucket quadratic (k=10k => 50M pairs in ONE group).  The star keeps the
+# cluster connected for connected-component dedup (transitive closure
+# recovers the full cluster) at n-1 pairs; the drop is logged, never silent.
+MAX_BUCKET_ALL_PAIRS = 256
 
 # Mersenne prime 2^31-1: products a*x (a, x < 2^31) fit in uint64, so the
 # MinHash permutations are exact and fully vectorized without bigint math.
@@ -205,13 +216,17 @@ def minhash_lsh_candidates(
     seed: int = 42,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_bucket: int = MAX_BUCKET_ALL_PAIRS,
 ):
     """MinHash -> LSH banding -> candidate pairs Dataset (id_a < id_b).
 
     Pipeline: signature ``map_batches`` -> explode to (band, band_hash, id)
     rows -> ``groupby(band, band_hash)`` -> within-bucket pair emission.
     Bucket sizes are near-uniform (hash keys), so the shuffle has no hot
-    reducers even on skewed corpora.
+    reducers even on skewed corpora.  Buckets larger than ``max_bucket``
+    (a cluster of near-identical docs hashes ALL its members into the same
+    band buckets) emit star pairs with a logged drop count instead of the
+    quadratic all-pairs set — see ``MAX_BUCKET_ALL_PAIRS``.
     """
     rows_per_band = num_perm // bands
     stage = MinHashStage(num_perm, shingle_n, seed, text_col, id_col)
@@ -243,8 +258,18 @@ def minhash_lsh_candidates(
 
     def emit_pairs(df: pd.DataFrame) -> pd.DataFrame:
         ids = sorted(df[id_col].unique().tolist())
-        if len(ids) < 2:
+        n = len(ids)
+        if n < 2:
             return pd.DataFrame({"id_a": [], "id_b": []})
+        if n > max_bucket:
+            dropped = n * (n - 1) // 2 - (n - 1)
+            _LOG.warning(
+                "minhash LSH bucket of %d docs > max_bucket=%d: emitting %d "
+                "star pairs (hub=min id), dropping %d all-pairs candidates "
+                "(cluster stays connected for transitive dedup)",
+                n, max_bucket, n - 1, dropped,
+            )
+            return pd.DataFrame({"id_a": [ids[0]] * (n - 1), "id_b": ids[1:]})
         pairs = list(itertools.combinations(ids, 2))
         return pd.DataFrame(
             {"id_a": [a for a, _ in pairs], "id_b": [b for _, b in pairs]}
@@ -292,9 +317,15 @@ def simhash_batch(texts: List[Optional[str]]) -> np.ndarray:
     return out
 
 
-def simhash_candidates(ds, text_col: str = "text", id_col: str = "doc_id"):
+def simhash_candidates(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_bucket: int = MAX_BUCKET_ALL_PAIRS,
+):
     """Near-dup candidates: equal 16-bit SimHash chunk (4 bands => catches
-    all pairs with Hamming distance <= 3)."""
+    all pairs with Hamming distance <= 3).  Buckets larger than
+    ``max_bucket`` emit star pairs (logged) — see ``MAX_BUCKET_ALL_PAIRS``."""
 
     def add_sig(t: pa.Table) -> pa.Table:
         sig = simhash_batch(t[text_col].to_pylist())
@@ -320,8 +351,24 @@ def simhash_candidates(ds, text_col: str = "text", id_col: str = "doc_id"):
         rows = df.drop_duplicates(id_col).sort_values(id_col)
         ids = rows[id_col].tolist()
         sigs = rows["simhash"].tolist()
-        out_a, out_b, out_d = [], [], []
         mask64 = (1 << 64) - 1
+        n = len(ids)
+        if n > max_bucket:
+            dropped = n * (n - 1) // 2 - (n - 1)
+            _LOG.warning(
+                "simhash bucket of %d docs > max_bucket=%d: emitting %d star "
+                "pairs (hub=min id), dropping %d all-pairs candidates",
+                n, max_bucket, n - 1, dropped,
+            )
+            hub = int(sigs[0])
+            return pd.DataFrame(
+                {
+                    "id_a": [ids[0]] * (n - 1),
+                    "id_b": ids[1:],
+                    "hamming": [((hub ^ int(s)) & mask64).bit_count() for s in sigs[1:]],
+                }
+            )
+        out_a, out_b, out_d = [], [], []
         for (ia, sa), (ib, sb) in itertools.combinations(zip(ids, sigs), 2):
             d = ((int(sa) ^ int(sb)) & mask64).bit_count()
             out_a.append(ia)

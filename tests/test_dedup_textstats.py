@@ -58,6 +58,44 @@ def test_minhash_lsh_finds_near_dups(ray_session):
     assert ((pairs.id_a == 100) & (pairs.id_b == 101)).any()
 
 
+def test_minhash_mega_bucket_capped(ray_session):
+    """A 10k-near-identical-doc cluster (one LSH bucket per band) must not
+    emit C(10k,2) pairs: buckets over max_bucket emit n-1 star pairs with
+    the min id as hub, keeping the cluster connected for transitive dedup."""
+    import ray.data as rd
+
+    from distributedcodesearchengine_ray.stages.dedup import minhash_lsh_candidates
+
+    base = "identical cluster text with enough words to shingle " * 3
+    rows = [{"doc_id": i, "text": base} for i in range(10_000)]
+    rows += [
+        {"doc_id": 20_000 + i, "text": f"distinct doc {i} " + " ".join(f"q{i}{j}" for j in range(25))}
+        for i in range(5)
+    ]
+    ds = rd.from_pandas(pd.DataFrame(rows))
+    pairs = minhash_lsh_candidates(ds, num_perm=64, bands=16).to_pandas()
+    pairs = pairs.drop_duplicates(["id_a", "id_b"])
+    cluster = pairs[pairs.id_a < 20_000]
+    # star shape: hub is the min id, one pair per other member — not C(n,2)
+    assert (cluster["id_a"] == 0).all()
+    assert len(cluster) == 9_999
+    assert sorted(cluster["id_b"].tolist()) == list(range(1, 10_000))
+
+
+def test_simhash_mega_bucket_capped(ray_session):
+    import ray.data as rd
+
+    from distributedcodesearchengine_ray.stages.dedup import simhash_candidates
+
+    base = "repeated simhash cluster words " * 4
+    rows = [{"doc_id": i, "text": base} for i in range(300)]
+    ds = rd.from_pandas(pd.DataFrame(rows))
+    pairs = simhash_candidates(ds, max_bucket=256).to_pandas().drop_duplicates(["id_a", "id_b"])
+    assert (pairs["id_a"] == 0).all()
+    assert len(pairs) == 299
+    assert (pairs["hamming"] == 0).all()
+
+
 def test_simhash_candidates(ray_session):
     import ray.data as rd
 

@@ -84,6 +84,73 @@ def test_all_queries_against_oracle(ray_session, ddb):
     assert not failures, "\n".join(failures)
 
 
+def _winnow_oracle(text: str, k: int = 5, window: int = 4) -> set:
+    """Independent pure-Python winnowing oracle (Horner rolling hash mod
+    2^64, per-window minima, distinct set) — validates the vectorized
+    strided implementation in stages/text_stats.py exactly."""
+    import numpy as np
+
+    data = (text or "").encode("utf-8", "replace")
+    if len(data) < k:
+        h = pd.util.hash_array(np.asarray([text or ""], dtype=object)).astype("uint64")
+        return {int(h[0])}
+    M = 1 << 64
+    hashes = []
+    for i in range(len(data) - k + 1):
+        h = 0
+        for byte in data[i : i + k]:
+            h = (h * 257 + byte) % M
+        hashes.append(h)
+    if len(hashes) <= window:
+        return {min(hashes)}
+    return {min(hashes[i : i + window]) for i in range(len(hashes) - window + 1)}
+
+
+def test_fingerprint_profile_exact_oracle(ray_session):
+    """fingerprint_profile has no SQL oracle (rolling hash): gate it against
+    an independent pure-Python winnowing implementation, exactly."""
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as entrymod
+
+    got = _to_pandas(entrymod.queries()["fingerprint_profile"](SF)).set_index("doc_id")
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    mismatches = []
+    for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        exp = len(_winnow_oracle(text))
+        if int(got.loc[did, "n_fingerprints"]) != exp:
+            mismatches.append((did, int(got.loc[did, "n_fingerprints"]), exp))
+    assert not mismatches, mismatches[:5]
+    assert len(got) == len(t)
+
+
+def test_minhash_recall_vs_exact_jaccard(ray_session):
+    """minhash_near_dups has no SQL oracle: gate it against the brute-forced
+    all-pairs exact-Jaccard ground truth (affordable at 500 docs).  The query
+    verifies candidates with exact Jaccard, so precision is 1.0 by
+    construction; with the fixed seed and this corpus (all true pairs have
+    j >= 0.88, per-pair LSH miss probability < 1e-6) recall must be 1.0."""
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as entrymod
+    from distributedcodesearchengine_ray.stages.dedup import _shingle_hashes
+
+    got = _to_pandas(entrymod.queries()["minhash_near_dups"](SF))
+    got_pairs = set(zip(got["id_a"].tolist(), got["id_b"].tolist()))
+
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    ids = t["doc_id"].to_pylist()
+    sets = [set(map(int, _shingle_hashes(x or ""))) for x in t["text"].to_pylist()]
+    truth = set()
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            u = len(sets[i] | sets[j])
+            if (len(sets[i] & sets[j]) / u if u else 1.0) >= 0.5:
+                truth.add((min(ids[i], ids[j]), max(ids[i], ids[j])))
+    assert got_pairs <= truth, f"false positives: {sorted(got_pairs - truth)[:5]}"
+    assert got_pairs >= truth, f"missed pairs: {sorted(truth - got_pairs)[:5]}"
+
+
 def test_entry_smoke(ray_session):
     import __ray_entry__ as entrymod
 

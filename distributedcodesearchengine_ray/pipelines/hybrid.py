@@ -136,20 +136,67 @@ class HybridEngine:
         num_actors: Optional[int] = None,
         semantic_weight: float = 0.7,
         dim: int = 768,
+        ann_method: str = "exact",
+        lsh_n_bits: int = 8,
+        lsh_seed: int = 42,
+        lsh_probe_radius: int = 1,
     ):
+        """``ann_method="exact"`` (default) brute-forces cosine over the
+        whole embeddings table — the rank-exact reference semantics.
+        ``ann_method="lsh"`` is the scale path: it reads ONLY the hive
+        partitions (``bucket=<id>/``, written by ``build_embeddings``)
+        within ``lsh_probe_radius`` Hamming bits of the query's bucket, so
+        per-query reads stay flat as the table grows (approximate:
+        recall < 1 by construction)."""
         import os
 
         self.index_dir = index_dir
         self.bm25 = QueryEngine(index_dir, num_actors=num_actors)
         self.semantic_weight = semantic_weight
         self.dim = dim
+        self.ann_method = ann_method
+        self.lsh_n_bits = lsh_n_bits
+        self.lsh_seed = lsh_seed
+        self.lsh_probe_radius = lsh_probe_radius
         self.emb_dir = os.path.join(index_dir, "embeddings")
-        self.has_semantic = os.path.isdir(self.emb_dir) and any(
-            f.endswith(".parquet") for f in os.listdir(self.emb_dir)
+        self.emb_bucketed = os.path.isdir(self.emb_dir) and any(
+            f.startswith("bucket=") for f in os.listdir(self.emb_dir)
         )
+        self.has_semantic = os.path.isdir(self.emb_dir) and (
+            self.emb_bucketed
+            or any(f.endswith(".parquet") for f in os.listdir(self.emb_dir))
+        )
+        if ann_method == "lsh" and not self.emb_bucketed:
+            raise ValueError(
+                "ann_method='lsh' requires a bucket-partitioned embeddings "
+                "layout (build_embeddings(partition_by_bucket=True))"
+            )
 
     def close(self):
         self.bm25.close()
+
+    def _probe_dirs(self, qvec: np.ndarray) -> List[str]:
+        """Existing ``bucket=`` partition dirs within the query's Hamming
+        ball — the only files the LSH path reads."""
+        import os
+
+        from ..stages.annsearch import hamming_ball, lsh_signatures
+
+        qn = qvec / max(float(np.linalg.norm(qvec)), 1e-30)
+        sig = int(lsh_signatures(qn[None, :], self.lsh_n_bits, self.lsh_seed)[0])
+        probes = hamming_ball(sig, self.lsh_n_bits, self.lsh_probe_radius)
+        dirs = [os.path.join(self.emb_dir, f"bucket={b}") for b in probes]
+        return [d for d in dirs if os.path.isdir(d)]
+
+    def _probe_files(self, qvec: np.ndarray) -> List[str]:
+        import os
+
+        return [
+            os.path.join(d, f)
+            for d in self._probe_dirs(qvec)
+            for f in sorted(os.listdir(d))
+            if f.endswith(".parquet")
+        ]
 
     def _semantic_search(
         self, query: str, limit: int, filters: Optional[Dict[str, str]]
@@ -158,8 +205,15 @@ class HybridEngine:
 
         from ..stages.annsearch import vector_topk
 
-        qvec = mock_embed_text(enhance_query(query), self.dim)[None, :]
-        ds = rd.read_parquet(self.emb_dir)
+        qvec = mock_embed_text(enhance_query(query), self.dim)
+        if self.ann_method == "lsh":
+            files = self._probe_files(qvec)
+            if not files:
+                return []
+            ds = rd.read_parquet(files)
+        else:
+            ds = rd.read_parquet(self.emb_dir)
+        qvec = qvec[None, :]
         if filters:
             col_map = {"language": "language", "entity_type": "entity_type", "repo_name": "repo_name"}
             import pyarrow.compute as pc

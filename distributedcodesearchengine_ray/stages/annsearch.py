@@ -120,14 +120,38 @@ def _emb_matrix(emb, dtype=np.float32) -> np.ndarray:
 
 
 def ivf_train_centroids(
-    ds, n_centroids: int = 16, sample_size: int = 4096, iters: int = 10, seed: int = 42
+    ds,
+    n_centroids: int = 16,
+    sample_size: int = 4096,
+    iters: int = 10,
+    seed: int = 42,
+    id_column: Optional[str] = None,
 ) -> np.ndarray:
     """Tiny k-means (IVF coarse quantizer) trained on a driver-side sample.
 
-    The sample is deterministic (first blocks up to ``sample_size`` rows);
-    centroids are L2-normalized so assignment = argmax dot product.
+    With ``id_column`` the sample is an UNBIASED deterministic hash-sample
+    (keep rows whose stable id-hash % modulus == 0 — identical at every
+    parallelism level, like the partition-boundary sampler in
+    ``build_index``); without it, first blocks up to ``sample_size`` rows
+    (order-biased — avoid at scale).  Centroids are L2-normalized so
+    assignment = argmax dot product.
     """
-    sample = ds.limit(sample_size).to_pandas()
+    if id_column is not None:
+        import pandas as pd
+
+        n_rows = ds.count()
+        modulus = max(1, n_rows // sample_size)
+
+        def keep_sample(t: pa.Table) -> pa.Table:
+            ids = t[id_column].to_numpy(zero_copy_only=False)
+            h = pd.util.hash_array(np.ascontiguousarray(ids))
+            return t.filter(pa.array(h % modulus == 0))
+
+        sample = ds.map_batches(keep_sample, batch_format="pyarrow").to_pandas()
+        if len(sample) > sample_size:
+            sample = sample.sort_values(id_column).head(sample_size)
+    else:
+        sample = ds.limit(sample_size).to_pandas()
     mat = np.stack(sample["embedding"].to_numpy()).astype(np.float64)
     norms = np.linalg.norm(mat, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
@@ -162,7 +186,7 @@ def vector_topk_ivf(
     (recall < 1) by construction."""
     import ray
 
-    cent = ivf_train_centroids(ds, n_centroids=n_centroids, seed=seed)
+    cent = ivf_train_centroids(ds, n_centroids=n_centroids, seed=seed, id_column=id_column)
     qmat = np.asarray(queries, dtype=np.float32)
     qn = np.linalg.norm(qmat, axis=1, keepdims=True)
     qn[qn == 0] = 1.0
@@ -195,6 +219,21 @@ def lsh_signatures(mat: np.ndarray, n_bits: int = 16, seed: int = 42) -> np.ndar
     bits = (mat @ planes) > 0
     weights = (1 << np.arange(n_bits, dtype=np.int64))
     return bits @ weights
+
+
+def hamming_ball(sig: int, n_bits: int, radius: int = 1) -> List[int]:
+    """All bucket ids within Hamming distance <= radius of ``sig`` (the
+    multiprobe set of the partitioned-LSH query path)."""
+    import itertools
+
+    out = {int(sig)}
+    for r in range(1, radius + 1):
+        for bits in itertools.combinations(range(n_bits), r):
+            flipped = int(sig)
+            for b in bits:
+                flipped ^= 1 << b
+            out.add(flipped)
+    return sorted(out)
 
 
 def vector_topk_lsh(

@@ -65,8 +65,106 @@ class MockEmbedStage:
         return out.append_column("embedding", emb_col)
 
 
-def build_embeddings(index_dir: str, dim: int = 768, concurrency: int = 4) -> str:
-    """Embed every indexed entity -> ``index_dir/embeddings`` parquet."""
+class SentenceTransformerEmbedStage(MockEmbedStage):
+    """ST1: the REAL transformer embedder as a Ray actor-pool stage.
+
+    Contract mirrors the reference ``CodeBERTEmbedder``
+    (/root/reference/codesearch/embeddings/generator.py:59-207): model
+    loaded ONCE per actor in ``__init__`` (sentence-transformers API,
+    L2-normalized output), batched encode in ``__call__``, and the
+    zero-vector fallback on an encode failure (generator.py:155-159).  Use
+    as ``map_batches(SentenceTransformerEmbedStage, fn_constructor_kwargs=
+    {"model_name": ...}, concurrency=N, num_cpus=c)``; the schema and
+    downstream plumbing are identical to ``MockEmbedStage``.
+
+    Raises ``RuntimeError`` in ``__init__`` when sentence-transformers /
+    torch are not installed (the reference's error path,
+    generator.py:126-130) — this container has neither, so the class is
+    exercised by a pytest that skips unless the import succeeds.
+    """
+
+    def __init__(
+        self,
+        model_name: str = "microsoft/codebert-base",
+        device=None,
+        normalize: bool = True,
+        text_column: str = "__searchable__",
+    ):
+        try:
+            from sentence_transformers import SentenceTransformer
+        except ImportError as e:
+            raise RuntimeError(
+                "Please install: pip install sentence-transformers transformers torch"
+            ) from e
+        self.model = SentenceTransformer(model_name, device=device)
+        self.normalize = normalize
+        self.dim = int(self.model.get_sentence_embedding_dimension())
+        self.text_column = text_column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = self._texts(batch)
+        try:
+            embs = self.model.encode(
+                texts,
+                convert_to_numpy=True,
+                normalize_embeddings=self.normalize,
+                show_progress_bar=False,
+            ).astype(np.float32)
+        except Exception:
+            embs = np.zeros((len(texts), self.dim), dtype=np.float32)
+        emb_col = pa.FixedSizeListArray.from_arrays(
+            pa.array(embs.reshape(-1), pa.float32()), self.dim
+        )
+        keep = [
+            c for c in ("doc_id", "lang", "entity_type", "repo_name") if c in batch.column_names
+        ]
+        out = batch.select(keep) if keep else batch
+        if "lang" in out.column_names:
+            out = out.rename_columns(
+                [c if c != "lang" else "language" for c in out.column_names]
+            )
+        return out.append_column("embedding", emb_col)
+
+
+def add_lsh_bucket(batch: pa.Table, n_bits: int = 8, seed: int = 42) -> pa.Table:
+    """Append the random-hyperplane LSH bucket of each (normalized)
+    embedding — the build-time partition key of the ANN scale path."""
+    from .annsearch import lsh_signatures
+
+    emb = batch["embedding"]
+    if isinstance(emb, pa.ChunkedArray):
+        emb = emb.combine_chunks()
+    if pa.types.is_fixed_size_list(emb.type):
+        dim = emb.type.list_size
+        mat = np.asarray(emb.values.to_numpy(zero_copy_only=False), dtype=np.float32).reshape(-1, dim)
+    else:
+        mat = np.asarray(emb.to_pylist(), dtype=np.float32)
+    n = np.linalg.norm(mat, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    sig = lsh_signatures(mat / n, n_bits, seed)
+    return batch.append_column("bucket", pa.array(sig.astype(np.int64)))
+
+
+def build_embeddings(
+    index_dir: str,
+    dim: int = 768,
+    concurrency: int = 4,
+    *,
+    partition_by_bucket: bool = True,
+    n_bits: int = 8,
+    seed: int = 42,
+    stage=None,
+) -> str:
+    """Embed every indexed entity -> ``index_dir/embeddings`` parquet.
+
+    With ``partition_by_bucket`` (default) the table is hive-partitioned by
+    the LSH bucket of the embedding (``bucket=<id>/`` subdirs), so an
+    approximate query probes only its own bucket neighborhood's files
+    instead of scanning the whole table — the reads stay flat while the
+    corpus grows.  Exact consumers just ``read_parquet`` the directory
+    root; the layout is transparent to them.
+    """
+    import functools
     import os
 
     import ray.data as rd
@@ -83,10 +181,18 @@ def build_embeddings(index_dir: str, dim: int = 768, concurrency: int = 4) -> st
         os.path.join(index_dir, "docmeta"),
         columns=[c for c in want if c in avail],
     )
-    ds.map_batches(
-        MockEmbedStage(dim=dim),
+    out = ds.map_batches(
+        stage if stage is not None else MockEmbedStage(dim=dim),
         batch_format="pyarrow",
         batch_size=1024,
         concurrency=concurrency,
-    ).write_parquet(out_dir)
+    )
+    if partition_by_bucket:
+        out = out.map_batches(
+            functools.partial(add_lsh_bucket, n_bits=n_bits, seed=seed),
+            batch_format="pyarrow",
+        )
+        out.write_parquet(out_dir, partition_cols=["bucket"])
+    else:
+        out.write_parquet(out_dir)
     return out_dir

@@ -152,6 +152,54 @@ def test_hybrid_end_to_end(ray_session, tmp_path):
         eng.close()
 
 
+def test_hybrid_lsh_probe_sublinear(ray_session, tmp_path):
+    """The ann_method='lsh' scale path must read only the query's Hamming
+    ball of bucket partitions: the probed row fraction stays ~flat (around
+    |ball|/2^bits) while the corpus grows 10x, i.e. per-query reads are
+    sublinear in table size — the property that keeps hybrid p50 flat."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from distributedcodesearchengine_ray.functions.embed import mock_embed_text
+    from distributedcodesearchengine_ray.pipelines.build_index import build_index
+    from distributedcodesearchengine_ray.pipelines.hybrid import HybridEngine, enhance_query
+    from distributedcodesearchengine_ray.sources.corpus import write_corpus
+    from distributedcodesearchengine_ray.stages.embed_stage import build_embeddings
+
+    def rows_in(dirs):
+        total = 0
+        for d in dirs:
+            for f in os.listdir(d):
+                if f.endswith(".parquet"):
+                    total += pq.ParquetFile(os.path.join(d, f)).metadata.num_rows
+        return total
+
+    fracs = {}
+    for label, n in (("small", 60), ("large", 600)):
+        corpus = write_corpus(str(tmp_path / f"c{label}"), n_files=n, seed=1, num_shards=2)
+        idx = str(tmp_path / f"idx{label}")
+        build_index(corpus, idx, mode="entity", docs_per_partition=max(50, n // 4))
+        build_embeddings(idx, concurrency=2)
+        eng = HybridEngine(idx, num_actors=2, ann_method="lsh")
+        try:
+            assert eng.emb_bucketed
+            hits = eng.search("parse json data", limit=5)
+            assert len(hits) > 0
+            qvec = mock_embed_text(enhance_query("parse json data"))
+            probed = rows_in(eng._probe_dirs(qvec))
+            total = rows_in(
+                [os.path.join(eng.emb_dir, d) for d in os.listdir(eng.emb_dir) if d.startswith("bucket=")]
+            )
+            fracs[label] = probed / total
+        finally:
+            eng.close()
+    # ball of radius 1 over 8 bits = 9/256 of buckets; allow hash variance
+    assert fracs["large"] < 0.15
+    # the fraction must not grow with corpus size (flat per-query reads)
+    assert fracs["large"] <= fracs["small"] * 2 + 0.02
+
+
 def test_vector_topk_ivf_recall(ray_session):
     import ray.data as rd
 
@@ -168,6 +216,50 @@ def test_vector_topk_ivf_recall(ray_session):
         assert df["vec_id"][qi] in ids  # the query vector itself is found
         inter = len(set(ids) & set(exact[exact.query_idx == qi]["vec_id"].tolist()))
         assert inter >= 5  # clustered synthetic data => good recall
+
+
+def test_sentence_transformer_stage_guard():
+    """Without torch/sentence-transformers the real-embedder stage must fail
+    fast with the reference's install-hint error (generator.py:126-130)."""
+    try:
+        import sentence_transformers  # noqa: F401
+
+        pytest.skip("sentence-transformers installed; guard path not reachable")
+    except ImportError:
+        pass
+    from distributedcodesearchengine_ray.stages.embed_stage import SentenceTransformerEmbedStage
+
+    with pytest.raises(RuntimeError, match="pip install sentence-transformers"):
+        SentenceTransformerEmbedStage()
+
+
+def test_sentence_transformer_stage_real(ray_session):
+    """Exercised only where the ML stack exists (skipped in this container):
+    the real stage must produce the same schema as MockEmbedStage."""
+    st = pytest.importorskip("sentence_transformers")  # noqa: F841
+    import pyarrow as pa
+    import ray.data as rd
+
+    from distributedcodesearchengine_ray.stages.embed_stage import SentenceTransformerEmbedStage
+
+    tbl = pa.table(
+        {"doc_id": [0, 1], "name": ["parse_json", "send_request"],
+         "entity_type": ["function", "function"], "signature": ["a", "b"],
+         "parameters": [["x"], ["y"]], "docstring": ["", ""],
+         "return_type": ["", ""], "parent_class": ["", ""], "lang": ["python", "python"]}
+    )
+    out = (
+        rd.from_arrow(tbl)
+        .map_batches(
+            SentenceTransformerEmbedStage,
+            fn_constructor_kwargs={"model_name": "sentence-transformers/all-MiniLM-L6-v2"},
+            batch_format="pyarrow",
+            concurrency=1,
+        )
+        .to_pandas()
+    )
+    assert set(out.columns) >= {"doc_id", "language", "embedding"}
+    assert len(out["embedding"][0]) > 0
 
 
 def test_hybrid_golden_fusion(ray_session, tmp_path):

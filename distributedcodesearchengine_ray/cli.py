@@ -6,6 +6,8 @@ Usage:
     python -m distributedcodesearchengine_ray.cli search "<query>" --index-dir DIR [--limit N]
         [--language L] [--entity-type T] [--repo R] [--hybrid] [--method dense|wand]
     python -m distributedcodesearchengine_ray.cli stats  --index-dir DIR
+    python -m distributedcodesearchengine_ray.cli serve  --index-dir DIR [--host H] [--port P]
+    python -m distributedcodesearchengine_ray.cli version
 
 Owns its Ray session (guarded init; the driver-facing entry points never
 call ray.init).
@@ -58,7 +60,34 @@ def main(argv=None) -> int:
     pt = sub.add_parser("stats", help="index stats")
     pt.add_argument("--index-dir", required=True)
 
+    pv = sub.add_parser("serve", help="run the HTTP API server")
+    pv.add_argument("--index-dir", required=True)
+    pv.add_argument("--host", default="127.0.0.1")
+    pv.add_argument("--port", type=int, default=8080)
+    pv.add_argument("--mode", choices=["entity", "file"], default="entity")
+
+    sub.add_parser("version", help="print the engine version")
+
     args = p.parse_args(argv)
+
+    if args.cmd == "version":
+        from . import __version__
+
+        print(json.dumps({"version": __version__}))
+        return 0
+
+    if args.cmd == "serve":
+        _ensure_ray()
+        from .server import SearchServer
+
+        srv = SearchServer(args.index_dir, args.host, args.port, mode=args.mode)
+        print(f"serving on {args.host}:{srv.start()}", flush=True)
+        try:
+            srv._thread.join()
+        except KeyboardInterrupt:
+            srv.stop()
+        return 0
+
     import os
 
     if args.cmd in ("search", "stats") and not os.path.exists(

@@ -34,6 +34,21 @@ def _micro(x: np.ndarray, scale: float = 1e6) -> np.ndarray:
     return np.floor(np.asarray(x, dtype=np.float64) * scale + 0.5).astype(np.int64)
 
 
+def _cents_col(arr) -> pa.Array:
+    """Per-ELEMENT exact integer cents: ``floor(x*100 + 0.5)`` as int64.
+
+    Money aggregates round each value to cents BEFORE summation (and the
+    paired SQL oracles apply the same expression inside SUM), so grouped
+    totals are integer-exact on both sides — immune to parallel float
+    summation order, unlike rounding a float sum at a half-cent boundary.
+    """
+    x = pcc.cast(arr, pa.float64())
+    return pcc.cast(
+        pcc.floor(pcc.add(pcc.multiply(x, pa.scalar(100.0)), pa.scalar(0.5))),
+        pa.int64(),
+    )
+
+
 def _read(sf_dir: str, table: str, columns=None):
     import ray.data as rd
 
@@ -100,6 +115,25 @@ def _documents_index(sf_dir: str) -> str:
     idx = f"/tmp/rcs_cache/docidx-{tag}"
     os.makedirs(idx, exist_ok=True)
     ds = _read(sf_dir, "documents")
+    # bm25 queries compare engine doc_ids (lexicographic ranks of the
+    # zero-padded synthesized paths) to the table's doc_id column, which is
+    # only valid when doc_id is dense 0..N-1 — assert it instead of
+    # silently mismatching on a gapped/offset corpus
+    import pyarrow.dataset as pads
+    from ray.data.aggregate import Max, Min
+
+    agg = _read(sf_dir, "documents", columns=["doc_id"]).aggregate(
+        Min("doc_id"), Max("doc_id")
+    )
+    n_rows = pads.dataset(
+        os.path.join(sf_dir, "documents.parquet"), format="parquet"
+    ).count_rows()
+    if not (agg["min(doc_id)"] == 0 and agg["max(doc_id)"] == n_rows - 1):
+        raise ValueError(
+            "documents.doc_id must be dense 0..N-1 for rank==doc_id "
+            f"equivalence (got min={agg['min(doc_id)']}, "
+            f"max={agg['max(doc_id)']}, n={n_rows})"
+        )
 
     def to_corpus(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_numpy(zero_copy_only=False)
@@ -486,14 +520,14 @@ def events_hourly(sf_dir: str):
             {
                 "event_type": t["event_type"],
                 "window_start": pcc.floor_temporal(t["ts"], unit="hour"),
-                "value": t["value"],
+                "value_c": _cents_col(t["value"]),
             }
         )
 
     out = (
         ds.map_batches(window, batch_format="pyarrow")
         .groupby(["event_type", "window_start"])
-        .aggregate(Count(alias_name="n"), Sum("value", alias_name="v"))
+        .aggregate(Count(alias_name="n"), Sum("value_c", alias_name="value_c"))
         .to_pandas()
         .sort_values(["event_type", "window_start"], ignore_index=True)
     )
@@ -502,7 +536,7 @@ def events_hourly(sf_dir: str):
             "event_type": pa.array(out["event_type"], pa.string()),
             "window_start": pa.array(out["window_start"]),
             "n": pa.array(out["n"], pa.int64()),
-            "value_c": pa.array(_micro(out["v"].to_numpy(), scale=100.0)),
+            "value_c": pa.array(out["value_c"], pa.int64()),
         }
     )
 
@@ -555,15 +589,23 @@ def q1_lineitem(sf_dir: str):
 
     def revenue(t: pa.Table) -> pa.Table:
         disc = pcc.multiply(t["l_extendedprice"], pcc.subtract(pa.scalar(1.0), t["l_discount"]))
-        return t.append_column("disc_price", disc)
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "qty_c": _cents_col(t["l_quantity"]),
+                "base_c": _cents_col(t["l_extendedprice"]),
+                "disc_c": _cents_col(disc),
+            }
+        )
 
     out = (
         ds.map_batches(revenue, batch_format="pyarrow")
         .groupby(["l_returnflag", "l_linestatus"])
         .aggregate(
-            Sum("l_quantity", alias_name="sum_qty"),
-            Sum("l_extendedprice", alias_name="sum_base"),
-            Sum("disc_price", alias_name="sum_disc"),
+            Sum("qty_c", alias_name="sum_qty_c"),
+            Sum("base_c", alias_name="sum_base_c"),
+            Sum("disc_c", alias_name="sum_disc_c"),
             Count(alias_name="n"),
         )
         .to_pandas()
@@ -573,9 +615,9 @@ def q1_lineitem(sf_dir: str):
         {
             "l_returnflag": pa.array(out["l_returnflag"], pa.string()),
             "l_linestatus": pa.array(out["l_linestatus"], pa.string()),
-            "sum_qty_c": pa.array(_micro(out["sum_qty"].to_numpy(), 100.0)),
-            "sum_base_c": pa.array(_micro(out["sum_base"].to_numpy(), 100.0)),
-            "sum_disc_c": pa.array(_micro(out["sum_disc"].to_numpy(), 100.0)),
+            "sum_qty_c": pa.array(out["sum_qty_c"], pa.int64()),
+            "sum_base_c": pa.array(out["sum_base_c"], pa.int64()),
+            "sum_disc_c": pa.array(out["sum_disc_c"], pa.int64()),
             "n": pa.array(out["n"], pa.int64()),
         }
     )
@@ -599,15 +641,14 @@ def top_parts_by_revenue(sf_dir: str):
             rev = pcc.multiply(
                 t["l_extendedprice"], pcc.subtract(pa.scalar(1.0), t["l_discount"])
             )
-            return pa.table({"p_partkey": t["l_partkey"], "revenue": rev})
+            return pa.table({"p_partkey": t["l_partkey"], "revenue_c": _cents_col(rev)})
 
     out = (
         ds.map_batches(JoinRevenue, batch_format="pyarrow", concurrency=2)
         .groupby("p_partkey")
-        .aggregate(Sum("revenue", alias_name="revenue"))
+        .aggregate(Sum("revenue_c", alias_name="revenue_c"))
         .to_pandas()
     )
-    out["revenue_c"] = _micro(out["revenue"].to_numpy(), 100.0)
     out = out.sort_values(
         ["revenue_c", "p_partkey"], ascending=[False, True], kind="mergesort"
     ).head(10)
@@ -632,53 +673,58 @@ def revenue_by_part_type(sf_dir: str):
 
     def revenue(t: pa.Table) -> pa.Table:
         rev = pcc.multiply(t["l_extendedprice"], pcc.subtract(pa.scalar(1.0), t["l_discount"]))
-        return pa.table({"p_partkey": t["l_partkey"], "revenue": rev})
+        return pa.table({"p_partkey": t["l_partkey"], "revenue_c": _cents_col(rev)})
 
     line = line.map_batches(revenue, batch_format="pyarrow")
     part = _read(sf_dir, "part", columns=["p_partkey", "p_type"])
     joined = line.join(part, join_type="inner", num_partitions=8, on=("p_partkey",))
     out = (
         joined.groupby("p_type")
-        .aggregate(Sum("revenue", alias_name="revenue"))
+        .aggregate(Sum("revenue_c", alias_name="revenue_c"))
         .to_pandas()
         .sort_values("p_type", ignore_index=True)
     )
     return pa.table(
         {
             "p_type": pa.array(out["p_type"], pa.string()),
-            "revenue_c": pa.array(_micro(out["revenue"].to_numpy(), 100.0)),
+            "revenue_c": pa.array(out["revenue_c"], pa.int64()),
         }
     )
 
 
 def orders_by_nation(sf_dir: str):
-    """orders x customer x nation via broadcast dimension lookup."""
+    """orders x customer x nation: customer is sf-proportional, so it joins
+    via the distributed ``Dataset.join`` (never broadcast whole); only the
+    25-row nation dimension is broadcast (``ray.put`` once, mapped inside
+    batches)."""
     import ray
     from ray.data.aggregate import Count, Sum
 
-    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).to_pandas()
     nation = _read(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
-    nmap = dict(zip(nation["n_nationkey"], nation["n_name"]))
-    cmap = {k: nmap[v] for k, v in zip(cust["c_custkey"], cust["c_nationkey"])}
-    cref = ray.put(cmap)
+    nref = ray.put(dict(zip(nation["n_nationkey"].tolist(), nation["n_name"].tolist())))
 
-    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"]).map_batches(
+        lambda t: pa.table({"c_custkey": t["o_custkey"], "total_c": _cents_col(t["o_totalprice"])}),
+        batch_format="pyarrow",
+    )
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    joined = orders.join(cust, join_type="inner", num_partitions=8, on=("c_custkey",))
 
     class AddNation:
         def __init__(self):
-            self.cmap = ray.get(cref)
+            self.nmap = ray.get(nref)
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            keys = t["o_custkey"].to_numpy(zero_copy_only=False)
-            names = [self.cmap.get(int(k)) for k in keys]
+            keys = t["c_nationkey"].to_numpy(zero_copy_only=False)
+            names = [self.nmap.get(int(k)) for k in keys]
             return pa.table(
-                {"n_name": pa.array(names, pa.string()), "o_totalprice": t["o_totalprice"]}
+                {"n_name": pa.array(names, pa.string()), "total_c": t["total_c"]}
             )
 
     out = (
-        ds.map_batches(AddNation, batch_format="pyarrow", concurrency=2)
+        joined.map_batches(AddNation, batch_format="pyarrow", concurrency=2)
         .groupby("n_name")
-        .aggregate(Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="total"))
+        .aggregate(Count(alias_name="n_orders"), Sum("total_c", alias_name="total_c"))
         .to_pandas()
         .sort_values("n_name", ignore_index=True)
     )
@@ -686,7 +732,7 @@ def orders_by_nation(sf_dir: str):
         {
             "n_name": pa.array(out["n_name"], pa.string()),
             "n_orders": pa.array(out["n_orders"], pa.int64()),
-            "total_c": pa.array(_micro(out["total"].to_numpy(), 100.0)),
+            "total_c": pa.array(out["total_c"], pa.int64()),
         }
     )
 
@@ -761,7 +807,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "events_hourly": """
             SELECT event_type, date_trunc('hour', ts) AS window_start,
                    count(*) AS n,
-                   CAST(floor(sum(value) * 100 + 0.5) AS BIGINT) AS value_c
+                   CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_c
             FROM events GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "sessionize": """
@@ -777,9 +823,9 @@ def build_oracle_sql() -> Dict[str, str]:
         """,
         "q1_lineitem": """
             SELECT l_returnflag, l_linestatus,
-                   CAST(floor(sum(l_quantity) * 100 + 0.5) AS BIGINT) AS sum_qty_c,
-                   CAST(floor(sum(l_extendedprice) * 100 + 0.5) AS BIGINT) AS sum_base_c,
-                   CAST(floor(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.5) AS BIGINT) AS sum_disc_c,
+                   CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+                   CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_base_c,
+                   CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_disc_c,
                    count(*) AS n
             FROM lineitem GROUP BY l_returnflag, l_linestatus
             ORDER BY l_returnflag, l_linestatus
@@ -787,7 +833,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "top_parts_by_revenue": """
             WITH rev AS (
               SELECT l_partkey AS p_partkey,
-                     CAST(floor(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.5) AS BIGINT) AS revenue_c
+                     CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_c
               FROM lineitem GROUP BY l_partkey)
             SELECT r.p_partkey, p.p_name, r.revenue_c
             FROM rev r JOIN part p ON p.p_partkey = r.p_partkey
@@ -795,13 +841,13 @@ def build_oracle_sql() -> Dict[str, str]:
         """,
         "revenue_by_part_type": """
             SELECT p.p_type,
-                   CAST(floor(sum(l.l_extendedprice * (1 - l.l_discount)) * 100 + 0.5) AS BIGINT) AS revenue_c
+                   CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_c
             FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
             GROUP BY p.p_type ORDER BY p.p_type
         """,
         "orders_by_nation": """
             SELECT n.n_name, count(*) AS n_orders,
-                   CAST(floor(sum(o.o_totalprice) * 100 + 0.5) AS BIGINT) AS total_c
+                   CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_c
             FROM orders o
             JOIN customer c ON c.c_custkey = o.o_custkey
             JOIN nation n ON n.n_nationkey = c.c_nationkey

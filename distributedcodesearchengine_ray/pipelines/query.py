@@ -329,8 +329,14 @@ class IndexShard:
                 col = "repo"  # file mode: repo column plays the role
             arr = self._filter_cols.get(col)
             if arr is None:
-                mask[:] = False
-                return mask
+                # surface the mode mismatch instead of silently returning
+                # zero results (e.g. an entity_type filter on a file-mode
+                # index has no such docmeta column)
+                raise KeyError(
+                    f"filter column {col!r} does not exist in this index's "
+                    f"docmeta (available: {sorted(self._filter_cols)}); "
+                    "index mode mismatch?"
+                )
             mask &= arr[idx] == val
         return mask
 

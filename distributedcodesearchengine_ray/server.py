@@ -3,27 +3,79 @@
 (FastAPI isn't in this environment; the route contract is what matters):
 
     GET  /health                -> {"status": "ok"}
+    GET  /api                   -> API info (server.py:101-108)
     GET  /stats                 -> index stats (A4)
     GET  /search?q=...&limit=&language=&entity_type=&repo=&hybrid=&method=
     POST /search                -> same, JSON body {"query": ..., "limit": ...}
+    POST /index/sync            -> blocking build, JSON body {"corpus": path,
+                                   "mode"?, "embeddings"?, "docs_per_partition"?}
+                                   (server.py:228-248 minus git clone: the
+                                   corpus is a parquet path, not a repo URL)
+    POST /index                 -> queue the same build to a background
+                                   thread -> {"job_id": ...} (the reference's
+                                   RabbitMQ queue route, server.py:196-226,
+                                   with Ray as the execution backend)
+    GET  /index/status[?job_id=]-> one job record / all job records
 
 Responses are JSON.  One engine instance serves all requests (the
 reference's lazy process-global engine, ST5); the underlying shard actors
-are the scalable part — the HTTP layer is a thin driver.
+are the scalable part — the HTTP layer is a thin driver.  Builds are
+serialized by a lock (concurrent builds into one index dir would race the
+staging layout); searches stay concurrent.
 """
 
 from __future__ import annotations
 
 import json
 import threading
+import time
+import uuid
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-from typing import Optional
+from typing import Dict, Optional
 from urllib.parse import parse_qs, urlparse
 
+from . import __version__
 from .engine import CodeSearchEngine
 
+API_INFO = {
+    "name": "DistributedCodeSearchEngine Ray API",
+    "version": __version__,
+    "endpoints": [
+        "/health", "/api", "/stats", "/search", "/index", "/index/sync",
+        "/index/status",
+    ],
+}
 
-def make_handler(engine: CodeSearchEngine):
+
+def _run_build(engine: CodeSearchEngine, lock: threading.Lock, params: dict) -> dict:
+    """Shared build body of /index/sync and /index — returns the reference's
+    IndexResult shape (repo_indexer.py result fields, minus git specifics)."""
+    t0 = time.time()
+    with lock:
+        manifest = engine.index_corpus(
+            params["corpus"],
+            resume=bool(params.get("resume", True)),
+            with_embeddings=bool(params.get("embeddings", False)),
+            **(
+                {"docs_per_partition": int(params["docs_per_partition"])}
+                if "docs_per_partition" in params
+                else {}
+            ),
+        )
+        langs = engine.stats()["languages"]
+    return {
+        "success": True,
+        "corpus": params["corpus"],
+        "entities_indexed": manifest.n_docs,
+        "num_partitions": manifest.num_partitions,
+        "build_id": manifest.build_id,
+        "duration_seconds": round(time.time() - t0, 3),
+        "languages": langs,
+        "error": None,
+    }
+
+
+def make_handler(engine: CodeSearchEngine, jobs: Dict[str, dict], build_lock: threading.Lock):
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):  # quiet
             pass
@@ -41,10 +93,15 @@ def make_handler(engine: CodeSearchEngine):
             if not query:
                 self._send(400, {"error": "missing query (q)"})
                 return
+            try:  # malformed client input is a 400, not a 500
+                limit = int(params.get("limit", 20))
+            except (TypeError, ValueError):
+                self._send(400, {"error": f"invalid limit: {params.get('limit')!r}"})
+                return
             try:
                 hits = engine.search(
                     query,
-                    limit=int(params.get("limit", 20)),
+                    limit=limit,
                     language=params.get("language"),
                     entity_type=params.get("entity_type"),
                     repo_filter=params.get("repo"),
@@ -74,21 +131,41 @@ def make_handler(engine: CodeSearchEngine):
                 },
             )
 
+        def _index_params(self, body: dict) -> Optional[dict]:
+            if not body.get("corpus"):
+                self._send(400, {"error": "missing corpus (parquet path)"})
+                return None
+            return body
+
         def do_GET(self):
             url = urlparse(self.path)
             if url.path == "/health":
                 self._send(200, {"status": "ok"})
+            elif url.path == "/api":
+                self._send(200, API_INFO)
             elif url.path == "/stats":
-                self._send(200, engine.stats())
+                try:
+                    self._send(200, engine.stats())
+                except Exception as e:
+                    self._send(500, {"error": str(e)})
             elif url.path == "/search":
                 q = {k: v[0] for k, v in parse_qs(url.query).items()}
                 self._search(q)
+            elif url.path == "/index/status":
+                q = {k: v[0] for k, v in parse_qs(url.query).items()}
+                jid = q.get("job_id")
+                if jid is None:
+                    self._send(200, {"jobs": list(jobs.values())})
+                elif jid in jobs:
+                    self._send(200, jobs[jid])
+                else:
+                    self._send(404, {"error": f"unknown job_id {jid}"})
             else:
                 self._send(404, {"error": "not found"})
 
         def do_POST(self):
             url = urlparse(self.path)
-            if url.path != "/search":
+            if url.path not in ("/search", "/index", "/index/sync"):
                 self._send(404, {"error": "not found"})
                 return
             try:
@@ -97,7 +174,44 @@ def make_handler(engine: CodeSearchEngine):
             except (ValueError, json.JSONDecodeError):
                 self._send(400, {"error": "invalid JSON body"})
                 return
-            self._search(body)
+            if url.path == "/search":
+                self._search(body)
+                return
+            params = self._index_params(body)
+            if params is None:
+                return
+            if url.path == "/index/sync":
+                try:
+                    self._send(200, _run_build(engine, build_lock, params))
+                except Exception as e:
+                    self._send(500, {"success": False, "error": str(e)})
+                return
+            # POST /index: queue to a background thread (the reference's
+            # RabbitMQ publish, with Ray as the worker)
+            job_id = uuid.uuid4().hex[:12]
+            jobs[job_id] = {
+                "job_id": job_id, "status": "queued", "corpus": params["corpus"],
+                "result": None, "error": None,
+            }
+
+            def run():
+                jobs[job_id]["status"] = "running"
+                try:
+                    jobs[job_id]["result"] = _run_build(engine, build_lock, params)
+                    jobs[job_id]["status"] = "done"
+                except Exception as e:
+                    jobs[job_id]["error"] = str(e)
+                    jobs[job_id]["status"] = "failed"
+
+            threading.Thread(target=run, daemon=True).start()
+            self._send(
+                200,
+                {
+                    "success": True,
+                    "job_id": job_id,
+                    "message": f"corpus queued for indexing: {params['corpus']}",
+                },
+            )
 
     return Handler
 
@@ -105,9 +219,13 @@ def make_handler(engine: CodeSearchEngine):
 class SearchServer:
     """Embeddable server: ``SearchServer(index_dir).start()`` -> port."""
 
-    def __init__(self, index_dir: str, host: str = "127.0.0.1", port: int = 0):
-        self.engine = CodeSearchEngine(index_dir)
-        self.httpd = ThreadingHTTPServer((host, port), make_handler(self.engine))
+    def __init__(self, index_dir: str, host: str = "127.0.0.1", port: int = 0, mode: str = "entity"):
+        self.engine = CodeSearchEngine(index_dir, mode=mode)
+        self.jobs: Dict[str, dict] = {}
+        self._build_lock = threading.Lock()
+        self.httpd = ThreadingHTTPServer(
+            (host, port), make_handler(self.engine, self.jobs, self._build_lock)
+        )
         self.port = self.httpd.server_address[1]
         self._thread: Optional[threading.Thread] = None
 

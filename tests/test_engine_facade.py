@@ -101,3 +101,56 @@ def test_cli_end_to_end(corpus_dir, tmp_path_factory):
     )
     assert out.returncode == 0, out.stderr[-2000:]
     assert json.loads(out.stdout.strip().splitlines()[-1])["n_docs"] == info["n_docs"]
+
+
+def test_cli_version():
+    out = subprocess.run(
+        [sys.executable, "-m", "distributedcodesearchengine_ray.cli", "version"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=60,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    from distributedcodesearchengine_ray import __version__
+
+    assert json.loads(out.stdout.strip()) == {"version": __version__}
+
+
+def test_cli_serve_smoke(corpus_dir, tmp_path_factory):
+    """`cli serve` starts the HTTP server (its own Ray session) and answers
+    /health and /search; SIGTERM shuts it down."""
+    import signal
+    import time
+    import urllib.request
+
+    idx = str(tmp_path_factory.mktemp("idx4"))
+    out = subprocess.run(
+        [sys.executable, "-m", "distributedcodesearchengine_ray.cli", "index", corpus_dir,
+         "--index-dir", idx, "--docs-per-partition", "100"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "distributedcodesearchengine_ray.cli", "serve",
+         "--index-dir", idx, "--port", "18921"],
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True, cwd="/root/repo",
+    )
+    try:
+        line = proc.stdout.readline()  # blocks until "serving on ..."
+        assert "serving on" in line, line
+        deadline = time.time() + 60
+        body = None
+        while time.time() < deadline:
+            try:
+                with urllib.request.urlopen("http://127.0.0.1:18921/health", timeout=5) as r:
+                    body = json.loads(r.read())
+                break
+            except OSError:
+                time.sleep(0.5)
+        assert body == {"status": "ok"}
+        with urllib.request.urlopen(
+            "http://127.0.0.1:18921/search?q=parse+json&limit=3", timeout=120
+        ) as r:
+            res = json.loads(r.read())
+        assert res["total"] > 0
+    finally:
+        proc.send_signal(signal.SIGTERM)
+        proc.wait(timeout=30)

@@ -28,6 +28,15 @@ def _get(url):
         return r.status, json.loads(r.read())
 
 
+def _post(url, payload, timeout=300):
+    req = urllib.request.Request(
+        url, data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"}, method="POST",
+    )
+    with urllib.request.urlopen(req, timeout=timeout) as r:
+        return r.status, json.loads(r.read())
+
+
 def test_health(server):
     status, body = _get(f"{server}/health")
     assert status == 200 and body == {"status": "ok"}
@@ -75,4 +84,56 @@ def test_bad_json_post_400(server):
     )
     with pytest.raises(urllib.error.HTTPError) as e:
         urllib.request.urlopen(req, timeout=60)
+    assert e.value.code == 400
+
+
+def test_bad_limit_400(server):
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(f"{server}/search?q=parse+json&limit=banana")
+    assert e.value.code == 400
+
+
+def test_api_info(server):
+    status, body = _get(f"{server}/api")
+    assert status == 200
+    assert body["name"] and body["version"]
+    assert "/index/sync" in body["endpoints"]
+
+
+def test_index_sync_and_queued(server, tmp_path_factory):
+    """POST /index/sync builds a fresh corpus into the served index and the
+    queued POST /index route reaches done via /index/status."""
+    corpus = write_corpus(
+        str(tmp_path_factory.mktemp("c2")), n_files=80, seed=3, num_shards=2
+    )
+    status, body = _post(f"{server}/index/sync", {"corpus": corpus, "docs_per_partition": 60})
+    assert status == 200 and body["success"]
+    assert body["entities_indexed"] > 0 and body["languages"]
+    # the served engine now answers over the new index
+    status, s = _get(f"{server}/stats")
+    assert s["n_docs"] == body["entities_indexed"]
+    status, res = _get(f"{server}/search?q=parse+json&limit=3")
+    assert res["total"] > 0
+
+    # queued variant
+    status, q = _post(f"{server}/index", {"corpus": corpus})
+    assert status == 200 and q["success"] and q["job_id"]
+    import time
+
+    deadline = time.time() + 300
+    while time.time() < deadline:
+        status, rec = _get(f"{server}/index/status?job_id={q['job_id']}")
+        if rec["status"] in ("done", "failed"):
+            break
+        time.sleep(0.5)
+    assert rec["status"] == "done", rec
+    assert rec["result"]["entities_indexed"] == body["entities_indexed"]
+    # status listing includes the job
+    status, all_jobs = _get(f"{server}/index/status")
+    assert any(j["job_id"] == q["job_id"] for j in all_jobs["jobs"])
+
+
+def test_index_sync_missing_corpus_400(server):
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(f"{server}/index/sync", {})
     assert e.value.code == 400

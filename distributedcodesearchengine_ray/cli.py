@@ -60,6 +60,11 @@ def main(argv=None) -> int:
     pt = sub.add_parser("stats", help="index stats")
     pt.add_argument("--index-dir", required=True)
 
+    pg = sub.add_parser("ingest", help="walk a checked-out repo tree into a parquet corpus")
+    pg.add_argument("repo_dir")
+    pg.add_argument("--out", required=True, help="corpus output directory")
+    pg.add_argument("--repo", help="repo name (default: directory basename)")
+
     pv = sub.add_parser("serve", help="run the HTTP API server")
     pv.add_argument("--index-dir", required=True)
     pv.add_argument("--host", default="127.0.0.1")
@@ -74,6 +79,22 @@ def main(argv=None) -> int:
         from . import __version__
 
         print(json.dumps({"version": __version__}))
+        return 0
+
+    if args.cmd == "ingest":  # pure-filesystem walk; no Ray session needed
+        import os
+
+        from .sources.ingest import ingest_directory
+
+        out = ingest_directory(args.repo_dir, args.out, repo_name=args.repo)
+        import pyarrow.parquet as pq
+
+        n = sum(
+            pq.ParquetFile(os.path.join(out, f)).metadata.num_rows
+            for f in os.listdir(out)
+            if f.endswith(".parquet")
+        )
+        print(json.dumps({"corpus": out, "files_ingested": n}))
         return 0
 
     if args.cmd == "serve":

@@ -41,7 +41,9 @@ class CodeSearchEngine:
     """Build + query facade over one index directory."""
 
     def __init__(self, index_dir: str, mode: str = "entity"):
-        self.index_dir = index_dir
+        from .state.manifest import normalize_dir
+
+        self.index_dir = normalize_dir(index_dir)
         self.mode = mode
         self._query_engine: Optional[QueryEngine] = None
         self._hybrid_engine: Optional[HybridEngine] = None

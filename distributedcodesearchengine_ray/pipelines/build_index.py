@@ -392,9 +392,12 @@ def build_index(
     for this build — they are shipped inside the pipeline closures
     (driver-side registry mutation does not reach Ray workers).
     """
+    from ..state.manifest import normalize_dir
+
+    index_dir = normalize_dir(index_dir)
     files_per_partition = docs_per_partition
     os.makedirs(index_dir, exist_ok=True)
-    corpus_path = corpus if isinstance(corpus, str) else None
+    corpus_path = normalize_dir(corpus) if isinstance(corpus, str) else None
     phase_sec: Dict[str, float] = {}
     _t = time.time()
 
@@ -694,7 +697,13 @@ def build_index(
         build_id=build_id,
         boundaries=boundaries,
         partitions=partitions,
-        extra={"phase_sec": phase_sec, "lex_buckets": LEX_BUCKETS},
+        extra={
+            "phase_sec": phase_sec,
+            "lex_buckets": LEX_BUCKETS,
+            # deployment contract: every node must see index_dir at this
+            # path (shared POSIX fs / FUSE mount) — see manifest.normalize_dir
+            "filesystem": "shared-posix",
+        },
     )
     manifest.save(index_dir)
     return manifest

@@ -150,6 +150,9 @@ class HybridEngine:
         recall < 1 by construction)."""
         import os
 
+        from ..state.manifest import normalize_dir
+
+        index_dir = normalize_dir(index_dir)
         self.index_dir = index_dir
         self.bm25 = QueryEngine(index_dir, num_actors=num_actors)
         self.semantic_weight = semantic_weight

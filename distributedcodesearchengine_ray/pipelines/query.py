@@ -453,6 +453,9 @@ class QueryEngine:
     ):
         import ray
 
+        from ..state.manifest import normalize_dir
+
+        index_dir = normalize_dir(index_dir)
         self.index_dir = index_dir
         self.manifest = IndexManifest.load(index_dir)
         self.lexicon = LexiconReader(index_dir)

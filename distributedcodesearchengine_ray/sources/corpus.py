@@ -314,6 +314,9 @@ def read_corpus(path: str, columns: Optional[List[str]] = None):
     """`ray.data` reader for a corpus directory/file (column-pruned)."""
     import ray.data as rd
 
+    from ..state.manifest import normalize_dir
+
+    path = normalize_dir(path)
     paths = path
     if os.path.isdir(path):
         paths = [

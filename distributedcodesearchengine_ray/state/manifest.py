@@ -30,6 +30,29 @@ from dataclasses import dataclass, field
 from typing import Dict, List, Optional
 
 
+def normalize_dir(path: str) -> str:
+    """Accept ``file://`` URIs anywhere a directory path is expected.
+
+    DEPLOYMENT ASSUMPTION (multi-node): ``index_dir`` must be a filesystem
+    every Ray node sees at the same path — NFS, a shared mount, or an
+    S3/GCS FUSE mount.  Build tasks write partition files and lineage
+    records with plain POSIX I/O; query actors read them the same way.
+    Native object-store URIs (``s3://``) are rejected here with a pointer
+    to the FUSE route rather than failing deep inside a task.  The
+    manifest records the assumption (``extra["filesystem"]``).
+    """
+    if path.startswith("file://"):
+        return path[len("file://") :] or "/"
+    scheme = path.split("://", 1)[0] if "://" in path else ""
+    if scheme:
+        raise NotImplementedError(
+            f"{scheme}:// index/corpus dirs are not supported natively; "
+            "mount the bucket (s3fs/gcsfuse) and pass the mount path or a "
+            "file:// URI"
+        )
+    return path
+
+
 @dataclass
 class PartitionRecord:
     part_id: int

@@ -335,10 +335,18 @@ def minhash_near_dups(sf_dir: str):
     ttbl = pads.dataset(
         os.path.join(sf_dir, "documents.parquet"), format="parquet"
     ).to_table(columns=["doc_id", "text"], filter=pads.field("doc_id").isin(cand_ids))
-    texts = pd.Series(ttbl["text"].to_pylist(), index=ttbl["doc_id"].to_pylist())
+    from ..stages.dedup import _shingle_hashes
+
+    # shingle each candidate doc ONCE (docs appear in many pairs)
+    sets = {
+        d: set(map(int, _shingle_hashes(t or "")))
+        for d, t in zip(ttbl["doc_id"].to_pylist(), ttbl["text"].to_pylist())
+    }
     keep_a, keep_b, jac = [], [], []
     for a, b in zip(pairs["id_a"], pairs["id_b"]):
-        j = jaccard(texts[a], texts[b])
+        sa, sb = sets[a], sets[b]
+        u = len(sa | sb)
+        j = (len(sa & sb) / u) if u else 1.0
         if j >= 0.5:
             keep_a.append(int(a))
             keep_b.append(int(b))

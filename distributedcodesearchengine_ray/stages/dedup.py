@@ -44,6 +44,18 @@ MAX_BUCKET_ALL_PAIRS = 256
 # Mersenne prime 2^31-1: products a*x (a, x < 2^31) fit in uint64, so the
 # MinHash permutations are exact and fully vectorized without bigint math.
 _MERSENNE = (1 << 31) - 1
+_MP = np.uint64(_MERSENNE)
+_S31 = np.uint64(31)
+
+
+def _mod_mersenne(y: np.ndarray) -> np.ndarray:
+    """Exact ``y mod (2^31-1)`` for any uint64 via shift-and-fold
+    (2^31 ≡ 1 mod p): two folds bring y under 2p, one conditional subtract
+    finishes.  ~10x faster than numpy's microcoded uint64 ``%`` — the modmul
+    is THE MinHash hot loop (num_perm x n_shingles elements per batch)."""
+    y = (y & _MP) + (y >> _S31)
+    y = (y & _MP) + (y >> _S31)
+    return np.where(y >= _MP, y - _MP, y)
 
 
 def _stable_hash(strings: np.ndarray) -> np.ndarray:
@@ -86,14 +98,45 @@ def dedup_first_by_key(ds, key_cols: List[str], id_col: str = "doc_id"):
 
 
 
+# Bands tables at or below this row count take the driver-side shortcut in
+# ``_pairs_from_hot_buckets`` (one pandas pass instead of two Ray
+# sort-shuffles, whose fixed scheduling overhead dominates small inputs by
+# ~10x on this box).  Results are identical on both paths; above the
+# threshold the fully-distributed groupby path runs.
+SMALL_BANDS_DRIVER_ROWS = 2_000_000
+
+
 def _pairs_from_hot_buckets(bands_ds, emit_pairs, empty_df: pd.DataFrame):
     """Shared LSH-banding tail: count (band, band_hash) buckets, keep only
     buckets with >= 2 members (almost all are singletons), and run pair
     emission over that tiny filtered set.  The count is a vectorized
-    aggregate; per-singleton-group overhead never happens."""
+    aggregate; per-singleton-group overhead never happens.
+
+    Execution strategy switches on the (already-materialized, metadata-
+    cheap) bands row count: small tables are combined on the driver in one
+    vectorized pandas pass; large tables use the distributed
+    count-groupby -> hot-filter -> pairs-groupby plan."""
     import ray
     import ray.data as rd
     from ray.data.aggregate import Count
+
+    if bands_ds.count() <= SMALL_BANDS_DRIVER_ROWS:
+        df = bands_ds.to_pandas()
+        if len(df) == 0:
+            return rd.from_pandas(empty_df)
+        key = df["band_hash"].to_numpy().astype(np.uint64) * np.uint64(64) + df[
+            "band"
+        ].to_numpy().astype(np.uint64)
+        uniq, inv, counts = np.unique(key, return_inverse=True, return_counts=True)
+        hot_rows = df[counts[inv] >= 2]
+        if len(hot_rows) == 0:
+            return rd.from_pandas(empty_df)
+        parts = [
+            emit_pairs(g)
+            for _, g in hot_rows.groupby(["band", "band_hash"], sort=False)
+        ]
+        pairs = pd.concat(parts, ignore_index=True) if parts else empty_df
+        return rd.from_pandas(pairs if len(pairs) else empty_df)
 
     hot = (
         bands_ds.groupby(["band", "band_hash"])
@@ -104,9 +147,14 @@ def _pairs_from_hot_buckets(bands_ds, emit_pairs, empty_df: pd.DataFrame):
         )
         .to_pandas()
     )
-    hot_keys = set(zip(hot["band"].tolist(), hot["band_hash"].tolist()))
-    if not hot_keys:
+    if len(hot) == 0:
         return rd.from_pandas(empty_df)
+    # (band, band_hash) -> one injective uint64 key (band < 64): sorted
+    # array + np.searchsorted membership beats a python set probe per row
+    hot_keys = np.sort(
+        hot["band_hash"].to_numpy().astype(np.uint64) * np.uint64(64)
+        + hot["band"].to_numpy().astype(np.uint64)
+    )
     keys_ref = ray.put(hot_keys)
 
     class KeepHot:
@@ -114,11 +162,12 @@ def _pairs_from_hot_buckets(bands_ds, emit_pairs, empty_df: pd.DataFrame):
             self.keys = ray.get(keys_ref)
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            b = t["band"].to_numpy(zero_copy_only=False)
-            h = t["band_hash"].to_numpy(zero_copy_only=False)
-            mask = np.fromiter(
-                ((bb, hh) in self.keys for bb, hh in zip(b, h)), dtype=bool, count=len(b)
-            )
+            b = t["band"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            h = t["band_hash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            key = h * np.uint64(64) + b
+            pos = np.searchsorted(self.keys, key)
+            pos[pos >= len(self.keys)] = 0  # out-of-range => compare keys[0], never equal
+            mask = self.keys[pos] == key
             return t.filter(pa.array(mask))
 
     return (
@@ -131,14 +180,40 @@ def _pairs_from_hot_buckets(bands_ds, emit_pairs, empty_df: pd.DataFrame):
 # ---------------------------------------------------------------- minhash
 
 
+# positional base of the word-hash polynomial shingle combine (FNV prime);
+# shingle identity = the word TUPLE, exactly as with joined-string shingles,
+# but computable from per-word hashes without building shingle strings
+_SH_A = np.uint64(1099511628211)
+
+_EMPTY_SHINGLE = None  # lazily-computed hash of the empty document
+
+
+def _empty_shingle() -> np.uint64:
+    global _EMPTY_SHINGLE
+    if _EMPTY_SHINGLE is None:
+        _EMPTY_SHINGLE = _stable_hash(np.asarray([""], dtype=object))[0]
+    return _EMPTY_SHINGLE
+
+
 def _shingle_hashes(text: str, n: int = 3) -> np.ndarray:
-    """Word n-gram shingles -> stable uint64 hashes."""
-    words = text.split()
-    if len(words) < n:
-        shingles = [" ".join(words)] if words else [""]
-    else:
-        shingles = [" ".join(words[i : i + n]) for i in range(len(words) - n + 1)]
-    return np.unique(_stable_hash(np.asarray(shingles, dtype=object)))
+    """Word n-gram shingles -> stable uint64 hashes.
+
+    Hash = polynomial combine of the per-word siphashes over each window
+    (uint64 wraparound) — set-equivalent to hashing joined shingle strings
+    (collisions are ~2^-64) and vectorizable from a flat word-hash array.
+    Docs shorter than ``n`` words yield one shingle over all their words;
+    empty docs yield the empty-string hash.
+    """
+    words = (text or "").split()
+    if not words:
+        return np.asarray([_empty_shingle()], dtype=np.uint64)
+    h = _stable_hash(np.asarray(words, dtype=object))
+    k = min(n, len(h))
+    m = len(h) - k + 1
+    acc = h[:m].copy()
+    for j in range(1, k):
+        acc = acc * _SH_A + h[j : m + j]
+    return np.unique(acc)
 
 
 def _perm_params(num_perm: int, seed: int = 42) -> Tuple[np.ndarray, np.ndarray]:
@@ -153,8 +228,8 @@ def _minhash_from_shingles(sh: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.n
     num_perm = len(a)
     if len(sh) == 0:
         return np.full(num_perm, _MERSENNE, dtype=np.uint64)
-    x = (sh % np.uint64(_MERSENNE)).astype(np.uint64)
-    vals = (a[:, None] * x[None, :] + b[:, None]) % np.uint64(_MERSENNE)
+    x = _mod_mersenne(sh.astype(np.uint64))
+    vals = _mod_mersenne(a[:, None] * x[None, :] + b[:, None])
     return vals.min(axis=1)
 
 
@@ -180,28 +255,98 @@ class MinHashStage:
         self.text_col = text_col
         self.id_col = id_col
 
+    def _flat_shingles(self, texts) -> tuple:
+        """Whole-batch shingle hashes: Arrow whitespace split, dictionary-
+        encoded word hashing (each distinct word hashed ONCE per batch),
+        windowed polynomial combine — no per-document Python loops or
+        shingle-string construction.  Returns (flat_shingle_hashes,
+        per-doc segment starts incl. end sentinel)."""
+        import pyarrow.compute as pc
+
+        n = self.shingle_n
+        ndocs = len(texts)
+        words = pc.utf8_split_whitespace(pc.fill_null(texts, ""))
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        flat = words.values
+        parents = pc.list_parent_indices(words).to_numpy(zero_copy_only=False)
+        # Arrow split keeps boundary empties ("" words); drop them
+        nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        flat = flat.filter(pa.array(nonempty))
+        parents = parents[nonempty]
+        lens = np.bincount(parents, minlength=ndocs).astype(np.int64)
+        offsets = np.concatenate(([0], np.cumsum(lens)))
+        # hash only the word VOCABULARY, then gather per occurrence
+        denc = pc.dictionary_encode(flat)
+        if isinstance(denc, pa.ChunkedArray):
+            denc = denc.combine_chunks()
+        codes = denc.indices.to_numpy(zero_copy_only=False)
+        dhash = _stable_hash(np.asarray(denc.dictionary.to_pylist(), dtype=object))
+        wh = dhash[codes] if len(codes) else np.empty(0, np.uint64)
+
+        counts = np.where(lens == 0, 1, np.maximum(lens - (n - 1), 1))
+        seg = np.concatenate(([0], np.cumsum(counts)))
+        out = np.empty(int(seg[-1]), dtype=np.uint64)
+        # full windows (docs with >= n words), all at once
+        if len(wh) >= n:
+            tri = wh[: len(wh) - n + 1].copy()
+            for j in range(1, n):
+                tri = tri * _SH_A + wh[j : len(wh) - n + 1 + j]
+            w_idx = np.arange(len(tri))
+            d = parents[w_idx]
+            pos = w_idx - offsets[d]
+            valid = pos <= lens[d] - n
+            out[seg[d[valid]] + pos[valid]] = tri[valid]
+        # short docs (1..n-1 words): one shingle over all their words
+        for ln in range(1, n):
+            docs = np.flatnonzero(lens == ln)
+            if len(docs) == 0:
+                continue
+            acc = wh[offsets[docs]].copy()
+            for j in range(1, ln):
+                acc = acc * _SH_A + wh[offsets[docs] + j]
+            out[seg[docs]] = acc
+        empty_docs = np.flatnonzero(lens == 0)
+        if len(empty_docs):
+            out[seg[empty_docs]] = _empty_shingle()
+        return out, seg
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch[self.text_col].to_pylist()
+        texts = batch[self.text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
         ids = batch[self.id_col].to_numpy(zero_copy_only=False)
-        # flatten every doc's shingle set and take per-doc minima with ONE
-        # (k x n_shingles) modmul + minimum.reduceat per chunk — no
-        # per-document permutation loops
-        shingle_sets = [_shingle_hashes(t or "", self.shingle_n) for t in texts]
-        sigs = np.empty((len(texts), self.num_perm), dtype=np.uint64)
-        CHUNK = 200_000  # shingles per vectorized chunk (bounds k x CHUNK memory)
-        i = 0
-        while i < len(shingle_sets):
-            j, total = i, 0
-            while j < len(shingle_sets) and (total == 0 or total + len(shingle_sets[j]) <= CHUNK):
-                total += len(shingle_sets[j])
-                j += 1
-            flat = np.concatenate(shingle_sets[i:j])
-            lens = np.fromiter((len(s) for s in shingle_sets[i:j]), dtype=np.int64)
-            starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
-            x = (flat % np.uint64(_MERSENNE)).astype(np.uint64)
-            vals = (self.a[:, None] * x[None, :] + self.b[:, None]) % np.uint64(_MERSENNE)
-            sigs[i:j, :] = np.minimum.reduceat(vals, starts, axis=1).T
-            i = j
+        flat_sh, seg = self._flat_shingles(texts)
+        ndocs = len(ids)
+        # per-doc minima over each permutation: chunks sized to stay in
+        # cache (num_perm x CHUNK x 8B ~ 8MB) with PREALLOCATED in-place
+        # buffers — the naive broadcast expression spills ~10 temporaries of
+        # 100MB each and this box is memory-bandwidth-bound (~5x slower)
+        sigs = np.empty((ndocs, self.num_perm), dtype=np.uint64)
+        CHUNK = max(1, (8 << 20) // (8 * self.num_perm))
+        bufV = np.empty((self.num_perm, CHUNK), dtype=np.uint64)
+        bufT = np.empty((self.num_perm, CHUNK), dtype=np.uint64)
+        d0 = 0
+        while d0 < ndocs:
+            d1 = int(np.searchsorted(seg, seg[d0] + CHUNK, side="right")) - 1
+            d1 = min(max(d1, d0 + 1), ndocs)
+            lo, hi = int(seg[d0]), int(seg[d1])
+            m = hi - lo
+            V = bufV[:, :m] if m <= CHUNK else np.empty((self.num_perm, m), np.uint64)
+            T = bufT[:, :m] if m <= CHUNK else np.empty((self.num_perm, m), np.uint64)
+            x = _mod_mersenne(flat_sh[lo:hi])
+            np.multiply(self.a[:, None], x[None, :], out=V)
+            V += self.b[:, None]
+            # in-place shift-and-fold mod 2^31-1 (see _mod_mersenne)
+            np.right_shift(V, _S31, out=T)
+            V &= _MP
+            V += T
+            np.right_shift(V, _S31, out=T)
+            V &= _MP
+            V += T
+            np.subtract(V, _MP, out=V, where=V >= _MP)
+            sigs[d0:d1, :] = np.minimum.reduceat(V, seg[d0:d1] - lo, axis=1).T
+            d0 = d1
         sig_col = pa.FixedSizeListArray.from_arrays(
             pa.array(sigs.reshape(-1).astype(np.uint64)), self.num_perm
         )

@@ -58,6 +58,36 @@ def test_minhash_lsh_finds_near_dups(ray_session):
     assert ((pairs.id_a == 100) & (pairs.id_b == 101)).any()
 
 
+def test_minhash_driver_shortcut_equals_distributed(ray_session, monkeypatch):
+    """The small-table driver shortcut and the distributed groupby path of
+    _pairs_from_hot_buckets must return the same pair set."""
+    import ray.data as rd
+
+    from distributedcodesearchengine_ray.stages import dedup
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+    rows = [
+        {"doc_id": i, "text": f"unique {i} " + " ".join(f"w{i}{j}" for j in range(30))}
+        for i in range(40)
+    ]
+    rows += [{"doc_id": 100, "text": base}, {"doc_id": 101, "text": base + " tail"},
+             {"doc_id": 102, "text": base + " other tail"}]
+    df = pd.DataFrame(rows)
+
+    got_small = (
+        dedup.minhash_lsh_candidates(rd.from_pandas(df), num_perm=64, bands=16)
+        .to_pandas().drop_duplicates(["id_a", "id_b"])
+    )
+    monkeypatch.setattr(dedup, "SMALL_BANDS_DRIVER_ROWS", 0)
+    got_dist = (
+        dedup.minhash_lsh_candidates(rd.from_pandas(df), num_perm=64, bands=16)
+        .to_pandas().drop_duplicates(["id_a", "id_b"])
+    )
+    key = lambda d: sorted(map(tuple, d[["id_a", "id_b"]].to_numpy()))
+    assert key(got_small) == key(got_dist)
+    assert (100, 101) in key(got_small)
+
+
 def test_minhash_mega_bucket_capped(ray_session):
     """A 10k-near-identical-doc cluster (one LSH bucket per band) must not
     emit C(10k,2) pairs: buckets over max_bucket emit n-1 star pairs with

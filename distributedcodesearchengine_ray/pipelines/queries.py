@@ -119,21 +119,24 @@ def _documents_index(sf_dir: str) -> str:
     # zero-padded synthesized paths) to the table's doc_id column, which is
     # only valid when doc_id is dense 0..N-1 — assert it instead of
     # silently mismatching on a gapped/offset corpus
-    import pyarrow.dataset as pads
-    from ray.data.aggregate import Max, Min
+    marker = os.path.join(idx, "_DOCID_DENSE")
+    if not os.path.exists(marker):
+        import pyarrow.dataset as pads
+        from ray.data.aggregate import Max, Min
 
-    agg = _read(sf_dir, "documents", columns=["doc_id"]).aggregate(
-        Min("doc_id"), Max("doc_id")
-    )
-    n_rows = pads.dataset(
-        os.path.join(sf_dir, "documents.parquet"), format="parquet"
-    ).count_rows()
-    if not (agg["min(doc_id)"] == 0 and agg["max(doc_id)"] == n_rows - 1):
-        raise ValueError(
-            "documents.doc_id must be dense 0..N-1 for rank==doc_id "
-            f"equivalence (got min={agg['min(doc_id)']}, "
-            f"max={agg['max(doc_id)']}, n={n_rows})"
+        agg = _read(sf_dir, "documents", columns=["doc_id"]).aggregate(
+            Min("doc_id"), Max("doc_id")
         )
+        n_rows = pads.dataset(
+            os.path.join(sf_dir, "documents.parquet"), format="parquet"
+        ).count_rows()
+        if not (agg["min(doc_id)"] == 0 and agg["max(doc_id)"] == n_rows - 1):
+            raise ValueError(
+                "documents.doc_id must be dense 0..N-1 for rank==doc_id "
+                f"equivalence (got min={agg['min(doc_id)']}, "
+                f"max={agg['max(doc_id)']}, n={n_rows})"
+            )
+        open(marker, "w").write("ok")
 
     def to_corpus(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_numpy(zero_copy_only=False)

@@ -443,22 +443,64 @@ def jaccard(text_a: str, text_b: str, shingle_n: int = 3) -> float:
 # ---------------------------------------------------------------- simhash
 
 
+def simhash_scalar(text: Optional[str]) -> int:
+    """Per-document SimHash: tf-weighted token-hash bit votes (kept as the
+    oracle for the vectorized batch path)."""
+    words = (text or "").split()
+    if not words:
+        return 0
+    uniq, counts = np.unique(np.asarray(words, dtype=object), return_counts=True)
+    hashes = _stable_hash(uniq)
+    bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
+    votes = ((bits * 2 - 1) * counts[:, None]).sum(axis=0)
+    sig = 0
+    for b in range(64):
+        if votes[b] > 0:
+            sig |= 1 << b
+    return sig
+
+
 def simhash_batch(texts: List[Optional[str]]) -> np.ndarray:
-    """64-bit SimHash per text: tf-weighted token-hash bit votes."""
-    out = np.zeros(len(texts), dtype=np.uint64)
-    for i, t in enumerate(texts):
-        words = (t or "").split()
-        if not words:
-            continue
-        uniq, counts = np.unique(np.asarray(words, dtype=object), return_counts=True)
-        hashes = _stable_hash(uniq)
-        bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
-        votes = ((bits * 2 - 1) * counts[:, None]).sum(axis=0)
-        sig = np.uint64(0)
-        for b in range(64):
-            if votes[b] > 0:
-                sig |= np.uint64(1) << np.uint64(b)
-        out[i] = sig
+    """64-bit SimHash per text: token-hash bit votes (tf-weighted via
+    per-occurrence summation — identical to unique-word x count weighting).
+
+    Whole-batch vectorized: Arrow whitespace split, dictionary-hashed
+    vocabulary, ±1 sign matrix per vocab word, per-doc segment sums
+    (``add.reduceat``) — no per-document loops."""
+    import pyarrow.compute as pc
+
+    ndocs = len(texts)
+    if ndocs == 0:
+        return np.empty(0, dtype=np.uint64)
+    words = pc.utf8_split_whitespace(pc.fill_null(pa.array(texts, pa.string()), ""))
+    if isinstance(words, pa.ChunkedArray):
+        words = words.combine_chunks()
+    flat = words.values
+    parents = pc.list_parent_indices(words).to_numpy(zero_copy_only=False)
+    nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    flat = flat.filter(pa.array(nonempty))
+    parents = parents[nonempty]
+    lens = np.bincount(parents, minlength=ndocs).astype(np.int64)
+    offsets = np.concatenate(([0], np.cumsum(lens)))
+    denc = pc.dictionary_encode(flat)
+    if isinstance(denc, pa.ChunkedArray):
+        denc = denc.combine_chunks()
+    codes = denc.indices.to_numpy(zero_copy_only=False)
+    if len(codes) == 0:
+        return np.zeros(ndocs, dtype=np.uint64)
+    dhash = _stable_hash(np.asarray(denc.dictionary.to_pylist(), dtype=object))
+    # vocab x 64 ±1 sign matrix (float64 for exact bincount weights —
+    # ±1 sums are integral well below 2^53)
+    signs = (
+        ((dhash[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1))
+        .astype(np.float64) * 2.0 - 1.0
+    )
+    # one weighted bincount per bit: votes[d, b] = sum of signs over the
+    # doc's word occurrences (per-occurrence == tf-weighted unique-word sum)
+    out = np.zeros(ndocs, dtype=np.uint64)
+    for b in range(64):
+        votes_b = np.bincount(parents, weights=signs[codes, b], minlength=ndocs)
+        out |= (votes_b > 0).astype(np.uint64) << np.uint64(b)
     return out
 
 

@@ -126,6 +126,21 @@ def test_simhash_mega_bucket_capped(ray_session):
     assert (pairs["hamming"] == 0).all()
 
 
+def test_simhash_batch_matches_scalar_oracle():
+    from distributedcodesearchengine_ray.stages.dedup import simhash_batch, simhash_scalar
+
+    import random
+
+    rng = random.Random(11)
+    vocab = [f"tok{i}" for i in range(80)]
+    docs = [None, "", "   "] + [
+        " ".join(rng.choices(vocab, k=rng.randrange(0, 60))) for _ in range(200)
+    ]
+    got = simhash_batch(docs)
+    exp = np.array([simhash_scalar(t) for t in docs], dtype=np.uint64)
+    np.testing.assert_array_equal(got, exp)
+
+
 def test_simhash_candidates(ray_session):
     import ray.data as rd
 

@@ -57,6 +57,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_parts_by_revenue": Q.top_parts_by_revenue,
         "revenue_by_part_type": Q.revenue_by_part_type,
         "orders_by_nation": Q.orders_by_nation,
+        "q3_shipping": Q.q3_shipping,
+        "top2_orders_per_nation": Q.top2_orders_per_nation,
+        "supplier_balance_by_region": Q.supplier_balance_by_region,
+        "distinct_users_by_type": Q.distinct_users_by_type,
     }
 
 

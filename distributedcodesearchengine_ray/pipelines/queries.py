@@ -748,6 +748,193 @@ def orders_by_nation(sf_dir: str):
     )
 
 
+def q3_shipping(sf_dir: str, segment: str = "BUILDING", cut: str = "1998-06-01"):
+    """TPC-H Q3 shape: customer(segment) x orders(date<cut) x
+    lineitem(ship>cut) via two distributed ``Dataset.join``s, grouped
+    revenue, top-10 by (revenue desc, orderkey)."""
+    from ray.data.aggregate import Sum
+
+    cut_ts = pd.Timestamp(cut)
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).map_batches(
+        lambda t: t.filter(pcc.equal(t["c_mktsegment"], segment)).select(["c_custkey"]),
+        batch_format="pyarrow",
+    )
+    orders = _read(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "c_custkey": t["o_custkey"],
+                "o_orderdate": t["o_orderdate"],
+            }
+        ).filter(pcc.less(t["o_orderdate"], pa.scalar(cut_ts))),
+        batch_format="pyarrow",
+    )
+    line = _read(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "o_orderkey": t["l_orderkey"],
+                "revenue_c": _cents_col(
+                    pcc.multiply(
+                        t["l_extendedprice"], pcc.subtract(pa.scalar(1.0), t["l_discount"])
+                    )
+                ),
+            }
+        ).filter(pcc.greater(t["l_shipdate"], pa.scalar(cut_ts))),
+        batch_format="pyarrow",
+    )
+    oc = orders.join(cust, join_type="inner", num_partitions=8, on=("c_custkey",))
+    j = line.join(
+        oc.select_columns(["o_orderkey", "o_orderdate"]),
+        join_type="inner",
+        num_partitions=8,
+        on=("o_orderkey",),
+    )
+    out = (
+        j.groupby(["o_orderkey", "o_orderdate"])
+        .aggregate(Sum("revenue_c", alias_name="revenue_c"))
+        .to_pandas()
+        .sort_values(["revenue_c", "o_orderkey"], ascending=[False, True], kind="mergesort")
+        .head(10)
+    )
+    return pa.table(
+        {
+            "o_orderkey": pa.array(out["o_orderkey"], pa.int64()),
+            "o_orderdate": pa.array(out["o_orderdate"]),
+            "revenue_c": pa.array(out["revenue_c"], pa.int64()),
+        }
+    )
+
+
+def top2_orders_per_nation(sf_dir: str):
+    """Windowed rank: top-2 orders by price per nation (groupby ->
+    sort-within-group head(2)), exact cents tie-broken by orderkey."""
+    import ray
+
+    nation = _read(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
+    nref = ray.put(dict(zip(nation["n_nationkey"].tolist(), nation["n_name"].tolist())))
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"]).map_batches(
+        lambda t: pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "c_custkey": t["o_custkey"],
+                "total_c": _cents_col(t["o_totalprice"]),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    joined = orders.join(cust, join_type="inner", num_partitions=8, on=("c_custkey",))
+
+    class AddNation:
+        def __init__(self):
+            self.nmap = ray.get(nref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            keys = t["c_nationkey"].to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "n_name": pa.array([self.nmap.get(int(k)) for k in keys], pa.string()),
+                    "o_orderkey": t["o_orderkey"],
+                    "total_c": t["total_c"],
+                }
+            )
+
+    def top2(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["total_c", "o_orderkey"], ascending=[False, True], kind="mergesort").head(2)
+        df = df.reset_index(drop=True)
+        df["rnk"] = np.arange(1, len(df) + 1, dtype=np.int64)
+        return df
+
+    out = (
+        joined.map_batches(AddNation, batch_format="pyarrow", concurrency=2)
+        .groupby("n_name")
+        .map_groups(top2, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["n_name", "rnk"], ignore_index=True)
+    )
+    return pa.table(
+        {
+            "n_name": pa.array(out["n_name"], pa.string()),
+            "rnk": pa.array(out["rnk"], pa.int64()),
+            "o_orderkey": pa.array(out["o_orderkey"], pa.int64()),
+            "total_c": pa.array(out["total_c"], pa.int64()),
+        }
+    )
+
+
+def supplier_balance_by_region(sf_dir: str):
+    """supplier x nation x region via a two-hop broadcast dimension map
+    (both dims tiny), grouped balance."""
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    nation = _read(sf_dir, "nation", columns=["n_nationkey", "n_regionkey"]).to_pandas()
+    region = _read(sf_dir, "region", columns=["r_regionkey", "r_name"]).to_pandas()
+    rmap = dict(zip(region["r_regionkey"].tolist(), region["r_name"].tolist()))
+    nmap = {
+        int(k): rmap[int(v)]
+        for k, v in zip(nation["n_nationkey"], nation["n_regionkey"])
+    }
+    nref = ray.put(nmap)
+
+    ds = _read(sf_dir, "supplier", columns=["s_nationkey", "s_acctbal"])
+
+    class AddRegion:
+        def __init__(self):
+            self.nmap = ray.get(nref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            keys = t["s_nationkey"].to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "r_name": pa.array([self.nmap.get(int(k)) for k in keys], pa.string()),
+                    "bal_c": _cents_col(t["s_acctbal"]),
+                }
+            )
+
+    out = (
+        ds.map_batches(AddRegion, batch_format="pyarrow", concurrency=2)
+        .groupby("r_name")
+        .aggregate(Count(alias_name="n_suppliers"), Sum("bal_c", alias_name="bal_c"))
+        .to_pandas()
+        .sort_values("r_name", ignore_index=True)
+    )
+    return pa.table(
+        {
+            "r_name": pa.array(out["r_name"], pa.string()),
+            "n_suppliers": pa.array(out["n_suppliers"], pa.int64()),
+            "bal_c": pa.array(out["bal_c"], pa.int64()),
+        }
+    )
+
+
+def distinct_users_by_type(sf_dir: str):
+    """COUNT(DISTINCT) as two-level aggregation: dedup (type, user) pairs
+    with a groupby, then count per type — the scale-correct shape (never a
+    driver-side set)."""
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
+    pairs = ds.groupby(["event_type", "user_id"]).aggregate(Count(alias_name="_n"))
+    out = (
+        pairs.groupby("event_type")
+        .aggregate(Count(alias_name="users"))
+        .to_pandas()
+        .sort_values("event_type", ignore_index=True)
+    )
+    return pa.table(
+        {
+            "event_type": pa.array(out["event_type"], pa.string()),
+            "users": pa.array(out["users"], pa.int64()),
+        }
+    )
+
+
 # ----------------------------------------------------------- SQL oracles
 
 
@@ -863,5 +1050,44 @@ def build_oracle_sql() -> Dict[str, str]:
             JOIN customer c ON c.c_custkey = o.o_custkey
             JOIN nation n ON n.n_nationkey = c.c_nationkey
             GROUP BY n.n_name ORDER BY n.n_name
+        """,
+        "q3_shipping": """
+            SELECT o.o_orderkey, o.o_orderdate,
+                   CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_c
+            FROM customer c
+            JOIN orders o ON o.o_custkey = c.c_custkey
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            WHERE c.c_mktsegment = 'BUILDING'
+              AND o.o_orderdate < TIMESTAMP '1998-06-01'
+              AND l.l_shipdate > TIMESTAMP '1998-06-01'
+            GROUP BY o.o_orderkey, o.o_orderdate
+            ORDER BY revenue_c DESC, o.o_orderkey ASC LIMIT 10
+        """,
+        "top2_orders_per_nation": """
+            WITH ranked AS (
+              SELECT n.n_name, o.o_orderkey,
+                     CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS total_c,
+                     row_number() OVER (
+                       PARTITION BY n.n_name
+                       ORDER BY CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) DESC,
+                                o.o_orderkey ASC
+                     ) AS rnk
+              FROM orders o
+              JOIN customer c ON c.c_custkey = o.o_custkey
+              JOIN nation n ON n.n_nationkey = c.c_nationkey)
+            SELECT n_name, rnk, o_orderkey, total_c
+            FROM ranked WHERE rnk <= 2 ORDER BY n_name, rnk
+        """,
+        "supplier_balance_by_region": """
+            SELECT r.r_name, count(*) AS n_suppliers,
+                   CAST(sum(CAST(floor(s.s_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT) AS bal_c
+            FROM supplier s
+            JOIN nation n ON n.n_nationkey = s.s_nationkey
+            JOIN region r ON r.r_regionkey = n.n_regionkey
+            GROUP BY r.r_name ORDER BY r.r_name
+        """,
+        "distinct_users_by_type": """
+            SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS users
+            FROM events GROUP BY event_type ORDER BY event_type
         """,
     }

@@ -156,10 +156,11 @@ class CodeSearchEngine:
         m = IndexManifest.load(self.index_dir)
         langs: Dict[str, int] = {}
         meta = pads.dataset(os.path.join(self.index_dir, "docmeta"), format="parquet")
-        for batch in meta.to_batches(columns=["lang"]):
-            import collections
+        import pyarrow.compute as pc
 
-            for lang, n in collections.Counter(batch["lang"].to_pylist()).items():
+        for batch in meta.to_batches(columns=["lang"]):
+            vc = pc.value_counts(batch["lang"])
+            for lang, n in zip(vc.field("values").to_pylist(), vc.field("counts").to_pylist()):
                 langs[lang] = langs.get(lang, 0) + n
         return {
             "mode": m.mode,

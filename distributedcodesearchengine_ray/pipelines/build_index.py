@@ -71,6 +71,9 @@ DOCMETA_EXTRA_ENTITY = [
 
 
 def _sha256_column(contents: List[Optional[str]]) -> List[str]:
+    # deliberate per-row loop: Arrow has no sha256 kernel and hashlib is
+    # C-speed per call; this is <2% of extract time and the digest must be
+    # bit-exact per file (the row invariant checked by tests)
     return [hashlib.sha256((c or "").encode()).hexdigest() for c in contents]
 
 

@@ -1,13 +1,15 @@
 """Multimodal column plumbing: opaque ``binary`` payloads + typed metadata.
 
-Image/audio/video libraries are not available in this container, so the
-*decode* kernels are STUBS — a clearly-marked deterministic fake (header
-peek + byte statistics) behind the same actor-pool ``map_batches``
-interface a real decoder would use (``__init__`` loads the codec once per
-actor; ``__call__`` decodes a batch).  Everything Ray-side — schema, small
-batch sizes for large payloads, actor signatures, output layout — is real
-and tested; swapping in PIL/torchaudio is a one-method change
-(`_decode_real` raises ``NotImplementedError`` until those imports exist).
+The decode stage has a REAL path for every format decodable without
+external codec libraries — P6/P5 PPM/PGM images and RIFF/PCM WAV audio are
+parsed with numpy + the stdlib ``wave`` module, returning true dimensions
+and pixel/sample statistics.  Formats that require codecs absent from this
+container (JPEG/PNG/MP4...) raise ``NotImplementedError`` from the real
+path with the install hint; the deterministic fake decoder (header peek +
+byte statistics) remains for synthetic corpora.  Everything Ray-side —
+schema, small batch sizes for large payloads, actor signatures
+(``__init__`` holds per-actor state, ``__call__`` decodes a batch), output
+layout — is identical across the real and fake paths.
 """
 
 from __future__ import annotations
@@ -28,19 +30,56 @@ MEDIA_SCHEMA = pa.schema(
 )
 
 
-def gen_media_table(n: int, seed: int = 42) -> pa.Table:
-    """Deterministic fake media corpus (seeded payload bytes)."""
+def _make_ppm(rng: np.random.Generator) -> tuple:
+    """Real P6 PPM image bytes (pure numpy; no codec lib needed)."""
+    w = int(rng.integers(16, 48))
+    h = int(rng.integers(16, 48))
+    pixels = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    data = f"P6\n{w} {h}\n255\n".encode() + pixels.tobytes()
+    return data, w, h
+
+
+def _make_wav(rng: np.random.Generator) -> tuple:
+    """Real RIFF/PCM-16 WAV bytes via the stdlib ``wave`` writer."""
+    import io
+    import wave
+
+    n_frames = int(rng.integers(400, 2000))
+    rate = 8000
+    samples = rng.integers(-20000, 20000, size=n_frames, dtype=np.int16)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(samples.tobytes())
+    return buf.getvalue(), n_frames, rate
+
+
+def gen_media_table(n: int, seed: int = 42, real_formats: bool = False) -> pa.Table:
+    """Deterministic media corpus.  ``real_formats=True`` emits genuinely
+    decodable payloads (P6 PPM images, PCM WAV audio) so the REAL decode
+    path is exercised end-to-end; video payloads are always opaque fakes
+    (no container format is writable without codec libs)."""
     rng = np.random.default_rng(seed)
     kinds = ["image", "audio", "video"]
     ids, kind_col, payloads, metas = [], [], [], []
     for i in range(n):
         kind = kinds[i % 3]
-        size = int(rng.integers(256, 4096))
-        payload = rng.integers(0, 256, size=size, dtype=np.uint8).tobytes()
+        if real_formats and kind == "image":
+            payload, w, h = _make_ppm(rng)
+            meta = '{"codec": "ppm", "width": %d, "height": %d}' % (w, h)
+        elif real_formats and kind == "audio":
+            payload, frames, rate = _make_wav(rng)
+            meta = '{"codec": "wav", "frames": %d, "rate": %d}' % (frames, rate)
+        else:
+            size = int(rng.integers(256, 4096))
+            payload = rng.integers(0, 256, size=size, dtype=np.uint8).tobytes()
+            meta = '{"codec": "fake", "bytes": %d}' % size
         ids.append(i)
         kind_col.append(kind)
         payloads.append(payload)
-        metas.append('{"codec": "fake", "bytes": %d}' % size)
+        metas.append(meta)
     return pa.table(
         {
             "media_id": pa.array(ids, pa.int64()),
@@ -51,21 +90,82 @@ def gen_media_table(n: int, seed: int = 42) -> pa.Table:
     )
 
 
+def decode_ppm(payload: bytes) -> dict:
+    """Real P6/P5 netpbm decode: header parse + pixel stats (numpy only)."""
+    magic = payload[:2]
+    channels = 3 if magic == b"P6" else 1
+    # header tokens: magic, width, height, maxval — '#' comments allowed
+    pos, fields = 2, []
+    while len(fields) < 3 and pos < len(payload):
+        ch = payload[pos : pos + 1]
+        if ch == b"#":
+            while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                pos += 1
+        elif ch.isspace():
+            pos += 1
+        else:
+            start = pos
+            while pos < len(payload) and not payload[pos : pos + 1].isspace():
+                pos += 1
+            fields.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, _maxval = fields
+    pixels = np.frombuffer(payload, dtype=np.uint8, count=w * h * channels, offset=pos)
+    return {
+        "width": w,
+        "height": h,
+        "channels": channels,
+        "mean_byte": float(pixels.mean()) if len(pixels) else 0.0,
+        "std_byte": float(pixels.std()) if len(pixels) else 0.0,
+    }
+
+
+def decode_wav(payload: bytes) -> dict:
+    """Real RIFF/PCM WAV decode via stdlib ``wave`` + numpy sample stats.
+
+    Schema mapping for audio: width = frame count, height = sample rate.
+    """
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        n, rate, ch, sw = w.getnframes(), w.getframerate(), w.getnchannels(), w.getsampwidth()
+        data = w.readframes(n)
+    dtype = {1: np.uint8, 2: np.int16, 4: np.int32}.get(sw)
+    samples = np.frombuffer(data, dtype=dtype) if dtype else np.empty(0, np.int16)
+    return {
+        "width": n,
+        "height": rate,
+        "channels": ch,
+        "mean_byte": float(samples.mean()) if len(samples) else 0.0,
+        "std_byte": float(samples.std()) if len(samples) else 0.0,
+    }
+
+
 class MediaDecodeStage:
-    """Actor-pool decode stage.  ``use_real=True`` requires codec libraries
-    (absent here -> ``NotImplementedError``); the default fake decoder is
-    deterministic: dimensions derived from the payload hash, features from
-    byte statistics."""
+    """Actor-pool decode stage.
+
+    ``use_real=True`` decodes for real every format parseable without
+    external codec libraries — P6/P5 netpbm images and RIFF/PCM WAV — and
+    raises ``NotImplementedError`` (with the install hint) for payloads
+    that need PIL/ffmpeg-class codecs.  ``use_real=False`` is the
+    deterministic fake for opaque synthetic payloads: dimensions from the
+    payload hash, features from byte statistics."""
 
     def __init__(self, use_real: bool = False, thumb_size: int = 8):
         self.use_real = use_real
         self.thumb_size = thumb_size
-        if use_real:
-            # real path would do: from PIL import Image; import soundfile ...
-            raise NotImplementedError(
-                "image/audio codecs are not available in this environment; "
-                "use the deterministic fake decoder (use_real=False)"
-            )
+
+    def _decode_real(self, payload: bytes, kind: str):
+        if payload[:2] in (b"P6", b"P5"):
+            return decode_ppm(payload)
+        if payload[:4] == b"RIFF":
+            return decode_wav(payload)
+        raise NotImplementedError(
+            f"no codec for this {kind} payload (magic {payload[:4]!r}): "
+            "only netpbm (P5/P6) and PCM WAV decode without external "
+            "libraries; install PIL/soundfile/ffmpeg for JPEG/PNG/MP3/MP4"
+        )
 
     def _decode_fake(self, payload: bytes, kind: str):
         h = hashlib.sha256(payload).digest()
@@ -83,7 +183,8 @@ class MediaDecodeStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch["payload"].to_pylist()
         kinds = batch["kind"].to_pylist()
-        decoded = [self._decode_fake(p or b"", k) for p, k in zip(payloads, kinds)]
+        decode = self._decode_real if self.use_real else self._decode_fake
+        decoded = [decode(p or b"", k) for p, k in zip(payloads, kinds)]
         out = batch.select([c for c in ("media_id", "kind") if c in batch.column_names])
         for field in ("width", "height", "channels"):
             out = out.append_column(field, pa.array([d[field] for d in decoded], pa.int32()))

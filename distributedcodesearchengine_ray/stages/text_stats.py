@@ -110,7 +110,13 @@ _LANG_MARKERS = {
 
 
 def lang_id_batch(texts: List[Optional[str]]) -> List[str]:
-    """Marker-word + codepoint heuristic language ID."""
+    """Marker-word + codepoint heuristic language ID.
+
+    Deliberately a per-row loop: the heuristic is a stand-in for a model
+    stage (fasttext-style), whose real shape is per-text inference inside
+    an actor pool — vectorizing the placeholder would misrepresent the
+    stage's cost model while the set-intersection itself is tiny.
+    """
     out = []
     for t in texts:
         t = t or ""

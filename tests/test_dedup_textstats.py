@@ -249,5 +249,41 @@ def test_multimodal_pipeline(ray_session):
         FrameSampleStage, batch_format="pyarrow", concurrency=2
     ).to_pandas()
     assert (frames["media_id"].nunique()) == 10  # every 3rd row is video
-    with pytest.raises(NotImplementedError):
-        MediaDecodeStage(use_real=True)
+    # real path refuses codec-requiring payloads with the install hint
+    with pytest.raises(NotImplementedError, match="codec"):
+        MediaDecodeStage(use_real=True)(tbl.slice(2, 1))  # opaque video bytes
+
+
+def test_multimodal_real_decode(ray_session):
+    """The REAL decode path: P6 PPM and PCM WAV payloads parsed for true
+    dimensions/sample counts (no codec libraries involved)."""
+    import json
+
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from distributedcodesearchengine_ray.stages.multimodal import MediaDecodeStage, gen_media_table
+
+    tbl = gen_media_table(30, real_formats=True)
+    decodable = tbl.filter(pc.not_equal(tbl["kind"], "video"))
+    out = (
+        rd.from_arrow(decodable)
+        .map_batches(
+            MediaDecodeStage,
+            fn_constructor_kwargs={"use_real": True},
+            batch_format="pyarrow",
+            batch_size=8,
+            concurrency=2,
+        )
+        .to_pandas()
+        .set_index("media_id")
+    )
+    metas = {m: json.loads(s) for m, s in zip(tbl["media_id"].to_pylist(), tbl["meta"].to_pylist())}
+    for mid, row in out.iterrows():
+        meta = metas[mid]
+        if meta["codec"] == "ppm":
+            assert (row["width"], row["height"], row["channels"]) == (meta["width"], meta["height"], 3)
+        else:
+            assert meta["codec"] == "wav"
+            assert (row["width"], row["height"], row["channels"]) == (meta["frames"], meta["rate"], 1)
+        assert row["std_byte"] > 0

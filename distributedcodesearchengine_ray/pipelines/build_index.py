@@ -242,10 +242,16 @@ class _PartitionBuilder:
             dict_arr = dict_arr.combine_chunks()
         codes = np.asarray(dict_arr.indices.to_numpy(zero_copy_only=False), dtype=np.int64)
         dictionary = dict_arr.dictionary
-        order = np.lexsort((parents, codes))
+        # single combined-key introsort (code*n+doc fits int64: both factors
+        # are partition-local counts).  Non-stable is fine — equal
+        # (term, doc) occurrences are interchangeable for tf counting — and
+        # ~4x faster than the two-key lexsort on this box.
+        key = codes * np.int64(max(n, 1)) + parents
+        order = np.argsort(key)
+        key_s = key[order]
         c_s, d_s = codes[order], parents[order].astype(np.int64)
         if len(c_s):
-            pair_bound = np.flatnonzero((c_s[1:] != c_s[:-1]) | (d_s[1:] != d_s[:-1])) + 1
+            pair_bound = np.flatnonzero(key_s[1:] != key_s[:-1]) + 1
             pair_starts = np.concatenate(([0], pair_bound))
             tf_arr = np.diff(np.concatenate((pair_starts, [len(c_s)]))).astype(np.int64)
             term_codes = c_s[pair_starts]
@@ -568,7 +574,11 @@ def build_index(
     # --- pass C: independent per-partition index builds (pure Ray tasks)
     builder = _PartitionBuilder(index_dir, offsets, build_id, mode, resume)
 
-    @ray.remote(num_cpus=1)
+    # 2 CPUs per builder caps concurrency at ~cluster/2: partition builds
+    # are memory-bandwidth-bound (sort + varint over all token pairs) and
+    # this box saturates at ~16 concurrent memory-heavy workers — 32-way
+    # oversubscription measured SLOWER than 16-way
+    @ray.remote(num_cpus=2)
     def build_one(pid: int) -> dict:
         rec = read_lineage(index_dir, pid) if resume else None
         if rec is not None and rec.build_id == build_id:

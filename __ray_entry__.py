@@ -43,6 +43,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_by_key": Q.dedup_by_key,
         "minhash_near_dups": Q.minhash_near_dups,  # rows-only (no SQL oracle)
         # text analysis
+        "lang_id_profile": Q.lang_id_profile,
         "quality_by_lang": Q.quality_by_lang,
         "quality_filter": Q.quality_filter,
         "token_totals": Q.token_totals,

@@ -448,6 +448,27 @@ def token_totals(sf_dir: str):
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def lang_id_profile(sf_dir: str):
+    """Heuristic language ID per document (marker-word argmax + CJK
+    codepoint check) — the model-stage stand-in, exactly mirrored in SQL."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        from ..stages.text_stats import lang_id_batch
+
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "lang_pred": pa.array(lang_id_batch(t["text"].to_pylist()), pa.string()),
+            }
+        )
+
+    out = ds.map_batches(fn, batch_format="pyarrow").to_pandas().sort_values(
+        "doc_id", ignore_index=True
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def quality_filter(sf_dir: str):
     """Training-data quality gate: keep docs with 20..200 ws-tokens and
     stopword_ratio < 0.25 (the standard C4-style heuristic shape)."""
@@ -938,6 +959,43 @@ def distinct_users_by_type(sf_dir: str):
 # ----------------------------------------------------------- SQL oracles
 
 
+def _lang_id_sql() -> str:
+    """SQL mirror of ``lang_id_batch``: distinct lowered words, per-language
+    marker hits, first-language-wins-ties argmax, CJK codepoint override.
+    Marker lists are generated from the SAME dict the Python heuristic uses
+    so the two can never drift."""
+    from ..stages.text_stats import _LANG_MARKERS
+
+    order = [lang for lang, m in _LANG_MARKERS.items() if m]  # en, de, fr, es
+    score_cols = []
+    for lang in order:
+        markers = ", ".join(f"'{w}'" for w in sorted(_LANG_MARKERS[lang]))
+        score_cols.append(
+            f"len(list_filter(words, x -> x IN ({markers}))) AS s_{lang}"
+        )
+    # Python replaces best only on STRICTLY greater score, so the earliest
+    # language in dict order wins ties: lang_i wins iff s_i >= s_j for j > i
+    cases = []
+    for i, lang in enumerate(order[:-1]):
+        conds = " AND ".join(f"s_{lang} >= s_{later}" for later in order[i + 1 :])
+        cases.append(f"WHEN {conds} THEN '{lang}'")
+    all_scores = ", ".join(f"s_{lang}" for lang in order)
+    return f"""
+        WITH w AS (
+          SELECT doc_id, text,
+                 list_distinct(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                           x -> length(x) > 0)) AS words
+          FROM documents),
+        s AS (SELECT doc_id, text, {", ".join(score_cols)} FROM w)
+        SELECT doc_id,
+               CASE WHEN regexp_matches(substr(text, 1, 2000), '[一-鿿]') THEN 'zh'
+                    WHEN greatest({all_scores}) = 0 THEN 'unknown'
+                    {" ".join(cases)}
+                    ELSE '{order[-1]}' END AS lang_pred
+        FROM s ORDER BY doc_id
+    """
+
+
 def build_oracle_sql() -> Dict[str, str]:
     tok = _tok_sql("text")
     stop_list = ", ".join(f"'{w}'" for w in sorted(STOPWORDS))
@@ -1090,4 +1148,5 @@ def build_oracle_sql() -> Dict[str, str]:
             SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS users
             FROM events GROUP BY event_type ORDER BY event_type
         """,
+        "lang_id_profile": _lang_id_sql(),
     }

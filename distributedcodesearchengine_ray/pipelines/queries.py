@@ -511,6 +511,38 @@ def fingerprint_profile(sf_dir: str):
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def simhash_near_dups(sf_dir: str, max_hamming: int = 3):
+    """SimHash near-dup pairs (Hamming <= 3 over 64-bit signatures) on the
+    documents table.  Rows-only (siphash word hashing is not expressible in
+    SQL); gated locally against the per-doc scalar oracle in
+    tests/test_driver_contract.py."""
+    from ..stages.dedup import simhash_candidates
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = (
+        simhash_candidates(ds)
+        .to_pandas()
+        .drop_duplicates(["id_a", "id_b"])
+    )
+    pairs = pairs[pairs["hamming"] <= max_hamming]
+    pairs = pairs.sort_values(["id_a", "id_b"], ignore_index=True)
+    return pa.table(
+        {
+            "id_a": pa.array(pairs["id_a"], pa.int64()),
+            "id_b": pa.array(pairs["id_b"], pa.int64()),
+            "hamming": pa.array(pairs["hamming"], pa.int64()),
+        }
+    )
+
+
+# NOTE: embedding_near_dups (stages/dedup.py) has no driver entry by
+# design: the shipped embeddings table contains NO near-dup pairs (max
+# off-diagonal cosine 0.479 — random vectors), so a driver query would be a
+# trivially-empty check.  The operator is exercised by
+# tests/test_dedup_textstats.py::test_embedding_near_dups on data with
+# injected near-duplicates.
+
+
 # ------------------------------------------------------------ similarity
 
 

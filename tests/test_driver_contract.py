@@ -151,6 +151,31 @@ def test_minhash_recall_vs_exact_jaccard(ray_session):
     assert got_pairs >= truth, f"missed pairs: {sorted(truth - got_pairs)[:5]}"
 
 
+def test_simhash_near_dups_vs_scalar_oracle(ray_session):
+    """simhash_near_dups is rows-only: gate it against the per-document
+    scalar SimHash recompute — every returned pair's Hamming distance must
+    match, and every true Hamming<=3 pair must be returned (4x16 banding
+    catches ALL pairs within distance 3 by pigeonhole)."""
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as entrymod
+    from distributedcodesearchengine_ray.stages.dedup import simhash_scalar
+
+    got = _to_pandas(entrymod.queries()["simhash_near_dups"](SF))
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    sigs = {d: simhash_scalar(x) for d, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist())}
+    for a, b, h in zip(got["id_a"], got["id_b"], got["hamming"]):
+        assert ((sigs[a] ^ sigs[b]) & ((1 << 64) - 1)).bit_count() == h
+    truth = set()
+    ids = sorted(sigs)
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            if ((sigs[ids[i]] ^ sigs[ids[j]]) & ((1 << 64) - 1)).bit_count() <= 3:
+                truth.add((ids[i], ids[j]))
+    got_pairs = set(zip(got["id_a"].tolist(), got["id_b"].tolist()))
+    assert got_pairs == truth, (sorted(truth - got_pairs)[:5], sorted(got_pairs - truth)[:5])
+
+
 def test_entry_smoke(ray_session):
     import __ray_entry__ as entrymod
 

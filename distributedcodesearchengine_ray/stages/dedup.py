@@ -116,7 +116,6 @@ def _pairs_from_hot_buckets(bands_ds, emit_pairs, empty_df: pd.DataFrame):
     cheap) bands row count: small tables are combined on the driver in one
     vectorized pandas pass; large tables use the distributed
     count-groupby -> hot-filter -> pairs-groupby plan."""
-    import ray
     import ray.data as rd
     from ray.data.aggregate import Count
 
@@ -138,43 +137,31 @@ def _pairs_from_hot_buckets(bands_ds, emit_pairs, empty_df: pd.DataFrame):
         pairs = pd.concat(parts, ignore_index=True) if parts else empty_df
         return rd.from_pandas(pairs if len(pairs) else empty_df)
 
-    hot = (
+    # fully-distributed path: the hot-bucket key set never touches the
+    # driver — a distributed semijoin (inner Dataset.join on the bucket
+    # key) keeps the plan scale-safe even when near-dup buckets number in
+    # the millions at 100-TB corpora
+    hot_ds = (
         bands_ds.groupby(["band", "band_hash"])
         .aggregate(Count(alias_name="n"))
         .map_batches(
-            lambda t: t.filter(np.asarray(t["n"].to_numpy(zero_copy_only=False) >= 2)),
+            lambda t: t.filter(
+                np.asarray(t["n"].to_numpy(zero_copy_only=False) >= 2)
+            ).select(["band", "band_hash"]),
             batch_format="pyarrow",
         )
-        .to_pandas()
     )
-    if len(hot) == 0:
+    joined = bands_ds.join(
+        hot_ds, join_type="inner", num_partitions=16, on=("band", "band_hash")
+    )
+    out = joined.groupby(["band", "band_hash"]).map_groups(
+        emit_pairs, batch_format="pandas"
+    )
+    # guard the all-singleton case: an empty join result would otherwise
+    # yield a schemaless dataset downstream consumers can't select from
+    if out.count() == 0:
         return rd.from_pandas(empty_df)
-    # (band, band_hash) -> one injective uint64 key (band < 64): sorted
-    # array + np.searchsorted membership beats a python set probe per row
-    hot_keys = np.sort(
-        hot["band_hash"].to_numpy().astype(np.uint64) * np.uint64(64)
-        + hot["band"].to_numpy().astype(np.uint64)
-    )
-    keys_ref = ray.put(hot_keys)
-
-    class KeepHot:
-        def __init__(self):
-            self.keys = ray.get(keys_ref)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            b = t["band"].to_numpy(zero_copy_only=False).astype(np.uint64)
-            h = t["band_hash"].to_numpy(zero_copy_only=False).astype(np.uint64)
-            key = h * np.uint64(64) + b
-            pos = np.searchsorted(self.keys, key)
-            pos[pos >= len(self.keys)] = 0  # out-of-range => compare keys[0], never equal
-            mask = self.keys[pos] == key
-            return t.filter(pa.array(mask))
-
-    return (
-        bands_ds.map_batches(KeepHot, batch_format="pyarrow", concurrency=2)
-        .groupby(["band", "band_hash"])
-        .map_groups(emit_pairs, batch_format="pandas")
-    )
+    return out
 
 
 # ---------------------------------------------------------------- minhash

@@ -114,7 +114,10 @@ def run_bench() -> dict:
         return out
 
     # --- query latency (warm actors)
-    engine = QueryEngine(index_dir, num_actors=min(8, num_cpus), prewarm_terms=256)
+    # half the cluster (the engine's own default): at 46 partitions, 8
+    # actors serialize ~6 partitions per query — 16 measured ~1.6x lower
+    # p50 and ~1.8x higher batch qps on the 9.5M-doc index
+    engine = QueryEngine(index_dir, num_actors=min(16, num_cpus), prewarm_terms=256)
     try:
         engine.search("warmup query", limit=20)
         lats = []

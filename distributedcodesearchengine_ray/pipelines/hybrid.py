@@ -256,16 +256,23 @@ class HybridEngine:
             import os
 
             dataset = pads.dataset(os.path.join(self.index_dir, "docmeta"), format="parquet")
-            cols = [c for c in ("doc_id", "name", "file_path", "path") if c in dataset.schema.names]
+            cols = [
+                c
+                for c in ("doc_id", "name", "file_path", "path", "signature", "docstring")
+                if c in dataset.schema.names
+            ]
             t = dataset.to_table(columns=cols, filter=pads.field("doc_id").isin(doc_ids))
-            names = t["name"].to_pylist() if "name" in t.column_names else [None] * len(t)
-            fps = (
-                t["file_path"].to_pylist()
-                if "file_path" in t.column_names
-                else t["path"].to_pylist()
-            )
-            for d, n, f in zip(t["doc_id"].to_pylist(), names, fps):
-                meta[d] = {"name": n, "file_path": f}
+
+            def col(name, default=None):
+                return (
+                    t[name].to_pylist() if name in t.column_names else [default] * len(t)
+                )
+
+            fps = col("file_path") if "file_path" in t.column_names else col("path")
+            for d, n, f, sig, doc in zip(
+                t["doc_id"].to_pylist(), col("name"), fps, col("signature"), col("docstring")
+            ):
+                meta[d] = {"name": n, "file_path": f, "signature": sig, "docstring": doc}
         fused = rrf_fuse(
             sem_hits, bm25_hits, semantic_weight=weight, query=query, meta=meta
         )
@@ -277,6 +284,8 @@ class HybridEngine:
                 "bm25_score": b,
                 "name": meta.get(d, {}).get("name"),
                 "file_path": meta.get(d, {}).get("file_path"),
+                "signature": meta.get(d, {}).get("signature"),
+                "docstring": meta.get(d, {}).get("docstring"),
             }
             for d, s, a, b in fused[:limit]
         ]

@@ -51,8 +51,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint_profile": Q.fingerprint_profile,  # rows-only
         # similarity search
         "knn_cosine": Q.knn_cosine,
+        "knn_cosine_filtered": Q.knn_cosine_filtered,
+        "label_centroids": Q.label_centroids,
         # streaming-shaped events
         "events_hourly": Q.events_hourly,
+        "events_sliding": Q.events_sliding,
         "sessionize": Q.sessionize,
         # relational coverage (joins / grouped aggregates / top-k)
         "q1_lineitem": Q.q1_lineitem,

@@ -570,6 +570,94 @@ def knn_cosine(sf_dir: str):
     )
 
 
+def knn_cosine_filtered(sf_dir: str, label: int = 3):
+    """Pre-filtered vector search (Qdrant filter semantics,
+    vector_store.py:229-253): restrict the corpus to one label BEFORE the
+    cosine top-k — filter pushdown inside the read, no post-filter rerank."""
+    from ..stages.annsearch import vector_topk
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding", "label"]).filter(
+        lambda r: r["label"] == label
+    )
+    qdf = (
+        _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+        .filter(lambda r: r["vec_id"] < 3)
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    qs = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
+    out = vector_topk(
+        ds.select_columns(["vec_id", "embedding"]), qs, k=10,
+        id_column="vec_id", normalize=True, dtype=np.float64,
+    ).to_pandas()
+    qids = qdf["vec_id"].to_numpy()
+    return pa.table(
+        {
+            "q_id": pa.array(qids[out["query_idx"].to_numpy()], pa.int64()),
+            "rank": pa.array(out["rank"], pa.int64()),
+            "vec_id": pa.array(out["vec_id"], pa.int64()),
+            "score_micro": pa.array(_micro(out["score"].to_numpy())),
+        }
+    )
+
+
+def label_centroids(sf_dir: str):
+    """Per-label embedding centroid (the IVF-training primitive) as a
+    map-side pre-aggregated vector groupby: each batch emits ONE partial
+    (label, sum_vec, n) row per label, the tiny groupby combines partials —
+    the combiner pattern that avoids shuffling raw vectors."""
+    ds = _read(sf_dir, "embeddings", columns=["label", "embedding"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        emb = t["embedding"]
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        if pa.types.is_fixed_size_list(emb.type):
+            dim = emb.type.list_size
+            mat = np.asarray(emb.values.to_numpy(zero_copy_only=False), dtype=np.float64).reshape(-1, dim)
+        else:
+            mat = np.asarray(emb.to_pylist(), dtype=np.float64)
+        labels = t["label"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(labels, return_inverse=True)
+        sums = np.zeros((len(uniq), mat.shape[1]), dtype=np.float64)
+        np.add.at(sums, inv, mat)
+        counts = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        return pa.table(
+            {
+                "label": pa.array(uniq.astype(np.int64)),
+                "sum_vec": pa.array(list(sums)),
+                "n": pa.array(counts),
+            }
+        )
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        total = np.sum(np.stack(df["sum_vec"].to_numpy()), axis=0)
+        n = int(df["n"].sum())
+        return pd.DataFrame({"label": [df["label"].iloc[0]], "centroid": [total / n], "n": [n]})
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("label")
+        .map_groups(combine, batch_format="pandas")
+        .to_pandas()
+        .sort_values("label", ignore_index=True)
+    )
+    # explode to (label, dim_idx, mean) rows so the SQL oracle can compare
+    labels, dims, means = [], [], []
+    for _, row in out.iterrows():
+        c = np.asarray(row["centroid"])
+        labels.extend([int(row["label"])] * len(c))
+        dims.extend(range(len(c)))
+        means.extend(c.tolist())
+    return pa.table(
+        {
+            "label": pa.array(labels, pa.int64()),
+            "dim_idx": pa.array(dims, pa.int64()),
+            "mean_micro": pa.array(_micro(np.asarray(means))),
+        }
+    )
+
+
 # ---------------------------------------------------------- events tables
 
 
@@ -590,6 +678,52 @@ def events_hourly(sf_dir: str):
 
     out = (
         ds.map_batches(window, batch_format="pyarrow")
+        .groupby(["event_type", "window_start"])
+        .aggregate(Count(alias_name="n"), Sum("value_c", alias_name="value_c"))
+        .to_pandas()
+        .sort_values(["event_type", "window_start"], ignore_index=True)
+    )
+    return pa.table(
+        {
+            "event_type": pa.array(out["event_type"], pa.string()),
+            "window_start": pa.array(out["window_start"]),
+            "n": pa.array(out["n"], pa.int64()),
+            "value_c": pa.array(out["value_c"], pa.int64()),
+        }
+    )
+
+
+def events_sliding(sf_dir: str, window_min: int = 60, hop_min: int = 15):
+    """HOPPING (sliding) windows: each event lands in window_min/hop_min
+    overlapping windows (flat-map window assignment, then one groupby) —
+    the streaming-window shape beyond the tumbling case."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
+    k = window_min // hop_min
+
+    def assign(t: pa.Table) -> pa.Table:
+        # ts floored to the hop, then replicated into the k windows that
+        # contain it: starts = floor(ts) - j*hop for j in 0..k-1
+        base = pcc.floor_temporal(t["ts"], multiple=hop_min, unit="minute")
+        parts = []
+        for j in range(k):
+            start = pcc.subtract(
+                base, pa.scalar(pd.Timedelta(minutes=j * hop_min).to_pytimedelta())
+            )
+            parts.append(
+                pa.table(
+                    {
+                        "event_type": t["event_type"],
+                        "window_start": start,
+                        "value_c": _cents_col(t["value"]),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    out = (
+        ds.map_batches(assign, batch_format="pyarrow")
         .groupby(["event_type", "window_start"])
         .aggregate(Count(alias_name="n"), Sum("value_c", alias_name="value_c"))
         .to_pandas()
@@ -1181,4 +1315,35 @@ def build_oracle_sql() -> Dict[str, str]:
             FROM events GROUP BY event_type ORDER BY event_type
         """,
         "lang_id_profile": _lang_id_sql(),
+        "knn_cosine_filtered": """
+            WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < 3),
+            sims AS (
+              SELECT q.q_id, e.vec_id,
+                     list_cosine_similarity(e.embedding::DOUBLE[], q.qe) AS score
+              FROM embeddings e CROSS JOIN q WHERE e.label = 3),
+            ranked AS (
+              SELECT q_id, vec_id, score,
+                     row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id ASC) - 1 AS rank
+              FROM sims)
+            SELECT q_id, rank, vec_id,
+                   CAST(floor(score * 1000000 + 0.5) AS BIGINT) AS score_micro
+            FROM ranked WHERE rank < 10 ORDER BY q_id, rank
+        """,
+        "label_centroids": """
+            WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
+            x AS (SELECT label, unnest(v) AS val, generate_subscripts(v, 1) - 1 AS dim_idx FROM e)
+            SELECT CAST(label AS BIGINT) AS label, CAST(dim_idx AS BIGINT) AS dim_idx,
+                   CAST(floor(avg(val) * 1000000 + 0.5) AS BIGINT) AS mean_micro
+            FROM x GROUP BY label, dim_idx ORDER BY label, dim_idx
+        """,
+        "events_sliding": """
+            WITH w AS (
+              SELECT event_type,
+                     time_bucket(INTERVAL 15 MINUTE, ts) - to_minutes(CAST(j.j * 15 AS BIGINT)) AS window_start,
+                     CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc
+              FROM events, range(4) j(j))
+            SELECT event_type, window_start, count(*) AS n,
+                   CAST(sum(vc) AS BIGINT) AS value_c
+            FROM w GROUP BY 1, 2 ORDER BY 1, 2
+        """,
     }

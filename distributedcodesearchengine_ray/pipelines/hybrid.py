@@ -140,40 +140,65 @@ class HybridEngine:
         lsh_n_bits: int = 8,
         lsh_seed: int = 42,
         lsh_probe_radius: int = 1,
+        ivf_n_probe: int = 4,
     ):
         """``ann_method="exact"`` (default) brute-forces cosine over the
         whole embeddings table — the rank-exact reference semantics.
-        ``ann_method="lsh"`` is the scale path: it reads ONLY the hive
+        ``ann_method="lsh"`` is a scale path: it reads ONLY the hive
         partitions (``bucket=<id>/``, written by ``build_embeddings``)
-        within ``lsh_probe_radius`` Hamming bits of the query's bucket, so
-        per-query reads stay flat as the table grows (approximate:
-        recall < 1 by construction)."""
+        within ``lsh_probe_radius`` Hamming bits of the query's bucket.
+        ``ann_method="ivf"`` probes the ``ivf_n_probe`` cells
+        (``ivf_cell=<id>/``) nearest the query, using the centroids
+        persisted at build time.  Both keep per-query reads flat as the
+        table grows (approximate: recall < 1 by construction)."""
         import os
 
         from ..state.manifest import normalize_dir
 
         index_dir = normalize_dir(index_dir)
         self.index_dir = index_dir
-        self.bm25 = QueryEngine(index_dir, num_actors=num_actors)
         self.semantic_weight = semantic_weight
         self.dim = dim
         self.ann_method = ann_method
         self.lsh_n_bits = lsh_n_bits
         self.lsh_seed = lsh_seed
         self.lsh_probe_radius = lsh_probe_radius
+        self.ivf_n_probe = ivf_n_probe
         self.emb_dir = os.path.join(index_dir, "embeddings")
         self.emb_bucketed = os.path.isdir(self.emb_dir) and any(
             f.startswith("bucket=") for f in os.listdir(self.emb_dir)
         )
+        self.emb_ivf = os.path.isdir(self.emb_dir) and any(
+            f.startswith("ivf_cell=") for f in os.listdir(self.emb_dir)
+        )
         self.has_semantic = os.path.isdir(self.emb_dir) and (
             self.emb_bucketed
+            or self.emb_ivf
             or any(f.endswith(".parquet") for f in os.listdir(self.emb_dir))
         )
         if ann_method == "lsh" and not self.emb_bucketed:
             raise ValueError(
                 "ann_method='lsh' requires a bucket-partitioned embeddings "
-                "layout (build_embeddings(partition_by_bucket=True))"
+                "layout (build_embeddings(partition_by='bucket'))"
             )
+        self.ivf_centroids = None
+        if ann_method == "ivf":
+            cpath = os.path.join(index_dir, "ivf_centroids.parquet")
+            if not (self.emb_ivf and os.path.exists(cpath)):
+                raise ValueError(
+                    "ann_method='ivf' requires an ivf_cell-partitioned "
+                    "embeddings layout (build_embeddings(partition_by='ivf'))"
+                )
+            import numpy as _np
+            import pyarrow.parquet as pq
+
+            t = pq.read_table(cpath)
+            self.ivf_centroids = _np.stack(
+                [_np.asarray(c, dtype=_np.float32) for c in t["centroid"].to_pylist()]
+            )
+        # spawn the shard-actor pool only after layout validation (a raise
+        # above must not leak actors)
+        self.bm25 = QueryEngine(index_dir, num_actors=num_actors)
 
     def close(self):
         self.bm25.close()
@@ -191,12 +216,27 @@ class HybridEngine:
         dirs = [os.path.join(self.emb_dir, f"bucket={b}") for b in probes]
         return [d for d in dirs if os.path.isdir(d)]
 
+    def _probe_dirs_ivf(self, qvec: np.ndarray) -> List[str]:
+        """Existing ``ivf_cell=`` partition dirs among the query's
+        ``ivf_n_probe`` nearest centroids."""
+        import os
+
+        qn = qvec / max(float(np.linalg.norm(qvec)), 1e-30)
+        order = np.argsort(-(self.ivf_centroids @ qn))[: self.ivf_n_probe]
+        dirs = [os.path.join(self.emb_dir, f"ivf_cell={int(c)}") for c in order]
+        return [d for d in dirs if os.path.isdir(d)]
+
     def _probe_files(self, qvec: np.ndarray) -> List[str]:
         import os
 
+        dirs = (
+            self._probe_dirs_ivf(qvec)
+            if self.ann_method == "ivf"
+            else self._probe_dirs(qvec)
+        )
         return [
             os.path.join(d, f)
-            for d in self._probe_dirs(qvec)
+            for d in dirs
             for f in sorted(os.listdir(d))
             if f.endswith(".parquet")
         ]
@@ -209,7 +249,7 @@ class HybridEngine:
         from ..stages.annsearch import vector_topk
 
         qvec = mock_embed_text(enhance_query(query), self.dim)
-        if self.ann_method == "lsh":
+        if self.ann_method in ("lsh", "ivf"):
             files = self._probe_files(qvec)
             if not files:
                 return []

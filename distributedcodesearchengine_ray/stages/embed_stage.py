@@ -145,28 +145,55 @@ def add_lsh_bucket(batch: pa.Table, n_bits: int = 8, seed: int = 42) -> pa.Table
     return batch.append_column("bucket", pa.array(sig.astype(np.int64)))
 
 
+def add_ivf_cell(batch: pa.Table, centroids: np.ndarray) -> pa.Table:
+    """Append each (normalized) embedding's nearest-centroid id — the
+    build-time partition key of the IVF scale path."""
+    emb = batch["embedding"]
+    if isinstance(emb, pa.ChunkedArray):
+        emb = emb.combine_chunks()
+    if pa.types.is_fixed_size_list(emb.type):
+        dim = emb.type.list_size
+        mat = np.asarray(emb.values.to_numpy(zero_copy_only=False), dtype=np.float32).reshape(-1, dim)
+    else:
+        mat = np.asarray(emb.to_pylist(), dtype=np.float32)
+    n = np.linalg.norm(mat, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    cells = np.argmax((mat / n) @ centroids.T, axis=1).astype(np.int64)
+    return batch.append_column("ivf_cell", pa.array(cells))
+
+
 def build_embeddings(
     index_dir: str,
     dim: int = 768,
     concurrency: int = 4,
     *,
-    partition_by_bucket: bool = True,
+    partition_by: str = "bucket",
     n_bits: int = 8,
+    ivf_cells: int = 16,
     seed: int = 42,
     stage=None,
 ) -> str:
     """Embed every indexed entity -> ``index_dir/embeddings`` parquet.
 
-    With ``partition_by_bucket`` (default) the table is hive-partitioned by
-    the LSH bucket of the embedding (``bucket=<id>/`` subdirs), so an
-    approximate query probes only its own bucket neighborhood's files
-    instead of scanning the whole table — the reads stay flat while the
-    corpus grows.  Exact consumers just ``read_parquet`` the directory
-    root; the layout is transparent to them.
+    ``partition_by`` picks the ANN scale layout:
+
+    * ``"bucket"`` (default): hive-partition by the random-hyperplane LSH
+      bucket (``bucket=<id>/`` subdirs) — an approximate query probes only
+      its Hamming-ball neighborhood's files.
+    * ``"ivf"``: train an IVF coarse quantizer on a deterministic id-hash
+      sample of the entities, persist the centroids
+      (``<index_dir>/ivf_centroids.parquet``), and hive-partition by
+      nearest-centroid id (``ivf_cell=<id>/``) — a query probes its
+      ``n_probe`` closest cells.
+    * ``"none"``: flat layout.
+
+    Exact consumers just ``read_parquet`` the directory root; the layout is
+    transparent to them.
     """
     import functools
     import os
 
+    import pandas as pd
     import ray.data as rd
 
     out_dir = os.path.join(index_dir, "embeddings")
@@ -177,22 +204,53 @@ def build_embeddings(
         "doc_id", "name", "entity_type", "signature", "parameters",
         "docstring", "return_type", "parent_class", "lang", "repo_name",
     ]
-    ds = rd.read_parquet(
-        os.path.join(index_dir, "docmeta"),
-        columns=[c for c in want if c in avail],
-    )
-    out = ds.map_batches(
-        stage if stage is not None else MockEmbedStage(dim=dim),
-        batch_format="pyarrow",
-        batch_size=1024,
-        concurrency=concurrency,
-    )
-    if partition_by_bucket:
+    cols = [c for c in want if c in avail]
+
+    def read_meta():
+        return rd.read_parquet(os.path.join(index_dir, "docmeta"), columns=cols)
+
+    def embed(ds):
+        return ds.map_batches(
+            stage if stage is not None else MockEmbedStage(dim=dim),
+            batch_format="pyarrow",
+            batch_size=1024,
+            concurrency=concurrency,
+        )
+
+    out = embed(read_meta())
+    if partition_by == "bucket":
         out = out.map_batches(
             functools.partial(add_lsh_bucket, n_bits=n_bits, seed=seed),
             batch_format="pyarrow",
         )
         out.write_parquet(out_dir, partition_cols=["bucket"])
+    elif partition_by == "ivf":
+        import pyarrow.parquet as pq
+
+        from .annsearch import ivf_train_centroids
+
+        # centroids from a deterministic id-hash sample of the EMBEDDED
+        # entities (unbiased, parallelism-independent), persisted for query
+        # time
+        n_rows = read_meta().count()
+        modulus = max(1, n_rows // 4096)
+
+        def keep_sample(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            h = pd.util.hash_array(np.ascontiguousarray(ids))
+            return t.filter(pa.array(h % modulus == 0))
+
+        sample = embed(read_meta().map_batches(keep_sample, batch_format="pyarrow"))
+        cent = ivf_train_centroids(sample, n_centroids=ivf_cells, seed=seed, id_column="doc_id")
+        pq.write_table(
+            pa.table({"cell": pa.array(range(len(cent)), pa.int64()),
+                      "centroid": pa.array(list(cent.astype(np.float32)))}),
+            os.path.join(index_dir, "ivf_centroids.parquet"),
+        )
+        out = out.map_batches(
+            functools.partial(add_ivf_cell, centroids=cent), batch_format="pyarrow"
+        )
+        out.write_parquet(out_dir, partition_cols=["ivf_cell"])
     else:
         out.write_parquet(out_dir)
     return out_dir

@@ -200,6 +200,39 @@ def test_hybrid_lsh_probe_sublinear(ray_session, tmp_path):
     assert fracs["large"] <= fracs["small"] * 2 + 0.02
 
 
+def test_hybrid_ivf_layout(ray_session, tmp_path):
+    """partition_by='ivf': centroids persisted at build, queries probe only
+    the n_probe nearest cell partitions, results non-empty."""
+    import os
+
+    from distributedcodesearchengine_ray.functions.embed import mock_embed_text
+    from distributedcodesearchengine_ray.pipelines.build_index import build_index
+    from distributedcodesearchengine_ray.pipelines.hybrid import HybridEngine, enhance_query
+    from distributedcodesearchengine_ray.sources.corpus import write_corpus
+    from distributedcodesearchengine_ray.stages.embed_stage import build_embeddings
+
+    corpus = write_corpus(str(tmp_path / "c"), n_files=150, seed=9, num_shards=2)
+    idx = str(tmp_path / "idx")
+    build_index(corpus, idx, mode="entity", docs_per_partition=100)
+    build_embeddings(idx, concurrency=2, partition_by="ivf", ivf_cells=8)
+    assert os.path.exists(os.path.join(idx, "ivf_centroids.parquet"))
+    cells = [d for d in os.listdir(os.path.join(idx, "embeddings")) if d.startswith("ivf_cell=")]
+    assert len(cells) >= 2
+
+    eng = HybridEngine(idx, num_actors=2, ann_method="ivf", ivf_n_probe=3)
+    try:
+        qvec = mock_embed_text(enhance_query("parse json data"))
+        probed = eng._probe_dirs_ivf(qvec)
+        assert 0 < len(probed) <= 3  # reads only the probe cells
+        hits = eng.search("parse json data", limit=5)
+        assert len(hits) > 0
+    finally:
+        eng.close()
+    # mismatched layout is rejected up front (before any actors spawn)
+    with pytest.raises(ValueError, match="bucket"):
+        HybridEngine(idx, num_actors=1, ann_method="lsh")
+
+
 def test_vector_topk_ivf_recall(ray_session):
     import ray.data as rd
 

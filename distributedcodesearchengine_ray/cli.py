@@ -56,6 +56,10 @@ def main(argv=None) -> int:
     ps.add_argument("--repo")
     ps.add_argument("--hybrid", action="store_true")
     ps.add_argument("--method", choices=["dense", "wand"], default="dense")
+    ps.add_argument(
+        "--ann", choices=["exact", "lsh", "ivf"], default="exact",
+        help="semantic-side strategy for --hybrid (lsh/ivf need the matching embeddings layout)",
+    )
 
     pt = sub.add_parser("stats", help="index stats")
     pt.add_argument("--index-dir", required=True)
@@ -121,7 +125,11 @@ def main(argv=None) -> int:
     _ensure_ray()
     from .engine import CodeSearchEngine
 
-    eng = CodeSearchEngine(args.index_dir, mode=getattr(args, "mode", "entity"))
+    eng = CodeSearchEngine(
+        args.index_dir,
+        mode=getattr(args, "mode", "entity"),
+        ann_method=getattr(args, "ann", "exact"),
+    )
     try:
         if args.cmd == "index":
             m = eng.index_corpus(

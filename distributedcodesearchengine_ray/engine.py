@@ -40,10 +40,11 @@ def _highlights(hit: dict) -> List[str]:
 class CodeSearchEngine:
     """Build + query facade over one index directory."""
 
-    def __init__(self, index_dir: str, mode: str = "entity"):
+    def __init__(self, index_dir: str, mode: str = "entity", ann_method: str = "exact"):
         from .state.manifest import normalize_dir
 
         self.index_dir = normalize_dir(index_dir)
+        self.ann_method = ann_method
         self.mode = mode
         self._query_engine: Optional[QueryEngine] = None
         self._hybrid_engine: Optional[HybridEngine] = None
@@ -100,7 +101,7 @@ class CodeSearchEngine:
 
     def _hybrid(self) -> HybridEngine:
         if self._hybrid_engine is None:
-            self._hybrid_engine = HybridEngine(self.index_dir)
+            self._hybrid_engine = HybridEngine(self.index_dir, ann_method=self.ann_method)
         return self._hybrid_engine
 
     def search(

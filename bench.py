@@ -144,7 +144,9 @@ def run_bench() -> dict:
         ("minhash_near_dups", Q.minhash_near_dups),
         ("knn_cosine", Q.knn_cosine),
         ("q1_lineitem", Q.q1_lineitem),
+        ("q3_shipping", Q.q3_shipping),
         ("events_hourly", Q.events_hourly),
+        ("events_sliding", Q.events_sliding),
     ):
         t0 = time.time()
         res = fn(sf_dir)

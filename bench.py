@@ -172,8 +172,10 @@ def run_bench() -> dict:
 
 
 def manifest_docs_hint(n_files: int) -> int:
-    # target ~45 doc-range partitions (files per partition) at bench scale
-    return max(1000, n_files // 45)
+    # target ~45 doc-range partitions at bench scale, but cap partition size
+    # so larger corpora fan out further (a fixed partition COUNT makes
+    # partitions grow with input — worse balance and bigger per-task memory)
+    return max(1000, min(n_files // 45, 10_000))
 
 
 def run_scaling() -> dict:

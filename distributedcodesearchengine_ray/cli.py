@@ -45,7 +45,7 @@ def main(argv=None) -> int:
     pi.add_argument("--mode", choices=["entity", "file"], default="entity")
     pi.add_argument("--no-resume", action="store_true")
     pi.add_argument("--embeddings", action="store_true")
-    pi.add_argument("--docs-per-partition", type=int, default=50_000)
+    pi.add_argument("--docs-per-partition", type=int, default=10_000)
 
     ps = sub.add_parser("search", help="BM25 / hybrid search")
     ps.add_argument("query")

@@ -373,8 +373,8 @@ def build_index(
     k1: float = 1.5,
     b: float = 0.75,
     epsilon: float = 0.25,
-    docs_per_partition: int = 50_000,
-    partition_bytes: int = 512 << 20,
+    docs_per_partition: int = 10_000,
+    partition_bytes: int = 256 << 20,
     coalesce_block_bytes: int = 256 << 20,
     max_partitions: int = 4096,
     resume: bool = True,
@@ -393,7 +393,11 @@ def build_index(
     target (``partition_bytes`` uncompressed source bytes per partition,
     estimated from parquet row-group metadata — no data scan), so a corpus
     of few huge files still fans out and a corpus of many tiny files does
-    not explode into thousands of partitions.  The staging coalesce before
+    not explode into thousands of partitions.  Partition size costs are
+    SUPERLINEAR (the (term, doc) sort + codec over a 4M-pair partition
+    measured ~6x slower per doc than a 400k-pair one on this box), so the
+    defaults target small-ish partitions; at 100-TB scale raise
+    ``max_partitions`` rather than the per-partition size.  The staging coalesce before
     the hive-partitioned write is likewise input-proportional
     (``coalesce_block_bytes`` per block) instead of a fixed block count, so
     no staged block exceeds ~2x the target at any corpus size.

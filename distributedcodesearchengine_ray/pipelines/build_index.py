@@ -168,11 +168,29 @@ def _extract_entity_docs(
     ents = ents.append_column(
         "skey", _skey(ents["repo"], ents["path"], ents["commit"], ents["ent_ord"])
     )
+    # doc_text is fully derivable from the entity columns — drop it from
+    # staging (the partition builder recomputes it vectorized) to cut the
+    # bytes moving through the coalesce + hive write
+    ents = ents.drop_columns(["doc_text"])
     # language column of the entity (parser-assigned), keep corpus lang name
     ents = ents.rename_columns(
         [c if c != "language" else "lang" for c in ents.column_names]
     )
     return ents
+
+
+def _entity_doc_text(t: pa.Table) -> pa.Array:
+    """Vectorized entity -> BM25 doc projection.  Token-sequence identical
+    to ``stages.parse.entity_document`` (empty fields contribute only extra
+    whitespace, which the whitespace-splitting tokenizer ignores)."""
+    params = pc.fill_null(pc.binary_join(t["parameters"], " "), "")
+    cols = (
+        [pc.fill_null(t[c], "") for c in ("name", "signature", "docstring")]
+        + [params]
+        + [pc.fill_null(t[c], "") for c in ("parent_class", "return_type")]
+    )
+    cols = [c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c for c in cols]
+    return pc.binary_join_element_wise(*cols, " ")
 
 
 def _deterministic_sample(skeys: np.ndarray, modulus: int) -> np.ndarray:
@@ -226,7 +244,17 @@ class _PartitionBuilder:
             if rec is not None and rec.build_id == self.build_id and rec.n_docs == n:
                 return rec.to_dict()
 
+        if "skey" not in tbl.column_names:  # staging omits derivable columns
+            tbl = tbl.append_column(
+                "skey",
+                _skey(
+                    tbl["repo"], tbl["path"], tbl["commit"],
+                    tbl["ent_ord"] if "ent_ord" in tbl.column_names else None,
+                ),
+            )
         tbl = tbl.take(pc.sort_indices(tbl["skey"]))
+        if "doc_text" not in tbl.column_names:  # entity mode: recompute
+            tbl = tbl.append_column("doc_text", _entity_doc_text(tbl))
         doc_ids = base + np.arange(n, dtype=np.int64)
         tokens = tokenize_array(tbl["doc_text"])
         doc_len = pc.list_value_length(tokens).to_numpy(zero_copy_only=False).astype(np.int64)
@@ -501,7 +529,9 @@ def build_index(
             pid = np.searchsorted(bnd_arr, sk, side="right")
         else:
             pid = np.zeros(len(sk), dtype=np.int64)
-        return t.append_column("part_id", pa.array(pid, pa.int64()))
+        # skey is derivable (repo/path/commit[/ent_ord]) — don't stage it;
+        # the partition builder recomputes it for the within-partition sort
+        return t.drop_columns(["skey"]).append_column("part_id", pa.array(pid, pa.int64()))
 
     # --- pass B: extract + doc-range partitioning in ONE streaming pass.
     # A hive-partitioned write (each task appends its rows to part_id=K

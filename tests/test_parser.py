@@ -224,3 +224,64 @@ def test_entity_document_projection():
     }
     # bodies excluded; empty parts dropped (bm25_index.py:74-84 semantics)
     assert entity_document(e) == "parse_json def parse_json(data) Parse a JSON string data dict"
+
+
+# ----------------------------------------------------- robustness / parity
+
+
+def test_entity_doc_text_token_equivalent():
+    """The vectorized staging projection (_entity_doc_text) must yield the
+    SAME token sequence as the scalar entity_document for any entity —
+    empty/None fields may only add whitespace (hypothesis fuzz)."""
+    import pyarrow as pa
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from distributedcodesearchengine_ray.functions.tokenizer import tokenize
+    from distributedcodesearchengine_ray.pipelines.build_index import _entity_doc_text
+    from distributedcodesearchengine_ray.stages.parse import entity_document
+
+    field = st.one_of(st.none(), st.text(max_size=25))
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        name=field, sig=field, doc=field,
+        params=st.lists(st.text(min_size=1, max_size=8), max_size=4),
+        parent=field, rtype=field,
+    )
+    def check(name, sig, doc, params, parent, rtype):
+        e = {
+            "name": name, "signature": sig, "docstring": doc,
+            "parameters": params, "parent_class": parent, "return_type": rtype,
+        }
+        t = pa.table(
+            {
+                "name": pa.array([name], pa.string()),
+                "signature": pa.array([sig], pa.string()),
+                "docstring": pa.array([doc], pa.string()),
+                "parameters": pa.array([params], pa.list_(pa.string())),
+                "parent_class": pa.array([parent], pa.string()),
+                "return_type": pa.array([rtype], pa.string()),
+            }
+        )
+        vec_text = _entity_doc_text(t).to_pylist()[0]
+        assert tokenize(vec_text) == tokenize(entity_document(e))
+
+    check()
+
+
+def test_parsers_never_crash_on_garbage():
+    """Regex scanners must tolerate arbitrary text (hypothesis fuzz)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=150, deadline=None)
+    @given(content=st.text(max_size=400), lang=st.sampled_from(
+        ["python", "javascript", "typescript", "go", "rust"]))
+    def check(content, lang):
+        ents = parse_content(content, f"x.{lang[:2]}", "r", lang)
+        for e in ents:
+            assert e["name"]
+            assert isinstance(e["parameters"], list)
+
+    check()

@@ -136,6 +136,18 @@ def run_bench() -> dict:
     finally:
         engine.close()
 
+    if os.environ.get("GRAFT_BENCH_SKIP_PIPELINES"):
+        out = {
+            "metric": "build + query latency (pipelines skipped)",
+            "value": round(build_sec, 3),
+            "unit": "sec",
+            "queries": results,
+            "sf": sf_dir,
+            "num_cpus": num_cpus,
+        }
+        ray.shutdown()
+        return out
+
     # --- training-data pipelines over the sf dir
     for name, fn in (
         ("bm25_topk", Q.bm25_topk),
@@ -188,7 +200,8 @@ def run_scaling() -> dict:
     hi = int(os.environ.get("GRAFT_SCALE_HI", "16"))
 
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BENCH_BUILD_ONLY="1")
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BENCH_SKIP_PIPELINES="1")
+        env.pop("GRAFT_BENCH_BUILD_ONLY", None)
         out = subprocess.run(
             [sys.executable, os.path.join(os.path.dirname(__file__) or ".", "bench.py")],
             env=env, capture_output=True, text=True, check=True,
@@ -202,8 +215,10 @@ def run_scaling() -> dict:
     r_hi = min(runs[1::2], key=lambda r: r["value"])
     t_lo, t_hi = r_lo["value"], r_hi["value"]
     eff = (t_lo / t_hi) / (hi / lo)
+    q_lo = max(r["queries"]["query_batch_qps"] for r in runs[0::2])
+    q_hi = max(r["queries"]["query_batch_qps"] for r in runs[1::2])
     return {
-        "metric": f"index-build scaling efficiency (N={lo} vs 4N={hi} cpus)",
+        "metric": f"index-build + query scaling efficiency (N={lo} vs 4N={hi} cpus)",
         "num_cpus_lo": lo,
         "num_cpus_hi": hi,
         "sec_lo": t_lo,
@@ -211,6 +226,9 @@ def run_scaling() -> dict:
         "files_per_sec_lo": r_lo["queries"]["build_files_per_sec"],
         "files_per_sec_hi": r_hi["queries"]["build_files_per_sec"],
         "scaling_efficiency": round(eff, 3),
+        "query_qps_lo": q_lo,
+        "query_qps_hi": q_hi,
+        "query_scaling_efficiency": round((q_hi / q_lo) / (hi / lo), 3),
         "sf": sf_dir,
     }
 

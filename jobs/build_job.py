@@ -31,7 +31,7 @@ def main() -> int:
     p.add_argument("--corpus", required=True)
     p.add_argument("--index-dir", required=True)
     p.add_argument("--mode", default="entity", choices=["entity", "file"])
-    p.add_argument("--docs-per-partition", type=int, default=50_000)
+    p.add_argument("--docs-per-partition", type=int, default=10_000)
     p.add_argument("--queries", nargs="*", default=["parse json", "send HTTP request"])
     args = p.parse_args()
 

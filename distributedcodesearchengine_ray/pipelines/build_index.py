@@ -239,9 +239,20 @@ class _PartitionBuilder:
         t0 = time.time()
         base = self.offsets[pid]
         n = len(tbl)
+        post_path = os.path.join(self.index_dir, "postings", f"part-{pid:05d}.parquet")
+        meta_path = os.path.join(self.index_dir, "docmeta", f"part-{pid:05d}.parquet")
         if self.resume:
             rec = read_lineage(self.index_dir, pid)
-            if rec is not None and rec.build_id == self.build_id and rec.n_docs == n:
+            # lineage is written only after the data files are renamed into
+            # place, so a crash can't leave a record without files — but a
+            # manually-deleted partition file must trigger a rebuild
+            if (
+                rec is not None
+                and rec.build_id == self.build_id
+                and rec.n_docs == n
+                and os.path.exists(post_path)
+                and os.path.exists(meta_path)
+            ):
                 return rec.to_dict()
 
         if "skey" not in tbl.column_names:  # staging omits derivable columns
@@ -371,8 +382,6 @@ class _PartitionBuilder:
 
         for sub in ("postings", "docmeta"):
             os.makedirs(os.path.join(self.index_dir, sub), exist_ok=True)
-        post_path = os.path.join(self.index_dir, "postings", f"part-{pid:05d}.parquet")
-        meta_path = os.path.join(self.index_dir, "docmeta", f"part-{pid:05d}.parquet")
         for out_tbl, path in ((postings, post_path), (docmeta, meta_path)):
             tmp = f"{path}.tmp-{os.getpid()}"
             pq.write_table(out_tbl, tmp)
@@ -615,7 +624,12 @@ def build_index(
     @ray.remote(num_cpus=2)
     def build_one(pid: int) -> dict:
         rec = read_lineage(index_dir, pid) if resume else None
-        if rec is not None and rec.build_id == build_id:
+        if (
+            rec is not None
+            and rec.build_id == build_id
+            and os.path.exists(os.path.join(index_dir, "postings", f"part-{pid:05d}.parquet"))
+            and os.path.exists(os.path.join(index_dir, "docmeta", f"part-{pid:05d}.parquet"))
+        ):
             return rec.to_dict()
         sub = os.path.join(staged_parts, f"part_id={pid}")
         return builder(pq.read_table(sub), pid)

@@ -164,6 +164,25 @@ def test_resume_skips_completed_partitions(ray_session, corpus_dir, tmp_path_fac
             )
 
 
+def test_resume_rebuilds_when_data_file_missing_but_lineage_stale(
+    ray_session, corpus_dir, tmp_path_factory
+):
+    """A partition whose data file vanished but whose lineage record
+    survives (e.g. manual deletion) must be REBUILT, not skipped."""
+    import os
+
+    from distributedcodesearchengine_ray.pipelines.build_index import build_index
+
+    idx = str(tmp_path_factory.mktemp("index_stale"))
+    m1 = build_index(corpus_dir, idx, mode="file", docs_per_partition=40)
+    lost = sorted(os.listdir(os.path.join(idx, "postings")))[1]
+    os.remove(os.path.join(idx, "postings", lost))  # lineage left in place
+
+    m2 = build_index(corpus_dir, idx, mode="file", docs_per_partition=40)
+    assert m2.n_docs == m1.n_docs and m2.build_id == m1.build_id
+    assert os.path.exists(os.path.join(idx, "postings", lost))
+
+
 def test_hot_term_lexicon_matches_oracle(file_index, oracle_docs):
     """Zipf-hot terms ('import' appears in most docs): the bucketed lexicon
     merge must produce the exact global df and eps-floored idf."""

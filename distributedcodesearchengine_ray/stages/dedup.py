@@ -156,7 +156,7 @@ def _pairs_from_hot_buckets(bands_ds, emit_pairs, empty_df: pd.DataFrame):
     )
     out = joined.groupby(["band", "band_hash"]).map_groups(
         emit_pairs, batch_format="pandas"
-    )
+    ).materialize()  # count() must not force a second full execution
     # guard the all-singleton case: an empty join result would otherwise
     # yield a schemaless dataset downstream consumers can't select from
     if out.count() == 0:

@@ -16,6 +16,8 @@
                                    RabbitMQ queue route, server.py:196-226,
                                    with Ray as the execution backend)
     GET  /index/status[?job_id=]-> one job record / all job records
+    POST /index/purge           -> drop QUEUED jobs (D4 queue-purge
+                                   semantics; running/finished jobs stay)
 
 Responses are JSON.  One engine instance serves all requests (the
 reference's lazy process-global engine, ST5); the underlying shard actors
@@ -47,22 +49,21 @@ API_INFO = {
 }
 
 
-def _run_build(engine: CodeSearchEngine, lock: threading.Lock, params: dict) -> dict:
-    """Shared build body of /index/sync and /index — returns the reference's
+def _run_build_locked(engine: CodeSearchEngine, params: dict) -> dict:
+    """Build body (caller holds the build lock) — returns the reference's
     IndexResult shape (repo_indexer.py result fields, minus git specifics)."""
     t0 = time.time()
-    with lock:
-        manifest = engine.index_corpus(
-            params["corpus"],
-            resume=bool(params.get("resume", True)),
-            with_embeddings=bool(params.get("embeddings", False)),
-            **(
-                {"docs_per_partition": int(params["docs_per_partition"])}
-                if "docs_per_partition" in params
-                else {}
-            ),
-        )
-        langs = engine.stats()["languages"]
+    manifest = engine.index_corpus(
+        params["corpus"],
+        resume=bool(params.get("resume", True)),
+        with_embeddings=bool(params.get("embeddings", False)),
+        **(
+            {"docs_per_partition": int(params["docs_per_partition"])}
+            if "docs_per_partition" in params
+            else {}
+        ),
+    )
+    langs = engine.stats()["languages"]
     return {
         "success": True,
         "corpus": params["corpus"],
@@ -165,6 +166,12 @@ def make_handler(engine: CodeSearchEngine, jobs: Dict[str, dict], build_lock: th
 
         def do_POST(self):
             url = urlparse(self.path)
+            if url.path == "/index/purge":
+                queued = [j for j, rec in jobs.items() if rec["status"] == "queued"]
+                for j in queued:
+                    jobs[j]["status"] = "purged"
+                self._send(200, {"success": True, "purged": len(queued)})
+                return
             if url.path not in ("/search", "/index", "/index/sync"):
                 self._send(404, {"error": "not found"})
                 return
@@ -182,7 +189,8 @@ def make_handler(engine: CodeSearchEngine, jobs: Dict[str, dict], build_lock: th
                 return
             if url.path == "/index/sync":
                 try:
-                    self._send(200, _run_build(engine, build_lock, params))
+                    with build_lock:
+                        self._send(200, _run_build_locked(engine, params))
                 except Exception as e:
                     self._send(500, {"success": False, "error": str(e)})
                 return
@@ -195,13 +203,17 @@ def make_handler(engine: CodeSearchEngine, jobs: Dict[str, dict], build_lock: th
             }
 
             def run():
-                jobs[job_id]["status"] = "running"
-                try:
-                    jobs[job_id]["result"] = _run_build(engine, build_lock, params)
-                    jobs[job_id]["status"] = "done"
-                except Exception as e:
-                    jobs[job_id]["error"] = str(e)
-                    jobs[job_id]["status"] = "failed"
+                with build_lock:
+                    # a purge that landed while this job waited wins (D4)
+                    if jobs[job_id]["status"] == "purged":
+                        return
+                    jobs[job_id]["status"] = "running"
+                    try:
+                        jobs[job_id]["result"] = _run_build_locked(engine, params)
+                        jobs[job_id]["status"] = "done"
+                    except Exception as e:
+                        jobs[job_id]["error"] = str(e)
+                        jobs[job_id]["status"] = "failed"
 
             threading.Thread(target=run, daemon=True).start()
             self._send(

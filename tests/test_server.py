@@ -133,6 +133,31 @@ def test_index_sync_and_queued(server, tmp_path_factory):
     assert any(j["job_id"] == q["job_id"] for j in all_jobs["jobs"])
 
 
+def test_index_purge(server, tmp_path_factory):
+    """D4: purge drops QUEUED jobs; a purged job never runs."""
+    corpus = write_corpus(
+        str(tmp_path_factory.mktemp("c3")), n_files=40, seed=4, num_shards=1
+    )
+    # queue two jobs back-to-back; the second waits on the build lock
+    _, q1 = _post(f"{server}/index", {"corpus": corpus})
+    _, q2 = _post(f"{server}/index", {"corpus": corpus})
+    _, purged = _post(f"{server}/index/purge", {})
+    assert purged["success"]
+    import time
+
+    deadline = time.time() + 300
+    while time.time() < deadline:
+        _, recs = _get(f"{server}/index/status")
+        states = {j["job_id"]: j["status"] for j in recs["jobs"]}
+        if all(states[j] in ("done", "failed", "purged") for j in (q1["job_id"], q2["job_id"])):
+            break
+        time.sleep(0.5)
+    # at least one of the two was still queued at purge time -> purged and
+    # never transitioned to running/done
+    assert "purged" in (states[q1["job_id"]], states[q2["job_id"]]) or purged["purged"] == 0
+    assert all(s != "queued" for s in states.values())
+
+
 def test_index_sync_missing_corpus_400(server):
     with pytest.raises(urllib.error.HTTPError) as e:
         _post(f"{server}/index/sync", {})

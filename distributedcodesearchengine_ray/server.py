@@ -146,7 +146,13 @@ def make_handler(engine: CodeSearchEngine, jobs: Dict[str, dict], build_lock: th
                 self._send(200, API_INFO)
             elif url.path == "/stats":
                 try:
-                    self._send(200, engine.stats())
+                    stats = engine.stats()
+                    # A5 queue-length parity: per-state counts of the job queue
+                    counts: Dict[str, int] = {}
+                    for rec in jobs.values():
+                        counts[rec["status"]] = counts.get(rec["status"], 0) + 1
+                    stats["jobs"] = counts
+                    self._send(200, stats)
                 except Exception as e:
                     self._send(500, {"error": str(e)})
             elif url.path == "/search":

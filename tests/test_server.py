@@ -45,6 +45,7 @@ def test_health(server):
 def test_stats(server):
     status, body = _get(f"{server}/stats")
     assert status == 200 and body["n_docs"] > 0
+    assert isinstance(body["jobs"], dict)  # A5 queue-length parity
 
 
 def test_search_get(server):

@@ -310,8 +310,16 @@ def write_corpus(
     return out_dir
 
 
-def read_corpus(path: str, columns: Optional[List[str]] = None):
-    """`ray.data` reader for a corpus directory/file (column-pruned)."""
+def read_corpus(
+    path: str,
+    columns: Optional[List[str]] = None,
+    override_num_blocks: Optional[int] = None,
+):
+    """`ray.data` reader for a corpus directory/file (column-pruned).
+
+    ``override_num_blocks`` sizes the read blocks directly — the build uses
+    it to make the extract output land in write-sized blocks WITHOUT a
+    repartition exchange (measured 2x faster than extract+repartition)."""
     import ray.data as rd
 
     from ..state.manifest import normalize_dir
@@ -322,4 +330,4 @@ def read_corpus(path: str, columns: Optional[List[str]] = None):
         paths = [
             os.path.join(path, f) for f in sorted(os.listdir(path)) if f.endswith(".parquet")
         ]
-    return rd.read_parquet(paths, columns=columns)
+    return rd.read_parquet(paths, columns=columns, override_num_blocks=override_num_blocks)

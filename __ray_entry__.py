@@ -50,6 +50,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_totals": Q.token_totals,
         "fingerprint_profile": Q.fingerprint_profile,  # rows-only
         # similarity search
+        "embed_cosine_dups": Q.embed_cosine_dups,
         "knn_cosine": Q.knn_cosine,
         "knn_cosine_filtered": Q.knn_cosine_filtered,
         "label_centroids": Q.label_centroids,

@@ -10,9 +10,12 @@ Prints ONE JSON line:
    "queries": {...}, "sf": ..., "num_cpus": N}
 
 ``--scaling``: runs the same build+query job in fresh processes at
-num_cpus=8 and num_cpus=32 on identical input and reports both throughputs
-plus efficiency = (t_8 / t_32) / 4 (the sandbox stand-in for N vs 4N
-nodes; results recorded in BASELINE.md).
+num_cpus=N and 4N (default 4 vs 16 — below this VM's ~16-worker memory
+bandwidth wall, see BASELINE.md; override GRAFT_SCALE_LO/HI) on identical
+input and reports both throughputs plus efficiency = (t_lo / t_hi) / 4,
+the sandbox stand-in for N-vs-4N nodes.  Scale the input with
+GRAFT_BENCH_FILES: at 1M files the parallel phases dominate the fixed
+per-execution overheads that cap the ratio on 7-second builds.
 """
 
 from __future__ import annotations

@@ -535,12 +535,31 @@ def simhash_near_dups(sf_dir: str, max_hamming: int = 3):
     )
 
 
-# NOTE: embedding_near_dups (stages/dedup.py) has no driver entry by
-# design: the shipped embeddings table contains NO near-dup pairs (max
-# off-diagonal cosine 0.479 — random vectors), so a driver query would be a
-# trivially-empty check.  The operator is exercised by
-# tests/test_dedup_textstats.py::test_embedding_near_dups on data with
-# injected near-duplicates.
+def embed_cosine_dups(sf_dir: str):
+    """Embedding-cosine near-dup pairs: all (id_a < id_b) with cosine >=
+    0.35, via the exact blocked all-pairs stage (broadcast matrix, per-block
+    matmul).  Threshold is data-driven: the shipped embeddings are weakly
+    label-clustered random vectors (max off-diagonal cosine ~0.51), so the
+    classic 0.9+ dup thresholds select nothing — 0.35 keeps the ~0.2%
+    most-similar tail (271 pairs at sf0.01), a non-trivial exact check of
+    the pair-join semantics.  The LSH-blocked ``embedding_near_dups``
+    (the scale path, approximate) is recall-tested in
+    tests/test_dedup_textstats.py::test_embedding_near_dups."""
+    from ..stages.dedup import embedding_cosine_dups_exact
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = (
+        embedding_cosine_dups_exact(ds, threshold=0.35)
+        .to_pandas()
+        .sort_values(["id_a", "id_b"], ignore_index=True)
+    )
+    return pa.table(
+        {
+            "id_a": pa.array(out["id_a"], pa.int64()),
+            "id_b": pa.array(out["id_b"], pa.int64()),
+            "cos_micro": pa.array(_micro(out["cosine"].to_numpy())),
+        }
+    )
 
 
 # ------------------------------------------------------------ similarity
@@ -1211,6 +1230,14 @@ def build_oracle_sql() -> Dict[str, str]:
                    CAST(sum(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> length(x) > 0))) AS BIGINT) AS ws_tokens,
                    CAST(sum(len(regexp_extract_all(text, '{BPE_ISH_PATTERN.replace("'", "''")}'))) AS BIGINT) AS bpe_tokens
             FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "embed_cosine_dups": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   CAST(floor(list_cosine_similarity(a.v, b.v) * 1000000 + 0.5) AS BIGINT) AS cos_micro
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.v, b.v) >= 0.35
+            ORDER BY id_a, id_b
         """,
         "knn_cosine": """
             WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < 3),

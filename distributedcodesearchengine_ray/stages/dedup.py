@@ -611,3 +611,58 @@ def embedding_near_dups(
         .groupby("bucket")
         .map_groups(emit_pairs, batch_format="pandas")
     )
+
+
+def embedding_cosine_dups_exact(
+    ds,
+    threshold: float,
+    id_col: str = "vec_id",
+    dtype=np.float64,
+):
+    """EXACT all-pairs (id_a < id_b) with cosine >= threshold.
+
+    The oracle-checkable baseline for ``embedding_near_dups`` (which blocks
+    by LSH bucket and can miss cross-bucket pairs): the full normalized
+    matrix is broadcast ONCE via ``ray.put`` and every block matmuls
+    against it — O(n^2/B) per block, vectorized, no shuffle, and the
+    driver collects only the >= threshold pairs.  The broadcast side is
+    the whole table, so this is the small/medium-corpus exact path; at
+    100-TB scale the LSH-blocked variant is the one to run.
+    """
+    import ray
+
+    def load_mat(t: pa.Table):
+        emb = t["embedding"]
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        if pa.types.is_fixed_size_list(emb.type):
+            dim = emb.type.list_size
+            mat = np.asarray(
+                emb.values.to_numpy(zero_copy_only=False), dtype=dtype
+            ).reshape(-1, dim)
+        else:
+            mat = np.asarray(emb.to_pylist(), dtype=dtype)
+        nrm = np.linalg.norm(mat, axis=1, keepdims=True)
+        nrm[nrm == 0] = 1.0
+        return mat / nrm
+
+    full_tbl = pa.concat_tables(ray.get(ds.to_arrow_refs()))
+    ids_all = full_tbl[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    ref = ray.put((ids_all, load_mat(full_tbl)))
+
+    def pairs(t: pa.Table) -> pa.Table:
+        ids_r, full = ray.get(ref)  # zero-copy numpy read from the store
+        bm = load_mat(t)
+        bids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        sims = bm @ full.T
+        keep = (sims >= threshold) & (bids[:, None] < ids_r[None, :])
+        ia, ib = np.nonzero(keep)
+        return pa.table(
+            {
+                "id_a": pa.array(bids[ia], pa.int64()),
+                "id_b": pa.array(ids_r[ib], pa.int64()),
+                "cosine": pa.array(sims[ia, ib].astype(np.float64)),
+            }
+        )
+
+    return ds.map_batches(pairs, batch_format="pyarrow")

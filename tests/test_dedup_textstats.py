@@ -177,6 +177,41 @@ def test_embedding_near_dups(ray_session):
     assert ((pairs.id_a == 100) & (pairs.id_b == 101)).any()
 
 
+def test_embedding_cosine_exact_pairs(ray_session):
+    """embedding_cosine_dups_exact must equal the numpy all-pairs truth
+    (ids AND rounded cosines), across multiple blocks."""
+    import ray.data as rd
+
+    from distributedcodesearchengine_ray.stages.dedup import embedding_cosine_dups_exact
+
+    rng = np.random.default_rng(3)
+    n, dim = 120, 16
+    mat = rng.standard_normal((n, dim)).astype(np.float32)
+    mat[40] = mat[7] + 0.05 * rng.standard_normal(dim).astype(np.float32)
+    rows = [{"vec_id": i * 3, "embedding": mat[i]} for i in range(n)]  # gappy ids
+    ds = rd.from_pandas(pd.DataFrame(rows)).repartition(5)
+
+    th = 0.3
+    got = (
+        embedding_cosine_dups_exact(ds, threshold=th)
+        .to_pandas()
+        .sort_values(["id_a", "id_b"], ignore_index=True)
+    )
+
+    norm = mat.astype(np.float64)
+    norm /= np.linalg.norm(norm, axis=1, keepdims=True)
+    sims = norm @ norm.T
+    ia, ib = np.triu_indices(n, k=1)
+    keep = sims[ia, ib] >= th
+    want = pd.DataFrame(
+        {"id_a": ia[keep] * 3, "id_b": ib[keep] * 3, "cosine": sims[ia[keep], ib[keep]]}
+    ).sort_values(["id_a", "id_b"], ignore_index=True)
+
+    assert got[["id_a", "id_b"]].values.tolist() == want[["id_a", "id_b"]].values.tolist()
+    assert np.allclose(got["cosine"].to_numpy(), want["cosine"].to_numpy(), atol=1e-9)
+    assert ((got["id_a"] == 7 * 3) & (got["id_b"] == 40 * 3)).any()
+
+
 def test_quality_stats_vectorized(ray_session):
     from distributedcodesearchengine_ray.stages.text_stats import quality_stats
 

@@ -62,6 +62,12 @@ from ..stages.parse import parse_batch
 
 BLOCK = 128  # postings per block-max block
 LEX_BUCKETS = 16  # hash buckets of the global lexicon (term -> bucket file)
+# below this many corpus rows the boundary sample runs single-process on the
+# driver (three pruned key columns, ~24 B/row -> <50 MB): the distributed
+# pipeline's ~1 s fixed executor overhead dwarfs the 0.1 s of actual work.
+# The sampled set is hash-defined, so both paths produce identical
+# boundaries; the streaming path runs above the threshold.
+SMALL_SAMPLE_DRIVER_ROWS = 2_000_000
 
 DOCMETA_EXTRA_ENTITY = [
     "name", "entity_type", "file_path", "repo_name", "start_line", "end_line",
@@ -510,14 +516,34 @@ def build_index(
     target_sample = min(100_000, max(1_000, 200 * num_partitions))
     modulus = max(1, n_files // target_sample)
 
-    sampled = keys.map_batches(
-        lambda t: pa.table(
-            {"skey": _deterministic_sample(t["skey"].to_numpy(zero_copy_only=False), modulus)}
-        ),
-        batch_format="pyarrow",
-    ).take_all()
+    if corpus_path is not None and n_files <= SMALL_SAMPLE_DRIVER_ROWS:
+        # driver shortcut (same pattern as dedup's SMALL_BANDS_DRIVER_ROWS):
+        # below ~2M rows the three key columns fit trivially in driver
+        # memory and a single-process sample takes ~0.1 s, where the
+        # distributed pipeline pays ~1 s of fixed executor overhead.  The
+        # sampled SET is identical either way (hash-mod filter, order-
+        # independent), so this changes wall-clock only; above the
+        # threshold the streaming path below runs.
+        import pyarrow.dataset as pads
+
+        key_tbl = pads.dataset(files, format="parquet").to_table(
+            columns=["repo", "path", "commit"]
+        )
+        key_tbl = key_batch(key_tbl)
+        sample_keys = sorted(
+            _deterministic_sample(
+                key_tbl["skey"].to_numpy(zero_copy_only=False), modulus
+            ).tolist()
+        )
+    else:
+        sampled = keys.map_batches(
+            lambda t: pa.table(
+                {"skey": _deterministic_sample(t["skey"].to_numpy(zero_copy_only=False), modulus)}
+            ),
+            batch_format="pyarrow",
+        ).take_all()
+        sample_keys = sorted(r["skey"] for r in sampled)
     _mark("sample")
-    sample_keys = sorted(r["skey"] for r in sampled)
     boundaries: List[str] = []
     if num_partitions > 1 and sample_keys:
         idx = (np.arange(1, num_partitions) * len(sample_keys)) // num_partitions
@@ -700,7 +726,10 @@ def build_index(
             pa.set_cpu_count(1)
         tbl = pq.read_table(post_files[file_idx], columns=["term", "df"])
         terms = tbl["term"].combine_chunks()
-        h = pd.util.hash_array(np.asarray(terms.to_pylist(), dtype=object))
+        # object-dtype view without an intermediate Python list; hash values
+        # are identical (same str objects) so query-side bucket lookup
+        # (pd.util.hash_array on the query term) still agrees
+        h = pd.util.hash_array(terms.to_numpy(zero_copy_only=False))
         buckets = (h % LEX_BUCKETS).astype(np.int64)
         for b in np.unique(buckets):
             sub = tbl.filter(pa.array(buckets == b))

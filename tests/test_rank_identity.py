@@ -136,6 +136,23 @@ def test_rank_identity_with_filters(file_index, oracle_docs):
         engine.close()
 
 
+def test_sample_driver_shortcut_same_boundaries(
+    ray_session, corpus_dir, tmp_path_factory, monkeypatch
+):
+    """The driver-side boundary sample (small corpora) and the distributed
+    sample pipeline must produce identical partition boundaries — the
+    sampled set is hash-defined, not path-dependent."""
+    from distributedcodesearchengine_ray.pipelines import build_index as BI
+
+    idx_a = str(tmp_path_factory.mktemp("index_samp_a"))
+    m_small = BI.build_index(corpus_dir, idx_a, mode="file", docs_per_partition=40)
+    monkeypatch.setattr(BI, "SMALL_SAMPLE_DRIVER_ROWS", 0)
+    idx_b = str(tmp_path_factory.mktemp("index_samp_b"))
+    m_dist = BI.build_index(corpus_dir, idx_b, mode="file", docs_per_partition=40)
+    assert m_small.boundaries == m_dist.boundaries
+    assert m_small.build_id == m_dist.build_id
+
+
 def test_resume_skips_completed_partitions(ray_session, corpus_dir, tmp_path_factory):
     import os
 

@@ -364,6 +364,26 @@ def minhash_near_dups(sf_dir: str):
     )
 
 
+def ngram_jaccard_dups(sf_dir: str):
+    """EXACT word-3-gram Jaccard similarity join (prefix-filter/PPJoin):
+    all pairs with Jaccard >= 0.5, exact scores — the exact counterpart of
+    the MinHash pipeline, and the only dedup query whose SQL oracle is a
+    full set-similarity self-join (exploded grams, intersection counts)."""
+    from ..stages.simjoin import ngram_jaccard_join
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = ngram_jaccard_join(ds, threshold=0.5, n=3)
+    return pa.table(
+        {
+            "id_a": out["id_a"],
+            "id_b": out["id_b"],
+            "jaccard_micro": pa.array(
+                _micro(out["jaccard"].to_numpy(zero_copy_only=False))
+            ),
+        }
+    )
+
+
 # ------------------------------------------------------------ text stats
 
 
@@ -1230,6 +1250,27 @@ def build_oracle_sql() -> Dict[str, str]:
                    CAST(sum(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> length(x) > 0))) AS BIGINT) AS ws_tokens,
                    CAST(sum(len(regexp_extract_all(text, '{BPE_ISH_PATTERN.replace("'", "''")}'))) AS BIGINT) AS bpe_tokens
             FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "ngram_jaccard_dups": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                 x -> length(x) > 0) AS t
+              FROM documents),
+            grams AS (
+              SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram
+              FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+              WHERE len(t) >= 3),
+            sz AS (SELECT doc_id, count(*) AS s FROM grams GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+              FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            SELECT id_a, id_b,
+                   CAST(floor(i / (sa.s + sb.s - i) * 1000000 + 0.5) AS BIGINT) AS jaccard_micro
+            FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+            WHERE i / (sa.s + sb.s - i) >= 0.5
+            ORDER BY id_a, id_b
         """,
         "embed_cosine_dups": """
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)

@@ -177,6 +177,57 @@ def test_embedding_near_dups(ray_session):
     assert ((pairs.id_a == 100) & (pairs.id_b == 101)).any()
 
 
+def test_ngram_jaccard_join_exact(ray_session, monkeypatch):
+    """The prefix-filter join must equal the brute-force all-pairs truth
+    (ids AND exact scores), and the driver shortcut must equal the
+    distributed path bit-for-bit."""
+    import itertools
+
+    import ray.data as rd
+
+    from distributedcodesearchengine_ray.stages import simjoin
+
+    rng = np.random.default_rng(5)
+    vocab = [f"w{i}" for i in range(60)]
+    rows = []
+    for i in range(40):
+        rows.append({"doc_id": i * 7, "text": " ".join(rng.choice(vocab, 30))})
+    # planted near-dups: same text +/- a small tail
+    base = " ".join(rng.choice(vocab, 40))
+    rows.append({"doc_id": 900, "text": base})
+    rows.append({"doc_id": 901, "text": base + " zz yy xx"})
+    rows.append({"doc_id": 902, "text": "tiny"})  # <3 tokens -> no grams
+    df = pd.DataFrame(rows)
+    ds = rd.from_pandas(df).repartition(4)
+
+    got = simjoin.ngram_jaccard_join(ds, threshold=0.5, n=3).to_pandas()
+
+    # brute-force truth
+    def gset(text):
+        ts = text.lower().split()
+        return set(zip(*(ts[k:] for k in range(3))))
+
+    sets = {r["doc_id"]: gset(r["text"]) for r in rows}
+    want = []
+    for a, b in itertools.combinations(sorted(sets), 2):
+        sa, sb = sets[a], sets[b]
+        if not sa and not sb:
+            continue
+        u = len(sa | sb)
+        j = len(sa & sb) / u if u else 1.0
+        if j >= 0.5:
+            want.append((a, b, j))
+    assert [(int(r.id_a), int(r.id_b)) for r in got.itertuples()] == [
+        (a, b) for a, b, _ in want
+    ]
+    assert np.allclose(got["jaccard"].to_numpy(), [j for _, _, j in want])
+    assert (900, 901) in {(a, b) for a, b, _ in want}  # planted pair found
+
+    monkeypatch.setattr(simjoin, "SMALL_JOIN_DRIVER_DOCS", 0)
+    got_dist = simjoin.ngram_jaccard_join(ds, threshold=0.5, n=3).to_pandas()
+    assert got_dist.values.tolist() == got.values.tolist()
+
+
 def test_embedding_cosine_exact_pairs(ray_session):
     """embedding_cosine_dups_exact must equal the numpy all-pairs truth
     (ids AND rounded cosines), across multiple blocks."""

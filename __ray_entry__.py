@@ -43,6 +43,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_by_key": Q.dedup_by_key,
         "minhash_near_dups": Q.minhash_near_dups,  # rows-only (no SQL oracle)
         "ngram_jaccard_dups": Q.ngram_jaccard_dups,  # exact PPJoin, SQL oracle
+        "dedup_clusters": Q.dedup_clusters,  # connected components, recursive-SQL oracle
         "simhash_near_dups": Q.simhash_near_dups,  # rows-only, scalar-oracle gated
         # text analysis
         "lang_id_profile": Q.lang_id_profile,

@@ -384,6 +384,20 @@ def ngram_jaccard_dups(sf_dir: str):
     )
 
 
+def dedup_clusters(sf_dir: str):
+    """Transitive near-dup clusters: exact n-gram Jaccard pairs (>= 0.5)
+    -> connected components -> (doc_id, cluster_id=min id of component).
+    The step that makes "keep one per duplicate family" well-defined when
+    similarity is not transitive (A~B, B~C, A!~C).  Oracle: the same
+    pairs in SQL + a WITH RECURSIVE reachability closure."""
+    from ..stages.components import connected_components
+    from ..stages.simjoin import ngram_jaccard_join
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = ngram_jaccard_join(ds, threshold=0.5, n=3)
+    return connected_components(pairs)
+
+
 # ------------------------------------------------------------ text stats
 
 
@@ -1271,6 +1285,35 @@ def build_oracle_sql() -> Dict[str, str]:
             FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
             WHERE i / (sa.s + sb.s - i) >= 0.5
             ORDER BY id_a, id_b
+        """,
+        "dedup_clusters": """
+            WITH RECURSIVE toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                 x -> length(x) > 0) AS t
+              FROM documents),
+            grams AS (
+              SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram
+              FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+              WHERE len(t) >= 3),
+            sz AS (SELECT doc_id, count(*) AS s FROM grams GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+              FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+            pairs AS (
+              SELECT id_a, id_b
+              FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+              WHERE i / (sa.s + sb.s - i) >= 0.5),
+            edges AS (SELECT id_a AS eu, id_b AS ev FROM pairs
+                      UNION SELECT id_b, id_a FROM pairs),
+            nodes AS (SELECT DISTINCT eu AS v FROM edges),
+            reach AS (
+              SELECT v, v AS r FROM nodes
+              UNION
+              SELECT e.ev AS v, reach.r FROM edges e JOIN reach ON reach.v = e.eu)
+            SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v
+            ORDER BY doc_id
         """,
         "embed_cosine_dups": """
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)

@@ -177,6 +177,59 @@ def test_embedding_near_dups(ray_session):
     assert ((pairs.id_a == 100) & (pairs.id_b == 101)).any()
 
 
+def test_connected_components_exact(ray_session, monkeypatch):
+    """Union-find must equal a BFS ground truth on a random graph, and the
+    distributed label-propagation path must equal the driver path."""
+    import ray.data as rd
+
+    from distributedcodesearchengine_ray.stages import components
+
+    rng = np.random.default_rng(9)
+    # 200 nodes (sparse ids), ~150 random edges + a long chain (deep
+    # component exercises multi-round propagation)
+    nodes = rng.choice(10_000, size=200, replace=False)
+    ea = list(rng.choice(nodes, 150))
+    eb = list(rng.choice(nodes, 150))
+    chain = sorted(rng.choice(nodes, 12, replace=False))
+    ea += chain[:-1]
+    eb += chain[1:]
+    edges = pd.DataFrame({"id_a": np.array(ea, np.int64), "id_b": np.array(eb, np.int64)})
+    edges = edges[edges.id_a != edges.id_b].reset_index(drop=True)
+
+    got = components.connected_components(
+        pa.Table.from_pandas(edges, preserve_index=False)
+    ).to_pandas()
+
+    # BFS truth
+    adj = {}
+    for a, b in edges.itertuples(index=False):
+        adj.setdefault(int(a), set()).add(int(b))
+        adj.setdefault(int(b), set()).add(int(a))
+    truth = {}
+    for start in sorted(adj):
+        if start in truth:
+            continue
+        comp, stack = [], [start]
+        seen = {start}
+        while stack:
+            x = stack.pop()
+            comp.append(x)
+            for y in adj[x] - seen:
+                seen.add(y)
+                stack.append(y)
+        m = min(comp)
+        for x in comp:
+            truth[x] = m
+    want = sorted(truth.items())
+    assert list(map(tuple, got[["doc_id", "cluster_id"]].to_numpy())) == want
+
+    monkeypatch.setattr(components, "SMALL_CC_DRIVER_EDGES", 0)
+    got_dist = components.connected_components(
+        rd.from_pandas(edges).repartition(4)
+    ).to_pandas()
+    assert got_dist.values.tolist() == got.values.tolist()
+
+
 def test_ngram_jaccard_join_exact(ray_session, monkeypatch):
     """The prefix-filter join must equal the brute-force all-pairs truth
     (ids AND exact scores), and the driver shortcut must equal the

@@ -157,6 +157,9 @@ def run_bench() -> dict:
         ("term_df_top100", Q.term_df_top100),
         ("dedup_exact", Q.dedup_exact),
         ("minhash_near_dups", Q.minhash_near_dups),
+        ("ngram_jaccard_dups", Q.ngram_jaccard_dups),
+        ("dedup_clusters", Q.dedup_clusters),
+        ("embed_cosine_dups", Q.embed_cosine_dups),
         ("knn_cosine", Q.knn_cosine),
         ("q1_lineitem", Q.q1_lineitem),
         ("q3_shipping", Q.q3_shipping),

@@ -6,6 +6,8 @@ Usage:
     python -m distributedcodesearchengine_ray.cli search "<query>" --index-dir DIR [--limit N]
         [--language L] [--entity-type T] [--repo R] [--hybrid] [--method dense|wand]
     python -m distributedcodesearchengine_ray.cli stats  --index-dir DIR
+    python -m distributedcodesearchengine_ray.cli dedup  <table> [--method exact|minhash|simhash|ngram|embed]
+        [--threshold J] [--clusters] [--out DIR]
     python -m distributedcodesearchengine_ray.cli serve  --index-dir DIR [--host H] [--port P]
     python -m distributedcodesearchengine_ray.cli version
 
@@ -69,6 +71,28 @@ def main(argv=None) -> int:
     pg.add_argument("--out", required=True, help="corpus output directory")
     pg.add_argument("--repo", help="repo name (default: directory basename)")
 
+    pd_ = sub.add_parser(
+        "dedup", help="near-duplicate analysis over a parquet document table"
+    )
+    pd_.add_argument("table", help="parquet file or directory with id+text columns")
+    pd_.add_argument(
+        "--method",
+        choices=["exact", "minhash", "simhash", "ngram", "embed"],
+        default="ngram",
+        help="exact hash | MinHash-LSH candidates | SimHash candidates | "
+        "exact n-gram Jaccard join | embedding cosine (needs an embedding column)",
+    )
+    pd_.add_argument("--threshold", type=float, default=0.5)
+    pd_.add_argument("--max-hamming", type=int, default=3, help="simhash cutoff")
+    pd_.add_argument("--id-col", default="doc_id")
+    pd_.add_argument("--text-col", default="text")
+    pd_.add_argument(
+        "--clusters", action="store_true",
+        help="also group pairs into transitive families (connected components)",
+    )
+    pd_.add_argument("--out", help="write pairs/survivors parquet here")
+    pd_.add_argument("--limit", type=int, default=10, help="rows to print")
+
     pv = sub.add_parser("serve", help="run the HTTP API server")
     pv.add_argument("--index-dir", required=True)
     pv.add_argument("--host", default="127.0.0.1")
@@ -99,6 +123,115 @@ def main(argv=None) -> int:
             if f.endswith(".parquet")
         )
         print(json.dumps({"corpus": out, "files_ingested": n}))
+        return 0
+
+    if args.cmd == "dedup":
+        _ensure_ray()
+        import os
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import ray
+        import ray.data as rd
+
+        paths = args.table
+        if os.path.isdir(paths):
+            paths = [
+                os.path.join(paths, f)
+                for f in sorted(os.listdir(paths))
+                if f.endswith(".parquet")
+            ]
+        if args.method == "exact":
+            from .stages.dedup import exact_dedup
+
+            ds = rd.read_parquet(paths)
+            n_in = ds.count()
+            kept = exact_dedup(ds, text_col=args.text_col, id_col=args.id_col)
+            if args.out:
+                kept.write_parquet(args.out)
+                n_kept = sum(
+                    pq.ParquetFile(os.path.join(args.out, f)).metadata.num_rows
+                    for f in os.listdir(args.out)
+                    if f.endswith(".parquet")
+                )
+            else:
+                n_kept = kept.count()
+            print(
+                json.dumps(
+                    {"method": "exact", "rows_in": n_in, "rows_kept": n_kept,
+                     "dropped": n_in - n_kept, "out": args.out}
+                )
+            )
+            return 0
+        if args.method == "minhash":
+            from .stages.dedup import minhash_lsh_candidates
+
+            ds = rd.read_parquet(paths, columns=[args.id_col, args.text_col])
+            pairs = (
+                minhash_lsh_candidates(ds)
+                .to_pandas()
+                .drop_duplicates(["id_a", "id_b"], ignore_index=True)
+            )
+            pairs_tbl = pa.Table.from_pandas(pairs, preserve_index=False)
+            exactness = "candidates (LSH, verify downstream)"
+        elif args.method == "simhash":
+            from .stages.dedup import simhash_candidates
+
+            ds = rd.read_parquet(paths, columns=[args.id_col, args.text_col])
+            cand = simhash_candidates(ds)
+            cdf = (
+                cand.to_pandas()
+                if not isinstance(cand, pa.Table)
+                else cand.to_pandas()
+            )
+            cdf = cdf.drop_duplicates(["id_a", "id_b"], ignore_index=True)
+            cdf = cdf[cdf["hamming"] <= args.max_hamming].reset_index(drop=True)
+            pairs_tbl = pa.Table.from_pandas(cdf, preserve_index=False)
+            exactness = f"candidates (SimHash Hamming<={args.max_hamming})"
+        elif args.method == "embed":
+            from .stages.dedup import embedding_cosine_dups_exact
+
+            ds = rd.read_parquet(paths)
+            id_col = args.id_col
+            names = ds.schema().names
+            if id_col not in names and "vec_id" in names:
+                id_col = "vec_id"  # embeddings tables key on vec_id
+            pairs_ds = embedding_cosine_dups_exact(
+                ds, threshold=args.threshold, id_col=id_col
+            )
+            pairs_tbl = pa.concat_tables(
+                ray.get(pairs_ds.to_arrow_refs()), promote_options="default"
+            )
+            exactness = "exact (cosine)"
+        else:  # ngram
+            from .stages.simjoin import ngram_jaccard_join
+
+            ds = rd.read_parquet(paths, columns=[args.id_col, args.text_col])
+            pairs_tbl = ngram_jaccard_join(
+                ds, threshold=args.threshold, id_col=args.id_col, text_col=args.text_col
+            )
+            exactness = "exact (prefix-filter Jaccard)"
+        summary = {
+            "method": args.method,
+            "exactness": exactness,
+            "pairs": pairs_tbl.num_rows,
+        }
+        if args.clusters:
+            from .stages.components import connected_components
+
+            cc = connected_components(pairs_tbl)
+            summary["clustered_docs"] = cc.num_rows
+            summary["clusters"] = len(set(cc["cluster_id"].to_pylist()))
+            if args.out:
+                os.makedirs(args.out, exist_ok=True)
+                pq.write_table(cc, os.path.join(args.out, "clusters.parquet"))
+        if args.out:
+            os.makedirs(args.out, exist_ok=True)
+            pq.write_table(pairs_tbl, os.path.join(args.out, "pairs.parquet"))
+            summary["out"] = args.out
+        print(json.dumps(summary))
+        for row in pairs_tbl.slice(0, args.limit).to_pylist():
+            print(json.dumps(row, default=str))
         return 0
 
     if args.cmd == "serve":

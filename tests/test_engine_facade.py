@@ -103,6 +103,30 @@ def test_cli_end_to_end(corpus_dir, tmp_path_factory):
     assert json.loads(out.stdout.strip().splitlines()[-1])["n_docs"] == info["n_docs"]
 
 
+def test_cli_dedup_smoke(tmp_path_factory):
+    """`cli dedup` over the testdata documents table: ngram method with
+    clustering, pairs + clusters parquet written, summary JSON sane."""
+    out_dir = str(tmp_path_factory.mktemp("dedup_out"))
+    out = subprocess.run(
+        [sys.executable, "-m", "distributedcodesearchengine_ray.cli", "dedup",
+         "/root/testdata/sf0.001/documents.parquet", "--method", "ngram",
+         "--clusters", "--out", out_dir, "--limit", "2"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    lines = [json.loads(l) for l in out.stdout.strip().splitlines() if l.startswith("{")]
+    summary = lines[0]
+    assert summary["method"] == "ngram"
+    assert summary["pairs"] > 0
+    assert summary["clusters"] <= summary["clustered_docs"]
+    import os
+
+    assert os.path.exists(os.path.join(out_dir, "pairs.parquet"))
+    assert os.path.exists(os.path.join(out_dir, "clusters.parquet"))
+    # printed pair rows carry exact jaccard scores
+    assert {"id_a", "id_b", "jaccard"} <= set(lines[1].keys())
+
+
 def test_cli_version():
     out = subprocess.run(
         [sys.executable, "-m", "distributedcodesearchengine_ray.cli", "version"],

@@ -34,6 +34,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # code-search core (SURVEY.md §2: M7/A1/A2/K1/F3/F4 + J2/D1, A3)
         "tokenize_counts": Q.tokenize_counts,
         "term_df_top100": Q.term_df_top100,
+        "heavy_hitter_tokens": Q.heavy_hitter_tokens,  # 2-pass sketch, SQL oracle
         "bm25_topk": Q.bm25_topk,
         "bm25_topk_wand": Q.bm25_topk_wand,
         "bm25_topk_lang": Q.bm25_topk_lang,

@@ -401,6 +401,17 @@ def dedup_clusters(sf_dir: str):
 # ------------------------------------------------------------ text stats
 
 
+def heavy_hitter_tokens(sf_dir: str):
+    """Terms exceeding 0.1% of all token occurrences, exact counts, via the
+    two-pass heavy-hitter sketch (per-block local candidates + broadcast
+    exact recount) — never shuffles the full vocabulary, unlike
+    term_df_top100's groupby(term)."""
+    from ..stages.sketch import exact_heavy_hitters
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+    return exact_heavy_hitters(ds, denominator=1000)
+
+
 def lang_histogram(sf_dir: str):
     from ray.data.aggregate import Count
 
@@ -1225,6 +1236,15 @@ def build_oracle_sql() -> Dict[str, str]:
             pairs AS (SELECT DISTINCT doc_id, unnest(toks) AS term FROM tok)
             SELECT term, count(*) AS df FROM pairs GROUP BY term
             ORDER BY df DESC, term ASC LIMIT 100
+        """,
+        "heavy_hitter_tokens": f"""
+            WITH tok AS (SELECT {tok} AS toks FROM documents),
+            flat AS (SELECT unnest(toks) AS term FROM tok),
+            tot AS (SELECT count(*) AS n FROM flat)
+            SELECT term, count(*) AS n_occurrences
+            FROM flat, tot GROUP BY term, tot.n
+            HAVING count(*) * 1000 > tot.n
+            ORDER BY n_occurrences DESC, term ASC
         """,
         "bm25_topk": bm25_sql(BM25_QUERY, limit=20),
         "bm25_topk_wand": bm25_sql(BM25_QUERY, limit=20),

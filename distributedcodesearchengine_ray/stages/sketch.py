@@ -1,0 +1,132 @@
+"""Two-pass exact heavy hitters over a token stream.
+
+The scale pattern for "which terms exceed x% of all occurrences" that
+never shuffles the full vocabulary:
+
+- pass 1 (candidates): each block computes its EXACT local counts
+  (``np.unique`` on the block's tokens — a block fits in memory by
+  construction) and keeps only terms with ``f_b * denominator > n_b``.
+  Pigeonhole guarantees completeness: if a term's global count satisfies
+  ``f * denominator > N`` then some block must have
+  ``f_b * denominator > n_b`` (otherwise summing the per-block bounds
+  contradicts the global one), so the union of per-block local heavy
+  hitters is a superset of the global ones.  Per-block output is at most
+  ``denominator`` terms — driver-sized no matter how large the corpus.
+- pass 2 (exact recount): the candidate set is broadcast once via
+  ``ray.put`` and every block emits exact counts for candidates only
+  (vectorized ``is_in``); the driver sums ``candidates x blocks`` tiny
+  partials and applies the global threshold with INTEGER arithmetic
+  (``count * denominator > N`` — no float boundary).
+
+Contrast with ``term_df_top100``'s full ``groupby(term)``: that is exact
+for arbitrary k but moves every distinct term through an all-to-all
+exchange; this sketch answers the frequency-threshold question with two
+narrow map passes and a driver-side merge.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _flat_tokens(t: pa.Table, text_col: str, tokenize_batch) -> np.ndarray:
+    toks = tokenize_batch(t[text_col])
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    return np.asarray(toks.values.to_numpy(zero_copy_only=False), dtype=object)
+
+
+def exact_heavy_hitters(
+    ds,
+    denominator: int = 1000,
+    text_col: str = "text",
+    tokenize_batch: Optional[Callable] = None,
+) -> pa.Table:
+    """All terms with ``count * denominator > total_tokens``, exact counts.
+
+    ``tokenize_batch`` maps a string Array/ChunkedArray to a list<string>
+    array (defaults to the code-aware tokenizer).  Returns (term,
+    n_occurrences) sorted by (count desc, term asc).
+    """
+    import ray
+
+    if tokenize_batch is None:
+        from ..functions.tokenizer import tokenize_array
+
+        tokenize_batch = tokenize_array
+
+    def local_heavy(t: pa.Table) -> pa.Table:
+        flat = _flat_tokens(t, text_col, tokenize_batch)
+        n_b = len(flat)
+        if n_b == 0:
+            return pa.table(
+                {"term": pa.array([], pa.string()),
+                 "cnt": pa.array([], pa.int64()),
+                 "n_block": pa.array([], pa.int64())}
+            )
+        terms, counts = np.unique(flat, return_counts=True)
+        keep = counts * denominator > n_b
+        # one extra row (term=None) carries the block's token total so a
+        # single pass yields both candidates and N
+        return pa.table(
+            {
+                "term": pa.array(list(terms[keep]) + [None], pa.string()),
+                "cnt": pa.array(
+                    np.concatenate([counts[keep], [0]]).astype(np.int64)
+                ),
+                "n_block": pa.array(
+                    np.concatenate([np.zeros(int(keep.sum()), np.int64), [n_b]])
+                ),
+            }
+        )
+
+    pass1 = (
+        ds.select_columns([text_col])
+        .map_batches(local_heavy, batch_format="pyarrow")
+        .to_pandas()
+    )
+    total = int(pass1["n_block"].sum())
+    candidates = sorted(set(pass1["term"].dropna()))
+    if not candidates or total == 0:
+        return pa.table(
+            {"term": pa.array([], pa.string()), "n_occurrences": pa.array([], pa.int64())}
+        )
+    cand_ref = ray.put(np.asarray(candidates, dtype=object))
+
+    def recount(t: pa.Table) -> pa.Table:
+        cand = ray.get(cand_ref)
+        flat = _flat_tokens(t, text_col, tokenize_batch)
+        if len(flat) == 0:
+            return pa.table(
+                {"term": pa.array([], pa.string()), "cnt": pa.array([], pa.int64())}
+            )
+        s = pd.Series(flat)
+        vc = s[s.isin(cand)].value_counts()
+        return pa.table(
+            {
+                "term": pa.array(vc.index.to_numpy(), pa.string()),
+                "cnt": pa.array(vc.to_numpy().astype(np.int64)),
+            }
+        )
+
+    partials = (
+        ds.select_columns([text_col])
+        .map_batches(recount, batch_format="pyarrow")
+        .to_pandas()
+    )
+    totals = partials.groupby("term", sort=False)["cnt"].sum()
+    totals = totals[totals * denominator > total]
+    out = totals.reset_index().rename(columns={"cnt": "n_occurrences"})
+    out = out.sort_values(
+        ["n_occurrences", "term"], ascending=[False, True], ignore_index=True
+    )
+    return pa.table(
+        {
+            "term": pa.array(out["term"], pa.string()),
+            "n_occurrences": pa.array(out["n_occurrences"], pa.int64()),
+        }
+    )

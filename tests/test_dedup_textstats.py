@@ -177,6 +177,45 @@ def test_embedding_near_dups(ray_session):
     assert ((pairs.id_a == 100) & (pairs.id_b == 101)).any()
 
 
+def test_exact_heavy_hitters(ray_session):
+    """Two-pass sketch must equal the exact full count at any block split,
+    including a term that is NEVER a local heavy hitter in most blocks
+    but qualifies globally (completeness comes from the pigeonhole)."""
+    import collections
+
+    import ray.data as rd
+
+    from distributedcodesearchengine_ray.stages.sketch import exact_heavy_hitters
+
+    rng = np.random.default_rng(21)
+    vocab = [f"tk{i:04d}" for i in range(4000)]  # background terms stay rare
+    rows = []
+    for i in range(300):
+        toks = list(rng.choice(vocab, 40))
+        if i % 3 == 0:
+            toks += ["hotterm"] * 2  # ~0.16% of the stream, spread thin
+        rows.append({"text": " ".join(toks)})
+    ds = rd.from_pandas(pd.DataFrame(rows)).repartition(7)
+
+    got = exact_heavy_hitters(
+        ds, denominator=800, text_col="text"
+    ).to_pandas()
+
+    # exact truth with the same tokenizer
+    from distributedcodesearchengine_ray.functions.tokenizer import tokenize
+
+    counter = collections.Counter()
+    for r in rows:
+        counter.update(tokenize(r["text"]))
+    total = sum(counter.values())
+    want = sorted(
+        ((t, c) for t, c in counter.items() if c * 800 > total),
+        key=lambda x: (-x[1], x[0]),
+    )
+    assert list(map(tuple, got[["term", "n_occurrences"]].to_numpy())) == want
+    assert "hotterm" in set(got["term"])
+
+
 def test_connected_components_exact(ray_session, monkeypatch):
     """Union-find must equal a BFS ground truth on a random graph, and the
     distributed label-propagation path must equal the driver path."""

@@ -57,6 +57,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_cosine": Q.knn_cosine,
         "knn_cosine_filtered": Q.knn_cosine_filtered,
         "label_centroids": Q.label_centroids,
+        "kmeans_clusters": Q.kmeans_clusters,  # iterative Lloyd's, unrolled-SQL oracle
         # streaming-shaped events
         "events_hourly": Q.events_hourly,
         "events_sliding": Q.events_sliding,

@@ -160,6 +160,7 @@ def run_bench() -> dict:
         ("ngram_jaccard_dups", Q.ngram_jaccard_dups),
         ("dedup_clusters", Q.dedup_clusters),
         ("embed_cosine_dups", Q.embed_cosine_dups),
+        ("kmeans_clusters", Q.kmeans_clusters),
         ("knn_cosine", Q.knn_cosine),
         ("q1_lineitem", Q.q1_lineitem),
         ("q3_shipping", Q.q3_shipping),

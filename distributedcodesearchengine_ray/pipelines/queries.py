@@ -665,6 +665,18 @@ def knn_cosine_filtered(sf_dir: str, label: int = 3):
     )
 
 
+def kmeans_clusters(sf_dir: str):
+    """Fixed-2-iteration deterministic Lloyd's KMeans (k=8, seeds = the 8
+    smallest vec_ids) over the embeddings table — the iterative-ML pattern
+    (broadcast centroids, map-side partial sums, driver combine) with an
+    exact SQL oracle: the same two unrolled iterations in DuckDB."""
+    from ..stages.kmeans import kmeans_fit
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    assignments, _ = kmeans_fit(ds, k=8, n_iter=2)
+    return assignments
+
+
 def label_centroids(sf_dir: str):
     """Per-label embedding centroid (the IVF-training primitive) as a
     map-side pre-aggregated vector groupby: each batch emits ONE partial
@@ -1342,6 +1354,30 @@ def build_oracle_sql() -> Dict[str, str]:
             FROM e a JOIN e b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.v, b.v) >= 0.35
             ORDER BY id_a, id_b
+        """,
+        "kmeans_clusters": """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            c0 AS (SELECT vec_id AS cl, v FROM e WHERE vec_id < 8),
+            a1 AS (
+              SELECT vec_id, cl FROM (
+                SELECT e.vec_id, c0.cl,
+                       row_number() OVER (PARTITION BY e.vec_id
+                                          ORDER BY list_distance(e.v, c0.v), c0.cl) AS rn
+                FROM e CROSS JOIN c0) WHERE rn = 1),
+            dims AS (
+              SELECT a1.cl, unnest(e.v) AS val, generate_subscripts(e.v, 1) AS dim
+              FROM a1 JOIN e USING (vec_id)),
+            c1 AS (
+              SELECT cl, list(avg_val ORDER BY dim) AS v FROM (
+                SELECT cl, dim, avg(val) AS avg_val FROM dims GROUP BY cl, dim)
+              GROUP BY cl),
+            a2 AS (
+              SELECT vec_id, cl FROM (
+                SELECT e.vec_id, c1.cl,
+                       row_number() OVER (PARTITION BY e.vec_id
+                                          ORDER BY list_distance(e.v, c1.v), c1.cl) AS rn
+                FROM e CROSS JOIN c1) WHERE rn = 1)
+            SELECT vec_id, cl AS cluster FROM a2 ORDER BY vec_id
         """,
         "knn_cosine": """
             WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < 3),

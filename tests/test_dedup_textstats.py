@@ -177,6 +177,42 @@ def test_embedding_near_dups(ray_session):
     assert ((pairs.id_a == 100) & (pairs.id_b == 101)).any()
 
 
+def test_kmeans_fit_matches_numpy(ray_session):
+    """Distributed Lloyd's must equal a single-process numpy reference:
+    same seeds, same assignments after each of 3 iterations, across a
+    multi-block layout and gappy ids."""
+    import ray.data as rd
+
+    from distributedcodesearchengine_ray.stages.kmeans import kmeans_fit
+
+    rng = np.random.default_rng(13)
+    n, dim, k = 240, 12, 5
+    E = rng.standard_normal((n, dim))
+    ids = np.arange(n) * 3 + 1  # gappy, non-zero-based
+    rows = [{"vec_id": int(ids[i]), "embedding": E[i]} for i in range(n)]
+    ds = rd.from_pandas(pd.DataFrame(rows)).repartition(6)
+
+    got, centroids = kmeans_fit(ds, k=k, n_iter=3)
+    got = got.to_pandas()
+
+    # numpy reference (seeds = k smallest ids; empty clusters would drop)
+    order = np.argsort(ids)
+    E2, ids2 = E[order], ids[order]
+    C = E2[:k].copy()
+    lab = ids2[:k].copy()
+    for _ in range(2):
+        d = ((E2[:, None, :] - C[None, :, :]) ** 2).sum(2)
+        a = d.argmin(1)
+        live = np.unique(a)
+        C = np.stack([E2[a == c].mean(0) for c in live])
+        lab = lab[live]
+    d = ((E2[:, None, :] - C[None, :, :]) ** 2).sum(2)
+    final = lab[d.argmin(1)]
+    assert got["vec_id"].tolist() == ids2.tolist()
+    assert got["cluster"].tolist() == final.tolist()
+    assert np.allclose(centroids, C)
+
+
 def test_exact_heavy_hitters(ray_session):
     """Two-pass sketch must equal the exact full count at any block split,
     including a term that is NEVER a local heavy hitter in most blocks

@@ -62,6 +62,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": Q.events_hourly,
         "events_sliding": Q.events_sliding,
         "sessionize": Q.sessionize,
+        "clicks_last_purchase": Q.clicks_last_purchase,  # as-of join, native-ASOF oracle
         # relational coverage (joins / grouped aggregates / top-k)
         "q1_lineitem": Q.q1_lineitem,
         "top_parts_by_revenue": Q.top_parts_by_revenue,

@@ -851,6 +851,41 @@ def sessionize(sf_dir: str, gap_minutes: int = 30):
 # ------------------------------------------------------------- relational
 
 
+def clicks_last_purchase(sf_dir: str):
+    """As-of join: for every click, the most recent purchase at or before
+    it by the same user (inner — clicks with no prior purchase drop).
+    One user-keyed exchange + per-group vectorized searchsorted; oracle is
+    DuckDB's native ASOF JOIN."""
+    from ..stages.asof import asof_join
+
+    ev = _read(sf_dir, "events", columns=["event_id", "user_id", "event_type", "ts", "value"])
+    clicks = ev.filter(lambda r: r["event_type"] == "click").select_columns(
+        ["event_id", "user_id", "ts"]
+    )
+    purchases = ev.filter(lambda r: r["event_type"] == "purchase").map_batches(
+        lambda t: pa.table(
+            {
+                "pid": t["event_id"],
+                "user_id": t["user_id"],
+                "ts": t["ts"],
+                "value": t["value"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    out = asof_join(clicks, purchases, by="user_id", on="ts").to_pandas()
+    out = out.sort_values("event_id", ignore_index=True)
+    gap = out["ts"].astype("int64") - out["ts_r"].astype("int64")
+    return pa.table(
+        {
+            "event_id": pa.array(out["event_id"].astype(np.int64)),
+            "matched_id": pa.array(out["pid"].astype(np.int64)),
+            "value_c": _cents_col(pa.array(out["value"].astype(np.float64))),
+            "gap_us": pa.array(gap.astype(np.int64)),
+        }
+    )
+
+
 def q1_lineitem(sf_dir: str):
     """TPC-H Q1-shaped grouped aggregate (pre-aggregated inside batches)."""
     from ray.data.aggregate import Count, Sum
@@ -1409,6 +1444,16 @@ def build_oracle_sql() -> Dict[str, str]:
               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
             SELECT user_id, count(*) AS n_events, CAST(sum(new_sess) AS BIGINT) AS n_sessions
             FROM ordered GROUP BY user_id ORDER BY user_id
+        """,
+        "clicks_last_purchase": """
+            WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+            p AS (SELECT event_id AS pid, user_id, ts, value FROM events
+                  WHERE event_type = 'purchase')
+            SELECT c.event_id, p.pid AS matched_id,
+                   CAST(floor(p.value * 100 + 0.5) AS BIGINT) AS value_c,
+                   CAST(epoch_us(c.ts) - epoch_us(p.ts) AS BIGINT) AS gap_us
+            FROM c ASOF JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
+            ORDER BY c.event_id
         """,
         "q1_lineitem": """
             SELECT l_returnflag, l_linestatus,

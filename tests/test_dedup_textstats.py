@@ -177,6 +177,55 @@ def test_embedding_near_dups(ray_session):
     assert ((pairs.id_a == 100) & (pairs.id_b == 101)).any()
 
 
+def test_asof_join_matches_scalar(ray_session):
+    """asof_join vs a per-row scalar truth: equal timestamps match, left
+    rows before any right row drop, users missing on either side drop."""
+    import ray.data as rd
+
+    from distributedcodesearchengine_ray.stages.asof import asof_join
+
+    left = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3, 4, 5, 6],
+            "user_id": [10, 10, 10, 20, 20, 30],
+            "ts": [100, 250, 300, 50, 400, 77],
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "pid": [901, 902, 903, 904],
+            "user_id": [10, 10, 20, 40],
+            "ts": [100, 260, 300, 10],
+            "value": [1.0, 2.0, 3.0, 4.0],
+        }
+    )
+    got = (
+        asof_join(
+            rd.from_pandas(left).repartition(3),
+            rd.from_pandas(right).repartition(2),
+            by="user_id",
+            on="ts",
+        )
+        .to_pandas()
+        .sort_values("event_id", ignore_index=True)
+    )
+    # scalar truth
+    want = []
+    for _, l in left.iterrows():
+        cands = right[(right.user_id == l.user_id) & (right.ts <= l.ts)]
+        if len(cands):
+            m = cands.sort_values(["ts", "pid"]).iloc[-1]
+            want.append((l.event_id, m.pid, m.value))
+    assert [
+        (int(r.event_id), int(r.pid), float(r.value)) for r in got.itertuples()
+    ] == want
+    # specific semantics pinned: ts==100 matches pid 901 (equality);
+    # event 2 (ts 250) matches 901 not 902 (260 is later); user 30 drops
+    d = {int(r.event_id): int(r.pid) for r in got.itertuples()}
+    assert d[1] == 901 and d[2] == 901 and d[3] == 902
+    assert 6 not in d and 4 not in d
+
+
 def test_kmeans_fit_matches_numpy(ray_session):
     """Distributed Lloyd's must equal a single-process numpy reference:
     same seeds, same assignments after each of 3 iterations, across a

@@ -63,6 +63,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding": Q.events_sliding,
         "sessionize": Q.sessionize,
         "clicks_last_purchase": Q.clicks_last_purchase,  # as-of join, native-ASOF oracle
+        "purchases_before_click": Q.purchases_before_click,  # range join, BETWEEN oracle
         # relational coverage (joins / grouped aggregates / top-k)
         "q1_lineitem": Q.q1_lineitem,
         "top_parts_by_revenue": Q.top_parts_by_revenue,

@@ -886,6 +886,38 @@ def clicks_last_purchase(sf_dir: str):
     )
 
 
+def purchases_before_click(sf_dir: str):
+    """Range join: EVERY purchase in the 24 h window before each click by
+    the same user (inclusive bounds) — one user-keyed exchange, per-group
+    interval searchsorted with grouped-arange pair expansion.  Oracle:
+    plain SQL join with a BETWEEN predicate."""
+    from ..stages.asof import range_join
+
+    ev = _read(sf_dir, "events", columns=["event_id", "user_id", "event_type", "ts", "value"])
+    clicks = ev.filter(lambda r: r["event_type"] == "click").select_columns(
+        ["event_id", "user_id", "ts"]
+    )
+    purchases = ev.filter(lambda r: r["event_type"] == "purchase").map_batches(
+        lambda t: pa.table(
+            {"pid": t["event_id"], "user_id": t["user_id"], "ts": t["ts"], "value": t["value"]}
+        ),
+        batch_format="pyarrow",
+    )
+    out = range_join(
+        clicks, purchases,
+        lower=np.timedelta64(-24, "h"), upper=np.timedelta64(0, "h"),
+        by="user_id", on="ts",
+    ).to_pandas()
+    out = out.sort_values(["event_id", "pid"], ignore_index=True)
+    return pa.table(
+        {
+            "event_id": pa.array(out["event_id"].astype(np.int64)),
+            "pid": pa.array(out["pid"].astype(np.int64)),
+            "value_c": _cents_col(pa.array(out["value"].astype(np.float64))),
+        }
+    )
+
+
 def q1_lineitem(sf_dir: str):
     """TPC-H Q1-shaped grouped aggregate (pre-aggregated inside batches)."""
     from ray.data.aggregate import Count, Sum
@@ -1454,6 +1486,16 @@ def build_oracle_sql() -> Dict[str, str]:
                    CAST(epoch_us(c.ts) - epoch_us(p.ts) AS BIGINT) AS gap_us
             FROM c ASOF JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
             ORDER BY c.event_id
+        """,
+        "purchases_before_click": """
+            WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+            p AS (SELECT event_id AS pid, user_id, ts, value FROM events
+                  WHERE event_type = 'purchase')
+            SELECT c.event_id, p.pid,
+                   CAST(floor(p.value * 100 + 0.5) AS BIGINT) AS value_c
+            FROM c JOIN p ON c.user_id = p.user_id
+                         AND p.ts BETWEEN c.ts - INTERVAL 24 HOUR AND c.ts
+            ORDER BY c.event_id, p.pid
         """,
         "q1_lineitem": """
             SELECT l_returnflag, l_linestatus,

@@ -1,20 +1,30 @@
-"""Distributed as-of join (most recent right row at or before each left row).
+"""Distributed as-of and range joins over an ordering column.
 
-The classic stream/event alignment operator ("for each click, the latest
-prior purchase by the same user") that Ray Data has no native join type
-for.  Implemented as the documented composition: tag + union the two
-sides, hash-exchange ONCE on the equality key (``groupby(by)``), then a
-vectorized per-group merge — sort both sides by the ordering column and
-``np.searchsorted`` the left timestamps into the right side.  Per-group
-work is O((l+r) log(l+r)) with no per-row Python loop; the only shuffle
-is the single groupby, and its partitioning key is the join key, so the
-operator composes with upstream stages already partitioned by it.
+Event-stream alignment operators Ray Data has no native join type for:
 
-Semantics (mirrors DuckDB's ``ASOF JOIN ... ON l.by = r.by AND l.on >=
-r.on``): inner — left rows with no prior right row are dropped; equal
-timestamps DO match; if several right rows share the same (by, on) the
-last one in ``(on, tiebreak)`` sort order wins (deterministic — callers
-with duplicate timestamps should pass an explicit ``right_tiebreak``).
+- ``asof_join``: for each left row, the most recent right row at or
+  before it per key ("for each click, the latest prior purchase by the
+  same user");
+- ``range_join``: ALL (left, right) pairs whose ordering values are
+  within a bounded interval per key ("every purchase in the 24 h before
+  each click").
+
+Both use the same composition: tag + union the two sides, hash-exchange
+ONCE on the equality key (``groupby(by)``), then a vectorized per-group
+merge — sort the right side by the ordering column and ``searchsorted``
+the left values (one probe for as-of, an interval pair for range; range
+pair expansion is the grouped-arange trick, no per-row Python loop).
+Per-group work is O((l+r) log(l+r)) + output size; the only shuffle is
+the single groupby, and its partitioning key is the join key, so the
+operators compose with upstream stages already partitioned by it.
+
+As-of semantics (mirrors DuckDB ``ASOF JOIN ... ON l.by = r.by AND l.on
+>= r.on``): inner — left rows with no prior right row are dropped; equal
+values DO match; if several right rows share the same (by, on) the last
+one in ``(on, tiebreak)`` sort order wins (deterministic — callers with
+duplicate timestamps should pass an explicit ``right_tiebreak``).
+Range semantics: right rows with ``on_l + lower <= on_r <= on_l +
+upper`` (both bounds inclusive), inner.
 """
 
 from __future__ import annotations
@@ -26,16 +36,9 @@ import pandas as pd
 import pyarrow as pa
 
 
-def asof_join(
-    left_ds,
-    right_ds,
-    by: str = "user_id",
-    on: str = "ts",
-    right_suffix: str = "_r",
-    right_tiebreak: Optional[List[str]] = None,
-):
-    """Returns a Dataset of matched rows: all left columns plus the right
-    side's non-key columns (suffixed where names collide)."""
+def _tagged_union(left_ds, right_ds, by: str, right_suffix: str):
+    """Union the two sides under a harmonized schema with a __side tag;
+    returns (unioned_ds, left_cols, right_payload, out_right_names)."""
     left_schema = left_ds.schema()
     right_schema = right_ds.schema()
     left_types = dict(zip(left_schema.names, left_schema.types))
@@ -64,6 +67,28 @@ def asof_join(
     unioned = left_ds.map_batches(tag(0), batch_format="pyarrow").union(
         right_ds.map_batches(tag(1), batch_format="pyarrow")
     )
+    return unioned, left_cols, right_payload, out_right_names
+
+
+def _empty_like(df: pd.DataFrame) -> pd.DataFrame:
+    return pd.DataFrame(
+        {c: pd.Series([], dtype=df[c].dtype) for c in df.columns}
+    ).drop(columns="__side")
+
+
+def asof_join(
+    left_ds,
+    right_ds,
+    by: str = "user_id",
+    on: str = "ts",
+    right_suffix: str = "_r",
+    right_tiebreak: Optional[List[str]] = None,
+):
+    """Returns a Dataset of matched rows: all left columns plus the right
+    side's non-key columns (suffixed where names collide)."""
+    unioned, left_cols, right_payload, out_right_names = _tagged_union(
+        left_ds, right_ds, by, right_suffix
+    )
     r_on = out_right_names[on]
     tb = [out_right_names[c] for c in (right_tiebreak or []) if c in out_right_names]
 
@@ -71,9 +96,7 @@ def asof_join(
         lt = df[df["__side"] == 0]
         rt = df[df["__side"] == 1]
         if len(lt) == 0 or len(rt) == 0:
-            return pd.DataFrame(
-                {c: pd.Series([], dtype=df[c].dtype) for c in df.columns}
-            ).drop(columns="__side")
+            return _empty_like(df)
         rt = rt.sort_values([r_on] + tb, kind="stable")
         lt = lt.sort_values(on, kind="stable")
         idx = np.searchsorted(rt[r_on].to_numpy(), lt[on].to_numpy(), side="right") - 1
@@ -83,6 +106,58 @@ def asof_join(
         out = lt.drop(columns=["__side"] + list(out_right_names.values())).reset_index(
             drop=True
         )
+        for c in right_payload:
+            name = out_right_names[c]
+            out[name] = matched[name].to_numpy()
+        return out
+
+    return unioned.groupby(by).map_groups(merge_group, batch_format="pandas")
+
+
+def range_join(
+    left_ds,
+    right_ds,
+    lower,
+    upper,
+    by: str = "user_id",
+    on: str = "ts",
+    right_suffix: str = "_r",
+):
+    """All (left, right) pairs with ``on_l + lower <= on_r <= on_l +
+    upper`` per key (inclusive bounds; ``lower``/``upper`` must be
+    addable to the ordering column — e.g. np.timedelta64 for
+    timestamps).  Returns all left columns plus suffixed right payload.
+    """
+    unioned, left_cols, right_payload, out_right_names = _tagged_union(
+        left_ds, right_ds, by, right_suffix
+    )
+    r_on = out_right_names[on]
+
+    def merge_group(df: pd.DataFrame) -> pd.DataFrame:
+        lt = df[df["__side"] == 0]
+        rt = df[df["__side"] == 1]
+        if len(lt) == 0 or len(rt) == 0:
+            return _empty_like(df)
+        rt = rt.sort_values(r_on, kind="stable")
+        lt = lt.sort_values(on, kind="stable")
+        r_vals = rt[r_on].to_numpy()
+        l_vals = lt[on].to_numpy()
+        lo = np.searchsorted(r_vals, l_vals + lower, side="left")
+        hi = np.searchsorted(r_vals, l_vals + upper, side="right")
+        counts = (hi - lo).clip(min=0)
+        total = int(counts.sum())
+        if total == 0:
+            return _empty_like(df)
+        l_idx = np.repeat(np.arange(len(lt)), counts)
+        # grouped arange: for each left row i, the run lo[i]..hi[i]-1
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        r_idx = np.arange(total) - np.repeat(starts, counts) + np.repeat(lo, counts)
+        out = (
+            lt.iloc[l_idx]
+            .drop(columns=["__side"] + list(out_right_names.values()))
+            .reset_index(drop=True)
+        )
+        matched = rt.iloc[r_idx]
         for c in right_payload:
             name = out_right_names[c]
             out[name] = matched[name].to_numpy()

@@ -226,6 +226,48 @@ def test_asof_join_matches_scalar(ray_session):
     assert 6 not in d and 4 not in d
 
 
+def test_range_join_matches_scalar(ray_session):
+    """range_join vs a per-row scalar truth: inclusive bounds both ends,
+    multi-match expansion, empty intervals drop."""
+    import ray.data as rd
+
+    from distributedcodesearchengine_ray.stages.asof import range_join
+
+    left = pd.DataFrame(
+        {"event_id": [1, 2, 3], "user_id": [10, 10, 20], "ts": [100, 205, 300]}
+    )
+    right = pd.DataFrame(
+        {
+            "pid": [901, 902, 903, 904, 905],
+            "user_id": [10, 10, 10, 20, 20],
+            "ts": [90, 100, 200, 310, 250],
+        }
+    )
+    got = (
+        range_join(
+            rd.from_pandas(left).repartition(2),
+            rd.from_pandas(right).repartition(2),
+            lower=-10, upper=0, by="user_id", on="ts",
+        )
+        .to_pandas()
+        .sort_values(["event_id", "pid"], ignore_index=True)
+    )
+    want = []
+    for _, l in left.iterrows():
+        c = right[
+            (right.user_id == l.user_id)
+            & (right.ts >= l.ts - 10)
+            & (right.ts <= l.ts)
+        ].sort_values("pid")
+        want += [(l.event_id, p) for p in c.pid]
+    assert [(int(r.event_id), int(r.pid)) for r in got.itertuples()] == want
+    # pinned: event 1 matches BOTH 901 (ts 90 = lower bound) and 902
+    # (ts 100 = upper bound); event 3 (ts 300) matches nothing in [290,300]
+    pairs = set(map(tuple, got[["event_id", "pid"]].to_numpy()))
+    assert (1, 901) in pairs and (1, 902) in pairs
+    assert not any(e == 3 for e, _ in pairs)
+
+
 def test_kmeans_fit_matches_numpy(ray_session):
     """Distributed Lloyd's must equal a single-process numpy reference:
     same seeds, same assignments after each of 3 iterations, across a

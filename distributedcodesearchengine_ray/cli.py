@@ -142,12 +142,26 @@ def main(argv=None) -> int:
                 if f.endswith(".parquet")
             ]
         if args.method == "exact":
+            if args.clusters:
+                print(
+                    "error: --clusters applies to pair-producing methods "
+                    "(minhash/simhash/ngram/embed); exact dedup already returns "
+                    "one survivor per identical-content group",
+                    file=sys.stderr,
+                )
+                return 2
             from .stages.dedup import exact_dedup
 
             ds = rd.read_parquet(paths)
             n_in = ds.count()
             kept = exact_dedup(ds, text_col=args.text_col, id_col=args.id_col)
             if args.out:
+                import shutil
+
+                # Ray writes uniquely-named files and never clears the dir;
+                # stale survivors from a previous run would mix in and be
+                # double-counted
+                shutil.rmtree(args.out, ignore_errors=True)
                 kept.write_parquet(args.out)
                 n_kept = sum(
                     pq.ParquetFile(os.path.join(args.out, f)).metadata.num_rows
@@ -168,7 +182,7 @@ def main(argv=None) -> int:
 
             ds = rd.read_parquet(paths, columns=[args.id_col, args.text_col])
             pairs = (
-                minhash_lsh_candidates(ds)
+                minhash_lsh_candidates(ds, text_col=args.text_col, id_col=args.id_col)
                 .to_pandas()
                 .drop_duplicates(["id_a", "id_b"], ignore_index=True)
             )
@@ -178,13 +192,8 @@ def main(argv=None) -> int:
             from .stages.dedup import simhash_candidates
 
             ds = rd.read_parquet(paths, columns=[args.id_col, args.text_col])
-            cand = simhash_candidates(ds)
-            cdf = (
-                cand.to_pandas()
-                if not isinstance(cand, pa.Table)
-                else cand.to_pandas()
-            )
-            cdf = cdf.drop_duplicates(["id_a", "id_b"], ignore_index=True)
+            cand = simhash_candidates(ds, text_col=args.text_col, id_col=args.id_col)
+            cdf = cand.to_pandas().drop_duplicates(["id_a", "id_b"], ignore_index=True)
             cdf = cdf[cdf["hamming"] <= args.max_hamming].reset_index(drop=True)
             pairs_tbl = pa.Table.from_pandas(cdf, preserve_index=False)
             exactness = f"candidates (SimHash Hamming<={args.max_hamming})"

@@ -851,13 +851,10 @@ def sessionize(sf_dir: str, gap_minutes: int = 30):
 # ------------------------------------------------------------- relational
 
 
-def clicks_last_purchase(sf_dir: str):
-    """As-of join: for every click, the most recent purchase at or before
-    it by the same user (inner — clicks with no prior purchase drop).
-    One user-keyed exchange + per-group vectorized searchsorted; oracle is
-    DuckDB's native ASOF JOIN."""
-    from ..stages.asof import asof_join
-
+def _click_purchase_streams(sf_dir: str):
+    """Shared preamble of the as-of / range join queries: the click stream
+    (event_id, user_id, ts) and the purchase stream projected to
+    (pid, user_id, ts, value)."""
     ev = _read(sf_dir, "events", columns=["event_id", "user_id", "event_type", "ts", "value"])
     clicks = ev.filter(lambda r: r["event_type"] == "click").select_columns(
         ["event_id", "user_id", "ts"]
@@ -873,7 +870,21 @@ def clicks_last_purchase(sf_dir: str):
         ),
         batch_format="pyarrow",
     )
-    out = asof_join(clicks, purchases, by="user_id", on="ts").to_pandas()
+    return clicks, purchases
+
+
+def clicks_last_purchase(sf_dir: str):
+    """As-of join: for every click, the most recent purchase at or before
+    it by the same user (inner — clicks with no prior purchase drop).
+    One user-keyed exchange + per-group vectorized searchsorted; oracle is
+    DuckDB's native ASOF JOIN."""
+    from ..stages.asof import asof_join
+
+    clicks, purchases = _click_purchase_streams(sf_dir)
+    # tiebreak pins the match when a user has two purchases at one ts
+    out = asof_join(
+        clicks, purchases, by="user_id", on="ts", right_tiebreak=["pid"]
+    ).to_pandas()
     out = out.sort_values("event_id", ignore_index=True)
     gap = out["ts"].astype("int64") - out["ts_r"].astype("int64")
     return pa.table(
@@ -893,16 +904,7 @@ def purchases_before_click(sf_dir: str):
     plain SQL join with a BETWEEN predicate."""
     from ..stages.asof import range_join
 
-    ev = _read(sf_dir, "events", columns=["event_id", "user_id", "event_type", "ts", "value"])
-    clicks = ev.filter(lambda r: r["event_type"] == "click").select_columns(
-        ["event_id", "user_id", "ts"]
-    )
-    purchases = ev.filter(lambda r: r["event_type"] == "purchase").map_batches(
-        lambda t: pa.table(
-            {"pid": t["event_id"], "user_id": t["user_id"], "ts": t["ts"], "value": t["value"]}
-        ),
-        batch_format="pyarrow",
-    )
+    clicks, purchases = _click_purchase_streams(sf_dir)
     out = range_join(
         clicks, purchases,
         lower=np.timedelta64(-24, "h"), upper=np.timedelta64(0, "h"),

@@ -122,6 +122,7 @@ def connected_components(
         )
         .materialize()
     )
+    old_sum = labels.sum("label")
     while True:
         # candidate labels: each neighbor u's current label flows to v,
         # plus v's own label (self-edge via union)
@@ -143,18 +144,14 @@ def connected_components(
             )
             .materialize()
         )
-        # fixpoint check: any label decreased?  (labels only ever decrease)
-        old_sum = labels.map_batches(
-            lambda t: pa.table({"s": pa.array([int(np.sum(t["label"].to_numpy(zero_copy_only=False)))], pa.int64())}),
-            batch_format="pyarrow",
-        ).sum("s")
-        new_sum = new_labels.map_batches(
-            lambda t: pa.table({"s": pa.array([int(np.sum(t["label"].to_numpy(zero_copy_only=False)))], pa.int64())}),
-            batch_format="pyarrow",
-        ).sum("s")
+        # fixpoint check: labels only ever decrease, so an unchanged sum
+        # means no label moved; the previous round's sum is carried
+        # forward instead of re-scanning the labels dataset
+        new_sum = new_labels.sum("label")
         labels = new_labels
         if new_sum == old_sum:
             break
+        old_sum = new_sum
     out = labels.map_batches(
         lambda t: pa.table({"doc_id": t["v"], "cluster_id": t["label"]}),
         batch_format="pyarrow",

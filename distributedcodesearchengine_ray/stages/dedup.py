@@ -651,6 +651,11 @@ def embedding_cosine_dups_exact(
     ref = ray.put((ids_all, load_mat(full_tbl)))
 
     def pairs(t: pa.Table) -> pa.Table:
+        if len(t) == 0:  # empty block: matmul on a (0,) array would raise
+            return pa.table(
+                {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
+                 "cosine": pa.array([], pa.float64())}
+            )
         ids_r, full = ray.get(ref)  # zero-copy numpy read from the store
         bm = load_mat(t)
         bids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)

@@ -95,6 +95,12 @@ def kmeans_fit(
     def make_partial(cref):
         def partial(t: pa.Table) -> pa.Table:
             C = ray.get(cref)
+            if len(t) == 0:  # empty block: no partials
+                return pa.table(
+                    {"cluster": pa.array([], pa.int64()),
+                     "n": pa.array([], pa.int64()),
+                     "sum_vec": pa.array([], pa.list_(pa.float64()))}
+                )
             M = _mat_from(t, vec_col)
             # argmin_c |x-c|^2 == argmin_c (|c|^2 - 2 x.c); np.argmin takes
             # the first (smallest index) on ties
@@ -133,6 +139,10 @@ def kmeans_fit(
 
     def assign_rows(t: pa.Table) -> pa.Table:
         C, lab = ray.get(cref)
+        if len(t) == 0:
+            return pa.table(
+                {id_col: pa.array([], pa.int64()), "cluster": pa.array([], pa.int64())}
+            )
         M = _mat_from(t, vec_col)
         scores = (C * C).sum(1)[None, :] - 2.0 * (M @ C.T)
         return pa.table(

@@ -209,16 +209,16 @@ def ngram_jaccard_join(
             {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
              "jaccard": pa.array([], pa.float64())}
         )
-    cand_ids = frozenset(int(x) for x in set(cand["id_a"]) | set(cand["id_b"]))
+    cand_ids = sorted({int(x) for x in set(cand["id_a"]) | set(cand["id_b"])})
+    cand_arr = pa.array(cand_ids, pa.int64())  # built once, closed over
+
+    def keep_candidates(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t[id_col], pc.cast(cand_arr, t[id_col].type)))
+
     sub = pa.concat_tables(
         ray.get(
             ds.select_columns([id_col, text_col])
-            .map_batches(
-                lambda t: t.filter(
-                    pc.is_in(t[id_col], pa.array(sorted(cand_ids), t[id_col].type))
-                ),
-                batch_format="pyarrow",
-            )
+            .map_batches(keep_candidates, batch_format="pyarrow")
             .to_arrow_refs()
         ),
         promote_options="default",

@@ -14,9 +14,12 @@ ONCE on the equality key (``groupby(by)``), then a vectorized per-group
 merge — sort the right side by the ordering column and ``searchsorted``
 the left values (one probe for as-of, an interval pair for range; range
 pair expansion is the grouped-arange trick, no per-row Python loop).
-Per-group work is O((l+r) log(l+r)) + output size; the only shuffle is
-the single groupby, and its partitioning key is the join key, so the
-operators compose with upstream stages already partitioned by it.
+Groups are processed as Arrow tables end-to-end: the union's null-filled
+columns would coerce int64 ids through float64 in pandas (silently lossy
+above 2^53 — real event ids get there), while Arrow keeps every column's
+type exact.  Per-group work is O((l+r) log(l+r)) + output size; the only
+shuffle is the single groupby, and its partitioning key is the join key,
+so the operators compose with upstream stages already partitioned by it.
 
 As-of semantics (mirrors DuckDB ``ASOF JOIN ... ON l.by = r.by AND l.on
 >= r.on``): inner — left rows with no prior right row are dropped; equal
@@ -32,13 +35,13 @@ from __future__ import annotations
 from typing import List, Optional
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def _tagged_union(left_ds, right_ds, by: str, right_suffix: str):
     """Union the two sides under a harmonized schema with a __side tag;
-    returns (unioned_ds, left_cols, right_payload, out_right_names)."""
+    returns (unioned_ds, right_payload, out_right_names)."""
     left_schema = left_ds.schema()
     right_schema = right_ds.schema()
     left_types = dict(zip(left_schema.names, left_schema.types))
@@ -67,13 +70,35 @@ def _tagged_union(left_ds, right_ds, by: str, right_suffix: str):
     unioned = left_ds.map_batches(tag(0), batch_format="pyarrow").union(
         right_ds.map_batches(tag(1), batch_format="pyarrow")
     )
-    return unioned, left_cols, right_payload, out_right_names
+    return unioned, right_payload, out_right_names
 
 
-def _empty_like(df: pd.DataFrame) -> pd.DataFrame:
-    return pd.DataFrame(
-        {c: pd.Series([], dtype=df[c].dtype) for c in df.columns}
-    ).drop(columns="__side")
+def _split_sides(t: pa.Table):
+    side = t["__side"]
+    lt = t.filter(pc.equal(side, 0))
+    rt = t.filter(pc.equal(side, 1))
+    return lt, rt
+
+
+def _emit(lt: pa.Table, matched: pa.Table, right_payload, out_right_names) -> pa.Table:
+    out = lt.drop_columns(["__side"] + list(out_right_names.values()))
+    for c in right_payload:
+        name = out_right_names[c]
+        out = out.append_column(name, matched[name])
+    return out
+
+
+def _empty_out(t: pa.Table, right_payload, out_right_names) -> pa.Table:
+    return _emit(
+        t.slice(0, 0), t.slice(0, 0), right_payload, out_right_names
+    )
+
+
+def _on_values(tbl: pa.Table, col: str) -> np.ndarray:
+    arr = tbl[col]
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    return arr.to_numpy(zero_copy_only=False)
 
 
 def asof_join(
@@ -86,32 +111,27 @@ def asof_join(
 ):
     """Returns a Dataset of matched rows: all left columns plus the right
     side's non-key columns (suffixed where names collide)."""
-    unioned, left_cols, right_payload, out_right_names = _tagged_union(
+    unioned, right_payload, out_right_names = _tagged_union(
         left_ds, right_ds, by, right_suffix
     )
     r_on = out_right_names[on]
     tb = [out_right_names[c] for c in (right_tiebreak or []) if c in out_right_names]
 
-    def merge_group(df: pd.DataFrame) -> pd.DataFrame:
-        lt = df[df["__side"] == 0]
-        rt = df[df["__side"] == 1]
+    def merge_group(t: pa.Table) -> pa.Table:
+        lt, rt = _split_sides(t)
         if len(lt) == 0 or len(rt) == 0:
-            return _empty_like(df)
-        rt = rt.sort_values([r_on] + tb, kind="stable")
-        lt = lt.sort_values(on, kind="stable")
-        idx = np.searchsorted(rt[r_on].to_numpy(), lt[on].to_numpy(), side="right") - 1
-        keep = idx >= 0
-        lt = lt[keep]
-        matched = rt.iloc[idx[keep]]
-        out = lt.drop(columns=["__side"] + list(out_right_names.values())).reset_index(
-            drop=True
+            return _empty_out(t, right_payload, out_right_names)
+        rt = rt.take(
+            pc.sort_indices(rt, sort_keys=[(k, "ascending") for k in [r_on] + tb])
         )
-        for c in right_payload:
-            name = out_right_names[c]
-            out[name] = matched[name].to_numpy()
-        return out
+        lt = lt.take(pc.sort_indices(lt, sort_keys=[(on, "ascending")]))
+        idx = np.searchsorted(_on_values(rt, r_on), _on_values(lt, on), side="right") - 1
+        keep = idx >= 0
+        lt = lt.filter(pa.array(keep))
+        matched = rt.take(pa.array(idx[keep], pa.int64()))
+        return _emit(lt, matched, right_payload, out_right_names)
 
-    return unioned.groupby(by).map_groups(merge_group, batch_format="pandas")
+    return unioned.groupby(by).map_groups(merge_group, batch_format="pyarrow")
 
 
 def range_join(
@@ -125,42 +145,37 @@ def range_join(
 ):
     """All (left, right) pairs with ``on_l + lower <= on_r <= on_l +
     upper`` per key (inclusive bounds; ``lower``/``upper`` must be
-    addable to the ordering column — e.g. np.timedelta64 for
-    timestamps).  Returns all left columns plus suffixed right payload.
-    """
-    unioned, left_cols, right_payload, out_right_names = _tagged_union(
+    addable to the ordering column's numpy values — e.g. np.timedelta64
+    for timestamps).  Returns all left columns plus suffixed right
+    payload."""
+    unioned, right_payload, out_right_names = _tagged_union(
         left_ds, right_ds, by, right_suffix
     )
     r_on = out_right_names[on]
 
-    def merge_group(df: pd.DataFrame) -> pd.DataFrame:
-        lt = df[df["__side"] == 0]
-        rt = df[df["__side"] == 1]
+    def merge_group(t: pa.Table) -> pa.Table:
+        lt, rt = _split_sides(t)
         if len(lt) == 0 or len(rt) == 0:
-            return _empty_like(df)
-        rt = rt.sort_values(r_on, kind="stable")
-        lt = lt.sort_values(on, kind="stable")
-        r_vals = rt[r_on].to_numpy()
-        l_vals = lt[on].to_numpy()
+            return _empty_out(t, right_payload, out_right_names)
+        rt = rt.take(pc.sort_indices(rt, sort_keys=[(r_on, "ascending")]))
+        lt = lt.take(pc.sort_indices(lt, sort_keys=[(on, "ascending")]))
+        r_vals = _on_values(rt, r_on)
+        l_vals = _on_values(lt, on)
         lo = np.searchsorted(r_vals, l_vals + lower, side="left")
         hi = np.searchsorted(r_vals, l_vals + upper, side="right")
         counts = (hi - lo).clip(min=0)
         total = int(counts.sum())
         if total == 0:
-            return _empty_like(df)
+            return _empty_out(t, right_payload, out_right_names)
         l_idx = np.repeat(np.arange(len(lt)), counts)
         # grouped arange: for each left row i, the run lo[i]..hi[i]-1
         starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
         r_idx = np.arange(total) - np.repeat(starts, counts) + np.repeat(lo, counts)
-        out = (
-            lt.iloc[l_idx]
-            .drop(columns=["__side"] + list(out_right_names.values()))
-            .reset_index(drop=True)
+        return _emit(
+            lt.take(pa.array(l_idx, pa.int64())),
+            rt.take(pa.array(r_idx, pa.int64())),
+            right_payload,
+            out_right_names,
         )
-        matched = rt.iloc[r_idx]
-        for c in right_payload:
-            name = out_right_names[c]
-            out[name] = matched[name].to_numpy()
-        return out
 
-    return unioned.groupby(by).map_groups(merge_group, batch_format="pandas")
+    return unioned.groupby(by).map_groups(merge_group, batch_format="pyarrow")

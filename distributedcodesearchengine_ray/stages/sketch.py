@@ -89,6 +89,12 @@ def exact_heavy_hitters(
         .map_batches(local_heavy, batch_format="pyarrow")
         .to_pandas()
     )
+    if len(pass1) == 0:
+        # every block tokenized to nothing; Ray's to_pandas drops the
+        # schema of an all-empty dataset, so bail before column access
+        return pa.table(
+            {"term": pa.array([], pa.string()), "n_occurrences": pa.array([], pa.int64())}
+        )
     total = int(pass1["n_block"].sum())
     candidates = sorted(set(pass1["term"].dropna()))
     if not candidates or total == 0:

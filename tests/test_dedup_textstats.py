@@ -343,6 +343,37 @@ def test_exact_heavy_hitters(ray_session):
     assert "hotterm" in set(got["term"])
 
 
+def test_new_stages_degenerate_inputs(ray_session):
+    """Null/empty/sub-minimum texts: ngram join and heavy hitters must
+    return empty (typed) results, not crash — including the all-empty
+    corpus where Ray's to_pandas drops the schema."""
+    import ray.data as rd
+
+    from distributedcodesearchengine_ray.stages.simjoin import ngram_jaccard_join
+    from distributedcodesearchengine_ray.stages.sketch import exact_heavy_hitters
+
+    # nulls/empties everywhere; the len-1 tokens vanish entirely for the
+    # CODE tokenizer (heavy hitters -> all-empty pass-1, the schema-drop
+    # path) and leave no shareable grams for the whitespace 3-gram join
+    dead = pd.DataFrame({"doc_id": [1, 2, 3], "text": [None, "", "a b c"]})
+    ds = rd.from_pandas(dead).repartition(2)
+    out = ngram_jaccard_join(ds, threshold=0.5)
+    assert out.num_rows == 0 and out.schema.names == ["id_a", "id_b", "jaccard"]
+    hh = exact_heavy_hitters(ds, denominator=4, text_col="text")
+    assert hh.num_rows == 0 and hh.schema.names == ["term", "n_occurrences"]
+
+    # mixed: nulls alongside real near-dups still pair correctly
+    mixed = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [None, "", "alpha beta gamma delta alpha beta gamma delta",
+                     "alpha beta gamma delta alpha beta gamma delta extra"],
+        }
+    )
+    out = ngram_jaccard_join(rd.from_pandas(mixed).repartition(3), threshold=0.5).to_pandas()
+    assert [(int(r.id_a), int(r.id_b)) for r in out.itertuples()] == [(3, 4)]
+
+
 def test_connected_components_exact(ray_session, monkeypatch):
     """Union-find must equal a BFS ground truth on a random graph, and the
     distributed label-propagation path must equal the driver path."""

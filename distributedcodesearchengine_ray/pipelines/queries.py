@@ -885,6 +885,11 @@ def clicks_last_purchase(sf_dir: str):
     out = asof_join(
         clicks, purchases, by="user_id", on="ts", right_tiebreak=["pid"]
     ).to_pandas()
+    if len(out) == 0:  # all-empty datasets lose their schema in to_pandas
+        return pa.table(
+            {"event_id": pa.array([], pa.int64()), "matched_id": pa.array([], pa.int64()),
+             "value_c": pa.array([], pa.int64()), "gap_us": pa.array([], pa.int64())}
+        )
     out = out.sort_values("event_id", ignore_index=True)
     gap = out["ts"].astype("int64") - out["ts_r"].astype("int64")
     return pa.table(
@@ -910,6 +915,11 @@ def purchases_before_click(sf_dir: str):
         lower=np.timedelta64(-24, "h"), upper=np.timedelta64(0, "h"),
         by="user_id", on="ts",
     ).to_pandas()
+    if len(out) == 0:  # all-empty datasets lose their schema in to_pandas
+        return pa.table(
+            {"event_id": pa.array([], pa.int64()), "pid": pa.array([], pa.int64()),
+             "value_c": pa.array([], pa.int64())}
+        )
     out = out.sort_values(["event_id", "pid"], ignore_index=True)
     return pa.table(
         {

@@ -68,20 +68,31 @@ def _stable_hash(strings: np.ndarray) -> np.ndarray:
 def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
     """Keep the first (min id) row per exact content hash.
 
-    Returns a Dataset with the surviving rows' original columns.
+    Returns a Dataset with the surviving rows' original columns.  The
+    exchange groups by a 256-way HASH BUCKET of the content hash, not the
+    hash itself: per-hash groups number ~one per distinct document, and a
+    Python ``map_groups`` call per group dominates at corpus scale, while
+    a bucket's worth of groups reduces to one vectorized sort +
+    boundary-mask pass.
     """
+    n_buckets = 256
 
     def add_hash(t: pa.Table) -> pa.Table:
-        h = _stable_hash(t[text_col].to_numpy(zero_copy_only=False))
-        return t.append_column("__h", pa.array(h.astype(np.int64)))
+        h = _stable_hash(t[text_col].to_numpy(zero_copy_only=False)).astype(np.int64)
+        t = t.append_column("__h", pa.array(h))
+        return t.append_column(
+            "__b", pa.array((h % n_buckets).astype(np.int64))
+        )
 
-    def first_per_group(df: pd.DataFrame) -> pd.DataFrame:
-        return df.sort_values(id_col, kind="mergesort").head(1)
+    def first_per_hash(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["__h", id_col], kind="mergesort", ignore_index=True)
+        keep = df["__h"].ne(df["__h"].shift())  # first row of each hash run
+        return df[keep].drop(columns=["__b"]).reset_index(drop=True)
 
     return (
         ds.map_batches(add_hash, batch_format="pyarrow")
-        .groupby("__h")
-        .map_groups(first_per_group, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(first_per_hash, batch_format="pandas")
         .drop_columns(["__h"])
     )
 

@@ -268,6 +268,61 @@ def test_range_join_matches_scalar(ray_session):
     assert not any(e == 3 for e, _ in pairs)
 
 
+def test_asof_range_randomized_vs_bruteforce(ray_session):
+    """Rank-merge (bucketed, no per-key loop) vs brute force on a random
+    multi-user stream with duplicate timestamps on both sides."""
+    import ray.data as rd
+
+    from distributedcodesearchengine_ray.stages.asof import asof_join, range_join
+
+    rng = np.random.default_rng(31)
+    nl, nr, users = 400, 300, 23
+    left = pd.DataFrame(
+        {
+            "event_id": np.arange(nl),
+            "user_id": rng.integers(0, users, nl),
+            "ts": rng.integers(0, 200, nl),  # dup timestamps guaranteed
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "pid": np.arange(1000, 1000 + nr),
+            "user_id": rng.integers(0, users, nr),
+            "ts": rng.integers(0, 200, nr),
+        }
+    )
+    lds = rd.from_pandas(left).repartition(5)
+    rds = rd.from_pandas(right).repartition(4)
+
+    got = (
+        asof_join(lds, rds, by="user_id", on="ts", right_tiebreak=["pid"])
+        .to_pandas()
+        .sort_values("event_id", ignore_index=True)
+    )
+    want = []
+    for _, l in left.iterrows():
+        c = right[(right.user_id == l.user_id) & (right.ts <= l.ts)]
+        if len(c):
+            m = c.sort_values(["ts", "pid"]).iloc[-1]
+            want.append((l.event_id, m.pid))
+    assert [(int(r.event_id), int(r.pid)) for r in got.itertuples()] == sorted(want)
+
+    got_r = (
+        range_join(lds, rds, lower=-15, upper=5, by="user_id", on="ts")
+        .to_pandas()
+        .sort_values(["event_id", "pid"], ignore_index=True)
+    )
+    want_r = []
+    for _, l in left.iterrows():
+        c = right[
+            (right.user_id == l.user_id)
+            & (right.ts >= l.ts - 15)
+            & (right.ts <= l.ts + 5)
+        ]
+        want_r += [(l.event_id, p) for p in sorted(c.pid)]
+    assert [(int(r.event_id), int(r.pid)) for r in got_r.itertuples()] == sorted(want_r)
+
+
 def test_kmeans_fit_matches_numpy(ray_session):
     """Distributed Lloyd's must equal a single-process numpy reference:
     same seeds, same assignments after each of 3 iterations, across a

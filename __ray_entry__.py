@@ -51,7 +51,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_by_lang": Q.quality_by_lang,
         "quality_filter": Q.quality_filter,
         "token_totals": Q.token_totals,
+        "token_quantiles": Q.token_quantiles,  # exact CDF quantiles, quantile_disc oracle
         "fingerprint_profile": Q.fingerprint_profile,  # rows-only
+        # training-data layout (packing / sampling / splitting)
+        "pack_sequences": Q.pack_sequences_q,  # distributed prefix sum, window-SQL oracle
+        "stratified_sample": Q.stratified_sample_q,  # hash-Bernoulli per stratum
+        "train_test_split": Q.train_test_split_q,  # deterministic 90/5/5 split
         # similarity search
         "embed_cosine_dups": Q.embed_cosine_dups,
         "knn_cosine": Q.knn_cosine,

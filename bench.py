@@ -162,10 +162,17 @@ def run_bench() -> dict:
         ("embed_cosine_dups", Q.embed_cosine_dups),
         ("kmeans_clusters", Q.kmeans_clusters),
         ("knn_cosine", Q.knn_cosine),
+        ("heavy_hitter_tokens", Q.heavy_hitter_tokens),
+        ("pack_sequences", Q.pack_sequences_q),
+        ("stratified_sample", Q.stratified_sample_q),
+        ("token_quantiles", Q.token_quantiles),
         ("q1_lineitem", Q.q1_lineitem),
         ("q3_shipping", Q.q3_shipping),
         ("events_hourly", Q.events_hourly),
         ("events_sliding", Q.events_sliding),
+        ("sessionize", Q.sessionize),
+        ("clicks_last_purchase", Q.clicks_last_purchase),
+        ("purchases_before_click", Q.purchases_before_click),
     ):
         t0 = time.time()
         res = fn(sf_dir)

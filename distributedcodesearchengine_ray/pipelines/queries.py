@@ -215,6 +215,20 @@ def _tok_sql(col: str) -> str:
     return _TOKENIZE_SQL.format(col=col)
 
 
+# whitespace-token count of documents.text — the same expression
+# token_totals' oracle uses, shared by the packing/quantile oracles
+_WS_TOKENS_SQL = (
+    "CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), "
+    "x -> length(x) > 0)) AS BIGINT)"
+)
+
+
+def _hash_u32_sql(col: str) -> str:
+    from ..stages.sampling import hash_u32_sql
+
+    return hash_u32_sql(col)
+
+
 def bm25_sql(query: str, limit: int = 20, lang_filter: Optional[str] = None) -> str:
     """Pure-SQL BM25Okapi (k1=1.5 b=0.75 eps=0.25) over documents.text."""
     from ..functions.tokenizer import tokenize
@@ -491,6 +505,106 @@ def token_totals(sf_dir: str):
         .sort_values("lang", ignore_index=True)
     )
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def _ws_token_counts(sf_dir: str):
+    """documents -> (doc_id, n_tokens) with the whitespace-token
+    definition whose SQL mirror is proven by token_totals."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def counts(t: pa.Table) -> pa.Table:
+        from ..stages.text_stats import token_counts
+
+        c = token_counts(t)
+        return pa.table({"doc_id": t["doc_id"], "n_tokens": c["ws_tokens"]})
+
+    return ds.map_batches(counts, batch_format="pyarrow")
+
+
+def pack_sequences_q(sf_dir: str, budget: int = 2048):
+    """LLM sequence packing: lay the corpus on a token tape in doc_id
+    order, cut chunks of ``budget`` tokens, report where each doc starts
+    (distributed prefix sum: per-bucket sums -> broadcast offsets ->
+    one bucket-keyed exchange).  Oracle: the SQL window prefix sum."""
+    from ..stages.packing import pack_sequences
+
+    out = (
+        pack_sequences(_ws_token_counts(sf_dir), budget=budget)
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    return pa.table(
+        {
+            "doc_id": pa.array(out["doc_id"], pa.int64()),
+            "n_tokens": pa.array(out["n_tokens"], pa.int64()),
+            "start_tok": pa.array(out["start_tok"], pa.int64()),
+            "chunk_id": pa.array(out["chunk_id"], pa.int64()),
+            "chunk_offset": pa.array(out["chunk_offset"], pa.int64()),
+        }
+    )
+
+
+SAMPLE_RATES = {"en": 0.5, "zh": 0.25, "de": 0.1}
+
+
+def stratified_sample_q(sf_dir: str):
+    """Deterministic per-language Bernoulli sample (multiplicative hash
+    of doc_id vs per-stratum integer threshold) — membership reproduced
+    exactly by the SQL oracle; no shuffle, pure map-side."""
+    from ..stages.sampling import stratified_sample
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+    out = (
+        stratified_sample(ds, rates=SAMPLE_RATES, stratum_col="lang")
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    return pa.table(
+        {
+            "doc_id": pa.array(out["doc_id"], pa.int64()),
+            "lang": pa.array(out["lang"], pa.string()),
+        }
+    )
+
+
+def train_test_split_q(sf_dir: str):
+    """90/5/5 train/val/test labels from the id hash, aggregated per
+    (lang, split) — the deterministic split every training pipeline
+    needs; same rows on every rerun and any partitioning."""
+    from ray.data.aggregate import Count
+
+    from ..stages.sampling import hash_split
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+    out = (
+        hash_split(ds)
+        .groupby(["lang", "split"])
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+        .sort_values(["lang", "split"], ignore_index=True)
+    )
+    return pa.table(
+        {
+            "lang": pa.array(out["lang"], pa.string()),
+            "split": pa.array(out["split"], pa.string()),
+            "n": pa.array(out["n"], pa.int64()),
+        }
+    )
+
+
+QUANTILE_QS = (0.1, 0.25, 0.5, 0.75, 0.9)
+
+
+def token_quantiles(sf_dir: str):
+    """Exact token-count deciles without a distributed sort: per-block
+    (value, count) histograms merged on the driver (bounded integer
+    domain), ranks read off the global CDF with quantile_disc
+    semantics."""
+    from ..stages.sketch import exact_quantiles
+
+    return exact_quantiles(
+        _ws_token_counts(sf_dir), qs=QUANTILE_QS, value_col="n_tokens"
+    )
 
 
 def lang_id_profile(sf_dir: str):
@@ -1375,6 +1489,45 @@ def build_oracle_sql() -> Dict[str, str]:
                    CAST(sum(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> length(x) > 0))) AS BIGINT) AS ws_tokens,
                    CAST(sum(len(regexp_extract_all(text, '{BPE_ISH_PATTERN.replace("'", "''")}'))) AS BIGINT) AS bpe_tokens
             FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "pack_sequences": f"""
+            WITH t AS (SELECT doc_id, {_WS_TOKENS_SQL} AS n_tokens FROM documents),
+            c AS (
+              SELECT doc_id, n_tokens,
+                     COALESCE(SUM(n_tokens) OVER (
+                       ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ), 0) AS start_tok
+              FROM t)
+            SELECT doc_id, n_tokens,
+                   CAST(start_tok AS BIGINT) AS start_tok,
+                   CAST(start_tok // 2048 AS BIGINT) AS chunk_id,
+                   CAST(start_tok % 2048 AS BIGINT) AS chunk_offset
+            FROM c ORDER BY doc_id
+        """,
+        "stratified_sample": f"""
+            SELECT doc_id, lang FROM documents
+            WHERE {_hash_u32_sql('doc_id')} <
+                  CASE lang {' '.join(f"WHEN '{k}' THEN {int(np.floor(v * 2**32))}" for k, v in sorted(SAMPLE_RATES.items()))} ELSE 0 END
+            ORDER BY doc_id
+        """,
+        "train_test_split": f"""
+            WITH s AS (
+              SELECT lang,
+                     CASE WHEN {_hash_u32_sql('doc_id')} % 100 < 90 THEN 'train'
+                          WHEN {_hash_u32_sql('doc_id')} % 100 < 95 THEN 'val'
+                          ELSE 'test' END AS split
+              FROM documents)
+            SELECT lang, split, count(*) AS n FROM s
+            GROUP BY lang, split ORDER BY lang, split
+        """,
+        "token_quantiles": f"""
+            WITH t AS (SELECT {_WS_TOKENS_SQL} AS n_tokens FROM documents),
+            ql AS (SELECT quantile_disc(n_tokens, [{', '.join(str(q) for q in QUANTILE_QS)}]) AS v FROM t),
+            e AS (SELECT unnest(v) AS value, generate_subscripts(v, 1) AS i FROM ql),
+            qq AS (SELECT unnest([{', '.join(str(int(np.floor(q * 1e6 + 0.5))) for q in QUANTILE_QS)}]) AS q_micro,
+                          generate_subscripts([{', '.join(str(int(np.floor(q * 1e6 + 0.5))) for q in QUANTILE_QS)}], 1) AS i)
+            SELECT qq.q_micro, CAST(e.value AS BIGINT) AS value
+            FROM e JOIN qq USING (i) ORDER BY q_micro
         """,
         "ngram_jaccard_dups": """
             WITH toks AS (

@@ -136,3 +136,59 @@ def exact_heavy_hitters(
             "n_occurrences": pa.array(out["n_occurrences"], pa.int64()),
         }
     )
+
+
+def exact_quantiles(
+    ds,
+    qs,
+    value_col: str,
+) -> pa.Table:
+    """Exact discrete quantiles of an integer column without sorting it.
+
+    The bounded-domain pattern: quantiles of a column whose DISTINCT
+    value set is small (token counts, lengths, ratings — anything
+    integer-ish) never need a distributed sort.  Each block emits its
+    exact local (value, count) histogram (``np.unique`` — at most
+    ``distinct(domain)`` rows per block, independent of block row
+    count); the driver merges the partials, builds the global CDF, and
+    reads each quantile off it by rank.
+
+    Rank semantics mirror DuckDB's ``quantile_disc``: the element at
+    1-indexed rank ``max(1, ceil(q * N))`` of the sorted column —
+    verified empirically so the SQL oracle is exact, not approximate.
+
+    Returns (q_micro, value): one row per requested quantile, with q
+    encoded as ``floor(q * 1e6 + 0.5)`` so the schema is float-free.
+    """
+
+    def local_hist(t: pa.Table) -> pa.Table:
+        vals = t[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, counts = np.unique(vals, return_counts=True)
+        return pa.table(
+            {
+                "val": pa.array(uniq, pa.int64()),
+                "cnt": pa.array(counts.astype(np.int64)),
+            }
+        )
+
+    partials = (
+        ds.select_columns([value_col])
+        .map_batches(local_hist, batch_format="pyarrow")
+        .to_pandas()
+    )
+    merged = partials.groupby("val", sort=True)["cnt"].sum()
+    values = merged.index.to_numpy(dtype=np.int64)
+    cum = merged.to_numpy(dtype=np.int64).cumsum()
+    n = int(cum[-1]) if len(cum) else 0
+    out_q, out_v = [], []
+    for q in qs:
+        rank = max(1, int(np.ceil(q * n)))  # 1-indexed, q=0 -> min
+        idx = int(np.searchsorted(cum, rank, side="left"))
+        out_q.append(int(np.floor(q * 1e6 + 0.5)))
+        out_v.append(int(values[idx]))
+    return pa.table(
+        {
+            "q_micro": pa.array(out_q, pa.int64()),
+            "value": pa.array(out_v, pa.int64()),
+        }
+    )

@@ -1,0 +1,109 @@
+"""Truth tests for the training-data layout stages: sequence packing
+(distributed prefix sum), hash sampling/splitting, exact quantiles."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def test_pack_sequences_matches_serial_prefix_sum(ray_session):
+    """Bucketed two-phase prefix sum == a single-process cumsum, across
+    an adversarial partitioning (ids scattered over blocks, tiny bucket
+    width so many buckets exist and several are split across blocks)."""
+    import ray.data as rd
+
+    from distributedcodesearchengine_ray.stages.packing import pack_sequences
+
+    rng = np.random.default_rng(7)
+    n = 1000
+    ids = rng.permutation(n * 3)[:n]  # sparse, shuffled, non-dense ids
+    counts = rng.integers(1, 400, n)
+    df = pd.DataFrame({"doc_id": ids, "n_tokens": counts})
+    ds = rd.from_pandas(df).repartition(7)
+
+    got = (
+        pack_sequences(ds, budget=512, bucket_width=64)
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+
+    want = df.sort_values("doc_id", ignore_index=True)
+    start = np.concatenate([[0], np.cumsum(want["n_tokens"].to_numpy())[:-1]])
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    assert got["start_tok"].tolist() == start.tolist()
+    assert got["chunk_id"].tolist() == (start // 512).tolist()
+    assert got["chunk_offset"].tolist() == (start % 512).tolist()
+
+
+def test_stratified_sample_deterministic_and_rate(ray_session):
+    """Same membership under different partitionings; empirical rate in
+    a loose band around the target; unlisted strata fully dropped."""
+    import ray.data as rd
+
+    from distributedcodesearchengine_ray.stages.sampling import (
+        hash_u32,
+        stratified_sample,
+    )
+
+    n = 6000
+    df = pd.DataFrame(
+        {"doc_id": np.arange(n), "lang": np.tile(["en", "de", "xx"], n // 3)}
+    )
+    rates = {"en": 0.5, "de": 0.1}
+
+    picks = []
+    for parts in (3, 11):
+        ds = rd.from_pandas(df).repartition(parts)
+        out = stratified_sample(ds, rates=rates).to_pandas()
+        picks.append(sorted(out["doc_id"].tolist()))
+    assert picks[0] == picks[1]
+
+    out = pd.DataFrame({"doc_id": picks[0]}).merge(df, on="doc_id")
+    by_lang = out["lang"].value_counts()
+    assert "xx" not in by_lang
+    assert abs(by_lang["en"] / (n / 3) - 0.5) < 0.05
+    assert abs(by_lang["de"] / (n / 3) - 0.1) < 0.05
+
+    # membership is exactly the integer-threshold rule
+    h = hash_u32(out["doc_id"].to_numpy())
+    thr = out["lang"].map({"en": 0.5, "de": 0.1}).to_numpy() * 2**32
+    assert (h < np.floor(thr)).all()
+
+
+def test_hash_split_fences_and_coverage(ray_session):
+    import ray.data as rd
+
+    from distributedcodesearchengine_ray.stages.sampling import hash_split, hash_u32
+
+    n = 5000
+    df = pd.DataFrame({"doc_id": np.arange(n)})
+    out = hash_split(rd.from_pandas(df).repartition(5)).to_pandas()
+    assert len(out) == n
+    pct = hash_u32(out["doc_id"].to_numpy()) % 100
+    want = np.where(pct < 90, "train", np.where(pct < 95, "val", "test"))
+    assert (out["split"].to_numpy() == want).all()
+    share = (out["split"] == "train").mean()
+    assert 0.85 < share < 0.95
+
+    with pytest.raises(ValueError):
+        hash_split(rd.from_pandas(df), fences=(("a", 50), ("b", 80)))
+
+
+def test_exact_quantiles_match_numpy_rank(ray_session):
+    """Histogram-CDF quantiles == sorting the column and indexing at
+    rank ceil(q*N) (DuckDB quantile_disc semantics), duplicates heavy."""
+    import ray.data as rd
+
+    from distributedcodesearchengine_ray.stages.sketch import exact_quantiles
+
+    rng = np.random.default_rng(3)
+    vals = rng.integers(0, 40, 3000)  # heavy duplication
+    ds = rd.from_pandas(pd.DataFrame({"v": vals})).repartition(9)
+    qs = (0.1, 0.25, 0.5, 0.75, 0.9, 1.0)
+    got = exact_quantiles(ds, qs=qs, value_col="v").to_pandas()
+
+    svals = np.sort(vals)
+    for q, val in zip(qs, got["value"]):
+        rank = max(1, int(np.ceil(q * len(svals))))
+        assert val == svals[rank - 1], q

@@ -52,6 +52,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_filter": Q.quality_filter,
         "token_totals": Q.token_totals,
         "token_quantiles": Q.token_quantiles,  # exact CDF quantiles, quantile_disc oracle
+        "clean_text": Q.clean_text_q,  # C4-style normalization, regexp_replace oracle
         "fingerprint_profile": Q.fingerprint_profile,  # rows-only
         # training-data layout (packing / sampling / splitting)
         "pack_sequences": Q.pack_sequences_q,  # distributed prefix sum, window-SQL oracle

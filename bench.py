@@ -165,6 +165,7 @@ def run_bench() -> dict:
         ("heavy_hitter_tokens", Q.heavy_hitter_tokens),
         ("pack_sequences", Q.pack_sequences_q),
         ("stratified_sample", Q.stratified_sample_q),
+        ("clean_text", Q.clean_text_q),
         ("token_quantiles", Q.token_quantiles),
         ("q1_lineitem", Q.q1_lineitem),
         ("q3_shipping", Q.q3_shipping),

@@ -24,7 +24,12 @@ import pyarrow as pa
 import pyarrow.compute as pcc
 
 from ..functions.tokenizer import token_count_array, tokenize_array
-from ..stages.text_stats import BPE_ISH_PATTERN, STOPWORDS
+from ..stages.text_stats import (
+    BPE_ISH_PATTERN,
+    EMAIL_PATTERN as _EMAIL_P,
+    STOPWORDS,
+    URL_PATTERN as _URL_P,
+)
 
 BM25_QUERY = "merge sort join the data stream"
 BM25_QUERY_FILTERED = "hash table scan filter"
@@ -588,6 +593,27 @@ def train_test_split_q(sf_dir: str):
             "lang": pa.array(out["lang"], pa.string()),
             "split": pa.array(out["split"], pa.string()),
             "n": pa.array(out["n"], pa.int64()),
+        }
+    )
+
+
+def clean_text_q(sf_dir: str):
+    """C4-style normalization (lowercase, URL/e-mail strip, whitespace
+    collapse) — one Arrow-kernel map pass; the oracle runs the identical
+    RE2 patterns through DuckDB regexp_replace."""
+    from ..stages.text_stats import clean_text
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = (
+        ds.map_batches(clean_text, batch_format="pyarrow")
+        .select_columns(["doc_id", "clean_text"])
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    return pa.table(
+        {
+            "doc_id": pa.array(out["doc_id"], pa.int64()),
+            "clean_text": pa.array(out["clean_text"], pa.string()),
         }
     )
 
@@ -1519,6 +1545,15 @@ def build_oracle_sql() -> Dict[str, str]:
               FROM documents)
             SELECT lang, split, count(*) AS n FROM s
             GROUP BY lang, split ORDER BY lang, split
+        """,
+        "clean_text": f"""
+            SELECT doc_id,
+                   trim(regexp_replace(
+                     regexp_replace(
+                       regexp_replace(lower(text), '{_URL_P}', ' ', 'g'),
+                       '{_EMAIL_P}', ' ', 'g'),
+                     '\\s+', ' ', 'g')) AS clean_text
+            FROM documents ORDER BY doc_id
         """,
         "token_quantiles": f"""
             WITH t AS (SELECT {_WS_TOKENS_SQL} AS n_tokens FROM documents),

@@ -171,3 +171,29 @@ def fingerprint_stats(batch: pa.Table, text_col: str = "text", k: int = 5, windo
             ),
         }
     )
+
+
+# C4-style cleaning regexes — RE2 syntax only, so the identical patterns
+# run in Arrow (replace_substring_regex) and in the DuckDB oracle
+# (regexp_replace 'g'): no lookarounds, no backrefs.
+URL_PATTERN = r"https?://[^\s]+"
+EMAIL_PATTERN = r"[^\s]+@[^\s]+\.[^\s]+"
+WS_PATTERN = r"\s+"
+
+
+def clean_text(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Normalize documents for training: lowercase, strip URLs and
+    e-mail addresses, collapse whitespace runs, trim.
+
+    Entirely pyarrow.compute kernels (one pass per regex, no Python per
+    row); embarrassingly parallel map-side — the cleaning stage that
+    fronts every web-corpus pipeline.  Appends ``clean_text``.
+    """
+    txt = batch[text_col]
+    if isinstance(txt, pa.ChunkedArray):
+        txt = txt.combine_chunks()
+    txt = pc.utf8_lower(pc.fill_null(txt, ""))
+    for pattern in (URL_PATTERN, EMAIL_PATTERN):
+        txt = pc.replace_substring_regex(txt, pattern, " ")
+    txt = pc.utf8_trim_whitespace(pc.replace_substring_regex(txt, WS_PATTERN, " "))
+    return batch.append_column("clean_text", txt)

@@ -107,3 +107,34 @@ def test_exact_quantiles_match_numpy_rank(ray_session):
     for q, val in zip(qs, got["value"]):
         rank = max(1, int(np.ceil(q * len(svals))))
         assert val == svals[rank - 1], q
+
+
+def test_clean_text_kernels(ray_session):
+    """URL/e-mail strip, lowercase, whitespace collapse, null safety."""
+    import ray.data as rd
+
+    from distributedcodesearchengine_ray.stages.text_stats import clean_text
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": [
+                "Visit https://Example.COM/x?a=1 NOW",
+                "mail Me at Bob@example.org  \t twice\n\nplease",
+                None,
+                "  just   spaces  ",
+            ],
+        }
+    )
+    out = (
+        rd.from_pandas(df)
+        .map_batches(clean_text, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    assert out["clean_text"].tolist() == [
+        "visit now",
+        "mail me at twice please",
+        "",
+        "just spaces",
+    ]

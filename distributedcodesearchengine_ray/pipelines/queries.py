@@ -774,6 +774,50 @@ def knn_cosine(sf_dir: str):
     )
 
 
+def hybrid_rrf(sf_dir: str, limit: int = 20):
+    """Hybrid retrieval through the REAL fusion code path (J1/K3,
+    `pipelines/hybrid.py::rrf_fuse`): distributed BM25 top-20 over
+    ``documents`` + distributed cosine top-20 over ``embeddings`` (query
+    = vec 0), weighted-RRF full-outer merged and max-normalized.  The
+    oracle re-derives BOTH legs and the fusion arithmetic in SQL —
+    including the low-spread weight flip and the ``1 - w`` float shape."""
+    from ..stages.annsearch import vector_topk
+    from .hybrid import rrf_fuse
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    qdf = emb.filter(lambda r: r["vec_id"] == 0).to_pandas()
+    qs = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
+    sem_tbl = vector_topk(
+        emb, qs, k=limit, id_column="vec_id", normalize=True, dtype=np.float64
+    ).to_pandas()
+    semantic = list(
+        zip(sem_tbl["vec_id"].astype(int), sem_tbl["score"].astype(float))
+    )
+
+    bm_tbl = bm25_topk(sf_dir, limit=limit).to_pandas().sort_values("rank")
+    bm25 = list(
+        zip(
+            bm_tbl["doc_id"].astype(int),
+            (bm_tbl["score_micro"].astype(np.int64) / 1e6),
+        )
+    )
+
+    fused = rrf_fuse(semantic, bm25, semantic_weight=0.7)
+    ids = np.array([f[0] for f in fused], np.int64)
+    combined = np.array([f[1] for f in fused], np.float64)
+    sem_raw = np.array([f[2] for f in fused], np.float64)
+    bm_raw = np.array([f[3] for f in fused], np.float64)
+    order = np.argsort(ids)
+    return pa.table(
+        {
+            "doc_id": pa.array(ids[order]),
+            "fused_micro": pa.array(_micro(combined[order])),
+            "sem_micro": pa.array(_micro(sem_raw[order])),
+            "bm25_micro": pa.array(_micro(bm_raw[order])),
+        }
+    )
+
+
 def knn_cosine_filtered(sf_dir: str, label: int = 3):
     """Pre-filtered vector search (Qdrant filter semantics,
     vector_store.py:229-253): restrict the corpus to one label BEFORE the
@@ -1545,6 +1589,35 @@ def build_oracle_sql() -> Dict[str, str]:
               FROM documents)
             SELECT lang, split, count(*) AS n FROM s
             GROUP BY lang, split ORDER BY lang, split
+        """,
+        "hybrid_rrf": f"""
+            WITH bm AS ({bm25_sql(BM25_QUERY, limit=20)}),
+            sem0 AS (
+              SELECT e.vec_id AS doc_id,
+                     list_cosine_similarity(e.embedding::DOUBLE[], q.qe) AS score
+              FROM embeddings e
+              CROSS JOIN (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0) q),
+            sem AS (
+              SELECT doc_id, score,
+                     row_number() OVER (ORDER BY score DESC, doc_id ASC) - 1 AS rank
+              FROM sem0 ORDER BY score DESC, doc_id ASC LIMIT 20),
+            w AS (SELECT CASE WHEN max(score) - min(score) < 0.05 THEN 0.3 ELSE 0.7 END AS sw FROM sem),
+            ids AS (SELECT doc_id FROM sem UNION SELECT doc_id FROM bm),
+            fused AS (
+              SELECT ids.doc_id,
+                     COALESCE((1.0 / (60 + sem.rank + 1)) * (SELECT sw FROM w), 0)
+                     + COALESCE((1.0 / (60 + bm.rank + 1)) * (1 - (SELECT sw FROM w)), 0) AS f,
+                     COALESCE(sem.score, 0) AS sem_raw,
+                     COALESCE(bm.score_micro, 0) AS bm_micro
+              FROM ids
+              LEFT JOIN sem ON sem.doc_id = ids.doc_id
+              LEFT JOIN bm ON bm.doc_id = ids.doc_id),
+            mxf AS (SELECT max(f) AS m FROM fused)
+            SELECT doc_id,
+                   CAST(floor(f / (SELECT m FROM mxf) * 1000000 + 0.5) AS BIGINT) AS fused_micro,
+                   CAST(floor(sem_raw * 1000000 + 0.5) AS BIGINT) AS sem_micro,
+                   bm_micro AS bm25_micro
+            FROM fused ORDER BY doc_id
         """,
         "clean_text": f"""
             SELECT doc_id,

@@ -104,6 +104,7 @@ def run_bench() -> dict:
     results["build_docs"] = manifest.n_docs
     results["build_partitions"] = manifest.num_partitions
 
+
     if os.environ.get("GRAFT_BENCH_BUILD_ONLY"):
         out = {
             "metric": "entity-index build sec (build-only mode)",
@@ -138,6 +139,40 @@ def run_bench() -> dict:
         results["query_batch_qps"] = round(len(BENCH_QUERIES) * 4 / (time.time() - t0), 1)
     finally:
         engine.close()
+
+    # --- incremental append: +5% new files onto the built index; cost must
+    # track the APPENDED volume, not the index size (old partitions are
+    # never read).  Appended rows use ids past the corpus so keys are new.
+    n_app = max(1000, n_files // 20)
+    app_dir = f"/tmp/rcs_bench/append-{n_files}-{n_app}-r{richness}"
+    if not os.path.exists(os.path.join(app_dir, "_DONE")):
+        import pyarrow.parquet as _pq
+
+        from distributedcodesearchengine_ray.sources.corpus import (
+            _rows_to_table,
+            gen_corpus_row,
+        )
+
+        os.makedirs(app_dir, exist_ok=True)
+        per = -(-n_app // 8)
+        for s in range(8):
+            lo, hi = n_files + s * per, min(n_files + (s + 1) * per, n_files + n_app)
+            if lo < hi:
+                _pq.write_table(
+                    _rows_to_table([gen_corpus_row(i, 42, richness) for i in range(lo, hi)]),
+                    os.path.join(app_dir, f"part-{s:05d}.parquet"),
+                )
+        open(os.path.join(app_dir, "_DONE"), "w").write("1")
+    from distributedcodesearchengine_ray.pipelines.build_index import append_index
+
+    t0 = time.time()
+    manifest = append_index(
+        index_dir, app_dir, docs_per_partition=max(2000, manifest_docs_hint(n_files))
+    )
+    append_sec = time.time() - t0
+    results["append_sec"] = round(append_sec, 3)
+    results["append_files_per_sec"] = round(n_app / append_sec, 1)
+    results["append_docs"] = manifest.n_docs - results["build_docs"]
 
     if os.environ.get("GRAFT_BENCH_SKIP_PIPELINES"):
         out = {

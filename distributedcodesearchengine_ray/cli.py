@@ -48,6 +48,15 @@ def main(argv=None) -> int:
     pi.add_argument("--no-resume", action="store_true")
     pi.add_argument("--embeddings", action="store_true")
     pi.add_argument("--docs-per-partition", type=int, default=10_000)
+    pi.add_argument(
+        "--append", action="store_true",
+        help="add the corpus to an existing index (new docs get the next "
+        "docIDs; old partitions untouched)",
+    )
+    pi.add_argument(
+        "--dedup-on-insert", action="store_true",
+        help="with --append: drop files whose exact content is already indexed",
+    )
 
     ps = sub.add_parser("search", help="BM25 / hybrid search")
     ps.add_argument("query")
@@ -274,12 +283,23 @@ def main(argv=None) -> int:
     )
     try:
         if args.cmd == "index":
-            m = eng.index_corpus(
-                args.corpus,
-                resume=not args.no_resume,
-                with_embeddings=args.embeddings,
-                docs_per_partition=args.docs_per_partition,
-            )
+            if args.append:
+                from .pipelines.build_index import append_index
+
+                m = append_index(
+                    args.index_dir,
+                    args.corpus,
+                    dedup_on_insert=args.dedup_on_insert,
+                    docs_per_partition=args.docs_per_partition,
+                    resume=not args.no_resume,
+                )
+            else:
+                m = eng.index_corpus(
+                    args.corpus,
+                    resume=not args.no_resume,
+                    with_embeddings=args.embeddings,
+                    docs_per_partition=args.docs_per_partition,
+                )
             print(
                 json.dumps(
                     {
@@ -287,6 +307,7 @@ def main(argv=None) -> int:
                         "vocab_size": m.vocab_size,
                         "num_partitions": m.num_partitions,
                         "build_id": m.build_id,
+                        "appends": len(m.extra.get("appends", [])),
                         "phase_sec": m.extra.get("phase_sec", {}),
                     }
                 )

@@ -661,6 +661,23 @@ def build_index(
     for p in range(P):
         offsets[p] = acc
         acc += int(counts_vec[p])
+    # a full (re)build owns partitions 0..P-1 exactly: drop any higher-pid
+    # partition files left by earlier append_index runs — they would
+    # otherwise leak stale dfs into the lexicon pass below, which globs
+    # every postings file on disk (a differently-sized OLD BUILD can't
+    # leak: its build_id differs, which wipes the derived dirs above)
+    for sub in ("postings", "docmeta"):
+        d = os.path.join(index_dir, sub)
+        if os.path.isdir(d):
+            for f in os.listdir(d):
+                if f.startswith("part-") and f.endswith(".parquet"):
+                    if int(f[5:10]) >= P:
+                        os.remove(os.path.join(d, f))
+    lin_dir = os.path.join(index_dir, "lineage")
+    if os.path.isdir(lin_dir):
+        for f in os.listdir(lin_dir):
+            if f.startswith("part-") and int(f.split(".")[0][5:]) >= P:
+                os.remove(os.path.join(lin_dir, f))
     _mark("part_counts")
 
     # --- pass C: independent per-partition index builds (pure Ray tasks)
@@ -691,15 +708,60 @@ def build_index(
     total_tokens = int(summaries["total_tokens"].sum())
     avgdl = total_tokens / n_docs
 
-    # --- pass D: global lexicon — the groupby(term)-aggregate merge of the
-    # per-partition partial dfs, implemented as an explicit hash-partitioned
-    # exchange: LEX_BUCKETS parallel tasks each aggregate the terms whose
-    # stable hash lands in their bucket (reading only the tiny term/df
-    # columns of every partition's postings), then a second tiny round
-    # applies the epsilon floor once the driver has combined the per-bucket
-    # (sum_idf, vocab) partials.  Buckets are written sorted-by-term with
-    # small row groups, so a query term resolves via bucket hash + parquet
-    # predicate pushdown — the vocabulary is never loaded whole anywhere.
+    # --- pass D: global lexicon (shared with append_index)
+    average_idf, vocab_size = _lexicon_pass(index_dir, n_docs, epsilon)
+    _mark("lexicon")
+    partitions = [
+        PartitionRecord.from_dict(r)
+        for r in summaries.sort_values("part_id").to_dict("records")
+    ]
+    manifest = IndexManifest(
+        mode=mode,
+        n_docs=n_docs,
+        total_tokens=total_tokens,
+        avgdl=avgdl,
+        vocab_size=vocab_size,
+        average_idf=average_idf,
+        k1=k1,
+        b=b,
+        epsilon=epsilon,
+        num_partitions=len(boundaries) + 1,
+        build_id=build_id,
+        boundaries=boundaries,
+        partitions=partitions,
+        extra={
+            "phase_sec": phase_sec,
+            "lex_buckets": LEX_BUCKETS,
+            # deployment contract: every node must see index_dir at this
+            # path (shared POSIX fs / FUSE mount) — see manifest.normalize_dir
+            "filesystem": "shared-posix",
+        },
+    )
+    manifest.save(index_dir)
+    return manifest
+
+
+def _lexicon_pass(index_dir: str, n_docs: int, epsilon: float):
+    """Global lexicon rebuild over EVERY postings partition currently on
+    disk — the groupby(term)-aggregate merge of the per-partition partial
+    dfs, implemented as an explicit hash-partitioned exchange: LEX_BUCKETS
+    parallel tasks each aggregate the terms whose stable hash lands in
+    their bucket (reading only the tiny term/df columns of every
+    partition's postings), then a second tiny round applies the epsilon
+    floor once the driver has combined the per-bucket (sum_idf, vocab)
+    partials.  Buckets are written sorted-by-term with small row groups,
+    so a query term resolves via bucket hash + parquet predicate pushdown
+    — the vocabulary is never loaded whole anywhere.
+
+    Cost scales with VOCABULARY, not corpus size, which is what makes
+    ``append_index`` incremental: appending partitions re-runs only this
+    pass (plus the new partitions' builds), never the old partitions.
+
+    Returns (average_idf, vocab_size)."""
+    import shutil
+
+    import ray
+
     post_files = sorted(
         os.path.join(index_dir, "postings", f)
         for f in os.listdir(os.path.join(index_dir, "postings"))
@@ -793,32 +855,315 @@ def build_index(
 
     ray.get([lex_floor.remote(b) for b in range(LEX_BUCKETS)])
     shutil.rmtree(lex_tmp, ignore_errors=True)
-    _mark("lexicon")
-    partitions = [
+    return average_idf, vocab_size
+
+
+# docmeta sha sets up to this size broadcast to the dedup filter as one
+# object-store array; above it the dedup is a distributed left-anti join
+# (same result set — equivalence-tested with a forced threshold)
+APPEND_BROADCAST_SHAS = 2_000_000
+
+
+def append_index(
+    index_dir: str,
+    corpus,
+    *,
+    dedup_on_insert: bool = False,
+    docs_per_partition: int = 10_000,
+    partition_bytes: int = 256 << 20,
+    max_partitions: int = 4096,
+    apply_path_filters: bool = True,
+    extra_parsers=None,
+    extra_extensions: Optional[Dict[str, str]] = None,
+    resume: bool = True,
+) -> IndexManifest:
+    """Incrementally add a corpus to an existing index — the reference's
+    insert path (``api/server.py`` POST /index + ``bm25_index.py``
+    add_documents: new docs get the NEXT docIDs, exact duplicates are
+    dropped when dedup is on) re-expressed as an append-only build:
+
+    - existing partitions are NEVER touched (their postings, docmeta and
+      docIDs are byte-identical before and after);
+    - the appended files become NEW partitions (ids ``P_old..``) with
+      docIDs starting at the old ``n_docs``, ordered lexicographically
+      within the append batch — insertion-order semantics;
+    - only the lexicon (cost ∝ vocabulary) and the manifest scalars
+      (N, avgdl, average_idf — exactly the full-rebuild values, since
+      they are order-independent sums) are recomputed;
+    - ``dedup_on_insert=True`` drops appended FILES whose content sha256
+      already exists in the index (J2), plus exact duplicates within the
+      batch (first by key wins) — broadcast-set filter for small
+      indexes, distributed left-anti join above APPEND_BROADCAST_SHAS.
+
+    Appends are idempotent: each is identified by a deterministic
+    ``append_id`` (old manifest build_id + the new corpus fingerprint)
+    recorded in ``manifest.extra["appends"]``; re-running a completed
+    append is a no-op, and a crashed one resumes partition-by-partition
+    through the same lineage records the full build uses.
+    """
+    import functools
+    import json as _json
+
+    import ray
+
+    from ..state.manifest import normalize_dir
+
+    index_dir = normalize_dir(index_dir)
+    manifest = IndexManifest.load(index_dir)
+    mode = manifest.mode
+    corpus_path = normalize_dir(corpus) if isinstance(corpus, str) else None
+
+    # --- fingerprint the append batch (cheap: parquet metadata + keys)
+    if corpus_path is not None:
+        files = (
+            [corpus_path]
+            if os.path.isfile(corpus_path)
+            else sorted(
+                os.path.join(corpus_path, f)
+                for f in os.listdir(corpus_path)
+                if f.endswith(".parquet")
+            )
+        )
+        n_files = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+        est_bytes = sum(
+            pq.ParquetFile(f).metadata.row_group(rg).total_byte_size
+            for f in files
+            for rg in range(pq.ParquetFile(f).metadata.num_row_groups)
+        )
+        src = read_corpus(corpus_path)
+    else:
+        files = []
+        src = corpus
+        n_files = corpus.count()
+        est_bytes = int(corpus.size_bytes() or 0)
+    if n_files == 0:
+        return manifest
+
+    params = {
+        "op": "append",
+        "base_build": manifest.build_id,
+        "dedup": bool(dedup_on_insert),
+        "mode": mode,
+        "apply_path_filters": apply_path_filters,
+        "extra_langs": sorted((extra_parsers or {}).keys())
+        + sorted((extra_extensions or {}).keys()),
+        "src": corpus_path or "<dataset>",
+    }
+    append_id = compute_build_id(n_files, [], params)
+    for a in manifest.extra.get("appends", []):
+        if a["append_id"] == append_id:
+            return manifest  # this exact append already applied
+
+    # --- boundaries over the APPEND batch's file keys
+    def key_batch(t: pa.Table) -> pa.Table:
+        if apply_path_filters:
+            t = filter_corpus_batch(t, extra_extensions)
+        return pa.table({"skey": _skey(t["repo"], t["path"], t["commit"])})
+
+    parts_by_rows = -(-n_files // docs_per_partition)
+    parts_by_bytes = -(-est_bytes // partition_bytes) if est_bytes else 0
+    p_new = max(1, min(max_partitions, max(parts_by_rows, parts_by_bytes)))
+    target_sample = min(100_000, max(1_000, 200 * p_new))
+    modulus = max(1, n_files // target_sample)
+    if corpus_path is not None and n_files <= SMALL_SAMPLE_DRIVER_ROWS:
+        import pyarrow.dataset as pads
+
+        key_tbl = key_batch(
+            pads.dataset(files, format="parquet").to_table(
+                columns=["repo", "path", "commit"]
+            )
+        )
+        sample_keys = sorted(
+            _deterministic_sample(
+                key_tbl["skey"].to_numpy(zero_copy_only=False), modulus
+            ).tolist()
+        )
+    else:
+        sampled = (
+            src.map_batches(key_batch, batch_format="pyarrow")
+            .map_batches(
+                lambda t: pa.table(
+                    {
+                        "skey": _deterministic_sample(
+                            t["skey"].to_numpy(zero_copy_only=False), modulus
+                        )
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+            .take_all()
+        )
+        sample_keys = sorted(r["skey"] for r in sampled)
+    boundaries: List[str] = []
+    if p_new > 1 and sample_keys:
+        idx = (np.arange(1, p_new) * len(sample_keys)) // p_new
+        boundaries = sorted(set(sample_keys[i] for i in idx))
+    bnd_arr = np.array(boundaries, dtype=object)
+    p_old = manifest.num_partitions
+    n_old = manifest.n_docs
+    P = len(boundaries) + 1
+
+    # --- optional J2 dedup-on-insert at FILE granularity, BEFORE extract
+    if dedup_on_insert:
+        def add_file_sha(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "sha256", pa.array(_sha256_column(t["content"].to_pylist()))
+            ).append_column("__skey", _skey(t["repo"], t["path"], t["commit"]))
+
+        src = src.map_batches(add_file_sha, batch_format="pyarrow")
+        meta_dir = os.path.join(index_dir, "docmeta")
+        meta_files = [
+            os.path.join(meta_dir, f)
+            for f in sorted(os.listdir(meta_dir))
+            if f.endswith(".parquet")
+        ]
+        if n_old <= APPEND_BROADCAST_SHAS:
+            old = pa.concat_tables(
+                pq.read_table(f, columns=["sha256"]) for f in meta_files
+            )
+            sha_ref = ray.put(pc.unique(old["sha256"]))
+
+            def drop_existing(t: pa.Table) -> pa.Table:
+                known = ray.get(sha_ref)
+                return t.filter(
+                    pc.invert(pc.is_in(t["sha256"], value_set=known))
+                )
+
+            src = src.map_batches(drop_existing, batch_format="pyarrow")
+        else:
+            import ray.data as rd
+
+            old_ds = rd.read_parquet(meta_files, columns=["sha256"])
+            src = src.join(
+                old_ds,
+                "left_anti",
+                num_partitions=max(16, p_new),
+                on=("sha256",),
+            )
+
+        # within-batch exact dedup: first file (min key) per content hash —
+        # the bucketed exchange pattern from stages/dedup.py
+        def first_per_sha(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.sort_values(["sha256", "__skey"], kind="mergesort", ignore_index=True)
+            keep = df["sha256"].ne(df["sha256"].shift())
+            return df[keep].drop(columns=["__b"]).reset_index(drop=True)
+
+        def add_sha_bucket(t: pa.Table) -> pa.Table:
+            h = pd.util.hash_array(
+                t["sha256"].to_numpy(zero_copy_only=False)
+            )
+            return t.append_column("__b", pa.array((h % 256).astype(np.int64)))
+
+        src = (
+            src.map_batches(add_sha_bucket, batch_format="pyarrow")
+            .groupby("__b")
+            .map_groups(first_per_sha, batch_format="pandas")
+            .drop_columns(["__skey"])
+        )
+
+    # --- extract + partition + stage (mirrors build pass B, own dir)
+    staged = os.path.join(index_dir, "staged_append", append_id)
+    marker = os.path.join(staged, "_PARTED.json")
+    parted_valid = False
+    if resume and os.path.exists(marker):
+        try:
+            parted_valid = _json.load(open(marker)).get("append_id") == append_id
+        except (ValueError, OSError):
+            parted_valid = False
+    if not parted_valid:
+        import shutil
+
+        shutil.rmtree(staged, ignore_errors=True)
+        if mode == "entity":
+            extract = functools.partial(
+                _extract_entity_docs,
+                apply_filters=apply_path_filters,
+                extra_parsers=extra_parsers,
+                extra_extensions=extra_extensions,
+            )
+        else:
+            extract = functools.partial(
+                _extract_file_docs,
+                apply_filters=apply_path_filters,
+                extra_extensions=extra_extensions,
+            )
+
+        def add_part_id(t: pa.Table) -> pa.Table:
+            sk = t["skey"].to_numpy(zero_copy_only=False)
+            pid = (
+                np.searchsorted(bnd_arr, sk, side="right")
+                if len(bnd_arr)
+                else np.zeros(len(sk), dtype=np.int64)
+            )
+            return t.drop_columns(["skey"]).append_column(
+                "part_id", pa.array(pid, pa.int64())
+            )
+
+        (
+            src.map_batches(extract, batch_format="pyarrow", batch_size=None)
+            .map_batches(add_part_id, batch_format="pyarrow", batch_size=None)
+            .write_parquet(staged, partition_cols=["part_id"], row_group_size=1_000_000)
+        )
+        with open(marker, "w") as f:
+            _json.dump({"append_id": append_id}, f)
+
+    counts_vec = np.zeros(P, dtype=np.int64)
+    for p in range(P):
+        sub = os.path.join(staged, f"part_id={p}")
+        if os.path.isdir(sub):
+            for f in os.listdir(sub):
+                if f.endswith(".parquet"):
+                    counts_vec[p] += pq.ParquetFile(os.path.join(sub, f)).metadata.num_rows
+    n_new = int(counts_vec.sum())
+    if n_new == 0:  # everything filtered / deduped away: record + done
+        manifest.extra.setdefault("appends", []).append(
+            {"append_id": append_id, "n_docs": 0, "partitions": 0}
+        )
+        manifest.save(index_dir)
+        return manifest
+
+    # global pids/offsets continue where the index left off
+    offsets = {}
+    acc = n_old
+    for p in range(P):
+        offsets[p_old + p] = acc
+        acc += int(counts_vec[p])
+
+    builder = _PartitionBuilder(index_dir, offsets, append_id, mode, resume)
+
+    @ray.remote(num_cpus=2)
+    def build_one(local_p: int) -> dict:
+        pid = p_old + local_p
+        rec = read_lineage(index_dir, pid) if resume else None
+        if (
+            rec is not None
+            and rec.build_id == append_id
+            and os.path.exists(os.path.join(index_dir, "postings", f"part-{pid:05d}.parquet"))
+            and os.path.exists(os.path.join(index_dir, "docmeta", f"part-{pid:05d}.parquet"))
+        ):
+            return rec.to_dict()
+        sub = os.path.join(staged, f"part_id={local_p}")
+        return builder(pq.read_table(sub), pid)
+
+    live = [p for p in range(P) if counts_vec[p] > 0]
+    summaries = pd.DataFrame(ray.get([build_one.remote(p) for p in live]))
+
+    n_docs = n_old + n_new
+    total_tokens = manifest.total_tokens + int(summaries["total_tokens"].sum())
+    average_idf, vocab_size = _lexicon_pass(index_dir, n_docs, manifest.epsilon)
+
+    manifest.n_docs = n_docs
+    manifest.total_tokens = total_tokens
+    manifest.avgdl = total_tokens / n_docs
+    manifest.vocab_size = vocab_size
+    manifest.average_idf = average_idf
+    manifest.num_partitions = p_old + P
+    manifest.partitions = manifest.partitions + [
         PartitionRecord.from_dict(r)
         for r in summaries.sort_values("part_id").to_dict("records")
     ]
-    manifest = IndexManifest(
-        mode=mode,
-        n_docs=n_docs,
-        total_tokens=total_tokens,
-        avgdl=avgdl,
-        vocab_size=vocab_size,
-        average_idf=average_idf,
-        k1=k1,
-        b=b,
-        epsilon=epsilon,
-        num_partitions=len(boundaries) + 1,
-        build_id=build_id,
-        boundaries=boundaries,
-        partitions=partitions,
-        extra={
-            "phase_sec": phase_sec,
-            "lex_buckets": LEX_BUCKETS,
-            # deployment contract: every node must see index_dir at this
-            # path (shared POSIX fs / FUSE mount) — see manifest.normalize_dir
-            "filesystem": "shared-posix",
-        },
+    manifest.extra.setdefault("appends", []).append(
+        {"append_id": append_id, "n_docs": n_new, "partitions": len(live)}
     )
     manifest.save(index_dir)
     return manifest

@@ -46,6 +46,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_dups": Q.ngram_jaccard_dups,  # exact PPJoin, SQL oracle
         "dedup_clusters": Q.dedup_clusters,  # connected components, recursive-SQL oracle
         "simhash_near_dups": Q.simhash_near_dups,  # rows-only, scalar-oracle gated
+        "clone_pairs": Q.clone_pairs,  # winnowing clone join, rows-only (pytest brute-force gate)
         # text analysis
         "lang_id_profile": Q.lang_id_profile,
         "quality_by_lang": Q.quality_by_lang,

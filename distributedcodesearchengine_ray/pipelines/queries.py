@@ -696,6 +696,25 @@ def fingerprint_profile(sf_dir: str):
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def clone_pairs(sf_dir: str):
+    """MOSS-style code-clone candidates: pairs sharing >= 3 winnowing
+    fingerprints at containment >= 0.5 (rows-only — the rolling hash is
+    not SQL-expressible; exactness is gated in pytest against a
+    brute-force pure-Python winnowing oracle)."""
+    from ..stages.clones import fingerprint_clone_pairs
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = fingerprint_clone_pairs(ds).to_pandas()
+    if len(out) == 0:
+        return pa.table(
+            {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
+             "shared": pa.array([], pa.int64()),
+             "containment_micro": pa.array([], pa.int64())}
+        )
+    out = out.sort_values(["id_a", "id_b"], ignore_index=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def simhash_near_dups(sf_dir: str, max_hamming: int = 3):
     """SimHash near-dup pairs (Hamming <= 3 over 64-bit signatures) on the
     documents table.  Rows-only (siphash word hashing is not expressible in

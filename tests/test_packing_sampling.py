@@ -138,3 +138,81 @@ def test_clean_text_kernels(ray_session):
         "",
         "just spaces",
     ]
+
+
+def _winnow_py(text, k=5, window=4):
+    """Independent scalar winnowing oracle (mirrors the one in
+    test_driver_contract)."""
+    data = (text or "").encode("utf-8", "replace")
+    if len(data) < k:
+        h = pd.util.hash_array(np.asarray([text or ""], dtype=object)).astype("uint64")
+        return {int(h[0])}
+    M = 1 << 64
+    hs = []
+    for i in range(len(data) - k + 1):
+        h = 0
+        for byte in data[i : i + k]:
+            h = (h * 257 + byte) % M
+        hs.append(h)
+    if len(hs) <= window:
+        return {min(hs)}
+    return {min(hs[i : i + window]) for i in range(len(hs) - window + 1)}
+
+
+def test_clone_pairs_match_bruteforce(ray_session):
+    """Distributed fingerprint join == all-pairs set intersection over the
+    independent scalar oracle, including the df noise filter and both
+    thresholds.  Corpus: clone families (shuffled/edited copies), unrelated
+    docs, and a boilerplate line shared by EVERYONE (df-filter fodder)."""
+    import itertools
+
+    import ray.data as rd
+
+    from distributedcodesearchengine_ray.stages.clones import fingerprint_clone_pairs
+
+    rng = np.random.default_rng(11)
+    boiler = "copyright license header common to all files"
+    docs = []
+    for fam in range(6):  # clone families of 3: base, reordered, edited
+        # per-family vocabulary of random letter strings: every char 5-gram
+        # is family-specific, so family fingerprints have df ~3 (inside the
+        # [2, max_fp_df] informative window), while the boilerplate prefix
+        # (df = every doc) exercises the upper cut
+        vocab = [
+            "".join(chr(97 + c) for c in rng.integers(0, 26, 8))
+            for _ in range(13)
+        ]
+        words = [vocab[int(w)] for w in rng.integers(0, 13, 40)]
+        base = " ".join(words)
+        reordered = " ".join(words[20:] + words[:20])
+        edited = " ".join(words[:35] + ["extra", "tail", "tokens"])
+        docs += [boiler + " " + d for d in (base, reordered, edited)]
+    for i in range(12):  # unrelated
+        docs.append(boiler + " " + " ".join(
+            f"unique{i}x{j}" for j in range(30)))
+    df = pd.DataFrame({"doc_id": np.arange(len(docs)), "text": docs})
+
+    got = (
+        fingerprint_clone_pairs(
+            rd.from_pandas(df).repartition(5),
+            min_shared=3, min_containment=0.5, max_fp_df=10,
+        )
+        .to_pandas()
+        .sort_values(["id_a", "id_b"], ignore_index=True)
+    )
+
+    # brute force with the same semantics
+    sets = {i: _winnow_py(t) for i, t in zip(df["doc_id"], df["text"])}
+    dfreq = {}
+    for s in sets.values():
+        for f in s:
+            dfreq[f] = dfreq.get(f, 0) + 1
+    informative = {f for f, c in dfreq.items() if 2 <= c <= 10}
+    want = []
+    for a, b in itertools.combinations(df["doc_id"], 2):
+        shared = len((sets[a] & sets[b]) & informative)
+        if shared >= 3 and shared / min(len(sets[a]), len(sets[b])) >= 0.5:
+            want.append((a, b, shared))
+    want.sort()
+    assert [(r.id_a, r.id_b, r.shared) for r in got.itertuples()] == want
+    assert len(want) >= 6  # every family's 3 pairs should largely survive

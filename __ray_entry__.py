@@ -39,6 +39,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_wand": Q.bm25_topk_wand,
         "bm25_topk_lang": Q.bm25_topk_lang,
         "lang_histogram": Q.lang_histogram,
+        "substring_search": Q.substring_search,  # trigram index + verify, contains() oracle
+        "regex_search": Q.regex_search,  # Cox-style required-literal pruning, RE2 oracle
         # dedup suite
         "dedup_exact": Q.dedup_exact,
         "dedup_by_key": Q.dedup_by_key,

@@ -696,6 +696,47 @@ def fingerprint_profile(sf_dir: str):
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+SUBSTRING_NEEDLE = "sort merge"
+REGEX_PATTERN = "sort (merge|scan) [a-z]+"
+
+
+def _trigram_index(sf_dir: str) -> str:
+    """Build (resume-cached) the trigram substring index over documents."""
+    from ..stages.trigram import build_trigram_index
+
+    tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
+    idx = f"/tmp/rcs_cache/tridx-{tag}"
+    marker = os.path.join(idx, "tri_manifest.json")
+    if not os.path.exists(marker):
+        os.makedirs(idx, exist_ok=True)
+        ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+        build_trigram_index(ds, idx)
+    return idx
+
+
+def substring_search(sf_dir: str, needle: str = SUBSTRING_NEEDLE):
+    """Exact substring (grep) search via the trigram index: needle
+    trigrams -> rarest posting lists -> intersect -> verify candidates
+    only.  Oracle: ``WHERE contains(text, needle)``."""
+    from ..stages.trigram import substring_search as tri_substring
+
+    idx = _trigram_index(sf_dir)
+    docs = os.path.join(sf_dir, "documents.parquet")
+    ids = tri_substring(idx, docs, needle)
+    return pa.table({"doc_id": pa.array(ids, pa.int64())})
+
+
+def regex_search(sf_dir: str, pattern: str = REGEX_PATTERN):
+    """Exact regex search: required-literal trigram pruning + RE2
+    verification (same regex engine as the DuckDB oracle)."""
+    from ..stages.trigram import regex_search as tri_regex
+
+    idx = _trigram_index(sf_dir)
+    docs = os.path.join(sf_dir, "documents.parquet")
+    ids = tri_regex(idx, docs, pattern)
+    return pa.table({"doc_id": pa.array(ids, pa.int64())})
+
+
 def clone_pairs(sf_dir: str):
     """MOSS-style code-clone candidates: pairs sharing >= 3 winnowing
     fingerprints at containment >= 0.5 (rows-only — the rolling hash is
@@ -1552,6 +1593,14 @@ def build_oracle_sql() -> Dict[str, str]:
             FROM documents GROUP BY lang, source ORDER BY lang, source
         """,
         "lang_histogram": "SELECT lang, count(*) AS n FROM documents GROUP BY lang ORDER BY lang",
+        "substring_search": f"""
+            SELECT doc_id FROM documents
+            WHERE contains(text, '{SUBSTRING_NEEDLE}') ORDER BY doc_id
+        """,
+        "regex_search": f"""
+            SELECT doc_id FROM documents
+            WHERE regexp_matches(text, '{REGEX_PATTERN}') ORDER BY doc_id
+        """,
         "quality_by_lang": f"""
             WITH tok AS (
               SELECT lang,

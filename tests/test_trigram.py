@@ -1,0 +1,147 @@
+"""Trigram substring/regex index: extraction, planner soundness, e2e exactness."""
+
+import os
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from distributedcodesearchengine_ray.stages import trigram as T
+
+
+def brute_trigrams(s: str):
+    b = s.encode("utf-8")
+    return sorted({(b[i] << 16) | (b[i + 1] << 8) | b[i + 2] for i in range(len(b) - 2)})
+
+
+class TestExtraction:
+    def test_matches_bruteforce(self):
+        texts = ["hello world", "ab", "", "aaaa", "héllo wörld", "x" * 5000, "a b"]
+        rows, codes = T.distinct_trigrams(pa.array(texts))
+        for i, s in enumerate(texts):
+            assert sorted(codes[rows == i].tolist()) == brute_trigrams(s), s
+
+    def test_all_short(self):
+        rows, codes = T.distinct_trigrams(pa.array(["a", "bb", ""]))
+        assert rows.size == 0 and codes.size == 0
+
+    def test_null_handling(self):
+        rows, codes = T.distinct_trigrams(pa.array(["abcd", None, "xyz"]))
+        assert sorted(codes[rows == 0].tolist()) == brute_trigrams("abcd")
+        assert (rows == 1).sum() == 0
+        assert sorted(codes[rows == 2].tolist()) == brute_trigrams("xyz")
+
+
+class TestPlanner:
+    @pytest.mark.parametrize(
+        "pattern,expected",
+        [
+            ("sort (merge|scan) [a-z]+", ["sort "]),
+            ("abc+", ["abc"]),
+            ("a{3}bc", ["aaabc"]),
+            ("foo.*bar", ["bar", "foo"]),
+            ("(hello)+ world", [" world", "hello"]),
+            ("(?i)foo", []),  # case-insensitive -> full scan
+            ("colou?r", ["colo"]),
+            ("merge (part|window) small", [" small", "merge "]),
+            ("^start.*end$", ["end", "start"]),
+            # sre factors the common branch prefix before we ever see it
+            ("(abcdef|abcxyz)", ["abc"]),
+        ],
+    )
+    def test_required_literals(self, pattern, expected):
+        assert T.required_literals(pattern) == expected
+
+    def test_soundness_random(self):
+        """Every text matching the regex must contain every required literal."""
+        rng = np.random.default_rng(7)
+        words = ["sort", "merge", "scan", "key", "part", "win", "dup", "ab"]
+        pats = [
+            "sort (merge|scan)+ key",
+            "merge{1,3} part",
+            "(key )?sort\\w+dup",
+            "win(dow)* scan",
+            "part\\s+merge|part\\s+scan",
+            "a(bc)+d",
+            "x{2}(y|z)w{3}",
+        ]
+        for pat in pats:
+            lits = T.required_literals(pat)
+            rx = re.compile(pat)
+            for _ in range(300):
+                text = " ".join(rng.choice(words, size=8).tolist()) + "xxyywwwabcd"
+                if rx.search(text):
+                    for lit in lits:
+                        assert lit in text, (pat, lit, text)
+
+
+@pytest.fixture(scope="module")
+def tri_index(ray_session, tmp_path_factory):
+    import ray.data as rd
+
+    root = tmp_path_factory.mktemp("tri")
+    rng = np.random.default_rng(11)
+    words = ["the", "fast", "sort", "merge", "scan", "key", "join", "部分", "λx"]
+    texts = [
+        " ".join(rng.choice(words, size=int(rng.integers(0, 30))).tolist())
+        for _ in range(300)
+    ]
+    docs_path = str(root / "docs.parquet")
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(300), pa.int64()), "text": pa.array(texts)}),
+        docs_path,
+    )
+    idx = str(root / "idx")
+    os.makedirs(idx)
+    stats = T.build_trigram_index(
+        rd.read_parquet(docs_path, columns=["doc_id", "text"]), idx, n_buckets=4
+    )
+    assert stats["n_postings"] > 0
+    return idx, docs_path, texts
+
+
+class TestEndToEnd:
+    def test_substring_exact(self, tri_index):
+        idx, docs_path, texts = tri_index
+        for needle in ["sort merge", "fast", "部分 λx", "zz-no-hit", "ab"]:
+            got = T.substring_search(idx, docs_path, needle).tolist()
+            exp = [i for i, t in enumerate(texts) if needle in t]
+            assert got == exp, needle
+
+    def test_regex_exact(self, tri_index):
+        idx, docs_path, texts = tri_index
+        for pat in [
+            "sort (merge|scan)",
+            "key (join|fast) the",
+            "(?i)FAST SORT",
+            "merge\\s+scan",
+        ]:
+            got = T.regex_search(idx, docs_path, pat).tolist()
+            rx = re.compile(pat)
+            exp = [i for i, t in enumerate(texts) if rx.search(t)]
+            assert got == exp, pat
+
+    def test_pruning_effective(self, tri_index):
+        """A selective needle must touch far fewer candidates than docs."""
+        idx, docs_path, texts = tri_index
+        cand = T.candidate_ids(idx, T.string_trigrams("sort merge scan"))
+        exp = sum(1 for t in texts if "sort merge scan" in t)
+        assert cand is not None and exp <= cand.size < len(texts)
+
+    def test_absent_trigram_short_circuits(self, tri_index):
+        idx, docs_path, _ = tri_index
+        cand = T.candidate_ids(idx, T.string_trigrams("qqqq"))
+        assert cand is not None and cand.size == 0
+        assert T.substring_search(idx, docs_path, "qqqq").size == 0
+
+    def test_distributed_verify_path(self, tri_index, monkeypatch):
+        """Forcing the distributed verification path must not change results."""
+        idx, docs_path, texts = tri_index
+        monkeypatch.setattr(T, "DRIVER_VERIFY_ROWS", 0)
+        got = T.substring_search(idx, docs_path, "sort merge").tolist()
+        assert got == [i for i, t in enumerate(texts) if "sort merge" in t]
+        got = T.regex_search(idx, docs_path, "(?i)FAST sort").tolist()
+        rx = re.compile("(?i)FAST sort")
+        assert got == [i for i, t in enumerate(texts) if rx.search(t)]

@@ -186,8 +186,20 @@ def run_bench() -> dict:
         ray.shutdown()
         return out
 
+    # --- trigram fulltext index over the sf documents table: cold build,
+    # then warm substring + regex queries (index probe + verify only)
+    import glob as _glob
+
+    for stale in _glob.glob("/tmp/rcs_cache/tridx-*"):
+        shutil.rmtree(stale, ignore_errors=True)
+    t0 = time.time()
+    Q._trigram_index(sf_dir)
+    results["trigram_build_sec"] = round(time.time() - t0, 3)
+
     # --- training-data pipelines over the sf dir
     for name, fn in (
+        ("substring_search", Q.substring_search),
+        ("regex_search", Q.regex_search),
         ("bm25_topk", Q.bm25_topk),
         ("term_df_top100", Q.term_df_top100),
         ("dedup_exact", Q.dedup_exact),

@@ -726,6 +726,17 @@ def substring_search(sf_dir: str, needle: str = SUBSTRING_NEEDLE):
     return pa.table({"doc_id": pa.array(ids, pa.int64())})
 
 
+def grep_lines(sf_dir: str, needle: str = SUBSTRING_NEEDLE):
+    """grep over the corpus: line-level matches (doc_id, line_no, line)
+    via trigram candidate pruning + vectorized line explode.  Oracle:
+    zipped unnest(str_split) + generate_subscripts + contains(line)."""
+    from ..stages.trigram import grep_lines as tri_grep
+
+    idx = _trigram_index(sf_dir)
+    docs = os.path.join(sf_dir, "documents.parquet")
+    return tri_grep(idx, docs, needle)
+
+
 def regex_search(sf_dir: str, pattern: str = REGEX_PATTERN):
     """Exact regex search: required-literal trigram pruning + RE2
     verification (same regex engine as the DuckDB oracle)."""
@@ -1600,6 +1611,15 @@ def build_oracle_sql() -> Dict[str, str]:
         "regex_search": f"""
             SELECT doc_id FROM documents
             WHERE regexp_matches(text, '{REGEX_PATTERN}') ORDER BY doc_id
+        """,
+        "grep_lines": f"""
+            SELECT doc_id, line_no, line FROM (
+              SELECT doc_id,
+                     unnest(str_split(text, chr(10))) AS line,
+                     generate_subscripts(str_split(text, chr(10)), 1) AS line_no
+              FROM documents
+            ) WHERE contains(line, '{SUBSTRING_NEEDLE}')
+            ORDER BY doc_id, line_no
         """,
         "quality_by_lang": f"""
             WITH tok AS (

@@ -347,6 +347,85 @@ def substring_search(index_dir: str, docs_path: str, needle: str) -> np.ndarray:
     )
 
 
+def _explode_lines(t: pa.Table, *, id_col: str, text_col: str) -> pa.Table:
+    """(doc_id, text) -> (doc_id, line_no, line), fully vectorized.
+
+    line_no is 1-based; splitting on "\\n" matches SQL
+    ``str_split(text, chr(10))`` (no trailing-empty-line trimming).
+    """
+    texts = t[text_col]
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    lines = pc.split_pattern(pc.fill_null(texts, ""), pattern="\n")
+    offsets = lines.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    counts = np.diff(offsets)
+    total = int(counts.sum())
+    ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    line_no = (
+        np.arange(total, dtype=np.int64)
+        - np.repeat(offsets[:-1] - offsets[0], counts)
+        + 1
+    )
+    return pa.table(
+        {
+            id_col: pa.array(np.repeat(ids, counts), pa.int64()),
+            "line_no": pa.array(line_no, pa.int64()),
+            "line": lines.flatten(),
+        }
+    )
+
+
+def grep_lines(
+    index_dir: str, docs_path: str, needle: str, *, id_col: str = "doc_id",
+    text_col: str = "text",
+) -> pa.Table:
+    """grep: exact line-level substring matches (doc_id, line_no, line).
+
+    Trigram-pruned to candidate docs, then a vectorized split+match over
+    only those docs; distributed scan above DRIVER_VERIFY_ROWS
+    candidates.  Equivalent SQL: unnest(str_split(text, chr(10))) WITH
+    aligned generate_subscripts, filtered by contains(line, needle).
+    """
+    codes = string_trigrams(needle)
+    cand = candidate_ids(index_dir, codes) if codes else None
+
+    def lines_of(t: pa.Table) -> pa.Table:
+        ex = _explode_lines(t, id_col=id_col, text_col=text_col)
+        return ex.filter(pc.match_substring(ex["line"], needle))
+
+    empty = pa.table(
+        {id_col: pa.array([], pa.int64()), "line_no": pa.array([], pa.int64()),
+         "line": pa.array([], pa.string())}
+    )
+    if cand is not None and cand.size == 0:
+        return empty
+    if cand is not None and cand.size <= DRIVER_VERIFY_ROWS:
+        t = pads.dataset(docs_path, format="parquet").to_table(
+            columns=[id_col, text_col],
+            filter=pads.field(id_col).isin(pa.array(cand, pa.int64())),
+        )
+        out = lines_of(t)
+    else:
+        import ray
+        import ray.data as rd
+
+        ds = rd.read_parquet(docs_path, columns=[id_col, text_col])
+        cand_ref = ray.put(pa.array(cand, pa.int64())) if cand is not None else None
+
+        def check(t: pa.Table) -> pa.Table:
+            if cand_ref is not None:
+                t = t.filter(pc.is_in(t[id_col], value_set=ray.get(cand_ref)))
+            return lines_of(t)
+
+        parts = [
+            ray.get(r) for r in
+            ds.map_batches(check, batch_format="pyarrow").to_arrow_refs()
+        ]
+        parts = [p for p in parts if p.num_rows]
+        out = pa.concat_tables(parts) if parts else empty
+    return out.sort_by([(id_col, "ascending"), ("line_no", "ascending")])
+
+
 def regex_search(index_dir: str, docs_path: str, pattern: str) -> np.ndarray:
     """Exact regex search (RE2 semantics, = DuckDB ``regexp_matches``)."""
     lits = required_literals(pattern)

@@ -84,10 +84,14 @@ def tri_index(ray_session, tmp_path_factory):
     root = tmp_path_factory.mktemp("tri")
     rng = np.random.default_rng(11)
     words = ["the", "fast", "sort", "merge", "scan", "key", "join", "部分", "λx"]
-    texts = [
-        " ".join(rng.choice(words, size=int(rng.integers(0, 30))).tolist())
-        for _ in range(300)
-    ]
+    def make_text():
+        ws = rng.choice(words, size=int(rng.integers(0, 30))).tolist()
+        seps = rng.choice([" ", " ", " ", "\n"], size=max(0, len(ws) - 1))
+        return "".join(
+            w + s for w, s in zip(ws, list(seps) + [""])
+        )
+
+    texts = [make_text() for _ in range(300)]
     docs_path = str(root / "docs.parquet")
     pq.write_table(
         pa.table({"doc_id": pa.array(range(300), pa.int64()), "text": pa.array(texts)}),
@@ -145,3 +149,43 @@ class TestEndToEnd:
         got = T.regex_search(idx, docs_path, "(?i)FAST sort").tolist()
         rx = re.compile("(?i)FAST sort")
         assert got == [i for i, t in enumerate(texts) if rx.search(t)]
+
+    def test_grep_lines_exact(self, tri_index):
+        """grep_lines == brute-force per-line scan (1-based line numbers)."""
+        idx, docs_path, texts = tri_index
+        for needle in ["sort merge", "fast", "zz-no-hit"]:
+            got = T.grep_lines(idx, docs_path, needle)
+            exp = [
+                (i, ln + 1, line)
+                for i, t in enumerate(texts)
+                for ln, line in enumerate(t.split("\n"))
+                if needle in line
+            ]
+            assert list(
+                zip(
+                    got["doc_id"].to_pylist(),
+                    got["line_no"].to_pylist(),
+                    got["line"].to_pylist(),
+                )
+            ) == exp, needle
+
+    def test_grep_lines_distributed_path(self, tri_index, monkeypatch):
+        idx, docs_path, texts = tri_index
+        monkeypatch.setattr(T, "DRIVER_VERIFY_ROWS", 0)
+        got = T.grep_lines(idx, docs_path, "fast")
+        exp = [
+            (i, ln + 1, line)
+            for i, t in enumerate(texts)
+            for ln, line in enumerate(t.split("\n"))
+            if "fast" in line
+        ]
+        assert (
+            list(
+                zip(
+                    got["doc_id"].to_pylist(),
+                    got["line_no"].to_pylist(),
+                    got["line"].to_pylist(),
+                )
+            )
+            == exp
+        )

@@ -42,6 +42,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "substring_search": Q.substring_search,  # trigram index + verify, contains() oracle
         "regex_search": Q.regex_search,  # Cox-style required-literal pruning, RE2 oracle
         "grep_lines": Q.grep_lines,  # line-level grep, zipped-unnest oracle
+        "substring_search_nocase": Q.substring_search_nocase,  # case-variant trigram groups
         # dedup suite
         "dedup_exact": Q.dedup_exact,
         "dedup_by_key": Q.dedup_by_key,

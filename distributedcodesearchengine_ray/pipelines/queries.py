@@ -726,6 +726,21 @@ def substring_search(sf_dir: str, needle: str = SUBSTRING_NEEDLE):
     return pa.table({"doc_id": pa.array(ids, pa.int64())})
 
 
+NOCASE_NEEDLE = "SoRt MeRge"
+
+
+def substring_search_nocase(sf_dir: str, needle: str = NOCASE_NEEDLE):
+    """Case-insensitive substring search: per-position case-variant
+    trigram groups (union within, intersect across) + RE2 ``(?i)``
+    verification — same engine as the oracle's regexp_matches 'i'."""
+    from ..stages.trigram import substring_search_nocase as tri_nocase
+
+    idx = _trigram_index(sf_dir)
+    docs = os.path.join(sf_dir, "documents.parquet")
+    ids = tri_nocase(idx, docs, needle)
+    return pa.table({"doc_id": pa.array(ids, pa.int64())})
+
+
 def grep_lines(sf_dir: str, needle: str = SUBSTRING_NEEDLE):
     """grep over the corpus: line-level matches (doc_id, line_no, line)
     via trigram candidate pruning + vectorized line explode.  Oracle:
@@ -1611,6 +1626,10 @@ def build_oracle_sql() -> Dict[str, str]:
         "regex_search": f"""
             SELECT doc_id FROM documents
             WHERE regexp_matches(text, '{REGEX_PATTERN}') ORDER BY doc_id
+        """,
+        "substring_search_nocase": f"""
+            SELECT doc_id FROM documents
+            WHERE regexp_matches(text, '{NOCASE_NEEDLE}', 'i') ORDER BY doc_id
         """,
         "grep_lines": f"""
             SELECT doc_id, line_no, line FROM (

@@ -438,6 +438,94 @@ def regex_search(index_dir: str, docs_path: str, pattern: str) -> np.ndarray:
     )
 
 
+def _case_variant_groups(needle: str) -> Optional[List[np.ndarray]]:
+    """Per-trigram-position code groups for case-insensitive search.
+
+    Position i of the needle must match SOME case variant of its 3 bytes,
+    so candidates = intersection over positions of the union of each
+    position's variant posting lists (Cox's RegexpQuery OR-of-trigrams).
+    ASCII only — non-ASCII case folding can change byte length (e.g.
+    U+0130), so those needles return None (caller full-scans).
+    """
+    b = needle.encode("utf-8")
+    if len(b) < 3 or any(c >= 0x80 for c in b):
+        return None
+    per_byte = [
+        sorted({c, ord(chr(c).lower()), ord(chr(c).upper())}) if chr(c).isalpha()
+        else [c]
+        for c in b
+    ]
+    groups = []
+    for i in range(len(b) - 2):
+        codes = {
+            (x << 16) | (y << 8) | z
+            for x in per_byte[i]
+            for y in per_byte[i + 1]
+            for z in per_byte[i + 2]
+        }
+        groups.append(np.array(sorted(codes), np.uint32))
+    return groups
+
+
+def candidate_ids_groups(
+    index_dir: str,
+    groups: Sequence[np.ndarray],
+    *,
+    max_probe: int = MAX_PROBE_CODES,
+) -> np.ndarray:
+    """Docs containing, for EVERY group, at least one of its codes.
+
+    Union of posting lists within a group, intersection across groups;
+    groups probed rarest-first (by summed df).  Exactness comes from the
+    verification pass, as with ``candidate_ids``.
+    """
+    all_codes = sorted({int(c) for g in groups for c in g})
+    dfs = lookup_df(index_dir, all_codes)
+    group_df = [int(sum(dfs[int(c)] for c in g)) for g in groups]
+    if any(d == 0 for d in group_df):
+        return np.empty(0, np.int64)
+    order = np.argsort(group_df, kind="stable")[:max_probe]
+    probe_groups = [groups[i] for i in order]
+    probe_codes = sorted({int(c) for g in probe_groups for c in g})
+    n_buckets = _load_manifest(index_dir)["n_buckets"]
+    lists: Dict[int, np.ndarray] = {}
+    for b, cs in _codes_by_bucket(probe_codes, n_buckets).items():
+        path = os.path.join(index_dir, "tri_postings", f"bucket-{b:04d}.parquet")
+        t = pads.dataset(path, format="parquet").to_table(
+            filter=pads.field("code").isin(pa.array(cs, pa.uint32()))
+        )
+        tc = t["code"].to_numpy()
+        td = t["doc_id"].to_numpy()
+        for c in cs:
+            lists[int(c)] = td[tc == c]
+    cand: Optional[np.ndarray] = None
+    for g in probe_groups:
+        members = [lists[int(c)] for c in g if lists.get(int(c)) is not None]
+        union = (
+            np.unique(np.concatenate(members)) if members else np.empty(0, np.int64)
+        )
+        cand = union if cand is None else np.intersect1d(
+            cand, union, assume_unique=True
+        )
+        if cand.size == 0:
+            break
+    return cand if cand is not None else np.empty(0, np.int64)
+
+
+def substring_search_nocase(
+    index_dir: str, docs_path: str, needle: str
+) -> np.ndarray:
+    """Case-insensitive exact substring search (RE2 ``(?i)`` semantics,
+    = DuckDB ``regexp_matches(text, pattern, 'i')``)."""
+    groups = _case_variant_groups(needle)
+    cand = candidate_ids_groups(index_dir, groups) if groups else None
+    return _verify(
+        docs_path,
+        cand,
+        lambda col: pc.match_substring(col, needle, ignore_case=True),
+    )
+
+
 # ---------------------------------------------------------------------------
 # regex -> required literals (conservative Cox-style planner)
 # ---------------------------------------------------------------------------

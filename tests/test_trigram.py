@@ -189,3 +189,23 @@ class TestEndToEnd:
             )
             == exp
         )
+
+    def test_substring_nocase_exact(self, tri_index):
+        """Case-insensitive search == brute-force casefold scan, and the
+        variant-group pruning actually prunes."""
+        idx, docs_path, texts = tri_index
+        for needle in ["SORT Merge", "FaSt", "ZZ-No-Hit"]:
+            got = T.substring_search_nocase(idx, docs_path, needle).tolist()
+            exp = [i for i, t in enumerate(texts) if needle.lower() in t.lower()]
+            assert got == exp, needle
+        groups = T._case_variant_groups("SoRt MeRgE ScAn")
+        cand = T.candidate_ids_groups(idx, groups)
+        assert cand.size < len(texts)
+
+    def test_case_variant_groups_shape(self):
+        groups = T._case_variant_groups("aB3")
+        assert groups is not None and len(groups) == 1
+        # 2 variants for 'a', 2 for 'B', 1 for '3' -> 4 codes
+        assert groups[0].size == 4
+        assert T._case_variant_groups("部分abc") is None  # non-ASCII
+        assert T._case_variant_groups("ab") is None  # too short

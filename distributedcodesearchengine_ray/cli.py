@@ -8,6 +8,8 @@ Usage:
     python -m distributedcodesearchengine_ray.cli stats  --index-dir DIR
     python -m distributedcodesearchengine_ray.cli dedup  <table> [--method exact|minhash|simhash|ngram|embed]
         [--threshold J] [--clusters] [--out DIR]
+    python -m distributedcodesearchengine_ray.cli grep   "<needle>" <corpus_dir> --index-dir DIR
+        [--regex] [--ignore-case] [--files-only] [--limit N]
     python -m distributedcodesearchengine_ray.cli serve  --index-dir DIR [--host H] [--port P]
     python -m distributedcodesearchengine_ray.cli version
 
@@ -101,6 +103,19 @@ def main(argv=None) -> int:
     )
     pd_.add_argument("--out", help="write pairs/survivors parquet here")
     pd_.add_argument("--limit", type=int, default=10, help="rows to print")
+
+    pr = sub.add_parser(
+        "grep",
+        help="exact substring/regex search over corpus file contents "
+        "(trigram index, built on first use under --index-dir)",
+    )
+    pr.add_argument("needle")
+    pr.add_argument("corpus", help="parquet corpus directory")
+    pr.add_argument("--index-dir", required=True)
+    pr.add_argument("--regex", action="store_true", help="RE2 regex (per line)")
+    pr.add_argument("--ignore-case", action="store_true")
+    pr.add_argument("--files-only", action="store_true", help="print matching files, not lines")
+    pr.add_argument("--limit", type=int, default=20, help="rows to print (0 = all)")
 
     pv = sub.add_parser("serve", help="run the HTTP API server")
     pv.add_argument("--index-dir", required=True)
@@ -249,6 +264,48 @@ def main(argv=None) -> int:
             summary["out"] = args.out
         print(json.dumps(summary))
         for row in pairs_tbl.slice(0, args.limit).to_pylist():
+            print(json.dumps(row, default=str))
+        return 0
+
+    if args.cmd == "grep":
+        _ensure_ray()
+        import os
+        import time
+
+        from .stages.corpus_grep import build_corpus_trigram_index, corpus_grep
+
+        tri_dir = os.path.join(args.index_dir, "trigram")
+        t0 = time.time()
+        build_corpus_trigram_index(args.corpus, tri_dir)
+        build_sec = round(time.time() - t0, 3)
+        t0 = time.time()
+        hits = corpus_grep(
+            tri_dir,
+            args.corpus,
+            args.needle,
+            regex=args.regex,
+            ignore_case=args.ignore_case,
+        )
+        if args.files_only:
+            import pyarrow as pa
+
+            hits = (
+                hits.group_by(["repo", "path"])
+                .aggregate([("line_no", "count")])
+                .rename_columns(["repo", "path", "n_lines"])
+                .sort_by([("repo", "ascending"), ("path", "ascending")])
+            )
+        print(
+            json.dumps(
+                {
+                    "matches": hits.num_rows,
+                    "index_build_sec": build_sec,
+                    "grep_sec": round(time.time() - t0, 3),
+                }
+            )
+        )
+        n = hits.num_rows if args.limit == 0 else min(args.limit, hits.num_rows)
+        for row in hits.slice(0, n).to_pylist():
             print(json.dumps(row, default=str))
         return 0
 

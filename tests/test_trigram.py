@@ -209,3 +209,91 @@ class TestEndToEnd:
         assert groups[0].size == 4
         assert T._case_variant_groups("部分abc") is None  # non-ASCII
         assert T._case_variant_groups("ab") is None  # too short
+
+
+class TestCorpusGrep:
+    @pytest.fixture(scope="class")
+    def corpus(self, ray_session, tmp_path_factory):
+        from distributedcodesearchengine_ray.sources.corpus import write_corpus
+        from distributedcodesearchengine_ray.stages.corpus_grep import (
+            build_corpus_trigram_index,
+        )
+
+        root = tmp_path_factory.mktemp("cgrep")
+        cdir = str(root / "corpus")
+        write_corpus(cdir, n_files=120, seed=3, num_shards=4)
+        idx = str(root / "tri")
+        sig = build_corpus_trigram_index(cdir, idx)
+        assert sig["total_rows"] == 120 and sig["n_fragments"] == 4
+        return cdir, idx
+
+    def _truth(self, cdir, pred):
+        import pyarrow.dataset as pads
+
+        frags = sorted(
+            os.path.join(cdir, f) for f in os.listdir(cdir) if f.endswith(".parquet")
+        )
+        rows = []
+        for p in frags:
+            t = pq.read_table(p, columns=["repo", "path", "content"])
+            for r, pth, c in zip(
+                t["repo"].to_pylist(), t["path"].to_pylist(), t["content"].to_pylist()
+            ):
+                for ln, line in enumerate(c.split("\n")):
+                    if pred(line):
+                        rows.append((r, pth, ln + 1, line))
+        rows.sort()
+        return rows
+
+    def test_substring_matches_bruteforce(self, corpus):
+        from distributedcodesearchengine_ray.stages.corpus_grep import corpus_grep
+
+        cdir, idx = corpus
+        for needle in ["def ", "parse_json", "no-such-string-zzz"]:
+            got = corpus_grep(idx, cdir, needle)
+            exp = self._truth(cdir, lambda l: needle in l)
+            assert (
+                list(
+                    zip(
+                        got["repo"].to_pylist(),
+                        got["path"].to_pylist(),
+                        got["line_no"].to_pylist(),
+                        got["line"].to_pylist(),
+                    )
+                )
+                == exp
+            ), needle
+
+    def test_regex_and_nocase(self, corpus):
+        from distributedcodesearchengine_ray.stages.corpus_grep import corpus_grep
+
+        cdir, idx = corpus
+        got = corpus_grep(idx, cdir, "def [a-z_]+_json", regex=True)
+        rx = re.compile("def [a-z_]+_json")
+        exp = self._truth(cdir, lambda l: bool(rx.search(l)))
+        assert (
+            list(
+                zip(
+                    got["repo"].to_pylist(),
+                    got["path"].to_pylist(),
+                    got["line_no"].to_pylist(),
+                    got["line"].to_pylist(),
+                )
+            )
+            == exp
+        )
+        got = corpus_grep(idx, cdir, "PARSE_JSON", ignore_case=True)
+        exp = self._truth(cdir, lambda l: "parse_json" in l.lower())
+        assert got.num_rows == len(exp)
+
+    def test_rebuild_skipped_on_same_signature(self, corpus):
+        from distributedcodesearchengine_ray.stages.corpus_grep import (
+            build_corpus_trigram_index,
+        )
+
+        cdir, idx = corpus
+        import time
+
+        t0 = time.time()
+        build_corpus_trigram_index(cdir, idx)  # signature match -> no-op
+        assert time.time() - t0 < 1.0

@@ -43,6 +43,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "regex_search": Q.regex_search,  # Cox-style required-literal pruning, RE2 oracle
         "grep_lines": Q.grep_lines,  # line-level grep, zipped-unnest oracle
         "substring_search_nocase": Q.substring_search_nocase,  # case-variant trigram groups
+        "wildcard_term_df": Q.wildcard_term_df,  # lexicon wildcard expansion, LIKE oracle
         # dedup suite
         "dedup_exact": Q.dedup_exact,
         "dedup_by_key": Q.dedup_by_key,

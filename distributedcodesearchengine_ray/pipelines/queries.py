@@ -109,6 +109,25 @@ def term_df_top100(sf_dir: str):
     )
 
 
+WILDCARD_PATTERN = "s*"
+
+
+def wildcard_term_df(sf_dir: str, pattern: str = WILDCARD_PATTERN):
+    """Wildcard term expansion against the real index lexicon (prefix
+    range pushdown + RE2 residual): matching (term, df), df-descending.
+    Oracle recomputes df from text via the tokenizer CTE + LIKE."""
+    from .query import LexiconReader
+
+    idx = _documents_index(sf_dir)
+    rows = LexiconReader(idx).expand(pattern, max_expand=100)
+    return pa.table(
+        {
+            "term": pa.array([r[0] for r in rows], pa.string()),
+            "df": pa.array([int(r[1]) for r in rows], pa.int64()),
+        }
+    )
+
+
 # ------------------------------------------------------------------ bm25
 
 
@@ -1597,6 +1616,13 @@ def build_oracle_sql() -> Dict[str, str]:
             pairs AS (SELECT DISTINCT doc_id, unnest(toks) AS term FROM tok)
             SELECT term, count(*) AS df FROM pairs GROUP BY term
             ORDER BY df DESC, term ASC LIMIT 100
+        """,
+        "wildcard_term_df": f"""
+            WITH tok AS (SELECT doc_id, {tok} AS toks FROM documents),
+            pairs AS (SELECT DISTINCT doc_id, unnest(toks) AS term FROM tok)
+            SELECT term, count(*) AS df FROM pairs
+            WHERE term LIKE '{WILDCARD_PATTERN.replace("*", "%").replace("?", "_")}'
+            GROUP BY term ORDER BY df DESC, term ASC LIMIT 100
         """,
         "heavy_hitter_tokens": f"""
             WITH tok AS (SELECT {tok} AS toks FROM documents),

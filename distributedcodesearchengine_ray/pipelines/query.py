@@ -441,6 +441,52 @@ class LexiconReader:
                 self._cache[t] = found.get(t, 0.0)
         return {t: self._cache[t] for t in set(terms)}
 
+    def expand(self, pattern: str, max_expand: int = 64) -> List[Tuple[str, int]]:
+        """Wildcard term expansion: ``*`` = any run, ``?`` = one char.
+
+        Returns matching (term, df) ordered by (df desc, term asc),
+        capped at ``max_expand``.  The literal prefix before the first
+        wildcard becomes a parquet RANGE predicate — lexicon shards are
+        term-sorted, so prefix queries touch only the covering row
+        groups; the residual pattern is matched with one vectorized RE2
+        kernel per shard.  Cost scales with vocabulary, never corpus.
+        """
+        import re as _re
+
+        import pyarrow.compute as pc
+
+        rx = (
+            "^"
+            + "".join(
+                ".*" if c == "*" else "." if c == "?" else _re.escape(c)
+                for c in pattern
+            )
+            + "$"
+        )
+        first_wild = min(
+            [i for i in (pattern.find("*"), pattern.find("?")) if i >= 0],
+            default=len(pattern),
+        )
+        prefix = pattern[:first_wild]
+        filt = None
+        if prefix:
+            filt = (pads.field("term") >= prefix) & (
+                pads.field("term") <= prefix + "￿"
+            )
+        if not os.path.isdir(self.path):
+            return []
+        rows: List[Tuple[str, int]] = []
+        for f in sorted(os.listdir(self.path)):
+            if not f.endswith(".parquet"):
+                continue
+            t = pads.dataset(
+                os.path.join(self.path, f), format="parquet"
+            ).to_table(columns=["term", "df"], filter=filt)
+            t = t.filter(pc.match_substring_regex(t["term"], rx))
+            rows.extend(zip(t["term"].to_pylist(), t["df"].to_pylist()))
+        rows.sort(key=lambda r: (-r[1], r[0]))
+        return rows[:max_expand]
+
 
 class QueryEngine:
     """Driver-side fan-out/merge over the shard-actor pool."""
@@ -504,6 +550,19 @@ class QueryEngine:
                     heapq.heapreplace(best, item)
         return [term for _, term in sorted(best, reverse=True)]
 
+    def _wildcard_tokens(self, query: str) -> List[str]:
+        """Tokenize a query whose whitespace chunks may carry ``*``/``?``
+        wildcards: plain chunks go through the code tokenizer, wildcard
+        chunks expand against the lexicon (df-descending, capped) — the
+        expanded terms then score as ordinary OR'd BM25 query tokens."""
+        toks: List[str] = []
+        for chunk in query.split():
+            if "*" in chunk or "?" in chunk:
+                toks.extend(t for t, _ in self.lexicon.expand(chunk.lower()))
+            else:
+                toks.extend(tokenize(chunk))
+        return toks
+
     def close(self) -> None:
         import ray
 
@@ -529,7 +588,10 @@ class QueryEngine:
     ) -> List[List[dict]]:
         import ray
 
-        token_lists = [tokenize(q) for q, _ in queries]
+        token_lists = [
+            self._wildcard_tokens(q) if ("*" in q or "?" in q) else tokenize(q)
+            for q, _ in queries
+        ]
         all_terms = [t for toks in token_lists for t in toks]
         idfs = self.lexicon.idfs(all_terms) if all_terms else {}
 

@@ -1,0 +1,55 @@
+"""Wildcard term expansion: lexicon semantics + search equivalence."""
+
+import pytest
+
+from tests.test_rank_identity import corpus_dir, file_index, oracle_docs  # noqa: F401
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_expand_matches_bruteforce(file_index):
+    """expand(pattern) == regex filter over the full vocabulary, ordered
+    by (df desc, term asc)."""
+    import fnmatch
+    import os
+
+    import pyarrow.dataset as pads
+
+    from distributedcodesearchengine_ray.pipelines.query import LexiconReader
+
+    idx, _ = file_index
+    lex_dir = os.path.join(idx, "lexicon")
+    full = pads.dataset(lex_dir, format="parquet").to_table(columns=["term", "df"])
+    vocab = list(zip(full["term"].to_pylist(), full["df"].to_pylist()))
+    lex = LexiconReader(idx)
+    for pattern in ["pars*", "json", "*json*", "p?rse", "zz*", "*"]:
+        got = lex.expand(pattern, max_expand=10_000)
+        exp = sorted(
+            ((t, d) for t, d in vocab if fnmatch.fnmatchcase(t, pattern)),
+            key=lambda r: (-r[1], r[0]),
+        )
+        assert got == exp, pattern
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_wildcard_search_equals_expanded_query(file_index):
+    """Searching "pars*" must rank exactly like the multi-term OR query
+    of its expansions (BM25 over the expanded token list)."""
+    from distributedcodesearchengine_ray.pipelines.query import LexiconReader, QueryEngine
+
+    idx, _ = file_index
+    lex = LexiconReader(idx)
+    terms = [t for t, _ in lex.expand("pars*")]
+    assert terms, "fixture vocabulary must contain pars* terms"
+    engine = QueryEngine(idx, num_actors=2)
+    try:
+        wild = engine.search("pars*", limit=15)
+        plain = engine.search(" ".join(terms), limit=15)
+        assert wild == plain
+        # mixed plain + wildcard chunk
+        mixed = engine.search("json pars*", limit=15)
+        expanded = engine.search("json " + " ".join(terms), limit=15)
+        assert mixed == expanded
+        # a wildcard matching nothing contributes no tokens
+        assert engine.search("zzqq*", limit=5) == []
+    finally:
+        engine.close()

@@ -735,6 +735,9 @@ def build_index(
             # deployment contract: every node must see index_dir at this
             # path (shared POSIX fs / FUSE mount) — see manifest.normalize_dir
             "filesystem": "shared-posix",
+            # file-mode phrase verification reads raw content back from the
+            # corpus (docmeta stores no text); recorded when given as a path
+            "corpus_dir": corpus_path,
         },
     )
     manifest.save(index_dir)

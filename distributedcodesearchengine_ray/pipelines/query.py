@@ -45,6 +45,11 @@ from ..state.manifest import IndexManifest
 
 _HEAVY_META = {"source_code", "doc_text"}
 
+# quoted phrase segments in a query: scored as tokens AND required verbatim
+import re as _re_mod
+
+_PHRASE_RE = _re_mod.compile(r'"([^"]+)"')
+
 
 class IndexShard:
     """One scorer actor: holds N doc-range partitions' postings + docmeta.
@@ -550,6 +555,120 @@ class QueryEngine:
                     heapq.heapreplace(best, item)
         return [term for _, term in sorted(best, reverse=True)]
 
+    def _search_phrase(
+        self,
+        toks: List[str],
+        q_idfs: Dict[str, float],
+        limit: int,
+        filters: Optional[Dict[str, str]],
+        method: str,
+        phrases: List[str],
+    ) -> List[dict]:
+        """Phrase query: BM25 rank, then drop docs missing any quoted
+        phrase.  The per-shard top-k escalates (x4) until the filtered
+        result fills ``limit`` or every shard is exhausted — a selective
+        phrase can reject arbitrarily many of the top-scored docs."""
+        import ray
+
+        k = max(4 * limit, 64)
+        while True:
+            refs = [
+                a.search.remote(toks, q_idfs, k, filters, False, method)
+                for a in self.actors
+            ]
+            parts = ray.get(refs)
+            global_max = max((m for m, _ in parts), default=0.0)
+            if global_max > 0:
+                min_score = global_max * 0.01
+                rows = [r for _, rs in parts for r in rs if r["score"] >= min_score]
+            else:
+                refs2 = [
+                    a.search.remote(toks, q_idfs, k, filters, True)
+                    for a in self.actors
+                ]
+                parts = ray.get(refs2)
+                rows = [r for _, rs in parts for r in rs]
+            exhausted = all(len(rs) < k for _, rs in parts)
+            rows.sort(key=lambda r: (-r["score"], r["doc_id"]))
+            out = self._phrase_filter(rows, phrases, limit)
+            if len(out) >= limit or exhausted:
+                return [
+                    {"doc_id": r["doc_id"], "score": r["score"]}
+                    for r in out[:limit]
+                ]
+            k *= 4
+
+    def _doc_texts(self, ids: List[int]) -> Dict[int, str]:
+        """Searchable doc text for the given doc ids (phrase verification).
+
+        Entity mode recomputes the BM25 doc projection from docmeta
+        columns (pushdown by doc_id — never a docmeta scan).  File mode
+        reads raw content back from the corpus recorded at build time
+        (docmeta deliberately stores no text).
+        """
+        import pyarrow.compute as pc
+
+        dataset = pads.dataset(
+            os.path.join(self.index_dir, "docmeta"), format="parquet"
+        )
+        if self.manifest.mode == "entity":
+            from .build_index import _entity_doc_text
+
+            t = dataset.to_table(filter=pads.field("doc_id").isin(ids))
+            return dict(
+                zip(t["doc_id"].to_pylist(), _entity_doc_text(t).to_pylist())
+            )
+        corpus = self.manifest.extra.get("corpus_dir")
+        if not corpus or not os.path.exists(corpus):
+            raise ValueError(
+                "phrase search on a file-mode index needs the build-time "
+                "corpus (manifest.extra['corpus_dir']) to be readable"
+            )
+        t = dataset.to_table(
+            columns=["doc_id", "repo", "path", "commit"],
+            filter=pads.field("doc_id").isin(ids),
+        )
+        ct = pads.dataset(corpus, format="parquet").to_table(
+            columns=["repo", "path", "commit", "content"],
+            filter=pads.field("path").isin(list(set(t["path"].to_pylist()))),
+        )
+        content = {
+            (r, p, c): x
+            for r, p, c, x in zip(
+                ct["repo"].to_pylist(), ct["path"].to_pylist(),
+                ct["commit"].to_pylist(), ct["content"].to_pylist(),
+            )
+        }
+        return {
+            d: content.get((r, p, c), "")
+            for d, r, p, c in zip(
+                t["doc_id"].to_pylist(), t["repo"].to_pylist(),
+                t["path"].to_pylist(), t["commit"].to_pylist(),
+            )
+        }
+
+    def _phrase_filter(
+        self, rows: List[dict], phrases: List[str], limit: int
+    ) -> List[dict]:
+        """Keep rank order, drop docs not containing EVERY quoted phrase.
+
+        Verified lazily in rank-ordered chunks so a selective phrase
+        over a huge candidate list reads only as much text as the top-k
+        needs (chunk = max(256, 4*limit) ids per pushdown read).
+        """
+        out: List[dict] = []
+        chunk = max(256, 4 * limit)
+        for lo in range(0, len(rows), chunk):
+            part = rows[lo : lo + chunk]
+            texts = self._doc_texts([r["doc_id"] for r in part])
+            for r in part:
+                text = texts.get(r["doc_id"], "")
+                if all(p in text for p in phrases):
+                    out.append(r)
+            if len(out) >= limit:
+                break
+        return out
+
     def _wildcard_tokens(self, query: str) -> List[str]:
         """Tokenize a query whose whitespace chunks may carry ``*``/``?``
         wildcards: plain chunks go through the code tokenizer, wildcard
@@ -592,6 +711,12 @@ class QueryEngine:
             self._wildcard_tokens(q) if ("*" in q or "?" in q) else tokenize(q)
             for q, _ in queries
         ]
+        # quoted segments are BOTH scored (their tokens) and required
+        # verbatim (post-scoring phrase filter, F3-style: never touches
+        # idf/avgdl)
+        phrase_lists = [
+            _PHRASE_RE.findall(q) if '"' in q else [] for q, _ in queries
+        ]
         all_terms = [t for toks in token_lists for t in toks]
         idfs = self.lexicon.idfs(all_terms) if all_terms else {}
 
@@ -601,6 +726,11 @@ class QueryEngine:
             if not toks:
                 continue
             q_idfs = {t: idfs.get(t, 0.0) for t in set(toks)}
+            if phrase_lists[qi]:
+                results[qi] = self._search_phrase(
+                    toks, q_idfs, limit, filters, method, phrase_lists[qi]
+                )
+                continue
             refs = [
                 a.search.remote(toks, q_idfs, limit, filters, False, method)
                 for a in self.actors
@@ -619,6 +749,8 @@ class QueryEngine:
                 ]
                 rows = [r for _, rs in ray.get(refs2) for r in rs]
             rows.sort(key=lambda r: (-r["score"], r["doc_id"]))
+            if phrase_lists[qi]:
+                rows = self._phrase_filter(rows, phrase_lists[qi], lim)
             results[qi] = [
                 {"doc_id": r["doc_id"], "score": r["score"]} for r in rows[:lim]
             ]

@@ -178,3 +178,15 @@ def test_cli_serve_smoke(corpus_dir, tmp_path_factory):
     finally:
         proc.send_signal(signal.SIGTERM)
         proc.wait(timeout=30)
+
+
+def test_phrase_search_entity_mode(engine):
+    """Quoted phrase on an entity index: every hit's reconstructed doc
+    text contains the phrase verbatim; ranking comes from BM25."""
+    qe = engine._bm25()
+    plain = engine.search("parse json data", limit=30)
+    quoted = engine.search('parse json data "parse_json"', limit=30)
+    texts = qe._doc_texts([h["doc_id"] for h in quoted])
+    assert quoted, "phrase must match entity docs in the fixture corpus"
+    assert all("parse_json" in texts[h["doc_id"]] for h in quoted)
+    assert len(quoted) <= len(plain)

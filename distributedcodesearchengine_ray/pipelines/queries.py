@@ -616,6 +616,68 @@ def train_test_split_q(sf_dir: str):
     )
 
 
+def redact_props(sf_dir: str):
+    """PII/number redaction over the events ``props`` payload: one
+    vectorized RE2 pass per category (email/url/ip/number), typed
+    placeholders, per-category match counts.  The oracle chains the
+    IDENTICAL patterns through regexp_replace 'g' in the same order."""
+    from ..stages.text_stats import redact_pii
+
+    ds = _read(sf_dir, "events", columns=["event_id", "props"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        return redact_pii(t, text_col="props").select(
+            ["event_id", "redacted", "n_email", "n_url", "n_ip", "n_number"]
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def props_k_by_type(sf_dir: str):
+    """Semi-structured field extraction: pull the integer ``k`` out of
+    the JSON ``props`` string with one vectorized RE2 extract, then a
+    partial-aggregated groupby(event_type)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["event_type", "props"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ks = pcc.extract_regex(
+            pcc.fill_null(t["props"], ""), r'"k":\s*(?P<k>\d+)'
+        )
+        k = pcc.fill_null(
+            pcc.cast(pcc.struct_field(ks, "k"), pa.int64()), 0
+        )
+        df_ = pd.DataFrame(
+            {"event_type": t["event_type"].to_pandas(), "k": k.to_pandas()}
+        )
+        g = df_.groupby("event_type", sort=False).agg(
+            n=("k", "size"), sum_k=("k", "sum")
+        ).reset_index()
+        return pa.table(
+            {
+                "event_type": pa.array(g["event_type"], pa.string()),
+                "n": pa.array(g["n"].to_numpy(), pa.int64()),
+                "sum_k": pa.array(g["sum_k"].to_numpy(), pa.int64()),
+            }
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("n", alias_name="n"), Sum("sum_k", alias_name="sum_k"))
+        .to_pandas()
+        .sort_values("event_type", ignore_index=True)
+    )
+    return pa.table(
+        {
+            "event_type": pa.array(out["event_type"], pa.string()),
+            "n": pa.array(out["n"].to_numpy(), pa.int64()),
+            "sum_k": pa.array(out["sum_k"].to_numpy(), pa.int64()),
+        }
+    )
+
+
 def clean_text_q(sf_dir: str):
     """C4-style normalization (lowercase, URL/e-mail strip, whitespace
     collapse) — one Arrow-kernel map pass; the oracle runs the identical
@@ -1606,6 +1668,31 @@ def _lang_id_sql() -> str:
     """
 
 
+def _redact_sql() -> str:
+    """Chained regexp_replace oracle mirroring redact_pii's fixed pattern
+    order; counts taken per stage on that stage's input text."""
+    from ..stages.text_stats import PII_PATTERNS
+
+    prev = "props"
+    ctes, selects = [], []
+    for i, (name, pattern, placeholder) in enumerate(PII_PATTERNS):
+        ctes.append(
+            f"s{i} AS (SELECT event_id, "
+            f"len(regexp_extract_all({prev}, '{pattern}')) AS n_{name}, "
+            f"regexp_replace({prev}, '{pattern}', '{placeholder}', 'g') AS t{i}"
+            + (f", {', '.join(selects)}" if selects else "")
+            + f" FROM {'events' if i == 0 else f's{i-1}'})"
+        )
+        selects.append(f"n_{name}")
+        prev = f"t{i}"
+    names = ", ".join(selects)
+    return (
+        "WITH " + ", ".join(ctes)
+        + f" SELECT event_id, {prev} AS redacted, {names} "
+        + f"FROM s{len(PII_PATTERNS) - 1} ORDER BY event_id"
+    )
+
+
 def build_oracle_sql() -> Dict[str, str]:
     tok = _tok_sql("text")
     stop_list = ", ".join(f"'{w}'" for w in sorted(STOPWORDS))
@@ -1751,6 +1838,12 @@ def build_oracle_sql() -> Dict[str, str]:
                    CAST(floor(sem_raw * 1000000 + 0.5) AS BIGINT) AS sem_micro,
                    bm_micro AS bm25_micro
             FROM fused ORDER BY doc_id
+        """,
+        "redact_props": _redact_sql(),
+        "props_k_by_type": r"""
+            SELECT event_type, count(*) AS n,
+                   sum(COALESCE(TRY_CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT), 0)) AS sum_k
+            FROM events GROUP BY event_type ORDER BY event_type
         """,
         "clean_text": f"""
             SELECT doc_id,

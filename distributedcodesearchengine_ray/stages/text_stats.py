@@ -181,6 +181,43 @@ EMAIL_PATTERN = r"[^\s]+@[^\s]+\.[^\s]+"
 WS_PATTERN = r"\s+"
 
 
+# PII / number redaction — RE2-only patterns (usable verbatim in the
+# DuckDB oracle's regexp_replace 'g' / regexp_extract_all), applied in a
+# FIXED order so both sides see identical intermediate texts.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("url", URL_PATTERN, "<URL>"),
+    ("ip", r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}", "<IP>"),
+    ("number", r"\d+", "<NUM>"),
+)
+
+
+def redact_pii(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Redact emails / URLs / IPv4s / digit runs with typed placeholders
+    and count each category (counts taken on the PRE-redaction text of
+    each step, i.e. after the previous category's replacement).
+
+    One vectorized RE2 pass per category — the PII-scrub stage of a
+    training-data pipeline; map-side only.  Appends ``redacted`` +
+    ``n_<category>`` columns.
+    """
+    txt = batch[text_col]
+    if isinstance(txt, pa.ChunkedArray):
+        txt = txt.combine_chunks()
+    txt = pc.fill_null(txt, "")
+    counts = {}
+    for name, pattern, placeholder in PII_PATTERNS:
+        counts[f"n_{name}"] = pc.cast(
+            pc.count_substring_regex(txt, pattern), pa.int64()
+        )
+        txt = pc.replace_substring_regex(txt, pattern, placeholder)
+    return batch.append_column("redacted", txt).append_column(
+        "n_email", counts["n_email"]
+    ).append_column("n_url", counts["n_url"]).append_column(
+        "n_ip", counts["n_ip"]
+    ).append_column("n_number", counts["n_number"])
+
+
 def clean_text(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Normalize documents for training: lowercase, strip URLs and
     e-mail addresses, collapse whitespace runs, trim.

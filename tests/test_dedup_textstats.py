@@ -678,3 +678,32 @@ def test_multimodal_real_decode(ray_session):
             assert meta["codec"] == "wav"
             assert (row["width"], row["height"], row["channels"]) == (meta["frames"], meta["rate"], 1)
         assert row["std_byte"] > 0
+
+
+def test_redact_pii_synthetic():
+    """Typed placeholders + per-category counts on texts with real PII."""
+    import pyarrow as pa
+
+    from distributedcodesearchengine_ray.stages.text_stats import redact_pii
+
+    t = pa.table(
+        {
+            "text": [
+                "mail me at john.doe+x@example.co.uk or visit https://a.b/c?d=1",
+                "server 10.0.255.7 port 8080, call 555-123-4567 now",
+                "no pii here",
+                None,
+            ]
+        }
+    )
+    out = redact_pii(t)
+    red = out["redacted"].to_pylist()
+    assert red[0] == "mail me at <EMAIL> or visit <URL>"
+    # ip wins over bare numbers; remaining digit runs become <NUM>
+    assert red[1] == "server <IP> port <NUM>, call <NUM>-<NUM>-<NUM> now"
+    assert red[2] == "no pii here"
+    assert red[3] == ""
+    assert out["n_email"].to_pylist() == [1, 0, 0, 0]
+    assert out["n_url"].to_pylist() == [1, 0, 0, 0]
+    assert out["n_ip"].to_pylist() == [0, 1, 0, 0]
+    assert out["n_number"].to_pylist() == [0, 4, 0, 0]

@@ -202,6 +202,26 @@ def bm25_topk(sf_dir: str, query: str = BM25_QUERY, limit: int = 20,
     )
 
 
+def bm25_facets(sf_dir: str, query: str = BM25_QUERY):
+    """Faceted search: language counts over the query's FULL thresholded
+    result set — per-shard (facet, count) partials, per-doc rows never
+    leave the shards."""
+    from .query import QueryEngine
+
+    idx = _documents_index(sf_dir)
+    engine = QueryEngine(idx, num_actors=2)
+    try:
+        counts = engine.facets(query, facet_col="language")
+    finally:
+        engine.close()
+    return pa.table(
+        {
+            "lang": pa.array(list(counts.keys()), pa.string()),
+            "n_docs": pa.array(list(counts.values()), pa.int64()),
+        }
+    )
+
+
 def bm25_topk_lang(sf_dir: str):
     """BM25 with a post-scoring language filter (F3 semantics)."""
     return bm25_topk(sf_dir, query=BM25_QUERY_FILTERED, filters={"language": "en"})
@@ -253,8 +273,16 @@ def _hash_u32_sql(col: str) -> str:
     return hash_u32_sql(col)
 
 
-def bm25_sql(query: str, limit: int = 20, lang_filter: Optional[str] = None) -> str:
-    """Pure-SQL BM25Okapi (k1=1.5 b=0.75 eps=0.25) over documents.text."""
+def bm25_sql(
+    query: str,
+    limit: int = 20,
+    lang_filter: Optional[str] = None,
+    facet: bool = False,
+) -> str:
+    """Pure-SQL BM25Okapi (k1=1.5 b=0.75 eps=0.25) over documents.text.
+
+    ``facet=True`` replaces the ranked top-k tail with language counts
+    over the full thresholded result set (the faceted-search oracle)."""
     from ..functions.tokenizer import tokenize
 
     terms = tokenize(query)
@@ -264,6 +292,13 @@ def bm25_sql(query: str, limit: int = 20, lang_filter: Optional[str] = None) -> 
         mult[t] = mult.get(t, 0) + 1
     qvalues = ", ".join(f"('{t}', {m})" for t, m in sorted(mult.items()))
     filt = f"AND lang = '{lang_filter}'" if lang_filter else ""
+    if facet:
+        final = "SELECT lang, count(*) AS n_docs FROM kept GROUP BY lang ORDER BY lang"
+    else:
+        final = f"""SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) - 1 AS rank,
+       doc_id,
+       CAST(floor(score * 1000000 + 0.5) AS BIGINT) AS score_micro
+FROM kept ORDER BY score DESC, doc_id ASC LIMIT {limit}"""
     return f"""
 WITH tok AS (
   SELECT doc_id, {_tok_sql('text')} AS toks FROM documents
@@ -304,13 +339,10 @@ scores_all AS (
 ),
 mx AS (SELECT max(score) AS m FROM scores_all),
 kept AS (
-  SELECT doc_id, score FROM scores_all
+  SELECT doc_id, lang, score FROM scores_all
   WHERE ((SELECT m FROM mx) <= 0 OR score >= 0.01 * (SELECT m FROM mx)) {filt}
 )
-SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) - 1 AS rank,
-       doc_id,
-       CAST(floor(score * 1000000 + 0.5) AS BIGINT) AS score_micro
-FROM kept ORDER BY score DESC, doc_id ASC LIMIT {limit}
+{final}
 """
 
 
@@ -1723,6 +1755,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "bm25_topk": bm25_sql(BM25_QUERY, limit=20),
         "bm25_topk_wand": bm25_sql(BM25_QUERY, limit=20),
         "bm25_topk_lang": bm25_sql(BM25_QUERY_FILTERED, limit=20, lang_filter="en"),
+        "bm25_facets": bm25_sql(BM25_QUERY, facet=True),
         "dedup_exact": """
             SELECT min(doc_id) AS doc_id, count(*) AS n
             FROM documents GROUP BY text ORDER BY doc_id

@@ -401,6 +401,39 @@ class IndexShard:
             )
         return local_max, rows
 
+    def facet_counts(
+        self,
+        query_tokens: List[str],
+        idfs: Dict[str, float],
+        facet_col: str,
+        min_score: Optional[float],
+        filters: Optional[Dict[str, str]] = None,
+    ) -> Dict[str, int]:
+        """Partial facet aggregation over this shard's RESULT SET: counts
+        of local docs with score >= min_score per facet value.  Only the
+        (facet_value -> count) partials cross the wire — never per-doc
+        rows — so facet queries cost O(distinct values), not O(matches).
+        ``min_score=None`` = the reference's ``max <= 0`` keep-all branch.
+        """
+        col = self._filter_cols.get(facet_col)
+        if col is None:
+            raise KeyError(
+                f"facet column {facet_col!r} not in this index's docmeta "
+                f"(available: {sorted(self._filter_cols)})"
+            )
+        if self.n_local == 0:
+            return {}
+        scores = self._dense_scores(query_tokens, idfs)
+        if min_score is None:
+            cand = np.arange(self.n_local)
+        else:
+            cand = np.flatnonzero(scores >= min_score)
+        cand = cand[self._filter_mask(filters, cand)]
+        if len(cand) == 0:
+            return {}
+        vals, counts = np.unique(col[cand], return_counts=True)
+        return {str(v): int(c) for v, c in zip(vals, counts)}
+
 
 class LexiconReader:
     """Per-query term -> idf lookup: bucket hash selects the lexicon shard
@@ -554,6 +587,44 @@ class QueryEngine:
                 elif item > best[0]:
                     heapq.heapreplace(best, item)
         return [term for _, term in sorted(best, reverse=True)]
+
+    def facets(
+        self,
+        query: str,
+        facet_col: str = "language",
+        filters: Optional[Dict[str, str]] = None,
+    ) -> Dict[str, int]:
+        """Faceted search: facet-value counts over the FULL result set of
+        ``query`` (every doc passing the reference's max*0.01 threshold,
+        not just top-k).  Two cheap rounds: (1) limit-1 fan-out for the
+        global unfiltered max, (2) per-shard facet partials merged on the
+        driver — per-doc rows never leave the shards."""
+        import ray
+
+        toks = (
+            self._wildcard_tokens(query)
+            if ("*" in query or "?" in query)
+            else tokenize(query)
+        )
+        if not toks:
+            return {}
+        q_idfs = self.lexicon.idfs(toks)
+        parts = ray.get(
+            [a.search.remote(toks, q_idfs, 1, None, False, "dense") for a in self.actors]
+        )
+        global_max = max((m for m, _ in parts), default=0.0)
+        min_score = global_max * 0.01 if global_max > 0 else None
+        partials = ray.get(
+            [
+                a.facet_counts.remote(toks, q_idfs, facet_col, min_score, filters)
+                for a in self.actors
+            ]
+        )
+        out: Dict[str, int] = {}
+        for p in partials:
+            for v, c in p.items():
+                out[v] = out.get(v, 0) + c
+        return dict(sorted(out.items()))
 
     def _search_phrase(
         self,

@@ -53,3 +53,39 @@ def test_wildcard_search_equals_expanded_query(file_index):
         assert engine.search("zzqq*", limit=5) == []
     finally:
         engine.close()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_facets_match_full_result_set(file_index):
+    """facets(query) == counts grouped from an exhaustive search at
+    unbounded limit (same threshold semantics)."""
+    from collections import Counter
+
+    import pyarrow.dataset as pads
+
+    from distributedcodesearchengine_ray.pipelines.query import QueryEngine
+
+    idx, _ = file_index
+    lang_of = dict(
+        zip(
+            *(
+                pads.dataset(f"{idx}/docmeta", format="parquet")
+                .to_table(columns=["doc_id", "lang"])
+                .to_pydict()
+                .values()
+            )
+        )
+    )
+    engine = QueryEngine(idx, num_actors=2)
+    try:
+        # last query hits the max<=0 keep-all branch: facets must cover
+        # every doc, exactly like dense-fallback search does
+        for q in ["parse json", "send http request", "import return",
+                  "zzqqnosuchterm"]:
+            hits = engine.search(q, limit=10**6)
+            exp = Counter(lang_of[h["doc_id"]] for h in hits)
+            got = engine.facets(q, facet_col="language")
+            assert got == dict(sorted(exp.items())), q
+        assert engine.facets("") == {}
+    finally:
+        engine.close()

@@ -70,6 +70,12 @@ def main(argv=None) -> int:
     ps.add_argument("--hybrid", action="store_true")
     ps.add_argument("--method", choices=["dense", "wand"], default="dense")
     ps.add_argument(
+        "--facets",
+        metavar="COL",
+        help="print COL value counts over the full thresholded result set "
+        "instead of ranked hits (e.g. --facets language)",
+    )
+    ps.add_argument(
         "--ann", choices=["exact", "lsh", "ivf"], default="exact",
         help="semantic-side strategy for --hybrid (lsh/ivf need the matching embeddings layout)",
     )
@@ -367,6 +373,20 @@ def main(argv=None) -> int:
                         "appends": len(m.extra.get("appends", [])),
                         "phase_sec": m.extra.get("phase_sec", {}),
                     }
+                )
+            )
+        elif args.cmd == "search" and args.facets:
+            counts = eng.facets(
+                args.query,
+                facet_col=args.facets,
+                language=args.language,
+                entity_type=args.entity_type,
+                repo_filter=args.repo,
+            )
+            print(
+                json.dumps(
+                    {"query": args.query, "facet": args.facets,
+                     "total": sum(counts.values()), "counts": counts}
                 )
             )
         elif args.cmd == "search":

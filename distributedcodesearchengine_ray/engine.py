@@ -145,6 +145,27 @@ class CodeSearchEngine:
             h["highlights"] = _highlights(h)
         return hits
 
+    def facets(
+        self,
+        query: str,
+        facet_col: str = "language",
+        language: Optional[str] = None,
+        entity_type: Optional[str] = None,
+        repo_filter: Optional[str] = None,
+    ) -> Dict[str, int]:
+        """Faceted search: ``facet_col`` value counts over the FULL
+        thresholded result set of ``query`` (reference threshold semantics,
+        bm25_index.py max*0.01), not just the top-k.  Per-shard partials
+        only — per-doc rows never reach the driver."""
+        filters: Dict[str, str] = {}
+        if language:
+            filters["language"] = language
+        if entity_type:
+            filters["entity_type"] = entity_type
+        if repo_filter:
+            filters["repo_name"] = repo_filter
+        return self._bm25().facets(query, facet_col=facet_col, filters=filters or None)
+
     # ------------------------------------------------------------- stats
 
     def count(self) -> int:

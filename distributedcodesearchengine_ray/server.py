@@ -43,8 +43,8 @@ API_INFO = {
     "name": "DistributedCodeSearchEngine Ray API",
     "version": __version__,
     "endpoints": [
-        "/health", "/api", "/stats", "/search", "/index", "/index/sync",
-        "/index/status",
+        "/health", "/api", "/stats", "/search", "/facets", "/index",
+        "/index/sync", "/index/status",
     ],
 }
 
@@ -132,6 +132,35 @@ def make_handler(engine: CodeSearchEngine, jobs: Dict[str, dict], build_lock: th
                 },
             )
 
+        def _facets(self, params: dict) -> None:
+            query = params.get("q") or params.get("query")
+            if not query:
+                self._send(400, {"error": "missing query (q)"})
+                return
+            try:
+                counts = engine.facets(
+                    query,
+                    facet_col=params.get("by", "language"),
+                    language=params.get("language"),
+                    entity_type=params.get("entity_type"),
+                    repo_filter=params.get("repo"),
+                )
+            except KeyError as e:  # unknown facet column is client error
+                self._send(400, {"error": str(e)})
+                return
+            except Exception as e:
+                self._send(500, {"error": str(e)})
+                return
+            self._send(
+                200,
+                {
+                    "query": query,
+                    "facet": params.get("by", "language"),
+                    "total": sum(counts.values()),
+                    "counts": counts,
+                },
+            )
+
         def _index_params(self, body: dict) -> Optional[dict]:
             if not body.get("corpus"):
                 self._send(400, {"error": "missing corpus (parquet path)"})
@@ -158,6 +187,9 @@ def make_handler(engine: CodeSearchEngine, jobs: Dict[str, dict], build_lock: th
             elif url.path == "/search":
                 q = {k: v[0] for k, v in parse_qs(url.query).items()}
                 self._search(q)
+            elif url.path == "/facets":
+                q = {k: v[0] for k, v in parse_qs(url.query).items()}
+                self._facets(q)
             elif url.path == "/index/status":
                 q = {k: v[0] for k, v in parse_qs(url.query).items()}
                 jid = q.get("job_id")

@@ -95,6 +95,16 @@ def test_cli_end_to_end(corpus_dir, tmp_path_factory):
     assert "doc_id" in lines[0]
 
     out = subprocess.run(
+        [sys.executable, "-m", "distributedcodesearchengine_ray.cli", "search",
+         "parse json", "--index-dir", idx, "--facets", "language"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    facets = json.loads(out.stdout.strip().splitlines()[-1])
+    assert facets["facet"] == "language"
+    assert facets["total"] == sum(facets["counts"].values()) > 0
+
+    out = subprocess.run(
         [sys.executable, "-m", "distributedcodesearchengine_ray.cli", "stats",
          "--index-dir", idx],
         capture_output=True, text=True, cwd="/root/repo", timeout=300,
@@ -190,3 +200,16 @@ def test_phrase_search_entity_mode(engine):
     assert quoted, "phrase must match entity docs in the fixture corpus"
     assert all("parse_json" in texts[h["doc_id"]] for h in quoted)
     assert len(quoted) <= len(plain)
+
+
+def test_facade_facets_match_full_result_set(engine):
+    """facets() == language value-counts of the full thresholded hit set
+    (per-shard partials must agree with shipping every row)."""
+    q = "parse json data"
+    counts = engine.facets(q, facet_col="language")
+    assert counts and all(c > 0 for c in counts.values())
+    df = engine._bm25().search_with_meta(q, limit=10**6)
+    assert counts == df["lang"].value_counts().sort_index().to_dict()
+    # filter narrowing agrees
+    lang = next(iter(counts))
+    assert engine.facets(q, facet_col="language", language=lang) == {lang: counts[lang]}

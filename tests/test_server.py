@@ -163,3 +163,27 @@ def test_index_sync_missing_corpus_400(server):
     with pytest.raises(urllib.error.HTTPError) as e:
         _post(f"{server}/index/sync", {})
     assert e.value.code == 400
+
+
+def test_facets_get(server):
+    status, body = _get(f"{server}/facets?q=parse+json&by=language")
+    assert status == 200
+    assert body["facet"] == "language"
+    assert body["total"] == sum(body["counts"].values()) > 0
+    # facet counts must agree with a filtered facet query summed back up
+    lang = max(body["counts"], key=body["counts"].get)
+    status2, narrowed = _get(f"{server}/facets?q=parse+json&by=language&language={lang}")
+    assert status2 == 200
+    assert narrowed["counts"] == {lang: body["counts"][lang]}
+
+
+def test_facets_missing_query_400(server):
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(f"{server}/facets?by=language")
+    assert e.value.code == 400
+
+
+def test_facets_unknown_column_400(server):
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(f"{server}/facets?q=parse+json&by=nosuchcol")
+    assert e.value.code == 400

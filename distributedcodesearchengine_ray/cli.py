@@ -80,6 +80,14 @@ def main(argv=None) -> int:
         help="semantic-side strategy for --hybrid (lsh/ivf need the matching embeddings layout)",
     )
 
+    pm = sub.add_parser("similar", help="find docs similar to doc_id (more-like-this)")
+    pm.add_argument("doc_id", type=int)
+    pm.add_argument("--index-dir", required=True)
+    pm.add_argument("--limit", type=int, default=20)
+    pm.add_argument("--language")
+    pm.add_argument("--entity-type")
+    pm.add_argument("--repo")
+
     pt = sub.add_parser("stats", help="index stats")
     pt.add_argument("--index-dir", required=True)
 
@@ -329,7 +337,7 @@ def main(argv=None) -> int:
 
     import os
 
-    if args.cmd in ("search", "stats") and not os.path.exists(
+    if args.cmd in ("search", "similar", "stats") and not os.path.exists(
         os.path.join(args.index_dir, "manifest.json")
     ):
         print(
@@ -398,6 +406,28 @@ def main(argv=None) -> int:
                 repo_filter=args.repo,
                 use_hybrid=args.hybrid,
                 method=args.method,
+            )
+            for h in hits:
+                print(
+                    json.dumps(
+                        {
+                            k: h.get(k)
+                            for k in (
+                                "rank", "doc_id", "score", "name", "path",
+                                "file_path", "signature", "highlights",
+                            )
+                            if k in h
+                        },
+                        default=str,
+                    )
+                )
+        elif args.cmd == "similar":
+            hits = eng.find_similar(
+                args.doc_id,
+                limit=args.limit,
+                language=args.language,
+                entity_type=args.entity_type,
+                repo_filter=args.repo,
             )
             for h in hits:
                 print(

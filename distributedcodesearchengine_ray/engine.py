@@ -145,6 +145,40 @@ class CodeSearchEngine:
             h["highlights"] = _highlights(h)
         return hits
 
+    def find_similar(
+        self,
+        doc_id: int,
+        limit: int = 20,
+        language: Optional[str] = None,
+        entity_type: Optional[str] = None,
+        repo_filter: Optional[str] = None,
+        max_terms: int = 25,
+        normalize: bool = True,
+    ) -> List[dict]:
+        """Find-similar ("more like this"): the source doc's top
+        ``max_terms`` tf*idf terms run as a BM25 query (Lucene/ES MLT
+        shape on the reference's scoring contract), source excluded,
+        hits joined to metadata + highlights like ``search``."""
+        filters: Dict[str, str] = {}
+        if language:
+            filters["language"] = language
+        if entity_type:
+            filters["entity_type"] = entity_type
+        if repo_filter:
+            filters["repo_name"] = repo_filter
+        qe = self._bm25()
+        raw = qe.more_like_this(doc_id, limit=limit, filters=filters or None)
+        df = qe.hits_with_meta(raw)
+        hits = df.to_dict("records")
+        if hits and normalize:
+            top = hits[0]["score"] if hits[0]["score"] > 0 else 1.0
+            for h in hits:
+                h["bm25_score"] = h["score"]
+                h["score"] = h["score"] / top
+        for h in hits:
+            h["highlights"] = _highlights(h)
+        return hits
+
     def facets(
         self,
         query: str,

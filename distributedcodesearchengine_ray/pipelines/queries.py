@@ -247,6 +247,44 @@ def bm25_topk_wand(sf_dir: str):
     )
 
 
+MLT_SRC_DOC = 7  # fixed find-similar source for the driver contract
+
+
+def more_like_this(sf_dir: str, src: int = MLT_SRC_DOC, limit: int = 20):
+    """Find-similar: BM25 over the source doc's top-25 tf*idf terms
+    (Lucene/ES "more like this" shape on the reference's scoring
+    contract), source doc excluded from the ranking."""
+    import pyarrow.dataset as pads
+
+    from .query import QueryEngine
+
+    idx = _documents_index(sf_dir)
+    text = (
+        pads.dataset(os.path.join(sf_dir, "documents.parquet"), format="parquet")
+        .to_table(columns=["text"], filter=pads.field("doc_id") == src)["text"][0]
+        .as_py()
+    )
+    engine = QueryEngine(idx, num_actors=2)
+    try:
+        # Overfetch, then rank/truncate at micro grain: near-tied docs
+        # (scores within 1e-6) must order by doc_id on BOTH sides of the
+        # driver compare — the oracle's full-precision sums and the
+        # engine's distributed idf sums disagree in the last ulp.
+        hits = engine.more_like_this(src, limit=limit + 10, text=text)
+    finally:
+        engine.close()
+    ids = np.array([h["doc_id"] for h in hits], np.int64)
+    micro = np.asarray(_micro([h["score"] for h in hits]), np.int64)
+    order = np.lexsort((ids, -micro))[:limit]
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(len(order)), pa.int64()),
+            "doc_id": pa.array(ids[order], pa.int64()),
+            "score_micro": pa.array(micro[order], pa.int64()),
+        }
+    )
+
+
 _TOKENIZE_SQL = r"""list_filter(regexp_split_to_array(
     regexp_replace(regexp_replace(lower(
       regexp_replace(regexp_replace({col},'([a-z])([A-Z])','\1 \2','g'),
@@ -278,22 +316,53 @@ def bm25_sql(
     limit: int = 20,
     lang_filter: Optional[str] = None,
     facet: bool = False,
+    mlt_src: Optional[int] = None,
+    max_terms: int = 25,
 ) -> str:
     """Pure-SQL BM25Okapi (k1=1.5 b=0.75 eps=0.25) over documents.text.
 
     ``facet=True`` replaces the ranked top-k tail with language counts
-    over the full thresholded result set (the faceted-search oracle)."""
+    over the full thresholded result set (the faceted-search oracle).
+    ``mlt_src`` switches the query-term source from ``query`` to the
+    more-like-this selection: doc ``mlt_src``'s top ``max_terms`` terms
+    by tf*idf (term-asc tie-break), source doc excluded from the final
+    ranking but included in the threshold max — mirroring
+    ``QueryEngine.more_like_this`` exactly."""
     from ..functions.tokenizer import tokenize
 
-    terms = tokenize(query)
-    # duplicates in the query multiply their term's contribution
-    mult: Dict[str, int] = {}
-    for t in terms:
-        mult[t] = mult.get(t, 0) + 1
-    qvalues = ", ".join(f"('{t}', {m})" for t, m in sorted(mult.items()))
+    if mlt_src is not None:
+        # Term weights quantized to 1e-6 (matches QueryEngine.more_like_this)
+        # so the max_terms cut is stable under last-ulp idf noise.
+        q_cte = f"""q AS (
+  SELECT term, 1 AS mult FROM (
+    SELECT tf.term AS term,
+           CAST(floor(tf.tf * idf.idf * 1000000 + 0.5) AS BIGINT) AS w
+    FROM tf JOIN idf ON idf.term = tf.term
+    WHERE tf.doc_id = {mlt_src}
+    ORDER BY w DESC, term ASC LIMIT {max_terms}
+  )
+)"""
+        not_src = f"WHERE doc_id <> {mlt_src} "
+    else:
+        terms = tokenize(query)
+        # duplicates in the query multiply their term's contribution
+        mult: Dict[str, int] = {}
+        for t in terms:
+            mult[t] = mult.get(t, 0) + 1
+        qvalues = ", ".join(f"('{t}', {m})" for t, m in sorted(mult.items()))
+        q_cte = f"q(term, mult) AS (VALUES {qvalues})"
+        not_src = ""
     filt = f"AND lang = '{lang_filter}'" if lang_filter else ""
     if facet:
         final = "SELECT lang, count(*) AS n_docs FROM kept GROUP BY lang ORDER BY lang"
+    elif mlt_src is not None:
+        # Rank/truncate at micro grain (see more_like_this): near-tied
+        # docs order by doc_id identically on both sides of the compare.
+        final = f"""SELECT row_number() OVER (ORDER BY score_micro DESC, doc_id ASC) - 1 AS rank,
+       doc_id, score_micro
+FROM (SELECT doc_id, CAST(floor(score * 1000000 + 0.5) AS BIGINT) AS score_micro
+      FROM kept {not_src})
+ORDER BY score_micro DESC, doc_id ASC LIMIT {limit}"""
     else:
         final = f"""SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) - 1 AS rank,
        doc_id,
@@ -319,7 +388,7 @@ idf AS (
          CASE WHEN idf_raw < 0 THEN (SELECT e FROM eps) ELSE idf_raw END AS idf
   FROM idf0
 ),
-q(term, mult) AS (VALUES {qvalues}),
+{q_cte},
 dl AS (SELECT doc_id, len(toks) AS dl FROM tok),
 scores AS (
   SELECT tf.doc_id,
@@ -1756,6 +1825,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "bm25_topk_wand": bm25_sql(BM25_QUERY, limit=20),
         "bm25_topk_lang": bm25_sql(BM25_QUERY_FILTERED, limit=20, lang_filter="en"),
         "bm25_facets": bm25_sql(BM25_QUERY, facet=True),
+        "more_like_this": bm25_sql("", limit=20, mlt_src=MLT_SRC_DOC),
         "dedup_exact": """
             SELECT min(doc_id) AS doc_id, count(*) AS n
             FROM documents GROUP BY text ORDER BY doc_id

@@ -30,6 +30,7 @@ whole), with a small driver-side cache for repeated terms.
 
 from __future__ import annotations
 
+import math
 import os
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -827,6 +828,46 @@ class QueryEngine:
             ]
         return results
 
+    def more_like_this(
+        self,
+        doc_id: int,
+        limit: int = 20,
+        max_terms: int = 25,
+        filters: Optional[Dict[str, str]] = None,
+        text: Optional[str] = None,
+    ) -> List[dict]:
+        """Find-similar ("more like this"): keep the source doc's
+        ``max_terms`` strongest terms by tf*idf (tie-break term asc,
+        idf = the index's eps-floored BM25 idf), run them as an ordinary
+        BM25 query — identical threshold/tie-break semantics to
+        ``search``, source doc included in the global max that feeds the
+        0.01 threshold — then drop the source from the ranking.
+
+        Term weights are quantized to 1e-6 before the cut so the
+        selection is stable under last-ulp idf noise (the corpus-wide
+        idf average is a distributed float sum; two near-tied terms at
+        the ``max_terms`` boundary must not swap between runs).
+
+        ``text`` overrides the pushdown doc-text read when the caller
+        already holds the source text (file-mode indexes built from an
+        in-memory corpus have no corpus_dir to re-read).
+        """
+        if text is None:
+            text = self._doc_texts([doc_id]).get(doc_id, "")
+        tf: Dict[str, int] = {}
+        for t in tokenize(text):
+            tf[t] = tf.get(t, 0) + 1
+        if not tf:
+            return []
+        idfs = self.lexicon.idfs(list(tf))
+        ranked = sorted(
+            ((math.floor(tf[t] * idfs.get(t, 0.0) * 1e6 + 0.5), t) for t in tf),
+            key=lambda wt: (-wt[0], wt[1]),
+        )
+        terms = [t for _, t in ranked[:max_terms]]
+        hits = self.search(" ".join(terms), limit=limit + 1, filters=filters)
+        return [h for h in hits if h["doc_id"] != doc_id][:limit]
+
     def search_with_meta(
         self,
         query: str,
@@ -837,6 +878,12 @@ class QueryEngine:
     ) -> pd.DataFrame:
         """Search + metadata join (docmeta parquet filtered by doc_id)."""
         hits = self.search(query, limit=limit, filters=filters, method=method)
+        return self.hits_with_meta(hits, columns=columns)
+
+    def hits_with_meta(
+        self, hits: List[dict], columns: Optional[List[str]] = None
+    ) -> pd.DataFrame:
+        """Join ranked hits to docmeta (parquet pushdown by doc_id)."""
         if not hits:
             return pd.DataFrame({"rank": [], "doc_id": [], "score": []})
         ids = [h["doc_id"] for h in hits]

@@ -43,8 +43,8 @@ API_INFO = {
     "name": "DistributedCodeSearchEngine Ray API",
     "version": __version__,
     "endpoints": [
-        "/health", "/api", "/stats", "/search", "/facets", "/index",
-        "/index/sync", "/index/status",
+        "/health", "/api", "/stats", "/search", "/facets", "/similar",
+        "/index", "/index/sync", "/index/status",
     ],
 }
 
@@ -132,6 +132,47 @@ def make_handler(engine: CodeSearchEngine, jobs: Dict[str, dict], build_lock: th
                 },
             )
 
+        def _similar(self, params: dict) -> None:
+            try:  # malformed client input is a 400, not a 500
+                doc_id = int(params["doc_id"])
+                limit = int(params.get("limit", 20))
+            except KeyError:
+                self._send(400, {"error": "missing doc_id"})
+                return
+            except (TypeError, ValueError):
+                self._send(400, {"error": f"invalid doc_id/limit: {params!r}"})
+                return
+            try:
+                hits = engine.find_similar(
+                    doc_id,
+                    limit=limit,
+                    language=params.get("language"),
+                    entity_type=params.get("entity_type"),
+                    repo_filter=params.get("repo"),
+                )
+            except Exception as e:
+                self._send(500, {"error": str(e)})
+                return
+            self._send(
+                200,
+                {
+                    "doc_id": doc_id,
+                    "total": len(hits),
+                    "results": [
+                        {
+                            k: h.get(k)
+                            for k in (
+                                "doc_id", "score", "bm25_score",
+                                "name", "path", "file_path", "signature",
+                                "highlights", "lang", "entity_type",
+                            )
+                            if k in h
+                        }
+                        for h in hits
+                    ],
+                },
+            )
+
         def _facets(self, params: dict) -> None:
             query = params.get("q") or params.get("query")
             if not query:
@@ -190,6 +231,9 @@ def make_handler(engine: CodeSearchEngine, jobs: Dict[str, dict], build_lock: th
             elif url.path == "/facets":
                 q = {k: v[0] for k, v in parse_qs(url.query).items()}
                 self._facets(q)
+            elif url.path == "/similar":
+                q = {k: v[0] for k, v in parse_qs(url.query).items()}
+                self._similar(q)
             elif url.path == "/index/status":
                 q = {k: v[0] for k, v in parse_qs(url.query).items()}
                 jid = q.get("job_id")

@@ -105,6 +105,15 @@ def test_cli_end_to_end(corpus_dir, tmp_path_factory):
     assert facets["total"] == sum(facets["counts"].values()) > 0
 
     out = subprocess.run(
+        [sys.executable, "-m", "distributedcodesearchengine_ray.cli", "similar",
+         "0", "--index-dir", idx, "--limit", "5"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    lines = [json.loads(l) for l in out.stdout.strip().splitlines() if l.startswith("{")]
+    assert 0 < len(lines) <= 5 and all(l["doc_id"] != 0 for l in lines)
+
+    out = subprocess.run(
         [sys.executable, "-m", "distributedcodesearchengine_ray.cli", "stats",
          "--index-dir", idx],
         capture_output=True, text=True, cwd="/root/repo", timeout=300,
@@ -213,3 +222,18 @@ def test_facade_facets_match_full_result_set(engine):
     # filter narrowing agrees
     lang = next(iter(counts))
     assert engine.facets(q, facet_col="language", language=lang) == {lang: counts[lang]}
+
+
+def test_find_similar_facade(engine):
+    hits = engine.find_similar(3, limit=8)
+    assert hits
+    assert all(h["doc_id"] != 3 for h in hits)  # source excluded
+    assert hits[0]["score"] == pytest.approx(1.0)  # K4 normalization
+    scores = [h["bm25_score"] for h in hits]
+    assert scores == sorted(scores, reverse=True)
+    assert "highlights" in hits[0] and "name" in hits[0]
+
+
+def test_find_similar_respects_filters(engine):
+    hits = engine.find_similar(3, limit=8, entity_type="function")
+    assert all(h["entity_type"] == "function" for h in hits)

@@ -6,6 +6,8 @@ lexicographic — that the distributed build assigns docIDs from; every query
 must produce identical doc_id rankings and scores to 1e-9.
 """
 
+import math
+
 import numpy as np
 import pytest
 
@@ -287,5 +289,41 @@ def test_rebuild_smaller_corpus_clears_stale_partitions(ray_session, tmp_path_fa
         expected = oracle_search(oracle, "parse json", limit=10)
         got = engine.search("parse json", limit=10)
         assert [h["doc_id"] for h in got] == [d for d, _ in expected]
+    finally:
+        engine.close()
+
+
+def test_more_like_this_matches_oracle(file_index, oracle_docs):
+    """Find-similar identity: engine.more_like_this == oracle MLT
+    (top-25 tf*idf terms of the source doc, eps-floored idf, term-asc
+    tie-break, re-ranked via full reference search semantics, source
+    excluded)."""
+    from distributedcodesearchengine_ray.pipelines.query import QueryEngine
+
+    idx, _ = file_index
+    oracle = BM25Oracle([tokenize(r["content"]) for r in oracle_docs])
+    engine = QueryEngine(idx, num_actors=2)
+    try:
+        for src in (0, 7, len(oracle_docs) // 2):
+            tf = {}
+            for t in tokenize(oracle_docs[src]["content"]):
+                tf[t] = tf.get(t, 0) + 1
+            ranked = sorted(
+                # quantized to 1e-6 like the engine (stable term cut)
+                ((math.floor(tf[t] * oracle.idf.get(t, 0.0) * 1e6 + 0.5), t)
+                 for t in tf),
+                key=lambda wt: (-wt[0], wt[1]),
+            )
+            terms = [t for _, t in ranked[:25]]
+            expected = [
+                (d, s)
+                for d, s in oracle_search(oracle, " ".join(terms), limit=16)
+                if d != src
+            ][:15]
+            got = engine.more_like_this(src, limit=15)
+            assert [h["doc_id"] for h in got] == [d for d, _ in expected], src
+            np.testing.assert_allclose(
+                [h["score"] for h in got], [s for _, s in expected], rtol=1e-9
+            )
     finally:
         engine.close()

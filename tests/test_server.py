@@ -187,3 +187,23 @@ def test_facets_unknown_column_400(server):
     with pytest.raises(urllib.error.HTTPError) as e:
         _get(f"{server}/facets?q=parse+json&by=nosuchcol")
     assert e.value.code == 400
+
+
+def test_similar_route(server):
+    status, body = _get(f"{server}/similar?doc_id=0&limit=5")
+    assert status == 200
+    assert 0 < body["total"] <= 5
+    assert all(r["doc_id"] != 0 for r in body["results"])  # source excluded
+    assert {"doc_id", "score", "highlights"} <= set(body["results"][0])
+
+
+def test_similar_missing_doc_id_400(server):
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(f"{server}/similar")
+    assert e.value.code == 400
+
+
+def test_similar_bad_doc_id_400(server):
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(f"{server}/similar?doc_id=abc")
+    assert e.value.code == 400

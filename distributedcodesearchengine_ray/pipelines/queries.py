@@ -247,6 +247,18 @@ def bm25_topk_wand(sf_dir: str):
     )
 
 
+# Boolean operators over the same scored token list as BM25_QUERY:
+# "+join" is already a query term (MUST, still scores), "-hash" is an
+# exclusion (MUST_NOT, never scores) — so this shares bm25_topk's scoring
+# CTE with two membership predicates bolted onto the kept set.
+BM25_BOOL_QUERY = "merge sort +join the data stream -hash"
+
+
+def bm25_boolean(sf_dir: str, query: str = BM25_BOOL_QUERY, limit: int = 20):
+    """BM25 with +term/-term boolean operators (Lucene MUST/MUST_NOT)."""
+    return bm25_topk(sf_dir, query=query, limit=limit)
+
+
 MLT_SRC_DOC = 7  # fixed find-similar source for the driver contract
 
 
@@ -318,6 +330,8 @@ def bm25_sql(
     facet: bool = False,
     mlt_src: Optional[int] = None,
     max_terms: int = 25,
+    required: Optional[List[str]] = None,
+    excluded: Optional[List[str]] = None,
 ) -> str:
     """Pure-SQL BM25Okapi (k1=1.5 b=0.75 eps=0.25) over documents.text.
 
@@ -327,7 +341,10 @@ def bm25_sql(
     more-like-this selection: doc ``mlt_src``'s top ``max_terms`` terms
     by tf*idf (term-asc tie-break), source doc excluded from the final
     ranking but included in the threshold max — mirroring
-    ``QueryEngine.more_like_this`` exactly."""
+    ``QueryEngine.more_like_this`` exactly.
+    ``required``/``excluded`` mirror the +term/-term boolean operators:
+    post-threshold membership predicates on the tokenized docs (the
+    threshold max stays unmasked, exactly like the engine)."""
     from ..functions.tokenizer import tokenize
 
     if mlt_src is not None:
@@ -353,6 +370,10 @@ def bm25_sql(
         q_cte = f"q(term, mult) AS (VALUES {qvalues})"
         not_src = ""
     filt = f"AND lang = '{lang_filter}'" if lang_filter else ""
+    for t in required or ():
+        filt += f"\n  AND doc_id IN (SELECT doc_id FROM tf WHERE term = '{t}')"
+    for t in excluded or ():
+        filt += f"\n  AND doc_id NOT IN (SELECT doc_id FROM tf WHERE term = '{t}')"
     if facet:
         final = "SELECT lang, count(*) AS n_docs FROM kept GROUP BY lang ORDER BY lang"
     elif mlt_src is not None:
@@ -1825,6 +1846,9 @@ def build_oracle_sql() -> Dict[str, str]:
         "bm25_topk_wand": bm25_sql(BM25_QUERY, limit=20),
         "bm25_topk_lang": bm25_sql(BM25_QUERY_FILTERED, limit=20, lang_filter="en"),
         "bm25_facets": bm25_sql(BM25_QUERY, facet=True),
+        "bm25_boolean": bm25_sql(
+            BM25_QUERY, limit=20, required=["join"], excluded=["hash"]
+        ),
         "more_like_this": bm25_sql("", limit=20, mlt_src=MLT_SRC_DOC),
         "dedup_exact": """
             SELECT min(doc_id) AS doc_id, count(*) AS n

@@ -325,6 +325,36 @@ class IndexShard:
         out = sorted(((s, -nl) for s, nl in heap), key=lambda x: (-x[0], x[1]))
         return unfiltered_max, [(doc, s) for s, doc in out]
 
+    def _contains_mask(self, term: str) -> np.ndarray:
+        """Boolean membership vector over this shard's local docs: True
+        where the doc contains ``term`` (tf > 0).  Built from the same
+        decoded postings the scorer uses — cost is one posting decode
+        (cached), never a text scan."""
+        mask = np.zeros(self.n_local, dtype=bool)
+        for pi in range(len(self.parts)):
+            row = self.parts[pi]["term_row"].get(term)
+            if row is not None:
+                local, _ = self._postings(pi, row)
+                mask[local] = True
+        return mask
+
+    def _boolean_mask(
+        self,
+        required: Optional[List[str]],
+        excluded: Optional[List[str]],
+        idx: np.ndarray,
+    ) -> np.ndarray:
+        """Mask over candidate rows ``idx`` enforcing +term/-term query
+        operators: every ``required`` term present, no ``excluded`` term
+        present.  Applied AFTER scoring like the metadata filters (F3
+        semantics) — never touches idf/avgdl or the threshold max."""
+        mask = np.ones(len(idx), dtype=bool)
+        for t in required or ():
+            mask &= self._contains_mask(t)[idx]
+        for t in excluded or ():
+            mask &= ~self._contains_mask(t)[idx]
+        return mask
+
     def _filter_mask(self, filters: Optional[Dict[str, str]], idx: np.ndarray) -> np.ndarray:
         mask = np.ones(len(idx), dtype=bool)
         if not filters:
@@ -354,6 +384,8 @@ class IndexShard:
         filters: Optional[Dict[str, str]] = None,
         dense_all: bool = False,
         method: str = "dense",
+        required: Optional[List[str]] = None,
+        excluded: Optional[List[str]] = None,
     ) -> Tuple[float, List[dict]]:
         """Return (local unfiltered max score, top-``limit`` candidate rows).
 
@@ -361,10 +393,14 @@ class IndexShard:
         the reference's ``max <= 0`` fallback branch.  ``method="wand"``
         uses the upper-bound-pruned document-at-a-time scorer (identical
         results; wins when postings are long/disk-resident).
+        ``required``/``excluded`` are +term/-term boolean operators —
+        post-scoring membership masks (the WAND path falls back to dense
+        when they are present: pruning bounds don't compose with
+        candidate-set subtraction).
         """
         if self.n_local == 0:
             return 0.0, []
-        if method == "wand" and not dense_all:
+        if method == "wand" and not dense_all and not required and not excluded:
             local_max, top = self._wand_topk(query_tokens, idfs, limit, filters)
             if filters and top is not None:
                 _, top1 = self._wand_topk(query_tokens, idfs, 1, None)
@@ -386,6 +422,8 @@ class IndexShard:
         if len(cand) == 0:
             return local_max, []
         mask = self._filter_mask(filters, cand)
+        if required or excluded:
+            mask &= self._boolean_mask(required, excluded, cand)
         cand = cand[mask]
         if len(cand) == 0:
             return local_max, []
@@ -635,6 +673,8 @@ class QueryEngine:
         filters: Optional[Dict[str, str]],
         method: str,
         phrases: List[str],
+        required: Optional[List[str]] = None,
+        excluded: Optional[List[str]] = None,
     ) -> List[dict]:
         """Phrase query: BM25 rank, then drop docs missing any quoted
         phrase.  The per-shard top-k escalates (x4) until the filtered
@@ -645,7 +685,8 @@ class QueryEngine:
         k = max(4 * limit, 64)
         while True:
             refs = [
-                a.search.remote(toks, q_idfs, k, filters, False, method)
+                a.search.remote(toks, q_idfs, k, filters, False, method,
+                                required, excluded)
                 for a in self.actors
             ]
             parts = ray.get(refs)
@@ -655,7 +696,8 @@ class QueryEngine:
                 rows = [r for _, rs in parts for r in rs if r["score"] >= min_score]
             else:
                 refs2 = [
-                    a.search.remote(toks, q_idfs, k, filters, True)
+                    a.search.remote(toks, q_idfs, k, filters, True, "dense",
+                                    required, excluded)
                     for a in self.actors
                 ]
                 parts = ray.get(refs2)
@@ -741,6 +783,34 @@ class QueryEngine:
                 break
         return out
 
+    @staticmethod
+    def _parse_boolean(query: str) -> Tuple[str, List[str], List[str]]:
+        """Split ``+term`` / ``-term`` boolean operators out of a query.
+
+        Returns (scored_query, required, excluded): ``+chunk`` tokens are
+        REQUIRED (and still score, Lucene MUST semantics), ``-chunk``
+        tokens are EXCLUDED (and don't score, MUST_NOT).  Operators apply
+        to whitespace chunks outside quoted phrases; a lone ``-``/``+``
+        or a query of only exclusions yields no scored tokens (empty
+        result, same as the empty-query guard).
+        """
+        required: List[str] = []
+        excluded: List[str] = []
+        scored: List[str] = []
+        for seg in _re_mod.split(r'("[^"]*")', query):
+            if seg.startswith('"'):
+                scored.append(seg)
+                continue
+            for chunk in seg.split():
+                if chunk.startswith("+") and len(chunk) > 1:
+                    required.extend(tokenize(chunk[1:]))
+                    scored.append(chunk[1:])
+                elif chunk.startswith("-") and len(chunk) > 1:
+                    excluded.extend(tokenize(chunk[1:]))
+                else:
+                    scored.append(chunk)
+        return " ".join(scored), required, excluded
+
     def _wildcard_tokens(self, query: str) -> List[str]:
         """Tokenize a query whose whitespace chunks may carry ``*``/``?``
         wildcards: plain chunks go through the code tokenizer, wildcard
@@ -779,15 +849,18 @@ class QueryEngine:
     ) -> List[List[dict]]:
         import ray
 
+        # +term/-term boolean operators come off first (outside quotes)
+        parsed = [self._parse_boolean(q) if ("+" in q or "-" in q) else (q, [], [])
+                  for q, _ in queries]
         token_lists = [
             self._wildcard_tokens(q) if ("*" in q or "?" in q) else tokenize(q)
-            for q, _ in queries
+            for (q, _, _) in parsed
         ]
         # quoted segments are BOTH scored (their tokens) and required
         # verbatim (post-scoring phrase filter, F3-style: never touches
         # idf/avgdl)
         phrase_lists = [
-            _PHRASE_RE.findall(q) if '"' in q else [] for q, _ in queries
+            _PHRASE_RE.findall(q) if '"' in q else [] for (q, _, _) in parsed
         ]
         all_terms = [t for toks in token_lists for t in toks]
         idfs = self.lexicon.idfs(all_terms) if all_terms else {}
@@ -797,27 +870,33 @@ class QueryEngine:
         for qi, ((query, filters), toks) in enumerate(zip(queries, token_lists)):
             if not toks:
                 continue
+            _, req, excl = parsed[qi]
             q_idfs = {t: idfs.get(t, 0.0) for t in set(toks)}
             if phrase_lists[qi]:
                 results[qi] = self._search_phrase(
-                    toks, q_idfs, limit, filters, method, phrase_lists[qi]
+                    toks, q_idfs, limit, filters, method, phrase_lists[qi],
+                    required=req, excluded=excl,
                 )
                 continue
             refs = [
-                a.search.remote(toks, q_idfs, limit, filters, False, method)
+                a.search.remote(toks, q_idfs, limit, filters, False, method,
+                                req, excl)
                 for a in self.actors
             ]
             pending.append((qi, toks, q_idfs, limit, queries[qi][1], refs))
         for qi, toks, q_idfs, lim, filters, refs in pending:
             parts = ray.get(refs)
             global_max = max((m for m, _ in parts), default=0.0)
+            _, req, excl = parsed[qi]
             if global_max > 0:
                 min_score = global_max * 0.01
                 rows = [r for _, rs in parts for r in rs if r["score"] >= min_score]
             else:
                 # reference keeps everything when max <= 0: dense fallback
                 refs2 = [
-                    a.search.remote(toks, q_idfs, lim, filters, True) for a in self.actors
+                    a.search.remote(toks, q_idfs, lim, filters, True, "dense",
+                                    req, excl)
+                    for a in self.actors
                 ]
                 rows = [r for _, rs in ray.get(refs2) for r in rs]
             rows.sort(key=lambda r: (-r["score"], r["doc_id"]))

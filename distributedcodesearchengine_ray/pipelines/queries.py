@@ -877,6 +877,22 @@ def quality_filter(sf_dir: str):
     return pa.table({"doc_id": pa.array(out["doc_id"], pa.int64())})
 
 
+def repetition_stats_q(sf_dir: str):
+    """Gopher-style repetition signals (dup-line counts/chars, top-bigram
+    stats) per document — exact-integer outputs, shuffle-free map_batches."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        from ..stages.text_stats import repetition_stats
+
+        return repetition_stats(t)
+
+    out = ds.map_batches(fn, batch_format="pyarrow").to_pandas().sort_values(
+        "doc_id", ignore_index=True
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def fingerprint_profile(sf_dir: str):
     """Winnowing fingerprint counts per doc (rows-only: rolling-hash
     fingerprints are not expressible in SQL)."""
@@ -1859,6 +1875,50 @@ def build_oracle_sql() -> Dict[str, str]:
             FROM documents GROUP BY lang, source ORDER BY lang, source
         """,
         "lang_histogram": "SELECT lang, count(*) AS n FROM documents GROUP BY lang ORDER BY lang",
+        "repetition_stats": r"""
+            WITH lines AS (
+              SELECT doc_id, unnest(str_split(text, chr(10))) AS line FROM documents
+            ), lc AS (
+              SELECT doc_id, line, count(*) AS cnt, length(line) AS len
+              FROM lines GROUP BY doc_id, line
+            ), lagg AS (
+              SELECT doc_id,
+                     CAST(sum(cnt) AS BIGINT) AS n_lines,
+                     CAST(count(*) AS BIGINT) AS n_uniq_lines,
+                     CAST(sum((cnt-1)*len) AS BIGINT) AS dup_line_chars,
+                     CAST(sum(cnt*len) AS BIGINT) AS line_chars
+              FROM lc GROUP BY doc_id
+            ), tok AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(text, '\s+'), x -> length(x) > 0) AS toks
+              FROM documents
+            ), bg AS (
+              SELECT doc_id, toks[i] || ' ' || toks[i+1] AS bigram
+              FROM tok, unnest(generate_series(1, len(toks)-1)) AS g(i)
+              WHERE len(toks) >= 2
+            ), bgc AS (
+              SELECT doc_id, bigram, count(*) AS cnt, length(bigram) AS len
+              FROM bg GROUP BY doc_id, bigram
+            ), bagg AS (
+              SELECT doc_id,
+                     CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+                     CAST(count(*) AS BIGINT) AS n_uniq_bigrams,
+                     CAST(max(cnt) AS BIGINT) AS top_bigram_n
+              FROM bgc GROUP BY doc_id
+            ), btop AS (
+              SELECT bgc.doc_id, CAST(max(bgc.len) AS BIGINT) AS top_bigram_len
+              FROM bgc JOIN bagg ON bgc.doc_id = bagg.doc_id AND bgc.cnt = bagg.top_bigram_n
+              GROUP BY bgc.doc_id
+            )
+            SELECT l.doc_id, l.n_lines, l.n_uniq_lines, l.dup_line_chars, l.line_chars,
+                   COALESCE(b.n_bigrams, 0) AS n_bigrams,
+                   COALESCE(b.n_uniq_bigrams, 0) AS n_uniq_bigrams,
+                   COALESCE(b.top_bigram_n, 0) AS top_bigram_n,
+                   COALESCE(t.top_bigram_len, 0) AS top_bigram_len
+            FROM lagg l LEFT JOIN bagg b ON l.doc_id = b.doc_id
+            LEFT JOIN btop t ON l.doc_id = t.doc_id
+            ORDER BY l.doc_id
+        """,
         "substring_search": f"""
             SELECT doc_id FROM documents
             WHERE contains(text, '{SUBSTRING_NEEDLE}') ORDER BY doc_id

@@ -96,6 +96,96 @@ def token_counts(batch: pa.Table, text_col: str = "text") -> pa.Table:
     )
 
 
+def repetition_stats(
+    batch: pa.Table, text_col: str = "text", id_col: str = "doc_id"
+) -> pa.Table:
+    """Gopher-style repetition signals per document (Rae et al. 2021 §A.1.1;
+    the reference has no equivalent — this is a training-data-pipeline
+    operator over the `documents` table).
+
+    All outputs are EXACT integers (numerators/denominators, not float
+    fractions) so a SQL oracle can hash-match them:
+
+    - ``n_lines`` / ``n_uniq_lines``: line totals ("\\n" split, empties kept
+      — the same ``str_split`` semantics DuckDB uses);
+    - ``dup_line_chars``: characters in line occurrences BEYOND the first
+      (``sum((cnt-1)*len)`` over distinct lines);
+    - ``line_chars``: total line characters (``sum(cnt*len)``);
+    - ``n_bigrams`` / ``n_uniq_bigrams``: whitespace-token word bigrams;
+    - ``top_bigram_n``: occurrences of the most frequent bigram;
+    - ``top_bigram_len``: max char length among bigrams at that count
+      (deterministic tie-break shared with the SQL oracle).
+
+    Everything is per-document, so the stage needs no shuffle: it is a
+    plain ``map_batches`` transform (Arrow split/flatten + one pandas
+    hash-groupby per batch for the duplicate counting, which must compare
+    full strings, not hashes, to stay exactly SQL-mirrorable).
+    """
+    n = len(batch)
+    txt = batch[text_col]
+    if isinstance(txt, pa.ChunkedArray):
+        txt = txt.combine_chunks()
+    txt = pc.fill_null(txt, "")
+
+    # --- duplicate-line signals
+    lines = pc.split_pattern(txt, "\n")
+    flat = pc.list_flatten(lines)
+    parents = pc.list_parent_indices(lines).to_numpy(zero_copy_only=False)
+    lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.int64)
+    ldf = pd.DataFrame({"p": parents, "line": flat.to_pandas(), "len": lens})
+    lc = (
+        ldf.groupby(["p", "line"], sort=False)
+        .agg(cnt=("len", "size"), len=("len", "first"))
+        .reset_index()
+    )
+    n_lines = np.bincount(parents, minlength=n).astype(np.int64)
+    n_uniq_lines = np.bincount(lc["p"], minlength=n).astype(np.int64)
+    dup_line_chars = np.bincount(
+        lc["p"], weights=(lc["cnt"] - 1) * lc["len"], minlength=n
+    ).astype(np.int64)
+    line_chars = np.bincount(parents, weights=lens, minlength=n).astype(np.int64)
+
+    # --- top/duplicate word-bigram signals (whitespace tokens, empties out)
+    ws = pc.split_pattern_regex(txt, r"\s+")
+    wflat = pc.list_flatten(ws)
+    wpar = pc.list_parent_indices(ws).to_numpy(zero_copy_only=False)
+    nonempty = pc.greater(pc.utf8_length(wflat), 0).to_numpy(zero_copy_only=False)
+    toks = wflat.to_pandas().to_numpy()[nonempty]
+    tpar = wpar[nonempty]
+    n_bigrams = np.zeros(n, np.int64)
+    n_uniq_bigrams = np.zeros(n, np.int64)
+    top_bigram_n = np.zeros(n, np.int64)
+    top_bigram_len = np.zeros(n, np.int64)
+    if len(toks) >= 2:
+        pair_mask = tpar[1:] == tpar[:-1]
+        if pair_mask.any():
+            bser = pd.Series(toks[:-1][pair_mask]) + " " + pd.Series(toks[1:][pair_mask])
+            bdf = pd.DataFrame({"p": tpar[:-1][pair_mask], "bg": bser})
+            bc = bdf.groupby(["p", "bg"], sort=False).size().reset_index(name="cnt")
+            n_bigrams = np.bincount(tpar[:-1][pair_mask], minlength=n).astype(np.int64)
+            n_uniq_bigrams = np.bincount(bc["p"], minlength=n).astype(np.int64)
+            top = bc.groupby("p", sort=False)["cnt"].max()
+            top_bigram_n[top.index.to_numpy()] = top.to_numpy()
+            bc["top"] = bc["p"].map(top)
+            at_top = bc[bc["cnt"] == bc["top"]].copy()
+            at_top["len"] = at_top["bg"].str.len()
+            tl = at_top.groupby("p", sort=False)["len"].max()
+            top_bigram_len[tl.index.to_numpy()] = tl.to_numpy()
+    return pa.table(
+        {
+            id_col: batch[id_col],
+            "n_lines": pa.array(n_lines),
+            "n_uniq_lines": pa.array(n_uniq_lines),
+            "dup_line_chars": pa.array(dup_line_chars),
+            "line_chars": pa.array(line_chars),
+            "n_bigrams": pa.array(n_bigrams),
+            "n_uniq_bigrams": pa.array(n_uniq_bigrams),
+            "top_bigram_n": pa.array(top_bigram_n),
+            "top_bigram_len": pa.array(top_bigram_len),
+        }
+    )
+
+
 # ------------------------------------------------------------ language id
 
 # tiny per-language marker-word profiles (deterministic heuristic; a real

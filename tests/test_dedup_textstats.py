@@ -580,6 +580,63 @@ def test_quality_stats_vectorized(ray_session):
     assert out["upper_ratio"][2] == pytest.approx(3 / 14)
 
 
+def test_repetition_stats_vs_bruteforce(ray_session):
+    """Gopher repetition signals vs a brute-force Python oracle, on
+    multi-line docs with real duplicate lines/bigrams (the sf testdata is
+    single-line, so the dup-line path needs its own fixture)."""
+    import random
+    from collections import Counter
+
+    from distributedcodesearchengine_ray.stages.text_stats import repetition_stats
+
+    rng = random.Random(7)
+    words = ["alpha", "beta", "gamma", "delta", "x"]
+    docs = [
+        "",  # empty
+        "one line only",
+        "dup\ndup\nunique\ndup",  # 3 copies of "dup"
+        "a b a b a b",  # heavy bigram repetition
+        "\n\n",  # empty lines only
+        "tab\tsep  spaces\nand a newline",
+    ]
+    for _ in range(40):
+        lines = [
+            " ".join(rng.choices(words, k=rng.randint(0, 6)))
+            for _ in range(rng.randint(1, 8))
+        ]
+        # force some duplicate lines
+        if len(lines) > 2 and rng.random() < 0.7:
+            lines[rng.randrange(len(lines))] = lines[0]
+        docs.append("\n".join(lines))
+    t = pa.table({"doc_id": list(range(len(docs))), "text": docs})
+    out = repetition_stats(t).to_pandas().set_index("doc_id")
+
+    for did, text in enumerate(docs):
+        lines = text.split("\n")
+        lc = Counter(lines)
+        assert out.loc[did, "n_lines"] == len(lines)
+        assert out.loc[did, "n_uniq_lines"] == len(lc)
+        assert out.loc[did, "dup_line_chars"] == sum(
+            (c - 1) * len(l) for l, c in lc.items()
+        )
+        assert out.loc[did, "line_chars"] == sum(len(l) for l in lines)
+        toks = [w for w in __import__("re").split(r"\s+", text) if w]
+        bgs = Counter(
+            toks[i] + " " + toks[i + 1] for i in range(len(toks) - 1)
+        )
+        assert out.loc[did, "n_bigrams"] == sum(bgs.values())
+        assert out.loc[did, "n_uniq_bigrams"] == len(bgs)
+        if bgs:
+            top = max(bgs.values())
+            assert out.loc[did, "top_bigram_n"] == top
+            assert out.loc[did, "top_bigram_len"] == max(
+                len(b) for b, c in bgs.items() if c == top
+            )
+        else:
+            assert out.loc[did, "top_bigram_n"] == 0
+            assert out.loc[did, "top_bigram_len"] == 0
+
+
 def test_token_counts():
     from distributedcodesearchengine_ray.stages.text_stats import token_counts
 

@@ -65,6 +65,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_quantiles": Q.token_quantiles,  # exact CDF quantiles, quantile_disc oracle
         "clean_text": Q.clean_text_q,  # C4-style normalization, regexp_replace oracle
         "repetition_stats": Q.repetition_stats_q,  # Gopher repetition signals, exact-int oracle
+        "lm_perplexity": Q.lm_perplexity,  # CCNet bigram-LM scoring, milli-nat integer oracle
         "fingerprint_profile": Q.fingerprint_profile,  # rows-only
         # training-data layout (packing / sampling / splitting)
         "pack_sequences": Q.pack_sequences_q,  # distributed prefix sum, window-SQL oracle

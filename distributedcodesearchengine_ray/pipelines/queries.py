@@ -893,6 +893,17 @@ def repetition_stats_q(sf_dir: str):
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def lm_perplexity(sf_dir: str):
+    """CCNet-style bigram-LM cross-entropy per document: distributed
+    bigram-count training -> broadcast model -> actor-pool scoring.
+    Exact-integer outputs (milli-nat per-pair rounding before summation)."""
+    from ..stages.lm import perplexity_profile
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = perplexity_profile(ds).to_pandas().sort_values("doc_id", ignore_index=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def fingerprint_profile(sf_dir: str):
     """Winnowing fingerprint counts per doc (rows-only: rolling-hash
     fingerprints are not expressible in SQL)."""
@@ -1875,6 +1886,40 @@ def build_oracle_sql() -> Dict[str, str]:
             FROM documents GROUP BY lang, source ORDER BY lang, source
         """,
         "lang_histogram": "SELECT lang, count(*) AS n FROM documents GROUP BY lang ORDER BY lang",
+        "lm_perplexity": r"""
+            WITH tok AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '\s+'), x -> length(x) > 0) AS toks
+              FROM documents
+            ), pairs AS (
+              SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+              FROM tok, unnest(generate_series(1, len(toks)-1)) AS g(i)
+              WHERE len(toks) >= 2
+            ), bgc AS (
+              SELECT w1, w2, count(*) AS c2 FROM pairs GROUP BY w1, w2
+            ), lc AS (
+              SELECT w1, count(*) AS c1 FROM pairs GROUP BY w1
+            ), voc AS (
+              SELECT count(DISTINCT tok) AS v
+              FROM (SELECT unnest(toks) AS tok FROM tok)
+            ), scored AS (
+              SELECT p.doc_id,
+                     CAST(floor(ln((COALESCE(b.c2, 0) + 1.0) / (COALESCE(l.c1, 0) + voc.v)) * 1000 + 0.5) AS BIGINT) AS ll
+              FROM pairs p
+              LEFT JOIN bgc b ON p.w1 = b.w1 AND p.w2 = b.w2
+              LEFT JOIN lc l ON p.w1 = l.w1
+              CROSS JOIN voc
+            ), agg AS (
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pairs,
+                     CAST(sum(ll) AS BIGINT) AS ll_milli
+              FROM scored GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   COALESCE(a.n_pairs, 0) AS n_pairs,
+                   COALESCE(a.ll_milli, 0) AS ll_milli
+            FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+            ORDER BY d.doc_id
+        """,
         "repetition_stats": r"""
             WITH lines AS (
               SELECT doc_id, unnest(str_split(text, chr(10))) AS line FROM documents

@@ -78,6 +78,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hybrid_rrf": Q.hybrid_rrf,  # J1/K3 weighted-RRF fusion, full-SQL oracle
         "label_centroids": Q.label_centroids,
         "kmeans_clusters": Q.kmeans_clusters,  # iterative Lloyd's, unrolled-SQL oracle
+        "semantic_dedup": Q.semantic_dedup_q,  # SemDeDup: kmeans + within-cluster cosine, full-SQL oracle
         # streaming-shaped events
         "events_hourly": Q.events_hourly,
         "events_sliding": Q.events_sliding,

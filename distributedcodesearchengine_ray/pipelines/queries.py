@@ -1177,6 +1177,27 @@ def kmeans_clusters(sf_dir: str):
     return assignments
 
 
+def semantic_dedup_q(sf_dir: str):
+    """SemDeDup over the embeddings table: kmeans (k=8, the driver-proven
+    2-iteration config) then keep-first-by-id within-cluster cosine dedup
+    at the data-calibrated 0.35 threshold (see embed_cosine_dups)."""
+    from ..stages.semdedup import semantic_dedup
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = (
+        semantic_dedup(ds, k=8, n_iter=2, threshold=0.35)
+        .to_pandas()
+        .sort_values("vec_id", ignore_index=True)
+    )
+    return pa.table(
+        {
+            "vec_id": pa.array(out["vec_id"], pa.int64()),
+            "cluster": pa.array(out["cluster"], pa.int64()),
+            "keep": pa.array(out["keep"], pa.int64()),
+        }
+    )
+
+
 def label_centroids(sf_dir: str):
     """Per-label embedding centroid (the IVF-training primitive) as a
     map-side pre-aggregated vector groupby: each batch emits ONE partial
@@ -2176,6 +2197,39 @@ def build_oracle_sql() -> Dict[str, str]:
                                           ORDER BY list_distance(e.v, c1.v), c1.cl) AS rn
                 FROM e CROSS JOIN c1) WHERE rn = 1)
             SELECT vec_id, cl AS cluster FROM a2 ORDER BY vec_id
+        """,
+        "semantic_dedup": """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            c0 AS (SELECT vec_id AS cl, v FROM e WHERE vec_id < 8),
+            a1 AS (
+              SELECT vec_id, cl FROM (
+                SELECT e.vec_id, c0.cl,
+                       row_number() OVER (PARTITION BY e.vec_id
+                                          ORDER BY list_distance(e.v, c0.v), c0.cl) AS rn
+                FROM e CROSS JOIN c0) WHERE rn = 1),
+            dims AS (
+              SELECT a1.cl, unnest(e.v) AS val, generate_subscripts(e.v, 1) AS dim
+              FROM a1 JOIN e USING (vec_id)),
+            c1 AS (
+              SELECT cl, list(avg_val ORDER BY dim) AS v FROM (
+                SELECT cl, dim, avg(val) AS avg_val FROM dims GROUP BY cl, dim)
+              GROUP BY cl),
+            a2 AS (
+              SELECT vec_id, cl FROM (
+                SELECT e.vec_id, c1.cl,
+                       row_number() OVER (PARTITION BY e.vec_id
+                                          ORDER BY list_distance(e.v, c1.v), c1.cl) AS rn
+                FROM e CROSS JOIN c1) WHERE rn = 1),
+            dup AS (
+              SELECT DISTINCT b.vec_id AS i
+              FROM a2 a JOIN a2 b ON a.cl = b.cl AND a.vec_id < b.vec_id
+              JOIN e ea ON ea.vec_id = a.vec_id
+              JOIN e eb ON eb.vec_id = b.vec_id
+              WHERE list_cosine_similarity(ea.v, eb.v) >= 0.35)
+            SELECT a2.vec_id, a2.cl AS cluster,
+                   CASE WHEN dup.i IS NULL THEN 1 ELSE 0 END AS keep
+            FROM a2 LEFT JOIN dup ON a2.vec_id = dup.i
+            ORDER BY a2.vec_id
         """,
         "knn_cosine": """
             WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < 3),

@@ -47,12 +47,18 @@ def kmeans_fit(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     init_ids: Optional[np.ndarray] = None,
+    return_labels: bool = False,
+    materialize_assignments: bool = True,
 ) -> Tuple[pa.Table, np.ndarray]:
     """Fixed-iteration Lloyd's; returns (assignments, centroids).
 
     ``assignments`` is (id_col, cluster) for every row, sorted by id;
     ``cluster`` is the seed id of the centroid's lineage (stable across
-    empty-cluster drops).
+    empty-cluster drops).  With ``return_labels=True`` the result is the
+    triple (assignments, centroids, labels) where ``labels[i]`` is the
+    cluster label of ``centroids[i]`` — what a downstream map-side
+    re-assignment stage (e.g. semantic dedup) needs to reproduce the
+    final assignment without another driver materialization.
     """
     import ray
 
@@ -135,6 +141,11 @@ def kmeans_fit(
         labels = labels[agg.index.to_numpy()]
 
     # --- final assignment pass with the last centroids
+    if not materialize_assignments:
+        # caller runs its own map-side assignment (no driver N-row table)
+        if return_labels:
+            return None, centroids, labels
+        return None, centroids
     cref = ray.put((centroids, labels))
 
     def assign_rows(t: pa.Table) -> pa.Table:
@@ -160,12 +171,12 @@ def kmeans_fit(
         .to_pandas()
         .sort_values(id_col, ignore_index=True)
     )
-    return (
-        pa.table(
-            {
-                id_col: pa.array(out[id_col], pa.int64()),
-                "cluster": pa.array(out["cluster"], pa.int64()),
-            }
-        ),
-        centroids,
+    assignments = pa.table(
+        {
+            id_col: pa.array(out[id_col], pa.int64()),
+            "cluster": pa.array(out["cluster"], pa.int64()),
+        }
     )
+    if return_labels:
+        return assignments, centroids, labels
+    return assignments, centroids

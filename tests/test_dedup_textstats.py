@@ -568,6 +568,49 @@ def test_embedding_cosine_exact_pairs(ray_session):
     assert ((got["id_a"] == 7 * 3) & (got["id_b"] == 40 * 3)).any()
 
 
+def test_semantic_dedup_matches_bruteforce(ray_session, monkeypatch):
+    """SemDeDup (kmeans + within-cluster keep-first cosine dedup) vs a
+    brute-force oracle, with planted near-duplicates and a tiny matmul
+    block size to exercise the blocked lower-triangular path."""
+    import ray
+
+    from distributedcodesearchengine_ray.stages import semdedup as sd
+    from distributedcodesearchengine_ray.stages.kmeans import kmeans_fit
+
+    monkeypatch.setattr(sd, "_BLOCK_ROWS", 3)
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(40, 16))
+    vecs = [v for v in base]
+    # plant near-dups: rows 40..49 are tiny perturbations of rows 0..9
+    for i in range(10):
+        vecs.append(base[i] + rng.normal(scale=1e-3, size=16))
+    ids = list(range(len(vecs)))
+    t = pa.table(
+        {"vec_id": ids, "embedding": [list(map(float, v)) for v in vecs]}
+    )
+    ds = ray.data.from_arrow(t)
+    got = (
+        sd.semantic_dedup(ds, k=4, n_iter=2, threshold=0.95)
+        .to_pandas()
+        .sort_values("vec_id", ignore_index=True)
+    )
+    # brute force: same kmeans assignment, then exists-smaller-id rule
+    assign, _ = kmeans_fit(ds, k=4, n_iter=2)
+    cl = assign.to_pandas().set_index("vec_id")["cluster"]
+    M = np.stack([np.asarray(v) for v in vecs])
+    M = M / np.linalg.norm(M, axis=1, keepdims=True)
+    for i in ids:
+        exp_dup = any(
+            cl[j] == cl[i] and float(M[i] @ M[j]) >= 0.95 for j in range(i)
+        )
+        row = got[got["vec_id"] == i].iloc[0]
+        assert row["keep"] == (0 if exp_dup else 1), f"vec_id {i}"
+        assert row["cluster"] == cl[i]
+    # all 10 planted dups flagged, none of the 40 originals dropped
+    assert got[got["vec_id"] >= 40]["keep"].sum() == 0
+    assert got[got["vec_id"] < 40]["keep"].sum() == 40
+
+
 def test_quality_stats_vectorized(ray_session):
     from distributedcodesearchengine_ray.stages.text_stats import quality_stats
 

@@ -10,6 +10,7 @@ Usage:
         [--threshold J] [--clusters] [--out DIR]
     python -m distributedcodesearchengine_ray.cli grep   "<needle>" <corpus_dir> --index-dir DIR
         [--regex] [--ignore-case] [--files-only] [--limit N]
+    python -m distributedcodesearchengine_ray.cli compact --index-dir DIR [--max-docs N] [--max-bytes B]
     python -m distributedcodesearchengine_ray.cli serve  --index-dir DIR [--host H] [--port P]
     python -m distributedcodesearchengine_ray.cli version
 
@@ -90,6 +91,13 @@ def main(argv=None) -> int:
 
     pt = sub.add_parser("stats", help="index stats")
     pt.add_argument("--index-dir", required=True)
+
+    pc_ = sub.add_parser(
+        "compact", help="merge small appended segments (search-identical)"
+    )
+    pc_.add_argument("--index-dir", required=True)
+    pc_.add_argument("--max-docs", type=int, default=200_000)
+    pc_.add_argument("--max-bytes", type=int, default=256 << 20)
 
     pg = sub.add_parser("ingest", help="walk a checked-out repo tree into a parquet corpus")
     pg.add_argument("repo_dir")
@@ -321,6 +329,26 @@ def main(argv=None) -> int:
         n = hits.num_rows if args.limit == 0 else min(args.limit, hits.num_rows)
         for row in hits.slice(0, n).to_pylist():
             print(json.dumps(row, default=str))
+        return 0
+
+    if args.cmd == "compact":
+        _ensure_ray()
+        from .pipelines.build_index import compact_index
+
+        m = compact_index(
+            args.index_dir,
+            max_docs_per_partition=args.max_docs,
+            max_bytes_per_partition=args.max_bytes,
+        )
+        print(
+            json.dumps(
+                {
+                    "n_docs": m.n_docs,
+                    "live_partitions": len(m.partitions),
+                    "compactions": m.extra.get("compactions", []),
+                }
+            )
+        )
         return 0
 
     if args.cmd == "serve":

@@ -210,6 +210,92 @@ def _deterministic_sample(skeys: np.ndarray, modulus: int) -> np.ndarray:
     return skeys[h % modulus == 0]
 
 
+def encode_postings_arrays(
+    term_codes: np.ndarray,
+    dictionary: pa.Array,
+    global_d: np.ndarray,
+    tf_arr: np.ndarray,
+    dl_of_pair: np.ndarray,
+) -> pa.Table:
+    """Encode (term, doc) postings arrays — sorted by (term_code, doc id)
+    — into the on-disk postings table: per-term varint delta doc ids
+    (absolute at each term's first entry), varint tfs, and block-max WAND
+    metadata for terms longer than ``BLOCK``.  Shared by the partition
+    builder and by segment compaction (which decodes member partitions
+    back to these arrays and re-encodes the merge)."""
+    if len(term_codes):
+        change = np.flatnonzero(term_codes[1:] != term_codes[:-1]) + 1
+        starts = np.concatenate(([0], change, [len(term_codes)]))
+    else:
+        starts = np.array([0], dtype=np.int64)
+    n_terms = len(starts) - 1
+    g_lo, g_hi = starts[:-1], starts[1:]
+    term_col = (
+        pc.take(dictionary, pa.array(term_codes[g_lo], pa.int64()))
+        if n_terms
+        else pa.array([], pa.string())
+    )
+    dfs = (g_hi - g_lo).astype(np.int64)
+
+    # one vectorized varint pass over ALL postings; per-term buffers are
+    # pure byte-range slices (no per-term encode calls — this is the hot
+    # loop at realistic vocabulary sizes)
+    global_d = global_d.astype(np.uint64)
+    deltas = global_d.copy()
+    if len(deltas) > 1:
+        deltas[1:] = global_d[1:] - global_d[:-1]
+    deltas[g_lo] = global_d[g_lo]  # absolute value at each group start
+    from ..functions.codec import varint_lengths
+
+    dbuf = varint_encode(deltas)
+    dpos = np.concatenate(([0], np.cumsum(varint_lengths(deltas))))
+    tf_u = tf_arr.astype(np.uint64)
+    tbuf = varint_encode(tf_u)
+    tpos = np.concatenate(([0], np.cumsum(varint_lengths(tf_u))))
+    doc_bufs = [dbuf[dpos[lo] : dpos[hi]] for lo, hi in zip(g_lo, g_hi)]
+    tf_bufs = [tbuf[tpos[lo] : tpos[hi]] for lo, hi in zip(g_lo, g_hi)]
+
+    blk_last: List[bytes] = [b""] * n_terms
+    blk_maxtf: List[bytes] = [b""] * n_terms
+    blk_mindl: List[bytes] = [b""] * n_terms
+    for k in np.flatnonzero(dfs > BLOCK):  # rare: only long postings
+        lo, hi = g_lo[k], g_hi[k]
+        ids = global_d[lo:hi].astype(np.int64)
+        tfs = tf_arr[lo:hi]
+        nb = -(-(hi - lo) // BLOCK)
+        lasts = ids[np.minimum(np.arange(1, nb + 1) * BLOCK - 1, hi - lo - 1)]
+        mx = np.array(
+            [tfs[j * BLOCK : (j + 1) * BLOCK].max() for j in range(nb)], dtype=np.uint64
+        )
+        dl_local = dl_of_pair[lo:hi]
+        mn = np.array(
+            [dl_local[j * BLOCK : (j + 1) * BLOCK].min() for j in range(nb)],
+            dtype=np.uint64,
+        )
+        blk_last[k] = delta_varint_encode(lasts)
+        blk_maxtf[k] = varint_encode(mx)
+        blk_mindl[k] = varint_encode(mn)
+
+    return pa.table(
+        {
+            "term": term_col.cast(pa.string()),
+            "df": pa.array(dfs, pa.int64()),
+            "doc_ids": pa.array(doc_bufs, pa.binary()),
+            "tfs": pa.array(tf_bufs, pa.binary()),
+            "block_last": pa.array(blk_last, pa.binary()),
+            "block_max_tf": pa.array(blk_maxtf, pa.binary()),
+            "block_min_dl": pa.array(blk_mindl, pa.binary()),
+        }
+    )
+
+
+def _postings_payload_bytes(postings: pa.Table) -> int:
+    """Posting-payload size (doc-id + tf buffers) of an encoded table."""
+    return int(
+        pc.sum(pc.binary_length(postings["doc_ids"])).as_py() or 0
+    ) + int(pc.sum(pc.binary_length(postings["tfs"])).as_py() or 0)
+
+
 class _PartitionBuilder:
     """Builds one doc-range partition of the inverted index (called inside
     ``groupby(part_id).map_groups``).  Sorts the group by the canonical key,
@@ -305,71 +391,12 @@ class _PartitionBuilder:
             tf_arr = np.empty(0, dtype=np.int64)
             term_codes = np.empty(0, dtype=np.int64)
             d_arr = np.empty(0, dtype=np.int64)
-        # term group boundaries over the (term, doc)-sorted postings
-        if len(term_codes):
-            change = np.flatnonzero(term_codes[1:] != term_codes[:-1]) + 1
-            starts = np.concatenate(([0], change, [len(term_codes)]))
-        else:
-            starts = np.array([0], dtype=np.int64)
-        n_terms = len(starts) - 1
-        g_lo, g_hi = starts[:-1], starts[1:]
-        term_col = (
-            pc.take(dictionary, pa.array(term_codes[g_lo], pa.int64()))
-            if n_terms
-            else pa.array([], pa.string())
-        )
-        dfs = (g_hi - g_lo).astype(np.int64)
-
-        # one vectorized varint pass over ALL postings; per-term buffers are
-        # pure byte-range slices (no per-term encode calls — this is the hot
-        # loop at realistic vocabulary sizes)
         global_d = (doc_ids[d_arr] if len(d_arr) else d_arr).astype(np.uint64)
-        deltas = global_d.copy()
-        if len(deltas) > 1:
-            deltas[1:] = global_d[1:] - global_d[:-1]
-        deltas[g_lo] = global_d[g_lo]  # absolute value at each group start
-        from ..functions.codec import varint_lengths
-
-        dbuf = varint_encode(deltas)
-        dpos = np.concatenate(([0], np.cumsum(varint_lengths(deltas))))
-        tf_u = tf_arr.astype(np.uint64)
-        tbuf = varint_encode(tf_u)
-        tpos = np.concatenate(([0], np.cumsum(varint_lengths(tf_u))))
-        doc_bufs = [dbuf[dpos[lo] : dpos[hi]] for lo, hi in zip(g_lo, g_hi)]
-        tf_bufs = [tbuf[tpos[lo] : tpos[hi]] for lo, hi in zip(g_lo, g_hi)]
-
-        blk_last: List[bytes] = [b""] * n_terms
-        blk_maxtf: List[bytes] = [b""] * n_terms
-        blk_mindl: List[bytes] = [b""] * n_terms
-        for k in np.flatnonzero(dfs > BLOCK):  # rare: only long postings
-            lo, hi = g_lo[k], g_hi[k]
-            ids = global_d[lo:hi].astype(np.int64)
-            tfs = tf_arr[lo:hi]
-            nb = -(-(hi - lo) // BLOCK)
-            lasts = ids[np.minimum(np.arange(1, nb + 1) * BLOCK - 1, hi - lo - 1)]
-            mx = np.array(
-                [tfs[j * BLOCK : (j + 1) * BLOCK].max() for j in range(nb)], dtype=np.uint64
-            )
-            dl_local = doc_len[d_arr[lo:hi]]
-            mn = np.array(
-                [dl_local[j * BLOCK : (j + 1) * BLOCK].min() for j in range(nb)],
-                dtype=np.uint64,
-            )
-            blk_last[k] = delta_varint_encode(lasts)
-            blk_maxtf[k] = varint_encode(mx)
-            blk_mindl[k] = varint_encode(mn)
-
-        postings = pa.table(
-            {
-                "term": term_col.cast(pa.string()),
-                "df": pa.array(dfs, pa.int64()),
-                "doc_ids": pa.array(doc_bufs, pa.binary()),
-                "tfs": pa.array(tf_bufs, pa.binary()),
-                "block_last": pa.array(blk_last, pa.binary()),
-                "block_max_tf": pa.array(blk_maxtf, pa.binary()),
-                "block_min_dl": pa.array(blk_mindl, pa.binary()),
-            }
+        dl_of_pair = doc_len[d_arr] if len(d_arr) else np.empty(0, np.int64)
+        postings = encode_postings_arrays(
+            term_codes, dictionary, global_d, tf_arr, dl_of_pair
         )
+        n_terms = len(postings)
 
         meta_cols: Dict[str, pa.Array] = {
             "doc_id": pa.array(doc_ids, pa.int64()),
@@ -400,7 +427,7 @@ class _PartitionBuilder:
             n_docs=n,
             total_tokens=int(doc_len.sum()),
             n_terms=int(n_terms),
-            postings_bytes=int(sum(len(b) for b in doc_bufs) + sum(len(b) for b in tf_bufs)),
+            postings_bytes=_postings_payload_bytes(postings),
             build_sec=round(time.time() - t0, 3),
             build_id=self.build_id,
         )
@@ -1169,4 +1196,188 @@ def append_index(
         {"append_id": append_id, "n_docs": n_new, "partitions": len(live)}
     )
     manifest.save(index_dir)
+    return manifest
+
+
+def compact_index(
+    index_dir: str,
+    *,
+    max_docs_per_partition: int = 200_000,
+    max_bytes_per_partition: int = 256 << 20,
+) -> IndexManifest:
+    """Merge runs of adjacent small partitions into full-sized ones —
+    segment compaction for the append path (every ``append_index`` adds
+    new partitions; many small appends leave many tiny segments, which
+    costs per-partition file/actor overhead at query time).
+
+    Semantics: search results are IDENTICAL before and after — docIDs,
+    global stats, and the lexicon are untouched (merging doc-contiguous
+    partitions changes no df/idf/avgdl).  Only the partition table and
+    the postings/docmeta files change:
+
+    - partitions are grouped greedily in doc order while staying under
+      ``max_docs_per_partition`` and ``max_bytes_per_partition``
+      (posting-payload bytes from the lineage records — no data scan);
+    - each >=2-member group is merged by ONE Ray task: decode member
+      postings (vectorized segmented-cumsum over one flat varint pass),
+      re-encode through the same ``encode_postings_arrays`` the builder
+      uses (block-max WAND metadata recomputed for now-long postings),
+      concat docmeta (already doc-ascending);
+    - merged partitions get FRESH ids above the ``num_partitions``
+      watermark; the atomic ``manifest.save`` is the commit point — a
+      crash before it leaves the old manifest pointing at the old files
+      (new files are unreferenced orphans), never a mixed view;
+    - replaced member files + lineage are deleted best-effort AFTER the
+      manifest commit.
+
+    At 100 TB this is an O(changed-bytes) maintenance job: each merge
+    task touches only its group's files; nothing global moves.
+    """
+    import ray
+
+    from ..state.manifest import normalize_dir
+
+    index_dir = normalize_dir(index_dir)
+    manifest = IndexManifest.load(index_dir)
+    parts = sorted(manifest.partitions, key=lambda p: p.doc_lo)
+
+    groups: List[List[PartitionRecord]] = []
+    cur: List[PartitionRecord] = []
+    docs = nbytes = 0
+    for p in parts:
+        if cur and (
+            docs + p.n_docs > max_docs_per_partition
+            or nbytes + p.postings_bytes > max_bytes_per_partition
+        ):
+            groups.append(cur)
+            cur, docs, nbytes = [], 0, 0
+        cur.append(p)
+        docs += p.n_docs
+        nbytes += p.postings_bytes
+    if cur:
+        groups.append(cur)
+    merge_groups = [g for g in groups if len(g) >= 2]
+    if not merge_groups:
+        return manifest
+
+    build_tag = f"{manifest.build_id}+compact"
+
+    @ray.remote
+    def merge_one(pids: List[int], new_pid: int) -> dict:
+        from ..functions.codec import varint_decode
+
+        if pa.cpu_count() != 1:
+            pa.set_cpu_count(1)
+            pa.set_io_thread_count(2)
+        t0 = time.time()
+        metas = [
+            pq.read_table(os.path.join(index_dir, "docmeta", f"part-{p:05d}.parquet"))
+            for p in pids
+        ]
+        docmeta = pa.concat_tables(metas, promote_options="default")
+        doc_id_arr = docmeta["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        doc_lo = int(doc_id_arr[0])
+        doc_len = docmeta["doc_len"].to_numpy(zero_copy_only=False).astype(np.int64)
+
+        posts = [
+            pq.read_table(
+                os.path.join(index_dir, "postings", f"part-{p:05d}.parquet"),
+                columns=["term", "df", "doc_ids", "tfs"],
+            )
+            for p in pids
+        ]
+
+        def col(t, name):
+            c = t[name]
+            return c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+
+        term_rows = pa.concat_arrays([col(t, "term") for t in posts])
+        dfs = np.concatenate(
+            [col(t, "df").to_numpy(zero_copy_only=False) for t in posts]
+        ).astype(np.int64)
+        all_dbuf = b"".join(
+            b"".join(col(t, "doc_ids").to_pylist()) for t in posts
+        )
+        all_tbuf = b"".join(b"".join(col(t, "tfs").to_pylist()) for t in posts)
+        vals = varint_decode(all_dbuf).astype(np.int64)
+        tf_arr = varint_decode(all_tbuf).astype(np.int64)
+        # segmented cumsum: each term-run starts with an absolute id, the
+        # rest are deltas, so within-run cumsum recovers absolutes
+        pair_lo = np.concatenate(([0], np.cumsum(dfs)))[:-1]
+        c = np.cumsum(vals)
+        seg_base = np.where(pair_lo > 0, c[pair_lo - 1], 0)
+        global_d = c - np.repeat(seg_base, dfs)
+
+        enc = pc.dictionary_encode(term_rows)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        row_codes = np.asarray(
+            enc.indices.to_numpy(zero_copy_only=False), dtype=np.int64
+        )
+        dictionary = enc.dictionary
+        pair_codes = np.repeat(row_codes, dfs)
+        order = np.lexsort((global_d, pair_codes))
+        dl_of_pair = doc_len[global_d - doc_lo]
+        postings = encode_postings_arrays(
+            pair_codes[order],
+            dictionary,
+            global_d[order].astype(np.uint64),
+            tf_arr[order],
+            dl_of_pair[order],
+        )
+
+        for sub in ("postings", "docmeta"):
+            os.makedirs(os.path.join(index_dir, sub), exist_ok=True)
+        for out_tbl, path in (
+            (postings, os.path.join(index_dir, "postings", f"part-{new_pid:05d}.parquet")),
+            (docmeta, os.path.join(index_dir, "docmeta", f"part-{new_pid:05d}.parquet")),
+        ):
+            tmp = f"{path}.tmp-{os.getpid()}"
+            pq.write_table(out_tbl, tmp)
+            os.replace(tmp, path)
+
+        rec = PartitionRecord(
+            part_id=new_pid,
+            doc_lo=doc_lo,
+            doc_hi=int(doc_id_arr[-1]) + 1,
+            n_docs=len(docmeta),
+            total_tokens=int(doc_len.sum()),
+            n_terms=len(postings),
+            postings_bytes=_postings_payload_bytes(postings),
+            build_sec=round(time.time() - t0, 3),
+            build_id=build_tag,
+        )
+        write_lineage(index_dir, rec)
+        return rec.to_dict()
+
+    watermark = manifest.num_partitions
+    new_recs = ray.get(
+        [
+            merge_one.remote([p.part_id for p in g], watermark + i)
+            for i, g in enumerate(merge_groups)
+        ]
+    )
+
+    removed = {p.part_id for g in merge_groups for p in g}
+    kept = [p for p in parts if p.part_id not in removed]
+    manifest.partitions = sorted(
+        kept + [PartitionRecord.from_dict(r) for r in new_recs],
+        key=lambda p: p.doc_lo,
+    )
+    manifest.num_partitions = watermark + len(merge_groups)
+    manifest.extra.setdefault("compactions", []).append(
+        {
+            "merged_groups": len(merge_groups),
+            "removed_partitions": len(removed),
+            "live_partitions": len(manifest.partitions),
+        }
+    )
+    manifest.save(index_dir)  # <- atomic commit point
+
+    for pid in removed:  # best-effort cleanup after the commit
+        for sub, ext in (("postings", "parquet"), ("docmeta", "parquet"), ("lineage", "json")):
+            try:
+                os.unlink(os.path.join(index_dir, sub, f"part-{pid:05d}.{ext}"))
+            except OSError:
+                pass
     return manifest

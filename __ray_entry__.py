@@ -66,6 +66,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clean_text": Q.clean_text_q,  # C4-style normalization, regexp_replace oracle
         "repetition_stats": Q.repetition_stats_q,  # Gopher repetition signals, exact-int oracle
         "lm_perplexity": Q.lm_perplexity,  # CCNet bigram-LM scoring, milli-nat integer oracle
+        "bpe_vocab": Q.bpe_vocab,  # BPE tokenizer training, rows-only (pytest exactness gate)
         "fingerprint_profile": Q.fingerprint_profile,  # rows-only
         # training-data layout (packing / sampling / splitting)
         "pack_sequences": Q.pack_sequences_q,  # distributed prefix sum, window-SQL oracle

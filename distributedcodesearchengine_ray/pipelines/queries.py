@@ -893,6 +893,26 @@ def repetition_stats_q(sf_dir: str):
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def bpe_vocab(sf_dir: str, n_merges: int = 200):
+    """BPE tokenizer training over the documents table: ONE distributed
+    word-count pass, then vocabulary-sized merge learning on the driver.
+    Rows-only for the driver (merge learning is not SQL-expressible); the
+    trainer and encoder are exactness-gated in tests/test_bpe.py against a
+    naive recount-from-scratch reference."""
+    from ..stages.bpe import learn_bpe, word_counts
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+    wc = word_counts(ds).sort_values("word", ignore_index=True)
+    merges = learn_bpe(wc, n_merges)
+    return pa.table(
+        {
+            "rank": pa.array(range(len(merges)), pa.int64()),
+            "left": pa.array([a for a, _ in merges], pa.string()),
+            "right": pa.array([b for _, b in merges], pa.string()),
+        }
+    )
+
+
 def lm_perplexity(sf_dir: str):
     """CCNet-style bigram-LM cross-entropy per document: distributed
     bigram-count training -> broadcast model -> actor-pool scoring.

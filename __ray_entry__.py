@@ -47,6 +47,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grep_lines": Q.grep_lines,  # line-level grep, zipped-unnest oracle
         "substring_search_nocase": Q.substring_search_nocase,  # case-variant trigram groups
         "wildcard_term_df": Q.wildcard_term_df,  # lexicon wildcard expansion, LIKE oracle
+        "spell_suggest": Q.spell_suggest,  # did-you-mean over the lexicon, levenshtein oracle
         "redact_props": Q.redact_props,  # PII/number redaction, chained-replace oracle
         "props_k_by_type": Q.props_k_by_type,  # JSON field extraction via RE2
         # dedup suite

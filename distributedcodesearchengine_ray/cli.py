@@ -89,6 +89,12 @@ def main(argv=None) -> int:
     pm.add_argument("--entity-type")
     pm.add_argument("--repo")
 
+    pu = sub.add_parser("suggest", help="spelling suggestions from the index vocabulary")
+    pu.add_argument("term")
+    pu.add_argument("--index-dir", required=True)
+    pu.add_argument("--max-dist", type=int, default=1)
+    pu.add_argument("--limit", type=int, default=10)
+
     pt = sub.add_parser("stats", help="index stats")
     pt.add_argument("--index-dir", required=True)
 
@@ -365,7 +371,7 @@ def main(argv=None) -> int:
 
     import os
 
-    if args.cmd in ("search", "similar", "stats") and not os.path.exists(
+    if args.cmd in ("search", "similar", "suggest", "stats") and not os.path.exists(
         os.path.join(args.index_dir, "manifest.json")
     ):
         print(
@@ -471,6 +477,9 @@ def main(argv=None) -> int:
                         default=str,
                     )
                 )
+        elif args.cmd == "suggest":
+            for row in eng.suggest(args.term, max_dist=args.max_dist, limit=args.limit):
+                print(json.dumps(row))
         elif args.cmd == "stats":
             print(json.dumps(eng.stats()))
     finally:

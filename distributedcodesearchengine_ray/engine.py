@@ -200,6 +200,10 @@ class CodeSearchEngine:
             filters["repo_name"] = repo_filter
         return self._bm25().facets(query, facet_col=facet_col, filters=filters or None)
 
+    def suggest(self, term: str, max_dist: int = 1, limit: int = 10):
+        """Spelling suggestions from the index vocabulary."""
+        return self._bm25().suggest(term, max_dist=max_dist, limit=limit)
+
     # ------------------------------------------------------------- stats
 
     def count(self) -> int:

@@ -131,6 +131,26 @@ def wildcard_term_df(sf_dir: str, pattern: str = WILDCARD_PATTERN):
 # ------------------------------------------------------------------ bm25
 
 
+SUGGEST_TERM = "pert"
+
+
+def spell_suggest(sf_dir: str, term: str = SUGGEST_TERM, max_dist: int = 2):
+    """Spelling suggestions ("did you mean") from the index vocabulary:
+    lexicon-shard scan with a length-band prefilter + capped Levenshtein
+    DP, ranked (dist asc, df desc, term asc)."""
+    from .query import LexiconReader
+
+    idx = _documents_index(sf_dir)
+    rows = LexiconReader(idx).suggest(term, max_dist=max_dist, limit=10)
+    return pa.table(
+        {
+            "term": pa.array([t for t, _, _ in rows], pa.string()),
+            "df": pa.array([d for _, d, _ in rows], pa.int64()),
+            "dist": pa.array([x for _, _, x in rows], pa.int64()),
+        }
+    )
+
+
 def _documents_index(sf_dir: str) -> str:
     """Build (resume-cached) the file-mode BM25 index over documents."""
     from .build_index import build_index
@@ -1900,6 +1920,14 @@ def build_oracle_sql() -> Dict[str, str]:
             SELECT term, count(*) AS df FROM pairs
             WHERE term LIKE '{WILDCARD_PATTERN.replace("*", "%").replace("?", "_")}'
             GROUP BY term ORDER BY df DESC, term ASC LIMIT 100
+        """,
+        "spell_suggest": f"""
+            WITH tok AS (SELECT doc_id, {tok} AS toks FROM documents),
+            pairs AS (SELECT DISTINCT doc_id, unnest(toks) AS term FROM tok),
+            d AS (SELECT term, count(*) AS df FROM pairs GROUP BY term)
+            SELECT term, df, CAST(levenshtein(term, '{SUGGEST_TERM}') AS BIGINT) AS dist
+            FROM d WHERE levenshtein(term, '{SUGGEST_TERM}') <= 2
+            ORDER BY dist, df DESC, term LIMIT 10
         """,
         "heavy_hitter_tokens": f"""
             WITH tok AS (SELECT {tok} AS toks FROM documents),

@@ -564,6 +564,66 @@ class LexiconReader:
         rows.sort(key=lambda r: (-r[1], r[0]))
         return rows[:max_expand]
 
+    def suggest(
+        self, term: str, max_dist: int = 1, limit: int = 10
+    ) -> List[Tuple[str, int, int]]:
+        """Spelling suggestions ("did you mean"): vocabulary terms within
+        ``max_dist`` Levenshtein edits of ``term``, ranked (distance asc,
+        df desc, term asc) and capped at ``limit``.
+
+        Scans the lexicon shards with a vectorized length-band prefilter
+        (``|len(t) - len(q)| <= max_dist`` eliminates almost the whole
+        vocabulary); the exact banded DP runs only on survivors.  Cost
+        scales with vocabulary, never corpus; shard scans are independent
+        (one task per shard on a cluster)."""
+        import pyarrow.compute as pc
+
+        q = term.lower()
+        L = len(q)
+        rows: List[Tuple[str, int, int]] = []
+        for f in sorted(os.listdir(self.path)):
+            if not f.endswith(".parquet"):
+                continue
+            t = pads.dataset(
+                os.path.join(self.path, f), format="parquet"
+            ).to_table(columns=["term", "df"])
+            lens = pc.utf8_length(t["term"])
+            band = pc.and_(
+                pc.greater_equal(lens, pa.scalar(L - max_dist)),
+                pc.less_equal(lens, pa.scalar(L + max_dist)),
+            )
+            t = t.filter(band)
+            for cand, df in zip(t["term"].to_pylist(), t["df"].to_pylist()):
+                d = _levenshtein_capped(q, cand, max_dist)
+                if d <= max_dist:
+                    rows.append((cand, int(df), d))
+        rows.sort(key=lambda r: (r[2], -r[1], r[0]))
+        return rows[:limit]
+
+
+def _levenshtein_capped(a: str, b: str, cap: int) -> int:
+    """Classic DP with a row-minimum early exit; returns cap+1 when the
+    true distance exceeds ``cap`` (callers only need <= cap)."""
+    if a == b:
+        return 0
+    la, lb = len(a), len(b)
+    if abs(la - lb) > cap:
+        return cap + 1
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i] + [0] * lb
+        ca = a[i - 1]
+        for j in range(1, lb + 1):
+            cur[j] = min(
+                prev[j] + 1,
+                cur[j - 1] + 1,
+                prev[j - 1] + (0 if ca == b[j - 1] else 1),
+            )
+        if min(cur) > cap:
+            return cap + 1
+        prev = cur
+    return prev[lb]
+
 
 class QueryEngine:
     """Driver-side fan-out/merge over the shard-actor pool."""
@@ -823,6 +883,17 @@ class QueryEngine:
             else:
                 toks.extend(tokenize(chunk))
         return toks
+
+    def suggest(
+        self, term: str, max_dist: int = 1, limit: int = 10
+    ) -> List[Dict[str, object]]:
+        """Spelling suggestions from the index vocabulary ("did you
+        mean"): terms within ``max_dist`` edits, ranked (dist asc, df
+        desc, term asc).  Pure lexicon work — no shard actors touched."""
+        return [
+            {"term": t, "df": df, "dist": d}
+            for t, df, d in self.lexicon.suggest(term, max_dist=max_dist, limit=limit)
+        ]
 
     def close(self) -> None:
         import ray

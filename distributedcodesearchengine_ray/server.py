@@ -44,7 +44,7 @@ API_INFO = {
     "version": __version__,
     "endpoints": [
         "/health", "/api", "/stats", "/search", "/facets", "/similar",
-        "/index", "/index/sync", "/index/status",
+        "/suggest", "/index", "/index/sync", "/index/status",
     ],
 }
 
@@ -131,6 +131,24 @@ def make_handler(engine: CodeSearchEngine, jobs: Dict[str, dict], build_lock: th
                     ],
                 },
             )
+
+        def _suggest(self, params: dict) -> None:
+            term = params.get("term")
+            if not term:
+                self._send(400, {"error": "missing term"})
+                return
+            try:  # malformed client input is a 400, not a 500
+                max_dist = int(params.get("max_dist", 1))
+                limit = int(params.get("limit", 10))
+            except (TypeError, ValueError):
+                self._send(400, {"error": f"invalid max_dist/limit: {params!r}"})
+                return
+            try:
+                rows = engine.suggest(term, max_dist=max_dist, limit=limit)
+            except Exception as e:
+                self._send(500, {"error": str(e)})
+                return
+            self._send(200, {"term": term, "suggestions": rows})
 
         def _similar(self, params: dict) -> None:
             try:  # malformed client input is a 400, not a 500
@@ -234,6 +252,9 @@ def make_handler(engine: CodeSearchEngine, jobs: Dict[str, dict], build_lock: th
             elif url.path == "/similar":
                 q = {k: v[0] for k, v in parse_qs(url.query).items()}
                 self._similar(q)
+            elif url.path == "/suggest":
+                q = {k: v[0] for k, v in parse_qs(url.query).items()}
+                self._suggest(q)
             elif url.path == "/index/status":
                 q = {k: v[0] for k, v in parse_qs(url.query).items()}
                 jid = q.get("job_id")

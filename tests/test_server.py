@@ -55,6 +55,25 @@ def test_search_get(server):
     assert {"doc_id", "score", "name", "highlights"} <= set(body["results"][0])
 
 
+def test_suggest_route(server):
+    status, body = _get(f"{server}/suggest?term=parse_jsonn&max_dist=2&limit=5")
+    assert status == 200
+    assert body["term"] == "parse_jsonn"
+    assert len(body["suggestions"]) >= 1
+    top = body["suggestions"][0]
+    assert {"term", "df", "dist"} <= set(top)
+    assert top["dist"] <= 2
+    # ranked: distance ascending
+    dists = [s["dist"] for s in body["suggestions"]]
+    assert dists == sorted(dists)
+
+
+def test_suggest_missing_term_400(server):
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(f"{server}/suggest")
+    assert e.value.code == 400
+
+
 def test_search_post(server):
     req = urllib.request.Request(
         f"{server}/search",

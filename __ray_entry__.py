@@ -68,6 +68,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": Q.repetition_stats_q,  # Gopher repetition signals, exact-int oracle
         "lm_perplexity": Q.lm_perplexity,  # CCNet bigram-LM scoring, milli-nat integer oracle
         "bpe_vocab": Q.bpe_vocab,  # BPE tokenizer training, rows-only (pytest exactness gate)
+        "nb_classify": Q.nb_classify,  # Naive-Bayes source classifier, unrolled-NB SQL oracle
         "fingerprint_profile": Q.fingerprint_profile,  # rows-only
         # training-data layout (packing / sampling / splitting)
         "pack_sequences": Q.pack_sequences_q,  # distributed prefix sum, window-SQL oracle

@@ -944,6 +944,28 @@ def lm_perplexity(sf_dir: str):
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def nb_classify(sf_dir: str):
+    """Multinomial-Naive-Bayes source classification of every document
+    (model-based quality/domain gating shape): distributed (class, term)
+    count training -> broadcast integer-milli-nat model -> actor-pool
+    scoring.  Exact vs the unrolled-NB SQL oracle."""
+    from ..stages.nbayes import classify
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "source"])
+    out = (
+        classify(ds, label_col="source")
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    return pa.table(
+        {
+            "doc_id": pa.array(out["doc_id"], pa.int64()),
+            "pred": pa.array(out["pred"], pa.string()),
+            "score_milli": pa.array(out["score_milli"], pa.int64()),
+        }
+    )
+
+
 def fingerprint_profile(sf_dir: str):
     """Winnowing fingerprint counts per doc (rows-only: rolling-hash
     fingerprints are not expressible in SQL)."""
@@ -1955,6 +1977,50 @@ def build_oracle_sql() -> Dict[str, str]:
             FROM documents GROUP BY lang, source ORDER BY lang, source
         """,
         "lang_histogram": "SELECT lang, count(*) AS n FROM documents GROUP BY lang ORDER BY lang",
+        "nb_classify": r"""
+            WITH tok AS (
+              SELECT doc_id, source AS cls,
+                     list_filter(regexp_split_to_array(lower(text), '\s+'), x -> length(x) > 0) AS toks
+              FROM documents
+            ), flat AS (
+              SELECT doc_id, cls, unnest(toks) AS term FROM tok
+            ), ct AS (
+              SELECT cls, term, count(*) AS tf FROM flat GROUP BY cls, term
+            ), voc AS (
+              SELECT count(DISTINCT term) AS v FROM flat
+            ), tot AS (
+              SELECT cls, count(*) AS toks FROM flat GROUP BY cls
+            ), classes AS (
+              SELECT DISTINCT source AS cls FROM documents
+            ), prior AS (
+              SELECT source AS cls,
+                     CAST(floor(ln(count(*) * 1.0 / (SELECT count(*) FROM documents)) * 1000 + 0.5) AS BIGINT) AS prior_milli
+              FROM documents GROUP BY source
+            ), grid AS (
+              SELECT t.term, c.cls,
+                     CAST(floor(ln((COALESCE(ct.tf, 0) + 1.0) / (tot.toks + voc.v)) * 1000 + 0.5) AS BIGINT) AS ll_milli
+              FROM (SELECT DISTINCT term FROM flat) t
+              CROSS JOIN classes c
+              JOIN tot ON tot.cls = c.cls
+              CROSS JOIN voc
+              LEFT JOIN ct ON ct.term = t.term AND ct.cls = c.cls
+            ), doc_cls AS (
+              SELECT f.doc_id, g.cls, CAST(sum(g.ll_milli) AS BIGINT) AS tok_sum
+              FROM flat f JOIN grid g ON g.term = f.term
+              GROUP BY f.doc_id, g.cls
+            ), scored AS (
+              SELECT d.doc_id, c.cls,
+                     p.prior_milli + COALESCE(dc.tok_sum, 0) AS score
+              FROM documents d
+              CROSS JOIN classes c
+              JOIN prior p ON p.cls = c.cls
+              LEFT JOIN doc_cls dc ON dc.doc_id = d.doc_id AND dc.cls = c.cls
+            )
+            SELECT doc_id, cls AS pred, CAST(score AS BIGINT) AS score_milli FROM (
+              SELECT doc_id, cls, score,
+                     row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cls ASC) AS rn
+              FROM scored) WHERE rn = 1 ORDER BY doc_id
+        """,
         "lm_perplexity": r"""
             WITH tok AS (
               SELECT doc_id,

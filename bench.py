@@ -210,6 +210,11 @@ def run_bench() -> dict:
         ("kmeans_clusters", Q.kmeans_clusters),
         ("knn_cosine", Q.knn_cosine),
         ("heavy_hitter_tokens", Q.heavy_hitter_tokens),
+        ("repetition_stats", Q.repetition_stats_q),
+        ("lm_perplexity", Q.lm_perplexity),
+        ("semantic_dedup", Q.semantic_dedup_q),
+        ("nb_classify", Q.nb_classify),
+        ("bpe_vocab", Q.bpe_vocab),
         ("pack_sequences", Q.pack_sequences_q),
         ("stratified_sample", Q.stratified_sample_q),
         ("clean_text", Q.clean_text_q),

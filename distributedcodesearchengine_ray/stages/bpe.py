@@ -195,5 +195,8 @@ def train_and_count(
         BPEEncoder,
         fn_constructor_kwargs={"merges": merges, "id_col": id_col, "text_col": text_col},
         batch_format="pyarrow",
-        concurrency=concurrency,
+        # autoscaling pool with min=1: a fixed pool equal to the CPU count
+        # deadlocks a small cluster (actors hold every CPU the upstream
+        # read needs) — the (1, N) range lets Ray size it to free slots
+        concurrency=(1, concurrency),
     )

@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint_profile": Q.fingerprint_profile,  # rows-only
         # training-data layout (packing / sampling / splitting)
         "pack_sequences": Q.pack_sequences_q,  # distributed prefix sum, window-SQL oracle
+        "training_mix": Q.training_mix,  # composed quality->dedup->pack pipeline, composed SQL oracle
         "stratified_sample": Q.stratified_sample_q,  # hash-Bernoulli per stratum
         "train_test_split": Q.train_test_split_q,  # deterministic 90/5/5 split
         # similarity search

@@ -710,6 +710,48 @@ def pack_sequences_q(sf_dir: str, budget: int = 2048):
     )
 
 
+def training_mix(sf_dir: str, budget: int = 512):
+    """END-TO-END training-set builder — the composed LLM-data pipeline:
+    quality gate (C4-style rules) -> exact dedup (keep-first) -> token
+    counts -> sequence packing onto a ``budget``-token tape.  Every stage
+    reuses an individually-oracle-proven operator, and the WHOLE
+    composition is checked against one composed SQL oracle."""
+    from ..stages.dedup import exact_dedup
+    from ..stages.packing import pack_sequences
+    from ..stages.text_stats import quality_stats, token_counts
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def gate(t: pa.Table) -> pa.Table:
+        q = quality_stats(t)
+        nt = q["n_tokens"].to_numpy(zero_copy_only=False)
+        sr = q["stopword_ratio"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array((nt >= 20) & (nt <= 200) & (sr < 0.25)))
+
+    survivors = exact_dedup(ds.map_batches(gate, batch_format="pyarrow"))
+
+    def counts(t: pa.Table) -> pa.Table:
+        c = token_counts(t)
+        return pa.table({"doc_id": t["doc_id"], "n_tokens": c["ws_tokens"]})
+
+    out = (
+        pack_sequences(
+            survivors.map_batches(counts, batch_format="pyarrow"), budget=budget
+        )
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    return pa.table(
+        {
+            "doc_id": pa.array(out["doc_id"], pa.int64()),
+            "n_tokens": pa.array(out["n_tokens"], pa.int64()),
+            "start_tok": pa.array(out["start_tok"], pa.int64()),
+            "chunk_id": pa.array(out["chunk_id"], pa.int64()),
+            "chunk_offset": pa.array(out["chunk_offset"], pa.int64()),
+        }
+    )
+
+
 SAMPLE_RATES = {"en": 0.5, "zh": 0.25, "de": 0.1}
 
 
@@ -2159,6 +2201,30 @@ def build_oracle_sql() -> Dict[str, str]:
                    CAST(start_tok AS BIGINT) AS start_tok,
                    CAST(start_tok // 2048 AS BIGINT) AS chunk_id,
                    CAST(start_tok % 2048 AS BIGINT) AS chunk_offset
+            FROM c ORDER BY doc_id
+        """,
+        "training_mix": f"""
+            WITH tok AS (
+              SELECT doc_id, text,
+                     list_filter(regexp_split_to_array(text, '\\s+'), x -> length(x) > 0) AS toks
+              FROM documents),
+            q AS (
+              SELECT doc_id, text, len(toks) AS n_tokens FROM tok
+              WHERE len(toks) BETWEEN 20 AND 200
+                AND len(list_filter(toks, x -> lower(x) IN ({", ".join(f"'{w}'" for w in sorted(STOPWORDS))})))
+                    < 0.25 * greatest(len(toks), 1)),
+            d AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY text),
+            s AS (SELECT q.doc_id, q.n_tokens FROM q JOIN d ON q.doc_id = d.doc_id),
+            c AS (
+              SELECT doc_id, n_tokens,
+                     COALESCE(SUM(n_tokens) OVER (
+                       ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ), 0) AS start_tok
+              FROM s)
+            SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST(start_tok AS BIGINT) AS start_tok,
+                   CAST(start_tok // 512 AS BIGINT) AS chunk_id,
+                   CAST(start_tok % 512 AS BIGINT) AS chunk_offset
             FROM c ORDER BY doc_id
         """,
         "stratified_sample": f"""

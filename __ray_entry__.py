@@ -75,6 +75,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "training_mix": Q.training_mix,  # composed quality->dedup->pack pipeline, composed SQL oracle
         "stratified_sample": Q.stratified_sample_q,  # hash-Bernoulli per stratum
         "train_test_split": Q.train_test_split_q,  # deterministic 90/5/5 split
+        "decontaminate": Q.decontaminate_q,  # benchmark 5-gram overlap, semi-join oracle
+        "global_shuffle": Q.global_shuffle,  # seeded md5 permutation, row_number oracle
         # similarity search
         "embed_cosine_dups": Q.embed_cosine_dups,
         "knn_cosine": Q.knn_cosine,
@@ -87,6 +89,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": Q.events_hourly,
         "events_sliding": Q.events_sliding,
         "sessionize": Q.sessionize,
+        "events_rollup": Q.events_rollup,  # ROLLUP grouping sets, algebraic fold
+        "user_running_value": Q.user_running_value,  # ordered window cumsum
         "clicks_last_purchase": Q.clicks_last_purchase,  # as-of join, native-ASOF oracle
         "purchases_before_click": Q.purchases_before_click,  # range join, BETWEEN oracle
         # relational coverage (joins / grouped aggregates / top-k)
@@ -98,6 +102,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top2_orders_per_nation": Q.top2_orders_per_nation,
         "supplier_balance_by_region": Q.supplier_balance_by_region,
         "distinct_users_by_type": Q.distinct_users_by_type,
+        "customers_no_urgent": Q.customers_no_urgent,  # distributed anti-join
     }
 
 

@@ -217,6 +217,9 @@ def run_bench() -> dict:
         ("bpe_vocab", Q.bpe_vocab),
         ("pack_sequences", Q.pack_sequences_q),
         ("stratified_sample", Q.stratified_sample_q),
+        ("decontaminate", Q.decontaminate_q),
+        ("global_shuffle", Q.global_shuffle),
+        ("training_mix", Q.training_mix),
         ("clean_text", Q.clean_text_q),
         ("token_quantiles", Q.token_quantiles),
         ("q1_lineitem", Q.q1_lineitem),
@@ -226,6 +229,9 @@ def run_bench() -> dict:
         ("sessionize", Q.sessionize),
         ("clicks_last_purchase", Q.clicks_last_purchase),
         ("purchases_before_click", Q.purchases_before_click),
+        ("events_rollup", Q.events_rollup),
+        ("user_running_value", Q.user_running_value),
+        ("customers_no_urgent", Q.customers_no_urgent),
     ):
         t0 = time.time()
         res = fn(sf_dir)

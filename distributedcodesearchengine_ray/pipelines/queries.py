@@ -1902,6 +1902,224 @@ def distinct_users_by_type(sf_dir: str):
     )
 
 
+# ------------------------------------------- decontamination / shuffle / windows
+
+DECONTAM_BENCH_MOD = 19  # docs with doc_id % 19 == 0 play the benchmark set
+
+
+def decontaminate_q(sf_dir: str):
+    """Benchmark decontamination: the training half of ``documents``
+    (doc_id % 19 != 0) flagged when it shares any 5-gram with the
+    benchmark half (doc_id % 19 == 0).  Benchmark gram set is computed
+    distributed and BROADCAST (never joined); the corpus side is one
+    streaming actor-pool pass.  Oracle: exploded-gram semi-join."""
+    from ..stages.decontam import decontaminate
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+
+    def is_bench(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % DECONTAM_BENCH_MOD == 0))
+
+    def is_train(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % DECONTAM_BENCH_MOD != 0))
+
+    bench = docs.map_batches(is_bench, batch_format="pyarrow")
+    train = docs.map_batches(is_train, batch_format="pyarrow")
+    out = (
+        decontaminate(train, bench, n=5)
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    return pa.table(
+        {
+            "doc_id": pa.array(out["doc_id"], pa.int64()),
+            "lang": pa.array(out["lang"], pa.string()),
+            "contaminated": pa.array(out["contaminated"], pa.int64()),
+        }
+    )
+
+
+SHUFFLE_SEED = "s0"
+
+
+def global_shuffle(sf_dir: str):
+    """Deterministic seeded global shuffle: every document's position in
+    the md5-keyed permutation (dense 0..N-1), identical on any run or
+    partitioning.  Oracle: ``row_number() OVER (ORDER BY md5(...))``."""
+    from ..stages.shuffle import shuffle_positions
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    out = (
+        shuffle_positions(ds, id_col="doc_id", seed=SHUFFLE_SEED)
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    return pa.table(
+        {
+            "doc_id": pa.array(out["doc_id"], pa.int64()),
+            "pos": pa.array(out["pos"], pa.int64()),
+        }
+    )
+
+
+def customers_no_urgent(sf_dir: str):
+    """Distributed ANTI-join: customers with no URGENT order, counted per
+    nation.  Shape: tag-and-union on the join key (customer rows src=0,
+    distinct urgent-order custkeys src=1) -> one key-partitioned
+    ``groupby(key)`` keeps groups with no src=1 row — never a driver-side
+    key set; the tiny nation dimension is a broadcast lookup."""
+    import ray
+    from ray.data.aggregate import Count
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderpriority"])
+
+    def cust_side(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "key": pcc.cast(t["c_custkey"], pa.int64()),
+                "nationkey": pcc.cast(t["c_nationkey"], pa.int64()),
+                "src": pa.array(np.zeros(len(t), dtype=np.int64)),
+            }
+        )
+
+    def urgent_side(t: pa.Table) -> pa.Table:
+        m = pcc.equal(t["o_orderpriority"], pa.scalar("1-URGENT"))
+        keys = pcc.cast(t.filter(m)["o_custkey"], pa.int64())
+        return pa.table(
+            {
+                "key": keys,
+                "nationkey": pa.array(np.full(len(keys), -1, dtype=np.int64)),
+                "src": pa.array(np.ones(len(keys), dtype=np.int64)),
+            }
+        )
+
+    tagged = cust.map_batches(cust_side, batch_format="pyarrow").union(
+        orders.map_batches(urgent_side, batch_format="pyarrow")
+    )
+
+    def anti(df: pd.DataFrame) -> pd.DataFrame:
+        if (df["src"] == 1).any():
+            return pd.DataFrame({"nationkey": pd.Series([], dtype=np.int64)})
+        return pd.DataFrame({"nationkey": df.loc[df["src"] == 0, "nationkey"]})
+
+    per_nation = (
+        tagged.groupby("key")
+        .map_groups(anti, batch_format="pandas")
+        .groupby("nationkey")
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+    )
+    nation = pd.read_parquet(
+        os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_name"]
+    )
+    out = (
+        per_nation.merge(nation, left_on="nationkey", right_on="n_nationkey")
+        .sort_values("n_name", ignore_index=True)
+    )
+    return pa.table(
+        {
+            "n_name": pa.array(out["n_name"], pa.string()),
+            "n": pa.array(out["n"], pa.int64()),
+        }
+    )
+
+
+def events_rollup(sf_dir: str):
+    """ROLLUP aggregate over (event_type, day): leaf groups via one
+    distributed pre-aggregated groupby; the two super-levels are folded
+    from the (tiny) leaf aggregate — algebraic, so no second scan.
+    Oracle: ``GROUP BY ROLLUP``."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "day": pcc.strftime(t["ts"], format="%Y-%m-%d"),
+                "value_c": _cents_col(t["value"]),
+            }
+        )
+
+    leaf = (
+        ds.map_batches(proj, batch_format="pyarrow")
+        .groupby(["event_type", "day"])
+        .aggregate(Count(alias_name="n"), Sum("value_c", alias_name="value_c"))
+        .to_pandas()
+    )
+    lvl1 = (
+        leaf.groupby("event_type", as_index=False)[["n", "value_c"]]
+        .sum()
+        .assign(day="ALL")
+    )
+    lvl2 = pd.DataFrame(
+        {
+            "event_type": ["ALL"],
+            "day": ["ALL"],
+            "n": [leaf["n"].sum()],
+            "value_c": [leaf["value_c"].sum()],
+        }
+    )
+    out = pd.concat([leaf, lvl1, lvl2], ignore_index=True).sort_values(
+        ["event_type", "day"], ignore_index=True
+    )
+    return pa.table(
+        {
+            "event_type": pa.array(out["event_type"], pa.string()),
+            "day": pa.array(out["day"], pa.string()),
+            "n": pa.array(out["n"], pa.int64()),
+            "value_c": pa.array(out["value_c"], pa.int64()),
+        }
+    )
+
+
+def user_running_value(sf_dir: str):
+    """Per-user RUNNING cumulative value (the ordered-window aggregate):
+    cents-exact cumsum over (ts, event_id) order inside one
+    key-partitioned ``groupby(user_id)``.  Oracle: ``SUM() OVER
+    (PARTITION BY ... ORDER BY ... ROWS UNBOUNDED PRECEDING)``."""
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "user_id": t["user_id"],
+                "ts": t["ts"],
+                "value_c": _cents_col(t["value"]),
+            }
+        )
+
+    def running(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["ts", "event_id"], ignore_index=True)
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"].to_numpy(),
+                "user_id": df["user_id"].to_numpy(),
+                "cum_value_c": df["value_c"].to_numpy().cumsum(),
+            }
+        )
+
+    out = (
+        ds.map_batches(proj, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(running, batch_format="pandas")
+        .to_pandas()
+        .sort_values("event_id", ignore_index=True)
+    )
+    return pa.table(
+        {
+            "event_id": pa.array(out["event_id"], pa.int64()),
+            "user_id": pa.array(out["user_id"], pa.int64()),
+            "cum_value_c": pa.array(out["cum_value_c"], pa.int64()),
+        }
+    )
+
+
 # ----------------------------------------------------------- SQL oracles
 
 
@@ -2532,6 +2750,63 @@ def build_oracle_sql() -> Dict[str, str]:
         "distinct_users_by_type": """
             SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS users
             FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "decontaminate": f"""
+            WITH toks AS (
+              SELECT doc_id, lang,
+                     list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                 x -> length(x) > 0) AS t
+              FROM documents),
+            grams AS (
+              SELECT DISTINCT doc_id,
+                     t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4] AS gram
+              FROM toks, UNNEST(range(1, len(t) - 3)) AS u(i)
+              WHERE len(t) >= 5),
+            bench AS (SELECT DISTINCT gram FROM grams
+                      WHERE doc_id % {DECONTAM_BENCH_MOD} = 0),
+            dirty AS (SELECT DISTINCT doc_id FROM grams
+                      WHERE gram IN (SELECT gram FROM bench))
+            SELECT d.doc_id, d.lang,
+                   CAST(CASE WHEN dirty.doc_id IS NULL THEN 0 ELSE 1 END AS BIGINT)
+                     AS contaminated
+            FROM documents d LEFT JOIN dirty ON dirty.doc_id = d.doc_id
+            WHERE d.doc_id % {DECONTAM_BENCH_MOD} != 0
+            ORDER BY d.doc_id
+        """,
+        "global_shuffle": f"""
+            SELECT doc_id,
+                   CAST(row_number() OVER
+                        (ORDER BY md5('{SHUFFLE_SEED}:' || CAST(doc_id AS VARCHAR)))
+                        - 1 AS BIGINT) AS pos
+            FROM documents ORDER BY doc_id
+        """,
+        "customers_no_urgent": """
+            SELECT n_name, CAST(count(*) AS BIGINT) AS n
+            FROM customer c JOIN nation ON n_nationkey = c_nationkey
+            WHERE NOT EXISTS (
+              SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+            GROUP BY n_name ORDER BY n_name
+        """,
+        "events_rollup": """
+            WITH e AS (
+              SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+                     CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_c
+              FROM events)
+            SELECT COALESCE(event_type, 'ALL') AS event_type,
+                   COALESCE(day, 'ALL') AS day,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(value_c) AS BIGINT) AS value_c
+            FROM e GROUP BY ROLLUP(event_type, day)
+            ORDER BY event_type, day
+        """,
+        "user_running_value": """
+            SELECT event_id, user_id,
+                   CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER
+                        (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS cum_value_c
+            FROM events ORDER BY event_id
         """,
         "lang_id_profile": _lang_id_sql(),
         "knn_cosine_filtered": """

@@ -76,6 +76,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": Q.stratified_sample_q,  # hash-Bernoulli per stratum
         "train_test_split": Q.train_test_split_q,  # deterministic 90/5/5 split
         "decontaminate": Q.decontaminate_q,  # benchmark 5-gram overlap, semi-join oracle
+        "line_dedup": Q.line_dedup,  # CCNet corpus-wide paragraph dedup, window+agg oracle
         "global_shuffle": Q.global_shuffle,  # seeded md5 permutation, row_number oracle
         # similarity search
         "embed_cosine_dups": Q.embed_cosine_dups,

@@ -218,6 +218,7 @@ def run_bench() -> dict:
         ("pack_sequences", Q.pack_sequences_q),
         ("stratified_sample", Q.stratified_sample_q),
         ("decontaminate", Q.decontaminate_q),
+        ("line_dedup", Q.line_dedup),
         ("global_shuffle", Q.global_shuffle),
         ("training_mix", Q.training_mix),
         ("clean_text", Q.clean_text_q),

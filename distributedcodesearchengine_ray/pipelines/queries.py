@@ -1941,6 +1941,64 @@ def decontaminate_q(sf_dir: str):
     )
 
 
+LINE_CHUNK = 20  # tokens per synthetic "paragraph" for line_dedup
+
+
+def line_dedup(sf_dir: str):
+    """CCNet-style corpus-wide paragraph dedup: texts are chunked into
+    20-token lines (deterministic, same expression in the oracle), then
+    every distinct line survives only at its first (doc_id, line_idx)
+    occurrence; docs are reassembled from their surviving lines.
+    Oracle: exploded chunks + row_number + ordered string_agg."""
+    from ..stages.linededup import dedup_lines
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def chunk_project(t: pa.Table) -> pa.Table:
+        toks = pcc.utf8_split_whitespace(
+            pcc.utf8_lower(pcc.fill_null(pcc.cast(t["text"], pa.string()), ""))
+        )
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        offsets = toks.offsets.to_numpy(zero_copy_only=False)
+        flat = np.asarray(toks.values.to_numpy(zero_copy_only=False), dtype=object)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tok_doc = np.repeat(np.arange(len(ids)), np.diff(offsets))
+        keep = flat != ""
+        flat, tok_doc = flat[keep], tok_doc[keep]
+        if len(flat) == 0:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()), "text": pa.array([], pa.string())}
+            )
+        starts = np.flatnonzero(np.r_[True, tok_doc[1:] != tok_doc[:-1]])
+        pos = np.arange(len(flat)) - np.repeat(starts, np.diff(np.r_[starts, len(flat)]))
+        seps = np.where(pos % LINE_CHUNK == 0, "\n", " ").astype(object)
+        seps[starts] = ""
+        joined = (
+            pd.DataFrame({"d": tok_doc, "s": seps + flat})
+            .groupby("d", sort=True)["s"]
+            .agg("".join)
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[joined.index.to_numpy()]),
+                "text": pa.array(joined.to_numpy(), pa.string()),
+            }
+        )
+
+    out = (
+        dedup_lines(ds.map_batches(chunk_project, batch_format="pyarrow"))
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    return pa.table(
+        {
+            "doc_id": pa.array(out["doc_id"], pa.int64()),
+            "text": pa.array(out["text"], pa.string()),
+        }
+    )
+
+
 SHUFFLE_SEED = "s0"
 
 
@@ -2772,6 +2830,26 @@ def build_oracle_sql() -> Dict[str, str]:
             FROM documents d LEFT JOIN dirty ON dirty.doc_id = d.doc_id
             WHERE d.doc_id % {DECONTAM_BENCH_MOD} != 0
             ORDER BY d.doc_id
+        """,
+        "line_dedup": f"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                 x -> length(x) > 0) AS t
+              FROM documents),
+            chunks AS (
+              SELECT doc_id, c AS line_idx,
+                     array_to_string(t[(c*{LINE_CHUNK}+1):(c*{LINE_CHUNK}+{LINE_CHUNK})], ' ') AS line
+              FROM toks,
+                   UNNEST(range(0, CAST(ceil(len(t)/{LINE_CHUNK}.0) AS BIGINT))) AS u(c)),
+            winners AS (
+              SELECT doc_id, line_idx, line FROM (
+                SELECT doc_id, line_idx, line,
+                       row_number() OVER (PARTITION BY line
+                                          ORDER BY doc_id, line_idx) AS rn
+                FROM chunks) w WHERE rn = 1)
+            SELECT doc_id, string_agg(line, chr(10) ORDER BY line_idx) AS text
+            FROM winners GROUP BY doc_id ORDER BY doc_id
         """,
         "global_shuffle": f"""
             SELECT doc_id,

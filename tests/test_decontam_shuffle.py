@@ -96,3 +96,53 @@ def test_decontaminate_empty_benchmark_flags_nothing(ray_session):
     out = decontaminate(docs, empty, n=5).to_pandas()
     assert int(out["contaminated"].sum()) == 0
     assert len(out) == docs.count()
+
+
+def test_dedup_lines_boilerplate_removal(ray_session):
+    """Multi-line docs sharing a boilerplate header: the header survives
+    only in the smallest (doc_id, line_idx) position; unique lines are
+    untouched; a doc that is ALL boilerplate vanishes."""
+    import ray.data as rd
+
+    from distributedcodesearchengine_ray.stages.linededup import dedup_lines
+
+    header = "copyright 2026\nall rights reserved"
+    rows = [
+        {"doc_id": 3, "text": f"{header}\nunique three"},
+        {"doc_id": 1, "text": f"{header}\nunique one"},
+        {"doc_id": 2, "text": header},  # all boilerplate -> vanishes
+        {"doc_id": 7, "text": "unique seven\ncopyright 2026"},  # dup of line 0 of doc 1
+    ]
+    ds = rd.from_items(rows).repartition(3)
+    out = (
+        dedup_lines(ds)
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    got = dict(zip(out["doc_id"], out["text"]))
+    assert got == {
+        1: f"{header}\nunique one",
+        3: "unique three",
+        7: "unique seven",
+    }
+
+
+def test_dedup_lines_partitioning_invariant(ray_session):
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from distributedcodesearchengine_ray.stages.linededup import dedup_lines
+
+    t = pq.read_table(os.path.join(SF, "documents.parquet"), columns=["doc_id", "text"])
+    a = (
+        dedup_lines(rd.from_arrow(t).repartition(1))
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    b = (
+        dedup_lines(rd.from_arrow(t).repartition(11))
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    assert a["doc_id"].tolist() == b["doc_id"].tolist()
+    assert a["text"].tolist() == b["text"].tolist()

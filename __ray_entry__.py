@@ -67,6 +67,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clean_text": Q.clean_text_q,  # C4-style normalization, regexp_replace oracle
         "repetition_stats": Q.repetition_stats_q,  # Gopher repetition signals, exact-int oracle
         "lm_perplexity": Q.lm_perplexity,  # CCNet bigram-LM scoring, milli-nat integer oracle
+        "dsir_weights": Q.dsir_weights_q,  # DSIR importance weights, two-LM ratio oracle
         "bpe_vocab": Q.bpe_vocab,  # BPE tokenizer training, rows-only (pytest exactness gate)
         "nb_classify": Q.nb_classify,  # Naive-Bayes source classifier, unrolled-NB SQL oracle
         "fingerprint_profile": Q.fingerprint_profile,  # rows-only

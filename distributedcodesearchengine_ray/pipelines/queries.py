@@ -1941,6 +1941,37 @@ def decontaminate_q(sf_dir: str):
     )
 
 
+DSIR_TARGET_LANG = "en"
+
+
+def dsir_weights_q(sf_dir: str):
+    """DSIR importance weights: target domain = lang='en' docs, raw =
+    the whole corpus; per-doc milli-nat log-ratio of the two add-one
+    unigram LMs.  One counting pass + broadcast model + map-side
+    scoring.  Oracle: the same two LMs and rounding in SQL."""
+    from ..stages.dsir import dsir_weights
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+
+    def is_target(t: pa.Table) -> np.ndarray:
+        return pcc.equal(
+            t["lang"], pa.scalar(DSIR_TARGET_LANG)
+        ).to_numpy(zero_copy_only=False)
+
+    out = (
+        dsir_weights(ds, is_target)
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    return pa.table(
+        {
+            "doc_id": pa.array(out["doc_id"], pa.int64()),
+            "n_tokens": pa.array(out["n_tokens"], pa.int64()),
+            "dsir_milli": pa.array(out["dsir_milli"], pa.int64()),
+        }
+    )
+
+
 LINE_CHUNK = 20  # tokens per synthetic "paragraph" for line_dedup
 
 
@@ -2829,6 +2860,38 @@ def build_oracle_sql() -> Dict[str, str]:
                      AS contaminated
             FROM documents d LEFT JOIN dirty ON dirty.doc_id = d.doc_id
             WHERE d.doc_id % {DECONTAM_BENCH_MOD} != 0
+            ORDER BY d.doc_id
+        """,
+        "dsir_weights": f"""
+            WITH tok AS (
+              SELECT doc_id, lang,
+                     list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                 x -> length(x) > 0) AS toks
+              FROM documents),
+            flat AS (SELECT doc_id, lang, unnest(toks) AS term FROM tok),
+            ct AS (
+              SELECT term, count(*) AS n_raw,
+                     count(*) FILTER (WHERE lang = '{DSIR_TARGET_LANG}') AS n_tgt
+              FROM flat GROUP BY term),
+            tot AS (
+              SELECT count(*) AS t_raw,
+                     count(*) FILTER (WHERE lang = '{DSIR_TARGET_LANG}') AS t_tgt,
+                     (SELECT count(*) FROM ct) AS v
+              FROM flat),
+            ratio AS (
+              SELECT term,
+                     CAST(floor(ln((n_tgt + 1.0) / (tot.t_tgt + tot.v)) * 1000 + 0.5) AS BIGINT)
+                   - CAST(floor(ln((n_raw + 1.0) / (tot.t_raw + tot.v)) * 1000 + 0.5) AS BIGINT)
+                       AS r_milli
+              FROM ct, tot),
+            doc_sum AS (
+              SELECT f.doc_id, CAST(sum(r.r_milli) AS BIGINT) AS w,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM flat f JOIN ratio r ON r.term = f.term GROUP BY f.doc_id)
+            SELECT d.doc_id,
+                   CAST(COALESCE(s.n, 0) AS BIGINT) AS n_tokens,
+                   CAST(COALESCE(s.w, 0) AS BIGINT) AS dsir_milli
+            FROM documents d LEFT JOIN doc_sum s ON s.doc_id = d.doc_id
             ORDER BY d.doc_id
         """,
         "line_dedup": f"""

@@ -68,6 +68,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": Q.repetition_stats_q,  # Gopher repetition signals, exact-int oracle
         "lm_perplexity": Q.lm_perplexity,  # CCNet bigram-LM scoring, milli-nat integer oracle
         "dsir_weights": Q.dsir_weights_q,  # DSIR importance weights, two-LM ratio oracle
+        "dsir_select": Q.dsir_select_q,  # Gumbel-top-k importance resampling, md5-gumbel oracle
+        "tfidf_keywords": Q.tfidf_keywords_q,  # per-doc top-3 tf*idf, window oracle
+        "term_cooccurrence": Q.term_cooccurrence_q,  # top-vocab PMI pairs, self-join oracle
         "bpe_vocab": Q.bpe_vocab,  # BPE tokenizer training, rows-only (pytest exactness gate)
         "nb_classify": Q.nb_classify,  # Naive-Bayes source classifier, unrolled-NB SQL oracle
         "fingerprint_profile": Q.fingerprint_profile,  # rows-only

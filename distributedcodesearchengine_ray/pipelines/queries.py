@@ -1972,6 +1972,100 @@ def dsir_weights_q(sf_dir: str):
     )
 
 
+DSIR_SELECT_N = 50
+DSIR_SELECT_SEED = "s1"
+
+# shared CTE prefix for the dsir_weights / dsir_select oracles: the two
+# add-one unigram LMs and the per-doc milli-nat ratio sums
+_DSIR_SQL_CTE = f"""
+            WITH tok AS (
+              SELECT doc_id, lang,
+                     list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                 x -> length(x) > 0) AS toks
+              FROM documents),
+            flat AS (SELECT doc_id, lang, unnest(toks) AS term FROM tok),
+            ct AS (
+              SELECT term, count(*) AS n_raw,
+                     count(*) FILTER (WHERE lang = '{DSIR_TARGET_LANG}') AS n_tgt
+              FROM flat GROUP BY term),
+            tot AS (
+              SELECT count(*) AS t_raw,
+                     count(*) FILTER (WHERE lang = '{DSIR_TARGET_LANG}') AS t_tgt,
+                     (SELECT count(*) FROM ct) AS v
+              FROM flat),
+            ratio AS (
+              SELECT term,
+                     CAST(floor(ln((n_tgt + 1.0) / (tot.t_tgt + tot.v)) * 1000 + 0.5) AS BIGINT)
+                   - CAST(floor(ln((n_raw + 1.0) / (tot.t_raw + tot.v)) * 1000 + 0.5) AS BIGINT)
+                       AS r_milli
+              FROM ct, tot),
+            doc_sum AS (
+              SELECT f.doc_id, CAST(sum(r.r_milli) AS BIGINT) AS w,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM flat f JOIN ratio r ON r.term = f.term GROUP BY f.doc_id)"""
+
+
+def _gumbel_sql(id_expr: str, seed: str) -> str:
+    from ..stages.selection import gumbel_sql_expr
+
+    return gumbel_sql_expr(id_expr, seed)
+
+
+def dsir_select_q(sf_dir: str):
+    """DSIR importance RESAMPLING: Gumbel-top-k over the dsir_weights
+    scores (key = dsir_milli + deterministic md5-seeded Gumbel noise in
+    milli-nats).  Oracle: the same weights CTE + the bit-identical
+    base-16-fraction Gumbel expression in SQL."""
+    from ..stages.selection import dsir_select
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+
+    def is_target(t: pa.Table) -> np.ndarray:
+        return pcc.equal(
+            t["lang"], pa.scalar(DSIR_TARGET_LANG)
+        ).to_numpy(zero_copy_only=False)
+
+    return dsir_select(ds, is_target, DSIR_SELECT_N, seed=DSIR_SELECT_SEED)
+
+
+def tfidf_keywords_q(sf_dir: str):
+    """Top-3 TF-IDF keywords per document, integer-exact (int64
+    tf x milli-nat idf).  One df exchange + broadcast idf model +
+    map-side per-doc top-k.  Oracle: tokenizer CTE + window row_number."""
+    from ..stages.tfidf import tfidf_keywords
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = (
+        tfidf_keywords(ds, k=3)
+        .to_pandas()
+        .sort_values(["doc_id", "kw_rank"], ignore_index=True)
+    )
+    return pa.table(
+        {
+            "doc_id": pa.array(out["doc_id"], pa.int64()),
+            "kw_rank": pa.array(out["kw_rank"], pa.int64()),
+            "term": pa.array(out["term"], pa.string()),
+            "tf": pa.array(out["tf"], pa.int64()),
+            "score_milli": pa.array(out["score_milli"], pa.int64()),
+        }
+    )
+
+
+COOC_VOCAB, COOC_MIN_COUNT, COOC_TOP_N = 50, 5, 50
+
+
+def term_cooccurrence_q(sf_dir: str):
+    """PMI co-occurrence of the top-50 vocabulary: df exchange -> per-batch
+    docs x vocab presence matmul -> <=C(50,2)-row pair exchange; milli-nat
+    PMI.  Oracle: distinct doc-term self-join over the same top vocab."""
+    from ..stages.tfidf import term_cooccurrence
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return term_cooccurrence(
+        ds, vocab_size=COOC_VOCAB, min_count=COOC_MIN_COUNT, top_n=COOC_TOP_N
+    )
+
+
 LINE_CHUNK = 20  # tokens per synthetic "paragraph" for line_dedup
 
 
@@ -2862,37 +2956,91 @@ def build_oracle_sql() -> Dict[str, str]:
             WHERE d.doc_id % {DECONTAM_BENCH_MOD} != 0
             ORDER BY d.doc_id
         """,
-        "dsir_weights": f"""
-            WITH tok AS (
-              SELECT doc_id, lang,
-                     list_filter(regexp_split_to_array(lower(text), '\\s+'),
-                                 x -> length(x) > 0) AS toks
-              FROM documents),
-            flat AS (SELECT doc_id, lang, unnest(toks) AS term FROM tok),
-            ct AS (
-              SELECT term, count(*) AS n_raw,
-                     count(*) FILTER (WHERE lang = '{DSIR_TARGET_LANG}') AS n_tgt
-              FROM flat GROUP BY term),
-            tot AS (
-              SELECT count(*) AS t_raw,
-                     count(*) FILTER (WHERE lang = '{DSIR_TARGET_LANG}') AS t_tgt,
-                     (SELECT count(*) FROM ct) AS v
-              FROM flat),
-            ratio AS (
-              SELECT term,
-                     CAST(floor(ln((n_tgt + 1.0) / (tot.t_tgt + tot.v)) * 1000 + 0.5) AS BIGINT)
-                   - CAST(floor(ln((n_raw + 1.0) / (tot.t_raw + tot.v)) * 1000 + 0.5) AS BIGINT)
-                       AS r_milli
-              FROM ct, tot),
-            doc_sum AS (
-              SELECT f.doc_id, CAST(sum(r.r_milli) AS BIGINT) AS w,
-                     CAST(count(*) AS BIGINT) AS n
-              FROM flat f JOIN ratio r ON r.term = f.term GROUP BY f.doc_id)
+        "dsir_weights": _DSIR_SQL_CTE + """
             SELECT d.doc_id,
                    CAST(COALESCE(s.n, 0) AS BIGINT) AS n_tokens,
                    CAST(COALESCE(s.w, 0) AS BIGINT) AS dsir_milli
             FROM documents d LEFT JOIN doc_sum s ON s.doc_id = d.doc_id
             ORDER BY d.doc_id
+        """,
+        "dsir_select": _DSIR_SQL_CTE + f""",
+            w AS (
+              SELECT d.doc_id,
+                     CAST(COALESCE(s.w, 0) AS BIGINT) AS dsir_milli
+              FROM documents d LEFT JOIN doc_sum s ON s.doc_id = d.doc_id),
+            keyed AS (
+              SELECT doc_id, dsir_milli,
+                     {_gumbel_sql('doc_id', DSIR_SELECT_SEED)} AS gumbel_milli
+              FROM w)
+            SELECT CAST(row_number() OVER (
+                     ORDER BY dsir_milli + gumbel_milli DESC, doc_id ASC) - 1
+                   AS BIGINT) AS rank,
+                   doc_id, dsir_milli, gumbel_milli,
+                   dsir_milli + gumbel_milli AS key_milli
+            FROM keyed
+            ORDER BY key_milli DESC, doc_id ASC
+            LIMIT {DSIR_SELECT_N}
+        """,
+        "tfidf_keywords": """
+            WITH tok AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                 x -> length(x) > 0) AS toks
+              FROM documents),
+            flat AS (SELECT doc_id, unnest(toks) AS term FROM tok),
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM flat GROUP BY 1, 2),
+            df AS (SELECT term, count(DISTINCT doc_id) AS df FROM flat GROUP BY term),
+            n AS (SELECT count(*) AS n FROM documents),
+            idf AS (
+              SELECT term,
+                     CAST(floor(ln((n.n + 1.0) / (df + 1.0)) * 1000 + 0.5) AS BIGINT)
+                       AS idf_milli
+              FROM df, n),
+            s AS (
+              SELECT tf.doc_id, tf.term, tf.tf,
+                     tf.tf * idf.idf_milli AS score_milli,
+                     row_number() OVER (
+                       PARTITION BY tf.doc_id
+                       ORDER BY tf.tf * idf.idf_milli DESC, tf.term ASC) AS r
+              FROM tf JOIN idf USING (term))
+            SELECT doc_id, CAST(r AS BIGINT) AS kw_rank, term,
+                   CAST(tf AS BIGINT) AS tf, CAST(score_milli AS BIGINT) AS score_milli
+            FROM s WHERE r <= 3
+            ORDER BY doc_id, kw_rank
+        """,
+        "term_cooccurrence": f"""
+            WITH tok AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                 x -> length(x) > 0) AS toks
+              FROM documents),
+            flat AS (SELECT doc_id, unnest(toks) AS term FROM tok),
+            dt AS (SELECT DISTINCT doc_id, term FROM flat),
+            df AS (SELECT term, count(*) AS df FROM dt GROUP BY term),
+            top AS (
+              SELECT term, df FROM df
+              ORDER BY df DESC, term ASC LIMIT {COOC_VOCAB}),
+            n AS (SELECT count(*) AS n FROM documents),
+            pairs AS (
+              SELECT a.term AS ta, b.term AS tb, count(*) AS n_ab
+              FROM dt a
+              JOIN dt b ON a.doc_id = b.doc_id AND a.term < b.term
+              WHERE a.term IN (SELECT term FROM top)
+                AND b.term IN (SELECT term FROM top)
+              GROUP BY 1, 2),
+            scored AS (
+              SELECT ta, tb, n_ab,
+                     CAST(floor(ln((n.n * n_ab * 1.0) / (da.df * db.df)) * 1000 + 0.5)
+                          AS BIGINT) AS pmi_milli
+              FROM pairs, n
+              JOIN top da ON da.term = pairs.ta
+              JOIN top db ON db.term = pairs.tb
+              WHERE n_ab >= {COOC_MIN_COUNT})
+            SELECT ta AS term_a, tb AS term_b,
+                   CAST(n_ab AS BIGINT) AS n_ab, pmi_milli
+            FROM scored
+            ORDER BY pmi_milli DESC, term_a ASC, term_b ASC
+            LIMIT {COOC_TOP_N}
         """,
         "line_dedup": f"""
             WITH toks AS (

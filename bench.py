@@ -212,6 +212,10 @@ def run_bench() -> dict:
         ("heavy_hitter_tokens", Q.heavy_hitter_tokens),
         ("repetition_stats", Q.repetition_stats_q),
         ("lm_perplexity", Q.lm_perplexity),
+        ("dsir_weights", Q.dsir_weights_q),
+        ("dsir_select", Q.dsir_select_q),
+        ("tfidf_keywords", Q.tfidf_keywords_q),
+        ("term_cooccurrence", Q.term_cooccurrence_q),
         ("semantic_dedup", Q.semantic_dedup_q),
         ("nb_classify", Q.nb_classify),
         ("bpe_vocab", Q.bpe_vocab),

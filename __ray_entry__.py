@@ -74,6 +74,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_vocab": Q.bpe_vocab,  # BPE tokenizer training, rows-only (pytest exactness gate)
         "nb_classify": Q.nb_classify,  # Naive-Bayes source classifier, unrolled-NB SQL oracle
         "fingerprint_profile": Q.fingerprint_profile,  # rows-only
+        "distinct_users_hll": Q.distinct_users_hll,  # HLL sketch, rows-only (pytest register-exact gate)
         # training-data layout (packing / sampling / splitting)
         "pack_sequences": Q.pack_sequences_q,  # distributed prefix sum, window-SQL oracle
         "training_mix": Q.training_mix,  # composed quality->dedup->pack pipeline, composed SQL oracle

@@ -2066,6 +2066,26 @@ def term_cooccurrence_q(sf_dir: str):
     )
 
 
+def distinct_users_hll(sf_dir: str):
+    """Approximate distinct users per event type via mergeable
+    HyperLogLog sketches (map-side folds, one 4-KiB-row exchange —
+    never a user-keyed shuffle).  Estimate is approximate by design:
+    driver check is rows-only; exactness (register-identical folds) and
+    accuracy (<8% vs exact) are pytest-gated."""
+    from ..stages.hll import hll_distinct_by_group
+
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
+    out = hll_distinct_by_group(ds, "event_type", "user_id")
+    return pa.table(
+        {
+            "event_type": pa.array(out["event_type"], pa.string()),
+            "estimate_milli": pa.array(
+                _micro(out["estimate"].to_numpy(np.float64), scale=1e3), pa.int64()
+            ),
+        }
+    )
+
+
 LINE_CHUNK = 20  # tokens per synthetic "paragraph" for line_dedup
 
 

@@ -56,6 +56,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_near_dups": Q.minhash_near_dups,  # rows-only (no SQL oracle)
         "ngram_jaccard_dups": Q.ngram_jaccard_dups,  # exact PPJoin, SQL oracle
         "dedup_clusters": Q.dedup_clusters,  # connected components, recursive-SQL oracle
+        "doc_pagerank": Q.doc_pagerank,  # integer PageRank over the near-dup graph, unrolled-SQL oracle
         "simhash_near_dups": Q.simhash_near_dups,  # rows-only, scalar-oracle gated
         "clone_pairs": Q.clone_pairs,  # winnowing clone join, rows-only (pytest brute-force gate)
         # text analysis

@@ -206,6 +206,7 @@ def run_bench() -> dict:
         ("minhash_near_dups", Q.minhash_near_dups),
         ("ngram_jaccard_dups", Q.ngram_jaccard_dups),
         ("dedup_clusters", Q.dedup_clusters),
+        ("doc_pagerank", Q.doc_pagerank),
         ("embed_cosine_dups", Q.embed_cosine_dups),
         ("kmeans_clusters", Q.kmeans_clusters),
         ("knn_cosine", Q.knn_cosine),

@@ -2066,6 +2066,77 @@ def term_cooccurrence_q(sf_dir: str):
     )
 
 
+PAGERANK_ITERS = 3
+
+
+def doc_pagerank(sf_dir: str):
+    """Integer PageRank over the near-dup similarity graph (the same
+    Jaccard>=0.5 pairs dedup_clusters uses), 3 iterations, micro-unit
+    floor arithmetic.  Oracle: the pair CTE + 3 unrolled iterations with
+    DuckDB's // integer division."""
+    from ..stages.pagerank import pagerank
+    from ..stages.simjoin import ngram_jaccard_join
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = ngram_jaccard_join(ds, threshold=0.5, n=3)
+    nodes = _read(sf_dir, "documents", columns=["doc_id"])
+    out = (
+        pagerank(pairs, nodes, num_iters=PAGERANK_ITERS)
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    return pa.table(
+        {
+            "doc_id": pa.array(out["doc_id"], pa.int64()),
+            "rank_micro": pa.array(out["rank_micro"], pa.int64()),
+        }
+    )
+
+
+def _pagerank_sql(num_iters: int) -> str:
+    """Unrolled integer-PageRank oracle over the shared jaccard-pair CTE."""
+    head = """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                 x -> length(x) > 0) AS t
+              FROM documents),
+            grams AS (
+              SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram
+              FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+              WHERE len(t) >= 3),
+            sz AS (SELECT doc_id, count(*) AS s FROM grams GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+              FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+            prs AS (
+              SELECT id_a, id_b
+              FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+              WHERE i / (sa.s + sb.s - i) >= 0.5),
+            edges AS (SELECT id_a AS src, id_b AS dst FROM prs
+                      UNION ALL SELECT id_b, id_a FROM prs),
+            deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+            r0 AS (SELECT doc_id AS v, CAST(1000000 AS BIGINT) AS r FROM documents)"""
+    body = ""
+    for k in range(1, num_iters + 1):
+        body += f""",
+            s{k} AS (
+              SELECT e.dst AS v, sum(r{k - 1}.r // deg.d) AS s
+              FROM edges e
+              JOIN deg ON deg.src = e.src
+              JOIN r{k - 1} ON r{k - 1}.v = e.src
+              GROUP BY e.dst),
+            r{k} AS (
+              SELECT d.doc_id AS v,
+                     CAST(150000 + (850 * COALESCE(s{k}.s, 0)) // 1000 AS BIGINT) AS r
+              FROM documents d LEFT JOIN s{k} ON s{k}.v = d.doc_id)"""
+    tail = f"""
+            SELECT v AS doc_id, r AS rank_micro FROM r{num_iters} ORDER BY doc_id
+        """
+    return head + body + tail
+
+
 def distinct_users_hll(sf_dir: str):
     """Approximate distinct users per event type via mergeable
     HyperLogLog sketches (map-side folds, one 4-KiB-row exchange —
@@ -3062,6 +3133,7 @@ def build_oracle_sql() -> Dict[str, str]:
             ORDER BY pmi_milli DESC, term_a ASC, term_b ASC
             LIMIT {COOC_TOP_N}
         """,
+        "doc_pagerank": _pagerank_sql(PAGERANK_ITERS),
         "line_dedup": f"""
             WITH toks AS (
               SELECT doc_id,

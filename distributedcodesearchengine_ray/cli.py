@@ -145,6 +145,17 @@ def main(argv=None) -> int:
     pr.add_argument("--files-only", action="store_true", help="print matching files, not lines")
     pr.add_argument("--limit", type=int, default=20, help="rows to print (0 = all)")
 
+    px = sub.add_parser(
+        "delete",
+        help="tombstone-delete docs (logical delete; no partition rewrite)",
+    )
+    px.add_argument("value", help="value to delete, e.g. a repo name")
+    px.add_argument("--index-dir", required=True)
+    px.add_argument(
+        "--column", default="repo_name",
+        help="docmeta column to match (default repo_name; file mode: repo)",
+    )
+
     pv = sub.add_parser("serve", help="run the HTTP API server")
     pv.add_argument("--index-dir", required=True)
     pv.add_argument("--host", default="127.0.0.1")
@@ -352,6 +363,23 @@ def main(argv=None) -> int:
                     "n_docs": m.n_docs,
                     "live_partitions": len(m.partitions),
                     "compactions": m.extra.get("compactions", []),
+                }
+            )
+        )
+        return 0
+
+    if args.cmd == "delete":
+        _ensure_ray()
+        from .pipelines.build_index import tombstone_delete
+
+        m = tombstone_delete(args.index_dir, args.column, args.value)
+        print(
+            json.dumps(
+                {
+                    "n_docs": m.n_docs,
+                    "vocab_size": m.vocab_size,
+                    "tombstoned_docs": m.extra.get("tombstoned_docs", 0),
+                    "deletes": m.extra.get("deletes", []),
                 }
             )
         )

@@ -92,6 +92,17 @@ class CodeSearchEngine:
             filtered, self.index_dir, mode=self.mode, resume=False, **build_kwargs
         )
 
+    def tombstone_remove(self, value: str, column: str = "repo") -> IndexManifest:
+        """D2 at scale: logical delete via tombstones — no partition file
+        is rewritten (``build_index.tombstone_delete``).  Search results
+        and BM25 scores equal a full rebuild over the filtered corpus;
+        surviving docs keep their original docIDs (relative order — and so
+        the insertion-order tie-break — is preserved)."""
+        from .pipelines.build_index import tombstone_delete
+
+        self.close()  # actors must reload the alive mask + new scalars
+        return tombstone_delete(self.index_dir, column, value)
+
     # ------------------------------------------------------------- query
 
     def _bm25(self) -> QueryEngine:
@@ -216,10 +227,33 @@ class CodeSearchEngine:
         m = IndexManifest.load(self.index_dir)
         langs: Dict[str, int] = {}
         meta = pads.dataset(os.path.join(self.index_dir, "docmeta"), format="parquet")
+        import numpy as np
+        import pyarrow as pa
         import pyarrow.compute as pc
+        import pyarrow.parquet as pq
 
-        for batch in meta.to_batches(columns=["lang"]):
-            vc = pc.value_counts(batch["lang"])
+        dead = None
+        tomb_dir = os.path.join(self.index_dir, "tombstones")
+        if os.path.isdir(tomb_dir):
+            files = [f for f in sorted(os.listdir(tomb_dir)) if f.endswith(".parquet")]
+            if files:
+                dead = np.concatenate(
+                    [
+                        pq.read_table(os.path.join(tomb_dir, f), columns=["doc_id"])[
+                            "doc_id"
+                        ].to_numpy(zero_copy_only=False)
+                        for f in files
+                    ]
+                )
+        cols = ["lang"] if dead is None else ["lang", "doc_id"]
+        for batch in meta.to_batches(columns=cols):
+            lang_col = batch["lang"]
+            if dead is not None:
+                keep = ~np.isin(
+                    batch["doc_id"].to_numpy(zero_copy_only=False), dead
+                )
+                lang_col = lang_col.filter(pa.array(keep)) if not keep.all() else lang_col
+            vc = pc.value_counts(lang_col)
             for lang, n in zip(vc.field("values").to_pylist(), vc.field("counts").to_pylist()):
                 langs[lang] = langs.get(lang, 0) + n
         return {

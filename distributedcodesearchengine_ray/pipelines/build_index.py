@@ -620,7 +620,10 @@ def build_index(
         # is stale.  Clearing here is what prevents an old, larger build's
         # partition files from leaking into the new lexicon (stale df >
         # n_docs => log of a negative => NaN idf) or docmeta joins.
-        for derived in ("postings", "docmeta", "lineage", "embeddings"):
+        for derived in (
+            "postings", "docmeta", "lineage", "embeddings",
+            "tombstones", "lex_ddf",  # deletes apply to the OLD partitions
+        ):
             shutil.rmtree(os.path.join(index_dir, derived), ignore_errors=True)
         # extraction expands bytes (~2x in entity mode: source_code + entity
         # metadata travel per row) — size blocks on the expanded estimate
@@ -831,6 +834,13 @@ def _lexicon_pass(index_dir: str, n_docs: int, epsilon: float):
 
     ray.get([lex_split.remote(i) for i in range(len(post_files))])
 
+    # tombstone corrections: lex_ddf/bucket={b}/part-*.parquet holds the
+    # per-term df contributed by TOMBSTONED docs (written by
+    # tombstone_delete, removed when a partition is physically rebuilt).
+    # Subtracting here keeps every lexicon refresh (build/append/delete)
+    # consistent without touching partition files.
+    ddf_root = os.path.join(index_dir, "lex_ddf")
+
     @ray.remote(num_cpus=1)
     def lex_bucket(b: int) -> tuple:
         if pa.cpu_count() != 1:
@@ -842,18 +852,43 @@ def _lexicon_pass(index_dir: str, n_docs: int, epsilon: float):
         sub = pa.concat_tables(
             pq.read_table(os.path.join(frag_dir, f)) for f in frags
         )
+        ddf_dir = os.path.join(ddf_root, f"bucket={b}")
+        if os.path.isdir(ddf_dir):
+            dead = [
+                pq.read_table(os.path.join(ddf_dir, f))
+                for f in sorted(os.listdir(ddf_dir))
+                if f.endswith(".parquet")
+            ]
+            if dead:
+                neg = pa.concat_tables(dead)
+                sub = pa.concat_tables(
+                    [
+                        sub,
+                        pa.table(
+                            {
+                                "term": neg["term"],
+                                "df": pc.negate(pc.cast(neg["ddf"], pa.int64())),
+                            }
+                        ),
+                    ]
+                )
         dict_arr = pc.dictionary_encode(sub["term"].combine_chunks())
         if isinstance(dict_arr, pa.ChunkedArray):
             dict_arr = dict_arr.combine_chunks()
         codes = dict_arr.indices.to_numpy(zero_copy_only=False).astype(np.int64)
         dfs_local = sub["df"].to_numpy(zero_copy_only=False)
         agg = np.bincount(codes, weights=dfs_local).astype(np.int64)
+        terms_arr = dict_arr.dictionary
+        if (agg <= 0).any():  # fully-deleted terms leave the lexicon
+            alive = agg > 0
+            terms_arr = terms_arr.filter(pa.array(alive))
+            agg = agg[alive]
         idf_raw = np.log(n_docs - agg.astype(np.float64) + 0.5) - np.log(
             agg.astype(np.float64) + 0.5
         )
         out = pa.table(
             {
-                "term": dict_arr.dictionary,
+                "term": terms_arr,
                 "df": pa.array(agg, pa.int64()),
                 "idf_raw": pa.array(idf_raw, pa.float64()),
             }
@@ -1380,4 +1415,165 @@ def compact_index(
                 os.unlink(os.path.join(index_dir, sub, f"part-{pid:05d}.{ext}"))
             except OSError:
                 pass
+    return manifest
+
+
+def tombstone_delete(
+    index_dir: str,
+    column: str,
+    value: str,
+) -> IndexManifest:
+    """Logical delete WITHOUT rewriting the index: mark every doc whose
+    docmeta ``column`` equals ``value`` dead, and make search results +
+    BM25 scores EXACTLY equal to a full rebuild over the filtered corpus
+    (modulo docID values — surviving docs keep their original ids, which
+    preserves the insertion-order tie-break because survivors keep their
+    relative order).
+
+    The reference's delete path refits the whole in-memory index
+    (/root/reference/codesearch/storage/bm25_index.py:172-202); at 100 TB
+    that is a full rewrite, so this path exists alongside
+    ``CodeSearchEngine.remove_by_repo``'s rebuild.  Cost:
+
+    - partitions WITHOUT matching docs: one docmeta column scan each
+      (parquet, pruned to [doc_id, doc_len, column]);
+    - partitions WITH matching docs: one postings decode to count each
+      term's dead document frequency (the price of exact df/idf);
+    - one lexicon refresh (cost ∝ vocabulary — the append_index pass);
+    - partition postings/docmeta files are NEVER rewritten.
+
+    Artifacts (both consumed automatically everywhere):
+
+    - ``tombstones/del-NNN-part-NNNNN.parquet`` — global doc_ids of the
+      newly-dead docs (IndexShard builds its alive mask from doc RANGES,
+      so compaction's partition renumbering cannot orphan them);
+    - ``lex_ddf/bucket=B/del-NNN-part-NNNNN.parquet`` — per-term dead df,
+      subtracted by every future ``_lexicon_pass`` (append/delete); terms
+      whose df reaches 0 leave the lexicon, exactly as in a rebuild.
+
+    Idempotent: already-dead docs are excluded from the scan, so
+    re-deleting the same value is a no-op.  Returns the updated manifest.
+    """
+    import ray
+
+    from ..state.manifest import normalize_dir
+
+    index_dir = normalize_dir(index_dir)
+    manifest = IndexManifest.load(index_dir)
+    tomb_dir = os.path.join(index_dir, "tombstones")
+    ddf_root = os.path.join(index_dir, "lex_ddf")
+    os.makedirs(tomb_dir, exist_ok=True)
+    opid = len(manifest.extra.get("deletes", []))
+
+    prev_files = sorted(
+        os.path.join(tomb_dir, f)
+        for f in os.listdir(tomb_dir)
+        if f.endswith(".parquet")
+    )
+
+    @ray.remote(num_cpus=1)
+    def delete_part(pid: int, doc_lo: int, doc_hi: int) -> dict:
+        from ..functions.codec import delta_varint_decode
+
+        if pa.cpu_count() != 1:
+            pa.set_cpu_count(1)
+        meta_path = os.path.join(index_dir, "docmeta", f"part-{pid:05d}.parquet")
+        meta = pq.read_table(meta_path, columns=["doc_id", "doc_len", column])
+        ids = meta["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hit = pc.equal(meta[column], pa.scalar(value)).to_numpy(zero_copy_only=False)
+        if not hit.any():
+            return {"n_dead": 0, "dead_tokens": 0}
+        prev_dead = np.zeros(0, dtype=np.int64)
+        if prev_files:
+            prev = [
+                pq.read_table(
+                    f, columns=["doc_id"],
+                    filters=[("doc_id", ">=", doc_lo), ("doc_id", "<", doc_hi)],
+                )["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+                for f in prev_files
+            ]
+            prev_dead = np.concatenate(prev) if prev else prev_dead
+        new_dead = ids[hit]
+        if len(prev_dead):
+            new_dead = new_dead[~np.isin(new_dead, prev_dead)]
+        if not len(new_dead):
+            return {"n_dead": 0, "dead_tokens": 0}
+        new_dead = np.sort(new_dead)
+        dead_tokens = int(
+            meta["doc_len"].to_numpy(zero_copy_only=False)[
+                np.isin(ids, new_dead)
+            ].sum()
+        )
+        pq.write_table(
+            pa.table({"doc_id": pa.array(new_dead, pa.int64())}),
+            os.path.join(tomb_dir, f"del-{opid:03d}-part-{pid:05d}.parquet"),
+        )
+        # per-term dead df: one postings decode for this partition
+        post = pq.read_table(
+            os.path.join(index_dir, "postings", f"part-{pid:05d}.parquet"),
+            columns=["term", "doc_ids"],
+        )
+        terms = post["term"].to_pylist()
+        encs = post["doc_ids"].to_pylist()
+        out_terms, out_ddf = [], []
+        for t, enc in zip(terms, encs):
+            pids_arr = delta_varint_decode(enc)
+            lo = np.searchsorted(pids_arr, new_dead[0])
+            hi = np.searchsorted(pids_arr, new_dead[-1], side="right")
+            if lo >= hi:
+                continue
+            n = int(np.isin(pids_arr[lo:hi], new_dead).sum())
+            if n:
+                out_terms.append(t)
+                out_ddf.append(n)
+        if out_terms:
+            h = pd.util.hash_array(np.asarray(out_terms, dtype=object))
+            buckets = (h % LEX_BUCKETS).astype(np.int64)
+            ddf_arr = np.asarray(out_ddf, dtype=np.int64)
+            terms_arr = np.asarray(out_terms, dtype=object)
+            for b in np.unique(buckets):
+                bdir = os.path.join(ddf_root, f"bucket={b}")
+                os.makedirs(bdir, exist_ok=True)
+                sel = buckets == b
+                pq.write_table(
+                    pa.table(
+                        {
+                            "term": pa.array(terms_arr[sel], pa.string()),
+                            "ddf": pa.array(ddf_arr[sel], pa.int64()),
+                        }
+                    ),
+                    os.path.join(bdir, f"del-{opid:03d}-part-{pid:05d}.parquet"),
+                )
+        return {"n_dead": int(len(new_dead)), "dead_tokens": dead_tokens}
+
+    results = ray.get(
+        [
+            delete_part.remote(p.part_id, p.doc_lo, p.doc_hi)
+            for p in manifest.partitions
+        ]
+    )
+    n_dead = sum(r["n_dead"] for r in results)
+    dead_tokens = sum(r["dead_tokens"] for r in results)
+    if n_dead == 0:
+        return manifest
+
+    n_docs = manifest.n_docs - n_dead
+    total_tokens = manifest.total_tokens - dead_tokens
+    if n_docs <= 0:
+        raise ValueError(
+            "tombstone_delete would delete every document; rebuild instead"
+        )
+    average_idf, vocab_size = _lexicon_pass(index_dir, n_docs, manifest.epsilon)
+    manifest.n_docs = n_docs
+    manifest.total_tokens = total_tokens
+    manifest.avgdl = total_tokens / n_docs
+    manifest.average_idf = average_idf
+    manifest.vocab_size = vocab_size
+    manifest.extra.setdefault("deletes", []).append(
+        {"column": column, "value": value, "n_dead": n_dead}
+    )
+    manifest.extra["tombstoned_docs"] = (
+        manifest.extra.get("tombstoned_docs", 0) + n_dead
+    )
+    manifest.save(index_dir)
     return manifest

@@ -123,6 +123,38 @@ class IndexShard:
             if ok and arrays:
                 self._filter_cols[col] = np.concatenate(arrays)
 
+        # tombstones (logical deletes): alive mask over local positions.
+        # Files carry GLOBAL doc_ids, selected here by this shard's doc
+        # ranges — partition renumbering (compaction) cannot orphan them.
+        # None when the index has no tombstones: the common path pays
+        # nothing.
+        self.alive: Optional[np.ndarray] = None
+        tomb_dir = os.path.join(index_dir, "tombstones")
+        if os.path.isdir(tomb_dir) and self.parts:
+            dead_files = [
+                os.path.join(tomb_dir, f)
+                for f in sorted(os.listdir(tomb_dir))
+                if f.endswith(".parquet")
+            ]
+            if dead_files:
+                dead = np.concatenate(
+                    [
+                        pq.read_table(f, columns=["doc_id"])["doc_id"]
+                        .to_numpy(zero_copy_only=False)
+                        .astype(np.int64)
+                        for f in dead_files
+                    ]
+                )
+                alive = np.ones(self.n_local, dtype=bool)
+                any_dead = False
+                for p in self.parts:
+                    sel = dead[(dead >= p["doc_lo"]) & (dead < p["doc_lo"] + p["n"])]
+                    if len(sel):
+                        alive[sel - p["doc_lo"] + p["local_base"]] = False
+                        any_dead = True
+                if any_dead:
+                    self.alive = alive
+
     def ping(self) -> int:
         return self.n_local
 
@@ -307,6 +339,8 @@ class IndexShard:
                 for li in occurrence_seq:
                     if li in contribs:
                         score += contribs[li]
+                if self.alive is not None and not self.alive[pivot_doc]:
+                    continue  # tombstoned: not part of the corpus at all
                 if score > unfiltered_max:
                     unfiltered_max = score
                 if fmask is None or fmask[pivot_doc]:
@@ -411,14 +445,24 @@ class IndexShard:
             ]
             return local_max, rows
         scores = self._dense_scores(query_tokens, idfs)
-        local_max = float(scores.max()) if len(scores) else 0.0
+        if self.alive is None:
+            local_max = float(scores.max()) if len(scores) else 0.0
+        else:
+            live_scores = scores[self.alive]
+            local_max = float(live_scores.max()) if len(live_scores) else 0.0
         if dense_all:
-            cand = np.arange(self.n_local)
+            cand = (
+                np.arange(self.n_local)
+                if self.alive is None
+                else np.flatnonzero(self.alive)
+            )
         else:
             cand = np.flatnonzero(scores > 0)
             neg = np.flatnonzero(scores < 0)
             if len(neg):
                 cand = np.concatenate([cand, neg])
+            if self.alive is not None:
+                cand = cand[self.alive[cand]]
         if len(cand) == 0:
             return local_max, []
         mask = self._filter_mask(filters, cand)
@@ -464,9 +508,15 @@ class IndexShard:
             return {}
         scores = self._dense_scores(query_tokens, idfs)
         if min_score is None:
-            cand = np.arange(self.n_local)
+            cand = (
+                np.arange(self.n_local)
+                if self.alive is None
+                else np.flatnonzero(self.alive)
+            )
         else:
             cand = np.flatnonzero(scores >= min_score)
+            if self.alive is not None:
+                cand = cand[self.alive[cand]]
         cand = cand[self._filter_mask(filters, cand)]
         if len(cand) == 0:
             return {}

@@ -42,6 +42,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_facets": Q.bm25_facets,  # facet counts over the full result set
         "bm25_boolean": Q.bm25_boolean,  # +term/-term operators, shared scoring CTE
         "more_like_this": Q.more_like_this,  # find-similar via top tf*idf terms
+        "phrase_positional": Q.phrase_positional,  # positional phrase (token adjacency), BM25+EXISTS oracle
         "substring_search": Q.substring_search,  # trigram index + verify, contains() oracle
         "regex_search": Q.regex_search,  # Cox-style required-literal pruning, RE2 oracle
         "grep_lines": Q.grep_lines,  # line-level grep, zipped-unnest oracle

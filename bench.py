@@ -201,6 +201,7 @@ def run_bench() -> dict:
         ("substring_search", Q.substring_search),
         ("regex_search", Q.regex_search),
         ("bm25_topk", Q.bm25_topk),
+        ("phrase_positional", Q.phrase_positional),
         ("term_df_top100", Q.term_df_top100),
         ("dedup_exact", Q.dedup_exact),
         ("minhash_near_dups", Q.minhash_near_dups),

@@ -311,12 +311,14 @@ class _PartitionBuilder:
         build_id: str,
         mode: str,
         resume: bool,
+        with_positions: bool = False,
     ):
         self.index_dir = index_dir
         self.offsets = offsets
         self.build_id = build_id
         self.mode = mode
         self.resume = resume
+        self.with_positions = with_positions
 
     def __call__(self, tbl: pa.Table, pid: int) -> dict:
         """Arrow-native end to end: no pandas / per-row Python objects (they
@@ -376,9 +378,11 @@ class _PartitionBuilder:
         # single combined-key introsort (code*n+doc fits int64: both factors
         # are partition-local counts).  Non-stable is fine — equal
         # (term, doc) occurrences are interchangeable for tf counting — and
-        # ~4x faster than the two-key lexsort on this box.
+        # ~4x faster than the two-key lexsort on this box.  The positional
+        # build needs the STABLE kind: within a (term, doc) run the original
+        # occurrence order IS ascending token position.
         key = codes * np.int64(max(n, 1)) + parents
-        order = np.argsort(key)
+        order = np.argsort(key, kind="stable" if self.with_positions else None)
         key_s = key[order]
         c_s, d_s = codes[order], parents[order].astype(np.int64)
         if len(c_s):
@@ -398,6 +402,35 @@ class _PartitionBuilder:
         )
         n_terms = len(postings)
 
+        positions_tbl = None
+        if self.with_positions:
+            # token position within doc per occurrence; the stable sort
+            # above keeps each (term, doc) run in ascending position order
+            from ..functions.codec import varint_lengths
+
+            if len(c_s):
+                row_starts = np.concatenate(([0], np.cumsum(doc_len)))
+                pos_all = np.arange(len(parents), dtype=np.int64) - row_starts[parents]
+                pos_s = pos_all[order].astype(np.uint64)
+                deltas = pos_s.copy()
+                if len(deltas) > 1:
+                    deltas[1:] = pos_s[1:] - pos_s[:-1]  # wraps at pair
+                deltas[pair_starts] = pos_s[pair_starts]  # ...starts: absolute
+                pbuf = varint_encode(deltas)
+                ppos = np.concatenate(([0], np.cumsum(varint_lengths(deltas))))
+                # per-TERM occurrence byte ranges (postings rows align 1:1)
+                t_change = np.flatnonzero(term_codes[1:] != term_codes[:-1]) + 1
+                t_starts = np.concatenate(([0], t_change, [len(term_codes)]))
+                occ_bounds = np.concatenate((pair_starts, [len(c_s)]))
+                occ_lo = occ_bounds[t_starts[:-1]]
+                occ_hi = occ_bounds[t_starts[1:]]
+                pos_bufs = [pbuf[ppos[lo]:ppos[hi]] for lo, hi in zip(occ_lo, occ_hi)]
+            else:
+                pos_bufs = []
+            positions_tbl = pa.table(
+                {"term": postings["term"], "positions": pa.array(pos_bufs, pa.binary())}
+            )
+
         meta_cols: Dict[str, pa.Array] = {
             "doc_id": pa.array(doc_ids, pa.int64()),
             "repo": tbl["repo"],
@@ -413,9 +446,19 @@ class _PartitionBuilder:
                     meta_cols[col] = tbl[col]
         docmeta = pa.table(meta_cols)
 
-        for sub in ("postings", "docmeta"):
+        writes = [(postings, post_path), (docmeta, meta_path)]
+        subs = ["postings", "docmeta"]
+        if positions_tbl is not None:
+            subs.append("positions")
+            writes.append(
+                (
+                    positions_tbl,
+                    os.path.join(self.index_dir, "positions", f"part-{pid:05d}.parquet"),
+                )
+            )
+        for sub in subs:
             os.makedirs(os.path.join(self.index_dir, sub), exist_ok=True)
-        for out_tbl, path in ((postings, post_path), (docmeta, meta_path)):
+        for out_tbl, path in writes:
             tmp = f"{path}.tmp-{os.getpid()}"
             pq.write_table(out_tbl, tmp)
             os.replace(tmp, path)
@@ -451,8 +494,14 @@ def build_index(
     apply_path_filters: bool = True,
     extra_parsers=None,
     extra_extensions: Optional[Dict[str, str]] = None,
+    with_positions: bool = False,
 ) -> IndexManifest:
     """Build a sharded BM25 index from a corpus parquet path / Dataset.
+
+    ``with_positions=True`` additionally writes per-term token-position
+    postings (``positions/part-NNNNN.parquet``, delta-varint per doc) for
+    positional phrase search (Lucene-PhraseQuery token-adjacency
+    semantics) — opt-in because it roughly doubles posting bytes.
 
     ``mode="file"`` indexes each file's raw content as one document;
     ``mode="entity"`` extracts code entities first and indexes the
@@ -621,7 +670,7 @@ def build_index(
         # partition files from leaking into the new lexicon (stale df >
         # n_docs => log of a negative => NaN idf) or docmeta joins.
         for derived in (
-            "postings", "docmeta", "lineage", "embeddings",
+            "postings", "docmeta", "lineage", "embeddings", "positions",
             "tombstones", "lex_ddf",  # deletes apply to the OLD partitions
         ):
             shutil.rmtree(os.path.join(index_dir, derived), ignore_errors=True)
@@ -711,7 +760,9 @@ def build_index(
     _mark("part_counts")
 
     # --- pass C: independent per-partition index builds (pure Ray tasks)
-    builder = _PartitionBuilder(index_dir, offsets, build_id, mode, resume)
+    builder = _PartitionBuilder(
+        index_dir, offsets, build_id, mode, resume, with_positions=with_positions
+    )
 
     # 2 CPUs per builder caps concurrency at ~cluster/2: partition builds
     # are memory-bandwidth-bound (sort + varint over all token pairs) and
@@ -765,6 +816,7 @@ def build_index(
             # deployment contract: every node must see index_dir at this
             # path (shared POSIX fs / FUSE mount) — see manifest.normalize_dir
             "filesystem": "shared-posix",
+            "positions": bool(with_positions),
             # file-mode phrase verification reads raw content back from the
             # corpus (docmeta stores no text); recorded when given as a path
             "corpus_dir": corpus_path,
@@ -1194,7 +1246,10 @@ def append_index(
         offsets[p_old + p] = acc
         acc += int(counts_vec[p])
 
-    builder = _PartitionBuilder(index_dir, offsets, append_id, mode, resume)
+    builder = _PartitionBuilder(
+        index_dir, offsets, append_id, mode, resume,
+        with_positions=bool(manifest.extra.get("positions")),
+    )
 
     @ray.remote(num_cpus=2)
     def build_one(local_p: int) -> dict:
@@ -1267,12 +1322,22 @@ def compact_index(
 
     At 100 TB this is an O(changed-bytes) maintenance job: each merge
     task touches only its group's files; nothing global moves.
+
+    Positional indexes (``with_positions=True``) are not compactable yet:
+    the merge path re-encodes postings but not position postings, which
+    would silently break positional phrase search on merged partitions —
+    guarded with an explicit error instead.
     """
     import ray
 
     from ..state.manifest import normalize_dir
 
     index_dir = normalize_dir(index_dir)
+    if IndexManifest.load(index_dir).extra.get("positions"):
+        raise NotImplementedError(
+            "compact_index does not merge position postings yet; "
+            "rebuild with with_positions=True instead of compacting"
+        )
     manifest = IndexManifest.load(index_dir)
     parts = sorted(manifest.partitions, key=lambda p: p.doc_lo)
 

@@ -151,11 +151,13 @@ def spell_suggest(sf_dir: str, term: str = SUGGEST_TERM, max_dist: int = 2):
     )
 
 
-def _documents_index(sf_dir: str) -> str:
+def _documents_index(sf_dir: str, with_positions: bool = False) -> str:
     """Build (resume-cached) the file-mode BM25 index over documents."""
     from .build_index import build_index
 
     tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
+    if with_positions:
+        tag += "-pos"
     idx = f"/tmp/rcs_cache/docidx-{tag}"
     os.makedirs(idx, exist_ok=True)
     ds = _read(sf_dir, "documents")
@@ -197,7 +199,7 @@ def _documents_index(sf_dir: str) -> str:
     corpus = ds.map_batches(to_corpus, batch_format="pyarrow")
     build_index(
         corpus, idx, mode="file", docs_per_partition=2000,
-        apply_path_filters=False, resume=True,
+        apply_path_filters=False, resume=True, with_positions=with_positions,
     )
     return idx
 
@@ -211,6 +213,33 @@ def bm25_topk(sf_dir: str, query: str = BM25_QUERY, limit: int = 20,
     engine = QueryEngine(idx, num_actors=2)
     try:
         hits = engine.search(query, limit=limit, filters=filters)
+    finally:
+        engine.close()
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(len(hits)), pa.int64()),
+            "doc_id": pa.array([h["doc_id"] for h in hits], pa.int64()),
+            "score_micro": pa.array(_micro([h["score"] for h in hits]), pa.int64()),
+        }
+    )
+
+
+PHRASE_POS_QUERY = "table scan"
+
+
+def phrase_positional(sf_dir: str, phrase: str = PHRASE_POS_QUERY, limit: int = 20):
+    """Positional phrase search: BM25 over the phrase tokens restricted to
+    docs containing them ADJACENTLY in token order (Lucene-PhraseQuery
+    semantics over per-term position postings built with
+    ``with_positions=True``).  Oracle: the shared BM25-in-SQL CTE + an
+    ordered-token adjacency EXISTS (the SQL tokenizer is order-identical
+    to the engine tokenizer)."""
+    from .query import QueryEngine
+
+    idx = _documents_index(sf_dir, with_positions=True)
+    engine = QueryEngine(idx, num_actors=2)
+    try:
+        hits = engine.search_phrase_positional(phrase, limit=limit)
     finally:
         engine.close()
     return pa.table(
@@ -352,6 +381,7 @@ def bm25_sql(
     max_terms: int = 25,
     required: Optional[List[str]] = None,
     excluded: Optional[List[str]] = None,
+    phrase_adjacent: bool = False,
 ) -> str:
     """Pure-SQL BM25Okapi (k1=1.5 b=0.75 eps=0.25) over documents.text.
 
@@ -394,6 +424,22 @@ def bm25_sql(
         filt += f"\n  AND doc_id IN (SELECT doc_id FROM tf WHERE term = '{t}')"
     for t in excluded or ():
         filt += f"\n  AND doc_id NOT IN (SELECT doc_id FROM tf WHERE term = '{t}')"
+    if phrase_adjacent:
+        # ordered-token adjacency (positional phrase): the SQL tokenizer
+        # preserves token order, so toks[i..i+k-1] == phrase tokens.  The
+        # threshold max stays over ALL docs (adjacency filters after, like
+        # lang filters — exactly QueryEngine.search_phrase_positional)
+        ptoks = tokenize(query)
+        k = len(ptoks)
+        conds = " AND ".join(
+            f"toks[CAST(i AS BIGINT) + {j}] = '{t}'" for j, t in enumerate(ptoks)
+        )
+        filt += (
+            "\n  AND doc_id IN (SELECT doc_id FROM tok"
+            f" WHERE len(toks) >= {k} AND EXISTS ("
+            f"SELECT 1 FROM UNNEST(range(1, len(toks) - {k} + 2)) AS u(i)"
+            f" WHERE {conds}))"
+        )
     if facet:
         final = "SELECT lang, count(*) AS n_docs FROM kept GROUP BY lang ORDER BY lang"
     elif mlt_src is not None:
@@ -2502,6 +2548,7 @@ def build_oracle_sql() -> Dict[str, str]:
             BM25_QUERY, limit=20, required=["join"], excluded=["hash"]
         ),
         "more_like_this": bm25_sql("", limit=20, mlt_src=MLT_SRC_DOC),
+        "phrase_positional": bm25_sql(PHRASE_POS_QUERY, limit=20, phrase_adjacent=True),
         "dedup_exact": """
             SELECT min(doc_id) AS doc_id, count(*) AS n
             FROM documents GROUP BY text ORDER BY doc_id

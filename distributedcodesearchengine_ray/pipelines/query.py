@@ -155,6 +155,23 @@ class IndexShard:
                 if any_dead:
                     self.alive = alive
 
+        # positional postings (opt-in at build): rows align 1:1 with each
+        # partition's postings rows, so term_row indexes both tables
+        self.has_positions = False
+        pos_dir = os.path.join(index_dir, "positions")
+        if os.path.isdir(pos_dir) and self.parts:
+            ok = True
+            for p in self.parts:
+                fp = os.path.join(pos_dir, f"part-{p['pid']:05d}.parquet")
+                if not os.path.exists(fp):
+                    ok = False
+                    break
+                p["pos_enc"] = pq.read_table(fp, columns=["positions"])[
+                    "positions"
+                ].to_pylist()
+            self.has_positions = ok
+        self._pos_decoded: Dict[Tuple[int, int], tuple] = {}
+
     def ping(self) -> int:
         return self.n_local
 
@@ -358,6 +375,114 @@ class IndexShard:
                     ptrs[i] = int(np.searchsorted(e["local"], pivot_doc, side="left"))
         out = sorted(((s, -nl) for s, nl in heap), key=lambda x: (-x[0], x[1]))
         return unfiltered_max, [(doc, s) for s, doc in out]
+
+    def _positions(self, part_idx: int, row: int):
+        """Decoded positional postings for (partition, term row):
+        ``(local_idx, starts, pos)`` — entry j's token positions are
+        ``pos[starts[j]:starts[j+1]]``, ascending.  Cached like
+        ``_postings``."""
+        key = (part_idx, row)
+        hit = self._pos_decoded.get(key)
+        if hit is not None:
+            return hit
+        p = self.parts[part_idx]
+        ids = delta_varint_decode(p["doc_ids_enc"][row])
+        tfs = varint_decode(p["tfs_enc"][row]).astype(np.int64)
+        deltas = varint_decode(p["pos_enc"][row]).astype(np.int64)
+        gs = np.concatenate(([0], np.cumsum(tfs)[:-1]))
+        cs = np.cumsum(deltas)
+        base = cs[gs] - deltas[gs]
+        pos = cs - np.repeat(base, tfs)
+        local = (ids - p["doc_lo"]) + p["local_base"]
+        starts = np.concatenate((gs, [len(deltas)]))
+        out = (local, starts, pos)
+        if len(self._pos_decoded) >= self._CACHE_CAP:
+            self._pos_decoded.pop(next(iter(self._pos_decoded)))
+        self._pos_decoded[key] = out
+        return out
+
+    def phrase_adjacency_local(self, phrase_tokens: List[str]) -> np.ndarray:
+        """Ascending local indices of ALIVE docs containing the exact token
+        sequence (Lucene-PhraseQuery adjacency over the code tokenizer's
+        token stream).  Evaluates the RAREST token first and restricts
+        every later token to the surviving candidate docs, so the per-doc
+        work is bounded by the rarest token's df, not a hot token's."""
+        if not self.has_positions:
+            raise RuntimeError("index was built without with_positions=True")
+        if not phrase_tokens:
+            return np.empty(0, dtype=np.int64)
+        # gather each token's (partition, row) entries + posting length
+        tok_entries = []
+        for k, tok in enumerate(phrase_tokens):
+            entries = []
+            total = 0
+            for pi in range(len(self.parts)):
+                row = self.parts[pi]["term_row"].get(tok)
+                if row is not None:
+                    entries.append((pi, row))
+                    total += len(self._postings(pi, row)[0])
+            if total == 0:
+                return np.empty(0, dtype=np.int64)
+            tok_entries.append((k, entries, total))
+        tok_entries.sort(key=lambda e: e[2])  # rarest first
+
+        cand: Optional[Dict[int, np.ndarray]] = None  # local -> start positions
+        for k, entries, _ in tok_entries:
+            tok_docs: Dict[int, np.ndarray] = {}
+            for pi, row in entries:
+                local, starts, pos = self._positions(pi, row)
+                for j in range(len(local)):
+                    d = int(local[j])
+                    if cand is not None and d not in cand:
+                        continue
+                    tok_docs[d] = pos[starts[j] : starts[j + 1]] - k
+            if cand is None:
+                cand = tok_docs
+            else:
+                cand = {
+                    d: np.intersect1d(v, tok_docs[d], assume_unique=True)
+                    for d, v in cand.items()
+                    if d in tok_docs
+                }
+                cand = {d: v for d, v in cand.items() if len(v)}
+            if not cand:
+                return np.empty(0, dtype=np.int64)
+        out = np.array(sorted(cand), dtype=np.int64)
+        if self.alive is not None and len(out):
+            out = out[self.alive[out]]
+        return out
+
+    def search_positional(
+        self,
+        phrase_tokens: List[str],
+        idfs: Dict[str, float],
+        limit: int,
+        filters: Optional[Dict[str, str]] = None,
+    ) -> Tuple[float, List[dict]]:
+        """Positional phrase search: BM25 over the phrase's tokens,
+        restricted to docs where they appear adjacently in order.  Same
+        return contract as ``search`` (unfiltered local max + top rows) so
+        the driver's threshold/merge applies unchanged."""
+        if self.n_local == 0:
+            return 0.0, []
+        scores = self._dense_scores(phrase_tokens, idfs)
+        if self.alive is None:
+            local_max = float(scores.max()) if len(scores) else 0.0
+        else:
+            live = scores[self.alive]
+            local_max = float(live.max()) if len(live) else 0.0
+        cand = self.phrase_adjacency_local(phrase_tokens)
+        if len(cand) == 0:
+            return local_max, []
+        cand = cand[self._filter_mask(filters, cand)]
+        if len(cand) == 0:
+            return local_max, []
+        order = np.lexsort((self._doc_ids[cand], -scores[cand]))[:limit]
+        cand = cand[order]
+        return local_max, [
+            {"doc_id": int(self._doc_ids[i]), "score": float(scores[i]), "_local": int(i)}
+            for i in cand
+        ]
 
     def _contains_mask(self, term: str) -> np.ndarray:
         """Boolean membership vector over this shard's local docs: True
@@ -1027,6 +1152,43 @@ class QueryEngine:
                 {"doc_id": r["doc_id"], "score": r["score"]} for r in rows[:lim]
             ]
         return results
+
+    def search_phrase_positional(
+        self,
+        phrase: str,
+        limit: int = 20,
+        filters: Optional[Dict[str, str]] = None,
+    ) -> List[dict]:
+        """Positional phrase search (requires ``with_positions=True`` at
+        build): docs whose token stream contains ``tokenize(phrase)``
+        adjacently in order, BM25-ranked over those tokens with the
+        standard threshold/merge.  Token-ADJACENCY semantics (Lucene
+        PhraseQuery) — distinct from quoted-phrase ``search``, which
+        requires the raw phrase verbatim in the text."""
+        import ray
+
+        if not self.manifest.extra.get("positions"):
+            raise RuntimeError(
+                "index was built without positions; rebuild with "
+                "with_positions=True to use positional phrase search"
+            )
+        toks = tokenize(phrase)
+        if not toks:
+            return []
+        q_idfs = self.lexicon.idfs(toks)
+        parts = ray.get(
+            [
+                a.search_positional.remote(toks, q_idfs, max(limit, 1), filters)
+                for a in self.actors
+            ]
+        )
+        global_max = max((m for m, _ in parts), default=0.0)
+        rows = [r for _, rs in parts for r in rs]
+        if global_max > 0:
+            min_score = global_max * 0.01
+            rows = [r for r in rows if r["score"] >= min_score]
+        rows.sort(key=lambda r: (-r["score"], r["doc_id"]))
+        return [{"doc_id": r["doc_id"], "score": r["score"]} for r in rows[:limit]]
 
     def more_like_this(
         self,

@@ -1,0 +1,186 @@
+"""Positional phrase search vs a brute-force token-adjacency oracle,
+plus position-codec round-trip and build/append integration."""
+
+import os
+import shutil
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BASE = "/tmp/rcs_pos"
+PHRASES = ["parse json data", "send http request", "user", "http request"]
+
+
+@pytest.fixture(scope="module")
+def pos_index(ray_session):
+    from distributedcodesearchengine_ray.pipelines.build_index import build_index
+    from distributedcodesearchengine_ray.sources.corpus import write_corpus
+
+    shutil.rmtree(BASE, ignore_errors=True)
+    write_corpus(f"{BASE}/corpus", n_files=300, seed=23, num_shards=3)
+    build_index(
+        f"{BASE}/corpus", f"{BASE}/idx", mode="entity",
+        docs_per_partition=80, resume=False, with_positions=True,
+    )
+    return f"{BASE}/idx"
+
+
+def _brute_adjacent(doc_tokens, phrase_tokens):
+    k = len(phrase_tokens)
+    return any(
+        doc_tokens[i : i + k] == phrase_tokens
+        for i in range(len(doc_tokens) - k + 1)
+    )
+
+
+def _oracle_docs(index_dir, phrase):
+    """All doc_ids whose tokenized doc_text contains the phrase tokens
+    adjacently — recomputed from docmeta + the entity doc projection."""
+    import pyarrow.parquet as pq
+
+    from distributedcodesearchengine_ray.functions.tokenizer import tokenize
+    from distributedcodesearchengine_ray.pipelines.build_index import (
+        _entity_doc_text,
+    )
+
+    ptoks = tokenize(phrase)
+    hits = set()
+    meta_dir = os.path.join(index_dir, "docmeta")
+    for f in sorted(os.listdir(meta_dir)):
+        t = pq.read_table(os.path.join(meta_dir, f))
+        texts = _entity_doc_text(t).to_pylist()
+        for did, txt in zip(t["doc_id"].to_pylist(), texts):
+            if _brute_adjacent(tokenize(txt), ptoks):
+                hits.add(did)
+    return hits, ptoks
+
+
+def test_positional_matches_bruteforce(ray_session, pos_index):
+    from distributedcodesearchengine_ray.pipelines.query import QueryEngine
+
+    eng = QueryEngine(pos_index, num_actors=2)
+    try:
+        for phrase in PHRASES:
+            truth, ptoks = _oracle_docs(pos_index, phrase)
+            got = eng.search_phrase_positional(phrase, limit=10_000)
+            got_ids = {r["doc_id"] for r in got}
+            # the engine applies the max*0.01 threshold; the oracle set is
+            # un-thresholded, so engine hits must be a subset that contains
+            # every truth doc passing the threshold.  With positive idfs at
+            # this corpus the threshold drops nothing containing ALL tokens
+            assert got_ids == truth, phrase
+            # ranked by (-score, doc_id)
+            scores = [r["score"] for r in got]
+            assert scores == sorted(scores, reverse=True)
+    finally:
+        eng.close()
+
+
+def test_positional_is_stricter_than_bag(ray_session, pos_index):
+    """Every positional hit also appears in the plain BM25 result set for
+    the same tokens, and adjacency is genuinely stricter for multi-token
+    phrases (on this corpus the generated texts shuffle word order)."""
+    from distributedcodesearchengine_ray.pipelines.query import QueryEngine
+
+    eng = QueryEngine(pos_index, num_actors=2)
+    try:
+        phrase = "parse json data"
+        pos_hits = {r["doc_id"] for r in eng.search_phrase_positional(phrase, limit=10_000)}
+        bag_hits = {r["doc_id"] for r in eng.search(phrase, limit=10_000)}
+        assert pos_hits <= bag_hits
+    finally:
+        eng.close()
+
+
+def test_positions_roundtrip_positions_exact(ray_session, pos_index):
+    """Decode a few terms' positional postings and compare against the
+    tokenizer's actual token positions."""
+    from distributedcodesearchengine_ray.functions.tokenizer import tokenize
+    from distributedcodesearchengine_ray.pipelines.build_index import (
+        _entity_doc_text,
+    )
+    from distributedcodesearchengine_ray.pipelines.query import IndexShard
+    from distributedcodesearchengine_ray.state.manifest import IndexManifest
+
+    import pyarrow.parquet as pq
+
+    m = IndexManifest.load(pos_index)
+    shard = IndexShard(pos_index, [p.part_id for p in m.partitions])
+    meta_dir = os.path.join(pos_index, "docmeta")
+    toks_by_doc = {}
+    for f in sorted(os.listdir(meta_dir)):
+        t = pq.read_table(os.path.join(meta_dir, f))
+        for did, txt in zip(t["doc_id"].to_pylist(), _entity_doc_text(t).to_pylist()):
+            toks_by_doc[did] = tokenize(txt)
+
+    checked = 0
+    for pi, p in enumerate(shard.parts):
+        for term, row in list(p["term_row"].items())[:25]:
+            local, starts, pos = shard._positions(pi, row)
+            for j in range(len(local)):
+                did = int(shard._doc_ids[local[j]])
+                expect = [i for i, tk in enumerate(toks_by_doc[did]) if tk == term]
+                assert pos[starts[j] : starts[j + 1]].tolist() == expect, (term, did)
+                checked += 1
+        break  # one partition is plenty
+    assert checked > 50
+
+
+def test_positional_requires_flag(ray_session):
+    from distributedcodesearchengine_ray.pipelines.build_index import build_index
+    from distributedcodesearchengine_ray.pipelines.query import QueryEngine
+    from distributedcodesearchengine_ray.sources.corpus import write_corpus
+
+    write_corpus(f"{BASE}/corpus2", n_files=60, seed=5, num_shards=1)
+    build_index(
+        f"{BASE}/corpus2", f"{BASE}/idx_nopos", mode="entity",
+        docs_per_partition=50, resume=False,
+    )
+    eng = QueryEngine(f"{BASE}/idx_nopos", num_actors=1)
+    try:
+        with pytest.raises(RuntimeError, match="positions"):
+            eng.search_phrase_positional("parse json")
+    finally:
+        eng.close()
+
+
+def test_append_carries_positions(ray_session, pos_index):
+    """append_index onto a positional index writes positions for the new
+    partitions, and the appended docs are positionally searchable."""
+    import pyarrow.parquet as pq
+
+    from distributedcodesearchengine_ray.pipelines.build_index import append_index
+    from distributedcodesearchengine_ray.pipelines.query import QueryEngine
+    from distributedcodesearchengine_ray.sources.corpus import (
+        _rows_to_table,
+        gen_corpus_row,
+    )
+
+    shutil.copytree(pos_index, f"{BASE}/idx_app")
+    app = f"{BASE}/app_corpus"
+    os.makedirs(app, exist_ok=True)
+    pq.write_table(
+        _rows_to_table([gen_corpus_row(i, 23, 2) for i in range(300, 340)]),
+        os.path.join(app, "part-00000.parquet"),
+    )
+    m = append_index(f"{BASE}/idx_app", app, docs_per_partition=80)
+    pos_files = os.listdir(os.path.join(f"{BASE}/idx_app", "positions"))
+    assert len(pos_files) == len(m.partitions)
+    eng = QueryEngine(f"{BASE}/idx_app", num_actors=2)
+    try:
+        truth, _ = _oracle_docs(f"{BASE}/idx_app", "parse json data")
+        got = {r["doc_id"] for r in eng.search_phrase_positional("parse json data", limit=10_000)}
+        assert got == truth
+    finally:
+        eng.close()
+
+
+def test_compact_guard_on_positional(ray_session, pos_index):
+    from distributedcodesearchengine_ray.pipelines.build_index import compact_index
+
+    shutil.copytree(pos_index, f"{BASE}/idx_compact_guard")
+    with pytest.raises(NotImplementedError, match="position"):
+        compact_index(f"{BASE}/idx_compact_guard")

@@ -60,6 +60,10 @@ def main(argv=None) -> int:
         "--dedup-on-insert", action="store_true",
         help="with --append: drop files whose exact content is already indexed",
     )
+    pi.add_argument(
+        "--positions", action="store_true",
+        help="also build per-term position postings (positional phrase search)",
+    )
 
     ps = sub.add_parser("search", help="BM25 / hybrid search")
     ps.add_argument("query")
@@ -75,6 +79,16 @@ def main(argv=None) -> int:
         metavar="COL",
         help="print COL value counts over the full thresholded result set "
         "instead of ranked hits (e.g. --facets language)",
+    )
+    ps.add_argument(
+        "--positional", action="store_true",
+        help="positional phrase search: the query tokens must appear "
+        "adjacently in order (needs an index built with --positions)",
+    )
+    ps.add_argument(
+        "--slop", type=int, default=0,
+        help="with --positional: allow up to SLOP skipped tokens between "
+        "consecutive phrase tokens (ordered proximity)",
     )
     ps.add_argument(
         "--ann", choices=["exact", "lsh", "ivf"], default="exact",
@@ -432,6 +446,7 @@ def main(argv=None) -> int:
                     resume=not args.no_resume,
                     with_embeddings=args.embeddings,
                     docs_per_partition=args.docs_per_partition,
+                    with_positions=args.positions,
                 )
             print(
                 json.dumps(
@@ -445,6 +460,35 @@ def main(argv=None) -> int:
                     }
                 )
             )
+        elif args.cmd == "search" and args.positional:
+            qe = eng._bm25()
+            filters = {}
+            if args.language:
+                filters["language"] = args.language
+            if args.entity_type:
+                filters["entity_type"] = args.entity_type
+            if args.repo:
+                filters["repo_name"] = args.repo
+            hits = qe.search_phrase_positional(
+                args.query, limit=args.limit, filters=filters or None,
+                slop=args.slop,
+            )
+            df = qe.hits_with_meta(hits)
+            for rank, row in enumerate(df.to_dict("records")):
+                print(
+                    json.dumps(
+                        {
+                            "rank": rank,
+                            **{
+                                k: row.get(k)
+                                for k in ("doc_id", "score", "name", "path",
+                                          "file_path", "signature")
+                                if k in row
+                            },
+                        },
+                        default=str,
+                    )
+                )
         elif args.cmd == "search" and args.facets:
             counts = eng.facets(
                 args.query,

@@ -401,56 +401,75 @@ class IndexShard:
         self._pos_decoded[key] = out
         return out
 
-    def phrase_adjacency_local(self, phrase_tokens: List[str]) -> np.ndarray:
-        """Ascending local indices of ALIVE docs containing the exact token
-        sequence (Lucene-PhraseQuery adjacency over the code tokenizer's
-        token stream).  Evaluates the RAREST token first and restricts
-        every later token to the surviving candidate docs, so the per-doc
+    def phrase_adjacency_local(
+        self, phrase_tokens: List[str], slop: int = 0
+    ) -> np.ndarray:
+        """Ascending local indices of ALIVE docs containing the token
+        sequence in order with inter-token gaps <= ``slop + 1``
+        (``slop=0`` = exact Lucene-PhraseQuery adjacency; ``slop>0`` =
+        ordered proximity).  Candidate docs are pre-filtered by
+        intersecting doc sets RAREST token first, so per-doc positional
         work is bounded by the rarest token's df, not a hot token's."""
         if not self.has_positions:
             raise RuntimeError("index was built without with_positions=True")
         if not phrase_tokens:
             return np.empty(0, dtype=np.int64)
-        # gather each token's (partition, row) entries + posting length
-        tok_entries = []
-        for k, tok in enumerate(phrase_tokens):
-            entries = []
-            total = 0
+        empty = np.empty(0, dtype=np.int64)
+        tok_lists = []  # per phrase token: [(local, starts, pos), ...]
+        for tok in phrase_tokens:
+            per = []
             for pi in range(len(self.parts)):
                 row = self.parts[pi]["term_row"].get(tok)
                 if row is not None:
-                    entries.append((pi, row))
-                    total += len(self._postings(pi, row)[0])
-            if total == 0:
-                return np.empty(0, dtype=np.int64)
-            tok_entries.append((k, entries, total))
-        tok_entries.sort(key=lambda e: e[2])  # rarest first
+                    per.append(self._positions(pi, row))
+            if not per:
+                return empty
+            tok_lists.append(per)
 
-        cand: Optional[Dict[int, np.ndarray]] = None  # local -> start positions
-        for k, entries, _ in tok_entries:
-            tok_docs: Dict[int, np.ndarray] = {}
-            for pi, row in entries:
-                local, starts, pos = self._positions(pi, row)
+        doc_sets = [
+            np.concatenate([e[0] for e in per]) for per in tok_lists
+        ]  # ascending: partitions concatenate in local order
+        cand = None
+        for i in np.argsort([len(d) for d in doc_sets]):  # rarest first
+            cand = (
+                doc_sets[i]
+                if cand is None
+                else np.intersect1d(cand, doc_sets[i], assume_unique=False)
+            )
+            if not len(cand):
+                return empty
+        cand_set = set(cand.tolist())
+        pos_maps: List[Dict[int, np.ndarray]] = []
+        for per in tok_lists:
+            m: Dict[int, np.ndarray] = {}
+            for local, starts, pos in per:
                 for j in range(len(local)):
                     d = int(local[j])
-                    if cand is not None and d not in cand:
-                        continue
-                    tok_docs[d] = pos[starts[j] : starts[j + 1]] - k
-            if cand is None:
-                cand = tok_docs
+                    if d in cand_set:
+                        m[d] = pos[starts[j] : starts[j + 1]]
+            pos_maps.append(m)
+
+        win = slop + 1
+        out = []
+        for d in cand.tolist():
+            prev = pos_maps[0][d]
+            for m in pos_maps[1:]:
+                q = m[d]
+                # exists p in prev with 1 <= q - p <= win  <=>  some
+                # prev value lies in [q - win, q - 1]
+                idx = np.searchsorted(prev, q - win, side="left")
+                keep = (idx < len(prev)) & (
+                    prev[np.minimum(idx, len(prev) - 1)] <= q - 1
+                )
+                prev = q[keep]
+                if not len(prev):
+                    break
             else:
-                cand = {
-                    d: np.intersect1d(v, tok_docs[d], assume_unique=True)
-                    for d, v in cand.items()
-                    if d in tok_docs
-                }
-                cand = {d: v for d, v in cand.items() if len(v)}
-            if not cand:
-                return np.empty(0, dtype=np.int64)
-        out = np.array(sorted(cand), dtype=np.int64)
-        if self.alive is not None and len(out):
-            out = out[self.alive[out]]
-        return out
+                out.append(d)
+        arr = np.array(out, dtype=np.int64)
+        if self.alive is not None and len(arr):
+            arr = arr[self.alive[arr]]
+        return arr
 
     def search_positional(
         self,
@@ -458,6 +477,7 @@ class IndexShard:
         idfs: Dict[str, float],
         limit: int,
         filters: Optional[Dict[str, str]] = None,
+        slop: int = 0,
     ) -> Tuple[float, List[dict]]:
         """Positional phrase search: BM25 over the phrase's tokens,
         restricted to docs where they appear adjacently in order.  Same
@@ -471,7 +491,7 @@ class IndexShard:
         else:
             live = scores[self.alive]
             local_max = float(live.max()) if len(live) else 0.0
-        cand = self.phrase_adjacency_local(phrase_tokens)
+        cand = self.phrase_adjacency_local(phrase_tokens, slop=slop)
         if len(cand) == 0:
             return local_max, []
         cand = cand[self._filter_mask(filters, cand)]
@@ -1158,6 +1178,7 @@ class QueryEngine:
         phrase: str,
         limit: int = 20,
         filters: Optional[Dict[str, str]] = None,
+        slop: int = 0,
     ) -> List[dict]:
         """Positional phrase search (requires ``with_positions=True`` at
         build): docs whose token stream contains ``tokenize(phrase)``
@@ -1178,7 +1199,7 @@ class QueryEngine:
         q_idfs = self.lexicon.idfs(toks)
         parts = ray.get(
             [
-                a.search_positional.remote(toks, q_idfs, max(limit, 1), filters)
+                a.search_positional.remote(toks, q_idfs, max(limit, 1), filters, slop)
                 for a in self.actors
             ]
         )

@@ -129,6 +129,59 @@ def test_positions_roundtrip_positions_exact(ray_session, pos_index):
     assert checked > 50
 
 
+def _brute_slop(doc_tokens, phrase_tokens, slop):
+    """Ordered proximity: increasing positions with gaps <= slop + 1."""
+    k = len(phrase_tokens)
+    win = slop + 1
+    prev = [i for i, t in enumerate(doc_tokens) if t == phrase_tokens[0]]
+    for j in range(1, k):
+        cur = [
+            q
+            for q, t in enumerate(doc_tokens)
+            if t == phrase_tokens[j] and any(1 <= q - p <= win for p in prev)
+        ]
+        if not cur:
+            return False
+        prev = cur
+    return bool(prev)
+
+
+def test_slop_matches_bruteforce(ray_session, pos_index):
+    import pyarrow.parquet as pq
+
+    from distributedcodesearchengine_ray.functions.tokenizer import tokenize
+    from distributedcodesearchengine_ray.pipelines.build_index import (
+        _entity_doc_text,
+    )
+    from distributedcodesearchengine_ray.pipelines.query import QueryEngine
+
+    toks_by_doc = {}
+    meta_dir = os.path.join(pos_index, "docmeta")
+    for f in sorted(os.listdir(meta_dir)):
+        t = pq.read_table(os.path.join(meta_dir, f))
+        for did, txt in zip(t["doc_id"].to_pylist(), _entity_doc_text(t).to_pylist()):
+            toks_by_doc[did] = tokenize(txt)
+
+    eng = QueryEngine(pos_index, num_actors=2)
+    try:
+        for phrase, slop in (("parse data", 1), ("parse json data", 2), ("send request", 3)):
+            ptoks = tokenize(phrase)
+            truth = {d for d, tk in toks_by_doc.items() if _brute_slop(tk, ptoks, slop)}
+            got = {
+                r["doc_id"]
+                for r in eng.search_phrase_positional(phrase, limit=10_000, slop=slop)
+            }
+            assert got == truth, (phrase, slop)
+            # slop is monotone: larger windows can only add docs
+            tighter = {
+                r["doc_id"]
+                for r in eng.search_phrase_positional(phrase, limit=10_000, slop=0)
+            }
+            assert tighter <= got, (phrase, slop)
+    finally:
+        eng.close()
+
+
 def test_positional_requires_flag(ray_session):
     from distributedcodesearchengine_ray.pipelines.build_index import build_index
     from distributedcodesearchengine_ray.pipelines.query import QueryEngine

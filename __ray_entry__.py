@@ -43,6 +43,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_boolean": Q.bm25_boolean,  # +term/-term operators, shared scoring CTE
         "more_like_this": Q.more_like_this,  # find-similar via top tf*idf terms
         "phrase_positional": Q.phrase_positional,  # positional phrase (token adjacency), BM25+EXISTS oracle
+        "phrase_proximity": Q.phrase_proximity,  # ordered proximity slop=1, gap-constraint oracle
+        "bm25_tombstone": Q.bm25_tombstone,  # BM25 after tombstone delete == never-indexed oracle
         "substring_search": Q.substring_search,  # trigram index + verify, contains() oracle
         "regex_search": Q.regex_search,  # Cox-style required-literal pruning, RE2 oracle
         "grep_lines": Q.grep_lines,  # line-level grep, zipped-unnest oracle

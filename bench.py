@@ -202,6 +202,7 @@ def run_bench() -> dict:
         ("regex_search", Q.regex_search),
         ("bm25_topk", Q.bm25_topk),
         ("phrase_positional", Q.phrase_positional),
+        ("bm25_tombstone", Q.bm25_tombstone),
         ("term_df_top100", Q.term_df_top100),
         ("dedup_exact", Q.dedup_exact),
         ("minhash_near_dups", Q.minhash_near_dups),

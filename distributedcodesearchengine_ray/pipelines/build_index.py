@@ -787,6 +787,32 @@ def build_index(
     summaries = pd.DataFrame(ray.get([build_one.remote(p) for p in live_parts]))
     _mark("partition_build")
     total_tokens = int(summaries["total_tokens"].sum())
+
+    # a resumed build over an index that has since been TOMBSTONE-deleted
+    # (same build_id: partitions + tombstones + lex_ddf all survive the
+    # resume check) must carry the delete corrections — recomputing the
+    # scalars from the full partition files while lex_ddf still subtracts
+    # df would mix alive df with pre-delete N/avgdl
+    tomb_extra: Dict = {}
+    old_mpath = os.path.join(index_dir, "manifest.json")
+    if resume and os.path.exists(old_mpath):
+        try:
+            old_m = IndexManifest.load(index_dir)
+        except (ValueError, KeyError, OSError, TypeError):
+            old_m = None
+        if (
+            old_m is not None
+            and old_m.build_id == build_id
+            and old_m.extra.get("deletes")
+            and os.path.isdir(os.path.join(index_dir, "tombstones"))
+        ):
+            n_docs -= int(old_m.extra.get("tombstoned_docs", 0))
+            total_tokens -= int(old_m.extra.get("dead_tokens", 0))
+            tomb_extra = {
+                k: old_m.extra[k]
+                for k in ("deletes", "tombstoned_docs", "dead_tokens")
+                if k in old_m.extra
+            }
     avgdl = total_tokens / n_docs
 
     # --- pass D: global lexicon (shared with append_index)
@@ -820,6 +846,7 @@ def build_index(
             # file-mode phrase verification reads raw content back from the
             # corpus (docmeta stores no text); recorded when given as a path
             "corpus_dir": corpus_path,
+            **tomb_extra,
         },
     )
     manifest.save(index_dir)
@@ -1118,6 +1145,11 @@ def append_index(
     bnd_arr = np.array(boundaries, dtype=object)
     p_old = manifest.num_partitions
     n_old = manifest.n_docs
+    # id watermark: ids continue past the highest EXISTING id, which is
+    # NOT n_docs once tombstone deletes leave gaps (n_docs counts alive
+    # docs; reusing a dead doc's id would collide at the next delete or
+    # resurrect it through the tombstone mask)
+    id_watermark = max((p.doc_hi for p in manifest.partitions), default=n_old)
     P = len(boundaries) + 1
 
     # --- optional J2 dedup-on-insert at FILE granularity, BEFORE extract
@@ -1241,7 +1273,7 @@ def append_index(
 
     # global pids/offsets continue where the index left off
     offsets = {}
-    acc = n_old
+    acc = id_watermark
     for p in range(P):
         offsets[p_old + p] = acc
         acc += int(counts_vec[p])
@@ -1639,6 +1671,10 @@ def tombstone_delete(
     )
     manifest.extra["tombstoned_docs"] = (
         manifest.extra.get("tombstoned_docs", 0) + n_dead
+    )
+    # cumulative, so a resumed build_index can re-derive alive stats
+    manifest.extra["dead_tokens"] = (
+        manifest.extra.get("dead_tokens", 0) + dead_tokens
     )
     manifest.save(index_dir)
     return manifest

@@ -151,13 +151,19 @@ def spell_suggest(sf_dir: str, term: str = SUGGEST_TERM, max_dist: int = 2):
     )
 
 
-def _documents_index(sf_dir: str, with_positions: bool = False) -> str:
-    """Build (resume-cached) the file-mode BM25 index over documents."""
+def _documents_index(
+    sf_dir: str, with_positions: bool = False, variant: str = ""
+) -> str:
+    """Build (resume-cached) the file-mode BM25 index over documents.
+    ``variant`` names an independent cache copy (e.g. for destructive
+    tombstone-delete queries)."""
     from .build_index import build_index
 
     tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
     if with_positions:
         tag += "-pos"
+    if variant:
+        tag += f"-{variant}"
     idx = f"/tmp/rcs_cache/docidx-{tag}"
     os.makedirs(idx, exist_ok=True)
     ds = _read(sf_dir, "documents")
@@ -240,6 +246,64 @@ def phrase_positional(sf_dir: str, phrase: str = PHRASE_POS_QUERY, limit: int = 
     engine = QueryEngine(idx, num_actors=2)
     try:
         hits = engine.search_phrase_positional(phrase, limit=limit)
+    finally:
+        engine.close()
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(len(hits)), pa.int64()),
+            "doc_id": pa.array([h["doc_id"] for h in hits], pa.int64()),
+            "score_micro": pa.array(_micro([h["score"] for h in hits]), pa.int64()),
+        }
+    )
+
+
+PHRASE_PROX_QUERY, PHRASE_PROX_SLOP = "stream data", 1
+
+
+def phrase_proximity(sf_dir: str):
+    """Ordered-proximity phrase search (slop=1): phrase tokens in order
+    with at most one skipped token between neighbours.  Same positional
+    machinery as phrase_positional; oracle uses the multi-index-variable
+    gap-constraint EXISTS."""
+    from .query import QueryEngine
+
+    idx = _documents_index(sf_dir, with_positions=True)
+    engine = QueryEngine(idx, num_actors=2)
+    try:
+        hits = engine.search_phrase_positional(
+            PHRASE_PROX_QUERY, limit=20, slop=PHRASE_PROX_SLOP
+        )
+    finally:
+        engine.close()
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(len(hits)), pa.int64()),
+            "doc_id": pa.array([h["doc_id"] for h in hits], pa.int64()),
+            "score_micro": pa.array(_micro([h["score"] for h in hits]), pa.int64()),
+        }
+    )
+
+
+TOMBSTONE_LANG = "de"
+
+
+def bm25_tombstone(sf_dir: str, query: str = BM25_QUERY, limit: int = 20):
+    """BM25 top-k AFTER a tombstone delete of every lang='de' doc: partition
+    files byte-untouched, alive mask + lex_ddf-corrected lexicon.  Oracle:
+    the same BM25 SQL computed over ``documents WHERE lang <> 'de'`` — the
+    delete must be indistinguishable from never having indexed those docs
+    (surviving docs keep their original ids, so doc_id compares directly)."""
+    from .build_index import tombstone_delete
+    from .query import QueryEngine
+
+    idx = _documents_index(sf_dir, variant="tomb")
+    marker = os.path.join(idx, "_TOMB_DE")
+    if not os.path.exists(marker):
+        tombstone_delete(idx, "lang", TOMBSTONE_LANG)
+        open(marker, "w").write("ok")
+    engine = QueryEngine(idx, num_actors=2)
+    try:
+        hits = engine.search(query, limit=limit)
     finally:
         engine.close()
     return pa.table(
@@ -382,6 +446,8 @@ def bm25_sql(
     required: Optional[List[str]] = None,
     excluded: Optional[List[str]] = None,
     phrase_adjacent: bool = False,
+    slop: int = 0,
+    corpus_where: Optional[str] = None,
 ) -> str:
     """Pure-SQL BM25Okapi (k1=1.5 b=0.75 eps=0.25) over documents.text.
 
@@ -425,21 +491,41 @@ def bm25_sql(
     for t in excluded or ():
         filt += f"\n  AND doc_id NOT IN (SELECT doc_id FROM tf WHERE term = '{t}')"
     if phrase_adjacent:
-        # ordered-token adjacency (positional phrase): the SQL tokenizer
-        # preserves token order, so toks[i..i+k-1] == phrase tokens.  The
-        # threshold max stays over ALL docs (adjacency filters after, like
-        # lang filters — exactly QueryEngine.search_phrase_positional)
+        # ordered-token adjacency / proximity (positional phrase): the SQL
+        # tokenizer preserves token order.  slop=0: one index variable with
+        # fixed offsets; slop>0: one index variable per token with pairwise
+        # gap constraints 1..slop+1 (the engine's window-chain semantics).
+        # The threshold max stays over ALL docs (adjacency filters after,
+        # like lang filters — exactly QueryEngine.search_phrase_positional)
         ptoks = tokenize(query)
         k = len(ptoks)
-        conds = " AND ".join(
-            f"toks[CAST(i AS BIGINT) + {j}] = '{t}'" for j, t in enumerate(ptoks)
-        )
-        filt += (
-            "\n  AND doc_id IN (SELECT doc_id FROM tok"
-            f" WHERE len(toks) >= {k} AND EXISTS ("
-            f"SELECT 1 FROM UNNEST(range(1, len(toks) - {k} + 2)) AS u(i)"
-            f" WHERE {conds}))"
-        )
+        if slop == 0:
+            conds = " AND ".join(
+                f"toks[CAST(i AS BIGINT) + {j}] = '{t}'" for j, t in enumerate(ptoks)
+            )
+            filt += (
+                "\n  AND doc_id IN (SELECT doc_id FROM tok"
+                f" WHERE len(toks) >= {k} AND EXISTS ("
+                f"SELECT 1 FROM UNNEST(range(1, len(toks) - {k} + 2)) AS u(i)"
+                f" WHERE {conds}))"
+            )
+        else:
+            # positions self-join chain (multiple correlated UNNESTs inside
+            # one EXISTS hit a DuckDB internal error)
+            posn = (
+                "(SELECT doc_id, unnest(toks) AS term,"
+                " generate_subscripts(toks, 1) AS pos FROM tok)"
+            )
+            joins = "".join(
+                f"\n    JOIN {posn} p{j} ON p{j}.doc_id = p0.doc_id"
+                f" AND p{j}.term = '{ptoks[j]}'"
+                f" AND p{j}.pos - p{j - 1}.pos BETWEEN 1 AND {slop + 1}"
+                for j in range(1, k)
+            )
+            filt += (
+                f"\n  AND doc_id IN (SELECT p0.doc_id FROM {posn} p0{joins}"
+                f"\n    WHERE p0.term = '{ptoks[0]}')"
+            )
     if facet:
         final = "SELECT lang, count(*) AS n_docs FROM kept GROUP BY lang ORDER BY lang"
     elif mlt_src is not None:
@@ -455,9 +541,11 @@ ORDER BY score_micro DESC, doc_id ASC LIMIT {limit}"""
        doc_id,
        CAST(floor(score * 1000000 + 0.5) AS BIGINT) AS score_micro
 FROM kept ORDER BY score DESC, doc_id ASC LIMIT {limit}"""
+    corpus_pred = f" WHERE {corpus_where}" if corpus_where else ""
     return f"""
-WITH tok AS (
-  SELECT doc_id, {_tok_sql('text')} AS toks FROM documents
+WITH src AS (SELECT * FROM documents{corpus_pred}),
+tok AS (
+  SELECT doc_id, {_tok_sql('text')} AS toks FROM src
 ),
 stats AS (SELECT count(*) AS n, avg(len(toks)) AS avgdl FROM tok),
 tf AS (
@@ -491,7 +579,7 @@ scores_all AS (
   -- the reference scores EVERY doc (zeros for no-match); the max that feeds
   -- the threshold and the max<=0 keep-all branch both include those zeros
   SELECT d.doc_id, d.lang, COALESCE(s.score, 0) AS score
-  FROM documents d LEFT JOIN scores s ON s.doc_id = d.doc_id
+  FROM src d LEFT JOIN scores s ON s.doc_id = d.doc_id
 ),
 mx AS (SELECT max(score) AS m FROM scores_all),
 kept AS (
@@ -2549,6 +2637,12 @@ def build_oracle_sql() -> Dict[str, str]:
         ),
         "more_like_this": bm25_sql("", limit=20, mlt_src=MLT_SRC_DOC),
         "phrase_positional": bm25_sql(PHRASE_POS_QUERY, limit=20, phrase_adjacent=True),
+        "phrase_proximity": bm25_sql(
+            PHRASE_PROX_QUERY, limit=20, phrase_adjacent=True, slop=PHRASE_PROX_SLOP
+        ),
+        "bm25_tombstone": bm25_sql(
+            BM25_QUERY, limit=20, corpus_where=f"lang <> '{TOMBSTONE_LANG}'"
+        ),
         "dedup_exact": """
             SELECT min(doc_id) AS doc_id, count(*) AS n
             FROM documents GROUP BY text ORDER BY doc_id

@@ -226,6 +226,7 @@ def run_bench() -> dict:
         ("stratified_sample", Q.stratified_sample_q),
         ("decontaminate", Q.decontaminate_q),
         ("line_dedup", Q.line_dedup),
+        ("dup_spans", Q.dup_spans),
         ("global_shuffle", Q.global_shuffle),
         ("training_mix", Q.training_mix),
         ("clean_text", Q.clean_text_q),

@@ -2294,6 +2294,33 @@ def distinct_users_hll(sf_dir: str):
 LINE_CHUNK = 20  # tokens per synthetic "paragraph" for line_dedup
 
 
+DUP_SPAN_WIDTH = 8
+
+
+def dup_spans(sf_dir: str):
+    """Per-doc duplicated-span statistics (the exact-substring dedup
+    shape of Lee et al. 2022 over fixed-width whitespace-token windows):
+    ``n_spans`` = number of ``DUP_SPAN_WIDTH``-token windows in the doc,
+    ``n_dup_spans`` = how many of them occur >= 2 times corpus-wide
+    (across docs or repeated within one).  Oracle: exploded window texts
+    + GROUP BY span + FILTER count."""
+    from ..stages.spans import dup_span_stats
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = (
+        dup_span_stats(ds, width=DUP_SPAN_WIDTH)
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    return pa.table(
+        {
+            "doc_id": pa.array(out["doc_id"], pa.int64()),
+            "n_spans": pa.array(out["n_spans"], pa.int64()),
+            "n_dup_spans": pa.array(out["n_dup_spans"], pa.int64()),
+        }
+    )
+
+
 def line_dedup(sf_dir: str):
     """CCNet-style corpus-wide paragraph dedup: texts are chunked into
     20-token lines (deterministic, same expression in the oracle), then
@@ -3275,6 +3302,32 @@ def build_oracle_sql() -> Dict[str, str]:
             LIMIT {COOC_TOP_N}
         """,
         "doc_pagerank": _pagerank_sql(PAGERANK_ITERS),
+        "dup_spans": f"""
+            WITH tok AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(text, '\\s+'),
+                                 x -> length(x) > 0) AS toks
+              FROM documents
+            ), spans AS (
+              SELECT doc_id,
+                     array_to_string(
+                       toks[CAST(i AS BIGINT):CAST(i + {DUP_SPAN_WIDTH} - 1 AS BIGINT)],
+                       ' ') AS span
+              FROM tok, unnest(generate_series(1, len(toks) - {DUP_SPAN_WIDTH} + 1)) AS g(i)
+              WHERE len(toks) >= {DUP_SPAN_WIDTH}
+            ), cnt AS (SELECT span, count(*) AS c FROM spans GROUP BY span),
+            per_doc AS (
+              SELECT s.doc_id,
+                     CAST(count(*) AS BIGINT) AS n_spans,
+                     CAST(count(*) FILTER (WHERE cnt.c >= 2) AS BIGINT) AS n_dup_spans
+              FROM spans s JOIN cnt ON cnt.span = s.span GROUP BY s.doc_id
+            )
+            SELECT d.doc_id,
+                   COALESCE(p.n_spans, 0) AS n_spans,
+                   COALESCE(p.n_dup_spans, 0) AS n_dup_spans
+            FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+            ORDER BY d.doc_id
+        """,
         "line_dedup": f"""
             WITH toks AS (
               SELECT doc_id,

@@ -94,6 +94,13 @@ def main(argv=None) -> int:
         "--ann", choices=["exact", "lsh", "ivf"], default="exact",
         help="semantic-side strategy for --hybrid (lsh/ivf need the matching embeddings layout)",
     )
+    ps.add_argument(
+        "--expand", action="store_true",
+        help="pseudo-relevance-feedback expansion (RM3): top feedback docs "
+        "contribute their strongest tf*idf terms to the query before re-ranking",
+    )
+    ps.add_argument("--fb-k", type=int, default=10, help="with --expand: feedback depth")
+    ps.add_argument("--n-exp", type=int, default=10, help="with --expand: expansion terms")
 
     pm = sub.add_parser("similar", help="find docs similar to doc_id (more-like-this)")
     pm.add_argument("doc_id", type=int)
@@ -504,15 +511,26 @@ def main(argv=None) -> int:
                 )
             )
         elif args.cmd == "search":
-            hits = eng.search(
-                args.query,
-                limit=args.limit,
-                language=args.language,
-                entity_type=args.entity_type,
-                repo_filter=args.repo,
-                use_hybrid=args.hybrid,
-                method=args.method,
-            )
+            if args.expand:
+                hits = eng.search_expanded(
+                    args.query,
+                    limit=args.limit,
+                    fb_k=args.fb_k,
+                    n_exp=args.n_exp,
+                    language=args.language,
+                    entity_type=args.entity_type,
+                    repo_filter=args.repo,
+                )
+            else:
+                hits = eng.search(
+                    args.query,
+                    limit=args.limit,
+                    language=args.language,
+                    entity_type=args.entity_type,
+                    repo_filter=args.repo,
+                    use_hybrid=args.hybrid,
+                    method=args.method,
+                )
             for h in hits:
                 print(
                     json.dumps(

@@ -190,6 +190,44 @@ class CodeSearchEngine:
             h["highlights"] = _highlights(h)
         return hits
 
+    def search_expanded(
+        self,
+        query: str,
+        limit: int = 20,
+        fb_k: int = 10,
+        n_exp: int = 10,
+        language: Optional[str] = None,
+        entity_type: Optional[str] = None,
+        repo_filter: Optional[str] = None,
+        normalize: bool = True,
+    ) -> List[dict]:
+        """Pseudo-relevance-feedback search (RM3/Rocchio shape): the top
+        ``fb_k`` BM25 hits contribute their ``n_exp`` strongest non-query
+        terms (summed tf*idf) to an expanded query, re-ranked with
+        ordinary BM25; hits joined to metadata + highlights like
+        ``search``."""
+        filters: Dict[str, str] = {}
+        if language:
+            filters["language"] = language
+        if entity_type:
+            filters["entity_type"] = entity_type
+        if repo_filter:
+            filters["repo_name"] = repo_filter
+        qe = self._bm25()
+        raw = qe.search_rm3(
+            query, limit=limit, fb_k=fb_k, n_exp=n_exp, filters=filters or None
+        )
+        df = qe.hits_with_meta(raw)
+        hits = df.to_dict("records")
+        if hits and normalize:
+            top = hits[0]["score"] if hits[0]["score"] > 0 else 1.0
+            for h in hits:
+                h["bm25_score"] = h["score"]
+                h["score"] = h["score"] / top
+        for h in hits:
+            h["highlights"] = _highlights(h)
+        return hits
+
     def facets(
         self,
         query: str,

@@ -159,7 +159,7 @@ def _documents_index(
     tombstone-delete queries)."""
     from .build_index import build_index
 
-    tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
+    tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:12] + "c"
     if with_positions:
         tag += "-pos"
     if variant:
@@ -202,9 +202,20 @@ def _documents_index(
             }
         )
 
-    corpus = ds.map_batches(to_corpus, batch_format="pyarrow")
+    # stage the synthesized corpus to parquet so the manifest records a
+    # readable corpus_dir — file-mode doc-text reads (quoted phrases,
+    # more-like-this, RM3 feedback) then work through the standard
+    # doc_id-pushdown path instead of per-query text plumbing
+    corpus_dir = f"{idx}-corpus"
+    done = f"{corpus_dir}._DONE"  # outside the dir: parquet discovery reads every file
+    if not os.path.exists(done):
+        import shutil
+
+        shutil.rmtree(corpus_dir, ignore_errors=True)
+        ds.map_batches(to_corpus, batch_format="pyarrow").write_parquet(corpus_dir)
+        open(done, "w").write("ok")
     build_index(
-        corpus, idx, mode="file", docs_per_partition=2000,
+        corpus_dir, idx, mode="file", docs_per_partition=2000,
         apply_path_filters=False, resume=True, with_positions=with_positions,
     )
     return idx
@@ -410,6 +421,41 @@ def more_like_this(sf_dir: str, src: int = MLT_SRC_DOC, limit: int = 20):
     )
 
 
+RM3_FB_K = 5  # feedback depth for the driver contract
+RM3_N_EXP = 5  # expansion terms
+
+
+def bm25_rm3(sf_dir: str, query: str = BM25_QUERY, limit: int = 20):
+    """Pseudo-relevance-feedback retrieval (RM3/Rocchio shape): BM25
+    top-``RM3_FB_K`` feedback docs -> top-``RM3_N_EXP`` non-query terms
+    by integer-summed tf*idf -> expanded query re-ranked with ordinary
+    BM25.  Oracle: the two-pass BM25-in-SQL twin (``bm25_rm3_sql``).
+
+    Like ``more_like_this``: overfetch then rank/truncate at micro
+    grain — the expanded query sums ~10 per-term float contributions,
+    so near-ties must order by doc_id on both sides."""
+    from .query import QueryEngine
+
+    idx = _documents_index(sf_dir)
+    engine = QueryEngine(idx, num_actors=2)
+    try:
+        hits = engine.search_rm3(
+            query, limit=limit + 10, fb_k=RM3_FB_K, n_exp=RM3_N_EXP
+        )
+    finally:
+        engine.close()
+    ids = np.array([h["doc_id"] for h in hits], np.int64)
+    micro = np.asarray(_micro([h["score"] for h in hits]), np.int64)
+    order = np.lexsort((ids, -micro))[:limit]
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(len(order)), pa.int64()),
+            "doc_id": pa.array(ids[order], pa.int64()),
+            "score_micro": pa.array(micro[order], pa.int64()),
+        }
+    )
+
+
 _TOKENIZE_SQL = r"""list_filter(regexp_split_to_array(
     regexp_replace(regexp_replace(lower(
       regexp_replace(regexp_replace({col},'([a-z])([A-Z])','\1 \2','g'),
@@ -587,6 +633,103 @@ kept AS (
   WHERE ((SELECT m FROM mx) <= 0 OR score >= 0.01 * (SELECT m FROM mx)) {filt}
 )
 {final}
+"""
+
+
+def bm25_rm3_sql(query: str, fb_k: int, n_exp: int, limit: int = 20) -> str:
+    """Two-pass pseudo-relevance-feedback BM25 in SQL — the oracle twin
+    of ``QueryEngine.search_rm3``.  Pass 0 is the standard BM25 CTE body
+    (identical to ``bm25_sql``, including the epsilon floor and the
+    max<=0 keep-all threshold branch); the top ``fb_k`` kept docs feed
+    the expansion: per-(doc, term) tf*idf quantized to 1e-6 BEFORE the
+    integer sum (order-independent, exactly the engine's arithmetic),
+    original query terms excluded, top ``n_exp`` by (weight desc, term
+    asc).  Pass 1 re-scores with the expanded term multiset (originals
+    keep their multiplicity, expansions count once)."""
+    from ..functions.tokenizer import tokenize
+
+    terms = tokenize(query)
+    mult: Dict[str, int] = {}
+    for t in terms:
+        mult[t] = mult.get(t, 0) + 1
+    qvalues = ", ".join(f"('{t}', {m})" for t, m in sorted(mult.items()))
+    notin = ", ".join(f"'{t}'" for t in sorted(mult))
+    score_expr = """sum(q{p}.mult * idf.idf * tf.tf * 2.5 /
+             (tf.tf + 1.5 * (1 - 0.75 + 0.75 * dl.dl / (SELECT avgdl FROM stats))))"""
+    return f"""
+WITH tok AS (
+  SELECT doc_id, {_tok_sql('text')} AS toks FROM documents
+),
+stats AS (SELECT count(*) AS n, avg(len(toks)) AS avgdl FROM tok),
+tf AS (
+  SELECT doc_id, t AS term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(toks) AS t FROM tok) GROUP BY doc_id, t
+),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+idf0 AS (
+  SELECT term, ln((SELECT n FROM stats) - df + 0.5) - ln(df + 0.5) AS idf_raw
+  FROM df
+),
+eps AS (SELECT 0.25 * avg(idf_raw) AS e FROM idf0),
+idf AS (
+  SELECT term,
+         CASE WHEN idf_raw < 0 THEN (SELECT e FROM eps) ELSE idf_raw END AS idf
+  FROM idf0
+),
+dl AS (SELECT doc_id, len(toks) AS dl FROM tok),
+q0(term, mult) AS (VALUES {qvalues}),
+scores0 AS (
+  SELECT tf.doc_id,
+         {score_expr.format(p='0')} AS score
+  FROM tf
+  JOIN q0 ON q0.term = tf.term
+  JOIN idf ON idf.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  GROUP BY tf.doc_id
+),
+scores_all0 AS (
+  SELECT d.doc_id, COALESCE(s.score, 0) AS score
+  FROM documents d LEFT JOIN scores0 s ON s.doc_id = d.doc_id
+),
+mx0 AS (SELECT max(score) AS m FROM scores_all0),
+fb AS (
+  SELECT doc_id FROM scores_all0
+  WHERE ((SELECT m FROM mx0) <= 0 OR score >= 0.01 * (SELECT m FROM mx0))
+  ORDER BY score DESC, doc_id ASC LIMIT {fb_k}
+),
+expw AS (
+  SELECT tf.term,
+         sum(CAST(floor(tf.tf * idf.idf * 1000000 + 0.5) AS BIGINT)) AS w
+  FROM tf JOIN idf ON idf.term = tf.term
+  WHERE tf.doc_id IN (SELECT doc_id FROM fb)
+    AND tf.term NOT IN ({notin})
+  GROUP BY tf.term
+),
+expsel AS (SELECT term FROM expw ORDER BY w DESC, term ASC LIMIT {n_exp}),
+q1 AS (SELECT term, mult FROM q0 UNION ALL SELECT term, 1 FROM expsel),
+scores AS (
+  SELECT tf.doc_id,
+         {score_expr.format(p='1')} AS score
+  FROM tf
+  JOIN q1 ON q1.term = tf.term
+  JOIN idf ON idf.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  GROUP BY tf.doc_id
+),
+scores_all AS (
+  SELECT d.doc_id, COALESCE(s.score, 0) AS score
+  FROM documents d LEFT JOIN scores s ON s.doc_id = d.doc_id
+),
+mx AS (SELECT max(score) AS m FROM scores_all),
+kept AS (
+  SELECT doc_id, score FROM scores_all
+  WHERE ((SELECT m FROM mx) <= 0 OR score >= 0.01 * (SELECT m FROM mx))
+)
+SELECT row_number() OVER (ORDER BY score_micro DESC, doc_id ASC) - 1 AS rank,
+       doc_id, score_micro
+FROM (SELECT doc_id, CAST(floor(score * 1000000 + 0.5) AS BIGINT) AS score_micro
+      FROM kept)
+ORDER BY score_micro DESC, doc_id ASC LIMIT {limit}
 """
 
 
@@ -2663,6 +2806,7 @@ def build_oracle_sql() -> Dict[str, str]:
             BM25_QUERY, limit=20, required=["join"], excluded=["hash"]
         ),
         "more_like_this": bm25_sql("", limit=20, mlt_src=MLT_SRC_DOC),
+        "bm25_rm3": bm25_rm3_sql(BM25_QUERY, RM3_FB_K, RM3_N_EXP, limit=20),
         "phrase_positional": bm25_sql(PHRASE_POS_QUERY, limit=20, phrase_adjacent=True),
         "phrase_proximity": bm25_sql(
             PHRASE_PROX_QUERY, limit=20, phrase_adjacent=True, slop=PHRASE_PROX_SLOP

@@ -1251,6 +1251,61 @@ class QueryEngine:
         hits = self.search(" ".join(terms), limit=limit + 1, filters=filters)
         return [h for h in hits if h["doc_id"] != doc_id][:limit]
 
+    def search_rm3(
+        self,
+        query: str,
+        limit: int = 20,
+        fb_k: int = 10,
+        n_exp: int = 10,
+        filters: Optional[Dict[str, str]] = None,
+        method: str = "dense",
+    ) -> List[dict]:
+        """Pseudo-relevance-feedback query expansion (the RM3/Rocchio
+        shape): run the query, take the top ``fb_k`` feedback docs,
+        extract their ``n_exp`` strongest non-query terms by summed
+        tf*idf (idf = the index's eps-floored BM25 idf), append them to
+        the original query (each once; originals keep their
+        multiplicity) and re-rank with ordinary BM25 — identical
+        threshold/tie-break semantics to ``search`` in both passes.
+
+        Per-(doc, term) tf*idf partials are quantized to 1e-6 BEFORE
+        summation so expansion weights are integer sums — term selection
+        is order-independent and bit-stable against the SQL oracle
+        (tie-break: weight desc, term asc).  No reference counterpart
+        (the reference's query enhancement is the keyword-table rewrite
+        of `search/engine.py:240-271`); this is the classical IR
+        operator the enhancer approximates.
+        """
+        orig = tokenize(query)
+        if not orig:
+            return []
+        fb = self.search(query, limit=fb_k, filters=filters, method=method)
+        if not fb:
+            return []
+        texts = self._doc_texts([h["doc_id"] for h in fb])
+        orig_set = set(orig)
+        cand_tfs: List[Dict[str, int]] = []
+        for h in fb:
+            tf: Dict[str, int] = {}
+            for t in tokenize(texts.get(h["doc_id"], "")):
+                if t not in orig_set:
+                    tf[t] = tf.get(t, 0) + 1
+            cand_tfs.append(tf)
+        cand_terms = sorted({t for tf in cand_tfs for t in tf})
+        if not cand_terms:
+            return self.search(query, limit=limit, filters=filters, method=method)
+        idfs = self.lexicon.idfs(cand_terms)
+        weights: Dict[str, int] = {}
+        for tf in cand_tfs:
+            for t, n in tf.items():
+                weights[t] = weights.get(t, 0) + math.floor(
+                    n * idfs.get(t, 0.0) * 1e6 + 0.5
+                )
+        exp = [t for _, t in sorted((-w, t) for t, w in weights.items())[:n_exp]]
+        return self.search(
+            " ".join(orig + exp), limit=limit, filters=filters, method=method
+        )
+
     def search_with_meta(
         self,
         query: str,

@@ -100,15 +100,27 @@ def make_handler(engine: CodeSearchEngine, jobs: Dict[str, dict], build_lock: th
                 self._send(400, {"error": f"invalid limit: {params.get('limit')!r}"})
                 return
             try:
-                hits = engine.search(
-                    query,
-                    limit=limit,
-                    language=params.get("language"),
-                    entity_type=params.get("entity_type"),
-                    repo_filter=params.get("repo"),
-                    use_hybrid=str(params.get("hybrid", "")).lower() in ("1", "true"),
-                    method=params.get("method", "dense"),
-                )
+                if str(params.get("expand", "")).lower() in ("1", "true"):
+                    # pseudo-relevance-feedback expansion (RM3)
+                    hits = engine.search_expanded(
+                        query,
+                        limit=limit,
+                        fb_k=int(params.get("fb_k", 10)),
+                        n_exp=int(params.get("n_exp", 10)),
+                        language=params.get("language"),
+                        entity_type=params.get("entity_type"),
+                        repo_filter=params.get("repo"),
+                    )
+                else:
+                    hits = engine.search(
+                        query,
+                        limit=limit,
+                        language=params.get("language"),
+                        entity_type=params.get("entity_type"),
+                        repo_filter=params.get("repo"),
+                        use_hybrid=str(params.get("hybrid", "")).lower() in ("1", "true"),
+                        method=params.get("method", "dense"),
+                    )
             except Exception as e:  # surface engine errors as 500 JSON
                 self._send(500, {"error": str(e)})
                 return

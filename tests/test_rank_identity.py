@@ -293,6 +293,46 @@ def test_rebuild_smaller_corpus_clears_stale_partitions(ray_session, tmp_path_fa
         engine.close()
 
 
+def test_search_rm3_matches_oracle(file_index, oracle_docs):
+    """Pseudo-relevance-feedback identity: engine.search_rm3 == oracle
+    RM3 (BM25 top-fb_k feedback docs -> top-n_exp non-query terms by
+    1e-6-quantized integer-summed tf*idf, weight-desc/term-asc tie-break,
+    expanded query re-ranked with full reference search semantics)."""
+    from distributedcodesearchengine_ray.pipelines.query import QueryEngine
+
+    idx, _ = file_index
+    oracle = BM25Oracle([tokenize(r["content"]) for r in oracle_docs])
+    engine = QueryEngine(idx, num_actors=2)
+    try:
+        for query, fb_k, n_exp in (
+            ("JSON parsing", 5, 5),
+            ("send HTTP request", 10, 10),
+            ("merge sorted lists", 3, 8),
+        ):
+            orig = tokenize(query)
+            orig_set = set(orig)
+            fb = oracle_search(oracle, query, limit=fb_k)
+            weights = {}
+            for d, _s in fb:
+                tf = {}
+                for t in tokenize(oracle_docs[d]["content"]):
+                    if t not in orig_set:
+                        tf[t] = tf.get(t, 0) + 1
+                for t, n in tf.items():
+                    weights[t] = weights.get(t, 0) + math.floor(
+                        n * oracle.idf.get(t, 0.0) * 1e6 + 0.5
+                    )
+            exp = [t for _, t in sorted((-w, t) for t, w in weights.items())[:n_exp]]
+            expected = oracle_search(oracle, " ".join(orig + exp), limit=15)
+            got = engine.search_rm3(query, limit=15, fb_k=fb_k, n_exp=n_exp)
+            assert [h["doc_id"] for h in got] == [d for d, _ in expected], query
+            np.testing.assert_allclose(
+                [h["score"] for h in got], [s for _, s in expected], rtol=1e-9
+            )
+    finally:
+        engine.close()
+
+
 def test_more_like_this_matches_oracle(file_index, oracle_docs):
     """Find-similar identity: engine.more_like_this == oracle MLT
     (top-25 tf*idf terms of the source doc, eps-floored idf, term-asc

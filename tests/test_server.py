@@ -55,6 +55,14 @@ def test_search_get(server):
     assert {"doc_id", "score", "name", "highlights"} <= set(body["results"][0])
 
 
+def test_search_expand_rm3(server):
+    """expand=1 runs the RM3 pseudo-relevance-feedback path."""
+    status, body = _get(f"{server}/search?q=parse+json&limit=5&expand=1&fb_k=3&n_exp=4")
+    assert status == 200
+    assert 0 < body["total"] <= 5
+    assert {"doc_id", "score", "highlights"} <= set(body["results"][0])
+
+
 def test_suggest_route(server):
     status, body = _get(f"{server}/suggest?term=parse_jsonn&max_dist=2&limit=5")
     assert status == 200

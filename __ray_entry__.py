@@ -43,6 +43,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_boolean": Q.bm25_boolean,  # +term/-term operators, shared scoring CTE
         "more_like_this": Q.more_like_this,  # find-similar via top tf*idf terms
         "bm25_rm3": Q.bm25_rm3,  # pseudo-relevance-feedback expansion, two-pass SQL oracle
+        "snippet_windows": Q.snippet_windows,  # best-window highlighter, window-count SQL oracle
         "phrase_positional": Q.phrase_positional,  # positional phrase (token adjacency), BM25+EXISTS oracle
         "phrase_proximity": Q.phrase_proximity,  # ordered proximity slop=1, gap-constraint oracle
         "bm25_tombstone": Q.bm25_tombstone,  # BM25 after tombstone delete == never-indexed oracle

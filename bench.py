@@ -204,6 +204,7 @@ def run_bench() -> dict:
         ("phrase_positional", Q.phrase_positional),
         ("bm25_tombstone", Q.bm25_tombstone),
         ("bm25_rm3", Q.bm25_rm3),
+        ("snippet_windows", Q.snippet_windows),
         ("term_df_top100", Q.term_df_top100),
         ("dedup_exact", Q.dedup_exact),
         ("minhash_near_dups", Q.minhash_near_dups),

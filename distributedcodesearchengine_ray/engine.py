@@ -228,6 +228,20 @@ class CodeSearchEngine:
             h["highlights"] = _highlights(h)
         return hits
 
+    def snippets(
+        self,
+        query: str,
+        limit: int = 20,
+        window: int = 12,
+        language: Optional[str] = None,
+    ) -> List[dict]:
+        """Ranked hits + query-dependent best-window snippet per hit
+        (most distinct query terms in a ``window``-token span, earliest
+        start on ties) — the dynamic highlighter complementing the
+        reference's static ``[docstring[:200], signature]`` highlights."""
+        filters = {"language": language} if language else None
+        return self._bm25().snippets(query, limit=limit, window=window, filters=filters)
+
     def facets(
         self,
         query: str,

@@ -421,6 +421,33 @@ def more_like_this(sf_dir: str, src: int = MLT_SRC_DOC, limit: int = 20):
     )
 
 
+SNIPPET_WINDOW = 12
+
+
+def snippet_windows(sf_dir: str, query: str = BM25_QUERY, limit: int = 20):
+    """Query-dependent snippet extraction (Lucene-highlighter shape):
+    for each BM25 top-k doc, the ``SNIPPET_WINDOW``-token window of its
+    text containing the most DISTINCT query terms (earliest start on
+    ties).  Oracle: the shared BM25-in-SQL CTE + a window-count
+    grouped-LEFT-JOIN tail."""
+    from .query import QueryEngine
+
+    idx = _documents_index(sf_dir)
+    engine = QueryEngine(idx, num_actors=2)
+    try:
+        hits = engine.snippets(query, limit=limit, window=SNIPPET_WINDOW)
+    finally:
+        engine.close()
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(len(hits)), pa.int64()),
+            "doc_id": pa.array([h["doc_id"] for h in hits], pa.int64()),
+            "win_start": pa.array([h["win_start"] for h in hits], pa.int64()),
+            "n_terms": pa.array([h["n_terms"] for h in hits], pa.int64()),
+        }
+    )
+
+
 RM3_FB_K = 5  # feedback depth for the driver contract
 RM3_N_EXP = 5  # expansion terms
 
@@ -494,6 +521,7 @@ def bm25_sql(
     phrase_adjacent: bool = False,
     slop: int = 0,
     corpus_where: Optional[str] = None,
+    snippet_window: Optional[int] = None,
 ) -> str:
     """Pure-SQL BM25Okapi (k1=1.5 b=0.75 eps=0.25) over documents.text.
 
@@ -572,7 +600,46 @@ def bm25_sql(
                 f"\n  AND doc_id IN (SELECT p0.doc_id FROM {posn} p0{joins}"
                 f"\n    WHERE p0.term = '{ptoks[0]}')"
             )
-    if facet:
+    if snippet_window is not None:
+        # best snippet window per top-k doc: the W-token window with the
+        # most DISTINCT query terms, earliest start on ties (the SQL twin
+        # of QueryEngine.snippets; subscripts are 1-based -> emit i-1)
+        w = snippet_window
+        qterms = ", ".join(f"'{t}'" for t in sorted(set(tokenize(query))))
+        final = f"""topk AS (
+  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) - 1 AS rank
+  FROM kept ORDER BY score DESC, doc_id ASC LIMIT {limit}
+),
+lens AS (SELECT t.doc_id, len(t.toks) AS n FROM tok t JOIN topk USING (doc_id)),
+starts AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS i
+  FROM lens, unnest(generate_series(1, greatest(n - {w} + 1, 1))) AS g(i)
+),
+pos AS (
+  SELECT t.doc_id, unnest(t.toks) AS term, generate_subscripts(t.toks, 1) AS p
+  FROM tok t JOIN topk USING (doc_id)
+),
+wcnt AS (
+  SELECT s.doc_id, s.i, count(DISTINCT p.term) AS n_terms
+  FROM starts s LEFT JOIN pos p
+    ON p.doc_id = s.doc_id AND p.p BETWEEN s.i AND s.i + {w} - 1
+   AND p.term IN ({qterms})
+  GROUP BY s.doc_id, s.i
+),
+best AS (
+  SELECT doc_id, i, n_terms,
+         row_number() OVER (PARTITION BY doc_id ORDER BY n_terms DESC, i ASC) AS rn
+  FROM wcnt
+)
+SELECT k.rank, k.doc_id,
+       CAST(b.i - 1 AS BIGINT) AS win_start,
+       CAST(b.n_terms AS BIGINT) AS n_terms
+FROM topk k JOIN best b ON b.doc_id = k.doc_id AND b.rn = 1
+ORDER BY k.rank"""
+        # the snippet final clause opens with its own CTEs, so splice it
+        # into the WITH chain instead of after it
+        final = "-- CTE-splice\n," + final
+    elif facet:
         final = "SELECT lang, count(*) AS n_docs FROM kept GROUP BY lang ORDER BY lang"
     elif mlt_src is not None:
         # Rank/truncate at micro grain (see more_like_this): near-tied
@@ -2807,6 +2874,7 @@ def build_oracle_sql() -> Dict[str, str]:
         ),
         "more_like_this": bm25_sql("", limit=20, mlt_src=MLT_SRC_DOC),
         "bm25_rm3": bm25_rm3_sql(BM25_QUERY, RM3_FB_K, RM3_N_EXP, limit=20),
+        "snippet_windows": bm25_sql(BM25_QUERY, limit=20, snippet_window=SNIPPET_WINDOW),
         "phrase_positional": bm25_sql(PHRASE_POS_QUERY, limit=20, phrase_adjacent=True),
         "phrase_proximity": bm25_sql(
             PHRASE_PROX_QUERY, limit=20, phrase_adjacent=True, slop=PHRASE_PROX_SLOP

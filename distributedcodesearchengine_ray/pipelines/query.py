@@ -1306,6 +1306,73 @@ class QueryEngine:
             " ".join(orig + exp), limit=limit, filters=filters, method=method
         )
 
+    @staticmethod
+    def _best_window(toks: List[str], qset: set, window: int) -> Tuple[int, int]:
+        """Best snippet window (Lucene-highlighter shape): the ``window``-token
+        window containing the most DISTINCT query terms; ties break to the
+        earliest start.  Exact via per-term coverage intervals + a diff
+        array (no O(n_starts * window) rescan)."""
+        n = len(toks)
+        n_starts = max(1, n - window + 1)
+        cov = np.zeros(n_starts + 1, dtype=np.int32)
+        pos_by_term: Dict[str, List[int]] = {}
+        for i, t in enumerate(toks):
+            if t in qset:
+                pos_by_term.setdefault(t, []).append(i)
+        for ps in pos_by_term.values():
+            # window starts covering position p: [p - window + 1, p] clamped
+            merged: List[List[int]] = []
+            for p in ps:  # ps is ascending, so intervals arrive sorted
+                a, b = max(0, p - window + 1), min(p, n_starts - 1)
+                if merged and a <= merged[-1][1] + 1:
+                    merged[-1][1] = max(merged[-1][1], b)
+                else:
+                    merged.append([a, b])
+            for a, b in merged:
+                cov[a] += 1
+                cov[b + 1] -= 1
+        counts = np.cumsum(cov[:-1])
+        best = int(np.argmax(counts))  # first max == earliest tie-break
+        return best, int(counts[best])
+
+    def snippets(
+        self,
+        query: str,
+        limit: int = 20,
+        window: int = 12,
+        filters: Optional[Dict[str, str]] = None,
+        method: str = "dense",
+    ) -> List[dict]:
+        """Ranked hits + best snippet window per hit: for each of the
+        top ``limit`` BM25 docs, the ``window``-token span of its
+        searchable text containing the most DISTINCT query terms
+        (tie-break: earliest start) — the query-dependent highlighter
+        the reference lacks (its highlights are static
+        ``[docstring[:200], signature]``, `search/engine.py:112-124`).
+
+        Returns ``[{doc_id, score, win_start, n_terms, snippet}]`` with
+        ``win_start`` a 0-based token offset into ``tokenize(doc_text)``
+        and ``snippet`` the matching token span re-joined with spaces.
+        """
+        hits = self.search(query, limit=limit, filters=filters, method=method)
+        if not hits:
+            return []
+        texts = self._doc_texts([h["doc_id"] for h in hits])
+        qset = set(tokenize(query))
+        out = []
+        for h in hits:
+            toks = tokenize(texts.get(h["doc_id"], ""))
+            start, n_terms = self._best_window(toks, qset, window)
+            out.append(
+                {
+                    **h,
+                    "win_start": start,
+                    "n_terms": n_terms,
+                    "snippet": " ".join(toks[start : start + window]),
+                }
+            )
+        return out
+
     def search_with_meta(
         self,
         query: str,

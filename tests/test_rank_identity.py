@@ -333,6 +333,36 @@ def test_search_rm3_matches_oracle(file_index, oracle_docs):
         engine.close()
 
 
+def test_snippets_match_bruteforce(file_index, oracle_docs):
+    """Best-window snippet identity: engine.snippets == O(n*w) rescan
+    truth (max distinct query terms per window, earliest-start ties) on
+    the real code corpus, plus ranking/score identity to plain search."""
+    from distributedcodesearchengine_ray.pipelines.query import QueryEngine
+
+    idx, _ = file_index
+    engine = QueryEngine(idx, num_actors=2)
+    try:
+        for query, window in (("parse json", 8), ("send HTTP request", 12)):
+            qset = set(tokenize(query))
+            got = engine.snippets(query, limit=10, window=window)
+            plain = engine.search(query, limit=10)
+            assert [h["doc_id"] for h in got] == [h["doc_id"] for h in plain]
+            assert any(h["n_terms"] > 0 for h in got)  # real matches exercised
+            for h in got:
+                toks = tokenize(oracle_docs[h["doc_id"]]["content"])
+                n_starts = max(1, len(toks) - window + 1)
+                counts = [
+                    len(qset & set(toks[i : i + window])) for i in range(n_starts)
+                ]
+                best = max(range(n_starts), key=lambda i: (counts[i], -i))
+                assert (h["win_start"], h["n_terms"]) == (best, counts[best]), h
+                assert h["snippet"] == " ".join(
+                    toks[h["win_start"] : h["win_start"] + window]
+                )
+    finally:
+        engine.close()
+
+
 def test_more_like_this_matches_oracle(file_index, oracle_docs):
     """Find-similar identity: engine.more_like_this == oracle MLT
     (top-25 tf*idf terms of the source doc, eps-floored idf, term-asc

@@ -103,7 +103,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding": Q.events_sliding,
         "sessionize": Q.sessionize,
         "events_rollup": Q.events_rollup,  # ROLLUP grouping sets, algebraic fold
+        "events_cube": Q.events_cube,  # full CUBE lattice, one scan + algebraic fold
         "user_running_value": Q.user_running_value,  # ordered window cumsum
+        "user_moving_sum": Q.user_moving_sum,  # bounded-frame moving window (ROWS 3 PRECEDING)
+        "user_event_gaps": Q.user_event_gaps,  # LAG inter-arrival gaps, integer seconds
+        "user_set_ops": Q.user_set_ops,  # UNION/INTERSECT/EXCEPT via membership bitmask
+        "event_type_sample": Q.event_type_sample,  # per-group deterministic md5 sample
+        "token_quantiles_by_lang": Q.token_quantiles_by_lang,  # grouped exact quantiles
         "clicks_last_purchase": Q.clicks_last_purchase,  # as-of join, native-ASOF oracle
         "purchases_before_click": Q.purchases_before_click,  # range join, BETWEEN oracle
         # relational coverage (joins / grouped aggregates / top-k)

@@ -241,7 +241,13 @@ def run_bench() -> dict:
         ("clicks_last_purchase", Q.clicks_last_purchase),
         ("purchases_before_click", Q.purchases_before_click),
         ("events_rollup", Q.events_rollup),
+        ("events_cube", Q.events_cube),
         ("user_running_value", Q.user_running_value),
+        ("user_moving_sum", Q.user_moving_sum),
+        ("user_event_gaps", Q.user_event_gaps),
+        ("user_set_ops", Q.user_set_ops),
+        ("event_type_sample", Q.event_type_sample),
+        ("token_quantiles_by_lang", Q.token_quantiles_by_lang),
         ("customers_no_urgent", Q.customers_no_urgent),
     ):
         t0 = time.time()

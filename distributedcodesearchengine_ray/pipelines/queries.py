@@ -1017,16 +1017,20 @@ def token_totals(sf_dir: str):
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
-def _ws_token_counts(sf_dir: str):
+def _ws_token_counts(sf_dir: str, with_lang: bool = False):
     """documents -> (doc_id, n_tokens) with the whitespace-token
     definition whose SQL mirror is proven by token_totals."""
-    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    cols = ["doc_id", "text"] + (["lang"] if with_lang else [])
+    ds = _read(sf_dir, "documents", columns=cols)
 
     def counts(t: pa.Table) -> pa.Table:
         from ..stages.text_stats import token_counts
 
         c = token_counts(t)
-        return pa.table({"doc_id": t["doc_id"], "n_tokens": c["ws_tokens"]})
+        out = {"doc_id": t["doc_id"], "n_tokens": c["ws_tokens"]}
+        if with_lang:
+            out["lang"] = t["lang"]
+        return pa.table(out)
 
     return ds.map_batches(counts, batch_format="pyarrow")
 
@@ -2765,6 +2769,273 @@ def user_running_value(sf_dir: str):
     )
 
 
+def events_cube(sf_dir: str):
+    """CUBE grouping sets over (event_type, day): the full lattice —
+    leaf, each single-attribute rollup, and the grand total.  Like
+    ``events_rollup``, only the LEAF aggregate is distributed (one
+    pre-aggregated groupby); all three super-levels fold algebraically
+    from the tiny leaf table, so the data is scanned once regardless of
+    how many grouping sets the lattice has.  Oracle: ``GROUP BY CUBE``."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "day": pcc.strftime(t["ts"], format="%Y-%m-%d"),
+                "value_c": _cents_col(t["value"]),
+            }
+        )
+
+    leaf = (
+        ds.map_batches(proj, batch_format="pyarrow")
+        .groupby(["event_type", "day"])
+        .aggregate(Count(alias_name="n"), Sum("value_c", alias_name="value_c"))
+        .to_pandas()
+    )
+    by_type = (
+        leaf.groupby("event_type", as_index=False)[["n", "value_c"]]
+        .sum()
+        .assign(day="ALL")
+    )
+    by_day = (
+        leaf.groupby("day", as_index=False)[["n", "value_c"]]
+        .sum()
+        .assign(event_type="ALL")
+    )
+    total = pd.DataFrame(
+        {
+            "event_type": ["ALL"],
+            "day": ["ALL"],
+            "n": [leaf["n"].sum()],
+            "value_c": [leaf["value_c"].sum()],
+        }
+    )
+    out = pd.concat([leaf, by_type, by_day, total], ignore_index=True).sort_values(
+        ["event_type", "day"], ignore_index=True
+    )
+    return pa.table(
+        {
+            "event_type": pa.array(out["event_type"], pa.string()),
+            "day": pa.array(out["day"], pa.string()),
+            "n": pa.array(out["n"], pa.int64()),
+            "value_c": pa.array(out["value_c"], pa.int64()),
+        }
+    )
+
+
+def user_moving_sum(sf_dir: str, window: int = 4):
+    """Per-user MOVING window aggregate: cents-exact sum of the last
+    ``window`` events in (ts, event_id) order — the bounded-frame
+    counterpart of ``user_running_value``'s unbounded cumsum.  One
+    key-partitioned ``groupby(user_id)``; inside each group the frame
+    sum is ``cumsum - shift(cumsum, window)`` (vectorized, no per-row
+    loop).  Oracle: ``SUM() OVER (... ROWS BETWEEN 3 PRECEDING AND
+    CURRENT ROW)``."""
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "user_id": t["user_id"],
+                "ts": t["ts"],
+                "value_c": _cents_col(t["value"]),
+            }
+        )
+
+    def moving(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["ts", "event_id"], ignore_index=True)
+        c = df["value_c"].to_numpy(dtype=np.int64).cumsum()
+        lag = np.concatenate([np.zeros(min(window, len(c)), dtype=np.int64), c[:-window]])
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"].to_numpy(),
+                "user_id": df["user_id"].to_numpy(),
+                "win_value_c": c - lag,
+            }
+        )
+
+    out = (
+        ds.map_batches(proj, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(moving, batch_format="pandas")
+        .to_pandas()
+        .sort_values("event_id", ignore_index=True)
+    )
+    return pa.table(
+        {
+            "event_id": pa.array(out["event_id"], pa.int64()),
+            "user_id": pa.array(out["user_id"], pa.int64()),
+            "win_value_c": pa.array(out["win_value_c"], pa.int64()),
+        }
+    )
+
+
+def user_event_gaps(sf_dir: str):
+    """LAG/LEAD shape: per-user inter-arrival gaps — count of gaps and
+    their total in INTEGER seconds (exact on both sides).  One
+    key-partitioned ``groupby(user_id)`` with a vectorized diff inside
+    the group.  Oracle: ``lag(ts) OVER`` + ``date_diff('second', ...)``."""
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+
+    def gaps(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["ts", "event_id"], ignore_index=True)
+        d = df["ts"].diff().dropna()
+        # integer microseconds floor-divided to seconds — the exact
+        # expression the SQL oracle applies (epoch_us diff // 1e6)
+        secs = d.to_numpy().astype("timedelta64[us]").astype(np.int64) // 1_000_000
+        return pd.DataFrame(
+            {
+                "user_id": [df["user_id"].iloc[0]],
+                "n_gaps": [len(secs)],
+                "gap_total_s": [int(secs.sum())],
+            }
+        )
+
+    out = (
+        ds.groupby("user_id")
+        .map_groups(gaps, batch_format="pandas")
+        .to_pandas()
+        .sort_values("user_id", ignore_index=True)
+    )
+    return pa.table(
+        {
+            "user_id": pa.array(out["user_id"], pa.int64()),
+            "n_gaps": pa.array(out["n_gaps"], pa.int64()),
+            "gap_total_s": pa.array(out["gap_total_s"], pa.int64()),
+        }
+    )
+
+
+QUANTILE_QS_GROUPED = (0.25, 0.5, 0.75)
+
+
+def token_quantiles_by_lang(sf_dir: str):
+    """GROUPED exact quantiles: p25/p50/p75 whitespace-token counts per
+    language — ``exact_quantiles``' bounded-domain histogram pattern,
+    keyed.  The only exchange is the (lang, value, count) histogram
+    partials; no sort, no full shuffle.  Oracle: ``quantile_disc``
+    per group (rank-rule-identical)."""
+    from ..stages.sketch import exact_quantiles_by_key
+
+    return exact_quantiles_by_key(
+        _ws_token_counts(sf_dir, with_lang=True),
+        qs=QUANTILE_QS_GROUPED,
+        value_col="n_tokens",
+        key_col="lang",
+    )
+
+
+SETOP_TYPE_A = "click"
+SETOP_TYPE_B = "purchase"
+
+
+def user_set_ops(sf_dir: str):
+    """Distributed set operations over the distinct-user sets of two
+    event types: |A UNION B|, |A INTERSECT B|, |A EXCEPT B|.  Shape:
+    one membership-bitmask exchange — project each event to
+    (user_id, bit_a, bit_b), ``groupby(user_id).max`` collapses to one
+    row per user carrying its set membership, and the three counts fold
+    from the bitmask aggregate (map-side pre-aggregation keeps the
+    exchange at distinct-user size).  Oracle: three set-op COUNTs."""
+    from ray.data.aggregate import Max
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def bits(t: pa.Table) -> pa.Table:
+        a = pcc.equal(t["event_type"], pa.scalar(SETOP_TYPE_A))
+        b = pcc.equal(t["event_type"], pa.scalar(SETOP_TYPE_B))
+        keep = pcc.or_(a, b)
+        tt = pa.table(
+            {
+                "user_id": t["user_id"],
+                "bit_a": pcc.cast(a, pa.int64()),
+                "bit_b": pcc.cast(b, pa.int64()),
+            }
+        ).filter(keep)
+        # local pre-aggregation: one row per (user present in this batch)
+        df = tt.to_pandas().groupby("user_id", as_index=False)[["bit_a", "bit_b"]].max()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    members = (
+        ds.map_batches(bits, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Max("bit_a", alias_name="a"), Max("bit_b", alias_name="b"))
+        .to_pandas()
+    )
+    a = members["a"].to_numpy(dtype=np.int64)
+    b = members["b"].to_numpy(dtype=np.int64)
+    rows = {
+        "except_ab": int(((a == 1) & (b == 0)).sum()),
+        "intersect": int(((a == 1) & (b == 1)).sum()),
+        "union": int(len(members)),
+    }
+    return pa.table(
+        {
+            "op": pa.array(sorted(rows), pa.string()),
+            "n_users": pa.array([rows[k] for k in sorted(rows)], pa.int64()),
+        }
+    )
+
+
+SAMPLE_SEED = "smp1"
+SAMPLE_PER_GROUP = 3
+
+
+def event_type_sample(sf_dir: str):
+    """Deterministic per-group sampling: ``SAMPLE_PER_GROUP`` events per
+    event_type, chosen by md5 rank (seeded, partitioning-independent —
+    the grouped counterpart of ``global_shuffle``'s permutation).  Shape:
+    each block keeps only its LOCAL top-3-per-type candidates (map-side
+    combiner — at most ``groups x 3`` rows leave any block), the driver
+    merges ``blocks x groups x 3`` tiny partials.  No shuffle at all.
+    Oracle: ``row_number() OVER (PARTITION BY event_type ORDER BY
+    md5(...))``."""
+    import hashlib as _hl
+
+    ds = _read(sf_dir, "events", columns=["event_id", "event_type"])
+
+    def local_top(t: pa.Table) -> pa.Table:
+        ids = t["event_id"].to_numpy(zero_copy_only=False)
+        digs = np.array(
+            [
+                _hl.md5(f"{SAMPLE_SEED}:{i}".encode()).hexdigest()
+                for i in ids
+            ],
+            dtype=object,
+        )
+        df = pd.DataFrame(
+            {
+                "event_type": t["event_type"].to_numpy(zero_copy_only=False),
+                "event_id": ids,
+                "dig": digs,
+            }
+        )
+        df = df.sort_values(["event_type", "dig"]).groupby("event_type").head(
+            SAMPLE_PER_GROUP
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    cand = ds.map_batches(local_top, batch_format="pyarrow").to_pandas()
+    out = (
+        cand.sort_values(["event_type", "dig"])
+        .groupby("event_type")
+        .head(SAMPLE_PER_GROUP)
+        .sort_values(["event_type", "dig"], ignore_index=True)
+    )
+    rank = out.groupby("event_type").cumcount() + 1
+    return pa.table(
+        {
+            "event_type": pa.array(out["event_type"], pa.string()),
+            "rn": pa.array(rank.to_numpy(), pa.int64()),
+            "event_id": pa.array(out["event_id"], pa.int64()),
+        }
+    )
+
+
 # ----------------------------------------------------------- SQL oracles
 
 
@@ -3594,6 +3865,69 @@ def build_oracle_sql() -> Dict[str, str]:
                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                         AS BIGINT) AS cum_value_c
             FROM events ORDER BY event_id
+        """,
+        "events_cube": """
+            WITH e AS (
+              SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+                     CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_c
+              FROM events)
+            SELECT COALESCE(event_type, 'ALL') AS event_type,
+                   COALESCE(day, 'ALL') AS day,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(value_c) AS BIGINT) AS value_c
+            FROM e GROUP BY CUBE(event_type, day)
+            ORDER BY event_type, day
+        """,
+        "user_moving_sum": """
+            SELECT event_id, user_id,
+                   CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER
+                        (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS win_value_c
+            FROM events ORDER BY event_id
+        """,
+        "user_event_gaps": """
+            WITH d AS (
+              SELECT user_id,
+                     (epoch_us(ts) - lag(epoch_us(ts)) OVER
+                        (PARTITION BY user_id ORDER BY ts, event_id)) // 1000000
+                     AS gap_s
+              FROM events)
+            SELECT user_id,
+                   CAST(count(gap_s) AS BIGINT) AS n_gaps,
+                   CAST(COALESCE(sum(gap_s), 0) AS BIGINT) AS gap_total_s
+            FROM d GROUP BY user_id ORDER BY user_id
+        """,
+        "token_quantiles_by_lang": f"""
+            WITH t AS (SELECT lang, {_WS_TOKENS_SQL} AS n_tokens FROM documents),
+            ql AS (SELECT lang,
+                          quantile_disc(n_tokens, [{', '.join(str(q) for q in QUANTILE_QS_GROUPED)}]) AS v
+                   FROM t GROUP BY lang),
+            e AS (SELECT lang, unnest(v) AS value, generate_subscripts(v, 1) AS i FROM ql),
+            qq AS (SELECT unnest([{', '.join(str(int(np.floor(q * 1e6 + 0.5))) for q in QUANTILE_QS_GROUPED)}]) AS q_micro,
+                          generate_subscripts([{', '.join(str(int(np.floor(q * 1e6 + 0.5))) for q in QUANTILE_QS_GROUPED)}], 1) AS i)
+            SELECT e.lang, qq.q_micro, CAST(e.value AS BIGINT) AS value
+            FROM e JOIN qq USING (i) ORDER BY lang, q_micro
+        """,
+        "user_set_ops": f"""
+            WITH a AS (SELECT DISTINCT user_id FROM events WHERE event_type = '{SETOP_TYPE_A}'),
+            b AS (SELECT DISTINCT user_id FROM events WHERE event_type = '{SETOP_TYPE_B}')
+            SELECT * FROM (
+              SELECT 'except_ab' AS op, CAST((SELECT count(*) FROM (SELECT user_id FROM a EXCEPT SELECT user_id FROM b)) AS BIGINT) AS n_users
+              UNION ALL
+              SELECT 'intersect', CAST((SELECT count(*) FROM (SELECT user_id FROM a INTERSECT SELECT user_id FROM b)) AS BIGINT)
+              UNION ALL
+              SELECT 'union', CAST((SELECT count(*) FROM (SELECT user_id FROM a UNION SELECT user_id FROM b)) AS BIGINT)
+            ) ORDER BY op
+        """,
+        "event_type_sample": f"""
+            WITH r AS (
+              SELECT event_type, event_id,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY md5('{SAMPLE_SEED}:' || CAST(event_id AS VARCHAR))) AS rn
+              FROM events)
+            SELECT event_type, CAST(rn AS BIGINT) AS rn, event_id
+            FROM r WHERE rn <= {SAMPLE_PER_GROUP} ORDER BY event_type, rn
         """,
         "lang_id_profile": _lang_id_sql(),
         "knn_cosine_filtered": """

@@ -192,3 +192,63 @@ def exact_quantiles(
             "value": pa.array(out_v, pa.int64()),
         }
     )
+
+
+def exact_quantiles_by_key(
+    ds,
+    qs,
+    value_col: str,
+    key_col: str,
+) -> pa.Table:
+    """Per-group exact discrete quantiles — the grouped form of
+    ``exact_quantiles``, same bounded-integer-domain pattern.
+
+    Each block emits its exact local (key, value, count) histogram;
+    the partials are merged per (key, value) on the driver (at most
+    ``groups x distinct(domain)`` rows — tiny next to the data), one
+    CDF per key, ranks read with ``quantile_disc`` semantics
+    (1-indexed rank ``max(1, ceil(q * N_key))``).
+
+    Returns (key, q_micro, value) sorted by (key, q_micro).  Never
+    sorts or shuffles the data itself: the only exchange is the
+    histogram partial collection, whose size is independent of row
+    count.
+    """
+
+    def local_hist(t: pa.Table) -> pa.Table:
+        keys = t[key_col].to_numpy(zero_copy_only=False)
+        vals = t[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        df = pd.DataFrame({"key": keys, "val": vals})
+        g = df.groupby(["key", "val"], sort=False).size().reset_index(name="cnt")
+        return pa.table(
+            {
+                "key": pa.array(g["key"]),
+                "val": pa.array(g["val"], pa.int64()),
+                "cnt": pa.array(g["cnt"], pa.int64()),
+            }
+        )
+
+    partials = (
+        ds.select_columns([key_col, value_col])
+        .map_batches(local_hist, batch_format="pyarrow")
+        .to_pandas()
+    )
+    out_k, out_q, out_v = [], [], []
+    for key, grp in partials.groupby("key", sort=True):
+        merged = grp.groupby("val", sort=True)["cnt"].sum()
+        values = merged.index.to_numpy(dtype=np.int64)
+        cum = merged.to_numpy(dtype=np.int64).cumsum()
+        n = int(cum[-1]) if len(cum) else 0
+        for q in qs:
+            rank = max(1, int(np.ceil(q * n)))
+            idx = int(np.searchsorted(cum, rank, side="left"))
+            out_k.append(key)
+            out_q.append(int(np.floor(q * 1e6 + 0.5)))
+            out_v.append(int(values[idx]))
+    return pa.table(
+        {
+            key_col: pa.array(out_k),
+            "q_micro": pa.array(out_q, pa.int64()),
+            "value": pa.array(out_v, pa.int64()),
+        }
+    )

@@ -37,6 +37,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitter_tokens": Q.heavy_hitter_tokens,  # 2-pass sketch, SQL oracle
         "bm25_topk": Q.bm25_topk,
         "bm25_topk_wand": Q.bm25_topk_wand,
+        "bm25_page2": Q.bm25_page2,  # search-after deep pagination, OFFSET oracle
         "bm25_topk_lang": Q.bm25_topk_lang,
         "lang_histogram": Q.lang_histogram,
         "bm25_facets": Q.bm25_facets,  # facet counts over the full result set

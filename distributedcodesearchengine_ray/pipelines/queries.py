@@ -241,6 +241,38 @@ def bm25_topk(sf_dir: str, query: str = BM25_QUERY, limit: int = 20,
     )
 
 
+PAGE_SIZE = 10
+
+
+def bm25_page2(sf_dir: str, query: str = BM25_QUERY):
+    """Search-after deep pagination: page 1 (limit 10) yields the cursor
+    (score, doc_id) of its last hit; page 2 is ``engine.search_after``
+    with that cursor — each shard applies the cursor predicate BEFORE its
+    local top-k, so deep pages never pay a growing offset.  Emits page 2
+    as global ranks 10..19.  Oracle: the same BM25-in-SQL ordering with
+    ``LIMIT 10 OFFSET 10``."""
+    from .query import QueryEngine
+
+    idx = _documents_index(sf_dir)
+    engine = QueryEngine(idx, num_actors=2)
+    try:
+        page1 = engine.search(query, limit=PAGE_SIZE)
+        if len(page1) < PAGE_SIZE:
+            hits = []
+        else:
+            cur = (page1[-1]["score"], page1[-1]["doc_id"])
+            hits = engine.search_after(query, after=cur, limit=PAGE_SIZE)
+    finally:
+        engine.close()
+    return pa.table(
+        {
+            "rank": pa.array(PAGE_SIZE + np.arange(len(hits)), pa.int64()),
+            "doc_id": pa.array([h["doc_id"] for h in hits], pa.int64()),
+            "score_micro": pa.array(_micro([h["score"] for h in hits]), pa.int64()),
+        }
+    )
+
+
 PHRASE_POS_QUERY = "table scan"
 
 
@@ -522,6 +554,7 @@ def bm25_sql(
     slop: int = 0,
     corpus_where: Optional[str] = None,
     snippet_window: Optional[int] = None,
+    offset: int = 0,
 ) -> str:
     """Pure-SQL BM25Okapi (k1=1.5 b=0.75 eps=0.25) over documents.text.
 
@@ -650,10 +683,11 @@ FROM (SELECT doc_id, CAST(floor(score * 1000000 + 0.5) AS BIGINT) AS score_micro
       FROM kept {not_src})
 ORDER BY score_micro DESC, doc_id ASC LIMIT {limit}"""
     else:
+        off = f" OFFSET {offset}" if offset else ""
         final = f"""SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) - 1 AS rank,
        doc_id,
        CAST(floor(score * 1000000 + 0.5) AS BIGINT) AS score_micro
-FROM kept ORDER BY score DESC, doc_id ASC LIMIT {limit}"""
+FROM kept ORDER BY score DESC, doc_id ASC LIMIT {limit}{off}"""
     corpus_pred = f" WHERE {corpus_where}" if corpus_where else ""
     return f"""
 WITH src AS (SELECT * FROM documents{corpus_pred}),
@@ -3138,6 +3172,7 @@ def build_oracle_sql() -> Dict[str, str]:
         """,
         "bm25_topk": bm25_sql(BM25_QUERY, limit=20),
         "bm25_topk_wand": bm25_sql(BM25_QUERY, limit=20),
+        "bm25_page2": bm25_sql(BM25_QUERY, limit=PAGE_SIZE, offset=PAGE_SIZE),
         "bm25_topk_lang": bm25_sql(BM25_QUERY_FILTERED, limit=20, lang_filter="en"),
         "bm25_facets": bm25_sql(BM25_QUERY, facet=True),
         "bm25_boolean": bm25_sql(

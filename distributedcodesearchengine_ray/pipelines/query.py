@@ -565,6 +565,7 @@ class IndexShard:
         method: str = "dense",
         required: Optional[List[str]] = None,
         excluded: Optional[List[str]] = None,
+        after: Optional[Tuple[float, int]] = None,
     ) -> Tuple[float, List[dict]]:
         """Return (local unfiltered max score, top-``limit`` candidate rows).
 
@@ -576,10 +577,19 @@ class IndexShard:
         post-scoring membership masks (the WAND path falls back to dense
         when they are present: pruning bounds don't compose with
         candidate-set subtraction).
+        ``after=(score, doc_id)`` is the search-after pagination cursor:
+        only rows strictly after that position in the global
+        (score desc, doc_id asc) order are returned.  Applied per shard
+        BEFORE the local top-``limit`` cut (scores are corpus-global, so
+        the predicate is exact shard-locally); the unfiltered local max
+        — which feeds the F4 threshold — is unaffected by the cursor.
         """
         if self.n_local == 0:
             return 0.0, []
-        if method == "wand" and not dense_all and not required and not excluded:
+        if (
+            method == "wand" and not dense_all and not required
+            and not excluded and after is None
+        ):
             local_max, top = self._wand_topk(query_tokens, idfs, limit, filters)
             if filters and top is not None:
                 _, top1 = self._wand_topk(query_tokens, idfs, 1, None)
@@ -613,6 +623,10 @@ class IndexShard:
         mask = self._filter_mask(filters, cand)
         if required or excluded:
             mask &= self._boolean_mask(required, excluded, cand)
+        if after is not None:
+            s_a, d_a = after
+            cs = scores[cand]
+            mask &= (cs < s_a) | ((cs == s_a) & (self._doc_ids[cand] > d_a))
         cand = cand[mask]
         if len(cand) == 0:
             return local_max, []
@@ -1106,6 +1120,48 @@ class QueryEngine:
     ) -> List[dict]:
         """Reference-semantics BM25 search -> ranked [{doc_id, score}]."""
         return self.search_batch([(query, filters)], limit=limit, method=method)[0]
+
+    def search_after(
+        self,
+        query: str,
+        after: Tuple[float, int],
+        limit: int = 20,
+        filters: Optional[Dict[str, str]] = None,
+    ) -> List[dict]:
+        """Deep pagination (Elasticsearch ``search_after``): the next
+        ``limit`` rows strictly after cursor ``after=(score, doc_id)`` in
+        the global (score desc, doc_id asc) order — NO growing offset
+        cost: each shard applies the cursor predicate before its local
+        top-k, so page N moves the same ``shards x limit`` candidate rows
+        as page 1.  The F4 threshold (global max x 0.01, max<=0 keep-all)
+        is identical to ``search``'s, so paging enumerates exactly the
+        rows a single big-limit search would return, in the same order.
+        Plain term queries only (no phrase/wildcard/boolean operators)."""
+        import ray
+
+        toks = tokenize(query)
+        if not toks:
+            return []
+        q_idfs = self.lexicon.idfs(toks)
+        refs = [
+            a.search.remote(toks, q_idfs, limit, filters, False, "dense",
+                            None, None, tuple(after))
+            for a in self.actors
+        ]
+        parts = ray.get(refs)
+        global_max = max((m for m, _ in parts), default=0.0)
+        if global_max > 0:
+            min_score = global_max * 0.01
+            rows = [r for _, rs in parts for r in rs if r["score"] >= min_score]
+        else:
+            refs2 = [
+                a.search.remote(toks, q_idfs, limit, filters, True, "dense",
+                                None, None, tuple(after))
+                for a in self.actors
+            ]
+            rows = [r for _, rs in ray.get(refs2) for r in rs]
+        rows.sort(key=lambda r: (-r["score"], r["doc_id"]))
+        return [{"doc_id": r["doc_id"], "score": r["score"]} for r in rows[:limit]]
 
     def search_batch(
         self,

@@ -38,6 +38,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": Q.bm25_topk,
         "bm25_topk_wand": Q.bm25_topk_wand,
         "bm25_page2": Q.bm25_page2,  # search-after deep pagination, OFFSET oracle
+        "bm25_collapse": Q.bm25_collapse,  # field collapsing: best hit per lang group
+        "qld_topk": Q.qld_topk,  # query-likelihood Dirichlet LM ranking, full SQL oracle
         "bm25_topk_lang": Q.bm25_topk_lang,
         "lang_histogram": Q.lang_histogram,
         "bm25_facets": Q.bm25_facets,  # facet counts over the full result set

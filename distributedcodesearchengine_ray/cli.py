@@ -81,6 +81,19 @@ def main(argv=None) -> int:
         "instead of ranked hits (e.g. --facets language)",
     )
     ps.add_argument(
+        "--collapse",
+        metavar="COL",
+        help="field collapsing: print the best hit per distinct COL value "
+        "(top --limit groups) instead of ranked hits",
+    )
+    ps.add_argument(
+        "--ranker",
+        choices=["bm25", "qld"],
+        default="bm25",
+        help="scoring function: BM25 (reference semantics) or "
+        "query-likelihood Dirichlet",
+    )
+    ps.add_argument(
         "--positional", action="store_true",
         help="positional phrase search: the query tokens must appear "
         "adjacently in order (needs an index built with --positions)",
@@ -510,6 +523,13 @@ def main(argv=None) -> int:
                      "total": sum(counts.values()), "counts": counts}
                 )
             )
+        elif args.cmd == "search" and args.collapse:
+            rows = eng.collapse(args.query, collapse_col=args.collapse, limit=args.limit)
+            for r in rows:
+                print(json.dumps(r))
+        elif args.cmd == "search" and args.ranker == "qld":
+            for rank, h in enumerate(eng.search_qld(args.query, limit=args.limit)):
+                print(json.dumps({"rank": rank, **h}))
         elif args.cmd == "search":
             if args.expand:
                 hits = eng.search_expanded(

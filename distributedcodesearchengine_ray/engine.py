@@ -267,6 +267,18 @@ class CodeSearchEngine:
         """Spelling suggestions from the index vocabulary."""
         return self._bm25().suggest(term, max_dist=max_dist, limit=limit)
 
+    def collapse(
+        self, query: str, collapse_col: str = "language", limit: int = 10
+    ) -> List[dict]:
+        """Field collapsing: top ``limit`` groups by best BM25 hit — at
+        most one result per distinct ``collapse_col`` value."""
+        return self._bm25().collapse(query, collapse_col=collapse_col, limit=limit)
+
+    def search_qld(self, query: str, limit: int = 20, mu: float = 500.0) -> List[dict]:
+        """Query-likelihood Dirichlet ranking (alternative ranker over the
+        same index; Zhai & Lafferty 2001)."""
+        return self._bm25().search_qld(query, limit=limit, mu=mu)
+
     # ------------------------------------------------------------- stats
 
     def count(self) -> int:

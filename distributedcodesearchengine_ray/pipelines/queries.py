@@ -273,6 +273,97 @@ def bm25_page2(sf_dir: str, query: str = BM25_QUERY):
     )
 
 
+def bm25_collapse(sf_dir: str, query: str = BM25_QUERY, limit: int = 3):
+    """Field collapsing (Elasticsearch ``collapse``): the top ``limit``
+    language groups by their best BM25 hit, at most one doc per lang —
+    per-shard per-group bests merged on the driver (O(groups) wire cost,
+    never per-doc rows).  Oracle: BM25-in-SQL CTE + row_number
+    PARTITION BY lang = 1."""
+    from .query import QueryEngine
+
+    idx = _documents_index(sf_dir)
+    engine = QueryEngine(idx, num_actors=2)
+    try:
+        rows = engine.collapse(query, collapse_col="language", limit=limit)
+    finally:
+        engine.close()
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(len(rows)), pa.int64()),
+            "lang": pa.array([r["group"] for r in rows], pa.string()),
+            "doc_id": pa.array([r["doc_id"] for r in rows], pa.int64()),
+            "score_micro": pa.array(_micro([r["score"] for r in rows]), pa.int64()),
+        }
+    )
+
+
+QLD_MU = 500.0
+
+
+def qld_topk(sf_dir: str, query: str = BM25_QUERY, limit: int = 20):
+    """Query-likelihood Dirichlet ranking (Zhai & Lafferty 2001) over the
+    SAME inverted index as BM25: per-term collection frequencies and the
+    live token total come from one tiny shard round, scoring is dense
+    per-shard with a driver top-k merge.  Oracle: the full smoothed LM
+    in SQL (background model cf/|C|, candidates = docs with >=1 term)."""
+    from .query import QueryEngine
+
+    idx = _documents_index(sf_dir)
+    engine = QueryEngine(idx, num_actors=2)
+    try:
+        hits = engine.search_qld(query, limit=limit, mu=QLD_MU)
+    finally:
+        engine.close()
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(len(hits)), pa.int64()),
+            "doc_id": pa.array([h["doc_id"] for h in hits], pa.int64()),
+            "score_micro": pa.array(_micro([h["score"] for h in hits]), pa.int64()),
+        }
+    )
+
+
+def qld_sql(query: str, limit: int = 20, mu: float = QLD_MU) -> str:
+    """Pure-SQL Dirichlet query-likelihood — the oracle twin of
+    ``QueryEngine.search_qld``: score = sum_t qtf_t * (ln(tf + mu*cf/|C|)
+    - ln(dl + mu)) over docs containing >=1 query term; terms with no
+    corpus occurrence drop out (inner join on cf)."""
+    from ..functions.tokenizer import tokenize
+
+    terms = tokenize(query)
+    mult: Dict[str, int] = {}
+    for t in terms:
+        mult[t] = mult.get(t, 0) + 1
+    qvalues = ", ".join(f"('{t}', {m})" for t, m in sorted(mult.items()))
+    return f"""
+WITH tok AS (SELECT doc_id, {_tok_sql('text')} AS toks FROM documents),
+tf AS (
+  SELECT doc_id, t AS term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(toks) AS t FROM tok) GROUP BY doc_id, t
+),
+dl AS (SELECT doc_id, len(toks) AS dl FROM tok),
+cf AS (SELECT term, sum(tf) AS cf FROM tf GROUP BY term),
+tot AS (SELECT sum(dl) AS c FROM dl),
+q(term, mult) AS (VALUES {qvalues}),
+cand AS (SELECT DISTINCT tf.doc_id FROM tf JOIN q ON q.term = tf.term),
+scored AS (
+  SELECT cand.doc_id,
+         sum(q.mult * (ln(COALESCE(tf.tf, 0) + {mu} * cf.cf / (SELECT c FROM tot))
+                       - ln(dl.dl + {mu}))) AS score
+  FROM cand
+  CROSS JOIN q
+  JOIN cf ON cf.term = q.term
+  JOIN dl ON dl.doc_id = cand.doc_id
+  LEFT JOIN tf ON tf.doc_id = cand.doc_id AND tf.term = q.term
+  GROUP BY cand.doc_id
+)
+SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) - 1 AS rank,
+       doc_id,
+       CAST(floor(score * 1000000 + 0.5) AS BIGINT) AS score_micro
+FROM scored ORDER BY score DESC, doc_id ASC LIMIT {limit}
+"""
+
+
 PHRASE_POS_QUERY = "table scan"
 
 
@@ -555,6 +646,7 @@ def bm25_sql(
     corpus_where: Optional[str] = None,
     snippet_window: Optional[int] = None,
     offset: int = 0,
+    collapse: bool = False,
 ) -> str:
     """Pure-SQL BM25Okapi (k1=1.5 b=0.75 eps=0.25) over documents.text.
 
@@ -672,6 +764,18 @@ ORDER BY k.rank"""
         # the snippet final clause opens with its own CTEs, so splice it
         # into the WITH chain instead of after it
         final = "-- CTE-splice\n," + final
+    elif collapse:
+        # field collapsing: best (score desc, doc_id asc) hit per lang,
+        # groups ranked by their best hit — the SQL twin of
+        # QueryEngine.collapse
+        final = f"""SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) - 1 AS rank,
+       lang, doc_id,
+       CAST(floor(score * 1000000 + 0.5) AS BIGINT) AS score_micro
+FROM (SELECT lang, doc_id, score,
+             row_number() OVER (PARTITION BY lang ORDER BY score DESC, doc_id ASC) AS rn
+      FROM kept)
+WHERE rn = 1
+ORDER BY score DESC, doc_id ASC LIMIT {limit}"""
     elif facet:
         final = "SELECT lang, count(*) AS n_docs FROM kept GROUP BY lang ORDER BY lang"
     elif mlt_src is not None:
@@ -3173,6 +3277,8 @@ def build_oracle_sql() -> Dict[str, str]:
         "bm25_topk": bm25_sql(BM25_QUERY, limit=20),
         "bm25_topk_wand": bm25_sql(BM25_QUERY, limit=20),
         "bm25_page2": bm25_sql(BM25_QUERY, limit=PAGE_SIZE, offset=PAGE_SIZE),
+        "bm25_collapse": bm25_sql(BM25_QUERY, limit=3, collapse=True),
+        "qld_topk": qld_sql(BM25_QUERY, limit=20),
         "bm25_topk_lang": bm25_sql(BM25_QUERY_FILTERED, limit=20, lang_filter="en"),
         "bm25_facets": bm25_sql(BM25_QUERY, facet=True),
         "bm25_boolean": bm25_sql(

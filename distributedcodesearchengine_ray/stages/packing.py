@@ -104,3 +104,82 @@ def pack_sequences(
         with_bucket.groupby("__bkt")
         .map_groups(layout_bucket, batch_format="pandas")
     )
+
+
+def chunk_sliding_windows(
+    batch: pa.Table,
+    window: int = 32,
+    stride: int = 24,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> pa.Table:
+    """Sliding-window long-document chunking (map_batches kernel, 1->many).
+
+    Each doc's nonempty whitespace tokens are cut into windows of
+    ``window`` tokens every ``stride`` tokens: starts 0, S, 2S, ... while
+    start < n_tokens (so the tail window may be short, and empty docs
+    emit nothing).  The standard context-window layout for training /
+    embedding long documents with overlap; provenance carried as
+    (doc_id, chunk_idx, start_tok, n_tok).
+
+    Fully vectorized: token explode on the flat Arrow buffer, grouped
+    arange index arithmetic for the window membership (no per-doc Python
+    loop), one ListArray rebuild + ``binary_join`` for the chunk text.
+    """
+    import pyarrow.compute as pc
+
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "chunk_idx": pa.array([], pa.int64()),
+            "start_tok": pa.array([], pa.int64()),
+            "n_tok": pa.array([], pa.int64()),
+            "chunk_text": pa.array([], pa.string()),
+        }
+    )
+    if len(batch) == 0:
+        return empty
+    txt = batch[text_col]
+    if isinstance(txt, pa.ChunkedArray):
+        txt = txt.combine_chunks()
+    txt = pc.fill_null(pc.cast(txt, pa.string()), "")
+    toks = pc.utf8_split_whitespace(txt)
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = np.asarray(toks.values.to_numpy(zero_copy_only=False), dtype=object)
+    parents = np.repeat(
+        np.arange(len(batch)),
+        np.diff(toks.offsets.to_numpy(zero_copy_only=False)),
+    )
+    keep = flat != ""  # whitespace split keeps boundary empties
+    flat, parents = flat[keep], parents[keep]
+    doc_ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    n_tokens = np.bincount(parents, minlength=len(batch)).astype(np.int64)
+    doc_start = np.concatenate([[0], np.cumsum(n_tokens)[:-1]])
+    # chunks per doc: #starts s in {0, S, 2S, ...} with s < n
+    n_chunks = np.where(n_tokens > 0, (n_tokens - 1) // stride + 1, 0)
+    total = int(n_chunks.sum())
+    if total == 0:
+        return empty
+    chunk_doc = np.repeat(np.arange(len(batch)), n_chunks)
+    chunk_base = np.concatenate([[0], np.cumsum(n_chunks)[:-1]])
+    chunk_idx = np.arange(total) - chunk_base[chunk_doc]
+    start = chunk_idx * stride
+    n_tok = np.minimum(window, n_tokens[chunk_doc] - start)
+    # flat token indices per chunk via grouped arange
+    abs_start = doc_start[chunk_doc] + start
+    off = np.concatenate([[0], np.cumsum(n_tok)])
+    pos = np.arange(int(off[-1]))
+    idx = pos - np.repeat(off[:-1], n_tok) + np.repeat(abs_start, n_tok)
+    values = pa.array(flat[idx], pa.string())
+    chunks = pa.ListArray.from_arrays(pa.array(off, pa.int32()), values)
+    text_out = pc.binary_join(chunks, " ")
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_ids[chunk_doc], pa.int64()),
+            "chunk_idx": pa.array(chunk_idx, pa.int64()),
+            "start_tok": pa.array(start, pa.int64()),
+            "n_tok": pa.array(n_tok, pa.int64()),
+            "chunk_text": text_out,
+        }
+    )

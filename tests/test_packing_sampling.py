@@ -216,3 +216,39 @@ def test_clone_pairs_match_bruteforce(ray_session):
     want.sort()
     assert [(r.id_a, r.id_b, r.shared) for r in got.itertuples()] == want
     assert len(want) >= 6  # every family's 3 pairs should largely survive
+
+
+def test_chunk_sliding_windows_matches_serial(ray_session):
+    """Vectorized sliding-window chunker == a per-doc Python loop, over
+    empty / 1-token / exact-window / window+1 / long docs and an
+    adversarial multi-block partitioning."""
+    import ray.data as rd
+
+    from distributedcodesearchengine_ray.stages.packing import chunk_sliding_windows
+
+    rng = np.random.default_rng(11)
+    texts = ["", "a", " ".join(f"t{i}" for i in range(32)),
+             " ".join(f"t{i}" for i in range(33)), "  \n\t  "]
+    texts += [" ".join(f"w{rng.integers(0, 50)}" for _ in range(rng.integers(0, 90)))
+              for _ in range(40)]
+    df = pd.DataFrame({"doc_id": np.arange(len(texts)), "text": texts})
+
+    got = (
+        rd.from_pandas(df)
+        .repartition(6)
+        .map_batches(chunk_sliding_windows, batch_format="pyarrow",
+                     fn_kwargs=dict(window=16, stride=12))
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_idx"], ignore_index=True)
+    )
+
+    want = []
+    for d, t in zip(df["doc_id"], df["text"]):
+        toks, s, i = t.split(), 0, 0
+        while s < len(toks):
+            w = toks[s:s + 16]
+            want.append((d, i, s, len(w), " ".join(w)))
+            s += 12
+            i += 1
+    assert list(got.itertuples(index=False, name=None)) == want
+    assert got["n_tok"].max() <= 16 and len(want) > 60

@@ -35,6 +35,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tokenize_counts": Q.tokenize_counts,
         "term_df_top100": Q.term_df_top100,
         "heavy_hitter_tokens": Q.heavy_hitter_tokens,  # 2-pass sketch, SQL oracle
+        "significant_terms": Q.significant_terms,  # ES-style fg-vs-bg G2/LLR terms, milli-nat oracle
         "bm25_topk": Q.bm25_topk,
         "bm25_topk_wand": Q.bm25_topk_wand,
         "bm25_page2": Q.bm25_page2,  # search-after deep pagination, OFFSET oracle
@@ -64,6 +65,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_near_dups": Q.minhash_near_dups,  # rows-only (no SQL oracle)
         "ngram_jaccard_dups": Q.ngram_jaccard_dups,  # exact PPJoin, SQL oracle
         "dedup_clusters": Q.dedup_clusters,  # connected components, recursive-SQL oracle
+        "dedup_keep_best": Q.dedup_keep_best,  # keep longest per cluster, closure+window oracle
         "doc_pagerank": Q.doc_pagerank,  # integer PageRank over the near-dup graph, unrolled-SQL oracle
         "simhash_near_dups": Q.simhash_near_dups,  # rows-only, scalar-oracle gated
         "clone_pairs": Q.clone_pairs,  # winnowing clone join, rows-only (pytest brute-force gate)
@@ -75,6 +77,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_quantiles": Q.token_quantiles,  # exact CDF quantiles, quantile_disc oracle
         "clean_text": Q.clean_text_q,  # C4-style normalization, regexp_replace oracle
         "repetition_stats": Q.repetition_stats_q,  # Gopher repetition signals, exact-int oracle
+        "gopher_gate": Q.gopher_gate_q,  # composed Gopher quality gate: per-rule flags + keep
         "lm_perplexity": Q.lm_perplexity,  # CCNet bigram-LM scoring, milli-nat integer oracle
         "dsir_weights": Q.dsir_weights_q,  # DSIR importance weights, two-LM ratio oracle
         "dsir_select": Q.dsir_select_q,  # Gumbel-top-k importance resampling, md5-gumbel oracle

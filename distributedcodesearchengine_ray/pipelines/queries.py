@@ -109,6 +109,134 @@ def term_df_top100(sf_dir: str):
     )
 
 
+SIGTERMS_FG_LANG = "de"
+SIGTERMS_TOP_N = 20
+
+
+def significant_terms(sf_dir: str):
+    """Elasticsearch-style significant-terms aggregation: terms unusually
+    frequent in a foreground slice (lang = SIGTERMS_FG_LANG) vs the whole
+    corpus, scored by the G2 log-likelihood ratio of the 2x2 doc-frequency
+    contingency table (Dunning 1993), milli-nat integer encoding.
+
+    One distributed pass: per-batch distinct (term, doc, fg) explosion ->
+    partial (df_fg, df_all) -> groupby(term) sum -> per-block scoring +
+    local top-k -> driver merge of blocks*k rows.  The only all-to-all is
+    the vocabulary-keyed groupby (same exchange term_df_top100 already
+    uses); counts N / N_fg come from a single lang-column read.  The
+    positive-association gate is integer-exact (a*N > df_all*N_fg); only
+    the final G2 uses floats, rounded to milli-nats like pmi/lm oracles."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        toks = tokenize_array(t["text"])
+        flat = pcc.list_flatten(toks)
+        parents = pcc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        fg = pcc.equal(t["lang"], SIGTERMS_FG_LANG).to_numpy(zero_copy_only=False)
+        df_ = pd.DataFrame(
+            {"term": flat.to_pandas(), "d": parents}
+        ).drop_duplicates()
+        df_["fg"] = fg[df_["d"].to_numpy()].astype(np.int64)
+        partial = df_.groupby("term", sort=False).agg(
+            df_fg=("fg", "sum"), df_all=("fg", "size")
+        ).reset_index()
+        return pa.table(
+            {
+                "term": pa.array(partial["term"], pa.string()),
+                "df_fg": pa.array(partial["df_fg"].to_numpy(), pa.int64()),
+                "df_all": pa.array(partial["df_all"].to_numpy(), pa.int64()),
+            }
+        )
+
+    lang_counts = (
+        _read(sf_dir, "documents", columns=["lang"])
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "n": pa.array([len(t)], pa.int64()),
+                    "n_fg": pa.array(
+                        [pcc.sum(pcc.cast(pcc.equal(t["lang"], SIGTERMS_FG_LANG),
+                                          pa.int64())).as_py() or 0],
+                        pa.int64(),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+    n_docs = int(lang_counts["n"].sum())
+    n_fg = int(lang_counts["n_fg"].sum())
+
+    def score_topk(t: pa.Table) -> pa.Table:
+        a = t["df_fg"].to_numpy(zero_copy_only=False).astype(np.float64)
+        df_all = t["df_all"].to_numpy(zero_copy_only=False).astype(np.float64)
+        keep = (t["df_fg"].to_numpy(zero_copy_only=False) > 0) & (
+            t["df_fg"].to_numpy(zero_copy_only=False) * n_docs
+            > t["df_all"].to_numpy(zero_copy_only=False) * n_fg
+        )
+        t = t.filter(pa.array(keep))
+        if len(t) == 0:
+            return pa.table(
+                {
+                    "term": pa.array([], pa.string()),
+                    "df_fg": pa.array([], pa.int64()),
+                    "df_all": pa.array([], pa.int64()),
+                    "llr_milli": pa.array([], pa.int64()),
+                }
+            )
+        a, df_all = a[keep], df_all[keep]
+        b = df_all - a
+        c = n_fg - a
+        d = (n_docs - n_fg) - b
+        n = float(n_docs)
+
+        def cell(o, e_num, e_den):
+            with np.errstate(divide="ignore", invalid="ignore"):
+                v = o * np.log(o * n / (e_num * e_den))
+            return np.where(o > 0, v, 0.0)
+
+        g2 = 2.0 * (
+            cell(a, a + b, a + c)
+            + cell(b, a + b, b + d)
+            + cell(c, c + d, a + c)
+            + cell(d, c + d, b + d)
+        )
+        llr = _micro(g2, scale=1e3)
+        df_out = pd.DataFrame(
+            {
+                "term": t["term"].to_pandas(),
+                "df_fg": t["df_fg"].to_pandas(),
+                "df_all": t["df_all"].to_pandas(),
+                "llr_milli": llr,
+            }
+        ).sort_values(["llr_milli", "term"], ascending=[False, True],
+                      kind="mergesort").head(SIGTERMS_TOP_N)
+        return pa.Table.from_pandas(df_out, preserve_index=False)
+
+    out = (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("df_fg", alias_name="df_fg"), Sum("df_all", alias_name="df_all"))
+        .map_batches(score_topk, batch_format="pyarrow")
+        .to_pandas()
+    )
+    if "llr_milli" not in out.columns:  # every block empty: no fg-assoc terms
+        out = pd.DataFrame(columns=["term", "df_fg", "df_all", "llr_milli"])
+    out = out.sort_values(["llr_milli", "term"], ascending=[False, True],
+                          kind="mergesort", ignore_index=True).head(SIGTERMS_TOP_N)
+    return pa.table(
+        {
+            "term": pa.array(out["term"], pa.string()),
+            "df_fg": pa.array(out["df_fg"], pa.int64()),
+            "df_all": pa.array(out["df_all"], pa.int64()),
+            "llr_milli": pa.array(out["llr_milli"], pa.int64()),
+        }
+    )
+
+
 WILDCARD_PATTERN = "s*"
 
 
@@ -1071,6 +1199,63 @@ def dedup_clusters(sf_dir: str):
     return connected_components(_ngram_pairs(sf_dir))
 
 
+def dedup_keep_best(sf_dir: str):
+    """Cluster dedup with BEST-representative election: transitive
+    near-dup clusters (exact n-gram Jaccard >= 0.5 pairs, shared with
+    dedup_clusters) keep the LONGEST member — max whitespace-token count,
+    min doc_id tie-break — the usual "keep the most complete copy"
+    policy, instead of dedup_clusters' arbitrary min-id.  Token counts
+    for the clustered docs come from a distributed filtered pass over
+    documents (broadcast id-set via ray.put, never per-batch reship);
+    the election itself runs on the driver over the pair-graph-sized
+    cluster table, same size class as the memoized pair join.  Oracle:
+    the recursive reachability closure + a first_value window."""
+    import ray
+
+    from ..stages.components import connected_components
+
+    cc = connected_components(_ngram_pairs(sf_dir)).to_pandas()
+    ids_ref = ray.put(np.sort(cc["doc_id"].to_numpy(np.int64)))
+
+    def counts(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        member = np.isin(ids, ray.get(ids_ref))
+        if not member.any():
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()), "n_tokens": pa.array([], pa.int64())}
+            )
+        sub = t.filter(pa.array(member))
+        toks = pcc.split_pattern_regex(
+            pcc.fill_null(pcc.cast(sub["text"], pa.string()), ""), r"\s+"
+        )
+        flat = pcc.list_flatten(toks)
+        par = pcc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        ne = pcc.greater(pcc.utf8_length(flat), 0).to_numpy(zero_copy_only=False)
+        nt = np.bincount(par[ne], minlength=len(sub)).astype(np.int64)
+        return pa.table({"doc_id": sub["doc_id"], "n_tokens": pa.array(nt)})
+
+    nt = (
+        _read(sf_dir, "documents", columns=["doc_id", "text"])
+        .map_batches(counts, batch_format="pyarrow")
+        .to_pandas()
+    )
+    m = cc.merge(nt, on="doc_id")
+    m = m.sort_values(["cluster_id", "n_tokens", "doc_id"],
+                      ascending=[True, False, True], ignore_index=True)
+    keeper = m.groupby("cluster_id", sort=False)["doc_id"].transform("first")
+    m["keeper_id"] = keeper
+    m["kept"] = (m["doc_id"] == keeper).astype(np.int64)
+    m = m.sort_values("doc_id", ignore_index=True)
+    return pa.table(
+        {
+            "doc_id": pa.array(m["doc_id"], pa.int64()),
+            "cluster_id": pa.array(m["cluster_id"], pa.int64()),
+            "keeper_id": pa.array(m["keeper_id"], pa.int64()),
+            "kept": pa.array(m["kept"], pa.int64()),
+        }
+    )
+
+
 # ------------------------------------------------------------ text stats
 
 
@@ -1445,6 +1630,25 @@ def repetition_stats_q(sf_dir: str):
         from ..stages.text_stats import repetition_stats
 
         return repetition_stats(t)
+
+    out = ds.map_batches(fn, batch_format="pyarrow").to_pandas().sort_values(
+        "doc_id", ignore_index=True
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def gopher_gate_q(sf_dir: str):
+    """Gopher-style composed quality GATE (Rae et al. 2021 §A.1.1): the
+    full keep/drop verdict with one integer flag per rule (word count,
+    mean word length, stopword floor, dup-line-chars cap, top-bigram
+    cap).  Shuffle-free map_batches; integer-exact so the SQL oracle
+    hash-matches."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        from ..stages.text_stats import gopher_gate
+
+        return gopher_gate(t)
 
     out = ds.map_batches(fn, batch_format="pyarrow").to_pandas().sort_values(
         "doc_id", ignore_index=True
@@ -3294,6 +3498,41 @@ def build_oracle_sql() -> Dict[str, str]:
             SELECT term, count(*) AS df FROM pairs GROUP BY term
             ORDER BY df DESC, term ASC LIMIT 100
         """,
+        "significant_terms": f"""
+            WITH tok AS (SELECT doc_id, lang, {tok} AS toks FROM documents),
+            pairs AS (SELECT DISTINCT doc_id, lang, unnest(toks) AS term FROM tok),
+            nn AS (
+              SELECT count(*) AS n_docs,
+                     count(*) FILTER (WHERE lang = '{SIGTERMS_FG_LANG}') AS n_fg
+              FROM documents),
+            d AS (
+              SELECT term,
+                     count(*) AS df_all,
+                     count(*) FILTER (WHERE lang = '{SIGTERMS_FG_LANG}') AS df_fg
+              FROM pairs GROUP BY term),
+            cells AS (
+              SELECT term, df_fg, df_all,
+                     CAST(df_fg AS DOUBLE) AS a,
+                     CAST(df_all - df_fg AS DOUBLE) AS b,
+                     CAST(nn.n_fg - df_fg AS DOUBLE) AS c,
+                     CAST(nn.n_docs - nn.n_fg - (df_all - df_fg) AS DOUBLE) AS dd,
+                     CAST(nn.n_docs AS DOUBLE) AS n
+              FROM d, nn
+              WHERE df_fg > 0 AND df_fg * nn.n_docs > df_all * nn.n_fg),
+            g AS (
+              SELECT term,
+                     CAST(df_fg AS BIGINT) AS df_fg,
+                     CAST(df_all AS BIGINT) AS df_all,
+                     CAST(floor(2 * (
+                       CASE WHEN a > 0 THEN a * ln(a * n / ((a+b) * (a+c))) ELSE 0 END +
+                       CASE WHEN b > 0 THEN b * ln(b * n / ((a+b) * (b+dd))) ELSE 0 END +
+                       CASE WHEN c > 0 THEN c * ln(c * n / ((c+dd) * (a+c))) ELSE 0 END +
+                       CASE WHEN dd > 0 THEN dd * ln(dd * n / ((c+dd) * (b+dd))) ELSE 0 END
+                     ) * 1000 + 0.5) AS BIGINT) AS llr_milli
+              FROM cells)
+            SELECT term, df_fg, df_all, llr_milli FROM g
+            ORDER BY llr_milli DESC, term ASC LIMIT {SIGTERMS_TOP_N}
+        """,
         "wildcard_term_df": f"""
             WITH tok AS (SELECT doc_id, {tok} AS toks FROM documents),
             pairs AS (SELECT DISTINCT doc_id, unnest(toks) AS term FROM tok)
@@ -3468,6 +3707,64 @@ def build_oracle_sql() -> Dict[str, str]:
             FROM lagg l LEFT JOIN bagg b ON l.doc_id = b.doc_id
             LEFT JOIN btop t ON l.doc_id = t.doc_id
             ORDER BY l.doc_id
+        """,
+        "gopher_gate": f"""
+            WITH tok AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(text, '\\s+'),
+                                 x -> length(x) > 0) AS toks
+              FROM documents
+            ), tstats AS (
+              SELECT doc_id,
+                     CAST(len(toks) AS BIGINT) AS n_tokens,
+                     CAST(length(array_to_string(toks, '')) AS BIGINT) AS tok_len_sum,
+                     CAST(len(list_filter(toks, x -> lower(x) IN ({stop_list})))
+                          AS BIGINT) AS n_stop
+              FROM tok
+            ), lines AS (
+              SELECT doc_id, unnest(str_split(text, chr(10))) AS line FROM documents
+            ), lc AS (
+              SELECT doc_id, line, count(*) AS cnt, length(line) AS len
+              FROM lines GROUP BY doc_id, line
+            ), lagg AS (
+              SELECT doc_id,
+                     CAST(sum((cnt-1)*len) AS BIGINT) AS dup_line_chars,
+                     CAST(sum(cnt*len) AS BIGINT) AS line_chars
+              FROM lc GROUP BY doc_id
+            ), bg AS (
+              SELECT t.doc_id, t.toks[i] || ' ' || t.toks[i+1] AS bigram
+              FROM tok t, unnest(generate_series(1, len(t.toks)-1)) AS g(i)
+              WHERE len(t.toks) >= 2
+            ), bagg AS (
+              SELECT doc_id,
+                     CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+                     CAST(max(cnt) AS BIGINT) AS top_bigram_n
+              FROM (SELECT doc_id, bigram, count(*) AS cnt
+                    FROM bg GROUP BY doc_id, bigram) GROUP BY doc_id
+            ), flags AS (
+              SELECT t.doc_id, t.n_tokens,
+                     CASE WHEN t.n_tokens BETWEEN 20 AND 5000 THEN 1 ELSE 0 END AS f_words,
+                     CASE WHEN 4 * t.n_tokens <= t.tok_len_sum
+                           AND t.tok_len_sum <= 12 * t.n_tokens THEN 1 ELSE 0 END AS f_wordlen,
+                     CASE WHEN t.n_stop >= 2 THEN 1 ELSE 0 END AS f_stop,
+                     CASE WHEN 100 * l.dup_line_chars <= 30 * l.line_chars
+                          THEN 1 ELSE 0 END AS f_dupline,
+                     CASE WHEN COALESCE(b.n_bigrams, 0) = 0
+                            OR 100 * b.top_bigram_n <= 18 * b.n_bigrams
+                          THEN 1 ELSE 0 END AS f_bigram
+              FROM tstats t
+              JOIN lagg l ON l.doc_id = t.doc_id
+              LEFT JOIN bagg b ON b.doc_id = t.doc_id
+            )
+            SELECT doc_id, n_tokens,
+                   CAST(f_words AS BIGINT) AS f_words,
+                   CAST(f_wordlen AS BIGINT) AS f_wordlen,
+                   CAST(f_stop AS BIGINT) AS f_stop,
+                   CAST(f_dupline AS BIGINT) AS f_dupline,
+                   CAST(f_bigram AS BIGINT) AS f_bigram,
+                   CAST(f_words * f_wordlen * f_stop * f_dupline * f_bigram
+                        AS BIGINT) AS keep
+            FROM flags ORDER BY doc_id
         """,
         "substring_search": f"""
             SELECT doc_id FROM documents
@@ -3673,6 +3970,47 @@ def build_oracle_sql() -> Dict[str, str]:
               SELECT e.ev AS v, reach.r FROM edges e JOIN reach ON reach.v = e.eu)
             SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v
             ORDER BY doc_id
+        """,
+        "dedup_keep_best": """
+            WITH RECURSIVE toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                 x -> length(x) > 0) AS t
+              FROM documents),
+            grams AS (
+              SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram
+              FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+              WHERE len(t) >= 3),
+            sz AS (SELECT doc_id, count(*) AS s FROM grams GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+              FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+            pairs AS (
+              SELECT id_a, id_b
+              FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+              WHERE i / (sa.s + sb.s - i) >= 0.5),
+            edges AS (SELECT id_a AS eu, id_b AS ev FROM pairs
+                      UNION SELECT id_b, id_a FROM pairs),
+            nodes AS (SELECT DISTINCT eu AS v FROM edges),
+            reach AS (
+              SELECT v, v AS r FROM nodes
+              UNION
+              SELECT e.ev AS v, reach.r FROM edges e JOIN reach ON reach.v = e.eu),
+            cc AS (SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v),
+            ntok AS (
+              SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens FROM toks),
+            elected AS (
+              SELECT cc.doc_id, cc.cluster_id,
+                     first_value(cc.doc_id) OVER (
+                       PARTITION BY cc.cluster_id
+                       ORDER BY n.n_tokens DESC, cc.doc_id ASC) AS keeper_id
+              FROM cc JOIN ntok n ON n.doc_id = cc.doc_id)
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(cluster_id AS BIGINT) AS cluster_id,
+                   CAST(keeper_id AS BIGINT) AS keeper_id,
+                   CAST(CASE WHEN doc_id = keeper_id THEN 1 ELSE 0 END AS BIGINT) AS kept
+            FROM elected ORDER BY doc_id
         """,
         "embed_cosine_dups": """
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)

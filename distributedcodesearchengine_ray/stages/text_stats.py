@@ -324,3 +324,85 @@ def clean_text(batch: pa.Table, text_col: str = "text") -> pa.Table:
         txt = pc.replace_substring_regex(txt, pattern, " ")
     txt = pc.utf8_trim_whitespace(pc.replace_substring_regex(txt, WS_PATTERN, " "))
     return batch.append_column("clean_text", txt)
+
+
+def gopher_gate(
+    batch: pa.Table,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 20,
+    max_words: int = 5000,
+    min_avg_len: int = 4,
+    max_avg_len: int = 12,
+    min_stop: int = 2,
+    max_dup_line_pct: int = 30,
+    max_top_bigram_pct: int = 18,
+) -> pa.Table:
+    """Gopher-style document quality GATE (Rae et al. 2021 §A.1.1): the
+    composed keep/drop verdict with one 0/1 flag per rule, not just the
+    raw signals (those are ``repetition_stats`` / ``quality_stats``).
+
+    All comparisons are integer-exact (cross-multiplied, never float
+    ratios) so a SQL oracle hash-matches bit-for-bit:
+
+    - ``f_words``:   min_words <= n_tokens <= max_words
+    - ``f_wordlen``: min_avg_len*n <= sum(len(tok)) <= max_avg_len*n
+    - ``f_stop``:    >= min_stop stopword occurrences (lowercased)
+    - ``f_dupline``: 100*dup_line_chars <= max_dup_line_pct*line_chars
+    - ``f_bigram``:  100*top_bigram_n <= max_top_bigram_pct*n_bigrams
+      (vacuously true when the doc has no bigrams)
+    - ``keep``: AND of all five.
+
+    Pure per-doc map_batches stage — no shuffle; composes the vectorized
+    token pass with ``repetition_stats``'s line/bigram signals.
+    """
+    n = len(batch)
+    txt = batch[text_col]
+    if isinstance(txt, pa.ChunkedArray):
+        txt = txt.combine_chunks()
+    txt = pc.fill_null(txt, "")
+    ws = pc.split_pattern_regex(txt, r"\s+")
+    flat = pc.list_flatten(ws)
+    parents = pc.list_parent_indices(ws).to_numpy(zero_copy_only=False)
+    nonempty = pc.greater(pc.utf8_length(flat), 0).to_numpy(zero_copy_only=False)
+    flat_ne = flat.filter(pa.array(nonempty))
+    par_ne = parents[nonempty]
+    n_tokens = np.bincount(par_ne, minlength=n).astype(np.int64)
+    tok_len_sum = np.bincount(
+        par_ne,
+        weights=pc.utf8_length(flat_ne).to_numpy(zero_copy_only=False),
+        minlength=n,
+    ).astype(np.int64)
+    stop_mask = pc.is_in(
+        pc.utf8_lower(flat_ne), value_set=pa.array(sorted(STOPWORDS))
+    ).to_numpy(zero_copy_only=False)
+    n_stop = np.bincount(par_ne[stop_mask], minlength=n).astype(np.int64)
+
+    rep = repetition_stats(batch, text_col=text_col, id_col=id_col)
+    dup_line_chars = rep["dup_line_chars"].to_numpy(zero_copy_only=False)
+    line_chars = rep["line_chars"].to_numpy(zero_copy_only=False)
+    n_bigrams = rep["n_bigrams"].to_numpy(zero_copy_only=False)
+    top_bigram_n = rep["top_bigram_n"].to_numpy(zero_copy_only=False)
+
+    f_words = (n_tokens >= min_words) & (n_tokens <= max_words)
+    f_wordlen = (min_avg_len * n_tokens <= tok_len_sum) & (
+        tok_len_sum <= max_avg_len * n_tokens
+    )
+    f_stop = n_stop >= min_stop
+    f_dupline = 100 * dup_line_chars <= max_dup_line_pct * line_chars
+    f_bigram = 100 * top_bigram_n <= max_top_bigram_pct * n_bigrams
+    f_bigram |= n_bigrams == 0
+    keep = f_words & f_wordlen & f_stop & f_dupline & f_bigram
+    as_i64 = lambda m: pa.array(m.astype(np.int64))  # noqa: E731
+    return pa.table(
+        {
+            id_col: batch[id_col],
+            "n_tokens": pa.array(n_tokens),
+            "f_words": as_i64(f_words),
+            "f_wordlen": as_i64(f_wordlen),
+            "f_stop": as_i64(f_stop),
+            "f_dupline": as_i64(f_dupline),
+            "f_bigram": as_i64(f_bigram),
+            "keep": as_i64(keep),
+        }
+    )

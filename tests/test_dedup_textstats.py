@@ -807,3 +807,69 @@ def test_redact_pii_synthetic():
     assert out["n_url"].to_pylist() == [1, 0, 0, 0]
     assert out["n_ip"].to_pylist() == [0, 1, 0, 0]
     assert out["n_number"].to_pylist() == [0, 4, 0, 0]
+
+
+def test_gopher_gate_rules(ray_session):
+    """Each gate rule fires on a purpose-built doc; integer-exact flags."""
+    import pyarrow as pa
+
+    from distributedcodesearchengine_ray.stages.text_stats import gopher_gate
+
+    good = ("the quick brown research paper explains that many of these "
+            "documents with useful sentences and clear structure is kept "
+            "because that text looks natural and with enough words total")
+    docs = {
+        "good": good,
+        "too_short": "the cat is in that house",  # < 20 words
+        "long_words": "the and " + " ".join(["supercalifragilistic"] * 30),
+        "no_stopwords": " ".join(f"tok{i}" for i in range(30)),
+        "dup_lines": "the line is that one\n" * 10 + "with a tail of it",
+        "rep_bigram": "the of " + "again again " * 30 + "is that",
+    }
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(docs)), pa.int64()),
+            "text": pa.array(list(docs.values())),
+        }
+    )
+    out = gopher_gate(t).to_pandas()
+    out.index = list(docs)
+    assert out.loc["good", "keep"] == 1, out.loc["good"]
+    assert out.loc["too_short", "f_words"] == 0
+    assert out.loc["long_words", "f_wordlen"] == 0
+    assert out.loc["no_stopwords", "f_stop"] == 0
+    assert out.loc["dup_lines", "f_dupline"] == 0
+    assert out.loc["rep_bigram", "f_bigram"] == 0
+    for name in docs:
+        if name != "good":
+            assert out.loc[name, "keep"] == 0, name
+
+
+def test_dedup_keep_best_elects_longest(ray_session):
+    """Keeper = max-token member (min id tie-break), never silently the
+    min id; verified against a per-cluster pandas election."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from distributedcodesearchengine_ray.stages.components import connected_components
+
+    pairs = pa.table(
+        {
+            "id_a": pa.array([1, 2, 10, 20], pa.int64()),
+            "id_b": pa.array([2, 3, 11, 21], pa.int64()),
+        }
+    )
+    cc = connected_components(pairs).to_pandas()
+    nt = pd.DataFrame(
+        {"doc_id": [1, 2, 3, 10, 11, 20, 21],
+         "n_tokens": [5, 9, 9, 4, 7, 6, 6]}
+    )
+    m = cc.merge(nt, on="doc_id").sort_values(
+        ["cluster_id", "n_tokens", "doc_id"], ascending=[True, False, True]
+    )
+    keeper = m.groupby("cluster_id", sort=False)["doc_id"].transform("first")
+    got = dict(zip(m["doc_id"], keeper))
+    # cluster {1,2,3}: 2 and 3 tie at 9 tokens -> min id 2; {10,11}: 11 longer;
+    # {20,21}: tie -> 20
+    assert got == {1: 2, 2: 2, 3: 2, 10: 11, 11: 11, 20: 20, 21: 20}

@@ -81,6 +81,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_perplexity": Q.lm_perplexity,  # CCNet bigram-LM scoring, milli-nat integer oracle
         "dsir_weights": Q.dsir_weights_q,  # DSIR importance weights, two-LM ratio oracle
         "dsir_select": Q.dsir_select_q,  # Gumbel-top-k importance resampling, md5-gumbel oracle
+        "token_budget_select": Q.token_budget_select_q,  # quality-ordered token-budget curation, window oracle
         "tfidf_keywords": Q.tfidf_keywords_q,  # per-doc top-3 tf*idf, window oracle
         "term_cooccurrence": Q.term_cooccurrence_q,  # top-vocab PMI pairs, self-join oracle
         "bpe_vocab": Q.bpe_vocab,  # BPE tokenizer training, rows-only (pytest exactness gate)
@@ -129,6 +130,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_balance_by_region": Q.supplier_balance_by_region,
         "distinct_users_by_type": Q.distinct_users_by_type,
         "customers_no_urgent": Q.customers_no_urgent,  # distributed anti-join
+        "orders_with_returns": Q.orders_with_returns,  # distributed semi-join, EXISTS oracle
+        "ttr_by_lang": Q.ttr_by_lang,  # type-token ratio per lang, COUNT DISTINCT oracle
     }
 
 

@@ -231,6 +231,11 @@ def run_bench() -> dict:
         ("dup_spans", Q.dup_spans),
         ("global_shuffle", Q.global_shuffle),
         ("training_mix", Q.training_mix),
+        ("doc_chunks", Q.doc_chunks),
+        ("gopher_gate", Q.gopher_gate_q),
+        ("dedup_keep_best", Q.dedup_keep_best),
+        ("significant_terms", Q.significant_terms),
+        ("token_budget_select", Q.token_budget_select_q),
         ("clean_text", Q.clean_text_q),
         ("token_quantiles", Q.token_quantiles),
         ("q1_lineitem", Q.q1_lineitem),

@@ -1637,6 +1637,62 @@ def repetition_stats_q(sf_dir: str):
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+TOKEN_BUDGET_NUM, TOKEN_BUDGET_DEN = 3, 10
+
+
+def token_budget_select_q(sf_dir: str):
+    """Quality-ordered token-budget corpus selection: rank docs by
+    stopword-ratio (milli-encoded, the natural-language-ness score),
+    keep the (score DESC, doc_id ASC) prefix whose running token total
+    stays within 30% of the corpus's tokens.  Distributed via the
+    score-histogram threshold + cutoff-group prefix sum in
+    stages/selection.py — no global sort.  Oracle: SUM() OVER window."""
+    from ..stages.selection import token_budget_select
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def stats(t: pa.Table) -> pa.Table:
+        toks = pcc.split_pattern_regex(
+            pcc.fill_null(pcc.cast(t["text"], pa.string()), ""), r"\s+"
+        )
+        flat = pcc.list_flatten(toks)
+        par = pcc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        ne = pcc.greater(pcc.utf8_length(flat), 0).to_numpy(zero_copy_only=False)
+        n = len(t)
+        n_tokens = np.bincount(par[ne], minlength=n).astype(np.int64)
+        stop = pcc.is_in(
+            pcc.utf8_lower(flat.filter(pa.array(ne))),
+            value_set=pa.array(sorted(STOPWORDS)),
+        ).to_numpy(zero_copy_only=False)
+        n_stop = np.bincount(par[ne][stop], minlength=n).astype(np.int64)
+        score = np.where(
+            n_tokens > 0,
+            np.floor(1000.0 * n_stop / np.maximum(n_tokens, 1) + 0.5).astype(np.int64),
+            0,
+        )
+        return pa.table(
+            {
+                "doc_id": pcc.cast(t["doc_id"], pa.int64()),
+                "score": pa.array(score),
+                "n_tokens": pa.array(n_tokens),
+            }
+        )
+
+    sel = token_budget_select(
+        ds.map_batches(stats, batch_format="pyarrow"),
+        TOKEN_BUDGET_NUM,
+        TOKEN_BUDGET_DEN,
+    )
+    out = sel.to_pandas().sort_values("doc_id", ignore_index=True)
+    return pa.table(
+        {
+            "doc_id": pa.array(out["doc_id"], pa.int64()),
+            "score": pa.array(out["score"], pa.int64()),
+            "n_tokens": pa.array(out["n_tokens"], pa.int64()),
+        }
+    )
+
+
 def gopher_gate_q(sf_dir: str):
     """Gopher-style composed quality GATE (Rae et al. 2021 §A.1.1): the
     full keep/drop verdict with one integer flag per rule (word count,
@@ -2999,6 +3055,133 @@ def global_shuffle(sf_dir: str):
     )
 
 
+def orders_with_returns(sf_dir: str):
+    """Distributed SEMI-join (the EXISTS counterpart of
+    customers_no_urgent's anti-join): orders with at least one returned
+    lineitem (l_returnflag = 'R'), counted per order priority.  Same
+    tag-and-union shape — orders rows src=0 carry the priority, returned
+    lineitem orderkeys src=1 — one key-partitioned groupby keeps groups
+    that DO have a src=1 row; no driver-side key set at any scale."""
+    from ray.data.aggregate import Count
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_returnflag"])
+
+    def order_side(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "key": pcc.cast(t["o_orderkey"], pa.int64()),
+                "priority": pcc.cast(t["o_orderpriority"], pa.string()),
+                "src": pa.array(np.zeros(len(t), dtype=np.int64)),
+            }
+        )
+
+    def returned_side(t: pa.Table) -> pa.Table:
+        m = pcc.equal(t["l_returnflag"], pa.scalar("R"))
+        keys = pcc.unique(pcc.cast(t.filter(m)["l_orderkey"], pa.int64()))
+        return pa.table(
+            {
+                "key": keys,
+                "priority": pa.array([""] * len(keys), pa.string()),
+                "src": pa.array(np.ones(len(keys), dtype=np.int64)),
+            }
+        )
+
+    tagged = orders.map_batches(order_side, batch_format="pyarrow").union(
+        li.map_batches(returned_side, batch_format="pyarrow")
+    )
+
+    def semi(df: pd.DataFrame) -> pd.DataFrame:
+        if not (df["src"] == 1).any():
+            return pd.DataFrame({"priority": pd.Series([], dtype=object)})
+        return pd.DataFrame({"priority": df.loc[df["src"] == 0, "priority"]})
+
+    out = (
+        tagged.groupby("key")
+        .map_groups(semi, batch_format="pandas")
+        .groupby("priority")
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+        .sort_values("priority", ignore_index=True)
+    )
+    return pa.table(
+        {
+            "priority": pa.array(out["priority"], pa.string()),
+            "n": pa.array(out["n"], pa.int64()),
+        }
+    )
+
+
+def ttr_by_lang(sf_dir: str):
+    """Type-token ratio per language (lexical-diversity corpus statistic):
+    distinct terms vs total token occurrences per lang, micro-encoded.
+    Types come from per-batch distinct (lang, term) partials -> one
+    (lang, term)-keyed groupby (the vocabulary exchange term_df_top100
+    already pays, here lang-salted so hot languages spread); totals from
+    a shuffle-free bincount partial + tiny groupby(lang) sum."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "documents", columns=["lang", "text"])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        toks = tokenize_array(t["text"])
+        flat = toks.values if not isinstance(toks, pa.ChunkedArray) else toks.combine_chunks().values
+        par = pcc.list_parent_indices(
+            toks if not isinstance(toks, pa.ChunkedArray) else toks.combine_chunks()
+        ).to_numpy(zero_copy_only=False)
+        lang = t["lang"].to_pandas().to_numpy()
+        df_ = pd.DataFrame({"lang": lang[par], "term": flat.to_pandas()}).drop_duplicates()
+        return pa.Table.from_pandas(df_, preserve_index=False)
+
+    types = (
+        ds.map_batches(pairs, batch_format="pyarrow")
+        .groupby(["lang", "term"])
+        .aggregate(Count(alias_name="_c"))
+        .map_batches(
+            lambda t: pa.Table.from_pandas(
+                pd.DataFrame({"lang": t["lang"].to_pandas()})
+                .groupby("lang", sort=False).size().rename("n_types").reset_index(),
+                preserve_index=False,
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("lang")
+        .aggregate(Sum("n_types", alias_name="n_types"))
+        .to_pandas()
+    )
+
+    def totals(t: pa.Table) -> pa.Table:
+        toks = tokenize_array(t["text"])
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        par = pcc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        n = np.bincount(par, minlength=len(t)).astype(np.int64)
+        return pa.Table.from_pandas(
+            pd.DataFrame({"lang": t["lang"].to_pandas(), "n": n})
+            .groupby("lang", sort=False)["n"].sum().rename("n_tokens").reset_index(),
+            preserve_index=False,
+        )
+
+    totals_df = (
+        ds.map_batches(totals, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Sum("n_tokens", alias_name="n_tokens"))
+        .to_pandas()
+    )
+    out = types.merge(totals_df, on="lang").sort_values("lang", ignore_index=True)
+    ttr = _micro(
+        out["n_types"].to_numpy(np.float64) / np.maximum(out["n_tokens"].to_numpy(np.float64), 1.0)
+    )
+    return pa.table(
+        {
+            "lang": pa.array(out["lang"], pa.string()),
+            "n_types": pa.array(out["n_types"], pa.int64()),
+            "n_tokens": pa.array(out["n_tokens"], pa.int64()),
+            "ttr_micro": pa.array(ttr),
+        }
+    )
+
+
 def customers_no_urgent(sf_dir: str):
     """Distributed ANTI-join: customers with no URGENT order, counted per
     nation.  Shape: tag-and-union on the join key (customer rows src=0,
@@ -3708,6 +3891,34 @@ def build_oracle_sql() -> Dict[str, str]:
             LEFT JOIN btop t ON l.doc_id = t.doc_id
             ORDER BY l.doc_id
         """,
+        "token_budget_select": f"""
+            WITH tok AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(text, '\\s+'),
+                                 x -> length(x) > 0) AS toks
+              FROM documents
+            ), sc AS (
+              SELECT doc_id,
+                     CAST(len(toks) AS BIGINT) AS n_tokens,
+                     CASE WHEN len(toks) > 0
+                          THEN CAST(floor(1000.0 *
+                                 len(list_filter(toks, x -> lower(x) IN ({stop_list})))
+                                 / len(toks) + 0.5) AS BIGINT)
+                          ELSE 0 END AS score
+              FROM tok
+            ), b AS (
+              SELECT CAST(sum(n_tokens) AS BIGINT) * {TOKEN_BUDGET_NUM}
+                       // {TOKEN_BUDGET_DEN} AS budget
+              FROM sc
+            ), c AS (
+              SELECT doc_id, score, n_tokens,
+                     sum(n_tokens) OVER (ORDER BY score DESC, doc_id ASC
+                                         ROWS UNBOUNDED PRECEDING) AS cum
+              FROM sc
+            )
+            SELECT doc_id, score, n_tokens
+            FROM c, b WHERE cum <= budget ORDER BY doc_id
+        """,
         "gopher_gate": f"""
             WITH tok AS (
               SELECT doc_id,
@@ -4383,6 +4594,26 @@ def build_oracle_sql() -> Dict[str, str]:
                         (ORDER BY md5('{SHUFFLE_SEED}:' || CAST(doc_id AS VARCHAR)))
                         - 1 AS BIGINT) AS pos
             FROM documents ORDER BY doc_id
+        """,
+        "orders_with_returns": """
+            SELECT o_orderpriority AS priority, CAST(count(*) AS BIGINT) AS n
+            FROM orders o
+            WHERE EXISTS (
+              SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+            GROUP BY o_orderpriority ORDER BY priority
+        """,
+        "ttr_by_lang": f"""
+            WITH tok AS (SELECT lang, {tok} AS toks FROM documents),
+            flat AS (SELECT lang, unnest(toks) AS term FROM tok),
+            t AS (SELECT lang, count(*) AS n_tokens,
+                         count(DISTINCT term) AS n_types
+                  FROM flat GROUP BY lang)
+            SELECT lang,
+                   CAST(n_types AS BIGINT) AS n_types,
+                   CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST(floor(1000000.0 * n_types / n_tokens + 0.5) AS BIGINT) AS ttr_micro
+            FROM t ORDER BY lang
         """,
         "customers_no_urgent": """
             SELECT n_name, CAST(count(*) AS BIGINT) AS n

@@ -131,3 +131,93 @@ def dsir_select(
 
     weights = dsir_weights(ds, is_target, id_col=id_col, text_col=text_col)
     return gumbel_topk(weights, n, seed=seed, id_col=id_col)
+
+
+def token_budget_select(
+    ds,
+    budget_num: int,
+    budget_den: int,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+    count_col: str = "n_tokens",
+):
+    """Quality-ordered TOKEN-BUDGET corpus selection: take documents in
+    (score DESC, id ASC) order until the running token total would exceed
+    ``budget = total_tokens * budget_num // budget_den`` — the standard
+    "best data under a token budget" selection (SlimPajama / FineWeb
+    style curation), with SQL-window-exact prefix semantics.
+
+    A global sort would be an all-to-all over every row; instead:
+
+    - phase 1 (small exchange): ``groupby(score).sum(count)`` — one row
+      per DISTINCT SCORE leaves the cluster (scores are integer-encoded
+      ratios, so the histogram is bounded, e.g. <= 1001 rows for
+      milli-ratios) — total tokens and the cutoff score fall out of the
+      driver-side cumulative walk;
+    - every doc with score > cutoff is selected by a stateless filter
+      (no exchange);
+    - only the CUTOFF-score group needs per-doc resolution: its docs get
+      exact global prefix positions from ``pack_sequences``'s bucketed
+      prefix sum (one bucket-keyed exchange over just that group), and
+      survive while ``start + n <= remaining``.
+
+    Returns a Dataset of (id_col, score_col, count_col) for the selected
+    docs.  Equivalent to the SQL window ``SUM(count) OVER (ORDER BY
+    score DESC, id ASC) <= budget`` — the paired oracle.
+    """
+    from ray.data.aggregate import Sum
+
+    from .packing import pack_sequences
+
+    hist = (
+        ds.groupby(score_col)
+        .aggregate(Sum(count_col, alias_name="__tok"))
+        .to_pandas()
+        .sort_values(score_col, ascending=False, ignore_index=True)
+    )
+    toks = hist["__tok"].to_numpy(dtype=np.int64)
+    total = int(toks.sum())
+    budget = total * budget_num // budget_den
+    cum = np.cumsum(toks)
+    # first score group whose inclusive cum exceeds the budget = cutoff
+    over = np.flatnonzero(cum > budget)
+    if len(over) == 0:  # everything fits
+        return ds
+    cut_i = int(over[0])
+    cutoff = int(hist[score_col].iloc[cut_i])
+    higher_sum = int(cum[cut_i - 1]) if cut_i > 0 else 0
+    remaining = budget - higher_sum
+
+    import pyarrow.compute as _pc
+
+    full = ds.map_batches(
+        lambda t: t.filter(_pc.greater(t[score_col], cutoff)),
+        batch_format="pyarrow",
+    )
+    if remaining <= 0:
+        return full
+    cut_group = ds.map_batches(
+        lambda t: t.filter(_pc.equal(t[score_col], cutoff)),
+        batch_format="pyarrow",
+    )
+    packed = pack_sequences(
+        cut_group, budget=max(remaining, 1), id_col=id_col, count_col=count_col
+    )
+
+    def take_prefix(t: pa.Table) -> pa.Table:
+        start = t["start_tok"].to_numpy(zero_copy_only=False)
+        n = t[count_col].to_numpy(zero_copy_only=False)
+        keep = start + n <= remaining
+        sub = t.filter(pa.array(keep))
+        return pa.table(
+            {
+                id_col: sub[id_col],
+                score_col: pa.array(
+                    np.full(len(sub), cutoff, dtype=np.int64)
+                ),
+                count_col: sub[count_col],
+            }
+        )
+
+    tail = packed.map_batches(take_prefix, batch_format="pyarrow")
+    return full.select_columns([id_col, score_col, count_col]).union(tail)

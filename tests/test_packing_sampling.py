@@ -252,3 +252,35 @@ def test_chunk_sliding_windows_matches_serial(ray_session):
             i += 1
     assert list(got.itertuples(index=False, name=None)) == want
     assert got["n_tok"].max() <= 16 and len(want) > 60
+
+
+def test_token_budget_select_matches_window(ray_session):
+    """Histogram-threshold + cutoff-prefix selection == the SQL window
+    SUM() OVER (ORDER BY score DESC, id ASC) <= budget, across heavy
+    score ties, shuffled multi-block partitioning, and edge budgets."""
+    import ray.data as rd
+
+    from distributedcodesearchengine_ray.stages.selection import token_budget_select
+
+    rng = np.random.default_rng(3)
+    n = 800
+    df = pd.DataFrame(
+        {
+            "doc_id": rng.permutation(n * 2)[:n],
+            "score": rng.integers(0, 12, n),  # heavy ties -> big cutoff group
+            "n_tokens": rng.integers(1, 50, n),
+        }
+    )
+
+    def serial(frac_num, frac_den):
+        budget = int(df["n_tokens"].sum()) * frac_num // frac_den
+        w = df.sort_values(["score", "doc_id"], ascending=[False, True])
+        cum = w["n_tokens"].cumsum()
+        return set(w.loc[cum <= budget, "doc_id"])
+
+    for num, den in [(3, 10), (1, 100), (999, 1000), (1, 1)]:
+        ds = rd.from_pandas(df.sample(frac=1, random_state=1)).repartition(7)
+        got = token_budget_select(ds, num, den).to_pandas()
+        assert set(got["doc_id"]) == serial(num, den), (num, den)
+        m = got.merge(df, on="doc_id", suffixes=("", "_w"))
+        assert (m["n_tokens"] == m["n_tokens_w"]).all()

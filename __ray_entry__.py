@@ -75,6 +75,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_filter": Q.quality_filter,
         "token_totals": Q.token_totals,
         "token_quantiles": Q.token_quantiles,  # exact CDF quantiles, quantile_disc oracle
+        "doc_deciles": Q.doc_deciles,  # distributed NTILE over a corpus-wide total order
+        "length_histogram": Q.length_histogram,  # numeric range facet, fixed-width buckets
+        "lineitem_profile": Q.lineitem_profile,  # column profiling: exact distinct/min/max/nulls
         "clean_text": Q.clean_text_q,  # C4-style normalization, regexp_replace oracle
         "repetition_stats": Q.repetition_stats_q,  # Gopher repetition signals, exact-int oracle
         "gopher_gate": Q.gopher_gate_q,  # composed Gopher quality gate: per-rule flags + keep

@@ -3670,6 +3670,196 @@ def _redact_sql() -> str:
     )
 
 
+NTILE_TILES = 10
+
+
+def doc_deciles(sf_dir: str, tiles: int = NTILE_TILES):
+    """Distributed NTILE(tiles) over the corpus-wide total order
+    (n_chars, doc_id) — the global-window operator the reference never
+    needed but any training-data curriculum (size-tiered sampling,
+    length-balanced batching) does.
+
+    A global sort is avoided with the low-cardinality-key rank trick:
+    n_chars has few distinct values relative to rows, so
+
+    - phase 1: ``groupby(n_chars).count`` -> tiny table to the driver ->
+      exclusive cumsum in key order = each value-group's global starting
+      rank (same shape as the shuffle/packing prefix sums);
+    - phase 2: one ``groupby(n_chars)`` exchange, rank within the group
+      by doc_id, tile from the SQL NTILE fill rule (first ``N % tiles``
+      tiles get one extra row).
+
+    At 100 TB the per-value groups are corpus/|distinct|; a high-
+    cardinality measure would first be coarsened (bucket = value range
+    from sampled boundaries, exactly like the index build's doc-range
+    partitioner) — same two phases.  Oracle: ``ntile() OVER (ORDER BY
+    n_chars, doc_id)``.
+    """
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    counts = (
+        ds.groupby("n_chars")
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+        .sort_values("n_chars", ignore_index=True)
+    )
+    n_total = int(counts["n"].sum())
+    offs = np.concatenate(([0], np.cumsum(counts["n"].to_numpy())[:-1]))
+    offsets = dict(
+        zip(counts["n_chars"].to_numpy(np.int64), offs.astype(np.int64))
+    )
+    q, rem = divmod(n_total, tiles)
+    big = rem * (q + 1)  # ranks below this go in the (q+1)-row tiles
+
+    def rank_group(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("doc_id", ignore_index=True)
+        base = offsets[int(df["n_chars"].iloc[0])]
+        r = base + np.arange(len(df), dtype=np.int64)
+        tile = np.where(r < big, r // (q + 1), rem + (r - big) // max(q, 1))
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(np.int64),
+                "n_chars": df["n_chars"].to_numpy(np.int64),
+                "tile": tile.astype(np.int64) + 1,
+            }
+        )
+
+    out = (
+        ds.groupby("n_chars")
+        .map_groups(rank_group, batch_format="pandas")
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    return pa.table(
+        {
+            "doc_id": pa.array(out["doc_id"], pa.int64()),
+            "n_chars": pa.array(out["n_chars"], pa.int64()),
+            "tile": pa.array(out["tile"], pa.int64()),
+        }
+    )
+
+
+HIST_BUCKET_WIDTH = 256
+
+
+def length_histogram(sf_dir: str, width: int = HIST_BUCKET_WIDTH):
+    """Numeric range facet: fixed-width histogram of document length
+    (bucket = n_chars // width) with per-bucket count and actual value
+    extent — the ES-style histogram aggregation alongside bm25_facets'
+    categorical facets.  Single partial-aggregate pass: the bucket key is
+    computed per batch (Arrow integer divide, zero-copy) and one
+    ``groupby(bucket)`` folds count/min/max; the exchange carries one row
+    per (block, bucket), never the corpus."""
+    from ray.data.aggregate import Count, Max, Min
+
+    ds = _read(sf_dir, "documents", columns=["n_chars"])
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        n = pcc.cast(t["n_chars"], pa.int64())
+        return pa.table(
+            {"bucket": pcc.divide(n, pa.scalar(width, pa.int64())), "n_chars": n}
+        )
+
+    out = (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(
+            Count(alias_name="n"),
+            Min("n_chars", alias_name="lo"),
+            Max("n_chars", alias_name="hi"),
+        )
+        .to_pandas()
+        .sort_values("bucket", ignore_index=True)
+    )
+    return pa.table(
+        {
+            "bucket": pa.array(out["bucket"], pa.int64()),
+            "n": pa.array(out["n"], pa.int64()),
+            "lo": pa.array(out["lo"], pa.int64()),
+            "hi": pa.array(out["hi"], pa.int64()),
+        }
+    )
+
+
+PROFILE_COLS = ["l_discount", "l_extendedprice", "l_quantity", "l_tax"]
+
+
+def lineitem_profile(sf_dir: str):
+    """Column-profiling operator (the DESCRIBE/data-quality pass every
+    ingestion pipeline runs first): per column, row count, null count,
+    EXACT distinct count, and min/max — values micro-encoded so both
+    sides compare integer-exactly.
+
+    Distributed shape: pass A explodes batches to per-batch-distinct
+    (col, v) pairs, a ``groupby(col, v)`` collapses them globally, then a
+    second tiny ``groupby(col)`` reduces the distinct-value stream to
+    (n_distinct, min, max) — the distinct set is never collected to the
+    driver, so a high-cardinality column at 100 TB stays distributed.
+    Pass B folds per-batch (n, n_null) partials.  4 rows join on the
+    driver."""
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    ds = _read(sf_dir, "lineitem", columns=PROFILE_COLS)
+
+    def distinct_pairs(t: pa.Table) -> pa.Table:
+        cols, vals = [], []
+        for c in PROFILE_COLS:
+            v = np.unique(
+                _micro(pcc.drop_null(t[c]).to_numpy(zero_copy_only=False))
+            )
+            cols.append(np.full(len(v), PROFILE_COLS.index(c), dtype=np.int64))
+            vals.append(v)
+        return pa.table(
+            {
+                "ci": pa.array(np.concatenate(cols)),
+                "v": pa.array(np.concatenate(vals)),
+            }
+        )
+
+    dist = (
+        ds.map_batches(distinct_pairs, batch_format="pyarrow")
+        .groupby(["ci", "v"])
+        .aggregate(Count(alias_name="_"))
+        .groupby("ci")
+        .aggregate(
+            Count(alias_name="n_distinct"),
+            Min("v", alias_name="min_micro"),
+            Max("v", alias_name="max_micro"),
+        )
+        .to_pandas()
+    )
+
+    def count_partials(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "ci": pa.array(np.arange(len(PROFILE_COLS), dtype=np.int64)),
+                "n": pa.array(np.full(len(PROFILE_COLS), len(t), dtype=np.int64)),
+                "n_null": pa.array(
+                    np.array([t[c].null_count for c in PROFILE_COLS], dtype=np.int64)
+                ),
+            }
+        )
+
+    cnt = (
+        ds.map_batches(count_partials, batch_format="pyarrow")
+        .groupby("ci")
+        .aggregate(Sum("n", alias_name="n"), Sum("n_null", alias_name="n_null"))
+        .to_pandas()
+    )
+    m = dist.merge(cnt, on="ci").sort_values("ci", ignore_index=True)
+    return pa.table(
+        {
+            "col_name": pa.array([PROFILE_COLS[int(i)] for i in m["ci"]], pa.string()),
+            "n": pa.array(m["n"], pa.int64()),
+            "n_null": pa.array(m["n_null"], pa.int64()),
+            "n_distinct": pa.array(m["n_distinct"], pa.int64()),
+            "min_micro": pa.array(m["min_micro"], pa.int64()),
+            "max_micro": pa.array(m["max_micro"], pa.int64()),
+        }
+    )
+
+
 def build_oracle_sql() -> Dict[str, str]:
     tok = _tok_sql("text")
     stop_list = ", ".join(f"'{w}'" for w in sorted(STOPWORDS))
@@ -3769,6 +3959,29 @@ def build_oracle_sql() -> Dict[str, str]:
             FROM documents GROUP BY lang, source ORDER BY lang, source
         """,
         "lang_histogram": "SELECT lang, count(*) AS n FROM documents GROUP BY lang ORDER BY lang",
+        "doc_deciles": f"""
+            SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+                   CAST(ntile({NTILE_TILES}) OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS tile
+            FROM documents ORDER BY doc_id
+        """,
+        "length_histogram": f"""
+            SELECT CAST(n_chars // {HIST_BUCKET_WIDTH} AS BIGINT) AS bucket,
+                   count(*) AS n,
+                   CAST(min(n_chars) AS BIGINT) AS lo,
+                   CAST(max(n_chars) AS BIGINT) AS hi
+            FROM documents GROUP BY 1 ORDER BY 1
+        """,
+        "lineitem_profile": " UNION ALL ".join(
+            f"""
+            SELECT '{c}' AS col_name, count(*) AS n,
+                   count(*) - count({c}) AS n_null,
+                   count(DISTINCT CAST(floor({c}*1000000 + 0.5) AS BIGINT)) AS n_distinct,
+                   min(CAST(floor({c}*1000000 + 0.5) AS BIGINT)) AS min_micro,
+                   max(CAST(floor({c}*1000000 + 0.5) AS BIGINT)) AS max_micro
+            FROM lineitem
+            """
+            for c in PROFILE_COLS
+        ),
         "nb_classify": r"""
             WITH tok AS (
               SELECT doc_id, source AS cls,

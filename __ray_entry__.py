@@ -105,6 +105,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_cosine_dups": Q.embed_cosine_dups,
         "knn_cosine": Q.knn_cosine,
         "knn_cosine_filtered": Q.knn_cosine_filtered,
+        "knn_pq": Q.knn_pq,  # product-quantization ADC search, rows-only (pytest ADC-oracle gate)
         "hybrid_rrf": Q.hybrid_rrf,  # J1/K3 weighted-RRF fusion, full-SQL oracle
         "label_centroids": Q.label_centroids,
         "kmeans_clusters": Q.kmeans_clusters,  # iterative Lloyd's, unrolled-SQL oracle

@@ -1951,6 +1951,36 @@ def knn_cosine(sf_dir: str):
     )
 
 
+def knn_pq(sf_dir: str):
+    """Product-quantization ANN (the compressed-domain scale path):
+    train m=8/k=16 codebooks on a hash-sample, encode the corpus to
+    8-byte codes in one map_batches pass, ADC top-10 for the same
+    queries as knn_cosine.  Rows-only (codebook training is not SQL);
+    tests/test_pq.py gates the distributed path bit-exactly against a
+    numpy ADC oracle and enforces a recall floor vs exact cosine."""
+    from ..stages.pq import pq_encode, pq_search, train_pq_codebooks
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    qdf = (
+        _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+        .filter(lambda r: r["vec_id"] < 3)
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    qs = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
+    books = train_pq_codebooks(ds, m=8, k=16)
+    out = pq_search(pq_encode(ds, books), books, qs, k=10).to_pandas()
+    qids = qdf["vec_id"].to_numpy()
+    return pa.table(
+        {
+            "q_id": pa.array(qids[out["query_idx"].to_numpy()], pa.int64()),
+            "rank": pa.array(out["rank"], pa.int64()),
+            "vec_id": pa.array(out["vec_id"], pa.int64()),
+            "adc_micro": pa.array(_micro(out["adc_dist"].to_numpy())),
+        }
+    )
+
+
 def hybrid_rrf(sf_dir: str, limit: int = 20):
     """Hybrid retrieval through the REAL fusion code path (J1/K3,
     `pipelines/hybrid.py::rrf_fuse`): distributed BM25 top-20 over

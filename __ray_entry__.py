@@ -67,6 +67,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_clusters": Q.dedup_clusters,  # connected components, recursive-SQL oracle
         "dedup_keep_best": Q.dedup_keep_best,  # keep longest per cluster, closure+window oracle
         "doc_pagerank": Q.doc_pagerank,  # integer PageRank over the near-dup graph, unrolled-SQL oracle
+        "dup_triangles": Q.dup_triangles,  # triangle enumeration over the near-dup graph, 3-way self-join oracle
         "simhash_near_dups": Q.simhash_near_dups,  # rows-only, scalar-oracle gated
         "clone_pairs": Q.clone_pairs,  # winnowing clone join, rows-only (pytest brute-force gate)
         # text analysis

@@ -1256,6 +1256,16 @@ def dedup_keep_best(sf_dir: str):
     )
 
 
+def dup_triangles(sf_dir: str):
+    """Triangle enumeration over the exact near-dup pair graph (shared
+    memoized join): each a<b<c triple of mutually-similar docs once —
+    the densest boilerplate/template families.  Oracle: the pair CTE +
+    a three-way self-join."""
+    from ..stages.components import enumerate_triangles
+
+    return enumerate_triangles(_ngram_pairs(sf_dir))
+
+
 # ------------------------------------------------------------ text stats
 
 
@@ -4395,6 +4405,31 @@ def build_oracle_sql() -> Dict[str, str]:
             FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
             WHERE i / (sa.s + sb.s - i) >= 0.5
             ORDER BY id_a, id_b
+        """,
+        "dup_triangles": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                 x -> length(x) > 0) AS t
+              FROM documents),
+            grams AS (
+              SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram
+              FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+              WHERE len(t) >= 3),
+            sz AS (SELECT doc_id, count(*) AS s FROM grams GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+              FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+            pairs AS (
+              SELECT id_a, id_b
+              FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+              WHERE i / (sa.s + sb.s - i) >= 0.5)
+            SELECT e1.id_a AS id_a, e1.id_b AS id_b, e2.id_b AS id_c
+            FROM pairs e1
+            JOIN pairs e2 ON e2.id_a = e1.id_b
+            JOIN pairs e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b
+            ORDER BY 1, 2, 3
         """,
         "dedup_clusters": """
             WITH RECURSIVE toks AS (

@@ -131,6 +131,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_part_type": Q.revenue_by_part_type,
         "orders_by_nation": Q.orders_by_nation,
         "q3_shipping": Q.q3_shipping,
+        "q5_local_supplier_volume": Q.q5_local_supplier_volume,  # 5-way join + local-supplier mask
         "top2_orders_per_nation": Q.top2_orders_per_nation,
         "supplier_balance_by_region": Q.supplier_balance_by_region,
         "distinct_users_by_type": Q.distinct_users_by_type,

@@ -2574,6 +2574,148 @@ def q3_shipping(sf_dir: str, segment: str = "BUILDING", cut: str = "1998-06-01")
     )
 
 
+def _with_join_sentinels(ds, key: str, n: int = 64):
+    """Work around a ``Dataset.join`` failure mode: a hash partition that
+    receives NO rows from one side materializes as a schema-less empty
+    table and pyarrow's join then errors ("No match ... for key field").
+    Pad the side with ``n`` sentinel rows on never-matching NEGATIVE keys
+    (all corpus keys are >= 0) so every partition is non-empty; inner
+    joins drop the sentinels by construction.  O(n) rows — free at any
+    scale."""
+    import ray.data as rd
+
+    sch = ds.schema()
+    arrays = []
+    for name, typ in zip(sch.names, sch.types):
+        if name == key:
+            arrays.append(pa.array(np.arange(-1, -n - 1, -1), typ))
+        else:
+            arrays.append(pa.nulls(n, typ))
+    return ds.union(rd.from_arrow(pa.table(dict(zip(sch.names, arrays)))))
+
+
+Q5_REGION = "ASIA"
+Q5_FROM = "1996-01-01"
+Q5_TO = "1997-01-01"
+
+
+def q5_local_supplier_volume(sf_dir: str, region: str = Q5_REGION):
+    """TPC-H Q5 shape — the widest join composition in the suite:
+    region x nation x customer x orders(date range) x lineitem x
+    supplier with the local-supplier condition (customer and supplier
+    in the SAME nation), revenue per nation.
+
+    Distributed plan: region->nation resolves to a tiny broadcast key
+    set (shipped in task closures); customer and supplier are
+    sf-proportional so they join DISTRIBUTED (never collected):
+    lineitem⋈supplier on suppkey, orders(date)⋈customer on custkey,
+    then one orderkey-keyed join, the local-supplier equality applied
+    as a vectorized mask, and a nation-keyed partial-aggregated
+    groupby.  Cents-exact money on both sides."""
+    from ray.data.aggregate import Sum
+
+    lo, hi = pd.Timestamp(Q5_FROM), pd.Timestamp(Q5_TO)
+    nat = _read(sf_dir, "nation").to_pandas()
+    reg = _read(sf_dir, "region").to_pandas()
+    rkey = set(reg[reg["r_name"] == region]["r_regionkey"])
+    nat = nat[nat["n_regionkey"].isin(rkey)]
+    nkeys = set(nat["n_nationkey"].astype(int))
+    names = dict(zip(nat["n_nationkey"].astype(int), nat["n_name"]))
+
+    supp = _read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]).map_batches(
+        lambda t: pa.table(
+            {"l_suppkey": t["s_suppkey"], "s_nationkey": t["s_nationkey"]}
+        ).filter(
+            pa.array(np.isin(t["s_nationkey"].to_numpy(zero_copy_only=False),
+                             list(nkeys)))
+        ),
+        batch_format="pyarrow",
+    )
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).map_batches(
+        lambda t: pa.table(
+            {"o_custkey": t["c_custkey"], "c_nationkey": t["c_nationkey"]}
+        ).filter(
+            pa.array(np.isin(t["c_nationkey"].to_numpy(zero_copy_only=False),
+                             list(nkeys)))
+        ),
+        batch_format="pyarrow",
+    )
+    orders = _read(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(
+        lambda t: pa.table({"o_orderkey": t["o_orderkey"], "o_custkey": t["o_custkey"]})
+        .filter(
+            pcc.and_(
+                pcc.greater_equal(t["o_orderdate"], pa.scalar(lo)),
+                pcc.less(t["o_orderdate"], pa.scalar(hi)),
+            )
+        ),
+        batch_format="pyarrow",
+    )
+    line = _read(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "l_suppkey": t["l_suppkey"],
+                "revenue_c": _cents_col(
+                    pcc.multiply(
+                        t["l_extendedprice"],
+                        pcc.subtract(pa.scalar(1.0), t["l_discount"]),
+                    )
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    ls = line.join(
+        _with_join_sentinels(supp, "l_suppkey"),
+        join_type="inner", num_partitions=8, on=("l_suppkey",),
+    )
+    oc = orders.join(
+        _with_join_sentinels(cust, "o_custkey"),
+        join_type="inner", num_partitions=8, on=("o_custkey",),
+    )
+    j = ls.map_batches(
+        lambda t: pa.table(
+            {"o_orderkey": t["l_orderkey"], "s_nationkey": t["s_nationkey"],
+             "revenue_c": t["revenue_c"]}
+        ),
+        batch_format="pyarrow",
+    ).join(
+        _with_join_sentinels(oc.select_columns(["o_orderkey", "c_nationkey"]), "o_orderkey"),
+        join_type="inner",
+        num_partitions=8,
+        on=("o_orderkey",),
+    )
+
+    def local_only(t: pa.Table) -> pa.Table:
+        m = pcc.equal(t["s_nationkey"], t["c_nationkey"])
+        return pa.table(
+            {"n_nationkey": t["s_nationkey"], "revenue_c": t["revenue_c"]}
+        ).filter(m)
+
+    out = (
+        j.map_batches(local_only, batch_format="pyarrow")
+        .groupby("n_nationkey")
+        .aggregate(Sum("revenue_c", alias_name="revenue_c"))
+        .to_pandas()
+    )
+    if "revenue_c" not in out.columns:
+        out = pd.DataFrame({"n_nationkey": [], "revenue_c": []}).astype(np.int64)
+    out["n_name"] = [names[int(k)] for k in out["n_nationkey"]]
+    out = out.sort_values(["revenue_c", "n_name"], ascending=[False, True],
+                          kind="mergesort", ignore_index=True)
+    return pa.table(
+        {
+            "n_name": pa.array(out["n_name"], pa.string()),
+            "revenue_c": pa.array(out["revenue_c"], pa.int64()),
+        }
+    )
+
+
 def top2_orders_per_nation(sf_dir: str):
     """Windowed rank: top-2 orders by price per nation (groupby ->
     sort-within-group head(2)), exact cents tie-broken by orderkey."""
@@ -4648,6 +4790,19 @@ def build_oracle_sql() -> Dict[str, str]:
             JOIN customer c ON c.c_custkey = o.o_custkey
             JOIN nation n ON n.n_nationkey = c.c_nationkey
             GROUP BY n.n_name ORDER BY n.n_name
+        """,
+        "q5_local_supplier_volume": f"""
+            SELECT n_name,
+                   CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                            AS BIGINT)) AS BIGINT) AS revenue_c
+            FROM customer, orders, lineitem, supplier, nation, region
+            WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+              AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+              AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+              AND r_name = '{Q5_REGION}'
+              AND o_orderdate >= TIMESTAMP '{Q5_FROM}'
+              AND o_orderdate <  TIMESTAMP '{Q5_TO}'
+            GROUP BY n_name ORDER BY revenue_c DESC, n_name
         """,
         "q3_shipping": """
             SELECT o.o_orderkey, o.o_orderdate,

@@ -115,6 +115,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": Q.events_hourly,
         "events_sliding": Q.events_sliding,
         "sessionize": Q.sessionize,
+        "cohort_retention": Q.cohort_retention,  # weekly cohort-retention matrix, date_trunc oracle
         "events_rollup": Q.events_rollup,  # ROLLUP grouping sets, algebraic fold
         "events_cube": Q.events_cube,  # full CUBE lattice, one scan + algebraic fold
         "user_running_value": Q.user_running_value,  # ordered window cumsum

@@ -2237,6 +2237,55 @@ def events_sliding(sf_dir: str, window_min: int = 60, hop_min: int = 15):
     )
 
 
+def cohort_retention(sf_dir: str):
+    """Weekly cohort-retention matrix (the standard product-analytics
+    triangle): cohort = each user's first active ISO week (Monday-
+    aligned), n_users = distinct users from that cohort active again
+    ``week_offset`` weeks later.
+
+    One user-keyed exchange: per-batch distinct (user, week) pairs ->
+    ``groupby(user)`` computes the cohort + offsets per user -> a tiny
+    (cohort, offset)-keyed count.  Week truncation is integer day
+    arithmetic on epoch days ((d + 3) % 7 back to Monday), identical to
+    the oracle's date_trunc('week')."""
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def weeks(t: pa.Table) -> pa.Table:
+        d = t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[D]").astype(np.int64)
+        monday = d - (d + 3) % 7  # 1970-01-01 was a Thursday
+        df_ = pd.DataFrame(
+            {"user_id": t["user_id"].to_numpy(zero_copy_only=False), "wk": monday}
+        ).drop_duplicates()
+        return pa.Table.from_pandas(df_, preserve_index=False)
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        wks = np.unique(df["wk"].to_numpy(np.int64))
+        return pd.DataFrame(
+            {"cw": np.full(len(wks), wks[0], dtype=np.int64),
+             "off": (wks - wks[0]) // 7}
+        )
+
+    out = (
+        ds.map_batches(weeks, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(per_user, batch_format="pandas")
+        .groupby(["cw", "off"])
+        .aggregate(Count(alias_name="n_users"))
+        .to_pandas()
+        .sort_values(["cw", "off"], ignore_index=True)
+    )
+    cohort = out["cw"].to_numpy(np.int64).astype("datetime64[D]")
+    return pa.table(
+        {
+            "cohort_week": pa.array([str(x) for x in cohort], pa.string()),
+            "week_offset": pa.array(out["off"], pa.int64()),
+            "n_users": pa.array(out["n_users"], pa.int64()),
+        }
+    )
+
+
 def sessionize(sf_dir: str, gap_minutes: int = 30):
     """Session windows per user (gap > 30min opens a session): session count
     and event count (the streaming-shaped operator: sort-within-partition +
@@ -4727,6 +4776,17 @@ def build_oracle_sql() -> Dict[str, str]:
                    count(*) AS n,
                    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_c
             FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "cohort_retention": """
+            WITH f AS (
+              SELECT user_id, date_trunc('week', min(ts)) AS cw
+              FROM events GROUP BY user_id),
+            a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS aw FROM events)
+            SELECT strftime(f.cw, '%Y-%m-%d') AS cohort_week,
+                   CAST(datediff('day', f.cw, a.aw) / 7 AS BIGINT) AS week_offset,
+                   count(*) AS n_users
+            FROM a JOIN f ON a.user_id = f.user_id
+            GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "sessionize": """
             WITH ordered AS (

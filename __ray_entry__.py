@@ -116,6 +116,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding": Q.events_sliding,
         "sessionize": Q.sessionize,
         "cohort_retention": Q.cohort_retention,  # weekly cohort-retention matrix, date_trunc oracle
+        "user_last_event": Q.user_last_event,  # algebraic argmax (last-touch attribution), row_number oracle
+        "funnel_counts": Q.funnel_counts,  # ordered funnel stages, chained min-after-min oracle
         "events_rollup": Q.events_rollup,  # ROLLUP grouping sets, algebraic fold
         "events_cube": Q.events_cube,  # full CUBE lattice, one scan + algebraic fold
         "user_running_value": Q.user_running_value,  # ordered window cumsum

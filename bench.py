@@ -254,6 +254,12 @@ def run_bench() -> dict:
         ("event_type_sample", Q.event_type_sample),
         ("token_quantiles_by_lang", Q.token_quantiles_by_lang),
         ("customers_no_urgent", Q.customers_no_urgent),
+        ("doc_deciles", Q.doc_deciles),
+        ("lineitem_profile", Q.lineitem_profile),
+        ("knn_pq", Q.knn_pq),
+        ("dup_triangles", Q.dup_triangles),
+        ("q5_local_supplier_volume", Q.q5_local_supplier_volume),
+        ("cohort_retention", Q.cohort_retention),
     ):
         t0 = time.time()
         res = fn(sf_dir)

@@ -2237,6 +2237,111 @@ def events_sliding(sf_dir: str, window_min: int = 60, hop_min: int = 15):
     )
 
 
+def user_last_event(sf_dir: str):
+    """Last-touch attribution: each user's most recent event (argmax by
+    (ts, event_id)) — the ALGEBRAIC argmax shape: per-batch partial
+    argmax (one row per user per batch) -> one user-keyed groupby of
+    partials -> final argmax per group.  The exchange carries at most
+    blocks x users-per-block rows, never the event stream."""
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "user_id": t["user_id"].to_numpy(zero_copy_only=False),
+                "ts_us": t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64),
+                "event_id": t["event_id"].to_numpy(zero_copy_only=False),
+                "event_type": t["event_type"].to_pandas(),
+            }
+        )
+        df = df.sort_values(["user_id", "ts_us", "event_id"]).groupby("user_id", sort=False).tail(1)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["ts_us", "event_id"]).tail(1)[
+            ["user_id", "event_id", "event_type", "ts_us"]
+        ]
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(final, batch_format="pandas")
+        .to_pandas()
+        .sort_values("user_id", ignore_index=True)
+    )
+    return pa.table(
+        {
+            "user_id": pa.array(out["user_id"], pa.int64()),
+            "event_id": pa.array(out["event_id"], pa.int64()),
+            "event_type": pa.array(out["event_type"], pa.string()),
+            "ts_us": pa.array(out["ts_us"], pa.int64()),
+        }
+    )
+
+
+FUNNEL_STAGES = ["view", "click", "purchase"]
+
+
+def funnel_counts(sf_dir: str):
+    """Ordered funnel analysis: per stage, how many users reached it IN
+    SEQUENCE (first 'view', then a 'click' strictly after it, then a
+    'purchase' strictly after that).  One user-keyed exchange of the
+    (user, type, ts) triples the funnel needs (events pre-filtered to
+    funnel stages per batch); per-user stage walk is a tiny numpy scan.
+    Oracle: chained min-after-min joins."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+    stage_of = {s: i for i, s in enumerate(FUNNEL_STAGES)}
+
+    def prefilter(t: pa.Table) -> pa.Table:
+        types = t["event_type"].to_pandas()
+        keep = types.isin(stage_of).to_numpy()
+        sub = t.filter(pa.array(keep))
+        return pa.table(
+            {
+                "user_id": sub["user_id"],
+                "ts_us": pa.array(
+                    sub["ts"].to_numpy(zero_copy_only=False)
+                    .astype("datetime64[us]").astype(np.int64)
+                ),
+                "stage": pa.array(
+                    types[keep].map(stage_of).to_numpy(np.int64)
+                ),
+            }
+        )
+
+    def walk(df: pd.DataFrame) -> pd.DataFrame:
+        reached = np.zeros(len(FUNNEL_STAGES), dtype=np.int64)
+        t_prev = -1
+        for i in range(len(FUNNEL_STAGES)):
+            ts = df.loc[(df["stage"] == i) & (df["ts_us"] > t_prev), "ts_us"]
+            if ts.empty:
+                break
+            reached[i] = 1
+            t_prev = int(ts.min())
+        return pd.DataFrame(
+            {"stage": np.arange(len(FUNNEL_STAGES), dtype=np.int64), "reached": reached}
+        )
+
+    out = (
+        ds.map_batches(prefilter, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(walk, batch_format="pandas")
+        .groupby("stage")
+        .aggregate(Sum("reached", alias_name="n_users"))
+        .to_pandas()
+        .sort_values("stage", ignore_index=True)
+    )
+    return pa.table(
+        {
+            "stage": pa.array([FUNNEL_STAGES[int(i)] for i in out["stage"]], pa.string()),
+            "n_users": pa.array(out["n_users"], pa.int64()),
+        }
+    )
+
+
 def cohort_retention(sf_dir: str):
     """Weekly cohort-retention matrix (the standard product-analytics
     triangle): cohort = each user's first active ISO week (Monday-
@@ -4776,6 +4881,27 @@ def build_oracle_sql() -> Dict[str, str]:
                    count(*) AS n,
                    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_c
             FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "user_last_event": """
+            SELECT user_id, event_id, event_type,
+                   CAST(epoch_us(ts) AS BIGINT) AS ts_us
+            FROM (SELECT *, row_number() OVER (
+                    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+                  FROM events)
+            WHERE rn = 1 ORDER BY user_id
+        """,
+        "funnel_counts": f"""
+            WITH s0 AS (SELECT user_id, min(ts) AS t0 FROM events
+                        WHERE event_type = '{FUNNEL_STAGES[0]}' GROUP BY 1),
+            s1 AS (SELECT e.user_id, min(e.ts) AS t1 FROM events e
+                   JOIN s0 ON e.user_id = s0.user_id AND e.ts > s0.t0
+                   WHERE e.event_type = '{FUNNEL_STAGES[1]}' GROUP BY 1),
+            s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+                   JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t1
+                   WHERE e.event_type = '{FUNNEL_STAGES[2]}' GROUP BY 1)
+            SELECT '{FUNNEL_STAGES[0]}' AS stage, count(*) AS n_users FROM s0
+            UNION ALL SELECT '{FUNNEL_STAGES[1]}', count(*) FROM s1
+            UNION ALL SELECT '{FUNNEL_STAGES[2]}', count(*) FROM s2
         """,
         "cohort_retention": """
             WITH f AS (

@@ -36,6 +36,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_df_top100": Q.term_df_top100,
         "heavy_hitter_tokens": Q.heavy_hitter_tokens,  # 2-pass sketch, SQL oracle
         "significant_terms": Q.significant_terms,  # ES-style fg-vs-bg G2/LLR terms, milli-nat oracle
+        "vocab_set_ops": Q.vocab_set_ops,  # vocabulary set algebra between lang slices, one-bit-flag fold
         "bm25_topk": Q.bm25_topk,
         "bm25_topk_wand": Q.bm25_topk_wand,
         "bm25_page2": Q.bm25_page2,  # search-after deep pagination, OFFSET oracle
@@ -126,6 +127,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_set_ops": Q.user_set_ops,  # UNION/INTERSECT/EXCEPT via membership bitmask
         "event_type_sample": Q.event_type_sample,  # per-group deterministic md5 sample
         "token_quantiles_by_lang": Q.token_quantiles_by_lang,  # grouped exact quantiles
+        "length_outliers": Q.length_outliers,  # per-lang 2-sigma outliers, integer-exact z-test
         "clicks_last_purchase": Q.clicks_last_purchase,  # as-of join, native-ASOF oracle
         "purchases_before_click": Q.purchases_before_click,  # range join, BETWEEN oracle
         # relational coverage (joins / grouped aggregates / top-k)
@@ -133,6 +135,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_parts_by_revenue": Q.top_parts_by_revenue,
         "revenue_by_part_type": Q.revenue_by_part_type,
         "orders_by_nation": Q.orders_by_nation,
+        "nation_above_avg_orders": Q.nation_above_avg_orders,  # correlated aggregate (above group average)
         "q3_shipping": Q.q3_shipping,
         "q5_local_supplier_volume": Q.q5_local_supplier_volume,  # 5-way join + local-supplier mask
         "top2_orders_per_nation": Q.top2_orders_per_nation,

@@ -260,6 +260,9 @@ def run_bench() -> dict:
         ("dup_triangles", Q.dup_triangles),
         ("q5_local_supplier_volume", Q.q5_local_supplier_volume),
         ("cohort_retention", Q.cohort_retention),
+        ("vocab_set_ops", Q.vocab_set_ops),
+        ("length_outliers", Q.length_outliers),
+        ("nation_above_avg_orders", Q.nation_above_avg_orders),
     ):
         t0 = time.time()
         res = fn(sf_dir)

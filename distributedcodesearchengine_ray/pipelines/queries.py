@@ -237,6 +237,96 @@ def significant_terms(sf_dir: str):
     )
 
 
+VOCABDIFF_FG_LANG = "de"
+VOCABDIFF_BG_LANG = "en"
+
+
+def vocab_set_ops(sf_dir: str):
+    """Distributed set algebra over the VOCABULARIES of two corpus
+    slices: |V_fg UNION V_bg|, |V_fg INTERSECT V_bg|, |V_fg \\ V_bg|,
+    |V_bg \\ V_fg|, plus each slice's df total for the intersection
+    terms.  Shape: per-batch distinct (term, slice) membership bits ->
+    ONE vocabulary-keyed groupby folding Max(in_fg) + Max(in_bg) +
+    Sum(df_fg) -> per-block partial set-op counts -> a scalar driver
+    fold.  The anti-/semi-joins are one-bit flags folded through the
+    exchange the df counts already need — no distinct-set join, no
+    second shuffle.  Oracle: four set-op COUNTs over count(DISTINCT)
+    CTEs."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        lang = t["lang"].to_numpy(zero_copy_only=False)
+        rel = (lang == VOCABDIFF_FG_LANG) | (lang == VOCABDIFF_BG_LANG)
+        sub = t.filter(pa.array(rel))
+        if len(sub) == 0:
+            return pa.table(
+                {
+                    "term": pa.array([], pa.string()),
+                    "df_fg": pa.array([], pa.int64()),
+                    "df_bg": pa.array([], pa.int64()),
+                }
+            )
+        toks = tokenize_array(sub["text"])
+        flat = pcc.list_flatten(toks)
+        parents = pcc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        fg = (sub["lang"].to_numpy(zero_copy_only=False) == VOCABDIFF_FG_LANG)
+        df_ = pd.DataFrame({"term": flat.to_pandas(), "d": parents}).drop_duplicates()
+        is_fg = fg[df_["d"].to_numpy()]
+        df_["fg"] = is_fg.astype(np.int64)
+        df_["bg"] = (~is_fg).astype(np.int64)
+        partial = df_.groupby("term", sort=False).agg(
+            df_fg=("fg", "sum"), df_bg=("bg", "sum")
+        ).reset_index()
+        return pa.table(
+            {
+                "term": pa.array(partial["term"], pa.string()),
+                "df_fg": pa.array(partial["df_fg"].to_numpy(), pa.int64()),
+                "df_bg": pa.array(partial["df_bg"].to_numpy(), pa.int64()),
+            }
+        )
+
+    def setop_partial(t: pa.Table) -> pa.Table:
+        in_fg = t["df_fg"].to_numpy(zero_copy_only=False) > 0
+        in_bg = t["df_bg"].to_numpy(zero_copy_only=False) > 0
+        both = in_fg & in_bg
+        return pa.table(
+            {
+                "n_union": pa.array([len(t)], pa.int64()),
+                "n_intersect": pa.array([int(both.sum())], pa.int64()),
+                "n_only_fg": pa.array([int((in_fg & ~in_bg).sum())], pa.int64()),
+                "n_only_bg": pa.array([int((in_bg & ~in_fg).sum())], pa.int64()),
+                "df_fg_shared": pa.array(
+                    [int(t["df_fg"].to_numpy(zero_copy_only=False)[both].sum())],
+                    pa.int64(),
+                ),
+                "df_bg_shared": pa.array(
+                    [int(t["df_bg"].to_numpy(zero_copy_only=False)[both].sum())],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    out = (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("df_fg", alias_name="df_fg"), Sum("df_bg", alias_name="df_bg"))
+        .map_batches(setop_partial, batch_format="pyarrow")
+        .to_pandas()
+        .sum()
+    )
+    cols = ["n_union", "n_intersect", "n_only_fg", "n_only_bg",
+            "df_fg_shared", "df_bg_shared"]
+    vals = [int(out.get(c, 0)) for c in cols]
+    return pa.table(
+        {
+            "op": pa.array(cols, pa.string()),
+            "n": pa.array(vals, pa.int64()),
+        }
+    )
+
+
 WILDCARD_PATTERN = "s*"
 
 
@@ -2666,6 +2756,80 @@ def orders_by_nation(sf_dir: str):
     )
 
 
+def nation_above_avg_orders(sf_dir: str):
+    """Correlated-aggregate shape ("how many orders beat their own
+    nation's average order value"): orders x customer via distributed
+    ``Dataset.join``, then the joined compact (nation, total_c)
+    projection is materialized ONCE and traversed twice — pass 1 folds
+    per-nation (count, sum-of-cents), pass 2 re-filters against the
+    broadcast per-nation stats.  "Above average" is the exact integer
+    predicate ``x * n > S`` (x, S in cents), so no float-threshold
+    flips against the SQL window-AVG oracle."""
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    nation = _read(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
+    nmap = dict(zip(nation["n_nationkey"].tolist(), nation["n_name"].tolist()))
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"]).map_batches(
+        lambda t: pa.table(
+            {"c_custkey": t["o_custkey"], "total_c": _cents_col(t["o_totalprice"])}
+        ),
+        batch_format="pyarrow",
+    )
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    joined = (
+        orders.join(cust, join_type="inner", num_partitions=8, on=("c_custkey",))
+        .select_columns(["c_nationkey", "total_c"])
+        .materialize()
+    )
+
+    stats = (
+        joined.groupby("c_nationkey")
+        .aggregate(Count(alias_name="n_orders"), Sum("total_c", alias_name="s_c"))
+        .to_pandas()
+    )
+    sref = ray.put(
+        {
+            int(r.c_nationkey): (int(r.n_orders), int(r.s_c))
+            for r in stats.itertuples(index=False)
+        }
+    )
+
+    class AboveAvg:
+        def __init__(self):
+            self.stats = ray.get(sref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            nk = t["c_nationkey"].to_numpy(zero_copy_only=False)
+            x = t["total_c"].to_numpy(zero_copy_only=False)
+            n = np.array([self.stats[int(k)][0] for k in nk], dtype=np.int64)
+            s = np.array([self.stats[int(k)][1] for k in nk], dtype=np.int64)
+            return pa.table(
+                {
+                    "c_nationkey": t["c_nationkey"],
+                    "above": pa.array((x * n > s).astype(np.int64)),
+                }
+            )
+
+    above = (
+        joined.map_batches(AboveAvg, batch_format="pyarrow", concurrency=2)
+        .groupby("c_nationkey")
+        .aggregate(Sum("above", alias_name="n_above"))
+        .to_pandas()
+    )
+    m = stats.merge(above, on="c_nationkey")
+    m["n_name"] = m["c_nationkey"].map(nmap)
+    m = m.sort_values("n_name", ignore_index=True)
+    return pa.table(
+        {
+            "n_name": pa.array(m["n_name"], pa.string()),
+            "n_orders": pa.array(m["n_orders"], pa.int64()),
+            "n_above": pa.array(m["n_above"], pa.int64()),
+        }
+    )
+
+
 def q3_shipping(sf_dir: str, segment: str = "BUILDING", cut: str = "1998-06-01"):
     """TPC-H Q3 shape: customer(segment) x orders(date<cut) x
     lineitem(ship>cut) via two distributed ``Dataset.join``s, grouped
@@ -3834,6 +3998,81 @@ def token_quantiles_by_lang(sf_dir: str):
     )
 
 
+def length_outliers(sf_dir: str):
+    """Per-language token-length outliers: documents whose whitespace
+    token count deviates from their language's mean by more than 1.5
+    population standard deviations.  The z-score test is evaluated in
+    EXACT int64 arithmetic — ``|x - mu| > 1.5*sigma``  <=>
+    ``4*(n*x - S)^2 > 9*(n*Q - S^2)`` with S = sum(x), Q = sum(x^2) —
+    so both sides of the oracle compare identically (no float threshold
+    flips).  Shape: one pass of per-batch moment partials (lang, n, S, Q)
+    -> tiny per-lang groupby -> stats broadcast to a second filter pass;
+    the document table itself never shuffles.  int64 is exact while
+    n*Q < 2^63 (~1e5-token docs up to ~1e8 rows per language); beyond
+    that, split groups or widen to object ints."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    # compact (doc_id, n_tokens, lang) projection is consumed twice
+    # (moments pass + filter pass): materialize once instead of
+    # re-tokenizing the corpus on the second traversal
+    counts = _ws_token_counts(sf_dir, with_lang=True).materialize()
+
+    def moments(t: pa.Table) -> pa.Table:
+        x = t["n_tokens"].to_numpy(zero_copy_only=False).astype(np.int64)
+        df_ = pd.DataFrame({"lang": t["lang"].to_pandas(), "x": x, "xx": x * x})
+        g = df_.groupby("lang", sort=False).agg(
+            n=("x", "size"), s=("x", "sum"), q=("xx", "sum")
+        ).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    stats = (
+        counts.map_batches(moments, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Sum("n", alias_name="n"), Sum("s", alias_name="s"),
+                   Sum("q", alias_name="q"))
+        .to_pandas()
+    )
+    sref = ray.put(
+        {
+            r.lang: (int(r.n), int(r.s), int(r.q))
+            for r in stats.itertuples(index=False)
+        }
+    )
+
+    class FilterOutliers:
+        def __init__(self):
+            self.stats = ray.get(sref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            langs = t["lang"].to_pandas()
+            x = t["n_tokens"].to_numpy(zero_copy_only=False).astype(np.int64)
+            n = langs.map(lambda l: self.stats[l][0]).to_numpy(np.int64)
+            s = langs.map(lambda l: self.stats[l][1]).to_numpy(np.int64)
+            q = langs.map(lambda l: self.stats[l][2]).to_numpy(np.int64)
+            dev = n * x - s
+            keep = 4 * dev * dev > 9 * (n * q - s * s)
+            return t.filter(pa.array(keep))
+
+    out = counts.map_batches(FilterOutliers, batch_format="pyarrow", concurrency=2).to_pandas()
+    if "doc_id" not in out.columns:  # every block filtered empty: no outliers
+        out = pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype="int64"),
+                "lang": pd.Series([], dtype=str),
+                "n_tokens": pd.Series([], dtype="int64"),
+            }
+        )
+    out = out.sort_values("doc_id", ignore_index=True)
+    return pa.table(
+        {
+            "doc_id": pa.array(out["doc_id"], pa.int64()),
+            "lang": pa.array(out["lang"], pa.string()),
+            "n_tokens": pa.array(out["n_tokens"], pa.int64()),
+        }
+    )
+
+
 SETOP_TYPE_A = "click"
 SETOP_TYPE_B = "purchase"
 
@@ -4241,6 +4480,23 @@ def build_oracle_sql() -> Dict[str, str]:
               FROM cells)
             SELECT term, df_fg, df_all, llr_milli FROM g
             ORDER BY llr_milli DESC, term ASC LIMIT {SIGTERMS_TOP_N}
+        """,
+        "vocab_set_ops": f"""
+            WITH tok AS (SELECT doc_id, lang, {tok} AS toks FROM documents
+                         WHERE lang IN ('{VOCABDIFF_FG_LANG}', '{VOCABDIFF_BG_LANG}')),
+            pairs AS (SELECT DISTINCT doc_id, lang, unnest(toks) AS term FROM tok),
+            d AS (SELECT term,
+                         count(*) FILTER (WHERE lang = '{VOCABDIFF_FG_LANG}') AS df_fg,
+                         count(*) FILTER (WHERE lang = '{VOCABDIFF_BG_LANG}') AS df_bg
+                  FROM pairs GROUP BY 1)
+            SELECT 'n_union' AS op, CAST(count(*) AS BIGINT) AS n FROM d
+            UNION ALL SELECT 'n_intersect', count(*) FROM d WHERE df_fg > 0 AND df_bg > 0
+            UNION ALL SELECT 'n_only_fg', count(*) FROM d WHERE df_fg > 0 AND df_bg = 0
+            UNION ALL SELECT 'n_only_bg', count(*) FROM d WHERE df_bg > 0 AND df_fg = 0
+            UNION ALL SELECT 'df_fg_shared', CAST(coalesce(sum(df_fg), 0) AS BIGINT)
+                      FROM d WHERE df_fg > 0 AND df_bg > 0
+            UNION ALL SELECT 'df_bg_shared', CAST(coalesce(sum(df_bg), 0) AS BIGINT)
+                      FROM d WHERE df_fg > 0 AND df_bg > 0
         """,
         "wildcard_term_df": f"""
             WITH tok AS (SELECT doc_id, {tok} AS toks FROM documents),
@@ -4977,6 +5233,21 @@ def build_oracle_sql() -> Dict[str, str]:
             JOIN nation n ON n.n_nationkey = c.c_nationkey
             GROUP BY n.n_name ORDER BY n.n_name
         """,
+        "nation_above_avg_orders": """
+            WITH j AS (SELECT c.c_nationkey AS nk,
+                              CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS x
+                       FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+            s AS (SELECT nk, count(*) AS n_orders, sum(x) AS s_c FROM j GROUP BY 1),
+            a AS (SELECT j.nk, count(*) AS n_above
+                  FROM j JOIN s ON j.nk = s.nk
+                  WHERE j.x * s.n_orders > s.s_c GROUP BY 1)
+            SELECT n.n_name,
+                   CAST(s.n_orders AS BIGINT) AS n_orders,
+                   CAST(coalesce(a.n_above, 0) AS BIGINT) AS n_above
+            FROM s JOIN nation n ON s.nk = n.n_nationkey
+                   LEFT JOIN a ON s.nk = a.nk
+            ORDER BY n.n_name
+        """,
         "q5_local_supplier_volume": f"""
             SELECT n_name,
                    CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
@@ -5293,6 +5564,15 @@ def build_oracle_sql() -> Dict[str, str]:
                    CAST(count(gap_s) AS BIGINT) AS n_gaps,
                    CAST(COALESCE(sum(gap_s), 0) AS BIGINT) AS gap_total_s
             FROM d GROUP BY user_id ORDER BY user_id
+        """,
+        "length_outliers": f"""
+            WITH t AS (SELECT doc_id, lang, {_WS_TOKENS_SQL} AS x FROM documents),
+            s AS (SELECT lang, count(*) AS n, sum(x) AS sx, sum(x*x) AS qx
+                  FROM t GROUP BY 1)
+            SELECT t.doc_id, t.lang, CAST(t.x AS BIGINT) AS n_tokens
+            FROM t JOIN s ON t.lang = s.lang
+            WHERE 4 * (s.n * t.x - s.sx) * (s.n * t.x - s.sx) > 9 * (s.n * s.qx - s.sx * s.sx)
+            ORDER BY t.doc_id
         """,
         "token_quantiles_by_lang": f"""
             WITH t AS (SELECT lang, {_WS_TOKENS_SQL} AS n_tokens FROM documents),

@@ -60,6 +60,23 @@ def _read(sf_dir: str, table: str, columns=None):
     return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
 
 
+def _join_parts(sf_dir: str, *tables: str, bytes_per_part: int = 32 << 20) -> int:
+    """Hash-join partition count sized to the INPUT, not a constant:
+    ~one partition per 32 MiB of parquet (≈128 MiB in memory), so small
+    inputs pay 2 shuffle actors instead of 8+ (join setup cost scales
+    with partition count) while 100-TB inputs fan out to thousands of
+    partitions instead of 8 giant spilling blocks."""
+    total = 0
+    for t in tables:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.isdir(p):
+            for root, _, files in os.walk(p):
+                total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+        elif os.path.exists(p):
+            total += os.path.getsize(p)
+    return max(2, min(4096, total // bytes_per_part + 1))
+
+
 # ------------------------------------------------------------- tokenizer
 
 
@@ -2696,7 +2713,9 @@ def revenue_by_part_type(sf_dir: str):
 
     line = line.map_batches(revenue, batch_format="pyarrow")
     part = _read(sf_dir, "part", columns=["p_partkey", "p_type"])
-    joined = line.join(part, join_type="inner", num_partitions=8, on=("p_partkey",))
+    joined = line.join(part, join_type="inner",
+                       num_partitions=_join_parts(sf_dir, "lineitem", "part"),
+                       on=("p_partkey",))
     out = (
         joined.groupby("p_type")
         .aggregate(Sum("revenue_c", alias_name="revenue_c"))
@@ -2727,7 +2746,8 @@ def orders_by_nation(sf_dir: str):
         batch_format="pyarrow",
     )
     cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
-    joined = orders.join(cust, join_type="inner", num_partitions=8, on=("c_custkey",))
+    joined = orders.join(cust, join_type="inner",
+        num_partitions=_join_parts(sf_dir, "orders", "customer"), on=("c_custkey",))
 
     class AddNation:
         def __init__(self):
@@ -2779,7 +2799,8 @@ def nation_above_avg_orders(sf_dir: str):
     )
     cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
     joined = (
-        orders.join(cust, join_type="inner", num_partitions=8, on=("c_custkey",))
+        orders.join(cust, join_type="inner",
+        num_partitions=_join_parts(sf_dir, "orders", "customer"), on=("c_custkey",))
         .select_columns(["c_nationkey", "total_c"])
         .materialize()
     )
@@ -2869,11 +2890,12 @@ def q3_shipping(sf_dir: str, segment: str = "BUILDING", cut: str = "1998-06-01")
         ).filter(pcc.greater(t["l_shipdate"], pa.scalar(cut_ts))),
         batch_format="pyarrow",
     )
-    oc = orders.join(cust, join_type="inner", num_partitions=8, on=("c_custkey",))
+    oc = orders.join(cust, join_type="inner",
+        num_partitions=_join_parts(sf_dir, "orders", "customer"), on=("c_custkey",))
     j = line.join(
         oc.select_columns(["o_orderkey", "o_orderdate"]),
         join_type="inner",
-        num_partitions=8,
+        num_partitions=_join_parts(sf_dir, "lineitem", "orders"),
         on=("o_orderkey",),
     )
     out = (
@@ -2988,24 +3010,57 @@ def q5_local_supplier_volume(sf_dir: str, region: str = Q5_REGION):
         ),
         batch_format="pyarrow",
     )
-    ls = line.join(
-        _with_join_sentinels(supp, "l_suppkey"),
-        join_type="inner", num_partitions=8, on=("l_suppkey",),
-    )
+    # supplier is ~1/6000 of lineitem rows (TPC-H ratio): when its region
+    # slice is small enough to ship (<64 MiB parquet), broadcast the
+    # suppkey->nationkey map once via ray.put and fold the join into the
+    # lineitem scan — one full lineitem shuffle removed.  Falls back to
+    # the distributed hash join above that size.
+    supp_small = os.path.getsize(os.path.join(sf_dir, "supplier.parquet")) < (64 << 20)
+    if supp_small:
+        import ray as _ray
+
+        sp = supp.to_pandas()
+        smap_ref = _ray.put(
+            dict(zip(sp["l_suppkey"].astype(int), sp["s_nationkey"].astype(int)))
+        )
+
+        class JoinSupp:
+            def __init__(self):
+                self.smap = _ray.get(smap_ref)
+
+            def __call__(self, t: pa.Table) -> pa.Table:
+                keys = t["l_suppkey"].to_numpy(zero_copy_only=False)
+                nk = np.array([self.smap.get(int(k), -1) for k in keys], dtype=np.int64)
+                return pa.table(
+                    {
+                        "o_orderkey": t["l_orderkey"],
+                        "s_nationkey": pa.array(nk),
+                        "revenue_c": t["revenue_c"],
+                    }
+                ).filter(pa.array(nk >= 0))
+
+        ls = line.map_batches(JoinSupp, batch_format="pyarrow", concurrency=2)
+    else:
+        ls = line.join(
+            _with_join_sentinels(supp, "l_suppkey"),
+            join_type="inner", num_partitions=_join_parts(sf_dir, "lineitem", "supplier"),
+            on=("l_suppkey",),
+        ).map_batches(
+            lambda t: pa.table(
+                {"o_orderkey": t["l_orderkey"], "s_nationkey": t["s_nationkey"],
+                 "revenue_c": t["revenue_c"]}
+            ),
+            batch_format="pyarrow",
+        )
     oc = orders.join(
         _with_join_sentinels(cust, "o_custkey"),
-        join_type="inner", num_partitions=8, on=("o_custkey",),
+        join_type="inner", num_partitions=_join_parts(sf_dir, "orders", "customer"),
+        on=("o_custkey",),
     )
-    j = ls.map_batches(
-        lambda t: pa.table(
-            {"o_orderkey": t["l_orderkey"], "s_nationkey": t["s_nationkey"],
-             "revenue_c": t["revenue_c"]}
-        ),
-        batch_format="pyarrow",
-    ).join(
+    j = ls.join(
         _with_join_sentinels(oc.select_columns(["o_orderkey", "c_nationkey"]), "o_orderkey"),
         join_type="inner",
-        num_partitions=8,
+        num_partitions=_join_parts(sf_dir, "lineitem", "orders"),
         on=("o_orderkey",),
     )
 
@@ -3052,7 +3107,8 @@ def top2_orders_per_nation(sf_dir: str):
         ),
         batch_format="pyarrow",
     )
-    joined = orders.join(cust, join_type="inner", num_partitions=8, on=("c_custkey",))
+    joined = orders.join(cust, join_type="inner",
+        num_partitions=_join_parts(sf_dir, "orders", "customer"), on=("c_custkey",))
 
     class AddNation:
         def __init__(self):
@@ -3688,9 +3744,6 @@ def customers_no_urgent(sf_dir: str):
     distinct urgent-order custkeys src=1) -> one key-partitioned
     ``groupby(key)`` keeps groups with no src=1 row — never a driver-side
     key set; the tiny nation dimension is a broadcast lookup."""
-    import ray
-    from ray.data.aggregate import Count
-
     cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
     orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderpriority"])
 
@@ -3718,17 +3771,27 @@ def customers_no_urgent(sf_dir: str):
         orders.map_batches(urgent_side, batch_format="pyarrow")
     )
 
-    def anti(df: pd.DataFrame) -> pd.DataFrame:
-        if (df["src"] == 1).any():
-            return pd.DataFrame({"nationkey": pd.Series([], dtype=np.int64)})
-        return pd.DataFrame({"nationkey": df.loc[df["src"] == 0, "nationkey"]})
+    def nation_partial(t: pa.Table) -> pa.Table:
+        # post-groupby each key is globally unique: max(src)=0 <=> the
+        # customer has no urgent order; max(nationkey) recovers the
+        # customer row's nation (urgent rows carry -1).  Fold per-block
+        # (nationkey, n) partials — 25-key driver sum, no second shuffle.
+        keep = t["max_src"].to_numpy(zero_copy_only=False) == 0
+        nk = t["max_nationkey"].to_numpy(zero_copy_only=False)[keep]
+        u, c = np.unique(nk, return_counts=True)
+        return pa.table({"nationkey": pa.array(u), "n": pa.array(c.astype(np.int64))})
+
+    from ray.data.aggregate import Max
 
     per_nation = (
         tagged.groupby("key")
-        .map_groups(anti, batch_format="pandas")
-        .groupby("nationkey")
-        .aggregate(Count(alias_name="n"))
+        .aggregate(
+            Max("src", alias_name="max_src"),
+            Max("nationkey", alias_name="max_nationkey"),
+        )
+        .map_batches(nation_partial, batch_format="pyarrow")
         .to_pandas()
+        .groupby("nationkey", as_index=False)["n"].sum()
     )
     nation = pd.read_parquet(
         os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_name"]
@@ -4373,7 +4436,7 @@ def lineitem_profile(sf_dir: str):
     driver, so a high-cardinality column at 100 TB stays distributed.
     Pass B folds per-batch (n, n_null) partials.  4 rows join on the
     driver."""
-    from ray.data.aggregate import Count, Max, Min, Sum
+    from ray.data.aggregate import Count, Sum
 
     ds = _read(sf_dir, "lineitem", columns=PROFILE_COLS)
 
@@ -4392,17 +4455,34 @@ def lineitem_profile(sf_dir: str):
             }
         )
 
+    def block_partial(t: pa.Table) -> pa.Table:
+        # after the (ci, v) groupby every pair is globally unique, so a
+        # per-block (count, min, max) partial folds exactly on the
+        # driver — no second all-to-all exchange needed
+        df_ = pd.DataFrame(
+            {
+                "ci": t["ci"].to_numpy(zero_copy_only=False),
+                "v": t["v"].to_numpy(zero_copy_only=False),
+            }
+        )
+        g = df_.groupby("ci", sort=False).agg(
+            n_distinct=("v", "size"),
+            min_micro=("v", "min"),
+            max_micro=("v", "max"),
+        ).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
     dist = (
         ds.map_batches(distinct_pairs, batch_format="pyarrow")
         .groupby(["ci", "v"])
         .aggregate(Count(alias_name="_"))
-        .groupby("ci")
-        .aggregate(
-            Count(alias_name="n_distinct"),
-            Min("v", alias_name="min_micro"),
-            Max("v", alias_name="max_micro"),
-        )
+        .map_batches(block_partial, batch_format="pyarrow")
         .to_pandas()
+    )
+    dist = dist.groupby("ci", as_index=False).agg(
+        n_distinct=("n_distinct", "sum"),
+        min_micro=("min_micro", "min"),
+        max_micro=("max_micro", "max"),
     )
 
     def count_partials(t: pa.Table) -> pa.Table:

@@ -144,6 +144,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_no_urgent": Q.customers_no_urgent,  # distributed anti-join
         "orders_with_returns": Q.orders_with_returns,  # distributed semi-join, EXISTS oracle
         "ttr_by_lang": Q.ttr_by_lang,  # type-token ratio per lang, COUNT DISTINCT oracle
+        "custdist": Q.custdist,  # TPC-H Q13 shape: LEFT-JOIN count distribution w/ zero bucket
+        "small_qty_revenue": Q.small_qty_revenue,  # TPC-H Q17 shape: correlated avg, bloom prefilter
+        "large_volume_orders": Q.large_volume_orders,  # TPC-H Q18 shape: HAVING + enrich join
+        "value_percentiles": Q.value_percentiles,  # quantile_cont, exact sort-free interpolation
+        "entropy_by_lang": Q.entropy_by_lang,  # char-distribution entropy partials, integer-exact
+        "urgent_lineitems_semi": Q.urgent_lineitems_semi,  # bloom-prefiltered EXISTS semi-join
     }
 
 

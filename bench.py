@@ -263,6 +263,12 @@ def run_bench() -> dict:
         ("vocab_set_ops", Q.vocab_set_ops),
         ("length_outliers", Q.length_outliers),
         ("nation_above_avg_orders", Q.nation_above_avg_orders),
+        ("custdist", Q.custdist),
+        ("small_qty_revenue", Q.small_qty_revenue),
+        ("large_volume_orders", Q.large_volume_orders),
+        ("value_percentiles", Q.value_percentiles),
+        ("entropy_by_lang", Q.entropy_by_lang),
+        ("urgent_lineitems_semi", Q.urgent_lineitems_semi),
     ):
         t0 = time.time()
         res = fn(sf_dir)

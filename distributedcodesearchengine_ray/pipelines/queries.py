@@ -4515,6 +4515,484 @@ def lineitem_profile(sf_dir: str):
     )
 
 
+# ---------------------------------------------- round-2 relational shapes
+
+Q17_BRAND = "Brand#13"
+Q18_MIN_QTY = 280
+Q18_LIMIT = 100
+Q18_DRIVER_MAX_BIG = 100_000
+PCT_QUANTILES = (0.25, 0.5, 0.75)  # dyadic: interpolation is float-EXACT
+SEMI_PRIORITY = "1-URGENT"
+
+
+def custdist(sf_dir: str):
+    """TPC-H Q13 shape: LEFT OUTER JOIN customer -> non-urgent orders,
+    orders-per-customer, then the distribution of those counts.
+
+    Distributed WITHOUT shuffling the customer table: per-batch
+    (custkey -> n) partials over the filtered orders -> one
+    groupby(custkey) sum -> a tiny groupby(c_count) count.  The LEFT-JOIN
+    zero bucket is |customer| (parquet metadata count, no scan) minus the
+    custkeys seen — valid because o_custkey is a foreign key into
+    customer, so the two sets differ only by no-order customers."""
+    from ray.data.aggregate import Count, Sum
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderpriority"])
+
+    def per_cust(t: pa.Table) -> pa.Table:
+        m = pcc.not_equal(t["o_orderpriority"], pa.scalar(SEMI_PRIORITY))
+        ck = pcc.cast(t.filter(m)["o_custkey"], pa.int64()).to_pandas()
+        g = ck.groupby(ck, sort=False).size()
+        return pa.table(
+            {
+                "c_custkey": pa.array(g.index.to_numpy(np.int64)),
+                "n": pa.array(g.to_numpy(np.int64)),
+            }
+        )
+
+    dist = (
+        orders.map_batches(per_cust, batch_format="pyarrow")
+        .groupby("c_custkey")
+        .aggregate(Sum("n", alias_name="c_count"))
+        .groupby("c_count")
+        .aggregate(Count(alias_name="custdist"))
+        .to_pandas()
+    )
+    n_cust = _read(sf_dir, "customer", columns=["c_custkey"]).count()
+    zero = int(n_cust) - int(dist["custdist"].sum())
+    if zero > 0:
+        dist = pd.concat(
+            [dist, pd.DataFrame({"c_count": [0], "custdist": [zero]})],
+            ignore_index=True,
+        )
+    dist = dist.sort_values(
+        ["custdist", "c_count"], ascending=[False, False], ignore_index=True
+    )
+    return pa.table(
+        {
+            "c_count": pa.array(dist["c_count"].to_numpy(np.int64)),
+            "custdist": pa.array(dist["custdist"].to_numpy(np.int64)),
+        }
+    )
+
+
+def small_qty_revenue(sf_dir: str):
+    """TPC-H Q17 shape (correlated per-group average, decorrelated):
+    revenue from lineitems of one brand's parts with quantity below 20%
+    of that part's average lineitem quantity.
+
+    The correlated subquery becomes: Bloom-prefilter lineitem on the
+    brand's partkeys MAP-SIDE (stages/bloom.py — the probe volume drops
+    to roughly the brand's 1/25 share before any exchange), then ONE
+    groupby(partkey) computes the per-part average AND applies the
+    integer-exact inequality ``qty*5*cnt < sum_qty`` (== qty < 0.2*avg,
+    exact because l_quantity is integral) inside the same group.  A
+    Bloom false-positive partkey carries no src=1 tag row and is dropped
+    in the group — the result is exact."""
+    import ray
+
+    from ..stages.bloom import BloomPrefilter, build_bloom
+
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_brand"])
+
+    def brand_keys(t: pa.Table) -> pa.Table:
+        m = pcc.equal(t["p_brand"], pa.scalar(Q17_BRAND))
+        return pa.table({"key": pcc.cast(t.filter(m)["p_partkey"], pa.int64())})
+
+    keys_ds = part.map_batches(brand_keys, batch_format="pyarrow")
+    n_bits, k = 1 << 20, 5
+    bloom_ref = ray.put(build_bloom(keys_ds, "key", n_bits=n_bits, k=k))
+
+    li = _read(
+        sf_dir, "lineitem", columns=["l_partkey", "l_quantity", "l_extendedprice"]
+    )
+
+    def li_rows(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "key": pcc.cast(t["l_partkey"], pa.int64()),
+                "q": pcc.cast(t["l_quantity"], pa.int64()),
+                "price_c": _cents_col(t["l_extendedprice"]),
+                "src": pa.array(np.zeros(len(t), dtype=np.int64)),
+            }
+        )
+
+    def tag_keys(t: pa.Table) -> pa.Table:
+        z = np.zeros(len(t), dtype=np.int64)
+        return pa.table(
+            {
+                "key": t["key"],
+                "q": pa.array(z),
+                "price_c": pa.array(z),
+                "src": pa.array(np.ones(len(t), dtype=np.int64)),
+            }
+        )
+
+    probe = li.map_batches(li_rows, batch_format="pyarrow").map_batches(
+        BloomPrefilter,
+        fn_constructor_kwargs={
+            "bitmap_ref": bloom_ref,
+            "column": "key",
+            "n_bits": n_bits,
+            "k": k,
+        },
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+    tagged = probe.union(keys_ds.map_batches(tag_keys, batch_format="pyarrow"))
+
+    def per_part(df: pd.DataFrame) -> pd.DataFrame:
+        if not (df["src"] == 1).any():
+            return pd.DataFrame({"price_c": pd.Series([], dtype=np.int64)})
+        rows = df[df["src"] == 0]
+        sumq = int(rows["q"].sum())
+        cnt = len(rows)
+        keep = rows[rows["q"].to_numpy(np.int64) * 5 * cnt < sumq]
+        return pd.DataFrame({"price_c": keep["price_c"].to_numpy(np.int64)})
+
+    from ray.data.aggregate import Count, Sum
+
+    agg = (
+        tagged.groupby("key")
+        .map_groups(per_part, batch_format="pandas")
+        .aggregate(Sum("price_c", alias_name="revenue_cents"), Count(alias_name="n_items"))
+    ) or {}
+    rev = int(agg.get("revenue_cents") or 0)
+    n = int(agg.get("n_items") or 0)
+    return pa.table(
+        {
+            "revenue_cents": pa.array([rev], pa.int64()),
+            "n_items": pa.array([n], pa.int64()),
+        }
+    )
+
+
+def large_volume_orders(sf_dir: str):
+    """TPC-H Q18 shape (HAVING on a grouped sum, then enrich-join):
+    orders whose total lineitem quantity exceeds ``Q18_MIN_QTY``, with
+    customer name and order fields, top-``Q18_LIMIT`` by
+    (totalprice desc, orderkey asc).
+
+    The grouped sum is map-side partial (orderkey -> qty ints) + one
+    groupby(orderkey); the HAVING filter keeps a ~1e-2 fraction.  Below
+    ``Q18_DRIVER_MAX_BIG`` survivors the enrichment is driver pushdown
+    reads (orderkey/custkey predicate pushdown on the parquet, the
+    repo's gated-shortcut convention); above it, the survivors join
+    orders and customer via ``Dataset.join`` and the top-k is per-block
+    partial + driver merge (k rows per block, never a global sort)."""
+    import pyarrow.dataset as pads
+
+    from ray.data.aggregate import Sum
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+
+    def per_order(t: pa.Table) -> pa.Table:
+        ok = pcc.cast(t["l_orderkey"], pa.int64()).to_pandas()
+        q = pcc.cast(t["l_quantity"], pa.int64()).to_pandas()
+        g = q.groupby(ok, sort=False).sum()
+        return pa.table(
+            {
+                "o_orderkey": pa.array(g.index.to_numpy(np.int64)),
+                "qty": pa.array(g.to_numpy(np.int64)),
+            }
+        )
+
+    big = (
+        li.map_batches(per_order, batch_format="pyarrow")
+        .groupby("o_orderkey")
+        .aggregate(Sum("qty", alias_name="total_qty"))
+        .map_batches(
+            lambda t: t.filter(
+                pcc.greater(t["total_qty"], pa.scalar(Q18_MIN_QTY))
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()  # HAVING keeps ~1e-2 of orders; blocks stay in the store
+    )
+    n_big = big.count()
+
+    def _topk(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values(
+            ["totalprice_cents", "o_orderkey"], ascending=[False, True]
+        ).head(Q18_LIMIT)
+        return pa.table(
+            {
+                "c_name": pa.array(df["c_name"].astype(str), pa.string()),
+                "o_orderkey": pa.array(df["o_orderkey"].to_numpy(np.int64)),
+                "o_orderdate": pa.array(df["o_orderdate"]),
+                "totalprice_cents": pa.array(df["totalprice_cents"].to_numpy(np.int64)),
+                "total_qty": pa.array(df["total_qty"].to_numpy(np.int64)),
+            }
+        )
+
+    if n_big <= Q18_DRIVER_MAX_BIG:
+        big_df = big.to_pandas()
+        if big_df.empty:
+            return _topk(
+                pd.DataFrame(
+                    columns=[
+                        "c_name", "o_orderkey", "o_orderdate",
+                        "totalprice_cents", "total_qty",
+                    ]
+                ).astype({"o_orderkey": np.int64, "totalprice_cents": np.int64,
+                          "total_qty": np.int64, "o_orderdate": "datetime64[us]"})
+            )
+        keys = big_df["o_orderkey"].to_numpy(np.int64)
+        otbl = (
+            pads.dataset(os.path.join(sf_dir, "orders.parquet"))
+            .to_table(
+                columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+                filter=pads.field("o_orderkey").isin(keys),
+            )
+            .to_pandas()
+        )
+        ctbl = (
+            pads.dataset(os.path.join(sf_dir, "customer.parquet"))
+            .to_table(
+                columns=["c_custkey", "c_name"],
+                filter=pads.field("c_custkey").isin(otbl["o_custkey"].unique()),
+            )
+            .to_pandas()
+        )
+        m = big_df.merge(otbl, on="o_orderkey").merge(
+            ctbl, left_on="o_custkey", right_on="c_custkey"
+        )
+        m["totalprice_cents"] = _micro(m["o_totalprice"].to_numpy(np.float64), 100.0)
+        return _topk(m)
+
+    # distributed path: Dataset.join enrich + per-block top-k partials
+    orders = _read(
+        sf_dir, "orders",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    )
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    nparts = _join_parts(sf_dir, "orders", "customer")
+    joined = big.join(
+        _with_join_sentinels(orders, "o_orderkey"),
+        join_type="inner",
+        num_partitions=nparts,
+        on=("o_orderkey",),
+    )
+    joined = joined.join(
+        _with_join_sentinels(cust, "c_custkey"),
+        join_type="inner",
+        num_partitions=nparts,
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    )
+
+    def block_topk(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df["totalprice_cents"] = _micro(df["o_totalprice"].to_numpy(np.float64), 100.0)
+        return _topk(df)
+
+    parts = joined.map_batches(block_topk, batch_format="pyarrow").to_pandas()
+    return _topk(parts)
+
+
+def value_percentiles(sf_dir: str):
+    """Interpolated percentiles (SQL ``quantile_cont``) over events.value,
+    EXACT and sort-free: values have 2-decimal resolution, so the cents
+    domain is bounded (<=~50k distinct) — per-batch ``np.unique`` partial
+    histograms -> one groupby(cents) sum -> driver CDF -> the two order
+    statistics around ``pos = q*(N-1)`` -> linear interpolation.  The
+    quantiles are dyadic (1/4, 1/2, 3/4), so interpolation arithmetic on
+    integer cents is float-EXACT — the milli-cent encoding matches the
+    SQL oracle bit-for-bit regardless of evaluation order."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["value"])
+
+    def hist(t: pa.Table) -> pa.Table:
+        c = _cents_col(t["value"]).to_numpy(zero_copy_only=False)
+        u, n = np.unique(c, return_counts=True)
+        return pa.table({"cents": pa.array(u), "n": pa.array(n.astype(np.int64))})
+
+    h = (
+        ds.map_batches(hist, batch_format="pyarrow")
+        .groupby("cents")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values("cents", ignore_index=True)
+    )
+    vals = h["cents"].to_numpy(np.int64)
+    cum = h["n"].to_numpy(np.int64).cumsum()
+    n_total = int(cum[-1])
+    labels, millis = [], []
+    for q in PCT_QUANTILES:
+        pos = q * (n_total - 1)
+        lo, hi = int(np.floor(pos)), int(np.ceil(pos))
+        frac = pos - lo
+        vlo = float(vals[np.searchsorted(cum, lo + 1)])
+        vhi = float(vals[np.searchsorted(cum, hi + 1)])
+        qc = vlo + (vhi - vlo) * frac
+        labels.append(f"p{int(q * 100)}")
+        millis.append(int(np.floor(qc * 1000.0 + 0.5)))
+    return pa.table(
+        {
+            "pct": pa.array(labels, pa.string()),
+            "q_milli_cents": pa.array(millis, pa.int64()),
+        }
+    )
+
+
+def entropy_by_lang(sf_dir: str):
+    """Character-distribution profile per language (an entropy-style
+    quality signal): per doc, ``S = sum_c floor(n_c*ln(n_c)*1000 + 0.5)``
+    over its byte classes (integer milli-nats; Shannon entropy is
+    ``ln(N) - S/(1000*N)``, derivable from the emitted integer partials,
+    which stay order-independent under any partitioning).  The corpus is
+    ASCII (asserted per batch), so byte classes == SQL character classes.
+    One vectorized bincount over (row, byte) per batch; shuffle-free
+    map-side partials -> tiny groupby(lang) sum."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "documents", columns=["lang", "text"])
+
+    def per_batch(t: pa.Table) -> pa.Table:
+        arr = t["text"]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        b = pcc.cast(arr, pa.large_binary())
+        off = np.frombuffer(b.buffers()[1], dtype=np.int64)[
+            b.offset : b.offset + len(b) + 1
+        ]
+        data = np.frombuffer(b.buffers()[2], dtype=np.uint8)
+        lens = np.diff(off)
+        raw = data[off[0] : off[-1]]
+        if raw.size and int(raw.max()) >= 128:
+            raise ValueError(
+                "entropy_by_lang assumes an ASCII corpus (bytes == chars)"
+            )
+        parent = np.repeat(np.arange(len(b), dtype=np.int64), lens)
+        cnt = np.bincount(parent * 128 + raw, minlength=len(b) * 128).reshape(
+            len(b), 128
+        )
+        s = (
+            np.where(
+                cnt > 0,
+                np.floor(cnt * np.log(np.maximum(cnt, 1)) * 1000.0 + 0.5),
+                0.0,
+            )
+            .sum(axis=1)
+            .astype(np.int64)
+        )
+        g = (
+            pd.DataFrame(
+                {"lang": t["lang"].to_pandas(), "s": s, "n": lens.astype(np.int64)}
+            )
+            .groupby("lang", sort=False)
+            .agg(
+                sum_nlogn_milli=("s", "sum"),
+                sum_chars=("n", "sum"),
+                n_docs=("s", "size"),
+            )
+            .reset_index()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (
+        ds.map_batches(per_batch, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(
+            Sum("sum_nlogn_milli", alias_name="sum_nlogn_milli"),
+            Sum("sum_chars", alias_name="sum_chars"),
+            Sum("n_docs", alias_name="n_docs"),
+        )
+        .to_pandas()
+        .sort_values("lang", ignore_index=True)
+    )
+    return pa.table(
+        {
+            "lang": pa.array(out["lang"], pa.string()),
+            "n_docs": pa.array(out["n_docs"].to_numpy(np.int64)),
+            "sum_chars": pa.array(out["sum_chars"].to_numpy(np.int64)),
+            "sum_nlogn_milli": pa.array(out["sum_nlogn_milli"].to_numpy(np.int64)),
+        }
+    )
+
+
+def urgent_lineitems_semi(sf_dir: str):
+    """EXISTS semi-join sized for corpus scale via Bloom prefilter:
+    lineitem counts per returnflag where the order is URGENT.
+
+    Build side: URGENT orderkeys -> one streaming pass into a broadcast
+    Bloom bitmap (``stages/bloom.py`` — NO exchange, one fixed-size
+    partial per block).  Probe side: lineitem rows drop MAP-SIDE unless
+    maybe-members (~20% of rows here + <1% false positives), so only
+    survivors enter the exact tag-and-union verify groupby
+    (``orders_with_returns``'s shape) that removes false positives.  The
+    result is exact; the Bloom pass only sizes the exchange."""
+    import ray
+
+    from ray.data.aggregate import Count
+
+    from ..stages.bloom import BloomPrefilter, build_bloom
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+
+    def urgent_keys(t: pa.Table) -> pa.Table:
+        m = pcc.equal(t["o_orderpriority"], pa.scalar(SEMI_PRIORITY))
+        return pa.table({"key": pcc.cast(t.filter(m)["o_orderkey"], pa.int64())})
+
+    keys_ds = orders.map_batches(urgent_keys, batch_format="pyarrow")
+    n_bits, k = 1 << 20, 5
+    bloom_ref = ray.put(build_bloom(keys_ds, "key", n_bits=n_bits, k=k))
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_returnflag"])
+
+    def li_rows(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "key": pcc.cast(t["l_orderkey"], pa.int64()),
+                "flag": pcc.cast(t["l_returnflag"], pa.string()),
+                "src": pa.array(np.zeros(len(t), dtype=np.int64)),
+            }
+        )
+
+    def tag_keys(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "key": t["key"],
+                "flag": pa.array([""] * len(t), pa.string()),
+                "src": pa.array(np.ones(len(t), dtype=np.int64)),
+            }
+        )
+
+    probe = li.map_batches(li_rows, batch_format="pyarrow").map_batches(
+        BloomPrefilter,
+        fn_constructor_kwargs={
+            "bitmap_ref": bloom_ref,
+            "column": "key",
+            "n_bits": n_bits,
+            "k": k,
+        },
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+    tagged = probe.union(keys_ds.map_batches(tag_keys, batch_format="pyarrow"))
+
+    def semi(df: pd.DataFrame) -> pd.DataFrame:
+        if not (df["src"] == 1).any():
+            return pd.DataFrame({"flag": pd.Series([], dtype=object)})
+        return pd.DataFrame({"flag": df.loc[df["src"] == 0, "flag"]})
+
+    out = (
+        tagged.groupby("key")
+        .map_groups(semi, batch_format="pandas")
+        .groupby("flag")
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+        .sort_values("flag", ignore_index=True)
+    )
+    return pa.table(
+        {
+            "l_returnflag": pa.array(out["flag"], pa.string()),
+            "n": pa.array(out["n"].to_numpy(np.int64)),
+        }
+    )
+
+
 def build_oracle_sql() -> Dict[str, str]:
     tok = _tok_sql("text")
     stop_list = ", ".join(f"'{w}'" for w in sorted(STOPWORDS))
@@ -5716,5 +6194,76 @@ def build_oracle_sql() -> Dict[str, str]:
             SELECT event_type, window_start, count(*) AS n,
                    CAST(sum(vc) AS BIGINT) AS value_c
             FROM w GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "custdist": f"""
+            WITH oc AS (
+              SELECT c_custkey, count(o_orderkey) AS c_count
+              FROM customer LEFT JOIN orders
+                ON c_custkey = o_custkey AND o_orderpriority <> '{SEMI_PRIORITY}'
+              GROUP BY c_custkey)
+            SELECT CAST(c_count AS BIGINT) AS c_count,
+                   CAST(count(*) AS BIGINT) AS custdist
+            FROM oc GROUP BY c_count
+            ORDER BY custdist DESC, c_count DESC
+        """,
+        "small_qty_revenue": f"""
+            WITH pk AS (SELECT p_partkey FROM part WHERE p_brand = '{Q17_BRAND}'),
+            li AS (
+              SELECT l_partkey, CAST(l_quantity AS BIGINT) AS q,
+                     CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS price_c
+              FROM lineitem JOIN pk ON l_partkey = p_partkey),
+            ag AS (SELECT l_partkey, sum(q) AS sumq, count(*) AS cnt
+                   FROM li GROUP BY 1)
+            SELECT CAST(coalesce(sum(price_c), 0) AS BIGINT) AS revenue_cents,
+                   CAST(count(*) AS BIGINT) AS n_items
+            FROM li JOIN ag USING (l_partkey)
+            WHERE q * 5 * cnt < sumq
+        """,
+        "large_volume_orders": f"""
+            WITH big AS (
+              SELECT l_orderkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+              FROM lineitem GROUP BY 1
+              HAVING sum(CAST(l_quantity AS BIGINT)) > {Q18_MIN_QTY})
+            SELECT c_name, o_orderkey, o_orderdate,
+                   CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS totalprice_cents,
+                   total_qty
+            FROM big JOIN orders ON o_orderkey = l_orderkey
+                     JOIN customer ON c_custkey = o_custkey
+            ORDER BY totalprice_cents DESC, o_orderkey
+            LIMIT {Q18_LIMIT}
+        """,
+        "value_percentiles": """
+            SELECT 'p25' AS pct, CAST(floor(quantile_cont(CAST(floor(value*100+0.5) AS BIGINT), 0.25) * 1000 + 0.5) AS BIGINT) AS q_milli_cents FROM events
+            UNION ALL
+            SELECT 'p50', CAST(floor(quantile_cont(CAST(floor(value*100+0.5) AS BIGINT), 0.50) * 1000 + 0.5) AS BIGINT) FROM events
+            UNION ALL
+            SELECT 'p75', CAST(floor(quantile_cont(CAST(floor(value*100+0.5) AS BIGINT), 0.75) * 1000 + 0.5) AS BIGINT) FROM events
+        """,
+        "entropy_by_lang": """
+            WITH pos AS (
+              SELECT doc_id, unnest(range(1, length(text)+1)) AS i, text
+              FROM documents),
+            cc AS (
+              SELECT doc_id, substr(text, CAST(i AS INTEGER), 1) AS c, count(*) AS cnt
+              FROM pos GROUP BY 1, 2),
+            sd AS (
+              SELECT doc_id,
+                     CAST(sum(CAST(floor(cnt * ln(cnt) * 1000 + 0.5) AS BIGINT)) AS BIGINT) AS s
+              FROM cc GROUP BY 1)
+            SELECT d.lang,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(length(d.text)) AS BIGINT) AS sum_chars,
+                   CAST(coalesce(sum(sd.s), 0) AS BIGINT) AS sum_nlogn_milli
+            FROM documents d LEFT JOIN sd USING (doc_id)
+            GROUP BY d.lang ORDER BY d.lang
+        """,
+        "urgent_lineitems_semi": f"""
+            SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n
+            FROM lineitem
+            WHERE EXISTS (
+              SELECT 1 FROM orders o
+              WHERE o.o_orderkey = l_orderkey
+                AND o.o_orderpriority = '{SEMI_PRIORITY}')
+            GROUP BY l_returnflag ORDER BY l_returnflag
         """,
     }

@@ -69,6 +69,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_keep_best": Q.dedup_keep_best,  # keep longest per cluster, closure+window oracle
         "doc_pagerank": Q.doc_pagerank,  # integer PageRank over the near-dup graph, unrolled-SQL oracle
         "dup_triangles": Q.dup_triangles,  # triangle enumeration over the near-dup graph, 3-way self-join oracle
+        "dup_degree_hist": Q.dup_degree_hist,  # near-dup graph degree distribution incl. isolated docs
         "simhash_near_dups": Q.simhash_near_dups,  # rows-only, scalar-oracle gated
         "clone_pairs": Q.clone_pairs,  # winnowing clone join, rows-only (pytest brute-force gate)
         # text analysis
@@ -118,6 +119,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": Q.sessionize,
         "cohort_retention": Q.cohort_retention,  # weekly cohort-retention matrix, date_trunc oracle
         "user_last_event": Q.user_last_event,  # algebraic argmax (last-touch attribution), row_number oracle
+        "events_time_decay": Q.events_time_decay,  # exponential time-decay user scoring (trending shape)
         "funnel_counts": Q.funnel_counts,  # ordered funnel stages, chained min-after-min oracle
         "events_rollup": Q.events_rollup,  # ROLLUP grouping sets, algebraic fold
         "events_cube": Q.events_cube,  # full CUBE lattice, one scan + algebraic fold
@@ -143,6 +145,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users_by_type": Q.distinct_users_by_type,
         "customers_no_urgent": Q.customers_no_urgent,  # distributed anti-join
         "orders_with_returns": Q.orders_with_returns,  # distributed semi-join, EXISTS oracle
+        "order_skyline": Q.order_skyline,  # Pareto-frontier skyline, NOT-EXISTS dominance oracle
         "ttr_by_lang": Q.ttr_by_lang,  # type-token ratio per lang, COUNT DISTINCT oracle
         "custdist": Q.custdist,  # TPC-H Q13 shape: LEFT-JOIN count distribution w/ zero bucket
         "small_qty_revenue": Q.small_qty_revenue,  # TPC-H Q17 shape: correlated avg, bloom prefilter

@@ -4993,6 +4993,109 @@ def urgent_lineitems_semi(sf_dir: str):
     )
 
 
+def order_skyline(sf_dir: str):
+    """Skyline (Pareto-frontier) query over orders: the orders no other
+    order beats on BOTH price (maximize) and order date (minimize) —
+    Börzsönyi et al. 2001's operator, the "best trade-off rows" shape
+    relational engines answer with a quadratic NOT EXISTS.  Distributed:
+    per-block local skylines (a global frontier point always survives its
+    block) union-merged once on the driver; all comparisons in integer
+    cents / epoch-microseconds so the frontier is bit-stable.  Oracle:
+    the textbook NOT-EXISTS dominance definition."""
+    from ..stages.skyline import skyline
+
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice", "o_orderdate"])
+
+    def enc(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": pcc.cast(t["o_orderkey"], pa.int64()),
+                "price_c": _cents_col(t["o_totalprice"]),
+                "date_us": pcc.cast(pcc.cast(t["o_orderdate"], pa.timestamp("us")), pa.int64()),
+            }
+        )
+
+    out = skyline(
+        ds.map_batches(enc, batch_format="pyarrow"),
+        max_col="price_c",
+        min_col="date_us",
+        id_col="o_orderkey",
+    )
+    return out.select(["o_orderkey", "price_c", "date_us"])
+
+
+DECAY_TAU_US = 30 * 86_400 * 1_000_000  # 30-day exponential half-life scale
+DECAY_TOP_N = 50
+
+
+def events_time_decay(sf_dir: str):
+    """Recency-weighted user activity: every event scores
+    ``exp(-(t_max - ts) / tau)`` (tau = 30 days), integer milli-rounded
+    PER EVENT before the user-keyed sum — the time-decay scoring shape of
+    feed ranking / trending detection.  One metadata-cheap max(ts) pass,
+    then a single partial-aggregated groupby; top users by
+    (score desc, user asc).  Oracle: the same epoch arithmetic in SQL."""
+    from ray.data.aggregate import Max, Sum
+
+    ds = _read(sf_dir, "events", columns=["ts", "user_id"])
+    tmax = ds.aggregate(Max("ts", alias_name="m"))["m"]
+    tmax_us = int(pa.scalar(tmax, pa.timestamp("us")).cast(pa.int64()).as_py())
+
+    def score(t: pa.Table) -> pa.Table:
+        ts_us = pcc.cast(pcc.cast(t["ts"], pa.timestamp("us")), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        age = (tmax_us - ts_us).astype(np.float64) / DECAY_TAU_US
+        return pa.table(
+            {
+                "user_id": pcc.cast(t["user_id"], pa.int64()),
+                "s": pa.array(_micro(np.exp(-age), scale=1e3)),
+            }
+        )
+
+    out = (
+        ds.map_batches(score, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Sum("s", alias_name="score_milli"))
+        .to_pandas()
+        .sort_values(["score_milli", "user_id"], ascending=[False, True])
+        .head(DECAY_TOP_N)
+        .reset_index(drop=True)
+    )
+    return pa.table(
+        {
+            "user_id": pa.array(out["user_id"], pa.int64()),
+            "score_milli": pa.array(out["score_milli"], pa.int64()),
+        }
+    )
+
+
+def dup_degree_hist(sf_dir: str):
+    """Degree distribution of the near-dup similarity graph (the shared
+    Jaccard>=0.5 pair table): how many documents have 0, 1, 2, ... near
+    duplicates — the graph-health profile run before any clustering pass.
+    Isolated docs are counted via n_docs minus touched nodes, never a
+    per-doc join.  Oracle: the pair CTE + both-direction degree count
+    right-joined onto documents."""
+    pairs = _ngram_pairs(sf_dir)
+    n_docs = _read(sf_dir, "documents", columns=["doc_id"]).count()
+    a = pairs["id_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+    b = pairs["id_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+    ids = np.concatenate([a, b])
+    if len(ids):
+        _, deg = np.unique(ids, return_counts=True)
+        degs, n_nodes = np.unique(deg, return_counts=True)
+    else:
+        degs, n_nodes = np.array([], dtype=np.int64), np.array([], dtype=np.int64)
+    n_isolated = n_docs - int(n_nodes.sum())
+    out_deg = np.concatenate([[0], degs]).astype(np.int64)
+    out_n = np.concatenate([[n_isolated], n_nodes]).astype(np.int64)
+    keep = out_n > 0
+    return pa.table(
+        {"degree": pa.array(out_deg[keep]), "n_nodes": pa.array(out_n[keep])}
+    )
+
+
 def build_oracle_sql() -> Dict[str, str]:
     tok = _tok_sql("text")
     stop_list = ", ".join(f"'{w}'" for w in sorted(STOPWORDS))
@@ -5967,6 +6070,58 @@ def build_oracle_sql() -> Dict[str, str]:
             LIMIT {COOC_TOP_N}
         """,
         "doc_pagerank": _pagerank_sql(PAGERANK_ITERS),
+        "dup_degree_hist": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                 x -> length(x) > 0) AS t
+              FROM documents),
+            grams AS (
+              SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram
+              FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+              WHERE len(t) >= 3),
+            sz AS (SELECT doc_id, count(*) AS s FROM grams GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+              FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+            prs AS (
+              SELECT id_a, id_b
+              FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+              WHERE i / (sa.s + sb.s - i) >= 0.5),
+            ends AS (SELECT id_a AS v FROM prs UNION ALL SELECT id_b FROM prs),
+            deg AS (SELECT v, count(*) AS d FROM ends GROUP BY v),
+            alldeg AS (
+              SELECT d.doc_id, COALESCE(deg.d, 0) AS degree
+              FROM documents d LEFT JOIN deg ON deg.v = d.doc_id)
+            SELECT CAST(degree AS BIGINT) AS degree, count(*) AS n_nodes
+            FROM alldeg GROUP BY degree ORDER BY degree
+        """,
+        "order_skyline": """
+            WITH pts AS (
+              SELECT o_orderkey,
+                     CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_c,
+                     epoch_us(o_orderdate) AS date_us
+              FROM orders)
+            SELECT p.o_orderkey, p.price_c, p.date_us
+            FROM pts p
+            WHERE NOT EXISTS (
+              SELECT 1 FROM pts q
+              WHERE q.price_c >= p.price_c AND q.date_us <= p.date_us
+                AND (q.price_c > p.price_c OR q.date_us < p.date_us))
+            ORDER BY p.o_orderkey
+        """,
+        "events_time_decay": f"""
+            WITH m AS (SELECT max(ts) AS tmax FROM events),
+            s AS (
+              SELECT user_id,
+                     CAST(floor(exp(-((epoch_us(m.tmax) - epoch_us(ts))
+                                      / {float(DECAY_TAU_US)})) * 1000 + 0.5)
+                          AS BIGINT) AS s
+              FROM events, m)
+            SELECT user_id, sum(s) AS score_milli FROM s GROUP BY user_id
+            ORDER BY score_milli DESC, user_id ASC LIMIT {DECAY_TOP_N}
+        """,
         "dup_spans": f"""
             WITH tok AS (
               SELECT doc_id,

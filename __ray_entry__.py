@@ -47,6 +47,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_facets": Q.bm25_facets,  # facet counts over the full result set
         "bm25_boolean": Q.bm25_boolean,  # +term/-term operators, shared scoring CTE
         "more_like_this": Q.more_like_this,  # find-similar via top tf*idf terms
+        "search_ndcg": Q.search_ndcg,  # NDCG@10/MRR eval vs synthetic qrels, BM25-in-SQL + DCG oracle
+        "percolate_queries": Q.percolate_queries,  # reverse search: registered boolean queries vs corpus
         "bm25_rm3": Q.bm25_rm3,  # pseudo-relevance-feedback expansion, two-pass SQL oracle
         "snippet_windows": Q.snippet_windows,  # best-window highlighter, window-count SQL oracle
         "phrase_positional": Q.phrase_positional,  # positional phrase (token adjacency), BM25+EXISTS oracle
@@ -109,6 +111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_cosine": Q.knn_cosine,
         "knn_cosine_filtered": Q.knn_cosine_filtered,
         "knn_pq": Q.knn_pq,  # product-quantization ADC search, rows-only (pytest ADC-oracle gate)
+        "knn_mmr": Q.knn_mmr,  # MMR diversified rerank, rows-only (pytest full-numpy gate)
         "hybrid_rrf": Q.hybrid_rrf,  # J1/K3 weighted-RRF fusion, full-SQL oracle
         "label_centroids": Q.label_centroids,
         "kmeans_clusters": Q.kmeans_clusters,  # iterative Lloyd's, unrolled-SQL oracle

@@ -4920,9 +4920,10 @@ def urgent_lineitems_semi(sf_dir: str):
     Bloom bitmap (``stages/bloom.py`` — NO exchange, one fixed-size
     partial per block).  Probe side: lineitem rows drop MAP-SIDE unless
     maybe-members (~20% of rows here + <1% false positives), so only
-    survivors enter the exact tag-and-union verify groupby
-    (``orders_with_returns``'s shape) that removes false positives.  The
-    result is exact; the Bloom pass only sizes the exchange."""
+    survivors enter the exact verify — a partitioned hash join against
+    the (unique) urgent keys that removes false positives without any
+    per-key Python group dispatch.  The result is exact; the Bloom pass
+    only sizes the exchange."""
     import ray
 
     from ray.data.aggregate import Count
@@ -4946,16 +4947,6 @@ def urgent_lineitems_semi(sf_dir: str):
             {
                 "key": pcc.cast(t["l_orderkey"], pa.int64()),
                 "flag": pcc.cast(t["l_returnflag"], pa.string()),
-                "src": pa.array(np.zeros(len(t), dtype=np.int64)),
-            }
-        )
-
-    def tag_keys(t: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "key": t["key"],
-                "flag": pa.array([""] * len(t), pa.string()),
-                "src": pa.array(np.ones(len(t), dtype=np.int64)),
             }
         )
 
@@ -4970,21 +4961,24 @@ def urgent_lineitems_semi(sf_dir: str):
         batch_format="pyarrow",
         concurrency=(1, 4),
     )
-    tagged = probe.union(keys_ds.map_batches(tag_keys, batch_format="pyarrow"))
-
-    def semi(df: pd.DataFrame) -> pd.DataFrame:
-        if not (df["src"] == 1).any():
-            return pd.DataFrame({"flag": pd.Series([], dtype=object)})
-        return pd.DataFrame({"flag": df.loc[df["src"] == 0, "flag"]})
-
+    # exact verify: orderkeys are unique, so an inner hash join IS the
+    # semi-join (no row multiplication, no per-key group dispatch)
+    joined = probe.join(
+        _with_join_sentinels(keys_ds, "key"),
+        join_type="inner",
+        num_partitions=_join_parts(sf_dir, "lineitem"),
+        on=("key",),
+    )
     out = (
-        tagged.groupby("key")
-        .map_groups(semi, batch_format="pandas")
-        .groupby("flag")
+        joined.groupby("flag")
         .aggregate(Count(alias_name="n"))
         .to_pandas()
-        .sort_values("flag", ignore_index=True)
     )
+    if "flag" not in out.columns or not len(out):
+        return pa.table(
+            {"l_returnflag": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+        )
+    out = out.sort_values("flag", ignore_index=True)
     return pa.table(
         {
             "l_returnflag": pa.array(out["flag"], pa.string()),
@@ -5093,6 +5087,203 @@ def dup_degree_hist(sf_dir: str):
     keep = out_n > 0
     return pa.table(
         {"degree": pa.array(out_deg[keep]), "n_nodes": pa.array(out_n[keep])}
+    )
+
+
+NDCG_K = 10
+NDCG_QUERIES = (BM25_QUERY, BM25_QUERY_FILTERED, "read the file and write buffer")
+
+
+def search_ndcg(sf_dir: str):
+    """IR quality evaluation of the distributed BM25 run: NDCG@10 and
+    MRR per query against synthetic graded qrels (rel(doc) = doc_id % 4
+    — derivable on both sides with no external judgment file).  All
+    arithmetic integer-exact: per-hit gain micro-rounded BEFORE the sum,
+    NDCG = dcg*1000 // idcg (ideal = the retrieved list's own best
+    permutation), MRR = 1000 // (first rel-3 rank + 1).  Oracle: the
+    full BM25-in-SQL ranking wrapped in the same DCG window math."""
+    from .query import QueryEngine
+
+    idx = _documents_index(sf_dir)
+    engine = QueryEngine(idx, num_actors=2)
+    out_q, out_ndcg, out_mrr = [], [], []
+    try:
+        for q in NDCG_QUERIES:
+            hits = engine.search(q, limit=NDCG_K)
+            doc_ids = np.array([h["doc_id"] for h in hits], np.int64)
+            rel = (doc_ids % 4).astype(np.float64)
+            ranks = np.arange(len(doc_ids), dtype=np.float64)
+            gains = np.floor(
+                (2.0**rel - 1.0) / np.log2(ranks + 2.0) * 1e6 + 0.5
+            ).astype(np.int64)
+            dcg = int(gains.sum())
+            rel_sorted = np.sort(rel)[::-1]
+            rn = np.arange(1, len(rel_sorted) + 1, dtype=np.float64)
+            idcg = int(
+                np.floor(
+                    (2.0**rel_sorted - 1.0) / np.log2(rn + 1.0) * 1e6 + 0.5
+                ).astype(np.int64).sum()
+            )
+            first = np.flatnonzero(doc_ids % 4 == 3)
+            out_q.append(q)
+            out_ndcg.append(0 if idcg == 0 else (dcg * 1000) // idcg)
+            out_mrr.append(1000 // (int(first[0]) + 1) if len(first) else 0)
+    finally:
+        engine.close()
+    return pa.table(
+        {
+            "query": pa.array(out_q, pa.string()),
+            "ndcg_milli": pa.array(out_ndcg, pa.int64()),
+            "mrr_milli": pa.array(out_mrr, pa.int64()),
+        }
+    )
+
+
+def _ndcg_sql() -> str:
+    parts = []
+    for q in NDCG_QUERIES:
+        inner = bm25_sql(q, limit=NDCG_K)
+        parts.append(
+            f"""
+            SELECT '{q}' AS query,
+                   CASE WHEN i.idcg_micro = 0 THEN 0
+                        ELSE (d.dcg_micro * 1000) // i.idcg_micro END AS ndcg_milli,
+                   COALESCE(m.mrr_milli, 0) AS mrr_milli
+            FROM
+              (SELECT COALESCE(sum(CAST(floor((pow(2, doc_id % 4) - 1)
+                         / log2(rank + 2) * 1000000 + 0.5) AS BIGINT)), 0) AS dcg_micro
+               FROM ({inner})) d,
+              (SELECT COALESCE(sum(CAST(floor((pow(2, rel) - 1)
+                         / log2(rn + 1) * 1000000 + 0.5) AS BIGINT)), 0) AS idcg_micro
+               FROM (SELECT doc_id % 4 AS rel,
+                            row_number() OVER (ORDER BY doc_id % 4 DESC) AS rn
+                     FROM ({inner}))) i,
+              (SELECT CAST(1000 // (min(rank) + 1) AS BIGINT) AS mrr_milli
+               FROM ({inner}) WHERE doc_id % 4 = 3) m
+            """
+        )
+    return " UNION ALL ".join(parts)
+
+
+# Percolator (reverse search): a REGISTERED query set matched against every
+# incoming document — Elasticsearch's percolate shape.  Queries are static
+# boolean term predicates (must / must-not over tokenizer terms).
+PERC_QUERIES = (
+    ("q_merge_sort", ("merge", "sort"), ()),
+    ("q_join_no_hash", ("join",), ("hash",)),
+    ("q_data_stream", ("data", "stream"), ()),
+    ("q_scan_filter", ("scan", "filter"), ()),
+    ("q_table_no_sort", ("table",), ("sort",)),
+    ("q_read_write", ("read", "write"), ()),
+    ("q_index", ("index",), ()),
+    ("q_hash_table_scan", ("hash", "table", "scan"), ()),
+)
+
+
+def percolate_queries(sf_dir: str):
+    """Reverse search (percolator): count, for each registered boolean
+    query, how many documents match it.  The query set is broadcast in
+    the task closure (static, tiny); each batch computes per-query doc
+    masks from one tokenizer pass and emits #queries partial-count rows
+    — so the exchange is O(blocks * queries), never row-keyed.  Oracle:
+    one COUNT(*) FILTER (list_contains...) per query."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+    need = sorted({t for _, must, mnot in PERC_QUERIES for t in (*must, *mnot)})
+
+    def match(t: pa.Table) -> pa.Table:
+        toks = tokenize_array(t["text"])
+        flat = pcc.list_flatten(toks)
+        parents = pcc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        n = len(t)
+        dfp = pd.DataFrame({"term": flat.to_pandas(), "d": parents})
+        dfp = dfp[dfp["term"].isin(need)].drop_duplicates()
+        has = {tm: np.zeros(n, dtype=bool) for tm in need}
+        for tm, grp in dfp.groupby("term", sort=False):
+            has[tm][grp["d"].to_numpy()] = True
+        qids, counts = [], []
+        for qid, must, mnot in PERC_QUERIES:
+            m = np.ones(n, dtype=bool)
+            for tm in must:
+                m &= has[tm]
+            for tm in mnot:
+                m &= ~has[tm]
+            qids.append(qid)
+            counts.append(int(m.sum()))
+        return pa.table(
+            {"query_id": pa.array(qids, pa.string()),
+             "n_docs": pa.array(counts, pa.int64())}
+        )
+
+    out = (
+        ds.map_batches(match, batch_format="pyarrow")
+        .groupby("query_id")
+        .aggregate(Sum("n_docs", alias_name="n_docs"))
+        .to_pandas()
+        .sort_values("query_id", ignore_index=True)
+    )
+    return pa.table(
+        {
+            "query_id": pa.array(out["query_id"], pa.string()),
+            "n_docs": pa.array(out["n_docs"], pa.int64()),
+        }
+    )
+
+
+MMR_K = 10
+MMR_CAND = 50
+MMR_LAMBDA = 0.7
+
+
+def knn_mmr(sf_dir: str):
+    """Diversified vector retrieval: distributed exact cosine top-50
+    candidates per query (the knn_cosine pass), then a driver-side MMR
+    greedy (lambda=0.7) picks 10 results trading relevance against
+    redundancy — the standard rerank shape for dedup-heavy corpora.
+    Candidate vectors come from one pushdown-filtered read of the tiny
+    id set.  Rows-only for the driver (greedy argmax is not SQL);
+    tests/test_mmr.py gates it against an independent full-numpy MMR."""
+    from ..stages.annsearch import mmr_rerank, vector_topk
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    qdf = (
+        _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+        .filter(lambda r: r["vec_id"] < 3)
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    qs = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
+    qids = qdf["vec_id"].to_numpy(np.int64)
+    cand = vector_topk(
+        ds, qs, k=MMR_CAND, id_column="vec_id", normalize=True, dtype=np.float64
+    ).to_pandas()
+    need = np.unique(cand["vec_id"].to_numpy(np.int64))
+    need_set = set(need.tolist())
+    vecs = (
+        _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+        .filter(lambda r: r["vec_id"] in need_set)
+        .to_pandas()
+        .set_index("vec_id")
+    )
+    out_q, out_rank, out_id, out_s = [], [], [], []
+    for qi, qid in enumerate(qids):
+        sub = cand[cand["query_idx"] == qi]
+        ids = sub["vec_id"].to_numpy(np.int64)
+        mat = np.stack(vecs.loc[ids]["embedding"].to_numpy()).astype(np.float64)
+        picks = mmr_rerank(qs[qi], ids, mat, k=MMR_K, lam=MMR_LAMBDA)
+        for r, (vid, s) in enumerate(picks):
+            out_q.append(int(qid))
+            out_rank.append(r)
+            out_id.append(vid)
+            out_s.append(s)
+    return pa.table(
+        {
+            "q_id": pa.array(out_q, pa.int64()),
+            "rank": pa.array(out_rank, pa.int64()),
+            "vec_id": pa.array(out_id, pa.int64()),
+            "mmr_micro": pa.array(_micro(np.array(out_s)), pa.int64()),
+        }
     )
 
 
@@ -6070,6 +6261,18 @@ def build_oracle_sql() -> Dict[str, str]:
             LIMIT {COOC_TOP_N}
         """,
         "doc_pagerank": _pagerank_sql(PAGERANK_ITERS),
+        "search_ndcg": _ndcg_sql(),
+        "percolate_queries": " UNION ALL ".join(
+            f"""
+            SELECT '{qid}' AS query_id,
+                   count(*) FILTER (WHERE {" AND ".join(
+                       [f"list_contains(toks, '{t}')" for t in must]
+                       + [f"NOT list_contains(toks, '{t}')" for t in mnot]
+                   )}) AS n_docs
+            FROM (SELECT {tok} AS toks FROM documents)
+            """
+            for qid, must, mnot in PERC_QUERIES
+        ),
         "dup_degree_hist": """
             WITH toks AS (
               SELECT doc_id,

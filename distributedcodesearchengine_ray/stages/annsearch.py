@@ -272,3 +272,46 @@ def vector_topk_lsh(
 
     filtered = ds.map_batches(bucket_filter, batch_format="pyarrow", batch_size=8192)
     return vector_topk(filtered, queries, k=k, id_column=id_column)
+
+
+def mmr_rerank(
+    qvec: np.ndarray,
+    cand_ids: np.ndarray,
+    cand_vecs: np.ndarray,
+    *,
+    k: int = 10,
+    lam: float = 0.7,
+) -> "list[tuple[int, float]]":
+    """Maximal Marginal Relevance (Carbonell & Goldstein 1998) greedy
+    rerank of a CANDIDATE set: iteratively pick
+    ``argmax lam*sim(q,d) - (1-lam)*max_{s in selected} sim(d,s)``,
+    ties broken by smallest id.  Candidates come from a distributed
+    top-N cosine pass (``vector_topk``); the greedy itself is a
+    driver-side O(k*N) loop over the N-row candidate table — rerank
+    never touches the corpus.  Returns [(id, mmr_score), ...] in
+    selection order."""
+    q = np.asarray(qvec, dtype=np.float64)
+    q = q / (np.linalg.norm(q) or 1.0)
+    v = np.asarray(cand_vecs, dtype=np.float64)
+    n = np.linalg.norm(v, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    v = v / n
+    rel = v @ q
+    ids = np.asarray(cand_ids, dtype=np.int64)
+    selected: list[tuple[int, float]] = []
+    picked = np.zeros(len(ids), dtype=bool)
+    max_sim = np.full(len(ids), -np.inf)
+    for _ in range(min(k, len(ids))):
+        score = lam * rel - (1.0 - lam) * np.where(
+            np.isinf(max_sim), 0.0, max_sim
+        )
+        if not selected:
+            score = lam * rel  # no diversity term on the first pick
+        score = np.where(picked, -np.inf, score)
+        # argmax with smallest-id tie-break
+        best = np.flatnonzero(score == score.max())
+        j = best[np.argmin(ids[best])]
+        selected.append((int(ids[j]), float(score[j])))
+        picked[j] = True
+        max_sim = np.maximum(max_sim, v @ v[j])
+    return selected

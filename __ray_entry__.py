@@ -123,6 +123,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cohort_retention": Q.cohort_retention,  # weekly cohort-retention matrix, date_trunc oracle
         "user_last_event": Q.user_last_event,  # algebraic argmax (last-touch attribution), row_number oracle
         "events_time_decay": Q.events_time_decay,  # exponential time-decay user scoring (trending shape)
+        "value_mad_by_type": Q.value_mad_by_type,  # robust median/MAD via bounded-domain histograms
+        "rolling_distinct_users": Q.rolling_distinct_users,  # 24h rolling exact distinct, per-user interval coverage
+        "top_user_by_type": Q.top_user_by_type,  # grouped mode / heavy-hitter argmax fold
+        "hour_dow_pivot": Q.hour_dow_pivot,  # crosstab pivot: hour-of-day x weekday heatmap
+        "event_transitions": Q.event_transitions,  # Markov bigram counts over per-user ordered streams
+        "value_corr_by_type": Q.value_corr_by_type,  # algebraic-moments Pearson r, integer partials
         "funnel_counts": Q.funnel_counts,  # ordered funnel stages, chained min-after-min oracle
         "events_rollup": Q.events_rollup,  # ROLLUP grouping sets, algebraic fold
         "events_cube": Q.events_cube,  # full CUBE lattice, one scan + algebraic fold

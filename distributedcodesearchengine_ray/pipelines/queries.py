@@ -5287,6 +5287,338 @@ def knn_mmr(sf_dir: str):
     )
 
 
+def value_mad_by_type(sf_dir: str):
+    """Robust location/scale per event_type: exact interpolated median and
+    MAD (median absolute deviation) over events.value — the outlier-immune
+    sibling of mean/stddev.  Values have 2-decimal resolution, so the cents
+    domain is bounded: per-batch (event_type, cents) count partials -> one
+    small groupby sum -> per-group driver CDF gives the exact order
+    statistics without any sort of the event stream.  Median interpolation
+    at q=0.5 lands on half-cents and the MAD on quarter-cents, both
+    float-exact, so the milli-cent integer encodings match the SQL
+    ``quantile_cont`` oracle bit-for-bit under any partitioning."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def hist(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "event_type": t["event_type"].to_pandas(),
+                "cents": _cents_col(t["value"]).to_numpy(zero_copy_only=False),
+            }
+        )
+        g = df.groupby(["event_type", "cents"], sort=False).size().reset_index(name="n")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    h = (
+        ds.map_batches(hist, batch_format="pyarrow")
+        .groupby(["event_type", "cents"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+
+    def _median_half_units(vals: np.ndarray, cnt: np.ndarray) -> int:
+        # exact 2x-median of the weighted values: vlo + vhi at pos q(n-1)
+        cum = cnt.cumsum()
+        n = int(cum[-1])
+        pos = 0.5 * (n - 1)
+        lo, hi = int(np.floor(pos)), int(np.ceil(pos))
+        vlo = int(vals[np.searchsorted(cum, lo + 1)])
+        vhi = int(vals[np.searchsorted(cum, hi + 1)])
+        return vlo + vhi
+
+    types, ns, meds, mads = [], [], [], []
+    for etype, grp in h.groupby("event_type", sort=True):
+        grp = grp.sort_values("cents")
+        cents = grp["cents"].to_numpy(np.int64)
+        cnt = grp["n"].to_numpy(np.int64)
+        # vlo+vhi over cents == 2*median == median in half-cent units
+        med_half = _median_half_units(cents, cnt)
+        dev = np.abs(cents * 2 - med_half)  # half-cent units, integer
+        order = np.argsort(dev, kind="stable")
+        ddf = pd.DataFrame({"d": dev[order], "n": cnt[order]}).groupby("d", sort=True)["n"].sum()
+        mad_quarter = _median_half_units(
+            ddf.index.to_numpy(np.int64), ddf.to_numpy(np.int64)
+        )  # quarter-cent units
+        types.append(etype)
+        ns.append(int(cnt.sum()))
+        meds.append(med_half * 500)  # half-cents -> milli-cents
+        mads.append(mad_quarter * 250)  # quarter-cents -> milli-cents
+    return pa.table(
+        {
+            "event_type": pa.array(types, pa.string()),
+            "n": pa.array(ns, pa.int64()),
+            "med_milli": pa.array(meds, pa.int64()),
+            "mad_milli": pa.array(mads, pa.int64()),
+        }
+    )
+
+
+ROLLING_WINDOW_HOURS = 24
+
+
+def rolling_distinct_users(sf_dir: str, window_hours: int = ROLLING_WINDOW_HOURS):
+    """Rolling 24h EXACT distinct users per observed hour — the sliding
+    COUNT(DISTINCT) shape that naive windowing makes quadratic.  Inverted
+    per-user: each user's deduped hour set is merged into coverage
+    intervals [h, h+23], and the user contributes exactly 1 to every
+    window-end hour inside them — turning "distinct users per window"
+    into a plain integer sum per hour.  The exchange carries (user,hour)
+    pairs (deduped map-side) and the final groupby is hour-keyed, so no
+    window ever holds a user set in memory."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+    w = window_hours
+
+    def pairs(t: pa.Table) -> pa.Table:
+        hrs = (
+            t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+            // 3_600_000_000
+        )
+        df = pd.DataFrame(
+            {"user_id": t["user_id"].to_numpy(zero_copy_only=False), "hour": hrs}
+        ).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def cover(df: pd.DataFrame) -> pd.DataFrame:
+        hrs = np.unique(df["hour"].to_numpy(np.int64))
+        # merged coverage intervals: a new interval starts when the gap
+        # from the previous event-hour exceeds the window length
+        starts = np.flatnonzero(np.diff(hrs, prepend=hrs[0] - w) >= w)
+        ends = np.append(starts[1:], hrs.size) - 1
+        covered = np.concatenate(
+            [np.arange(hrs[s], hrs[e] + w) for s, e in zip(starts, ends)]
+        )
+        return pd.DataFrame(
+            {
+                "hour": covered,
+                "cov": np.ones(covered.size, dtype=np.int64),
+                "obs": np.isin(covered, hrs).astype(np.int64),
+            }
+        )
+
+    out = (
+        ds.map_batches(pairs, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(cover, batch_format="pandas")
+        .groupby("hour")
+        .aggregate(Sum("cov", alias_name="n_users"), Sum("obs", alias_name="obs"))
+        .to_pandas()
+    )
+    out = out[out["obs"] > 0].sort_values("hour", ignore_index=True)
+    return pa.table(
+        {
+            "hour": pa.array(out["hour"].to_numpy(np.int64)),
+            "n_users": pa.array(out["n_users"].to_numpy(np.int64)),
+        }
+    )
+
+
+def top_user_by_type(sf_dir: str):
+    """Grouped mode / per-group heavy hitter: for each event_type the user
+    with the most events (ties -> smallest user_id).  Algebraic all the
+    way down: per-batch (type,user) count partials collapse each block to
+    its distinct pairs, one groupby sums them, a per-batch partial argmax
+    folds each block to <= n_types rows, and the driver finishes the fold
+    over blocks x n_types rows — the event stream itself is never
+    exchanged."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
+
+    def partial_counts(t: pa.Table) -> pa.Table:
+        g = (
+            pd.DataFrame(
+                {
+                    "event_type": t["event_type"].to_pandas(),
+                    "user_id": t["user_id"].to_numpy(zero_copy_only=False),
+                }
+            )
+            .groupby(["event_type", "user_id"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def partial_argmax(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df = (
+            df.sort_values(["event_type", "n", "user_id"], ascending=[True, False, True])
+            .groupby("event_type", sort=False)
+            .head(1)
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    out = (
+        ds.map_batches(partial_counts, batch_format="pyarrow")
+        .groupby(["event_type", "user_id"])
+        .aggregate(Sum("n", alias_name="n"))
+        .map_batches(partial_argmax, batch_format="pyarrow")
+        .to_pandas()
+    )
+    out = (
+        out.sort_values(["event_type", "n", "user_id"], ascending=[True, False, True])
+        .groupby("event_type", sort=False)
+        .head(1)
+        .sort_values("event_type", ignore_index=True)
+    )
+    return pa.table(
+        {
+            "event_type": pa.array(out["event_type"], pa.string()),
+            "user_id": pa.array(out["user_id"].to_numpy(np.int64)),
+            "n": pa.array(out["n"].to_numpy(np.int64)),
+        }
+    )
+
+
+def hour_dow_pivot(sf_dir: str):
+    """Pivot / heatmap shape: event counts by hour-of-day x day-of-week,
+    emitted WIDE (one row per hour, one column per weekday) — the
+    crosstab layout BI layers ask for.  The distributed part is a tiny
+    (hod, dow) partial-count fold (<=168 cells per block); the pivot is a
+    driver-side reshape of 168 rows.  Oracle: FILTER-aggregate columns."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["ts"])
+
+    def cells(t: pa.Table) -> pa.Table:
+        us = t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        hrs = us // 3_600_000_000
+        hod = hrs % 24
+        dow = (hrs // 24 + 4) % 7  # epoch day 0 = Thursday; 0 = Sunday like SQL
+        key = hod * 7 + dow
+        u, n = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "hod": pa.array(u // 7, pa.int64()),
+                "dow": pa.array(u % 7, pa.int64()),
+                "n": pa.array(n.astype(np.int64)),
+            }
+        )
+
+    out = (
+        ds.map_batches(cells, batch_format="pyarrow")
+        .groupby(["hod", "dow"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    wide = (
+        out.pivot_table(index="hod", columns="dow", values="n", fill_value=0, aggfunc="sum")
+        .reindex(index=range(24), columns=range(7), fill_value=0)
+        .astype(np.int64)
+    )
+    cols = {"hod": pa.array(np.arange(24, dtype=np.int64))}
+    for d in range(7):
+        cols[f"n_d{d}"] = pa.array(wide[d].to_numpy(np.int64))
+    return pa.table(cols)
+
+
+def event_transitions(sf_dir: str):
+    """Markov transition counts: global (prev_type -> next_type) bigram
+    frequencies over each user's time-ordered event stream — the
+    session-flow shape behind funnels and next-action models.  One
+    user-keyed exchange of (ts, type) pairs; inside each group a sort +
+    shifted zip emits transitions, then a tiny (src,dst) groupby sums
+    them.  Oracle: LAG window over (user, ts, event_id) order."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id", "event_type"])
+
+    def pergroup(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["ts", "event_id"])
+        et = df["event_type"].to_numpy()
+        if len(et) < 2:
+            return pd.DataFrame({"src": [], "dst": [], "n": []}).astype(
+                {"src": str, "dst": str, "n": np.int64}
+            )
+        g = (
+            pd.DataFrame({"src": et[:-1], "dst": et[1:]})
+            .groupby(["src", "dst"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    out = (
+        ds.groupby("user_id")
+        .map_groups(pergroup, batch_format="pandas")
+        .groupby(["src", "dst"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values(["src", "dst"], ignore_index=True)
+    )
+    return pa.table(
+        {
+            "src": pa.array(out["src"], pa.string()),
+            "dst": pa.array(out["dst"], pa.string()),
+            "n": pa.array(out["n"].to_numpy(np.int64)),
+        }
+    )
+
+
+def value_corr_by_type(sf_dir: str):
+    """Pearson correlation between value (cents) and hour-of-day per
+    event_type — the algebraic-moments shape: per-batch integer partials
+    (n, Sx, Sy, Sxx, Syy, Sxy) fold associatively under any partitioning,
+    and BOTH sides derive r from the same exact integers with the same
+    float64 expression, so the micro-encoded r matches bit-for-bit.
+    Int64 partials bound the corpus at ~1e12 rows of 2-decimal values —
+    beyond that, promote the squared sums to float128/two-level folds."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def partials(t: pa.Table) -> pa.Table:
+        x = _cents_col(t["value"]).to_numpy(zero_copy_only=False)
+        us = t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        y = (us // 3_600_000_000) % 24
+        df = pd.DataFrame(
+            {
+                "event_type": t["event_type"].to_pandas(),
+                "one": np.ones(len(x), np.int64),
+                "sx": x,
+                "sy": y,
+                "sxx": x * x,
+                "syy": y * y,
+                "sxy": x * y,
+            }
+        )
+        g = df.groupby("event_type", sort=False).sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Sum("one", alias_name="n"),
+            Sum("sx", alias_name="sx"),
+            Sum("sy", alias_name="sy"),
+            Sum("sxx", alias_name="sxx"),
+            Sum("syy", alias_name="syy"),
+            Sum("sxy", alias_name="sxy"),
+        )
+        .to_pandas()
+        .sort_values("event_type", ignore_index=True)
+    )
+    n = out["n"].to_numpy(np.int64).astype(np.float64)
+    sx = out["sx"].to_numpy(np.int64).astype(np.float64)
+    sy = out["sy"].to_numpy(np.int64).astype(np.float64)
+    sxx = out["sxx"].to_numpy(np.int64).astype(np.float64)
+    syy = out["syy"].to_numpy(np.int64).astype(np.float64)
+    sxy = out["sxy"].to_numpy(np.int64).astype(np.float64)
+    r = (n * sxy - sx * sy) / np.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    return pa.table(
+        {
+            "event_type": pa.array(out["event_type"], pa.string()),
+            "n": pa.array(out["n"].to_numpy(np.int64)),
+            "r_micro": pa.array(_micro(r), pa.int64()),
+        }
+    )
+
+
 def build_oracle_sql() -> Dict[str, str]:
     tok = _tok_sql("text")
     stop_list = ", ".join(f"'{w}'" for w in sorted(STOPWORDS))
@@ -6623,5 +6955,89 @@ def build_oracle_sql() -> Dict[str, str]:
               WHERE o.o_orderkey = l_orderkey
                 AND o.o_orderpriority = '{SEMI_PRIORITY}')
             GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "value_mad_by_type": """
+            WITH c AS (SELECT event_type,
+                              CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+                       FROM events),
+            m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                         quantile_cont(CAST(cents AS DOUBLE), 0.5) AS med
+                  FROM c GROUP BY event_type),
+            d AS (SELECT c.event_type, abs(CAST(c.cents AS DOUBLE) - m.med) AS dev
+                  FROM c JOIN m USING (event_type)),
+            md AS (SELECT event_type, quantile_cont(dev, 0.5) AS mad
+                   FROM d GROUP BY event_type)
+            SELECT m.event_type, m.n,
+                   CAST(floor(m.med * 1000 + 0.5) AS BIGINT) AS med_milli,
+                   CAST(floor(md.mad * 1000 + 0.5) AS BIGINT) AS mad_milli
+            FROM m JOIN md USING (event_type)
+            ORDER BY m.event_type
+        """,
+        "rolling_distinct_users": f"""
+            WITH p AS (SELECT DISTINCT user_id,
+                              CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour
+                       FROM events),
+            hrs AS (SELECT DISTINCT hour FROM p)
+            SELECT h.hour, CAST(count(DISTINCT p.user_id) AS BIGINT) AS n_users
+            FROM hrs h JOIN p
+              ON p.hour BETWEEN h.hour - {ROLLING_WINDOW_HOURS - 1} AND h.hour
+            GROUP BY h.hour ORDER BY h.hour
+        """,
+        "top_user_by_type": """
+            WITH c AS (SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS n
+                       FROM events GROUP BY event_type, user_id)
+            SELECT event_type, user_id, n FROM c
+            QUALIFY row_number() OVER (
+              PARTITION BY event_type ORDER BY n DESC, user_id ASC) = 1
+            ORDER BY event_type
+        """,
+        "hour_dow_pivot": """
+            WITH b AS (SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) % 24 AS hod,
+                              CAST(dayofweek(ts) AS BIGINT) AS dow
+                       FROM events),
+            h AS (SELECT CAST(range AS BIGINT) AS hod FROM range(24))
+            SELECT h.hod,
+                   CAST(count(*) FILTER (WHERE dow = 0) AS BIGINT) AS n_d0,
+                   CAST(count(*) FILTER (WHERE dow = 1) AS BIGINT) AS n_d1,
+                   CAST(count(*) FILTER (WHERE dow = 2) AS BIGINT) AS n_d2,
+                   CAST(count(*) FILTER (WHERE dow = 3) AS BIGINT) AS n_d3,
+                   CAST(count(*) FILTER (WHERE dow = 4) AS BIGINT) AS n_d4,
+                   CAST(count(*) FILTER (WHERE dow = 5) AS BIGINT) AS n_d5,
+                   CAST(count(*) FILTER (WHERE dow = 6) AS BIGINT) AS n_d6
+            FROM h LEFT JOIN b USING (hod)
+            GROUP BY h.hod ORDER BY h.hod
+        """,
+        "event_transitions": """
+            WITH s AS (SELECT user_id, event_type,
+                              lag(event_type) OVER (
+                                PARTITION BY user_id ORDER BY ts, event_id) AS prev
+                       FROM events)
+            SELECT prev AS src, event_type AS dst, CAST(count(*) AS BIGINT) AS n
+            FROM s WHERE prev IS NOT NULL
+            GROUP BY prev, event_type ORDER BY src, dst
+        """,
+        "value_corr_by_type": """
+            WITH b AS (SELECT event_type,
+                              CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS x,
+                              CAST(floor(epoch(ts) / 3600) AS BIGINT) % 24 AS y
+                       FROM events),
+            s AS (SELECT event_type,
+                         CAST(count(*) AS BIGINT) AS n,
+                         CAST(sum(x) AS BIGINT) AS sx,
+                         CAST(sum(y) AS BIGINT) AS sy,
+                         CAST(sum(x * x) AS BIGINT) AS sxx,
+                         CAST(sum(y * y) AS BIGINT) AS syy,
+                         CAST(sum(x * y) AS BIGINT) AS sxy
+                  FROM b GROUP BY event_type)
+            SELECT event_type, n,
+                   CAST(floor(
+                     (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                            * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                     * 1000000 + 0.5) AS BIGINT) AS r_micro
+            FROM s ORDER BY event_type
         """,
     }

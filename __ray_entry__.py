@@ -162,6 +162,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_percentiles": Q.value_percentiles,  # quantile_cont, exact sort-free interpolation
         "entropy_by_lang": Q.entropy_by_lang,  # char-distribution entropy partials, integer-exact
         "urgent_lineitems_semi": Q.urgent_lineitems_semi,  # bloom-prefiltered EXISTS semi-join
+        "supplier_cnt_by_parttype": Q.supplier_cnt_by_parttype,  # Q16 shape: grouped distinct-supplier counts
+        "idle_customers": Q.idle_customers,  # Q22 shape: scalar threshold + distributed anti-join
+        "spend_rank_in_nation": Q.spend_rank_in_nation,  # aggregation-then-DENSE_RANK window top-3
     }
 
 

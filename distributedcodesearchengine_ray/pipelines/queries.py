@@ -5619,6 +5619,279 @@ def value_corr_by_type(sf_dir: str):
     )
 
 
+IDLE_CUTOFF = "2001-01-01"
+Q16_EXCL_BRAND = "Brand#13"
+Q16_SIZES = (1, 5, 9, 13, 17, 21, 25, 29)
+
+
+def supplier_cnt_by_parttype(sf_dir: str):
+    """TPC-H Q16 shape: distinct-supplier counts per (brand, type, size)
+    for a filtered part subset, excluding flagged suppliers.  Fully
+    distributed: lineitem's (part,supp) pairs are deduped map-side, hash
+    joined against the pushdown-filtered part and the good-supplier
+    keys (NOT IN bad == inner join with the good complement — every
+    suppkey exists in supplier), then one 4-key groupby makes pairs
+    globally unique and per-batch partials fold the distinct counts."""
+    from ray.data.aggregate import Count
+
+    npart = _join_parts(sf_dir, "lineitem", "part")
+    pairs = _read(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"]).map_batches(
+        lambda t: pa.Table.from_pandas(
+            pd.DataFrame(
+                {
+                    "p_partkey": t["l_partkey"].to_numpy(zero_copy_only=False),
+                    "s_suppkey": t["l_suppkey"].to_numpy(zero_copy_only=False),
+                }
+            ).drop_duplicates(),
+            preserve_index=False,
+        ),
+        batch_format="pyarrow",
+    )
+
+    def part_filter(t: pa.Table) -> pa.Table:
+        m = pcc.and_(
+            pcc.not_equal(t["p_brand"], pa.scalar(Q16_EXCL_BRAND)),
+            pcc.is_in(t["p_size"], value_set=pa.array(Q16_SIZES, t["p_size"].type)),
+        )
+        return t.filter(m)
+
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_brand", "p_type", "p_size"]).map_batches(
+        part_filter, batch_format="pyarrow"
+    )
+    good_supp = _read(sf_dir, "supplier", columns=["s_suppkey", "s_acctbal"]).map_batches(
+        lambda t: t.filter(pcc.greater_equal(t["s_acctbal"], pa.scalar(0.0))).select(
+            ["s_suppkey"]
+        ),
+        batch_format="pyarrow",
+    )
+    j = pairs.join(part, join_type="inner", num_partitions=npart, on=("p_partkey",))
+    j = j.join(good_supp, join_type="inner", num_partitions=npart, on=("s_suppkey",))
+
+    def partial_cnt(t: pa.Table) -> pa.Table:
+        g = (
+            t.select(["p_brand", "p_type", "p_size"])
+            .to_pandas()
+            .groupby(["p_brand", "p_type", "p_size"], sort=False)
+            .size()
+            .reset_index(name="supplier_cnt")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (
+        j.groupby(["p_brand", "p_type", "p_size", "s_suppkey"])
+        .aggregate(Count(alias_name="one"))
+        .map_batches(partial_cnt, batch_format="pyarrow")
+        .to_pandas()
+        .groupby(["p_brand", "p_type", "p_size"], as_index=False)["supplier_cnt"]
+        .sum()
+        .sort_values(
+            ["supplier_cnt", "p_brand", "p_type", "p_size"],
+            ascending=[False, True, True, True],
+            ignore_index=True,
+        )
+    )
+    return pa.table(
+        {
+            "p_brand": pa.array(out["p_brand"], pa.string()),
+            "p_type": pa.array(out["p_type"], pa.string()),
+            "p_size": pa.array(out["p_size"].to_numpy(np.int64)),
+            "supplier_cnt": pa.array(out["supplier_cnt"].to_numpy(np.int64)),
+        }
+    )
+
+
+def idle_customers(sf_dir: str):
+    """TPC-H Q22 shape (lapsed high-value customers): per market segment,
+    count + total balance of customers whose balance beats the
+    positive-balance average and who placed NO order on/after the
+    cutoff.  Two passes: a scalar integer fold (sum/count of positive
+    cents -> the float threshold both sides derive identically), then
+    the tag-and-union distributed anti-join on custkey (customer rows
+    carry segment/balance, recent-order rows are key-only), one groupby,
+    and per-batch segment partials."""
+    from ray.data.aggregate import Max, Sum
+
+    scal = (
+        _read(sf_dir, "customer", columns=["c_acctbal"])
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "s": pa.array(
+                        [
+                            int(
+                                pcc.sum(
+                                    _cents_col(
+                                        t.filter(pcc.greater(t["c_acctbal"], pa.scalar(0.0)))[
+                                            "c_acctbal"
+                                        ]
+                                    )
+                                ).as_py()
+                                or 0
+                            )
+                        ],
+                        pa.int64(),
+                    ),
+                    "n": pa.array(
+                        [
+                            int(
+                                pcc.sum(
+                                    pcc.cast(
+                                        pcc.greater(t["c_acctbal"], pa.scalar(0.0)), pa.int64()
+                                    )
+                                ).as_py()
+                                or 0
+                            )
+                        ],
+                        pa.int64(),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+        .sum()
+    )
+    thresh = float(scal["s"]) / float(scal["n"])
+
+    def cust_side(t: pa.Table) -> pa.Table:
+        cents = _cents_col(t["c_acctbal"])
+        m = pcc.greater(pcc.cast(cents, pa.float64()), pa.scalar(thresh))
+        t = t.filter(m)
+        cents = _cents_col(t["c_acctbal"])
+        return pa.table(
+            {
+                "key": pcc.cast(t["c_custkey"], pa.int64()),
+                "segment": t["c_mktsegment"],
+                "bal_c": cents,
+                "src": pa.array(np.zeros(len(t), dtype=np.int64)),
+            }
+        )
+
+    def order_side(t: pa.Table) -> pa.Table:
+        cut = np.datetime64(IDLE_CUTOFF).astype("datetime64[us]").astype(np.int64)
+        ts = t["o_orderdate"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        keys = np.unique(t["o_custkey"].to_numpy(zero_copy_only=False)[ts >= cut])
+        return pa.table(
+            {
+                "key": pa.array(keys.astype(np.int64)),
+                "segment": pa.array([""] * len(keys), pa.string()),
+                "bal_c": pa.array(np.full(len(keys), -1, dtype=np.int64)),
+                "src": pa.array(np.ones(len(keys), dtype=np.int64)),
+            }
+        )
+
+    tagged = (
+        _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment", "c_acctbal"])
+        .map_batches(cust_side, batch_format="pyarrow")
+        .union(
+            _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate"]).map_batches(
+                order_side, batch_format="pyarrow"
+            )
+        )
+    )
+
+    def seg_partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        # max_src==0 <=> no orders; max_segment/max_bal recover the
+        # customer row (order rows carry ""/-1, below any real value).
+        # max_bal==-1 (order rows whose customer missed the threshold)
+        # can't reach here with max_src==0, but guard anyway.
+        df = df[(df["max_src"] == 0) & (df["max_bal"] >= 0)]
+        g = (
+            df.groupby("max_segment", sort=False)
+            .agg(n_cust=("max_bal", "size"), total_bal_c=("max_bal", "sum"))
+            .reset_index()
+            .rename(columns={"max_segment": "c_mktsegment"})
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    folded = (
+        tagged.groupby("key")
+        .aggregate(
+            Max("src", alias_name="max_src"),
+            Max("segment", alias_name="max_segment"),
+            Max("bal_c", alias_name="max_bal"),
+        )
+        .map_batches(seg_partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    if folded.empty:
+        folded = pd.DataFrame({"c_mktsegment": pd.Series([], dtype=str),
+                               "n_cust": pd.Series([], dtype=np.int64),
+                               "total_bal_c": pd.Series([], dtype=np.int64)})
+    out = (
+        folded.groupby("c_mktsegment", as_index=False)
+        .sum()
+        .sort_values("c_mktsegment", ignore_index=True)
+    )
+    return pa.table(
+        {
+            "c_mktsegment": pa.array(out["c_mktsegment"], pa.string()),
+            "n_cust": pa.array(out["n_cust"].to_numpy(np.int64)),
+            "total_bal_c": pa.array(out["total_bal_c"].to_numpy(np.int64)),
+        }
+    )
+
+
+def spend_rank_in_nation(sf_dir: str):
+    """Aggregation-then-rank window: each nation's top-3 customers by
+    lifetime order spend with DENSE_RANK (ties share a rank and extend
+    the cut).  Map-side per-custkey partial sums shrink the orders scan,
+    one custkey groupby finishes the spend, a distributed hash join
+    attaches nations via customer, and the rank window runs per nation
+    group — only the 25-row nation map is broadcast."""
+    from ray.data.aggregate import Sum
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"]).map_batches(
+        lambda t: pa.Table.from_pandas(
+            pd.DataFrame(
+                {
+                    "c_custkey": t["o_custkey"].to_numpy(zero_copy_only=False),
+                    "spend_c": _cents_col(t["o_totalprice"]).to_numpy(zero_copy_only=False),
+                }
+            )
+            .groupby("c_custkey", as_index=False)
+            .sum(),
+            preserve_index=False,
+        ),
+        batch_format="pyarrow",
+    )
+    spend = orders.groupby("c_custkey").aggregate(Sum("spend_c", alias_name="spend_c"))
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    j = spend.join(
+        cust,
+        join_type="inner",
+        num_partitions=_join_parts(sf_dir, "orders", "customer"),
+        on=("c_custkey",),
+    )
+
+    def rank_group(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["spend_c", "c_custkey"], ascending=[False, True])
+        rnk = df["spend_c"].rank(method="dense", ascending=False).astype(np.int64)
+        df = df.assign(rnk=rnk)
+        return df[df["rnk"] <= 3][["c_nationkey", "rnk", "c_custkey", "spend_c"]]
+
+    out = (
+        j.groupby("c_nationkey")
+        .map_groups(rank_group, batch_format="pandas")
+        .to_pandas()
+    )
+    nation = pd.read_parquet(
+        os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_name"]
+    )
+    out = out.merge(nation, left_on="c_nationkey", right_on="n_nationkey").sort_values(
+        ["n_name", "rnk", "c_custkey"], ignore_index=True
+    )
+    return pa.table(
+        {
+            "n_name": pa.array(out["n_name"], pa.string()),
+            "rnk": pa.array(out["rnk"].to_numpy(np.int64)),
+            "c_custkey": pa.array(out["c_custkey"].to_numpy(np.int64)),
+            "spend_c": pa.array(out["spend_c"].to_numpy(np.int64)),
+        }
+    )
+
+
 def build_oracle_sql() -> Dict[str, str]:
     tok = _tok_sql("text")
     stop_list = ", ".join(f"'{w}'" for w in sorted(STOPWORDS))
@@ -7015,6 +7288,50 @@ def build_oracle_sql() -> Dict[str, str]:
             SELECT prev AS src, event_type AS dst, CAST(count(*) AS BIGINT) AS n
             FROM s WHERE prev IS NOT NULL
             GROUP BY prev, event_type ORDER BY src, dst
+        """,
+        "supplier_cnt_by_parttype": f"""
+            SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+                   CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+            FROM lineitem
+            JOIN part ON p_partkey = l_partkey
+            WHERE p_brand <> '{Q16_EXCL_BRAND}'
+              AND p_size IN {Q16_SIZES}
+              AND l_suppkey IN (SELECT s_suppkey FROM supplier WHERE s_acctbal >= 0.0)
+            GROUP BY p_brand, p_type, p_size
+            ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+        """,
+        "idle_customers": f"""
+            WITH pos AS (
+              SELECT CAST(CAST(sum(CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT)) AS DOUBLE)
+                       / CAST(count(*) AS DOUBLE) AS DOUBLE) AS thresh
+              FROM customer WHERE c_acctbal > 0.0)
+            SELECT c_mktsegment,
+                   CAST(count(*) AS BIGINT) AS n_cust,
+                   CAST(sum(CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+                     AS total_bal_c
+            FROM customer, pos
+            WHERE CAST(CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) AS DOUBLE) > pos.thresh
+              AND NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND o_orderdate >= TIMESTAMP '{IDLE_CUTOFF}')
+            GROUP BY c_mktsegment ORDER BY c_mktsegment
+        """,
+        "spend_rank_in_nation": """
+            WITH s AS (
+              SELECT o_custkey AS c_custkey,
+                     CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+                       AS spend_c
+              FROM orders GROUP BY o_custkey),
+            j AS (
+              SELECT n.n_name, c.c_custkey, s.spend_c
+              FROM s JOIN customer c USING (c_custkey)
+              JOIN nation n ON n.n_nationkey = c.c_nationkey)
+            SELECT n_name,
+                   CAST(dense_rank() OVER (
+                     PARTITION BY n_name ORDER BY spend_c DESC) AS BIGINT) AS rnk,
+                   c_custkey, spend_c
+            FROM j QUALIFY rnk <= 3
+            ORDER BY n_name, rnk, c_custkey
         """,
         "value_corr_by_type": """
             WITH b AS (SELECT event_type,

@@ -129,6 +129,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hour_dow_pivot": Q.hour_dow_pivot,  # crosstab pivot: hour-of-day x weekday heatmap
         "event_transitions": Q.event_transitions,  # Markov bigram counts over per-user ordered streams
         "value_corr_by_type": Q.value_corr_by_type,  # algebraic-moments Pearson r, integer partials
+        "hourly_anomalies": Q.hourly_anomalies,  # rolling z-score anomaly flags per event type
+        "full_outer_balance": Q.full_outer_balance,  # FULL OUTER join of two pre-aggregated folds
+        "lineitem_unpivot": Q.lineitem_unpivot,  # UNPIVOT/melt: wide measures to long in one scan
         "funnel_counts": Q.funnel_counts,  # ordered funnel stages, chained min-after-min oracle
         "events_rollup": Q.events_rollup,  # ROLLUP grouping sets, algebraic fold
         "events_cube": Q.events_cube,  # full CUBE lattice, one scan + algebraic fold

@@ -5892,6 +5892,192 @@ def spend_rank_in_nation(sf_dir: str):
     )
 
 
+ANOM_WINDOW = 24
+ANOM_SIGMA = 3.0
+
+
+def hourly_anomalies(sf_dir: str):
+    """Rolling z-score anomaly detection: hours whose per-type event count
+    exceeds mean + 3*sigma of the trailing 24 EXCLUSIVE hours.  The
+    distributed work is the (type, hour) count fold; the rolling moments
+    then run WITHIN each type's group (a per-type window, not a global
+    sort) from integer window sums — both sides derive mean/sigma from
+    the same exact integers with the same float64 expression.  Hours with
+    no events count 0 (the hour grid is densified per type), matching
+    the oracle's generate_series scaffold."""
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "events", columns=["ts", "event_type"])
+
+    def hours(t: pa.Table) -> pa.Table:
+        us = t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        return pa.table({"event_type": t["event_type"], "hour": pa.array(us // 3_600_000_000)})
+
+    counts = (
+        ds.map_batches(hours, batch_format="pyarrow")
+        .groupby(["event_type", "hour"])
+        .aggregate(Count(alias_name="n"))
+    )
+    # global hour range (per-type grids must agree with the oracle's
+    # corpus-wide scaffold): tiny min/max fold
+    from ray.data.aggregate import Max, Min
+
+    rng = counts.aggregate(Min("hour"), Max("hour"))
+    h_lo, h_hi = int(rng["min(hour)"]), int(rng["max(hour)"])
+
+    def detect(df: pd.DataFrame) -> pd.DataFrame:
+        etype = df["event_type"].iloc[0]
+        grid = np.arange(h_lo, h_hi + 1, dtype=np.int64)
+        n = np.zeros(grid.size, dtype=np.int64)
+        n[df["hour"].to_numpy(np.int64) - h_lo] = df["n"].to_numpy(np.int64)
+        s = np.concatenate([[0], n.cumsum()])
+        s2 = np.concatenate([[0], (n * n).cumsum()])
+        idx = np.arange(grid.size)
+        lo = np.maximum(idx - ANOM_WINDOW, 0)
+        w = (idx - lo).astype(np.float64)  # window sizes (exclusive of self)
+        ws = (s[idx] - s[lo]).astype(np.float64)
+        ws2 = (s2[idx] - s2[lo]).astype(np.float64)
+        valid = w >= 2  # sample variance needs n>=2
+        mean = np.where(valid, ws / np.maximum(w, 1.0), 0.0)
+        var = np.where(
+            valid, (ws2 - ws * ws / np.maximum(w, 1.0)) / np.maximum(w - 1.0, 1.0), 0.0
+        )
+        sigma = np.sqrt(np.maximum(var, 0.0))
+        flag = valid & (n > mean + ANOM_SIGMA * sigma)
+        out = pd.DataFrame(
+            {
+                "event_type": etype,
+                "hour": grid[flag],
+                "n": n[flag],
+                "mean_micro": _micro(mean[flag]),
+                "sigma_micro": _micro(sigma[flag]),
+            }
+        )
+        return out
+
+    out = (
+        counts.groupby("event_type")
+        .map_groups(detect, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["event_type", "hour"], ignore_index=True)
+    )
+    return pa.table(
+        {
+            "event_type": pa.array(out["event_type"], pa.string()),
+            "hour": pa.array(out["hour"].to_numpy(np.int64)),
+            "n": pa.array(out["n"].to_numpy(np.int64)),
+            "mean_micro": pa.array(out["mean_micro"].to_numpy(np.int64)),
+            "sigma_micro": pa.array(out["sigma_micro"].to_numpy(np.int64)),
+        }
+    )
+
+
+def full_outer_balance(sf_dir: str):
+    """FULL OUTER join shape: per nation, total customer balance vs total
+    supplier balance, keeping nations present on either side only (and
+    nations with neither as NULL-free zeros are excluded, like SQL).
+    Both sides pre-aggregate map-side to <=25-key partials, so the outer
+    join itself is a driver-size merge of two tiny folds — the 100-TB
+    pattern for outer joins on low-cardinality keys."""
+    from ray.data.aggregate import Sum
+
+    cust = (
+        _read(sf_dir, "customer", columns=["c_nationkey", "c_acctbal"])
+        .map_batches(
+            lambda t: pa.table(
+                {"nationkey": pcc.cast(t["c_nationkey"], pa.int64()),
+                 "bal_c": _cents_col(t["c_acctbal"])}
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("nationkey")
+        .aggregate(Sum("bal_c", alias_name="cust_bal_c"))
+        .to_pandas()
+    )
+    supp = (
+        _read(sf_dir, "supplier", columns=["s_nationkey", "s_acctbal"])
+        .map_batches(
+            lambda t: pa.table(
+                {"nationkey": pcc.cast(t["s_nationkey"], pa.int64()),
+                 "bal_c": _cents_col(t["s_acctbal"])}
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("nationkey")
+        .aggregate(Sum("bal_c", alias_name="supp_bal_c"))
+        .to_pandas()
+    )
+    nation = pd.read_parquet(
+        os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_name"]
+    )
+    merged = cust.merge(supp, on="nationkey", how="outer")
+    merged = merged.merge(nation, left_on="nationkey", right_on="n_nationkey")
+    merged["has_cust"] = (~merged["cust_bal_c"].isna()).astype(np.int64)
+    merged["has_supp"] = (~merged["supp_bal_c"].isna()).astype(np.int64)
+    merged = merged.fillna({"cust_bal_c": 0, "supp_bal_c": 0}).sort_values(
+        "n_name", ignore_index=True
+    )
+    return pa.table(
+        {
+            "n_name": pa.array(merged["n_name"], pa.string()),
+            "cust_bal_c": pa.array(merged["cust_bal_c"].to_numpy(np.int64)),
+            "supp_bal_c": pa.array(merged["supp_bal_c"].to_numpy(np.int64)),
+            "has_cust": pa.array(merged["has_cust"].to_numpy(np.int64)),
+            "has_supp": pa.array(merged["has_supp"].to_numpy(np.int64)),
+        }
+    )
+
+
+def lineitem_unpivot(sf_dir: str):
+    """UNPIVOT / melt shape: the four lineitem numeric measures folded to
+    long (returnflag, metric, total) rows in ONE scan — each batch emits
+    4 partial rows per flag, the groupby is over <=flags x 4 keys.
+    Quantities are integral and prices 2-decimal, so integer cents keep
+    both sides exact.  Oracle: UNION ALL of FILTERed aggregates."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_returnflag", "l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+    )
+
+    def melt(t: pa.Table) -> pa.Table:
+        flags = t["l_returnflag"].to_pandas()
+        frames = []
+        for metric, col in (
+            ("quantity", "l_quantity"),
+            ("extendedprice", "l_extendedprice"),
+            ("discount", "l_discount"),
+            ("tax", "l_tax"),
+        ):
+            c = _cents_col(t[col]).to_numpy(zero_copy_only=False)
+            g = (
+                pd.DataFrame({"l_returnflag": flags, "total_c": c})
+                .groupby("l_returnflag", sort=False)["total_c"]
+                .sum()
+                .reset_index()
+            )
+            g.insert(1, "metric", metric)
+            frames.append(g)
+        return pa.Table.from_pandas(pd.concat(frames, ignore_index=True), preserve_index=False)
+
+    out = (
+        ds.map_batches(melt, batch_format="pyarrow")
+        .groupby(["l_returnflag", "metric"])
+        .aggregate(Sum("total_c", alias_name="total_c"))
+        .to_pandas()
+        .sort_values(["l_returnflag", "metric"], ignore_index=True)
+    )
+    return pa.table(
+        {
+            "l_returnflag": pa.array(out["l_returnflag"], pa.string()),
+            "metric": pa.array(out["metric"], pa.string()),
+            "total_c": pa.array(out["total_c"].to_numpy(np.int64)),
+        }
+    )
+
+
 def build_oracle_sql() -> Dict[str, str]:
     tok = _tok_sql("text")
     stop_list = ", ".join(f"'{w}'" for w in sorted(STOPWORDS))
@@ -7288,6 +7474,77 @@ def build_oracle_sql() -> Dict[str, str]:
             SELECT prev AS src, event_type AS dst, CAST(count(*) AS BIGINT) AS n
             FROM s WHERE prev IS NOT NULL
             GROUP BY prev, event_type ORDER BY src, dst
+        """,
+        "hourly_anomalies": f"""
+            WITH c AS (SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour,
+                              event_type, CAST(count(*) AS BIGINT) AS n
+                       FROM events GROUP BY 1, 2),
+            rng AS (SELECT min(hour) AS lo, max(hour) AS hi FROM c),
+            types AS (SELECT DISTINCT event_type FROM c),
+            grid AS (SELECT t.event_type,
+                            unnest(generate_series(rng.lo, rng.hi)) AS hour
+                     FROM types t, rng),
+            d AS (SELECT grid.event_type, grid.hour, coalesce(c.n, 0) AS n
+                  FROM grid LEFT JOIN c USING (event_type, hour)),
+            w AS (SELECT event_type, hour, n,
+                         CAST(coalesce(sum(n) OVER win, 0) AS BIGINT) AS ws,
+                         CAST(coalesce(sum(n * n) OVER win, 0) AS BIGINT) AS ws2,
+                         CAST(count(*) OVER win AS BIGINT) AS w
+                  FROM d
+                  WINDOW win AS (PARTITION BY event_type ORDER BY hour
+                                 ROWS BETWEEN {ANOM_WINDOW} PRECEDING AND 1 PRECEDING)),
+            z AS (SELECT event_type, hour, n,
+                         CAST(ws AS DOUBLE) / CAST(w AS DOUBLE) AS mean,
+                         sqrt(greatest(
+                           (CAST(ws2 AS DOUBLE)
+                              - CAST(ws AS DOUBLE) * CAST(ws AS DOUBLE) / CAST(w AS DOUBLE))
+                           / CAST(w - 1 AS DOUBLE), 0.0)) AS sigma
+                  FROM w WHERE w >= 2)
+            SELECT event_type, hour, n,
+                   CAST(floor(mean * 1000000 + 0.5) AS BIGINT) AS mean_micro,
+                   CAST(floor(sigma * 1000000 + 0.5) AS BIGINT) AS sigma_micro
+            FROM z
+            WHERE CAST(n AS DOUBLE) > mean + {ANOM_SIGMA} * sigma
+            ORDER BY event_type, hour
+        """,
+        "full_outer_balance": """
+            WITH cb AS (SELECT c_nationkey AS nationkey,
+                               CAST(sum(CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+                                 AS cust_bal_c
+                        FROM customer GROUP BY 1),
+            sb AS (SELECT s_nationkey AS nationkey,
+                          CAST(sum(CAST(floor(s_acctbal * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+                            AS supp_bal_c
+                   FROM supplier GROUP BY 1),
+            f AS (SELECT coalesce(cb.nationkey, sb.nationkey) AS nationkey,
+                         coalesce(cust_bal_c, 0) AS cust_bal_c,
+                         coalesce(supp_bal_c, 0) AS supp_bal_c,
+                         CAST(cb.nationkey IS NOT NULL AS BIGINT) AS has_cust,
+                         CAST(sb.nationkey IS NOT NULL AS BIGINT) AS has_supp
+                  FROM cb FULL OUTER JOIN sb ON cb.nationkey = sb.nationkey)
+            SELECT n.n_name, CAST(f.cust_bal_c AS BIGINT) AS cust_bal_c,
+                   CAST(f.supp_bal_c AS BIGINT) AS supp_bal_c, f.has_cust, f.has_supp
+            FROM f JOIN nation n ON n.n_nationkey = f.nationkey
+            ORDER BY n.n_name
+        """,
+        "lineitem_unpivot": """
+            WITH m AS (
+              SELECT l_returnflag, 'quantity' AS metric,
+                     CAST(sum(CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS total_c
+              FROM lineitem GROUP BY 1
+              UNION ALL
+              SELECT l_returnflag, 'extendedprice',
+                     CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+              FROM lineitem GROUP BY 1
+              UNION ALL
+              SELECT l_returnflag, 'discount',
+                     CAST(sum(CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+              FROM lineitem GROUP BY 1
+              UNION ALL
+              SELECT l_returnflag, 'tax',
+                     CAST(sum(CAST(floor(l_tax * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+              FROM lineitem GROUP BY 1)
+            SELECT * FROM m ORDER BY l_returnflag, metric
         """,
         "supplier_cnt_by_parttype": f"""
             SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,

@@ -60,6 +60,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "substring_search_nocase": Q.substring_search_nocase,  # case-variant trigram groups
         "wildcard_term_df": Q.wildcard_term_df,  # lexicon wildcard expansion, LIKE oracle
         "spell_suggest": Q.spell_suggest,  # did-you-mean over the lexicon, levenshtein oracle
+        "bm25_fuzzy": Q.bm25_fuzzy,  # fuzzy search: per-token levenshtein expansion + BM25
         "redact_props": Q.redact_props,  # PII/number redaction, chained-replace oracle
         "props_k_by_type": Q.props_k_by_type,  # JSON field extraction via RE2
         # dedup suite
@@ -102,6 +103,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": Q.stratified_sample_q,  # hash-Bernoulli per stratum
         "train_test_split": Q.train_test_split_q,  # deterministic 90/5/5 split
         "decontaminate": Q.decontaminate_q,  # benchmark 5-gram overlap, semi-join oracle
+        "cdc_upsert": Q.cdc_upsert,  # MERGE/upsert: change stream resolved by one algebraic groupby
         "line_dedup": Q.line_dedup,  # CCNet corpus-wide paragraph dedup, window+agg oracle
         "dup_spans": Q.dup_spans,  # Lee-2022 exact-substring dup spans, exploded-window oracle
         "doc_chunks": Q.doc_chunks,  # sliding-window long-doc chunking, generate_series oracle

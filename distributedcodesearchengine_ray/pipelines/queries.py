@@ -882,6 +882,8 @@ def bm25_sql(
     snippet_window: Optional[int] = None,
     offset: int = 0,
     collapse: bool = False,
+    fuzzy_dist: Optional[int] = None,
+    fuzzy_max_exp: int = 50,
 ) -> str:
     """Pure-SQL BM25Okapi (k1=1.5 b=0.75 eps=0.25) over documents.text.
 
@@ -910,6 +912,26 @@ def bm25_sql(
   )
 )"""
         not_src = f"WHERE doc_id <> {mlt_src} "
+    elif fuzzy_dist is not None:
+        # fuzzy expansion in SQL: each query token picks the vocab terms
+        # within fuzzy_dist edits, ranked (dist asc, df desc, term asc)
+        # and capped per token; a term matched by k tokens gets mult=k
+        # (mirrors QueryEngine.search_fuzzy / LexiconReader.suggest)
+        qtvals = ", ".join(
+            f"({i}, '{t}')" for i, t in enumerate(tokenize(query))
+        )
+        q_cte = f"""q AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS mult FROM (
+    SELECT qt.i, d.term
+    FROM (VALUES {qtvals}) AS qt(i, t)
+    JOIN df d ON levenshtein(d.term, qt.t) <= {fuzzy_dist}
+    QUALIFY row_number() OVER (
+      PARTITION BY qt.i
+      ORDER BY levenshtein(d.term, qt.t) ASC, d.df DESC, d.term ASC
+    ) <= {fuzzy_max_exp}
+  ) GROUP BY term
+)"""
+        not_src = ""
     else:
         terms = tokenize(query)
         # duplicates in the query multiply their term's contribution
@@ -6078,6 +6100,148 @@ def lineitem_unpivot(sf_dir: str):
     )
 
 
+FUZZY_QUERY = "joim strean"
+FUZZY_DIST = 1
+FUZZY_MAX_EXP = 50
+
+
+def bm25_fuzzy(sf_dir: str, query: str = FUZZY_QUERY, limit: int = 20):
+    """Fuzzy keyword search: typo'd query tokens expand against the index
+    vocabulary (Levenshtein <= 1, Lucene-style per-token expansion cap)
+    and the expansion scores as ordinary BM25 — see
+    ``QueryEngine.search_fuzzy``.  Oracle: the same expansion ranked by
+    (levenshtein, df desc, term) inside the BM25-in-SQL machinery."""
+    from .query import QueryEngine
+
+    idx = _documents_index(sf_dir)
+    engine = QueryEngine(idx, num_actors=2)
+    try:
+        hits = engine.search_fuzzy(
+            query, limit=limit, max_dist=FUZZY_DIST, max_expansions=FUZZY_MAX_EXP
+        )
+    finally:
+        engine.close()
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(len(hits)), pa.int64()),
+            "doc_id": pa.array([h["doc_id"] for h in hits], pa.int64()),
+            "score_micro": pa.array(_micro([h["score"] for h in hits]), pa.int64()),
+        }
+    )
+
+
+CDC_INSERT_OFFSET = 1_000_000
+CDC_UPDATE_DELTA = 1_000
+
+
+def cdc_upsert(sf_dir: str):
+    """CDC MERGE / upsert shape: apply a change stream (delete / update /
+    insert keyed by doc_id) onto the base table and fold the FINAL state
+    per lang.  The change stream is derived deterministically from the
+    base (doc_id % 10: 0 -> delete, 1/2 -> update n_chars+1000, 3 ->
+    insert at doc_id+1e6) so the oracle can derive the identical stream.
+    The merge itself is the honest generic algorithm — base (ver=0) and
+    changes (ver=1) tag-unioned, ONE doc_id-keyed groupby resolves the
+    winner fully algebraically (ver-split columns + Max folds: no
+    map_groups, no row iteration), losers' sentinel fields fold away —
+    then per-batch lang partials.  At 100 TB the doc_id exchange is the
+    irreducible cost of an upsert; everything else is map-side."""
+    from ray.data.aggregate import Max
+
+    cols = ["doc_id", "lang", "n_chars"]
+
+    def base_rows(t: pa.Table) -> pa.Table:
+        n = len(t)
+        return pa.table(
+            {
+                "doc_id": pcc.cast(t["doc_id"], pa.int64()),
+                "ver": pa.array(np.zeros(n, np.int64)),
+                "del_": pa.array(np.zeros(n, np.int64)),
+                "lang_v": pa.array([""] * n, pa.string()),
+                "lang_b": t["lang"],
+                "nch_v": pa.array(np.zeros(n, np.int64)),
+                "nch_b": pcc.cast(t["n_chars"], pa.int64()),
+            }
+        )
+
+    def change_rows(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lang = t["lang"].to_pandas().to_numpy()
+        nch = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mod = ids % 10
+        parts = []
+        d = mod == 0
+        parts.append((ids[d], np.ones(d.sum(), np.int64), lang[d], np.zeros(d.sum(), np.int64)))
+        u = (mod == 1) | (mod == 2)
+        parts.append((ids[u], np.zeros(u.sum(), np.int64), lang[u], nch[u] + CDC_UPDATE_DELTA))
+        i = mod == 3
+        parts.append((ids[i] + CDC_INSERT_OFFSET, np.zeros(i.sum(), np.int64), lang[i], nch[i]))
+        out_ids = np.concatenate([p[0] for p in parts])
+        out_del = np.concatenate([p[1] for p in parts])
+        out_lang = np.concatenate([p[2] for p in parts])
+        out_nch = np.concatenate([p[3] for p in parts])
+        n = out_ids.size
+        return pa.table(
+            {
+                "doc_id": pa.array(out_ids),
+                "ver": pa.array(np.ones(n, np.int64)),
+                "del_": pa.array(out_del),
+                "lang_v": pa.array(out_lang, pa.string()),
+                "lang_b": pa.array([""] * n, pa.string()),
+                "nch_v": pa.array(out_nch),
+                "nch_b": pa.array(np.zeros(n, np.int64)),
+            }
+        )
+
+    tagged = _read(sf_dir, "documents", columns=cols).map_batches(
+        base_rows, batch_format="pyarrow"
+    ).union(
+        _read(sf_dir, "documents", columns=cols).map_batches(
+            change_rows, batch_format="pyarrow"
+        )
+    )
+
+    def lang_partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        win = df["max_ver"] == 1
+        keep = ~(win & (df["max_del"] == 1))
+        df = df[keep]
+        win = win[keep]
+        lang = np.where(win, df["max_lang_v"], df["max_lang_b"])
+        nch = np.where(win, df["max_nch_v"], df["max_nch_b"]).astype(np.int64)
+        g = (
+            pd.DataFrame({"lang": lang, "nch": nch})
+            .groupby("lang", sort=False)
+            .agg(n_docs=("nch", "size"), sum_chars=("nch", "sum"))
+            .reset_index()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (
+        tagged.groupby("doc_id")
+        .aggregate(
+            Max("ver", alias_name="max_ver"),
+            Max("del_", alias_name="max_del"),
+            Max("lang_v", alias_name="max_lang_v"),
+            Max("lang_b", alias_name="max_lang_b"),
+            Max("nch_v", alias_name="max_nch_v"),
+            Max("nch_b", alias_name="max_nch_b"),
+        )
+        .map_batches(lang_partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("lang", as_index=False)
+        .sum()
+        .sort_values("lang", ignore_index=True)
+    )
+    return pa.table(
+        {
+            "lang": pa.array(out["lang"], pa.string()),
+            "n_docs": pa.array(out["n_docs"].to_numpy(np.int64)),
+            "sum_chars": pa.array(out["sum_chars"].to_numpy(np.int64)),
+        }
+    )
+
+
 def build_oracle_sql() -> Dict[str, str]:
     tok = _tok_sql("text")
     stop_list = ", ".join(f"'{w}'" for w in sorted(STOPWORDS))
@@ -6166,6 +6330,22 @@ def build_oracle_sql() -> Dict[str, str]:
             ORDER BY n_occurrences DESC, term ASC
         """,
         "bm25_topk": bm25_sql(BM25_QUERY, limit=20),
+        "bm25_fuzzy": bm25_sql(
+            FUZZY_QUERY, limit=20, fuzzy_dist=FUZZY_DIST, fuzzy_max_exp=FUZZY_MAX_EXP
+        ),
+        "cdc_upsert": f"""
+            WITH final AS (
+              SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 10 NOT IN (0, 1, 2)
+              UNION ALL
+              SELECT doc_id, lang, n_chars + {CDC_UPDATE_DELTA} FROM documents
+              WHERE doc_id % 10 IN (1, 2)
+              UNION ALL
+              SELECT doc_id + {CDC_INSERT_OFFSET}, lang, n_chars FROM documents
+              WHERE doc_id % 10 = 3)
+            SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars
+            FROM final GROUP BY lang ORDER BY lang
+        """,
         "bm25_topk_wand": bm25_sql(BM25_QUERY, limit=20),
         "bm25_page2": bm25_sql(BM25_QUERY, limit=PAGE_SIZE, offset=PAGE_SIZE),
         "bm25_collapse": bm25_sql(BM25_QUERY, limit=3, collapse=True),

@@ -1345,6 +1345,35 @@ class QueryEngine:
             for t, df, d in self.lexicon.suggest(term, max_dist=max_dist, limit=limit)
         ]
 
+    def search_fuzzy(
+        self,
+        query: str,
+        limit: int = 20,
+        max_dist: int = 1,
+        max_expansions: int = 50,
+        filters: Optional[Dict[str, str]] = None,
+    ) -> List[dict]:
+        """Fuzzy search (Elasticsearch ``fuzziness``): each query token
+        expands to the vocabulary terms within ``max_dist`` Levenshtein
+        edits — ranked (dist asc, df desc, term asc) and capped at
+        ``max_expansions`` per token, like Lucene's FuzzyQuery — and the
+        expanded multiset scores as ordinary OR'd BM25 terms (a term
+        matched by two query tokens counts twice, the reference's
+        duplicate-token rule).  Expansion is lexicon-only work (length
+        band + capped DP, cost scales with vocabulary); scoring reuses
+        the shard-actor path unchanged."""
+        expanded: List[str] = []
+        for tok in tokenize(query):
+            expanded.extend(
+                t
+                for t, _, _ in self.lexicon.suggest(
+                    tok, max_dist=max_dist, limit=max_expansions
+                )
+            )
+        if not expanded:
+            return []
+        return self.search(" ".join(expanded), limit=limit, filters=filters)
+
     def close(self) -> None:
         import ray
 
@@ -1359,7 +1388,12 @@ class QueryEngine:
         filters: Optional[Dict[str, str]] = None,
         method: str = "dense",
     ) -> List[dict]:
-        """Reference-semantics BM25 search -> ranked [{doc_id, score}]."""
+        """Reference-semantics BM25 search -> ranked [{doc_id, score}].
+
+        ``method="fuzzy"`` routes through Levenshtein term expansion
+        (``search_fuzzy``); ``"dense"``/``"wand"`` pick the shard scorer."""
+        if method == "fuzzy":
+            return self.search_fuzzy(query, limit=limit, filters=filters)
         return self.search_batch([(query, filters)], limit=limit, method=method)[0]
 
     def search_after(

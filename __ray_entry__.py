@@ -104,6 +104,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "train_test_split": Q.train_test_split_q,  # deterministic 90/5/5 split
         "decontaminate": Q.decontaminate_q,  # benchmark 5-gram overlap, semi-join oracle
         "cdc_upsert": Q.cdc_upsert,  # MERGE/upsert: change stream resolved by one algebraic groupby
+        "cdc_incremental_agg": Q.cdc_incremental_agg,  # incremental view maintenance, O(|changes|) deltas
+        "user_value_twap": Q.user_value_twap,  # time-weighted average (LOCF integral), integer partials
+        "bm25_boosted": Q.bm25_boosted,  # query-time term boosts via duplicate-token rule
         "line_dedup": Q.line_dedup,  # CCNet corpus-wide paragraph dedup, window+agg oracle
         "dup_spans": Q.dup_spans,  # Lee-2022 exact-substring dup spans, exploded-window oracle
         "doc_chunks": Q.doc_chunks,  # sliding-window long-doc chunking, generate_series oracle

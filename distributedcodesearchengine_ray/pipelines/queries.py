@@ -6242,10 +6242,170 @@ def cdc_upsert(sf_dir: str):
     )
 
 
+def cdc_incremental_agg(sf_dir: str):
+    """Incremental materialized-view maintenance: the per-lang (count,
+    sum_chars) aggregate after the CDC stream, computed as base-aggregate
+    PLUS the change-stream's algebraic deltas (delete: -1/-n, update:
+    +1000, insert: +1/+n) — the base table is scanned once for its
+    aggregate and NEVER rejoined; the delta fold touches only changes.
+    At 100 TB the base aggregate would be the persisted view; maintenance
+    cost is O(|changes|).  Shares ``cdc_upsert``'s full-recompute oracle:
+    identical final state proves the incremental algebra."""
+    from ray.data.aggregate import Count, Sum
+
+    base = (
+        _read(sf_dir, "documents", columns=["lang", "n_chars"])
+        .groupby("lang")
+        .aggregate(Count(alias_name="n_docs"), Sum("n_chars", alias_name="sum_chars"))
+        .to_pandas()
+    )
+
+    def deltas(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lang = t["lang"].to_pandas().to_numpy()
+        nch = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mod = ids % 10
+        d, u, i = mod == 0, (mod == 1) | (mod == 2), mod == 3
+        dl = np.concatenate([lang[d], lang[u], lang[i]])
+        dn = np.concatenate(
+            [-np.ones(d.sum(), np.int64), np.zeros(u.sum(), np.int64), np.ones(i.sum(), np.int64)]
+        )
+        dc = np.concatenate(
+            [-nch[d], np.full(u.sum(), CDC_UPDATE_DELTA, np.int64), nch[i]]
+        )
+        g = (
+            pd.DataFrame({"lang": dl, "d_docs": dn, "d_chars": dc})
+            .groupby("lang", sort=False)
+            .sum()
+            .reset_index()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    delta = (
+        _read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+        .map_batches(deltas, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Sum("d_docs", alias_name="d_docs"), Sum("d_chars", alias_name="d_chars"))
+        .to_pandas()
+    )
+    out = base.merge(delta, on="lang", how="outer").fillna(0)
+    out["n_docs"] = (out["n_docs"] + out["d_docs"]).astype(np.int64)
+    out["sum_chars"] = (out["sum_chars"] + out["d_chars"]).astype(np.int64)
+    out = out[out["n_docs"] > 0].sort_values("lang", ignore_index=True)
+    return pa.table(
+        {
+            "lang": pa.array(out["lang"], pa.string()),
+            "n_docs": pa.array(out["n_docs"].to_numpy(np.int64)),
+            "sum_chars": pa.array(out["sum_chars"].to_numpy(np.int64)),
+        }
+    )
+
+
+def user_value_twap(sf_dir: str):
+    """Time-weighted average value per user (step/LOCF integral — the
+    TWAP shape): each observation holds until the next one, weighted by
+    its holding gap in integer seconds; users with a single event are
+    excluded (zero horizon).  One user-keyed exchange; in-group sort +
+    shifted diff builds integer (cents x gap_s) partials, so the weighted
+    sum is exact and the final division is the same float64 expression
+    the oracle computes.  Emits twap_micro (micro-cents)."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id", "value"])
+
+    def pergroup(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["ts", "event_id"])
+        us = df["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        sec = us // 1_000_000
+        if len(sec) < 2 or sec[-1] == sec[0]:
+            return pd.DataFrame(
+                {"user_id": [], "wsum": [], "horizon": []}
+            ).astype({"user_id": np.int64, "wsum": np.int64, "horizon": np.int64})
+        cents = np.floor(df["value"].to_numpy(np.float64) * 100.0 + 0.5).astype(np.int64)
+        gaps = np.diff(sec)
+        wsum = int((cents[:-1] * gaps).sum())
+        return pd.DataFrame(
+            {
+                "user_id": [int(df["user_id"].iloc[0])],
+                "wsum": [wsum],
+                "horizon": [int(sec[-1] - sec[0])],
+            }
+        )
+
+    out = (
+        ds.groupby("user_id")
+        .map_groups(pergroup, batch_format="pandas")
+        .to_pandas()
+        .sort_values("user_id", ignore_index=True)
+    )
+    twap = out["wsum"].to_numpy(np.int64).astype(np.float64) / out["horizon"].to_numpy(
+        np.int64
+    ).astype(np.float64)
+    return pa.table(
+        {
+            "user_id": pa.array(out["user_id"].to_numpy(np.int64)),
+            "horizon_s": pa.array(out["horizon"].to_numpy(np.int64)),
+            "twap_micro": pa.array(_micro(twap * 10_000.0, scale=1.0), pa.int64()),
+        }
+    )
+
+
+BOOST_QUERY = "merge^3 stream"
+
+
+def bm25_boosted(sf_dir: str, query: str = BOOST_QUERY, limit: int = 20):
+    """Query-time term boosting (Lucene ``term^k`` syntax): integer
+    boosts multiply the term's score contribution — implemented exactly
+    as the reference's duplicate-query-token rule (boost k == the term
+    repeated k times), so the shard scorers are untouched.  Oracle: the
+    BM25-in-SQL machinery over the boost-expanded token multiset."""
+    from .query import QueryEngine
+
+    idx = _documents_index(sf_dir)
+    engine = QueryEngine(idx, num_actors=2)
+    try:
+        hits = engine.search(_expand_boosts(query), limit=limit)
+    finally:
+        engine.close()
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(len(hits)), pa.int64()),
+            "doc_id": pa.array([h["doc_id"] for h in hits], pa.int64()),
+            "score_micro": pa.array(_micro([h["score"] for h in hits]), pa.int64()),
+        }
+    )
+
+
+def _expand_boosts(query: str) -> str:
+    """``term^k`` -> the term repeated k times (k >= 1, driver-side)."""
+    out: List[str] = []
+    for chunk in query.split():
+        if "^" in chunk:
+            term, _, k = chunk.rpartition("^")
+            out.extend([term] * max(1, int(k)))
+        else:
+            out.append(chunk)
+    return " ".join(out)
+
+
 def build_oracle_sql() -> Dict[str, str]:
     tok = _tok_sql("text")
     stop_list = ", ".join(f"'{w}'" for w in sorted(STOPWORDS))
+    # cdc_upsert (generic merge) and cdc_incremental_agg (delta-maintained
+    # view) must land on the same final state: one full-recompute oracle
+    cdc_final_sql = f"""
+            WITH final AS (
+              SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 10 NOT IN (0, 1, 2)
+              UNION ALL
+              SELECT doc_id, lang, n_chars + {CDC_UPDATE_DELTA} FROM documents
+              WHERE doc_id % 10 IN (1, 2)
+              UNION ALL
+              SELECT doc_id + {CDC_INSERT_OFFSET}, lang, n_chars FROM documents
+              WHERE doc_id % 10 = 3)
+            SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars
+            FROM final GROUP BY lang ORDER BY lang
+        """
     return {
+        "cdc_incremental_agg": cdc_final_sql,
         "tokenize_counts": f"SELECT doc_id, CAST(len({tok}) AS BIGINT) AS n_tokens FROM documents",
         "term_df_top100": f"""
             WITH tok AS (SELECT doc_id, {tok} AS toks FROM documents),
@@ -6333,18 +6493,25 @@ def build_oracle_sql() -> Dict[str, str]:
         "bm25_fuzzy": bm25_sql(
             FUZZY_QUERY, limit=20, fuzzy_dist=FUZZY_DIST, fuzzy_max_exp=FUZZY_MAX_EXP
         ),
-        "cdc_upsert": f"""
-            WITH final AS (
-              SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 10 NOT IN (0, 1, 2)
-              UNION ALL
-              SELECT doc_id, lang, n_chars + {CDC_UPDATE_DELTA} FROM documents
-              WHERE doc_id % 10 IN (1, 2)
-              UNION ALL
-              SELECT doc_id + {CDC_INSERT_OFFSET}, lang, n_chars FROM documents
-              WHERE doc_id % 10 = 3)
-            SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
-                   CAST(sum(n_chars) AS BIGINT) AS sum_chars
-            FROM final GROUP BY lang ORDER BY lang
+        "cdc_upsert": cdc_final_sql,
+        "bm25_boosted": bm25_sql(_expand_boosts(BOOST_QUERY), limit=20),
+        "user_value_twap": """
+            WITH s AS (
+              SELECT user_id,
+                     CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents,
+                     CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+                     lead(CAST(floor(epoch(ts)) AS BIGINT)) OVER w AS next_sec
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            a AS (
+              SELECT user_id,
+                     CAST(sum(cents * (next_sec - sec)) AS BIGINT) AS wsum,
+                     CAST(max(sec) - min(sec) AS BIGINT) AS horizon_s
+              FROM s GROUP BY user_id)
+            SELECT user_id, horizon_s,
+                   CAST(floor(CAST(wsum AS DOUBLE) / CAST(horizon_s AS DOUBLE)
+                              * 10000 + 0.5) AS BIGINT) AS twap_micro
+            FROM a WHERE horizon_s > 0 ORDER BY user_id
         """,
         "bm25_topk_wand": bm25_sql(BM25_QUERY, limit=20),
         "bm25_page2": bm25_sql(BM25_QUERY, limit=PAGE_SIZE, offset=PAGE_SIZE),

@@ -11,6 +11,7 @@ Usage:
     python -m distributedcodesearchengine_ray.cli grep   "<needle>" <corpus_dir> --index-dir DIR
         [--regex] [--ignore-case] [--files-only] [--limit N]
     python -m distributedcodesearchengine_ray.cli compact --index-dir DIR [--max-docs N] [--max-bytes B]
+    python -m distributedcodesearchengine_ray.cli merge  IDX_A IDX_B --out DIR
     python -m distributedcodesearchengine_ray.cli serve  --index-dir DIR [--host H] [--port P]
     python -m distributedcodesearchengine_ray.cli version
 
@@ -138,6 +139,13 @@ def main(argv=None) -> int:
     pc_.add_argument("--index-dir", required=True)
     pc_.add_argument("--max-docs", type=int, default=200_000)
     pc_.add_argument("--max-bytes", type=int, default=256 << 20)
+
+    pm = sub.add_parser(
+        "merge", help="segment-merge two indexes (== appending B's corpus to A)"
+    )
+    pm.add_argument("index_a")
+    pm.add_argument("index_b")
+    pm.add_argument("--out", required=True, help="output index dir (must be empty)")
 
     pg = sub.add_parser("ingest", help="walk a checked-out repo tree into a parquet corpus")
     pg.add_argument("repo_dir")
@@ -380,6 +388,24 @@ def main(argv=None) -> int:
         n = hits.num_rows if args.limit == 0 else min(args.limit, hits.num_rows)
         for row in hits.slice(0, n).to_pylist():
             print(json.dumps(row, default=str))
+        return 0
+
+    if args.cmd == "merge":
+        _ensure_ray()
+        from .pipelines.build_index import merge_indexes
+
+        m = merge_indexes(args.index_a, args.index_b, args.out)
+        print(
+            json.dumps(
+                {
+                    "n_docs": m.n_docs,
+                    "vocab_size": m.vocab_size,
+                    "num_partitions": m.num_partitions,
+                    "build_id": m.build_id,
+                    "merged_from": m.extra.get("merged_from", []),
+                }
+            )
+        )
         return 0
 
     if args.cmd == "compact":

@@ -1678,3 +1678,172 @@ def tombstone_delete(
     )
     manifest.save(index_dir)
     return manifest
+
+
+def _shift_first_varint(buf: bytes, off: int) -> bytes:
+    """Shift a delta+varint posting buffer's ABSOLUTE first value by
+    ``off`` without touching the delta tail: decode the first varint,
+    re-encode ``first+off``, splice.  O(1) per posting list — this is
+    what makes a segment merge postings-rewrite nearly free."""
+    if not buf:
+        return buf
+    i = 0
+    v = 0
+    shift = 0
+    while True:
+        byte = buf[i]
+        v |= (byte & 0x7F) << shift
+        i += 1
+        if not (byte & 0x80):
+            break
+        shift += 7
+    from ..functions.codec import varint_encode as _venc
+
+    return bytes(_venc(np.array([v + off], dtype=np.uint64))) + buf[i:]
+
+
+def merge_indexes(a_dir: str, b_dir: str, out_dir: str) -> IndexManifest:
+    """Lucene-style segment merge: combine two independently built indexes
+    into one WITHOUT reprocessing any text.  Semantics are identical to
+    ``append_index(A, corpus_of_B)`` — B's documents take the next docIDs
+    (A's insertion order, then B's), so tie-breaks, filters and scores on
+    the merged index equal the append/rebuild result (score identity
+    holds because N/avgdl/df and the epsilon floor are recomputed exactly
+    as a rebuild would; see reference ``bm25_index.py:102-115`` full
+    refit semantics).
+
+    Costs, by construction:
+      - A's partition files are COPIED verbatim (postings, docmeta,
+        positions) — no decode;
+      - B's postings shift only each posting list's absolute first
+        doc-id varint (the delta tail is byte-identical) and docmeta's
+        doc_id column; positions are doc-relative, copied verbatim;
+      - only the lexicon (cost ∝ vocabulary) and manifest scalars are
+        recomputed, via the same ``_lexicon_pass`` build/append use.
+
+    Inputs must be tombstone-free (run a rebuild or fold deletes first)
+    and agree on mode/k1/b/epsilon and positional indexing.  Embeddings
+    side-tables are not merged (rebuild them over the merged corpus)."""
+    import shutil
+
+    import ray
+
+    from ..state.manifest import normalize_dir
+
+    a_dir, b_dir, out_dir = normalize_dir(a_dir), normalize_dir(b_dir), normalize_dir(out_dir)
+    ma, mb = IndexManifest.load(a_dir), IndexManifest.load(b_dir)
+    if ma.mode != mb.mode:
+        raise ValueError(f"mode mismatch: {ma.mode} vs {mb.mode}")
+    if (ma.k1, ma.b, ma.epsilon) != (mb.k1, mb.b, mb.epsilon):
+        raise ValueError("BM25 parameter mismatch between inputs")
+    for name, d in (("a", a_dir), ("b", b_dir)):
+        tomb = os.path.join(d, "tombstones")
+        if os.path.isdir(tomb) and any(f.endswith(".parquet") for f in os.listdir(tomb)):
+            raise NotImplementedError(
+                f"merge_indexes requires tombstone-free inputs ({name} has "
+                "tombstones); fold deletes with a rebuild first"
+            )
+    pos_a = bool(ma.extra.get("positions"))
+    if pos_a != bool(mb.extra.get("positions")):
+        raise ValueError("positional indexing must match between inputs")
+    if os.path.isdir(out_dir) and os.listdir(out_dir):
+        raise ValueError(f"out_dir not empty: {out_dir}")
+
+    subs = ["postings", "docmeta"] + (["positions"] if pos_a else [])
+    for s in subs + ["lineage"]:
+        os.makedirs(os.path.join(out_dir, s), exist_ok=True)
+
+    off = ma.n_docs
+    p_a = ma.num_partitions
+    merge_id = compute_build_id(
+        ma.n_docs + mb.n_docs, [], {"op": "merge", "a": ma.build_id, "b": mb.build_id}
+    )
+
+    @ray.remote(num_cpus=1)
+    def copy_a_part(pid: int) -> None:
+        for s in subs:
+            src = os.path.join(a_dir, s, f"part-{pid:05d}.parquet")
+            if os.path.exists(src):
+                shutil.copyfile(src, os.path.join(out_dir, s, f"part-{pid:05d}.parquet"))
+
+    @ray.remote(num_cpus=1)
+    def shift_b_part(pid: int) -> None:
+        new_pid = p_a + pid
+        post = pq.read_table(os.path.join(b_dir, "postings", f"part-{pid:05d}.parquet"))
+        doc_bufs = [_shift_first_varint(buf, off) for buf in post["doc_ids"].to_pylist()]
+        blk_bufs = [_shift_first_varint(buf, off) for buf in post["block_last"].to_pylist()]
+        out = pa.table(
+            {
+                "term": post["term"],
+                "df": post["df"],
+                "doc_ids": pa.array(doc_bufs, pa.binary()),
+                "tfs": post["tfs"],
+                "block_last": pa.array(blk_bufs, pa.binary()),
+                "block_max_tf": post["block_max_tf"],
+                "block_min_dl": post["block_min_dl"],
+            }
+        )
+        pq.write_table(out, os.path.join(out_dir, "postings", f"part-{new_pid:05d}.parquet"))
+
+        meta = pq.read_table(os.path.join(b_dir, "docmeta", f"part-{pid:05d}.parquet"))
+        ids = pc.add(meta["doc_id"], pa.scalar(off, pa.int64()))
+        meta = meta.set_column(meta.schema.get_field_index("doc_id"), "doc_id", ids)
+        pq.write_table(meta, os.path.join(out_dir, "docmeta", f"part-{new_pid:05d}.parquet"))
+
+        if pos_a:  # positions are doc-relative: byte-identical copy
+            src = os.path.join(b_dir, "positions", f"part-{pid:05d}.parquet")
+            if os.path.exists(src):
+                shutil.copyfile(
+                    src, os.path.join(out_dir, "positions", f"part-{new_pid:05d}.parquet")
+                )
+
+    ray.get(
+        [copy_a_part.remote(p.part_id) for p in ma.partitions]
+        + [shift_b_part.remote(p.part_id) for p in mb.partitions]
+    )
+
+    partitions = [
+        PartitionRecord(
+            part_id=p.part_id, doc_lo=p.doc_lo, doc_hi=p.doc_hi, n_docs=p.n_docs,
+            total_tokens=p.total_tokens, n_terms=p.n_terms,
+            postings_bytes=p.postings_bytes, build_sec=0.0, build_id=merge_id,
+        )
+        for p in ma.partitions
+    ] + [
+        PartitionRecord(
+            part_id=p_a + p.part_id, doc_lo=p.doc_lo + off, doc_hi=p.doc_hi + off,
+            n_docs=p.n_docs, total_tokens=p.total_tokens, n_terms=p.n_terms,
+            postings_bytes=p.postings_bytes, build_sec=0.0, build_id=merge_id,
+        )
+        for p in mb.partitions
+    ]
+    for rec in partitions:
+        write_lineage(out_dir, rec)
+
+    n_docs = ma.n_docs + mb.n_docs
+    total_tokens = ma.total_tokens + mb.total_tokens
+    average_idf, vocab_size = _lexicon_pass(out_dir, n_docs, ma.epsilon)
+    manifest = IndexManifest(
+        mode=ma.mode,
+        n_docs=n_docs,
+        total_tokens=total_tokens,
+        avgdl=total_tokens / n_docs,
+        vocab_size=vocab_size,
+        average_idf=average_idf,
+        k1=ma.k1,
+        b=ma.b,
+        epsilon=ma.epsilon,
+        num_partitions=p_a + mb.num_partitions,
+        build_id=merge_id,
+        boundaries=[],
+        partitions=partitions,
+        extra={
+            "lex_buckets": LEX_BUCKETS,
+            "filesystem": "shared-posix",
+            "positions": pos_a,
+            "merged_from": [ma.build_id, mb.build_id],
+            "corpus_dir": None,
+        },
+    )
+    manifest.save(out_dir)
+    return manifest

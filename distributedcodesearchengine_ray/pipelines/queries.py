@@ -5404,36 +5404,70 @@ def rolling_distinct_users(sf_dir: str, window_hours: int = ROLLING_WINDOW_HOURS
         ).drop_duplicates()
         return pa.Table.from_pandas(df, preserve_index=False)
 
-    def cover(df: pd.DataFrame) -> pd.DataFrame:
+    def deltas(df: pd.DataFrame) -> pd.DataFrame:
+        # merged coverage intervals [h, h+w) -> +1/-1 boundary deltas:
+        # 2 rows per interval instead of w rows per interval (the naive
+        # per-covered-hour emission made the final fold the bottleneck)
         hrs = np.unique(df["hour"].to_numpy(np.int64))
-        # merged coverage intervals: a new interval starts when the gap
-        # from the previous event-hour exceeds the window length
         starts = np.flatnonzero(np.diff(hrs, prepend=hrs[0] - w) >= w)
         ends = np.append(starts[1:], hrs.size) - 1
-        covered = np.concatenate(
-            [np.arange(hrs[s], hrs[e] + w) for s, e in zip(starts, ends)]
-        )
+        s, e = hrs[starts], hrs[ends] + w  # end exclusive
         return pd.DataFrame(
             {
-                "hour": covered,
-                "cov": np.ones(covered.size, dtype=np.int64),
-                "obs": np.isin(covered, hrs).astype(np.int64),
+                "hour": np.concatenate([s, e]),
+                "d": np.concatenate(
+                    [np.ones(s.size, np.int64), -np.ones(e.size, np.int64)]
+                ),
             }
         )
 
-    out = (
+    def fold(t: pa.Table) -> pa.Table:
+        # map-side combine: coalesces the many tiny per-group outputs
+        # before the hour-keyed exchange
+        g = t.to_pandas().groupby("hour", as_index=False)["d"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    dd = (
         ds.map_batches(pairs, batch_format="pyarrow")
         .groupby("user_id")
-        .map_groups(cover, batch_format="pandas")
+        .map_groups(deltas, batch_format="pandas")
+        .map_batches(fold, batch_format="pyarrow", batch_size=16384)
         .groupby("hour")
-        .aggregate(Sum("cov", alias_name="n_users"), Sum("obs", alias_name="obs"))
+        .aggregate(Sum("d", alias_name="d"))
         .to_pandas()
+        .sort_values("hour", ignore_index=True)
     )
-    out = out[out["obs"] > 0].sort_values("hour", ignore_index=True)
+    # observed hours (window anchors): tiny per-batch-unique partials
+    obs = np.unique(
+        ds.map_batches(
+            lambda t: pa.table(
+                {
+                    "hour": pa.array(
+                        np.unique(
+                            t["ts"]
+                            .to_numpy(zero_copy_only=False)
+                            .astype("datetime64[us]")
+                            .astype(np.int64)
+                            // 3_600_000_000
+                        )
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .to_pandas()["hour"]
+        .to_numpy(np.int64)
+    )
+    # piecewise-constant prefix sum: n_users(h) = cumsum at the last
+    # boundary <= h.  Driver work is O(distinct boundary hours) — bounded
+    # by the time span, never by data volume.
+    bnd = dd["hour"].to_numpy(np.int64)
+    cum = dd["d"].to_numpy(np.int64).cumsum()
+    n_users = cum[np.searchsorted(bnd, obs, side="right") - 1]
     return pa.table(
         {
-            "hour": pa.array(out["hour"].to_numpy(np.int64)),
-            "n_users": pa.array(out["n_users"].to_numpy(np.int64)),
+            "hour": pa.array(obs),
+            "n_users": pa.array(n_users.astype(np.int64)),
         }
     )
 
@@ -5564,9 +5598,16 @@ def event_transitions(sf_dir: str):
         g["n"] = g["n"].astype(np.int64)
         return g
 
+    def fold(t: pa.Table) -> pa.Table:
+        # map-side combine: coalesce the tiny per-group outputs (<=T^2
+        # rows each) before the (src,dst)-keyed exchange
+        g = t.to_pandas().groupby(["src", "dst"], as_index=False)["n"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
     out = (
         ds.groupby("user_id")
         .map_groups(pergroup, batch_format="pandas")
+        .map_batches(fold, batch_format="pyarrow", batch_size=16384)
         .groupby(["src", "dst"])
         .aggregate(Sum("n", alias_name="n"))
         .to_pandas()

@@ -163,6 +163,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_no_urgent": Q.customers_no_urgent,  # distributed anti-join
         "orders_with_returns": Q.orders_with_returns,  # distributed semi-join, EXISTS oracle
         "order_skyline": Q.order_skyline,  # Pareto-frontier skyline, NOT-EXISTS dominance oracle
+        "length_gini": Q.length_gini,  # sort-free integer-exact Gini via histograms
+        "query_term_stats": Q.query_term_stats,  # termvectors introspection: df/cf/idf from the index
+        "top_terms_concat": Q.top_terms_concat,  # ordered string_agg of per-lang top-df terms
         "ttr_by_lang": Q.ttr_by_lang,  # type-token ratio per lang, COUNT DISTINCT oracle
         "custdist": Q.custdist,  # TPC-H Q13 shape: LEFT-JOIN count distribution w/ zero bucket
         "small_qty_revenue": Q.small_qty_revenue,  # TPC-H Q17 shape: correlated avg, bloom prefilter

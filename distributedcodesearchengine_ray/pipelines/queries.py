@@ -6427,6 +6427,182 @@ def _expand_boosts(query: str) -> str:
     return " ".join(out)
 
 
+def length_gini(sf_dir: str):
+    """Gini coefficient of document length per lang — the inequality
+    measure data-curation dashboards use.  Sort-free and integer-exact:
+    the bounded n_chars domain folds to per-(lang, value) count
+    histograms; on the driver each tie-run of c copies of value v at
+    cumulative offset lo contributes ``v*c*(2*lo + c - n)`` to the
+    numerator (the closed form of sum (2i-n-1)*x_i over the run, which
+    is order-invariant within ties), so both sides divide the SAME exact
+    integers in float64."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", columns=["lang", "n_chars"])
+
+    def hist(t: pa.Table) -> pa.Table:
+        g = (
+            pd.DataFrame(
+                {
+                    "lang": t["lang"].to_pandas(),
+                    "x": t["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64),
+                }
+            )
+            .groupby(["lang", "x"], sort=False)
+            .size()
+            .reset_index(name="c")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    h = (
+        ds.map_batches(hist, batch_format="pyarrow")
+        .groupby(["lang", "x"])
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+    )
+    langs, ns, ginis = [], [], []
+    for lang, grp in h.groupby("lang", sort=True):
+        grp = grp.sort_values("x")
+        v = grp["x"].to_numpy(np.int64)
+        c = grp["c"].to_numpy(np.int64)
+        n = int(c.sum())
+        lo = np.concatenate(([0], c.cumsum()[:-1]))
+        num = int((v * c * (2 * lo + c - n)).sum())
+        sx = int((v * c).sum())
+        langs.append(lang)
+        ns.append(n)
+        ginis.append(float(num) / (float(n) * float(sx)))
+    return pa.table(
+        {
+            "lang": pa.array(langs, pa.string()),
+            "n": pa.array(ns, pa.int64()),
+            "gini_micro": pa.array(_micro(np.array(ginis)), pa.int64()),
+        }
+    )
+
+
+def query_term_stats(sf_dir: str, query: str = BM25_QUERY):
+    """Index introspection (ES _termvectors shape): per query term, its
+    document frequency, collection frequency and epsilon-floored IDF.
+    df/idf come straight from the lexicon (bucket-hash + pushdown); cf
+    decodes ONLY the query terms' tf buffers, one task per postings
+    partition — never a corpus scan."""
+    import ray
+
+    from ..functions.codec import varint_decode
+    from ..functions.tokenizer import tokenize
+    from .query import LexiconReader
+
+    idx = _documents_index(sf_dir)
+    terms = sorted(set(tokenize(query)))
+    lex = LexiconReader(idx)
+    idfs = lex.idfs(terms)
+
+    post_dir = os.path.join(idx, "postings")
+    files = sorted(
+        os.path.join(post_dir, f) for f in os.listdir(post_dir) if f.endswith(".parquet")
+    )
+
+    @ray.remote(num_cpus=1)
+    def part_stats(path: str, ts: List[str]) -> Dict[str, List[int]]:
+        import pyarrow.dataset as pads
+
+        t = pads.dataset(path, format="parquet").to_table(
+            columns=["term", "df", "tfs"], filter=pads.field("term").isin(ts)
+        )
+        out: Dict[str, List[int]] = {}
+        for term, df, buf in zip(
+            t["term"].to_pylist(), t["df"].to_pylist(), t["tfs"].to_pylist()
+        ):
+            out[term] = [int(df), int(varint_decode(buf).sum())]
+        return out
+
+    parts = ray.get([part_stats.remote(f, terms) for f in files])
+    dfs = {t: 0 for t in terms}
+    cfs = {t: 0 for t in terms}
+    for p in parts:
+        for t, (d, cf) in p.items():
+            dfs[t] += d
+            cfs[t] += cf
+    present = [t for t in terms if dfs[t] > 0]
+    return pa.table(
+        {
+            "term": pa.array(present, pa.string()),
+            "df": pa.array([dfs[t] for t in present], pa.int64()),
+            "cf": pa.array([cfs[t] for t in present], pa.int64()),
+            "idf_micro": pa.array(
+                _micro(np.array([idfs[t] for t in present])), pa.int64()
+            ),
+        }
+    )
+
+
+TOPTERMS_K = 3
+
+
+def top_terms_concat(sf_dir: str):
+    """Grouped ordered string aggregation (SQL ``string_agg`` with ORDER
+    BY): per lang, the top-3 terms by document frequency joined with
+    commas.  Distinct (lang, doc, term) partials -> one (lang, term) df
+    fold -> per-batch partial top-3 -> driver concat."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        from ..functions.tokenizer import tokenize_array
+
+        toks = tokenize_array(t["text"])
+        counts = pcc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame(
+            {
+                "lang": np.repeat(t["lang"].to_pandas().to_numpy(), counts),
+                "doc_id": np.repeat(
+                    t["doc_id"].to_numpy(zero_copy_only=False), counts
+                ),
+                "term": pcc.list_flatten(toks).to_pandas().to_numpy(),
+            }
+        ).drop_duplicates()
+        g = df.groupby(["lang", "term"], sort=False).size().reset_index(name="df")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def partial_topk(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values(
+            ["lang", "df", "term"], ascending=[True, False, True]
+        )
+        return pa.Table.from_pandas(
+            df.groupby("lang", sort=False).head(TOPTERMS_K), preserve_index=False
+        )
+
+    out = (
+        ds.map_batches(pairs, batch_format="pyarrow")
+        .groupby(["lang", "term"])
+        .aggregate(Sum("df", alias_name="df"))
+        .map_batches(partial_topk, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(["lang", "df", "term"], ascending=[True, False, True])
+        .groupby("lang", sort=True)
+        .head(TOPTERMS_K)
+    )
+    agg = (
+        out.groupby("lang", sort=True)["term"]
+        .apply(lambda s: ",".join(s))
+        .reset_index(name="top_terms")
+    )
+    return pa.table(
+        {
+            "lang": pa.array(agg["lang"], pa.string()),
+            "top_terms": pa.array(agg["top_terms"], pa.string()),
+        }
+    )
+
+
+def _qtok(q: str) -> List[str]:
+    from ..functions.tokenizer import tokenize
+
+    return tokenize(q)
+
+
 def build_oracle_sql() -> Dict[str, str]:
     tok = _tok_sql("text")
     stop_list = ", ".join(f"'{w}'" for w in sorted(STOPWORDS))
@@ -7862,6 +8038,55 @@ def build_oracle_sql() -> Dict[str, str]:
             SELECT prev AS src, event_type AS dst, CAST(count(*) AS BIGINT) AS n
             FROM s WHERE prev IS NOT NULL
             GROUP BY prev, event_type ORDER BY src, dst
+        """,
+        "length_gini": """
+            WITH d AS (SELECT lang, CAST(n_chars AS BIGINT) AS x FROM documents),
+            r AS (SELECT lang, x,
+                         row_number() OVER (PARTITION BY lang ORDER BY x) AS i,
+                         count(*) OVER (PARTITION BY lang) AS n
+                  FROM d),
+            a AS (SELECT lang, CAST(max(n) AS BIGINT) AS n,
+                         CAST(sum(x * (2 * i - n - 1)) AS BIGINT) AS num,
+                         CAST(sum(x) AS BIGINT) AS sx
+                  FROM r GROUP BY lang)
+            SELECT lang, n,
+                   CAST(floor(CAST(num AS DOUBLE)
+                              / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE))
+                              * 1000000 + 0.5) AS BIGINT) AS gini_micro
+            FROM a ORDER BY lang
+        """,
+        "query_term_stats": f"""
+            WITH tok AS (SELECT doc_id, {tok} AS toks FROM documents),
+            stats AS (SELECT count(*) AS n FROM tok),
+            tfp AS (SELECT doc_id, t AS term, count(*) AS tf
+                    FROM (SELECT doc_id, unnest(toks) AS t FROM tok)
+                    GROUP BY doc_id, t),
+            dfq AS (SELECT term, count(*) AS df FROM tfp GROUP BY term),
+            idf0 AS (SELECT term,
+                            ln((SELECT n FROM stats) - df + 0.5) - ln(df + 0.5) AS idf_raw
+                     FROM dfq),
+            eps AS (SELECT 0.25 * avg(idf_raw) AS e FROM idf0),
+            idf AS (SELECT term,
+                           CASE WHEN idf_raw < 0 THEN (SELECT e FROM eps)
+                                ELSE idf_raw END AS idf
+                    FROM idf0),
+            cf AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cf FROM tfp GROUP BY term)
+            SELECT d.term, CAST(d.df AS BIGINT) AS df, cf.cf,
+                   CAST(floor(idf.idf * 1000000 + 0.5) AS BIGINT) AS idf_micro
+            FROM dfq d JOIN cf USING (term) JOIN idf USING (term)
+            WHERE d.term IN ({", ".join(f"'{t}'" for t in sorted(set(_qtok(BM25_QUERY))))})
+            ORDER BY d.term
+        """,
+        "top_terms_concat": f"""
+            WITH tok AS (SELECT doc_id, lang, {tok} AS toks FROM documents),
+            pairs AS (SELECT DISTINCT doc_id, lang, unnest(toks) AS term FROM tok),
+            d AS (SELECT lang, term, CAST(count(*) AS BIGINT) AS df
+                  FROM pairs GROUP BY lang, term),
+            t3 AS (SELECT lang, term, df FROM d
+                   QUALIFY row_number() OVER (
+                     PARTITION BY lang ORDER BY df DESC, term) <= {TOPTERMS_K})
+            SELECT lang, string_agg(term, ',' ORDER BY df DESC, term) AS top_terms
+            FROM t3 GROUP BY lang ORDER BY lang
         """,
         "hourly_anomalies": f"""
             WITH c AS (SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour,

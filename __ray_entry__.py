@@ -138,6 +138,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "full_outer_balance": Q.full_outer_balance,  # FULL OUTER join of two pre-aggregated folds
         "lineitem_unpivot": Q.lineitem_unpivot,  # UNPIVOT/melt: wide measures to long in one scan
         "funnel_counts": Q.funnel_counts,  # ordered funnel stages, chained min-after-min oracle
+        "region_nation_rollup": Q.region_nation_rollup,  # dimension-hierarchy ROLLUP over a fact join
+        "events_debounce": Q.events_debounce,  # dedup-within-window (alert suppression), LAG oracle
+        "orders_yoy": Q.orders_yoy,  # year-over-year growth, LAG over the yearly aggregate
         "events_rollup": Q.events_rollup,  # ROLLUP grouping sets, algebraic fold
         "events_cube": Q.events_cube,  # full CUBE lattice, one scan + algebraic fold
         "user_running_value": Q.user_running_value,  # ordered window cumsum

@@ -6597,6 +6597,156 @@ def top_terms_concat(sf_dir: str):
     )
 
 
+def region_nation_rollup(sf_dir: str):
+    """Dimension-hierarchy ROLLUP (region -> nation) over a fact join:
+    customer balance totals at nation grain, with region subtotals and a
+    grand total, from ONE fact scan — the fact table folds map-side to
+    <=25 nation partials, the 25/5-row dimension tables are driver-side,
+    and both super-levels are algebraic folds of the leaf aggregate.
+    NULL markers become '' so the column hashes cleanly."""
+    from ray.data.aggregate import Count, Sum
+
+    leaf = (
+        _read(sf_dir, "customer", columns=["c_nationkey", "c_acctbal"])
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "nationkey": pcc.cast(t["c_nationkey"], pa.int64()),
+                    "bal_c": _cents_col(t["c_acctbal"]),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("nationkey")
+        .aggregate(Count(alias_name="n_cust"), Sum("bal_c", alias_name="bal_c"))
+        .to_pandas()
+    )
+    nation = pd.read_parquet(
+        os.path.join(sf_dir, "nation.parquet"),
+        columns=["n_nationkey", "n_name", "n_regionkey"],
+    )
+    region = pd.read_parquet(
+        os.path.join(sf_dir, "region.parquet"), columns=["r_regionkey", "r_name"]
+    )
+    j = (
+        leaf.merge(nation, left_on="nationkey", right_on="n_nationkey")
+        .merge(region, left_on="n_regionkey", right_on="r_regionkey")
+    )
+    rows = []
+    for (r, n), g in j.groupby(["r_name", "n_name"]):
+        rows.append((r, n, int(g["n_cust"].sum()), int(g["bal_c"].sum())))
+    for r, g in j.groupby("r_name"):
+        rows.append((r, "", int(g["n_cust"].sum()), int(g["bal_c"].sum())))
+    rows.append(("", "", int(j["n_cust"].sum()), int(j["bal_c"].sum())))
+    rows.sort()
+    return pa.table(
+        {
+            "r_name": pa.array([x[0] for x in rows], pa.string()),
+            "n_name": pa.array([x[1] for x in rows], pa.string()),
+            "n_cust": pa.array([x[2] for x in rows], pa.int64()),
+            "bal_c": pa.array([x[3] for x in rows], pa.int64()),
+        }
+    )
+
+
+DEBOUNCE_MINUTES = 60
+
+
+def events_debounce(sf_dir: str):
+    """Debounce / dedup-within-window: drop an event when the SAME
+    (user, event_type) fired within the previous 60 minutes (LAG
+    semantics — gap measured to the immediately preceding event of the
+    key, the standard alert/telemetry suppression shape).  One
+    (user,type)-keyed exchange; in-group sort + shifted integer diff;
+    kept/dropped counts fold per event_type."""
+    from ray.data.aggregate import Sum
+
+    gap_us = DEBOUNCE_MINUTES * 60 * 1_000_000
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type", "ts", "event_id"])
+
+    def pergroup(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["ts", "event_id"])
+        us = df["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        prev = np.concatenate(([np.iinfo(np.int64).min // 2], us[:-1]))
+        kept = (us - prev) > gap_us
+        return pd.DataFrame(
+            {
+                "event_type": [df["event_type"].iloc[0]],
+                "n_kept": [int(kept.sum())],
+                "n_dropped": [int((~kept).sum())],
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        g = (
+            t.to_pandas()
+            .groupby("event_type", as_index=False)[["n_kept", "n_dropped"]]
+            .sum()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (
+        ds.groupby(["user_id", "event_type"])
+        .map_groups(pergroup, batch_format="pandas")
+        .map_batches(fold, batch_format="pyarrow", batch_size=16384)
+        .groupby("event_type")
+        .aggregate(Sum("n_kept", alias_name="n_kept"), Sum("n_dropped", alias_name="n_dropped"))
+        .to_pandas()
+        .sort_values("event_type", ignore_index=True)
+    )
+    return pa.table(
+        {
+            "event_type": pa.array(out["event_type"], pa.string()),
+            "n_kept": pa.array(out["n_kept"].to_numpy(np.int64)),
+            "n_dropped": pa.array(out["n_dropped"].to_numpy(np.int64)),
+        }
+    )
+
+
+def orders_yoy(sf_dir: str):
+    """Year-over-year revenue: per order year, total revenue plus the
+    delta and basis-point growth vs the prior year (LAG over the yearly
+    aggregate).  The distributed part is a per-batch (year, cents) fold;
+    the window runs over <=N_years rows on the driver with the same
+    integer/float expressions as the SQL LAG oracle."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def per_batch(t: pa.Table) -> pa.Table:
+        yrs = pcc.year(t["o_orderdate"]).to_numpy(zero_copy_only=False).astype(np.int64)
+        df = pd.DataFrame({"year": yrs, "rev_c": _cents_col(t["o_totalprice"]).to_numpy(zero_copy_only=False)})
+        g = df.groupby("year", as_index=False).agg(n=("rev_c", "size"), rev_c=("rev_c", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (
+        ds.map_batches(per_batch, batch_format="pyarrow")
+        .groupby("year")
+        .aggregate(Sum("n", alias_name="n"), Sum("rev_c", alias_name="rev_c"))
+        .to_pandas()
+        .sort_values("year", ignore_index=True)
+    )
+    rev = out["rev_c"].to_numpy(np.int64)
+    prev = np.concatenate(([0], rev[:-1]))
+    delta = rev - prev
+    with np.errstate(divide="ignore", invalid="ignore"):
+        bps = np.where(
+            prev > 0,
+            np.floor(delta.astype(np.float64) / prev.astype(np.float64) * 10000.0 + 0.5),
+            0.0,
+        ).astype(np.int64)
+    first = np.arange(len(out)) == 0
+    return pa.table(
+        {
+            "year": pa.array(out["year"].to_numpy(np.int64)),
+            "n": pa.array(out["n"].to_numpy(np.int64)),
+            "rev_c": pa.array(rev),
+            "delta_c": pa.array(np.where(first, 0, delta).astype(np.int64)),
+            "growth_bps": pa.array(np.where(first, 0, bps).astype(np.int64)),
+        }
+    )
+
+
 def _qtok(q: str) -> List[str]:
     from ..functions.tokenizer import tokenize
 
@@ -8038,6 +8188,48 @@ def build_oracle_sql() -> Dict[str, str]:
             SELECT prev AS src, event_type AS dst, CAST(count(*) AS BIGINT) AS n
             FROM s WHERE prev IS NOT NULL
             GROUP BY prev, event_type ORDER BY src, dst
+        """,
+        "region_nation_rollup": """
+            WITH j AS (SELECT r.r_name, n.n_name,
+                              CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) AS bal_c
+                       FROM customer c
+                       JOIN nation n ON n.n_nationkey = c.c_nationkey
+                       JOIN region r ON r.r_regionkey = n.n_regionkey)
+            SELECT coalesce(r_name, '') AS r_name, coalesce(n_name, '') AS n_name,
+                   CAST(count(*) AS BIGINT) AS n_cust, CAST(sum(bal_c) AS BIGINT) AS bal_c
+            FROM j GROUP BY ROLLUP (r_name, n_name)
+            ORDER BY 1, 2
+        """,
+        "events_debounce": f"""
+            WITH s AS (SELECT user_id, event_type,
+                              CAST(epoch_us(ts) AS BIGINT) AS us,
+                              lag(CAST(epoch_us(ts) AS BIGINT)) OVER (
+                                PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS prev
+                       FROM events)
+            SELECT event_type,
+                   CAST(count(*) FILTER (
+                     WHERE prev IS NULL OR us - prev > {DEBOUNCE_MINUTES * 60 * 1_000_000}
+                   ) AS BIGINT) AS n_kept,
+                   CAST(count(*) FILTER (
+                     WHERE prev IS NOT NULL AND us - prev <= {DEBOUNCE_MINUTES * 60 * 1_000_000}
+                   ) AS BIGINT) AS n_dropped
+            FROM s GROUP BY event_type ORDER BY event_type
+        """,
+        "orders_yoy": """
+            WITH y AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS year,
+                              CAST(count(*) AS BIGINT) AS n,
+                              CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+                                AS rev_c
+                       FROM orders GROUP BY 1),
+            w AS (SELECT year, n, rev_c, lag(rev_c) OVER (ORDER BY year) AS prev FROM y)
+            SELECT year, n, rev_c,
+                   CAST(CASE WHEN prev IS NULL THEN 0 ELSE rev_c - prev END AS BIGINT)
+                     AS delta_c,
+                   CAST(CASE WHEN prev IS NULL OR prev <= 0 THEN 0
+                        ELSE floor(CAST(rev_c - prev AS DOUBLE) / CAST(prev AS DOUBLE)
+                                   * 10000 + 0.5) END AS BIGINT) AS growth_bps
+            FROM w ORDER BY year
         """,
         "length_gini": """
             WITH d AS (SELECT lang, CAST(n_chars AS BIGINT) AS x FROM documents),

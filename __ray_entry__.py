@@ -165,6 +165,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users_by_type": Q.distinct_users_by_type,
         "customers_no_urgent": Q.customers_no_urgent,  # distributed anti-join
         "orders_with_returns": Q.orders_with_returns,  # distributed semi-join, EXISTS oracle
+        "supplier_coverage": Q.supplier_coverage,  # relational division: suppliers covering all brands
+        "user_day_streak": Q.user_day_streak,  # gaps-and-islands longest consecutive-day run
         "order_skyline": Q.order_skyline,  # Pareto-frontier skyline, NOT-EXISTS dominance oracle
         "length_gini": Q.length_gini,  # sort-free integer-exact Gini via histograms
         "query_term_stats": Q.query_term_stats,  # termvectors introspection: df/cf/idf from the index
@@ -173,6 +175,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "custdist": Q.custdist,  # TPC-H Q13 shape: LEFT-JOIN count distribution w/ zero bucket
         "small_qty_revenue": Q.small_qty_revenue,  # TPC-H Q17 shape: correlated avg, bloom prefilter
         "large_volume_orders": Q.large_volume_orders,  # TPC-H Q18 shape: HAVING + enrich join
+        "priority_share": Q.priority_share,  # RATIO_TO_REPORT percent-of-total window
+        "weighted_median_price": Q.weighted_median_price,  # quantity-weighted lower median, integer-exact
         "value_percentiles": Q.value_percentiles,  # quantile_cont, exact sort-free interpolation
         "entropy_by_lang": Q.entropy_by_lang,  # char-distribution entropy partials, integer-exact
         "urgent_lineitems_semi": Q.urgent_lineitems_semi,  # bloom-prefiltered EXISTS semi-join

@@ -6747,6 +6747,218 @@ def orders_yoy(sf_dir: str):
     )
 
 
+COVERAGE_CUTOFF = "2001-01-01"
+
+
+def supplier_coverage(sf_dir: str):
+    """Relational DIVISION: suppliers whose RECENT shipments (l_shipdate
+    >= cutoff, where coverage is genuinely partial) cover EVERY p_brand
+    — the "supplies all X" shape SQL expresses with
+    HAVING count(DISTINCT) = total.  The date predicate prunes at the
+    READ (parquet row-group pushdown); deduped (suppkey, partkey) pairs
+    hash-join the brand projection, one (supp, brand) groupby makes
+    pairs globally unique, per-batch partials fold the per-supplier
+    brand counts, and the divisor (total brands) is a tiny distinct
+    fold broadcast as a driver scalar."""
+    from ray.data.aggregate import Count
+
+    npart = _join_parts(sf_dir, "lineitem", "part")
+    cut = np.datetime64(COVERAGE_CUTOFF).astype("datetime64[us]").astype(np.int64)
+
+    def recent_pairs(t: pa.Table) -> pa.Table:
+        ts = t["l_shipdate"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        t = t.filter(pa.array(ts >= cut))
+        return pa.Table.from_pandas(
+            pd.DataFrame(
+                {
+                    "p_partkey": t["l_partkey"].to_numpy(zero_copy_only=False),
+                    "s_suppkey": t["l_suppkey"].to_numpy(zero_copy_only=False),
+                }
+            ).drop_duplicates(),
+            preserve_index=False,
+        )
+
+    pairs = _read(
+        sf_dir, "lineitem", columns=["l_partkey", "l_suppkey", "l_shipdate"]
+    ).map_batches(recent_pairs, batch_format="pyarrow")
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_brand"])
+    n_brands = int(
+        part.map_batches(
+            lambda t: pa.table({"b": pcc.unique(t["p_brand"])}), batch_format="pyarrow"
+        )
+        .to_pandas()["b"]
+        .nunique()
+    )
+    j = pairs.join(part, join_type="inner", num_partitions=npart, on=("p_partkey",))
+
+    def partial_cnt(t: pa.Table) -> pa.Table:
+        g = (
+            t.select(["s_suppkey"])
+            .to_pandas()
+            .groupby("s_suppkey", sort=False)
+            .size()
+            .reset_index(name="n_brands")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (
+        j.groupby(["s_suppkey", "p_brand"])
+        .aggregate(Count(alias_name="_"))
+        .map_batches(partial_cnt, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("s_suppkey", as_index=False)["n_brands"]
+        .sum()
+    )
+    out = out[out["n_brands"] == n_brands].sort_values("s_suppkey", ignore_index=True)
+    return pa.table(
+        {
+            "s_suppkey": pa.array(out["s_suppkey"].to_numpy(np.int64)),
+            "n_brands": pa.array(out["n_brands"].to_numpy(np.int64)),
+        }
+    )
+
+
+def user_day_streak(sf_dir: str):
+    """Gaps-and-islands: per user, active-day count and the LONGEST run
+    of consecutive active days.  Distinct (user, day) pairs dedupe
+    map-side; inside each user group, one sorted diff splits islands
+    vectorized (no row loop) — the SQL twin is the classic
+    ``day - row_number()`` island key."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        days = (
+            t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+            // 86_400_000_000
+        )
+        df = pd.DataFrame(
+            {"user_id": t["user_id"].to_numpy(zero_copy_only=False), "day": days}
+        ).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def pergroup(df: pd.DataFrame) -> pd.DataFrame:
+        days = np.unique(df["day"].to_numpy(np.int64))
+        starts = np.flatnonzero(np.diff(days, prepend=days[0] - 2) > 1)
+        lens = np.diff(np.append(starts, days.size))
+        return pd.DataFrame(
+            {
+                "user_id": [int(df["user_id"].iloc[0])],
+                "n_days": [int(days.size)],
+                "longest_streak": [int(lens.max())],
+            }
+        )
+
+    out = (
+        ds.map_batches(pairs, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(pergroup, batch_format="pandas")
+        .to_pandas()
+        .sort_values("user_id", ignore_index=True)
+    )
+    return pa.table(
+        {
+            "user_id": pa.array(out["user_id"].to_numpy(np.int64)),
+            "n_days": pa.array(out["n_days"].to_numpy(np.int64)),
+            "longest_streak": pa.array(out["longest_streak"].to_numpy(np.int64)),
+        }
+    )
+
+
+def priority_share(sf_dir: str):
+    """RATIO_TO_REPORT / percent-of-total window: each order priority's
+    revenue share of the grand total in basis points.  One map-side
+    cents fold to <=5 partials; the share divides the SAME exact
+    integers in float64 on both sides."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "orders", columns=["o_orderpriority", "o_totalprice"])
+
+    def per_batch(t: pa.Table) -> pa.Table:
+        g = (
+            pd.DataFrame(
+                {
+                    "o_orderpriority": t["o_orderpriority"].to_pandas(),
+                    "rev_c": _cents_col(t["o_totalprice"]).to_numpy(zero_copy_only=False),
+                }
+            )
+            .groupby("o_orderpriority", as_index=False)
+            .agg(n=("rev_c", "size"), rev_c=("rev_c", "sum"))
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (
+        ds.map_batches(per_batch, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(Sum("n", alias_name="n"), Sum("rev_c", alias_name="rev_c"))
+        .to_pandas()
+        .sort_values("o_orderpriority", ignore_index=True)
+    )
+    total = float(out["rev_c"].sum())
+    share = np.floor(
+        out["rev_c"].to_numpy(np.int64).astype(np.float64) / total * 10000.0 + 0.5
+    ).astype(np.int64)
+    return pa.table(
+        {
+            "o_orderpriority": pa.array(out["o_orderpriority"], pa.string()),
+            "n": pa.array(out["n"].to_numpy(np.int64)),
+            "rev_c": pa.array(out["rev_c"].to_numpy(np.int64)),
+            "share_bps": pa.array(share),
+        }
+    )
+
+
+def weighted_median_price(sf_dir: str):
+    """Quantity-weighted LOWER median price per return flag: the smallest
+    price whose cumulative quantity weight reaches half the total —
+    integer-exact end to end (no interpolation), from the same bounded
+    cents-domain histogram machinery as the MAD/quantile operators,
+    with integer quantity weights folded per (flag, cents)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(
+        sf_dir, "lineitem", columns=["l_returnflag", "l_extendedprice", "l_quantity"]
+    )
+
+    def hist(t: pa.Table) -> pa.Table:
+        g = (
+            pd.DataFrame(
+                {
+                    "l_returnflag": t["l_returnflag"].to_pandas(),
+                    "cents": _cents_col(t["l_extendedprice"]).to_numpy(zero_copy_only=False),
+                    "w": _cents_col(t["l_quantity"]).to_numpy(zero_copy_only=False) // 100,
+                }
+            )
+            .groupby(["l_returnflag", "cents"], as_index=False)["w"]
+            .sum()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    h = (
+        ds.map_batches(hist, batch_format="pyarrow")
+        .groupby(["l_returnflag", "cents"])
+        .aggregate(Sum("w", alias_name="w"))
+        .to_pandas()
+    )
+    flags, totals, medians = [], [], []
+    for flag, grp in h.groupby("l_returnflag", sort=True):
+        grp = grp.sort_values("cents")
+        w = grp["w"].to_numpy(np.int64)
+        cum = w.cumsum()
+        total = int(cum[-1])
+        # lower weighted median: first value with 2*cum >= total
+        idx = int(np.searchsorted(2 * cum, total))
+        flags.append(flag)
+        totals.append(total)
+        medians.append(int(grp["cents"].to_numpy(np.int64)[idx]))
+    return pa.table(
+        {
+            "l_returnflag": pa.array(flags, pa.string()),
+            "total_qty": pa.array(totals, pa.int64()),
+            "wmedian_cents": pa.array(medians, pa.int64()),
+        }
+    )
+
+
 def _qtok(q: str) -> List[str]:
     from ..functions.tokenizer import tokenize
 
@@ -8188,6 +8400,55 @@ def build_oracle_sql() -> Dict[str, str]:
             SELECT prev AS src, event_type AS dst, CAST(count(*) AS BIGINT) AS n
             FROM s WHERE prev IS NOT NULL
             GROUP BY prev, event_type ORDER BY src, dst
+        """,
+        "priority_share": """
+            WITH a AS (SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+                              CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+                                AS rev_c
+                       FROM orders GROUP BY 1),
+            t AS (SELECT CAST(sum(rev_c) AS BIGINT) AS total FROM a)
+            SELECT o_orderpriority, n, rev_c,
+                   CAST(floor(CAST(rev_c AS DOUBLE) / CAST(t.total AS DOUBLE)
+                              * 10000 + 0.5) AS BIGINT) AS share_bps
+            FROM a, t ORDER BY o_orderpriority
+        """,
+        "weighted_median_price": """
+            WITH h AS (SELECT l_returnflag,
+                              CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS cents,
+                              CAST(sum(CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT) / 100)
+                                   AS BIGINT) AS w
+                       FROM lineitem GROUP BY 1, 2),
+            c AS (SELECT l_returnflag, cents, w,
+                         sum(w) OVER (PARTITION BY l_returnflag ORDER BY cents) AS cum,
+                         sum(w) OVER (PARTITION BY l_returnflag) AS total
+                  FROM h)
+            SELECT l_returnflag, CAST(max(total) AS BIGINT) AS total_qty,
+                   CAST(min(cents) FILTER (WHERE 2 * cum >= total) AS BIGINT) AS wmedian_cents
+            FROM c GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "supplier_coverage": f"""
+            WITH pairs AS (SELECT DISTINCT l_suppkey, p_brand
+                           FROM lineitem JOIN part ON p_partkey = l_partkey
+                           WHERE l_shipdate >= TIMESTAMP '{COVERAGE_CUTOFF}'),
+            tot AS (SELECT count(DISTINCT p_brand) AS n FROM part),
+            c AS (SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n_brands
+                  FROM pairs GROUP BY l_suppkey)
+            SELECT CAST(l_suppkey AS BIGINT) AS s_suppkey, n_brands
+            FROM c, tot WHERE n_brands = tot.n
+            ORDER BY s_suppkey
+        """,
+        "user_day_streak": """
+            WITH d AS (SELECT DISTINCT user_id,
+                              CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day
+                       FROM events),
+            i AS (SELECT user_id, day,
+                         day - row_number() OVER (
+                           PARTITION BY user_id ORDER BY day) AS grp
+                  FROM d),
+            s AS (SELECT user_id, grp, count(*) AS len FROM i GROUP BY user_id, grp)
+            SELECT user_id, CAST(sum(len) AS BIGINT) AS n_days,
+                   CAST(max(len) AS BIGINT) AS longest_streak
+            FROM s GROUP BY user_id ORDER BY user_id
         """,
         "region_nation_rollup": """
             WITH j AS (SELECT r.r_name, n.n_name,

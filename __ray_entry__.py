@@ -60,6 +60,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "substring_search_nocase": Q.substring_search_nocase,  # case-variant trigram groups
         "wildcard_term_df": Q.wildcard_term_df,  # lexicon wildcard expansion, LIKE oracle
         "spell_suggest": Q.spell_suggest,  # did-you-mean over the lexicon, levenshtein oracle
+        "bm25_msm": Q.bm25_msm,  # minimum_should_match: >= k distinct query terms
         "bm25_fuzzy": Q.bm25_fuzzy,  # fuzzy search: per-token levenshtein expansion + BM25
         "redact_props": Q.redact_props,  # PII/number redaction, chained-replace oracle
         "props_k_by_type": Q.props_k_by_type,  # JSON field extraction via RE2

@@ -884,6 +884,8 @@ def bm25_sql(
     collapse: bool = False,
     fuzzy_dist: Optional[int] = None,
     fuzzy_max_exp: int = 50,
+    min_match: Optional[int] = None,
+    micro_rank: bool = False,
 ) -> str:
     """Pure-SQL BM25Okapi (k1=1.5 b=0.75 eps=0.25) over documents.text.
 
@@ -944,6 +946,13 @@ def bm25_sql(
     filt = f"AND lang = '{lang_filter}'" if lang_filter else ""
     for t in required or ():
         filt += f"\n  AND doc_id IN (SELECT doc_id FROM tf WHERE term = '{t}')"
+    if min_match is not None:
+        msm_terms = ", ".join(f"'{t}'" for t in sorted(set(tokenize(query))))
+        filt += (
+            "\n  AND doc_id IN (SELECT doc_id FROM tf"
+            f" WHERE term IN ({msm_terms})"
+            f" GROUP BY doc_id HAVING count(DISTINCT term) >= {min_match})"
+        )
     for t in excluded or ():
         filt += f"\n  AND doc_id NOT IN (SELECT doc_id FROM tf WHERE term = '{t}')"
     if phrase_adjacent:
@@ -1042,6 +1051,14 @@ ORDER BY score DESC, doc_id ASC LIMIT {limit}"""
        doc_id, score_micro
 FROM (SELECT doc_id, CAST(floor(score * 1000000 + 0.5) AS BIGINT) AS score_micro
       FROM kept {not_src})
+ORDER BY score_micro DESC, doc_id ASC LIMIT {limit}"""
+    elif micro_rank:
+        # micro-grain ranking (see more_like_this): near-ulp ties order
+        # by doc_id identically on both sides of the compare
+        final = f"""SELECT row_number() OVER (ORDER BY score_micro DESC, doc_id ASC) - 1 AS rank,
+       doc_id, score_micro
+FROM (SELECT doc_id, CAST(floor(score * 1000000 + 0.5) AS BIGINT) AS score_micro
+      FROM kept)
 ORDER BY score_micro DESC, doc_id ASC LIMIT {limit}"""
     else:
         off = f" OFFSET {offset}" if offset else ""
@@ -6141,6 +6158,31 @@ def lineitem_unpivot(sf_dir: str):
     )
 
 
+MSM_K = 5
+
+
+def bm25_msm(sf_dir: str, query: str = BM25_QUERY, limit: int = 20, k: int = MSM_K):
+    """minimum_should_match search: full-BM25 ranking restricted to docs
+    containing >= k distinct query terms (``QueryEngine.search_min_match``
+    — membership masks from the same decoded postings the scorer uses,
+    applied per shard before the local top-k; threshold max unmasked)."""
+    from .query import QueryEngine
+
+    idx = _documents_index(sf_dir)
+    engine = QueryEngine(idx, num_actors=2)
+    try:
+        hits = engine.search_min_match(query, k, limit=limit)
+    finally:
+        engine.close()
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(len(hits)), pa.int64()),
+            "doc_id": pa.array([h["doc_id"] for h in hits], pa.int64()),
+            "score_micro": pa.array(_micro([h["score"] for h in hits]), pa.int64()),
+        }
+    )
+
+
 FUZZY_QUERY = "joim strean"
 FUZZY_DIST = 1
 FUZZY_MAX_EXP = 50
@@ -7069,6 +7111,7 @@ def build_oracle_sql() -> Dict[str, str]:
             ORDER BY n_occurrences DESC, term ASC
         """,
         "bm25_topk": bm25_sql(BM25_QUERY, limit=20),
+        "bm25_msm": bm25_sql(BM25_QUERY, limit=20, min_match=MSM_K, micro_rank=True),
         "bm25_fuzzy": bm25_sql(
             FUZZY_QUERY, limit=20, fuzzy_dist=FUZZY_DIST, fuzzy_max_exp=FUZZY_MAX_EXP
         ),

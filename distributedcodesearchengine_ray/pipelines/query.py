@@ -678,6 +678,7 @@ class IndexShard:
         required: Optional[List[str]] = None,
         excluded: Optional[List[str]] = None,
         after: Optional[Tuple[float, int]] = None,
+        min_match: Optional[int] = None,
     ) -> Tuple[float, List[dict]]:
         """Return (local unfiltered max score, top-``limit`` candidate rows).
 
@@ -700,7 +701,7 @@ class IndexShard:
             return 0.0, []
         if (
             method == "wand" and not dense_all and not required
-            and not excluded and after is None
+            and not excluded and after is None and min_match is None
         ):
             local_max, top = self._wand_topk(query_tokens, idfs, limit, filters)
             if filters and top is not None:
@@ -735,6 +736,14 @@ class IndexShard:
         mask = self._filter_mask(filters, cand)
         if required or excluded:
             mask &= self._boolean_mask(required, excluded, cand)
+        if min_match is not None:
+            # minimum_should_match: keep docs containing >= k DISTINCT
+            # query terms — same F3 placement as the boolean operators
+            # (mask after scoring; the threshold max stays unmasked)
+            cnt = np.zeros(len(cand), dtype=np.int64)
+            for t in sorted(set(query_tokens)):
+                cnt += self._contains_mask(t)[cand]
+            mask &= cnt >= min_match
         if after is not None:
             s_a, d_a = after
             cs = scores[cand]
@@ -1436,6 +1445,57 @@ class QueryEngine:
             ]
             rows = [r for _, rs in ray.get(refs2) for r in rs]
         rows.sort(key=lambda r: (-r["score"], r["doc_id"]))
+        return [{"doc_id": r["doc_id"], "score": r["score"]} for r in rows[:limit]]
+
+    def search_min_match(
+        self,
+        query: str,
+        min_match: int,
+        limit: int = 20,
+        filters: Optional[Dict[str, str]] = None,
+    ) -> List[dict]:
+        """``minimum_should_match`` (Elasticsearch): rank with full BM25
+        but keep only docs containing at least ``min_match`` DISTINCT
+        query terms.  The membership mask applies per shard BEFORE the
+        local top-k (exactly like +term operators); the F4 threshold max
+        is over the unmasked scores, mirroring the reference's
+        filters-after-scoring semantics."""
+        import ray
+
+        toks = tokenize(query)
+        if not toks:
+            return []
+        import math
+
+        k = min(min_match, len(set(toks)))
+        q_idfs = self.lexicon.idfs(toks)
+        # rank at MICRO grain (like more_like_this): membership-masked
+        # result sets surface near-ulp score ties whose raw-float order
+        # differs between independent scorers; micro-rounded ordering +
+        # doc_id tie-break is stable on both sides.  Fetch a small
+        # overhang per shard so the micro-order cut can't straddle a
+        # raw-order shard cut.
+        fetch = limit + 16
+        refs = [
+            a.search.remote(toks, q_idfs, fetch, filters, False, "dense",
+                            None, None, None, k)
+            for a in self.actors
+        ]
+        parts = ray.get(refs)
+        global_max = max((m for m, _ in parts), default=0.0)
+        if global_max > 0:
+            min_score = global_max * 0.01
+            rows = [r for _, rs in parts for r in rs if r["score"] >= min_score]
+        else:
+            refs2 = [
+                a.search.remote(toks, q_idfs, fetch, filters, True, "dense",
+                                None, None, None, k)
+                for a in self.actors
+            ]
+            rows = [r for _, rs in ray.get(refs2) for r in rs]
+        rows.sort(
+            key=lambda r: (-math.floor(r["score"] * 1e6 + 0.5), r["doc_id"])
+        )
         return [{"doc_id": r["doc_id"], "score": r["score"]} for r in rows[:limit]]
 
     def search_batch(

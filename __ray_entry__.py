@@ -61,6 +61,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wildcard_term_df": Q.wildcard_term_df,  # lexicon wildcard expansion, LIKE oracle
         "spell_suggest": Q.spell_suggest,  # did-you-mean over the lexicon, levenshtein oracle
         "bm25_msm": Q.bm25_msm,  # minimum_should_match: >= k distinct query terms
+        "bm25_synonyms": Q.bm25_synonyms,  # query-time synonym expansion, additive scoring
         "bm25_fuzzy": Q.bm25_fuzzy,  # fuzzy search: per-token levenshtein expansion + BM25
         "redact_props": Q.redact_props,  # PII/number redaction, chained-replace oracle
         "props_k_by_type": Q.props_k_by_type,  # JSON field extraction via RE2
@@ -128,6 +129,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": Q.sessionize,
         "cohort_retention": Q.cohort_retention,  # weekly cohort-retention matrix, date_trunc oracle
         "user_last_event": Q.user_last_event,  # algebraic argmax (last-touch attribution), row_number oracle
+        "abc_analysis": Q.abc_analysis,  # Pareto/ABC classification, integer-exact cut
         "events_time_decay": Q.events_time_decay,  # exponential time-decay user scoring (trending shape)
         "value_mad_by_type": Q.value_mad_by_type,  # robust median/MAD via bounded-domain histograms
         "rolling_distinct_users": Q.rolling_distinct_users,  # 24h rolling exact distinct, per-user interval coverage

@@ -7001,6 +7001,99 @@ def weighted_median_price(sf_dir: str):
     )
 
 
+SYNONYMS = {
+    "merge": ["join", "combine"],
+    "stream": ["flow"],
+    "sort": ["order"],
+}
+SYN_QUERY = "merge stream"
+
+
+def _expand_synonyms(query: str) -> str:
+    from ..functions.tokenizer import tokenize
+
+    out: List[str] = []
+    for t in tokenize(query):
+        out.append(t)
+        out.extend(SYNONYMS.get(t, ()))
+    return " ".join(out)
+
+
+def bm25_synonyms(sf_dir: str, query: str = SYN_QUERY, limit: int = 20):
+    """Query-time synonym expansion (ES synonym_graph at query time): each
+    query token contributes its synonym set additively — expansion is a
+    broadcast-size static map applied driver-side, the expanded multiset
+    scores as ordinary BM25 (shard scorers untouched).  Oracle: the
+    BM25-in-SQL machinery over the identical expansion."""
+    from .query import QueryEngine
+
+    idx = _documents_index(sf_dir)
+    engine = QueryEngine(idx, num_actors=2)
+    try:
+        hits = engine.search(_expand_synonyms(query), limit=limit)
+    finally:
+        engine.close()
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(len(hits)), pa.int64()),
+            "doc_id": pa.array([h["doc_id"] for h in hits], pa.int64()),
+            "score_micro": pa.array(_micro([h["score"] for h in hits]), pa.int64()),
+        }
+    )
+
+
+def abc_analysis(sf_dir: str):
+    """Pareto / ABC classification: users ranked by lifetime event value;
+    A = the head covering 80% of total value, B = next 15%, C = the tail.
+    One user-keyed cents fold (map-side partials first); the cumulative
+    cut runs over per-user totals ordered (value desc, user asc), with
+    INTEGER cross-multiplied thresholds (10*cum <= 8*total, 20*cum <=
+    19*total) so the class boundaries are float-free on both sides.  At
+    driver scale the ordered cut is per-user rows; at 100 TB replace the
+    driver sort with the doc_deciles total-order machinery."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["user_id", "value"])
+
+    def partials(t: pa.Table) -> pa.Table:
+        g = (
+            pd.DataFrame(
+                {
+                    "user_id": t["user_id"].to_numpy(zero_copy_only=False),
+                    "v": _cents_col(t["value"]).to_numpy(zero_copy_only=False),
+                }
+            )
+            .groupby("user_id", as_index=False)["v"]
+            .sum()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Sum("v", alias_name="v"))
+        .to_pandas()
+        .sort_values(["v", "user_id"], ascending=[False, True], ignore_index=True)
+    )
+    v = out["v"].to_numpy(np.int64)
+    total = int(v.sum())
+    cum = v.cumsum()
+    cls = np.where(10 * cum <= 8 * total, "A", np.where(20 * cum <= 19 * total, "B", "C"))
+    g = (
+        pd.DataFrame({"cls": cls, "v": v})
+        .groupby("cls", as_index=False)
+        .agg(n_users=("v", "size"), value_c=("v", "sum"))
+        .sort_values("cls", ignore_index=True)
+    )
+    return pa.table(
+        {
+            "cls": pa.array(g["cls"], pa.string()),
+            "n_users": pa.array(g["n_users"].to_numpy(np.int64)),
+            "value_c": pa.array(g["value_c"].to_numpy(np.int64)),
+        }
+    )
+
+
 def _qtok(q: str) -> List[str]:
     from ..functions.tokenizer import tokenize
 
@@ -7112,6 +7205,22 @@ def build_oracle_sql() -> Dict[str, str]:
         """,
         "bm25_topk": bm25_sql(BM25_QUERY, limit=20),
         "bm25_msm": bm25_sql(BM25_QUERY, limit=20, min_match=MSM_K, micro_rank=True),
+        "bm25_synonyms": bm25_sql(_expand_synonyms(SYN_QUERY), limit=20),
+        "abc_analysis": """
+            WITH u AS (SELECT user_id,
+                              CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS v
+                       FROM events GROUP BY 1),
+            t AS (SELECT CAST(sum(v) AS BIGINT) AS total FROM u),
+            c AS (SELECT user_id, v,
+                         CAST(sum(v) OVER (ORDER BY v DESC, user_id ASC) AS BIGINT) AS cum
+                  FROM u)
+            SELECT CASE WHEN 10 * cum <= 8 * t.total THEN 'A'
+                        WHEN 20 * cum <= 19 * t.total THEN 'B'
+                        ELSE 'C' END AS cls,
+                   CAST(count(*) AS BIGINT) AS n_users,
+                   CAST(sum(v) AS BIGINT) AS value_c
+            FROM c, t GROUP BY 1 ORDER BY 1
+        """,
         "bm25_fuzzy": bm25_sql(
             FUZZY_QUERY, limit=20, fuzzy_dist=FUZZY_DIST, fuzzy_max_exp=FUZZY_MAX_EXP
         ),

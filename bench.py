@@ -186,6 +186,18 @@ def run_bench() -> dict:
         ray.shutdown()
         return out
 
+    # --- segment merge: combine the built index with itself — zero text
+    # reprocessing, cost ∝ side-B postings bytes + the lexicon exchange
+    from distributedcodesearchengine_ray.pipelines.build_index import merge_indexes
+
+    merge_out = f"/tmp/rcs_bench/merged-{num_cpus}-{n_files}-r{richness}"
+    shutil.rmtree(merge_out, ignore_errors=True)
+    t0 = time.time()
+    mm = merge_indexes(index_dir, index_dir, merge_out)
+    results["merge_sec"] = round(time.time() - t0, 3)
+    results["merge_docs"] = mm.n_docs
+    shutil.rmtree(merge_out, ignore_errors=True)
+
     # --- trigram fulltext index over the sf documents table: cold build,
     # then warm substring + regex queries (index probe + verify only)
     import glob as _glob
@@ -269,6 +281,19 @@ def run_bench() -> dict:
         ("value_percentiles", Q.value_percentiles),
         ("entropy_by_lang", Q.entropy_by_lang),
         ("urgent_lineitems_semi", Q.urgent_lineitems_semi),
+        # round-2 continuation additions
+        ("bm25_fuzzy", Q.bm25_fuzzy),
+        ("bm25_msm", Q.bm25_msm),
+        ("rolling_distinct_users", Q.rolling_distinct_users),
+        ("value_mad_by_type", Q.value_mad_by_type),
+        ("hourly_anomalies", Q.hourly_anomalies),
+        ("event_transitions", Q.event_transitions),
+        ("cdc_upsert", Q.cdc_upsert),
+        ("cdc_incremental_agg", Q.cdc_incremental_agg),
+        ("supplier_cnt_by_parttype", Q.supplier_cnt_by_parttype),
+        ("spend_rank_in_nation", Q.spend_rank_in_nation),
+        ("user_value_twap", Q.user_value_twap),
+        ("weighted_median_price", Q.weighted_median_price),
     ):
         t0 = time.time()
         res = fn(sf_dir)

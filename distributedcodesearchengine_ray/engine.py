@@ -190,6 +190,33 @@ class CodeSearchEngine:
             h["highlights"] = _highlights(h)
         return hits
 
+    def search_many(
+        self,
+        queries: List[str],
+        limit: int = 20,
+        language: Optional[str] = None,
+        entity_type: Optional[str] = None,
+        repo_filter: Optional[str] = None,
+        method: str = "dense",
+    ) -> List[List[dict]]:
+        """Bulk search (ES _msearch): one actor-pool fan-out scores every
+        query in a single round trip — ids + raw BM25 scores per query
+        (no metadata join; bulk callers join what they need)."""
+        filters: Dict[str, str] = {}
+        if language:
+            filters["language"] = language
+        if entity_type:
+            filters["entity_type"] = entity_type
+        if repo_filter:
+            filters["repo_name"] = repo_filter
+        batches = self._bm25().search_batch(
+            [(q, filters or None) for q in queries], limit=limit, method=method
+        )
+        return [
+            [{"doc_id": h["doc_id"], "score": h["score"]} for h in hits]
+            for hits in batches
+        ]
+
     def search_expanded(
         self,
         query: str,

@@ -43,7 +43,7 @@ API_INFO = {
     "name": "DistributedCodeSearchEngine Ray API",
     "version": __version__,
     "endpoints": [
-        "/health", "/api", "/stats", "/search", "/facets", "/similar",
+        "/health", "/api", "/stats", "/search", "/search/batch", "/facets", "/similar",
         "/suggest", "/index", "/index/sync", "/index/status",
     ],
 }
@@ -287,7 +287,7 @@ def make_handler(engine: CodeSearchEngine, jobs: Dict[str, dict], build_lock: th
                     jobs[j]["status"] = "purged"
                 self._send(200, {"success": True, "purged": len(queued)})
                 return
-            if url.path not in ("/search", "/index", "/index/sync"):
+            if url.path not in ("/search", "/search/batch", "/index", "/index/sync"):
                 self._send(404, {"error": "not found"})
                 return
             try:
@@ -298,6 +298,38 @@ def make_handler(engine: CodeSearchEngine, jobs: Dict[str, dict], build_lock: th
                 return
             if url.path == "/search":
                 self._search(body)
+                return
+            if url.path == "/search/batch":
+                qs = body.get("queries")
+                if not isinstance(qs, list) or not qs or len(qs) > 256:
+                    self._send(400, {"error": "queries must be a list of 1..256 strings"})
+                    return
+                try:
+                    limit = int(body.get("limit", 20))
+                except (TypeError, ValueError):
+                    self._send(400, {"error": f"invalid limit: {body.get('limit')!r}"})
+                    return
+                try:
+                    batches = engine.search_many(
+                        [str(q) for q in qs],
+                        limit=limit,
+                        language=body.get("language"),
+                        entity_type=body.get("entity_type"),
+                        repo_filter=body.get("repo"),
+                        method=body.get("method", "dense"),
+                    )
+                except Exception as e:
+                    self._send(500, {"error": str(e)})
+                    return
+                self._send(
+                    200,
+                    {
+                        "total": len(batches),
+                        "results": [
+                            {"query": q, "hits": hits} for q, hits in zip(qs, batches)
+                        ],
+                    },
+                )
                 return
             params = self._index_params(body)
             if params is None:

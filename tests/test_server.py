@@ -234,3 +234,37 @@ def test_similar_bad_doc_id_400(server):
     with pytest.raises(urllib.error.HTTPError) as e:
         _get(f"{server}/similar?doc_id=abc")
     assert e.value.code == 400
+
+
+def test_search_batch(server):
+    status, body = _post(
+        f"{server}/search/batch",
+        {"queries": ["parse json data", "send http request"], "limit": 5},
+    )
+    assert status == 200 and body["total"] == 2
+    assert [r["query"] for r in body["results"]] == ["parse json data", "send http request"]
+    for r in body["results"]:
+        assert r["hits"] and all(
+            set(h) == {"doc_id", "score"} for h in r["hits"]
+        ) and len(r["hits"]) <= 5
+    # single-query batch agrees with /search on ids
+    s2, single = _get(f"{server}/search?q=parse+json+data&limit=5")
+    assert s2 == 200
+    assert [h["doc_id"] for h in body["results"][0]["hits"]] == [
+        h["doc_id"] for h in single["results"]
+    ]
+
+
+def test_search_batch_validation(server):
+    import urllib.error
+
+    try:
+        _post(f"{server}/search/batch", {"queries": []})
+        assert False, "expected 400"
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+    try:
+        _post(f"{server}/search/batch", {"queries": ["x"], "limit": "nope"})
+        assert False, "expected 400"
+    except urllib.error.HTTPError as e:
+        assert e.code == 400

@@ -79,6 +79,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clone_pairs": Q.clone_pairs,  # winnowing clone join, rows-only (pytest brute-force gate)
         # text analysis
         "lang_id_profile": Q.lang_id_profile,
+        "lang_id_confusion": Q.lang_id_confusion,  # declared-vs-predicted language confusion matrix
+        "wau_mau": Q.wau_mau,  # WAU/MAU stickiness via week-grain rolling distinct
         "quality_by_lang": Q.quality_by_lang,
         "quality_filter": Q.quality_filter,
         "token_totals": Q.token_totals,

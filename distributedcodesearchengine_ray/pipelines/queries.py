@@ -7094,6 +7094,122 @@ def abc_analysis(sf_dir: str):
     )
 
 
+def lang_id_confusion(sf_dir: str):
+    """Data-quality confusion matrix: declared ``lang`` vs the n-gram
+    language-ID heuristic's prediction, counted per (lang, lang_pred)
+    cell — the drift monitor a labeling pipeline runs.  The heuristic is
+    the SAME marker-word argmax both sides use (`_lang_id_sql` generates
+    the SQL from the Python marker dict, so they cannot diverge)."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.text_stats import lang_id
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+
+    def cells(t: pa.Table) -> pa.Table:
+        pred = lang_id(t)["lang_pred"].to_pandas()
+        g = (
+            pd.DataFrame({"lang": t["lang"].to_pandas(), "lang_pred": pred})
+            .groupby(["lang", "lang_pred"], as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (
+        ds.map_batches(cells, batch_format="pyarrow")
+        .groupby(["lang", "lang_pred"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values(["lang", "lang_pred"], ignore_index=True)
+    )
+    return pa.table(
+        {
+            "lang": pa.array(out["lang"], pa.string()),
+            "lang_pred": pa.array(out["lang_pred"], pa.string()),
+            "n": pa.array(out["n"].to_numpy(np.int64)),
+        }
+    )
+
+
+WAU_WINDOW_WEEKS = 4
+
+
+def wau_mau(sf_dir: str):
+    """WAU / MAU stickiness: per observed week, exact weekly active users,
+    exact trailing-4-week active users (the rolling COUNT(DISTINCT) via
+    the same per-user interval-delta coverage as
+    ``rolling_distinct_users``, at week grain), and the stickiness ratio
+    in basis points from the same exact integers on both sides."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+    w = WAU_WINDOW_WEEKS
+
+    def pairs(t: pa.Table) -> pa.Table:
+        wk = (
+            t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+            // 604_800_000_000
+        )
+        df = pd.DataFrame(
+            {"user_id": t["user_id"].to_numpy(zero_copy_only=False), "wk": wk}
+        ).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    pair_ds = ds.map_batches(pairs, batch_format="pyarrow")
+
+    wau = (
+        pair_ds.groupby(["user_id", "wk"])
+        .aggregate(Count(alias_name="_"))
+        .groupby("wk")
+        .aggregate(Count(alias_name="wau"))
+        .to_pandas()
+        .sort_values("wk", ignore_index=True)
+    )
+
+    def deltas(df: pd.DataFrame) -> pd.DataFrame:
+        wks = np.unique(df["wk"].to_numpy(np.int64))
+        starts = np.flatnonzero(np.diff(wks, prepend=wks[0] - w) >= w)
+        ends = np.append(starts[1:], wks.size) - 1
+        s, e = wks[starts], wks[ends] + w
+        return pd.DataFrame(
+            {
+                "wk": np.concatenate([s, e]),
+                "d": np.concatenate(
+                    [np.ones(s.size, np.int64), -np.ones(e.size, np.int64)]
+                ),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        g = t.to_pandas().groupby("wk", as_index=False)["d"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    dd = (
+        pair_ds.groupby("user_id")
+        .map_groups(deltas, batch_format="pandas")
+        .map_batches(fold, batch_format="pyarrow", batch_size=16384)
+        .groupby("wk")
+        .aggregate(Sum("d", alias_name="d"))
+        .to_pandas()
+        .sort_values("wk", ignore_index=True)
+    )
+    obs = wau["wk"].to_numpy(np.int64)
+    bnd = dd["wk"].to_numpy(np.int64)
+    cum = dd["d"].to_numpy(np.int64).cumsum()
+    mau = cum[np.searchsorted(bnd, obs, side="right") - 1]
+    wa = wau["wau"].to_numpy(np.int64)
+    bps = np.floor(wa.astype(np.float64) / mau.astype(np.float64) * 10000.0 + 0.5).astype(np.int64)
+    return pa.table(
+        {
+            "week": pa.array(obs),
+            "wau": pa.array(wa),
+            "mau": pa.array(mau.astype(np.int64)),
+            "stickiness_bps": pa.array(bps),
+        }
+    )
+
+
 def _qtok(q: str) -> List[str]:
     from ..functions.tokenizer import tokenize
 
@@ -7206,6 +7322,30 @@ def build_oracle_sql() -> Dict[str, str]:
         "bm25_topk": bm25_sql(BM25_QUERY, limit=20),
         "bm25_msm": bm25_sql(BM25_QUERY, limit=20, min_match=MSM_K, micro_rank=True),
         "bm25_synonyms": bm25_sql(_expand_synonyms(SYN_QUERY), limit=20),
+        "lang_id_confusion": f"""
+            WITH pred AS ({_lang_id_sql().strip().rstrip()})
+            SELECT d.lang, p.lang_pred, CAST(count(*) AS BIGINT) AS n
+            FROM documents d JOIN pred p USING (doc_id)
+            GROUP BY d.lang, p.lang_pred
+            ORDER BY d.lang, p.lang_pred
+        """,
+        "wau_mau": f"""
+            WITH p AS (SELECT DISTINCT user_id,
+                              CAST(floor(epoch(ts) / 604800) AS BIGINT) AS wk
+                       FROM events),
+            wks AS (SELECT DISTINCT wk FROM p),
+            wau AS (SELECT wk, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+                    FROM p GROUP BY wk),
+            mau AS (SELECT w.wk, CAST(count(DISTINCT p.user_id) AS BIGINT) AS mau
+                    FROM wks w JOIN p
+                      ON p.wk BETWEEN w.wk - {WAU_WINDOW_WEEKS - 1} AND w.wk
+                    GROUP BY w.wk)
+            SELECT w.wk AS week, wau.wau, mau.mau,
+                   CAST(floor(CAST(wau.wau AS DOUBLE) / CAST(mau.mau AS DOUBLE)
+                              * 10000 + 0.5) AS BIGINT) AS stickiness_bps
+            FROM wks w JOIN wau USING (wk) JOIN mau ON mau.wk = w.wk
+            ORDER BY week
+        """,
         "abc_analysis": """
             WITH u AS (SELECT user_id,
                               CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS v

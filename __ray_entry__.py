@@ -60,6 +60,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "substring_search_nocase": Q.substring_search_nocase,  # case-variant trigram groups
         "wildcard_term_df": Q.wildcard_term_df,  # lexicon wildcard expansion, LIKE oracle
         "spell_suggest": Q.spell_suggest,  # did-you-mean over the lexicon, levenshtein oracle
+        "bm25_dismax": Q.bm25_dismax,  # disjunction-max multi-clause scoring (dis_max)
         "bm25_msm": Q.bm25_msm,  # minimum_should_match: >= k distinct query terms
         "bm25_synonyms": Q.bm25_synonyms,  # query-time synonym expansion, additive scoring
         "bm25_fuzzy": Q.bm25_fuzzy,  # fuzzy search: per-token levenshtein expansion + BM25
@@ -151,6 +152,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_running_value": Q.user_running_value,  # ordered window cumsum
         "user_moving_sum": Q.user_moving_sum,  # bounded-frame moving window (ROWS 3 PRECEDING)
         "user_event_gaps": Q.user_event_gaps,  # LAG inter-arrival gaps, integer seconds
+        "basket_pairs": Q.basket_pairs,  # market-basket top co-occurring part pairs
         "user_set_ops": Q.user_set_ops,  # UNION/INTERSECT/EXCEPT via membership bitmask
         "event_type_sample": Q.event_type_sample,  # per-group deterministic md5 sample
         "token_quantiles_by_lang": Q.token_quantiles_by_lang,  # grouped exact quantiles

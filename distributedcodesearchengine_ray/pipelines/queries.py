@@ -7210,6 +7210,173 @@ def wau_mau(sf_dir: str):
     )
 
 
+BASKET_TOP_N = 10
+
+
+def basket_pairs(sf_dir: str):
+    """Market-basket affinity: the top co-occurring part pairs across
+    orders ("bought together").  One orderkey-keyed exchange; inside each
+    order the deduped part set emits its C(k,2) pairs (k is the basket
+    size, naturally small — the quadratic term is bounded per ORDER, not
+    per corpus, unlike LSH mega-buckets); a map-side combine folds pair
+    counts before the (a,b)-keyed groupby; per-batch partial top-k +
+    driver fold finish.  Oracle: the classic self-join."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+
+    def perorder(df: pd.DataFrame) -> pd.DataFrame:
+        parts = np.unique(df["l_partkey"].to_numpy(np.int64))
+        k = parts.size
+        if k < 2:
+            return pd.DataFrame({"a": [], "b": [], "n": []}).astype(
+                {"a": np.int64, "b": np.int64, "n": np.int64}
+            )
+        ia, ib = np.triu_indices(k, 1)
+        return pd.DataFrame(
+            {"a": parts[ia], "b": parts[ib], "n": np.ones(ia.size, np.int64)}
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        g = t.to_pandas().groupby(["a", "b"], as_index=False)["n"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def partial_topk(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values(
+            ["n", "a", "b"], ascending=[False, True, True]
+        )
+        return pa.Table.from_pandas(df.head(BASKET_TOP_N), preserve_index=False)
+
+    out = (
+        ds.groupby("l_orderkey")
+        .map_groups(perorder, batch_format="pandas")
+        .map_batches(fold, batch_format="pyarrow", batch_size=16384)
+        .groupby(["a", "b"])
+        .aggregate(Sum("n", alias_name="n"))
+        .map_batches(partial_topk, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(["n", "a", "b"], ascending=[False, True, True], ignore_index=True)
+        .head(BASKET_TOP_N)
+    )
+    return pa.table(
+        {
+            "part_a": pa.array(out["a"].to_numpy(np.int64)),
+            "part_b": pa.array(out["b"].to_numpy(np.int64)),
+            "n": pa.array(out["n"].to_numpy(np.int64)),
+        }
+    )
+
+
+DISMAX_CLAUSES = ["merge sort", "data stream"]
+DISMAX_TIE = 0.3
+
+
+def bm25_dismax(sf_dir: str, clauses: Optional[List[str]] = None, limit: int = 20):
+    """Disjunction-max multi-clause search (ES dis_max): rank by the best
+    clause's BM25 score plus a tie-breaker share of the rest —
+    ``QueryEngine.search_dismax`` (per-clause dense scoring inside the
+    shard actors, one fan-out, F4 threshold over the combined score)."""
+    from .query import QueryEngine
+
+    idx = _documents_index(sf_dir)
+    engine = QueryEngine(idx, num_actors=2)
+    try:
+        hits = engine.search_dismax(
+            clauses or DISMAX_CLAUSES, limit=limit, tie=DISMAX_TIE
+        )
+    finally:
+        engine.close()
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(len(hits)), pa.int64()),
+            "doc_id": pa.array([h["doc_id"] for h in hits], pa.int64()),
+            "score_micro": pa.array(_micro([h["score"] for h in hits]), pa.int64()),
+        }
+    )
+
+
+def dismax_sql(clauses: List[str], tie: float = DISMAX_TIE, limit: int = 20) -> str:
+    """SQL twin of ``QueryEngine.search_dismax``: per-clause BM25 score
+    CTEs over the shared tf/idf/dl machinery, combined as
+    ``greatest + tie * (sum - greatest)``, micro-grain final ordering."""
+    from ..functions.tokenizer import tokenize
+
+    tok = _tok_sql("text")
+    q_ctes, s_ctes = [], []
+    for i, c in enumerate(clauses):
+        mult: Dict[str, int] = {}
+        for t in tokenize(c):
+            mult[t] = mult.get(t, 0) + 1
+        qvalues = ", ".join(f"('{t}', {m})" for t, m in sorted(mult.items()))
+        q_ctes.append(f"q{i}(term, mult) AS (VALUES {qvalues})")
+        s_ctes.append(
+            f"""s{i} AS (
+  SELECT tf.doc_id,
+         sum(q{i}.mult * idf.idf * tf.tf * 2.5 /
+             (tf.tf + 1.5 * (1 - 0.75 + 0.75 * dl.dl / (SELECT avgdl FROM stats)))) AS s
+  FROM tf
+  JOIN q{i} ON q{i}.term = tf.term
+  JOIN idf ON idf.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  GROUP BY tf.doc_id
+)"""
+        )
+    svars = [f"s{i}v" for i in range(len(clauses))]
+    coalesces = ", ".join(
+        f"coalesce(s{i}.s, 0) AS {v}" for i, v in enumerate(svars)
+    )
+    left_joins = "\n  ".join(
+        f"LEFT JOIN s{i} ON s{i}.doc_id = d.doc_id" for i in range(len(clauses))
+    )
+    gexpr = f"greatest({', '.join(svars)})"
+    sexpr = " + ".join(svars)
+    return f"""
+WITH src AS (SELECT * FROM documents),
+tok AS (
+  SELECT doc_id, {tok} AS toks FROM src
+),
+stats AS (SELECT count(*) AS n, avg(len(toks)) AS avgdl FROM tok),
+tf AS (
+  SELECT doc_id, t AS term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(toks) AS t FROM tok) GROUP BY doc_id, t
+),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+idf0 AS (
+  SELECT term, ln((SELECT n FROM stats) - df + 0.5) - ln(df + 0.5) AS idf_raw
+  FROM df
+),
+eps AS (SELECT 0.25 * avg(idf_raw) AS e FROM idf0),
+idf AS (
+  SELECT term,
+         CASE WHEN idf_raw < 0 THEN (SELECT e FROM eps) ELSE idf_raw END AS idf
+  FROM idf0
+),
+{", ".join(q_ctes)},
+dl AS (SELECT doc_id, len(toks) AS dl FROM tok),
+{", ".join(s_ctes)},
+scores_all AS (
+  SELECT d.doc_id, {coalesces}
+  FROM src d
+  {left_joins}
+),
+comb AS (
+  SELECT doc_id,
+         {gexpr} + {tie} * (({sexpr}) - {gexpr}) AS score
+  FROM scores_all
+),
+mx AS (SELECT max(score) AS m FROM comb),
+kept AS (
+  SELECT doc_id, score FROM comb
+  WHERE ((SELECT m FROM mx) <= 0 OR score >= 0.01 * (SELECT m FROM mx))
+)
+SELECT row_number() OVER (ORDER BY score_micro DESC, doc_id ASC) - 1 AS rank,
+       doc_id, score_micro
+FROM (SELECT doc_id, CAST(floor(score * 1000000 + 0.5) AS BIGINT) AS score_micro
+      FROM kept)
+ORDER BY score_micro DESC, doc_id ASC LIMIT {limit}
+"""
+
+
 def _qtok(q: str) -> List[str]:
     from ..functions.tokenizer import tokenize
 
@@ -7322,6 +7489,18 @@ def build_oracle_sql() -> Dict[str, str]:
         "bm25_topk": bm25_sql(BM25_QUERY, limit=20),
         "bm25_msm": bm25_sql(BM25_QUERY, limit=20, min_match=MSM_K, micro_rank=True),
         "bm25_synonyms": bm25_sql(_expand_synonyms(SYN_QUERY), limit=20),
+        "bm25_dismax": dismax_sql(DISMAX_CLAUSES, tie=DISMAX_TIE, limit=20),
+        "basket_pairs": f"""
+            WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+            pp AS (SELECT p1.l_partkey AS a, p2.l_partkey AS b,
+                          CAST(count(*) AS BIGINT) AS n
+                   FROM op p1 JOIN op p2
+                     ON p1.l_orderkey = p2.l_orderkey
+                    AND p1.l_partkey < p2.l_partkey
+                   GROUP BY 1, 2)
+            SELECT a AS part_a, b AS part_b, n FROM pp
+            ORDER BY n DESC, a, b LIMIT {BASKET_TOP_N}
+        """,
         "lang_id_confusion": f"""
             WITH pred AS ({_lang_id_sql().strip().rstrip()})
             SELECT d.lang, p.lang_pred, CAST(count(*) AS BIGINT) AS n

@@ -764,6 +764,56 @@ class IndexShard:
             )
         return local_max, rows
 
+    def search_dismax(
+        self,
+        clause_token_lists: List[List[str]],
+        idfs: Dict[str, float],
+        limit: int,
+        filters: Optional[Dict[str, str]] = None,
+        dense_all: bool = False,
+        tie: float = 0.3,
+    ) -> Tuple[float, List[dict]]:
+        """Disjunction-max scoring (ES dis_max): per doc, the best
+        clause's BM25 score plus ``tie`` times the rest —
+        ``max + tie * (sum - max)`` over the per-clause dense scores.
+        Same return contract as ``search`` (unfiltered local max + local
+        top rows) so the driver's F4 threshold/merge applies unchanged."""
+        if self.n_local == 0:
+            return 0.0, []
+        per = [self._dense_scores(toks, idfs) for toks in clause_token_lists]
+        stack = np.stack(per)
+        mx = stack.max(axis=0)
+        combined = mx + tie * (stack.sum(axis=0) - mx)
+        if self.alive is None:
+            local_max = float(combined.max()) if len(combined) else 0.0
+        else:
+            live = combined[self.alive]
+            local_max = float(live.max()) if len(live) else 0.0
+        if dense_all:
+            cand = (
+                np.arange(self.n_local)
+                if self.alive is None
+                else np.flatnonzero(self.alive)
+            )
+        else:
+            cand = np.flatnonzero(combined > 0)
+            neg = np.flatnonzero(combined < 0)
+            if len(neg):
+                cand = np.concatenate([cand, neg])
+            if self.alive is not None:
+                cand = cand[self.alive[cand]]
+        if len(cand) == 0:
+            return local_max, []
+        cand = cand[self._filter_mask(filters, cand)]
+        if len(cand) == 0:
+            return local_max, []
+        order = np.lexsort((self._doc_ids[cand], -combined[cand]))[:limit]
+        cand = cand[order]
+        return local_max, [
+            {"doc_id": int(self._doc_ids[i]), "score": float(combined[i]), "_local": int(i)}
+            for i in cand
+        ]
+
     def facet_counts(
         self,
         query_tokens: List[str],
@@ -1490,6 +1540,50 @@ class QueryEngine:
             refs2 = [
                 a.search.remote(toks, q_idfs, fetch, filters, True, "dense",
                                 None, None, None, k)
+                for a in self.actors
+            ]
+            rows = [r for _, rs in ray.get(refs2) for r in rs]
+        rows.sort(
+            key=lambda r: (-math.floor(r["score"] * 1e6 + 0.5), r["doc_id"])
+        )
+        return [{"doc_id": r["doc_id"], "score": r["score"]} for r in rows[:limit]]
+
+    def search_dismax(
+        self,
+        clauses: List[str],
+        limit: int = 20,
+        tie: float = 0.3,
+        filters: Optional[Dict[str, str]] = None,
+    ) -> List[dict]:
+        """Disjunction-max over sub-queries (ES dis_max): rank by the
+        best clause's BM25 score + ``tie`` x the remaining clauses.
+        Per-clause scoring runs inside the shard actors (one fan-out);
+        the F4 threshold applies to the combined score.  Micro-grain
+        global ordering (like more_like_this/min_match) keeps near-ulp
+        ties stable against the SQL oracle."""
+        import math
+
+        import ray
+
+        token_lists = [tokenize(c) for c in clauses]
+        token_lists = [t for t in token_lists if t]
+        if not token_lists:
+            return []
+        all_toks = sorted({t for toks in token_lists for t in toks})
+        q_idfs = self.lexicon.idfs(all_toks)
+        fetch = limit + 16
+        refs = [
+            a.search_dismax.remote(token_lists, q_idfs, fetch, filters, False, tie)
+            for a in self.actors
+        ]
+        parts = ray.get(refs)
+        global_max = max((m for m, _ in parts), default=0.0)
+        if global_max > 0:
+            min_score = global_max * 0.01
+            rows = [r for _, rs in parts for r in rs if r["score"] >= min_score]
+        else:
+            refs2 = [
+                a.search_dismax.remote(token_lists, q_idfs, fetch, filters, True, tie)
                 for a in self.actors
             ]
             rows = [r for _, rs in ray.get(refs2) for r in rs]

@@ -132,6 +132,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": Q.sessionize,
         "cohort_retention": Q.cohort_retention,  # weekly cohort-retention matrix, date_trunc oracle
         "user_last_event": Q.user_last_event,  # algebraic argmax (last-touch attribution), row_number oracle
+        "customer_rfm": Q.customer_rfm,  # RFM segmentation metrics, algebraic fold
         "abc_analysis": Q.abc_analysis,  # Pareto/ABC classification, integer-exact cut
         "events_time_decay": Q.events_time_decay,  # exponential time-decay user scoring (trending shape)
         "value_mad_by_type": Q.value_mad_by_type,  # robust median/MAD via bounded-domain histograms

@@ -7377,6 +7377,62 @@ ORDER BY score_micro DESC, doc_id ASC LIMIT {limit}
 """
 
 
+def customer_rfm(sf_dir: str):
+    """RFM (recency / frequency / monetary) customer metrics — the
+    segmentation basis of every CRM pipeline: per customer, days since
+    last order (vs the corpus max date), order count, and lifetime cents.
+    Fully algebraic: per-batch (max date, count, sum) partials per
+    custkey, one groupby fold, recency derived from two exact integer
+    day stamps."""
+    from ray.data.aggregate import Max, Sum
+
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def partials(t: pa.Table) -> pa.Table:
+        days = (
+            t["o_orderdate"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+            // 86_400_000_000
+        )
+        g = (
+            pd.DataFrame(
+                {
+                    "c_custkey": t["o_custkey"].to_numpy(zero_copy_only=False),
+                    "last_day": days,
+                    "frequency": np.ones(len(days), np.int64),
+                    "monetary_c": _cents_col(t["o_totalprice"]).to_numpy(zero_copy_only=False),
+                }
+            )
+            .groupby("c_custkey", as_index=False)
+            .agg(
+                last_day=("last_day", "max"),
+                frequency=("frequency", "sum"),
+                monetary_c=("monetary_c", "sum"),
+            )
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("c_custkey")
+        .aggregate(
+            Max("last_day", alias_name="last_day"),
+            Sum("frequency", alias_name="frequency"),
+            Sum("monetary_c", alias_name="monetary_c"),
+        )
+        .to_pandas()
+        .sort_values("c_custkey", ignore_index=True)
+    )
+    anchor = int(out["last_day"].max())
+    return pa.table(
+        {
+            "c_custkey": pa.array(out["c_custkey"].to_numpy(np.int64)),
+            "recency_days": pa.array(anchor - out["last_day"].to_numpy(np.int64)),
+            "frequency": pa.array(out["frequency"].to_numpy(np.int64)),
+            "monetary_c": pa.array(out["monetary_c"].to_numpy(np.int64)),
+        }
+    )
+
+
 def _qtok(q: str) -> List[str]:
     from ..functions.tokenizer import tokenize
 
@@ -7524,6 +7580,18 @@ def build_oracle_sql() -> Dict[str, str]:
                               * 10000 + 0.5) AS BIGINT) AS stickiness_bps
             FROM wks w JOIN wau USING (wk) JOIN mau ON mau.wk = w.wk
             ORDER BY week
+        """,
+        "customer_rfm": """
+            WITH m AS (SELECT o_custkey AS c_custkey,
+                              CAST(max(floor(epoch(o_orderdate) / 86400)) AS BIGINT) AS last_day,
+                              CAST(count(*) AS BIGINT) AS frequency,
+                              CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+                                AS monetary_c
+                       FROM orders GROUP BY 1),
+            a AS (SELECT max(last_day) AS anchor FROM m)
+            SELECT c_custkey, CAST(a.anchor - last_day AS BIGINT) AS recency_days,
+                   frequency, monetary_c
+            FROM m, a ORDER BY c_custkey
         """,
         "abc_analysis": """
             WITH u AS (SELECT user_id,

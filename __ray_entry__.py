@@ -191,6 +191,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_cnt_by_parttype": Q.supplier_cnt_by_parttype,  # Q16 shape: grouped distinct-supplier counts
         "idle_customers": Q.idle_customers,  # Q22 shape: scalar threshold + distributed anti-join
         "spend_rank_in_nation": Q.spend_rank_in_nation,  # aggregation-then-DENSE_RANK window top-3
+        "q7_volume_shipping": Q.q7_volume_shipping,  # Q7 shape: bilateral two-nation trade by ship year
+        "q8_market_share": Q.q8_market_share,  # Q8 shape: national share of a region/part-type market, integer bps
+        "q10_returned_items": Q.q10_returned_items,  # Q10 shape: top customers by returned-item revenue
+        "q14_promo_revenue": Q.q14_promo_revenue,  # Q14 shape: promo revenue share, two-counter fold
     }
 
 

@@ -7433,6 +7433,513 @@ def customer_rfm(sf_dir: str):
     )
 
 
+def _attach_int_lookup(ds, side, sf_dir: str, side_table: str, key: str,
+                       *size_tables: str):
+    """Attach a dimension table's value columns to ``ds`` by integer key.
+
+    ``side`` is a Dataset of (``key``, value-columns) with the key already
+    RENAMED to match ``ds``'s column.  When the dimension parquet is
+    < 64 MiB on disk the whole side is collected once, shipped via
+    ``ray.put`` and applied inside ``map_batches`` as a vectorized
+    ``np.searchsorted`` lookup — a broadcast join with NO shuffle (the
+    q5 supplier rationale: dimensions are orders of magnitude smaller
+    than the fact table).  Above that size it falls back to a
+    distributed hash join sized by ``_join_parts`` over ``size_tables``.
+    Rows with no match are dropped (inner-join semantics) in both paths.
+    """
+    small = os.path.getsize(os.path.join(sf_dir, f"{side_table}.parquet")) < (64 << 20)
+    if not small:
+        return ds.join(
+            _with_join_sentinels(side, key),
+            join_type="inner",
+            num_partitions=_join_parts(sf_dir, side_table, *size_tables),
+            on=(key,),
+        )
+    import ray as _ray
+
+    sp = side.to_pandas()
+    order = np.argsort(sp[key].to_numpy(np.int64), kind="mergesort")
+    skeys = sp[key].to_numpy(np.int64)[order]
+    vals = {
+        c: sp[c].to_numpy()[order] for c in sp.columns if c != key
+    }
+    ref = _ray.put((skeys, vals))
+
+    class Attach:
+        def __init__(self):
+            self.skeys, self.vals = _ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            keys = t[key].to_numpy(zero_copy_only=False).astype(np.int64)
+            idx = np.searchsorted(self.skeys, keys)
+            idx_c = np.clip(idx, 0, len(self.skeys) - 1)
+            hit = (len(self.skeys) > 0) & (self.skeys[idx_c] == keys)
+            cols = {c: t[c] for c in t.column_names}
+            for c, v in self.vals.items():
+                cols[c] = pa.array(v[idx_c])
+            return pa.table(cols).filter(pa.array(hit))
+
+    return ds.map_batches(Attach, batch_format="pyarrow", concurrency=2)
+
+
+def _share_bps(num: np.ndarray, den: np.ndarray) -> np.ndarray:
+    """Integer-exact basis points: ``(num*10000 + den//2) // den`` —
+    bit-identical to the DuckDB ``//`` expression on the oracle side,
+    immune to float division."""
+    num = num.astype(np.int64)
+    den = den.astype(np.int64)
+    out = np.zeros(len(num), dtype=np.int64)
+    nz = den > 0
+    out[nz] = (num[nz] * 10000 + den[nz] // 2) // den[nz]
+    return out
+
+
+Q7_NATION_A = "NATION_3"
+Q7_NATION_B = "NATION_7"
+Q7_FROM = "1996-01-01"
+Q7_TO = "1998-01-01"
+
+
+def q7_volume_shipping(sf_dir: str):
+    """TPC-H Q7 shape — bilateral trade volume: revenue shipped between
+    two nations (supplier in one, customer in the other, both
+    directions) per ship year.
+
+    Distributed plan: the supplier side attaches via the
+    broadcast-or-join helper (dimension ~1/6000 of lineitem rows and
+    pre-filtered to the two nations); customer is sf-proportional so it
+    hash-joins orders DISTRIBUTED; one orderkey-keyed fact join, then a
+    vectorized cross-pair mask and a 3-key groupby over per-batch cent
+    partials.  Output is <= 2 x n_years rows on the driver."""
+    from ray.data.aggregate import Sum
+
+    nat = _read(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
+    names = dict(zip(nat["n_nationkey"].astype(int), nat["n_name"]))
+    pair = [int(k) for k, v in names.items() if v in (Q7_NATION_A, Q7_NATION_B)]
+    lo, hi = pd.Timestamp(Q7_FROM), pd.Timestamp(Q7_TO)
+
+    def proj_line(t: pa.Table) -> pa.Table:
+        m = pcc.and_(
+            pcc.greater_equal(t["l_shipdate"], pa.scalar(lo)),
+            pcc.less(t["l_shipdate"], pa.scalar(hi)),
+        )
+        t = t.filter(m)
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "l_suppkey": t["l_suppkey"],
+                "year": pcc.cast(pcc.year(t["l_shipdate"]), pa.int64()),
+                "revenue_c": _cents_col(
+                    pcc.multiply(
+                        t["l_extendedprice"],
+                        pcc.subtract(pa.scalar(1.0), t["l_discount"]),
+                    )
+                ),
+            }
+        )
+
+    line = _read(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount",
+                 "l_shipdate"],
+    ).map_batches(proj_line, batch_format="pyarrow")
+    supp = _read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]).map_batches(
+        lambda t: pa.table(
+            {"l_suppkey": t["s_suppkey"], "s_nationkey": t["s_nationkey"]}
+        ).filter(
+            pa.array(np.isin(t["s_nationkey"].to_numpy(zero_copy_only=False), pair))
+        ),
+        batch_format="pyarrow",
+    )
+    ls = _attach_int_lookup(line, supp, sf_dir, "supplier", "l_suppkey", "lineitem")
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).map_batches(
+        lambda t: pa.table(
+            {"o_custkey": t["c_custkey"], "c_nationkey": t["c_nationkey"]}
+        ).filter(
+            pa.array(np.isin(t["c_nationkey"].to_numpy(zero_copy_only=False), pair))
+        ),
+        batch_format="pyarrow",
+    )
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    oc = orders.join(
+        _with_join_sentinels(cust, "o_custkey"),
+        join_type="inner",
+        num_partitions=_join_parts(sf_dir, "orders", "customer"),
+        on=("o_custkey",),
+    ).select_columns(["o_orderkey", "c_nationkey"])
+
+    j = ls.map_batches(
+        lambda t: pa.table(
+            {"o_orderkey": t["l_orderkey"], "s_nationkey": t["s_nationkey"],
+             "year": t["year"], "revenue_c": t["revenue_c"]}
+        ),
+        batch_format="pyarrow",
+    ).join(
+        _with_join_sentinels(oc, "o_orderkey"),
+        join_type="inner",
+        num_partitions=_join_parts(sf_dir, "lineitem", "orders"),
+        on=("o_orderkey",),
+    )
+
+    def cross_pair(t: pa.Table) -> pa.Table:
+        m = pcc.not_equal(t["s_nationkey"], t["c_nationkey"])
+        t = t.filter(m)
+        return pa.table(
+            {"s_nationkey": t["s_nationkey"], "c_nationkey": t["c_nationkey"],
+             "year": t["year"], "revenue_c": t["revenue_c"]}
+        )
+
+    out = (
+        j.map_batches(cross_pair, batch_format="pyarrow")
+        .groupby(["s_nationkey", "c_nationkey", "year"])
+        .aggregate(Sum("revenue_c", alias_name="revenue_c"))
+        .to_pandas()
+    )
+    if len(out) == 0:
+        return pa.table(
+            {"supp_nation": pa.array([], pa.string()),
+             "cust_nation": pa.array([], pa.string()),
+             "year": pa.array([], pa.int64()),
+             "revenue_c": pa.array([], pa.int64())}
+        )
+    out["supp_nation"] = [names[int(k)] for k in out["s_nationkey"]]
+    out["cust_nation"] = [names[int(k)] for k in out["c_nationkey"]]
+    out = out.sort_values(["supp_nation", "cust_nation", "year"], ignore_index=True)
+    return pa.table(
+        {
+            "supp_nation": pa.array(out["supp_nation"], pa.string()),
+            "cust_nation": pa.array(out["cust_nation"], pa.string()),
+            "year": pa.array(out["year"].to_numpy(np.int64)),
+            "revenue_c": pa.array(out["revenue_c"].to_numpy(np.int64)),
+        }
+    )
+
+
+Q8_REGION = "EUROPE"
+Q8_TYPE_PREFIX = "PROMO"
+Q8_NATION = "NATION_5"
+Q8_FROM = "1996-01-01"
+Q8_TO = "1998-01-01"
+
+
+def q8_market_share(sf_dir: str):
+    """TPC-H Q8 shape — national market share: the fraction of revenue
+    (basis points, integer-exact) supplied by one nation within the
+    market "region-R customers buying prefix-T parts", per order year.
+
+    Distributed plan: part membership and supplier nation attach via the
+    broadcast-or-join helper; region->customer membership hash-joins
+    orders distributed; one orderkey fact join; numerator/denominator
+    fold as per-batch cent partials -> one tiny year-keyed groupby."""
+    from ray.data.aggregate import Sum
+
+    nat = _read(sf_dir, "nation",
+                columns=["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
+    reg = _read(sf_dir, "region").to_pandas()
+    rkeys = set(reg[reg["r_name"] == Q8_REGION]["r_regionkey"].astype(int))
+    region_nk = nat[nat["n_regionkey"].isin(rkeys)]["n_nationkey"].astype(int).to_numpy()
+    target_nk = int(nat[nat["n_name"] == Q8_NATION]["n_nationkey"].iloc[0])
+    lo, hi = pd.Timestamp(Q8_FROM), pd.Timestamp(Q8_TO)
+
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_type"]).map_batches(
+        lambda t: pa.table(
+            {"l_partkey": t["p_partkey"],
+             "p_one": pa.array(np.ones(len(t), dtype=np.int64))}
+        ).filter(pcc.starts_with(t["p_type"], Q8_TYPE_PREFIX)),
+        batch_format="pyarrow",
+    )
+    line = _read(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice",
+                 "l_discount"],
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "l_partkey": t["l_partkey"],
+                "l_suppkey": t["l_suppkey"],
+                "revenue_c": _cents_col(
+                    pcc.multiply(
+                        t["l_extendedprice"],
+                        pcc.subtract(pa.scalar(1.0), t["l_discount"]),
+                    )
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    lp = _attach_int_lookup(line, part, sf_dir, "part", "l_partkey", "lineitem")
+    supp = _read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]).map_batches(
+        lambda t: pa.table(
+            {"l_suppkey": t["s_suppkey"], "s_nationkey": t["s_nationkey"]}
+        ),
+        batch_format="pyarrow",
+    )
+    lps = _attach_int_lookup(lp, supp, sf_dir, "supplier", "l_suppkey", "lineitem")
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).map_batches(
+        lambda t: pa.table(
+            {"o_custkey": t["c_custkey"],
+             "c_one": pa.array(np.ones(len(t), dtype=np.int64))}
+        ).filter(
+            pa.array(np.isin(t["c_nationkey"].to_numpy(zero_copy_only=False),
+                             region_nk))
+        ),
+        batch_format="pyarrow",
+    )
+    orders = _read(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(
+        lambda t: pa.table(
+            {"o_orderkey": t["o_orderkey"], "o_custkey": t["o_custkey"],
+             "year": pcc.cast(pcc.year(t["o_orderdate"]), pa.int64())}
+        ).filter(
+            pcc.and_(
+                pcc.greater_equal(t["o_orderdate"], pa.scalar(lo)),
+                pcc.less(t["o_orderdate"], pa.scalar(hi)),
+            )
+        ),
+        batch_format="pyarrow",
+    )
+    oc = orders.join(
+        _with_join_sentinels(cust, "o_custkey"),
+        join_type="inner",
+        num_partitions=_join_parts(sf_dir, "orders", "customer"),
+        on=("o_custkey",),
+    ).select_columns(["o_orderkey", "year"])
+
+    j = lps.map_batches(
+        lambda t: pa.table(
+            {"o_orderkey": t["l_orderkey"], "s_nationkey": t["s_nationkey"],
+             "revenue_c": t["revenue_c"]}
+        ),
+        batch_format="pyarrow",
+    ).join(
+        _with_join_sentinels(oc, "o_orderkey"),
+        join_type="inner",
+        num_partitions=_join_parts(sf_dir, "lineitem", "orders"),
+        on=("o_orderkey",),
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        rev = t["revenue_c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        is_t = (
+            t["s_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+            == target_nk
+        )
+        df = pd.DataFrame(
+            {"year": t["year"].to_numpy(zero_copy_only=False).astype(np.int64),
+             "nation_rev_c": np.where(is_t, rev, 0), "total_rev_c": rev}
+        )
+        g = df.groupby("year", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (
+        j.map_batches(partial, batch_format="pyarrow")
+        .groupby("year")
+        .aggregate(Sum("nation_rev_c", alias_name="nation_rev_c"),
+                   Sum("total_rev_c", alias_name="total_rev_c"))
+        .to_pandas()
+        .sort_values("year", ignore_index=True)
+    )
+    num = out["nation_rev_c"].to_numpy(np.int64) if len(out) else np.array([], np.int64)
+    den = out["total_rev_c"].to_numpy(np.int64) if len(out) else np.array([], np.int64)
+    return pa.table(
+        {
+            "year": pa.array(out["year"].to_numpy(np.int64) if len(out) else [],
+                             pa.int64()),
+            "nation_rev_c": pa.array(num),
+            "total_rev_c": pa.array(den),
+            "share_bps": pa.array(_share_bps(num, den)),
+        }
+    )
+
+
+Q10_FROM = "1996-04-01"
+Q10_TO = "1996-07-01"
+Q10_TOP_N = 20
+
+
+def q10_returned_items(sf_dir: str):
+    """TPC-H Q10 shape — top customers by revenue lost to returns:
+    returnflag='R' lineitems of one order quarter, revenue per customer,
+    top 20, enriched with name/nation/balance.
+
+    Distributed plan: both fact filters prune at the batch level,
+    lineitem joins orders on orderkey DISTRIBUTED, revenue folds by
+    custkey, then per-block top-k -> driver heap merge (never the full
+    customer table on the driver); the <=20 winners enrich via a
+    row-group-pruned point read of customer."""
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Sum
+
+    lo, hi = pd.Timestamp(Q10_FROM), pd.Timestamp(Q10_TO)
+    line = _read(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"],
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "o_orderkey": t["l_orderkey"],
+                "revenue_c": _cents_col(
+                    pcc.multiply(
+                        t["l_extendedprice"],
+                        pcc.subtract(pa.scalar(1.0), t["l_discount"]),
+                    )
+                ),
+            }
+        ).filter(pcc.equal(t["l_returnflag"], "R")),
+        batch_format="pyarrow",
+    )
+    orders = _read(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(
+        lambda t: pa.table(
+            {"o_orderkey": t["o_orderkey"], "o_custkey": t["o_custkey"]}
+        ).filter(
+            pcc.and_(
+                pcc.greater_equal(t["o_orderdate"], pa.scalar(lo)),
+                pcc.less(t["o_orderdate"], pa.scalar(hi)),
+            )
+        ),
+        batch_format="pyarrow",
+    )
+    j = line.join(
+        _with_join_sentinels(orders, "o_orderkey"),
+        join_type="inner",
+        num_partitions=_join_parts(sf_dir, "lineitem", "orders"),
+        on=("o_orderkey",),
+    )
+
+    def block_topk(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {"c_custkey": t["o_custkey"].to_numpy(zero_copy_only=False),
+             "revenue_c": t["revenue_c"].to_numpy(zero_copy_only=False)}
+        ).sort_values(["revenue_c", "c_custkey"], ascending=[False, True],
+                      kind="mergesort").head(Q10_TOP_N)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    agg = (
+        j.groupby("o_custkey")
+        .aggregate(Sum("revenue_c", alias_name="revenue_c"))
+        .map_batches(block_topk, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(["revenue_c", "c_custkey"], ascending=[False, True],
+                     kind="mergesort")
+        .head(Q10_TOP_N)
+        .reset_index(drop=True)
+    )
+    if len(agg) == 0:
+        return pa.table(
+            {"c_custkey": pa.array([], pa.int64()),
+             "c_name": pa.array([], pa.string()),
+             "n_name": pa.array([], pa.string()),
+             "acctbal_c": pa.array([], pa.int64()),
+             "revenue_c": pa.array([], pa.int64())}
+        )
+    keys = [int(k) for k in agg["c_custkey"]]
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_name", "c_nationkey", "c_acctbal"],
+        filters=[("c_custkey", "in", keys)],
+    ).to_pandas().set_index("c_custkey")
+    nat = _read(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
+    names = dict(zip(nat["n_nationkey"].astype(int), nat["n_name"]))
+    cmeta = cust.loc[agg["c_custkey"]]
+    return pa.table(
+        {
+            "c_custkey": pa.array(agg["c_custkey"].to_numpy(np.int64)),
+            "c_name": pa.array(cmeta["c_name"].tolist(), pa.string()),
+            "n_name": pa.array(
+                [names[int(k)] for k in cmeta["c_nationkey"]], pa.string()
+            ),
+            "acctbal_c": pa.array(
+                _micro(cmeta["c_acctbal"].to_numpy(np.float64), 100.0)
+            ),
+            "revenue_c": pa.array(agg["revenue_c"].to_numpy(np.int64)),
+        }
+    )
+
+
+Q14_FROM = "1996-09-01"
+Q14_TO = "1996-10-01"
+Q14_TYPE_PREFIX = "PROMO"
+
+
+def q14_promo_revenue(sf_dir: str):
+    """TPC-H Q14 shape — promotion revenue share: of one ship month's
+    revenue, the integer-exact basis-point fraction from PROMO-prefix
+    parts.  Lineitem prunes to the month per batch, the part-type flag
+    attaches via the broadcast-or-join helper, and the whole answer is
+    a two-counter fold (per-batch partials -> one-row groupby)."""
+    from ray.data.aggregate import Sum
+
+    lo, hi = pd.Timestamp(Q14_FROM), pd.Timestamp(Q14_TO)
+    line = _read(
+        sf_dir, "lineitem",
+        columns=["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "l_partkey": t["l_partkey"],
+                "revenue_c": _cents_col(
+                    pcc.multiply(
+                        t["l_extendedprice"],
+                        pcc.subtract(pa.scalar(1.0), t["l_discount"]),
+                    )
+                ),
+            }
+        ).filter(
+            pcc.and_(
+                pcc.greater_equal(t["l_shipdate"], pa.scalar(lo)),
+                pcc.less(t["l_shipdate"], pa.scalar(hi)),
+            )
+        ),
+        batch_format="pyarrow",
+    )
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_type"]).map_batches(
+        lambda t: pa.table(
+            {
+                "l_partkey": t["p_partkey"],
+                "is_promo": pcc.cast(
+                    pcc.starts_with(t["p_type"], Q14_TYPE_PREFIX), pa.int64()
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    lp = _attach_int_lookup(line, part, sf_dir, "part", "l_partkey", "lineitem")
+
+    def partial(t: pa.Table) -> pa.Table:
+        rev = t["revenue_c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        promo = t["is_promo"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "k": pa.array([0], pa.int64()),
+                "promo_rev_c": pa.array([int((rev * promo).sum())], pa.int64()),
+                "total_rev_c": pa.array([int(rev.sum())], pa.int64()),
+            }
+        )
+
+    out = (
+        lp.map_batches(partial, batch_format="pyarrow")
+        .groupby("k")
+        .aggregate(Sum("promo_rev_c", alias_name="promo_rev_c"),
+                   Sum("total_rev_c", alias_name="total_rev_c"))
+        .to_pandas()
+    )
+    num = out["promo_rev_c"].to_numpy(np.int64)
+    den = out["total_rev_c"].to_numpy(np.int64)
+    return pa.table(
+        {
+            "promo_rev_c": pa.array(num),
+            "total_rev_c": pa.array(den),
+            "promo_share_bps": pa.array(_share_bps(num, den)),
+        }
+    )
+
+
 def _qtok(q: str) -> List[str]:
     from ..functions.tokenizer import tokenize
 
@@ -9218,5 +9725,82 @@ def build_oracle_sql() -> Dict[str, str]:
                                - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
                      * 1000000 + 0.5) AS BIGINT) AS r_micro
             FROM s ORDER BY event_type
+        """,
+        "q7_volume_shipping": f"""
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   CAST(year(l_shipdate) AS BIGINT) AS year,
+                   CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                            AS BIGINT)) AS BIGINT) AS revenue_c
+            FROM lineitem
+            JOIN orders   ON o_orderkey = l_orderkey
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN customer ON c_custkey = o_custkey
+            JOIN nation n1 ON n1.n_nationkey = s_nationkey
+            JOIN nation n2 ON n2.n_nationkey = c_nationkey
+            WHERE ((n1.n_name = '{Q7_NATION_A}' AND n2.n_name = '{Q7_NATION_B}')
+                OR (n1.n_name = '{Q7_NATION_B}' AND n2.n_name = '{Q7_NATION_A}'))
+              AND l_shipdate >= TIMESTAMP '{Q7_FROM}'
+              AND l_shipdate <  TIMESTAMP '{Q7_TO}'
+            GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+        """,
+        "q8_market_share": f"""
+            WITH m AS (
+              SELECT CAST(year(o_orderdate) AS BIGINT) AS year,
+                     CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                          AS BIGINT) AS rev_c,
+                     ns.n_name AS supp_nation
+              FROM lineitem
+              JOIN part     ON p_partkey = l_partkey
+              JOIN orders   ON o_orderkey = l_orderkey
+              JOIN customer ON c_custkey = o_custkey
+              JOIN nation nc ON nc.n_nationkey = c_nationkey
+              JOIN region   ON r_regionkey = nc.n_regionkey
+              JOIN supplier ON s_suppkey = l_suppkey
+              JOIN nation ns ON ns.n_nationkey = s_nationkey
+              WHERE r_name = '{Q8_REGION}'
+                AND p_type LIKE '{Q8_TYPE_PREFIX}%'
+                AND o_orderdate >= TIMESTAMP '{Q8_FROM}'
+                AND o_orderdate <  TIMESTAMP '{Q8_TO}'),
+            a AS (
+              SELECT year,
+                     CAST(sum(CASE WHEN supp_nation = '{Q8_NATION}'
+                                   THEN rev_c ELSE 0 END) AS BIGINT) AS nation_rev_c,
+                     CAST(sum(rev_c) AS BIGINT) AS total_rev_c
+              FROM m GROUP BY year)
+            SELECT year, nation_rev_c, total_rev_c,
+                   CAST((nation_rev_c * 10000 + total_rev_c // 2) // total_rev_c
+                        AS BIGINT) AS share_bps
+            FROM a ORDER BY year
+        """,
+        "q10_returned_items": f"""
+            SELECT c.c_custkey, c.c_name, n.n_name,
+                   CAST(floor(c.c_acctbal * 100 + 0.5) AS BIGINT) AS acctbal_c,
+                   CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                            AS BIGINT)) AS BIGINT) AS revenue_c
+            FROM lineitem
+            JOIN orders     ON o_orderkey = l_orderkey
+            JOIN customer c ON c.c_custkey = o_custkey
+            JOIN nation n   ON n.n_nationkey = c.c_nationkey
+            WHERE l_returnflag = 'R'
+              AND o_orderdate >= TIMESTAMP '{Q10_FROM}'
+              AND o_orderdate <  TIMESTAMP '{Q10_TO}'
+            GROUP BY 1, 2, 3, c.c_acctbal
+            ORDER BY revenue_c DESC, c.c_custkey ASC LIMIT {Q10_TOP_N}
+        """,
+        "q14_promo_revenue": f"""
+            WITH m AS (
+              SELECT CASE WHEN p_type LIKE '{Q14_TYPE_PREFIX}%'
+                          THEN CAST(floor(l_extendedprice * (1 - l_discount) * 100
+                                          + 0.5) AS BIGINT) ELSE 0 END AS promo_c,
+                     CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                          AS BIGINT) AS rev_c
+              FROM lineitem JOIN part ON p_partkey = l_partkey
+              WHERE l_shipdate >= TIMESTAMP '{Q14_FROM}'
+                AND l_shipdate <  TIMESTAMP '{Q14_TO}')
+            SELECT CAST(sum(promo_c) AS BIGINT) AS promo_rev_c,
+                   CAST(sum(rev_c) AS BIGINT) AS total_rev_c,
+                   CAST((sum(promo_c) * 10000 + sum(rev_c) // 2) // sum(rev_c)
+                        AS BIGINT) AS promo_share_bps
+            FROM m
         """,
     }

@@ -195,6 +195,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q8_market_share": Q.q8_market_share,  # Q8 shape: national share of a region/part-type market, integer bps
         "q10_returned_items": Q.q10_returned_items,  # Q10 shape: top customers by returned-item revenue
         "q14_promo_revenue": Q.q14_promo_revenue,  # Q14 shape: promo revenue share, two-counter fold
+        "extended_stats_by_type": Q.extended_stats_by_type,  # ES extended_stats: skew/kurtosis via exact hi/lo moments
+        "value_boxplot_by_type": Q.value_boxplot_by_type,  # boxplot agg: exact quartiles + Tukey-fence outliers
+        "value_ttest": Q.value_ttest,  # Welch two-sample t-test, exact moment partials
+        "value_autocorr": Q.value_autocorr,  # lag-1 autocorrelation of the hourly revenue series
     }
 
 

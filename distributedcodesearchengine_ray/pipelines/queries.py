@@ -7940,6 +7940,306 @@ def q14_promo_revenue(sf_dir: str):
     )
 
 
+_HILO_SHIFT = 40
+_HILO_MASK = (1 << _HILO_SHIFT) - 1
+
+
+def _hilo(v: int) -> tuple:
+    """Split a non-negative Python int into (hi, lo) int64 halves at
+    2^40 so higher-moment partial sums (which exceed int64 at
+    trillion-row scale) ride through ``groupby().aggregate(Sum)``
+    exactly: sum hi and lo independently, recombine on the driver as
+    ``sum_hi << 40 | carry(sum_lo)``.  lo < 2^40 so ~8M partials fit
+    int64; hi keeps ~2^23 headroom at 10^12 rows of 5000-deci values."""
+    return int(v) >> _HILO_SHIFT, int(v) & _HILO_MASK
+
+
+def _unhilo(hi, lo) -> int:
+    return (int(hi) << _HILO_SHIFT) + int(lo)
+
+
+def _chunked_int_sum(x: np.ndarray, chunk: int = 8192) -> int:
+    """Exact sum of an int64 array whose TOTAL may overflow int64:
+    np.sum per chunk (each chunk-safe for |x| <= 2^49), folded into an
+    arbitrary-precision Python int."""
+    return sum(int(x[i : i + chunk].sum()) for i in range(0, len(x), chunk))
+
+
+EXT_STATS_SCALE = 10.0  # deci units: x**4 stays < 2^63 per element
+
+
+def extended_stats_by_type(sf_dir: str):
+    """Elasticsearch extended_stats over events.value per event_type:
+    count, sum, mean, population std, skewness and excess kurtosis.
+
+    Distributed plan: ONE pass of per-batch raw-moment partials
+    (n, S1..S4 over deci-scaled int values), each carried as exact
+    hi/lo int64 halves through a 5-row groupby; the driver recombines
+    arbitrary-precision moments and evaluates the closed forms with the
+    SAME double expression tree as the SQL oracle (which sums HUGEINT
+    moments), so micro-rounded outputs are bit-stable."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = _micro(t["value"].to_numpy(zero_copy_only=False), EXT_STATS_SCALE)
+        df = pd.DataFrame({"k": t["event_type"].to_pandas(), "x": x})
+        rows = {"event_type": [], "n": []}
+        for m in range(1, 5):
+            rows[f"s{m}_hi"] = []
+            rows[f"s{m}_lo"] = []
+        for k, grp in df.groupby("k", sort=False):
+            xs = grp["x"].to_numpy(np.int64)
+            rows["event_type"].append(k)
+            rows["n"].append(len(xs))
+            p = xs
+            for m in range(1, 5):
+                hi, lo = _hilo(_chunked_int_sum(p))
+                rows[f"s{m}_hi"].append(hi)
+                rows[f"s{m}_lo"].append(lo)
+                if m < 4:
+                    p = p * xs
+        return pa.table({c: pa.array(v, pa.int64() if c != "event_type" else None)
+                         for c, v in rows.items()})
+
+    aggs = [Sum("n", alias_name="n")]
+    for m in range(1, 5):
+        aggs.append(Sum(f"s{m}_hi", alias_name=f"s{m}_hi"))
+        aggs.append(Sum(f"s{m}_lo", alias_name=f"s{m}_lo"))
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(*aggs)
+        .to_pandas()
+        .sort_values("event_type", ignore_index=True)
+    )
+    res = {"event_type": [], "n": [], "sum_deci": [], "mean_micro": [],
+           "std_micro": [], "skew_micro": [], "kurt_micro": []}
+    import math
+
+    for r in out.itertuples(index=False):
+        n = int(r.n)
+        s1 = _unhilo(r.s1_hi, r.s1_lo)
+        s2 = _unhilo(r.s2_hi, r.s2_lo)
+        s3 = _unhilo(r.s3_hi, r.s3_lo)
+        s4 = _unhilo(r.s4_hi, r.s4_lo)
+        fn, f1, f2, f3, f4 = float(n), float(s1), float(s2), float(s3), float(s4)
+        mean = f1 / fn
+        m2 = f2 / fn - mean * mean
+        m3 = f3 / fn - 3.0 * mean * (f2 / fn) + 2.0 * mean * mean * mean
+        m4 = (f4 / fn - 4.0 * mean * (f3 / fn)
+              + 6.0 * mean * mean * (f2 / fn)
+              - 3.0 * mean * mean * mean * mean)
+        std = math.sqrt(m2)
+        skew = m3 / (std * std * std)
+        kurt = m4 / (m2 * m2) - 3.0
+        res["event_type"].append(r.event_type)
+        res["n"].append(n)
+        res["sum_deci"].append(s1)
+        res["mean_micro"].append(int(math.floor(mean * 1e6 + 0.5)))
+        res["std_micro"].append(int(math.floor(std * 1e6 + 0.5)))
+        res["skew_micro"].append(int(math.floor(skew * 1e6 + 0.5)))
+        res["kurt_micro"].append(int(math.floor(kurt * 1e6 + 0.5)))
+    return pa.table(
+        {
+            "event_type": pa.array(res["event_type"], pa.string()),
+            "n": pa.array(res["n"], pa.int64()),
+            "sum_deci": pa.array(res["sum_deci"], pa.int64()),
+            "mean_micro": pa.array(res["mean_micro"], pa.int64()),
+            "std_micro": pa.array(res["std_micro"], pa.int64()),
+            "skew_micro": pa.array(res["skew_micro"], pa.int64()),
+            "kurt_micro": pa.array(res["kurt_micro"], pa.int64()),
+        }
+    )
+
+
+def value_boxplot_by_type(sf_dir: str):
+    """Boxplot aggregation per event_type: exact q1/median/q3 over cent
+    values plus Tukey-fence outlier counts (|x - quartile| beyond
+    1.5*IQR).  Reuses the bounded-domain histogram pattern: per-batch
+    (type, cent, count) partials merge on the driver (domain-sized, row
+    -count-independent); quartiles read with quantile_disc rank
+    semantics and the fences evaluate in scaled INTEGER arithmetic
+    (2x < 2*q1 - 3*iqr) on the same histogram — one pass total."""
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def local_hist(t: pa.Table) -> pa.Table:
+        x = _micro(t["value"].to_numpy(zero_copy_only=False), 100.0)
+        df = pd.DataFrame({"k": t["event_type"].to_pandas(), "v": x})
+        g = df.groupby(["k", "v"], sort=False).size().reset_index(name="c")
+        return pa.table({"k": pa.array(g["k"]), "v": pa.array(g["v"], pa.int64()),
+                         "c": pa.array(g["c"], pa.int64())})
+
+    partials = ds.map_batches(local_hist, batch_format="pyarrow").to_pandas()
+    rows = {"event_type": [], "n": [], "q1_c": [], "median_c": [], "q3_c": [],
+            "iqr_c": [], "n_outliers": []}
+    for k, grp in partials.groupby("k", sort=True):
+        merged = grp.groupby("v", sort=True)["c"].sum()
+        values = merged.index.to_numpy(np.int64)
+        cnts = merged.to_numpy(np.int64)
+        cum = cnts.cumsum()
+        n = int(cum[-1]) if len(cum) else 0
+        qv = {}
+        for q in (0.25, 0.5, 0.75):
+            rank = max(1, int(np.ceil(q * n)))
+            qv[q] = int(values[int(np.searchsorted(cum, rank, side="left"))])
+        iqr = qv[0.75] - qv[0.25]
+        lo_mask = 2 * values < 2 * qv[0.25] - 3 * iqr
+        hi_mask = 2 * values > 2 * qv[0.75] + 3 * iqr
+        rows["event_type"].append(k)
+        rows["n"].append(n)
+        rows["q1_c"].append(qv[0.25])
+        rows["median_c"].append(qv[0.5])
+        rows["q3_c"].append(qv[0.75])
+        rows["iqr_c"].append(iqr)
+        rows["n_outliers"].append(int(cnts[lo_mask | hi_mask].sum()))
+    return pa.table(
+        {
+            "event_type": pa.array(rows["event_type"], pa.string()),
+            "n": pa.array(rows["n"], pa.int64()),
+            "q1_c": pa.array(rows["q1_c"], pa.int64()),
+            "median_c": pa.array(rows["median_c"], pa.int64()),
+            "q3_c": pa.array(rows["q3_c"], pa.int64()),
+            "iqr_c": pa.array(rows["iqr_c"], pa.int64()),
+            "n_outliers": pa.array(rows["n_outliers"], pa.int64()),
+        }
+    )
+
+
+TTEST_TYPE_A = "click"
+TTEST_TYPE_B = "purchase"
+
+
+def value_ttest(sf_dir: str):
+    """Welch's two-sample t-test between two event types' values (deci
+    scale): t statistic and Welch-Satterthwaite degrees of freedom,
+    micro-rounded.  One pass of exact (n, S1, S2) hi/lo moment partials
+    -> 2-row groupby; the driver evaluates the IDENTICAL double
+    expression tree as the HUGEINT-summing SQL oracle."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        mask = pcc.is_in(
+            t["event_type"], value_set=pa.array([TTEST_TYPE_A, TTEST_TYPE_B])
+        )
+        t = t.filter(mask)
+        x = _micro(t["value"].to_numpy(zero_copy_only=False), EXT_STATS_SCALE)
+        df = pd.DataFrame({"k": t["event_type"].to_pandas(), "x": x})
+        rows = {"k": [], "n": [], "s1_hi": [], "s1_lo": [], "s2_hi": [], "s2_lo": []}
+        for k, grp in df.groupby("k", sort=False):
+            xs = grp["x"].to_numpy(np.int64)
+            h1, l1 = _hilo(_chunked_int_sum(xs))
+            h2, l2 = _hilo(_chunked_int_sum(xs * xs))
+            rows["k"].append(k)
+            rows["n"].append(len(xs))
+            rows["s1_hi"].append(h1)
+            rows["s1_lo"].append(l1)
+            rows["s2_hi"].append(h2)
+            rows["s2_lo"].append(l2)
+        return pa.table({c: pa.array(v, pa.int64() if c != "k" else None)
+                         for c, v in rows.items()})
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("k")
+        .aggregate(Sum("n", alias_name="n"),
+                   Sum("s1_hi", alias_name="s1_hi"), Sum("s1_lo", alias_name="s1_lo"),
+                   Sum("s2_hi", alias_name="s2_hi"), Sum("s2_lo", alias_name="s2_lo"))
+        .to_pandas()
+        .set_index("k")
+    )
+    import math
+
+    def stats(k):
+        r = out.loc[k]
+        n = int(r["n"])
+        s1 = float(_unhilo(r["s1_hi"], r["s1_lo"]))
+        s2 = float(_unhilo(r["s2_hi"], r["s2_lo"]))
+        fn = float(n)
+        var = (s2 - s1 * s1 / fn) / (fn - 1.0)
+        return n, s1 / fn, var
+
+    na, ma, va = stats(TTEST_TYPE_A)
+    nb, mb, vb = stats(TTEST_TYPE_B)
+    sea = va / float(na)
+    seb = vb / float(nb)
+    t_stat = (ma - mb) / math.sqrt(sea + seb)
+    df_w = (sea + seb) * (sea + seb) / (
+        sea * sea / (float(na) - 1.0) + seb * seb / (float(nb) - 1.0)
+    )
+    return pa.table(
+        {
+            "n_a": pa.array([na], pa.int64()),
+            "n_b": pa.array([nb], pa.int64()),
+            "t_micro": pa.array([int(math.floor(t_stat * 1e6 + 0.5))], pa.int64()),
+            "df_micro": pa.array([int(math.floor(df_w * 1e6 + 0.5))], pa.int64()),
+        }
+    )
+
+
+def value_autocorr(sf_dir: str):
+    """Lag-1 autocorrelation of each event type's HOURLY revenue series
+    (derivative/serial-correlation pipeline-agg shape): hourly cent sums
+    fold distributed, then lag pairs over consecutive present hours and
+    the Pearson closed form evaluate on the driver over the tiny
+    (type x hour) series with exact Python-int sums — identical to the
+    SQL oracle's HUGEINT LAG-join formulation."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def hourly(t: pa.Table) -> pa.Table:
+        sec = t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        hr = sec // (3600 * 1_000_000)
+        cents = _micro(t["value"].to_numpy(zero_copy_only=False), 100.0)
+        df = pd.DataFrame({"event_type": t["event_type"].to_pandas(), "hr": hr,
+                           "v": cents})
+        g = df.groupby(["event_type", "hr"], as_index=False)["v"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    series = (
+        ds.map_batches(hourly, batch_format="pyarrow")
+        .groupby(["event_type", "hr"])
+        .aggregate(Sum("v", alias_name="v"))
+        .to_pandas()
+        .sort_values(["event_type", "hr"], ignore_index=True)
+    )
+    import math
+
+    rows = {"event_type": [], "n": [], "r1_micro": []}
+    for k, grp in series.groupby("event_type", sort=True):
+        hrs = grp["hr"].to_numpy(np.int64)
+        vs = grp["v"].to_numpy(np.int64)
+        nxt = dict(zip(hrs.tolist(), vs.tolist()))
+        xs = [int(v) for h, v in zip(hrs, vs) if int(h) + 1 in nxt]
+        ys = [nxt[int(h) + 1] for h in hrs if int(h) + 1 in nxt]
+        n = len(xs)
+        if n < 2:
+            continue
+        sx, sy = sum(xs), sum(ys)
+        sxx = sum(x * x for x in xs)
+        syy = sum(y * y for y in ys)
+        sxy = sum(x * y for x, y in zip(xs, ys))
+        fn = float(n)
+        r1 = (fn * float(sxy) - float(sx) * float(sy)) / math.sqrt(
+            (fn * float(sxx) - float(sx) * float(sx))
+            * (fn * float(syy) - float(sy) * float(sy))
+        )
+        rows["event_type"].append(k)
+        rows["n"].append(n)
+        rows["r1_micro"].append(int(math.floor(r1 * 1e6 + 0.5)))
+    return pa.table(
+        {
+            "event_type": pa.array(rows["event_type"], pa.string()),
+            "n": pa.array(rows["n"], pa.int64()),
+            "r1_micro": pa.array(rows["r1_micro"], pa.int64()),
+        }
+    )
+
+
 def _qtok(q: str) -> List[str]:
     from ..functions.tokenizer import tokenize
 
@@ -9802,5 +10102,103 @@ def build_oracle_sql() -> Dict[str, str]:
                    CAST((sum(promo_c) * 10000 + sum(rev_c) // 2) // sum(rev_c)
                         AS BIGINT) AS promo_share_bps
             FROM m
+        """,
+        "extended_stats_by_type": """
+            WITH b AS (SELECT event_type,
+                              CAST(floor(value * 10.0 + 0.5) AS HUGEINT) AS x
+                       FROM events),
+            s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                         sum(x) AS s1, sum(x*x) AS s2,
+                         sum(x*x*x) AS s3, sum(x*x*x*x) AS s4
+                  FROM b GROUP BY 1),
+            f AS (SELECT event_type, n, s1,
+                         CAST(n AS DOUBLE) AS fn, CAST(s1 AS DOUBLE) AS f1,
+                         CAST(s2 AS DOUBLE) AS f2, CAST(s3 AS DOUBLE) AS f3,
+                         CAST(s4 AS DOUBLE) AS f4
+                  FROM s),
+            g AS (SELECT event_type, n, s1,
+                         f1/fn AS mean,
+                         f2/fn - (f1/fn)*(f1/fn) AS m2,
+                         f3/fn - 3.0*(f1/fn)*(f2/fn)
+                           + 2.0*(f1/fn)*(f1/fn)*(f1/fn) AS m3,
+                         f4/fn - 4.0*(f1/fn)*(f3/fn)
+                           + 6.0*(f1/fn)*(f1/fn)*(f2/fn)
+                           - 3.0*(f1/fn)*(f1/fn)*(f1/fn)*(f1/fn) AS m4
+                  FROM f)
+            SELECT event_type, n, CAST(s1 AS BIGINT) AS sum_deci,
+                   CAST(floor(mean*1000000 + 0.5) AS BIGINT) AS mean_micro,
+                   CAST(floor(sqrt(m2)*1000000 + 0.5) AS BIGINT) AS std_micro,
+                   CAST(floor(m3/(sqrt(m2)*sqrt(m2)*sqrt(m2))*1000000 + 0.5)
+                        AS BIGINT) AS skew_micro,
+                   CAST(floor((m4/(m2*m2) - 3.0)*1000000 + 0.5) AS BIGINT)
+                     AS kurt_micro
+            FROM g ORDER BY event_type
+        """,
+        "value_boxplot_by_type": """
+            WITH b AS (SELECT event_type,
+                              CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS x
+                       FROM events),
+            q AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                         quantile_disc(x, 0.25) AS q1_c,
+                         quantile_disc(x, 0.5) AS median_c,
+                         quantile_disc(x, 0.75) AS q3_c
+                  FROM b GROUP BY 1)
+            SELECT q.event_type, q.n, q1_c, median_c, q3_c,
+                   CAST(q3_c - q1_c AS BIGINT) AS iqr_c,
+                   (SELECT CAST(count(*) AS BIGINT) FROM b
+                    WHERE b.event_type = q.event_type
+                      AND (2*b.x < 2*q1_c - 3*(q3_c - q1_c)
+                        OR 2*b.x > 2*q3_c + 3*(q3_c - q1_c))) AS n_outliers
+            FROM q ORDER BY event_type
+        """,
+        "value_ttest": f"""
+            WITH b AS (SELECT event_type,
+                              CAST(floor(value * 10.0 + 0.5) AS HUGEINT) AS x
+                       FROM events
+                       WHERE event_type IN ('{TTEST_TYPE_A}', '{TTEST_TYPE_B}')),
+            s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                         sum(x) AS s1, sum(x*x) AS s2 FROM b GROUP BY 1),
+            v AS (SELECT event_type, n, CAST(n AS DOUBLE) AS fn,
+                         CAST(s1 AS DOUBLE)/CAST(n AS DOUBLE) AS mean,
+                         (CAST(s2 AS DOUBLE)
+                            - CAST(s1 AS DOUBLE)*CAST(s1 AS DOUBLE)/CAST(n AS DOUBLE))
+                           / (CAST(n AS DOUBLE) - 1.0) AS var
+                  FROM s),
+            a AS (SELECT * FROM v WHERE event_type = '{TTEST_TYPE_A}'),
+            bb AS (SELECT * FROM v WHERE event_type = '{TTEST_TYPE_B}')
+            SELECT a.n AS n_a, bb.n AS n_b,
+                   CAST(floor((a.mean - bb.mean)
+                        / sqrt(a.var/a.fn + bb.var/bb.fn) * 1000000 + 0.5)
+                        AS BIGINT) AS t_micro,
+                   CAST(floor((a.var/a.fn + bb.var/bb.fn)
+                              * (a.var/a.fn + bb.var/bb.fn)
+                        / (a.var/a.fn * (a.var/a.fn) / (a.fn - 1.0)
+                           + bb.var/bb.fn * (bb.var/bb.fn) / (bb.fn - 1.0))
+                        * 1000000 + 0.5) AS BIGINT) AS df_micro
+            FROM a, bb
+        """,
+        "value_autocorr": """
+            WITH h AS (SELECT event_type,
+                              CAST(floor(epoch(ts)/3600) AS BIGINT) AS hr,
+                              CAST(sum(CAST(floor(value*100.0+0.5) AS BIGINT))
+                                   AS BIGINT) AS v
+                       FROM events GROUP BY 1, 2),
+            p AS (SELECT a.event_type,
+                         CAST(a.v AS HUGEINT) AS x, CAST(b.v AS HUGEINT) AS y
+                  FROM h a JOIN h b
+                    ON b.event_type = a.event_type AND b.hr = a.hr + 1),
+            s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                         sum(x) AS sx, sum(y) AS sy,
+                         sum(x*x) AS sxx, sum(y*y) AS syy, sum(x*y) AS sxy
+                  FROM p GROUP BY 1 HAVING count(*) >= 2)
+            SELECT event_type, n,
+                   CAST(floor((CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE)
+                                 - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+                     / sqrt((CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
+                               - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
+                          * (CAST(n AS DOUBLE)*CAST(syy AS DOUBLE)
+                               - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE)))
+                     * 1000000 + 0.5) AS BIGINT) AS r1_micro
+            FROM s ORDER BY event_type
         """,
     }

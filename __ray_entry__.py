@@ -199,6 +199,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_boxplot_by_type": Q.value_boxplot_by_type,  # boxplot agg: exact quartiles + Tukey-fence outliers
         "value_ttest": Q.value_ttest,  # Welch two-sample t-test, exact moment partials
         "value_autocorr": Q.value_autocorr,  # lag-1 autocorrelation of the hourly revenue series
+        "composite_buckets_page": Q.composite_buckets_page,  # ES composite agg: after-key bucket pagination
+        "hapax_by_lang": Q.hapax_by_lang,  # rare_terms: hapax legomena count/ratio per lang
+        "events_hourly_dense": Q.events_hourly_dense,  # date_histogram min_doc_count=0, zero-filled buckets
+        "user_type_adjacency": Q.user_type_adjacency,  # ES adjacency_matrix: pairwise distinct-user intersections
     }
 
 

@@ -8240,6 +8240,222 @@ def value_autocorr(sf_dir: str):
     )
 
 
+COMPOSITE_AFTER = ("en", "src15")  # after-key: resume past this (lang, source)
+COMPOSITE_PAGE = 5
+
+
+def composite_buckets_page(sf_dir: str):
+    """Elasticsearch composite-aggregation pagination: (lang, source)
+    buckets with doc count and char sum, ordered by the bucket key,
+    resumed AFTER a cursor key — the bucket-paging analogue of
+    search_after.  The groupby exchange carries only bucket partials
+    (map-side pre-aggregated); the after-key predicate and page cut
+    run on the driver over the tiny bucket table."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "documents", columns=["lang", "source", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {"lang": t["lang"].to_pandas(), "source": t["source"].to_pandas(),
+             "chars": t["n_chars"].to_numpy(zero_copy_only=False)}
+        )
+        g = df.groupby(["lang", "source"], as_index=False).agg(
+            n_docs=("chars", "size"), sum_chars=("chars", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang", "source"])
+        .aggregate(Sum("n_docs", alias_name="n_docs"),
+                   Sum("sum_chars", alias_name="sum_chars"))
+        .to_pandas()
+        .sort_values(["lang", "source"], ignore_index=True)
+    )
+    al, asrc = COMPOSITE_AFTER
+    keep = (out["lang"] > al) | ((out["lang"] == al) & (out["source"] > asrc))
+    page = out[keep].head(COMPOSITE_PAGE).reset_index(drop=True)
+    return pa.table(
+        {
+            "lang": pa.array(page["lang"], pa.string()),
+            "source": pa.array(page["source"], pa.string()),
+            "n_docs": pa.array(page["n_docs"].to_numpy(np.int64)),
+            "sum_chars": pa.array(page["sum_chars"].to_numpy(np.int64)),
+        }
+    )
+
+
+def hapax_by_lang(sf_dir: str):
+    """Rare-terms aggregation: per language, vocabulary size, hapax
+    legomena count (terms whose within-language document frequency is
+    exactly 1) and the hapax ratio in basis points.  The standard df
+    shuffle shape keyed by (lang, term) with per-batch distinct
+    pre-aggregation, then a per-lang two-counter fold — rare-term
+    detection never materializes postings."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        toks = tokenize_array(t["text"])
+        flat = pcc.list_flatten(toks)
+        parents = pcc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        langs = t["lang"].to_pandas().to_numpy()
+        df = pd.DataFrame(
+            {"lang": langs[parents], "term": flat.to_pandas(), "d": parents}
+        ).drop_duplicates()
+        g = df.groupby(["lang", "term"], as_index=False, sort=False).size()
+        g = g.rename(columns={"size": "df"})
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    per_term = (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby(["lang", "term"])
+        .aggregate(Sum("df", alias_name="df"))
+    )
+
+    def fold(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"lang": t["lang"].to_pandas(),
+                           "hapax": (t["df"].to_numpy(zero_copy_only=False) == 1)})
+        g = df.groupby("lang", as_index=False).agg(
+            n_terms=("hapax", "size"), n_hapax=("hapax", "sum"))
+        g["n_hapax"] = g["n_hapax"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (
+        per_term.map_batches(fold, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Sum("n_terms", alias_name="n_terms"),
+                   Sum("n_hapax", alias_name="n_hapax"))
+        .to_pandas()
+        .sort_values("lang", ignore_index=True)
+    )
+    nt = out["n_terms"].to_numpy(np.int64)
+    nh = out["n_hapax"].to_numpy(np.int64)
+    return pa.table(
+        {
+            "lang": pa.array(out["lang"], pa.string()),
+            "n_terms": pa.array(nt),
+            "n_hapax": pa.array(nh),
+            "hapax_bps": pa.array(_share_bps(nh, nt)),
+        }
+    )
+
+
+def events_hourly_dense(sf_dir: str):
+    """date_histogram with min_doc_count=0: each event type's hourly
+    count + cent sum over a DENSE hour axis between that type's first
+    and last hour, empty buckets zero-filled.  The fold is the standard
+    distributed hourly groupby; densification happens on the driver
+    over the aggregate (bounded by the time span, independent of row
+    count) — exactly where ES fills empty buckets (coordinating node)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def hourly(t: pa.Table) -> pa.Table:
+        us = t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        hr = us // (3600 * 1_000_000)
+        df = pd.DataFrame(
+            {"event_type": t["event_type"].to_pandas(), "hr": hr,
+             "v": _micro(t["value"].to_numpy(zero_copy_only=False), 100.0)}
+        )
+        g = df.groupby(["event_type", "hr"], as_index=False).agg(
+            n=("v", "size"), value_c=("v", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (
+        ds.map_batches(hourly, batch_format="pyarrow")
+        .groupby(["event_type", "hr"])
+        .aggregate(Sum("n", alias_name="n"), Sum("value_c", alias_name="value_c"))
+        .to_pandas()
+    )
+    frames = []
+    for k, grp in agg.groupby("event_type", sort=True):
+        lo, hi = int(grp["hr"].min()), int(grp["hr"].max())
+        dense = pd.DataFrame({"hr": np.arange(lo, hi + 1, dtype=np.int64)})
+        dense["event_type"] = k
+        m = dense.merge(grp[["hr", "n", "value_c"]], on="hr", how="left").fillna(0)
+        frames.append(m)
+    out = pd.concat(frames, ignore_index=True).sort_values(
+        ["event_type", "hr"], ignore_index=True)
+    return pa.table(
+        {
+            "event_type": pa.array(out["event_type"], pa.string()),
+            "hr": pa.array(out["hr"].to_numpy(np.int64)),
+            "n": pa.array(out["n"].to_numpy(np.int64)),
+            "value_c": pa.array(out["value_c"].to_numpy(np.int64)),
+        }
+    )
+
+
+def user_type_adjacency(sf_dir: str):
+    """Elasticsearch adjacency_matrix aggregation: for every unordered
+    pair of event types (diagonal included), how many distinct users
+    intersect both.  One membership exchange: per-batch (user, bitmask
+    columns) local max -> groupby(user).max collapses to one row per
+    user, then per-batch B^T B matmul partials (k x k co-membership
+    counts, k = #types) fold through a tiny pair-keyed groupby — the
+    user table itself never reaches the driver."""
+    from ray.data.aggregate import Max, Sum
+
+    types = sorted(
+        _read(sf_dir, "events", columns=["event_type"])
+        .groupby("event_type")
+        .count()
+        .to_pandas()["event_type"]
+        .tolist()
+    )
+    k = len(types)
+    bit_cols = [f"b{i}" for i in range(k)]
+
+    def bits(t: pa.Table) -> pa.Table:
+        cols = {"user_id": t["user_id"].to_pandas()}
+        et = t["event_type"].to_pandas().to_numpy()
+        for i, ty in enumerate(types):
+            cols[bit_cols[i]] = (et == ty).astype(np.int64)
+        df = pd.DataFrame(cols).groupby("user_id", as_index=False).max()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    members = (
+        _read(sf_dir, "events", columns=["user_id", "event_type"])
+        .map_batches(bits, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(*[Max(c, alias_name=c) for c in bit_cols])
+    )
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        B = np.stack(
+            [t[c].to_numpy(zero_copy_only=False).astype(np.int64) for c in bit_cols],
+            axis=1,
+        )
+        M = B.T @ B
+        ii, jj = np.triu_indices(k)
+        return pa.table(
+            {
+                "i": pa.array(ii.astype(np.int64)),
+                "j": pa.array(jj.astype(np.int64)),
+                "n_users": pa.array(M[ii, jj].astype(np.int64)),
+            }
+        )
+
+    out = (
+        members.map_batches(pair_partial, batch_format="pyarrow")
+        .groupby(["i", "j"])
+        .aggregate(Sum("n_users", alias_name="n_users"))
+        .to_pandas()
+        .sort_values(["i", "j"], ignore_index=True)
+    )
+    out = out[out["n_users"] > 0].reset_index(drop=True)  # match inner-join oracle
+    return pa.table(
+        {
+            "type_a": pa.array([types[int(i)] for i in out["i"]], pa.string()),
+            "type_b": pa.array([types[int(j)] for j in out["j"]], pa.string()),
+            "n_users": pa.array(out["n_users"].to_numpy(np.int64)),
+        }
+    )
+
+
 def _qtok(q: str) -> List[str]:
     from ..functions.tokenizer import tokenize
 
@@ -10200,5 +10416,47 @@ def build_oracle_sql() -> Dict[str, str]:
                                - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE)))
                      * 1000000 + 0.5) AS BIGINT) AS r1_micro
             FROM s ORDER BY event_type
+        """,
+        "composite_buckets_page": f"""
+            SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars
+            FROM documents GROUP BY 1, 2
+            HAVING (lang > '{COMPOSITE_AFTER[0]}')
+                OR (lang = '{COMPOSITE_AFTER[0]}' AND source > '{COMPOSITE_AFTER[1]}')
+            ORDER BY lang, source LIMIT {COMPOSITE_PAGE}
+        """,
+        "hapax_by_lang": f"""
+            WITH tok AS (SELECT doc_id, lang, {tok} AS toks FROM documents),
+            pairs AS (SELECT DISTINCT doc_id, lang, unnest(toks) AS term FROM tok),
+            d AS (SELECT lang, term, count(*) AS df FROM pairs GROUP BY 1, 2)
+            SELECT lang, CAST(count(*) AS BIGINT) AS n_terms,
+                   CAST(count(*) FILTER (WHERE df = 1) AS BIGINT) AS n_hapax,
+                   CAST((count(*) FILTER (WHERE df = 1) * 10000 + count(*) // 2)
+                        // count(*) AS BIGINT) AS hapax_bps
+            FROM d GROUP BY lang ORDER BY lang
+        """,
+        "events_hourly_dense": """
+            WITH h AS (SELECT event_type,
+                              CAST(floor(epoch(ts)/3600) AS BIGINT) AS hr,
+                              CAST(count(*) AS BIGINT) AS n,
+                              CAST(sum(CAST(floor(value*100.0+0.5) AS BIGINT))
+                                   AS BIGINT) AS value_c
+                       FROM events GROUP BY 1, 2),
+            r AS (SELECT event_type, min(hr) AS lo, max(hr) AS hi FROM h GROUP BY 1),
+            g AS (SELECT r.event_type, unnest(generate_series(r.lo, r.hi)) AS hr
+                  FROM r)
+            SELECT g.event_type, CAST(g.hr AS BIGINT) AS hr,
+                   CAST(coalesce(h.n, 0) AS BIGINT) AS n,
+                   CAST(coalesce(h.value_c, 0) AS BIGINT) AS value_c
+            FROM g LEFT JOIN h ON h.event_type = g.event_type AND h.hr = g.hr
+            ORDER BY 1, 2
+        """,
+        "user_type_adjacency": """
+            WITH p AS (SELECT DISTINCT user_id, event_type FROM events)
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   CAST(count(*) AS BIGINT) AS n_users
+            FROM p a JOIN p b
+              ON a.user_id = b.user_id AND a.event_type <= b.event_type
+            GROUP BY 1, 2 ORDER BY 1, 2
         """,
     }

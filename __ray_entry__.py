@@ -38,6 +38,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "significant_terms": Q.significant_terms,  # ES-style fg-vs-bg G2/LLR terms, milli-nat oracle
         "vocab_set_ops": Q.vocab_set_ops,  # vocabulary set algebra between lang slices, one-bit-flag fold
         "bm25_topk": Q.bm25_topk,
+        "bm25_explain": Q.bm25_explain,  # _explain: per-term BM25 score decomposition of the top hits
         "bm25_topk_wand": Q.bm25_topk_wand,
         "bm25_page2": Q.bm25_page2,  # search-after deep pagination, OFFSET oracle
         "bm25_collapse": Q.bm25_collapse,  # field collapsing: best hit per lang group

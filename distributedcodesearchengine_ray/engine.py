@@ -306,6 +306,11 @@ class CodeSearchEngine:
         same index; Zhai & Lafferty 2001)."""
         return self._bm25().search_qld(query, limit=limit, mu=mu)
 
+    def explain(self, query: str, limit: int = 3) -> List[dict]:
+        """Lucene/ES _explain: per-term BM25 score breakdown (tf, df,
+        idf, contribution) for the top ``limit`` hits."""
+        return self._bm25().explain(query, limit=limit)
+
     # ------------------------------------------------------------- stats
 
     def count(self) -> int:

@@ -532,6 +532,50 @@ def bm25_collapse(sf_dir: str, query: str = BM25_QUERY, limit: int = 3):
     )
 
 
+EXPLAIN_K = 3
+# 'dup' is the one positive-idf term in the synthetic documents vocab:
+# anchoring the query on it keeps the threshold in the max>0 branch so the
+# explained top hits genuinely match query terms (a BM25_QUERY explain is
+# vacuously empty here — every term idf is the negative epsilon floor,
+# max<=0 keeps all, and the zero-score docs win the tie-break)
+EXPLAIN_QUERY = "dup stream merge sort"
+
+
+def bm25_explain(sf_dir: str, query: str = EXPLAIN_QUERY):
+    """Lucene/ES _explain: per-term BM25 score decomposition of the top
+    EXPLAIN_K hits — one row per (doc, matched query term) carrying tf,
+    df, epsilon-floored idf and the term contribution.  Engine side:
+    one top-k search + one lexicon pushdown + one <=K-doc text pushdown
+    (QueryEngine.explain); oracle: the shared BM25 CTE body with a
+    per-term final join."""
+    from .query import QueryEngine
+
+    idx = _documents_index(sf_dir)
+    engine = QueryEngine(idx, num_actors=2)
+    try:
+        rows = engine.explain(query, limit=EXPLAIN_K)
+    finally:
+        engine.close()
+    return pa.table(
+        {
+            "rank": pa.array([r["rank"] for r in rows], pa.int64()),
+            "doc_id": pa.array([r["doc_id"] for r in rows], pa.int64()),
+            "term": pa.array([r["term"] for r in rows], pa.string()),
+            "tf": pa.array([r["tf"] for r in rows], pa.int64()),
+            "df": pa.array([r["df"] for r in rows], pa.int64()),
+            "idf_micro": pa.array(
+                _micro(np.array([r["idf"] for r in rows], dtype=np.float64)),
+                pa.int64(),
+            ),
+            "contrib_micro": pa.array(
+                _micro(np.array([r["contribution"] for r in rows],
+                                dtype=np.float64)),
+                pa.int64(),
+            ),
+        }
+    )
+
+
 QLD_MU = 500.0
 
 
@@ -886,6 +930,7 @@ def bm25_sql(
     fuzzy_max_exp: int = 50,
     min_match: Optional[int] = None,
     micro_rank: bool = False,
+    explain: bool = False,
 ) -> str:
     """Pure-SQL BM25Okapi (k1=1.5 b=0.75 eps=0.25) over documents.text.
 
@@ -1029,6 +1074,29 @@ FROM topk k JOIN best b ON b.doc_id = k.doc_id AND b.rn = 1
 ORDER BY k.rank"""
         # the snippet final clause opens with its own CTEs, so splice it
         # into the WITH chain instead of after it
+        final = "-- CTE-splice\n," + final
+    elif explain:
+        # per-term score decomposition of the top-k hits (_explain): one
+        # row per (winning doc, matched query term) with tf/df/idf and
+        # the term's BM25 contribution — identical expression tree to
+        # QueryEngine.explain
+        final = f"""topk AS (
+  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) - 1 AS rank
+  FROM kept ORDER BY score DESC, doc_id ASC LIMIT {limit}
+)
+SELECT k.rank, tf.doc_id, tf.term,
+       CAST(tf.tf AS BIGINT) AS tf, CAST(df.df AS BIGINT) AS df,
+       CAST(floor(idf.idf * 1000000 + 0.5) AS BIGINT) AS idf_micro,
+       CAST(floor(q.mult * idf.idf * tf.tf * 2.5 /
+            (tf.tf + 1.5 * (1 - 0.75 + 0.75 * dl.dl / (SELECT avgdl FROM stats)))
+            * 1000000 + 0.5) AS BIGINT) AS contrib_micro
+FROM topk k
+JOIN tf ON tf.doc_id = k.doc_id
+JOIN q ON q.term = tf.term
+JOIN df ON df.term = tf.term
+JOIN idf ON idf.term = tf.term
+JOIN dl ON dl.doc_id = k.doc_id
+ORDER BY k.rank, tf.term"""
         final = "-- CTE-splice\n," + final
     elif collapse:
         # field collapsing: best (score desc, doc_id asc) hit per lang,
@@ -8566,6 +8634,7 @@ def build_oracle_sql() -> Dict[str, str]:
             ORDER BY n_occurrences DESC, term ASC
         """,
         "bm25_topk": bm25_sql(BM25_QUERY, limit=20),
+        "bm25_explain": bm25_sql(EXPLAIN_QUERY, limit=EXPLAIN_K, explain=True),
         "bm25_msm": bm25_sql(BM25_QUERY, limit=20, min_match=MSM_K, micro_rank=True),
         "bm25_synonyms": bm25_sql(_expand_synonyms(SYN_QUERY), limit=20),
         "bm25_dismax": dismax_sql(DISMAX_CLAUSES, tie=DISMAX_TIE, limit=20),

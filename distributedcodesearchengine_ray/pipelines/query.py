@@ -946,6 +946,38 @@ class LexiconReader:
                 self._cache[t] = found.get(t, 0.0)
         return {t: self._cache[t] for t in set(terms)}
 
+    def stats(self, terms: List[str]) -> Dict[str, Tuple[int, float]]:
+        """(df, idf) per term — the introspection read behind _explain
+        and _termvectors: same bucket-hash + predicate-pushdown path as
+        ``idfs`` but returning document frequency too."""
+        out: Dict[str, Tuple[int, float]] = {}
+        missing = sorted(set(terms))
+        if self.buckets:
+            for b, ts in self._bucket_of(missing).items():
+                f = os.path.join(self.path, f"bucket-{b:04d}.parquet")
+                if not os.path.exists(f):
+                    continue
+                tbl = pads.dataset(f, format="parquet").to_table(
+                    columns=["term", "df", "idf"],
+                    filter=pads.field("term").isin(ts),
+                )
+                for t, d, i in zip(
+                    tbl["term"].to_pylist(), tbl["df"].to_pylist(),
+                    tbl["idf"].to_pylist(),
+                ):
+                    out[t] = (int(d), float(i))
+        else:
+            tbl = pads.dataset(self.path, format="parquet").to_table(
+                columns=["term", "df", "idf"],
+                filter=pads.field("term").isin(missing),
+            )
+            for t, d, i in zip(
+                tbl["term"].to_pylist(), tbl["df"].to_pylist(),
+                tbl["idf"].to_pylist(),
+            ):
+                out[t] = (int(d), float(i))
+        return out
+
     def expand(self, pattern: str, max_expand: int = 64) -> List[Tuple[str, int]]:
         """Wildcard term expansion: ``*`` = any run, ``?`` = one char.
 
@@ -1856,6 +1888,55 @@ class QueryEngine:
                     "snippet": " ".join(toks[start : start + window]),
                 }
             )
+        return out
+
+    def explain(self, query: str, limit: int = 3) -> List[dict]:
+        """Lucene/ES ``_explain``: the top hits with the per-term BM25
+        score breakdown — tf, df, epsilon-floored idf and the term's
+        contribution ``mult * idf * tf*(k1+1)/(tf + k1*(1-b+b*dl/avgdl))``
+        (the reference's per-term scoring decomposition,
+        /root/reference/codesearch/search/bm25_index.py:157-170).
+
+        Reads: one standard top-k search, one lexicon pushdown for
+        (df, idf), one docmeta/corpus pushdown for the <=limit winning
+        texts — never a corpus or postings scan."""
+        from collections import Counter
+
+        from ..functions.tokenizer import tokenize
+
+        hits = self.search(query, limit=limit)
+        mult: Dict[str, int] = {}
+        for t in tokenize(query):
+            mult[t] = mult.get(t, 0) + 1
+        lexstats = self.lexicon.stats(sorted(mult))
+        texts = self._doc_texts([h["doc_id"] for h in hits])
+        k1, b, avgdl = self.manifest.k1, self.manifest.b, self.manifest.avgdl
+        out: List[dict] = []
+        for rank, h in enumerate(hits):
+            dtoks = tokenize(texts.get(h["doc_id"], ""))
+            dl = len(dtoks)
+            c = Counter(dtoks)
+            for t in sorted(mult):
+                tf = int(c.get(t, 0))
+                if tf == 0 or t not in lexstats:
+                    continue
+                df, idf = lexstats[t]
+                contrib = (
+                    mult[t] * idf * tf * (k1 + 1.0)
+                    / (tf + k1 * (1 - b + b * dl / avgdl))
+                )
+                out.append(
+                    {
+                        "rank": rank,
+                        "doc_id": int(h["doc_id"]),
+                        "score": float(h["score"]),
+                        "term": t,
+                        "tf": tf,
+                        "df": int(df),
+                        "idf": float(idf),
+                        "contribution": contrib,
+                    }
+                )
         return out
 
     def search_with_meta(

@@ -44,7 +44,7 @@ API_INFO = {
     "version": __version__,
     "endpoints": [
         "/health", "/api", "/stats", "/search", "/search/batch", "/facets", "/similar",
-        "/suggest", "/index", "/index/sync", "/index/status",
+        "/suggest", "/explain", "/index", "/index/sync", "/index/status",
     ],
 }
 
@@ -143,6 +143,23 @@ def make_handler(engine: CodeSearchEngine, jobs: Dict[str, dict], build_lock: th
                     ],
                 },
             )
+
+        def _explain(self, params: dict) -> None:
+            q = params.get("q")
+            if not q:
+                self._send(400, {"error": "missing q"})
+                return
+            try:  # malformed client input is a 400, not a 500
+                limit = int(params.get("limit", 3))
+            except (TypeError, ValueError):
+                self._send(400, {"error": f"invalid limit: {params!r}"})
+                return
+            try:
+                rows = engine.explain(q, limit=limit)
+            except Exception as e:
+                self._send(500, {"error": str(e)})
+                return
+            self._send(200, {"query": q, "explanations": rows})
 
         def _suggest(self, params: dict) -> None:
             term = params.get("term")
@@ -267,6 +284,9 @@ def make_handler(engine: CodeSearchEngine, jobs: Dict[str, dict], build_lock: th
             elif url.path == "/suggest":
                 q = {k: v[0] for k, v in parse_qs(url.query).items()}
                 self._suggest(q)
+            elif url.path == "/explain":
+                q = {k: v[0] for k, v in parse_qs(url.query).items()}
+                self._explain(q)
             elif url.path == "/index/status":
                 q = {k: v[0] for k, v in parse_qs(url.query).items()}
                 jid = q.get("job_id")

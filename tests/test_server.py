@@ -82,6 +82,29 @@ def test_suggest_missing_term_400(server):
     assert e.value.code == 400
 
 
+def test_explain_route(server):
+    status, body = _get(f"{server}/explain?q=parse%20json%20data&limit=2")
+    assert status == 200 and body["query"] == "parse json data"
+    rows = body["explanations"]
+    assert rows, "top hits should match at least one query term"
+    by_doc = {}
+    for r in rows:
+        assert {"rank", "doc_id", "term", "tf", "df", "idf",
+                "contribution", "score"} <= set(r)
+        assert r["tf"] >= 1 and r["df"] >= 1
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # the per-term contributions decompose the doc's BM25 score exactly
+    for rs in by_doc.values():
+        total = sum(x["contribution"] for x in rs)
+        assert abs(total - rs[0]["score"]) <= 1e-6 * max(1.0, abs(rs[0]["score"]))
+
+
+def test_explain_missing_q_400(server):
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(f"{server}/explain")
+    assert e.value.code == 400
+
+
 def test_search_post(server):
     req = urllib.request.Request(
         f"{server}/search",

@@ -39,6 +39,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_set_ops": Q.vocab_set_ops,  # vocabulary set algebra between lang slices, one-bit-flag fold
         "bm25_topk": Q.bm25_topk,
         "bm25_explain": Q.bm25_explain,  # _explain: per-term BM25 score decomposition of the top hits
+        "bm25_boosting": Q.bm25_boosting,  # ES boosting query: negative-match demotion at score*0.5
+        "span_first": Q.span_first_q,  # Lucene span_first: first occurrence within N positions, positional index
+        "bm25_wildcard": Q.bm25_wildcard,  # scored wildcard search: lexicon expansion ranked as OR'd BM25
         "bm25_topk_wand": Q.bm25_topk_wand,
         "bm25_page2": Q.bm25_page2,  # search-after deep pagination, OFFSET oracle
         "bm25_collapse": Q.bm25_collapse,  # field collapsing: best hit per lang group

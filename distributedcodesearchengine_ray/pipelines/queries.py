@@ -576,6 +576,89 @@ def bm25_explain(sf_dir: str, query: str = EXPLAIN_QUERY):
     )
 
 
+BOOSTING_POS = "dup stream merge"
+BOOSTING_NEG = "spark"
+BOOSTING_FACTOR = 0.5  # float-exact multiply on both sides
+
+
+def bm25_boosting(sf_dir: str):
+    """Boosting query (ES ``boosting``): positive-query BM25 ranking
+    with docs matching the negative term demoted to score*0.5 (still
+    returned, unlike -term exclusion).  Demotion happens inside the
+    shard scorer BEFORE the threshold; oracle multiplies inside
+    scores_all identically."""
+    from .query import QueryEngine
+
+    idx = _documents_index(sf_dir)
+    engine = QueryEngine(idx, num_actors=2)
+    try:
+        rows = engine.search_boosting(
+            BOOSTING_POS, BOOSTING_NEG, boost=BOOSTING_FACTOR, limit=20
+        )
+    finally:
+        engine.close()
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(len(rows)), pa.int64()),
+            "doc_id": pa.array([r["doc_id"] for r in rows], pa.int64()),
+            "score_micro": pa.array(_micro([r["score"] for r in rows]), pa.int64()),
+        }
+    )
+
+
+SPAN_FIRST_TERM = "dup"
+SPAN_FIRST_N = 50
+
+
+def span_first_q(sf_dir: str):
+    """Lucene span_first: BM25-ranked docs whose FIRST occurrence of the
+    span term is within the first N token positions — resolved from the
+    positional index (first decoded position per doc), never from text.
+    Oracle: 1-based ``list_position(toks, term) <= N``."""
+    from .query import QueryEngine
+
+    idx = _documents_index(sf_dir, with_positions=True)
+    engine = QueryEngine(idx, num_actors=2)
+    try:
+        rows = engine.search_span_first(
+            SPAN_FIRST_TERM, SPAN_FIRST_TERM, SPAN_FIRST_N, limit=20
+        )
+    finally:
+        engine.close()
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(len(rows)), pa.int64()),
+            "doc_id": pa.array([r["doc_id"] for r in rows], pa.int64()),
+            "score_micro": pa.array(_micro([r["score"] for r in rows]), pa.int64()),
+        }
+    )
+
+
+WILDCARD_SEARCH_PATTERN = "s*"
+
+
+def bm25_wildcard(sf_dir: str):
+    """SCORED wildcard search (wildcard_term_df checks only expansion):
+    the pattern expands against the lexicon (df desc, term asc, cap 64)
+    and the expansions rank as ordinary OR'd BM25 terms through the
+    standard engine path."""
+    from .query import QueryEngine
+
+    idx = _documents_index(sf_dir)
+    engine = QueryEngine(idx, num_actors=2)
+    try:
+        rows = engine.search(WILDCARD_SEARCH_PATTERN, limit=20)
+    finally:
+        engine.close()
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(len(rows)), pa.int64()),
+            "doc_id": pa.array([r["doc_id"] for r in rows], pa.int64()),
+            "score_micro": pa.array(_micro([r["score"] for r in rows]), pa.int64()),
+        }
+    )
+
+
 QLD_MU = 500.0
 
 
@@ -931,6 +1014,11 @@ def bm25_sql(
     min_match: Optional[int] = None,
     micro_rank: bool = False,
     explain: bool = False,
+    demote_terms: Optional[List[str]] = None,
+    demote_boost: float = 0.5,
+    span_first: Optional[Tuple[str, int]] = None,
+    wildcard: Optional[str] = None,
+    wildcard_max: int = 64,
 ) -> str:
     """Pure-SQL BM25Okapi (k1=1.5 b=0.75 eps=0.25) over documents.text.
 
@@ -959,6 +1047,19 @@ def bm25_sql(
   )
 )"""
         not_src = f"WHERE doc_id <> {mlt_src} "
+    elif wildcard is not None:
+        # scored wildcard search: the pattern expands against the global
+        # vocabulary (df desc, term asc, capped — LexiconReader.expand's
+        # exact ordering) and the expansions score as ordinary OR'd BM25
+        # terms with mult=1 (QueryEngine._wildcard_tokens)
+        like = wildcard.replace("*", "%").replace("?", "_")
+        q_cte = f"""q AS (
+  SELECT term, 1 AS mult FROM (
+    SELECT term FROM df WHERE term LIKE '{like}'
+    ORDER BY df DESC, term ASC LIMIT {wildcard_max}
+  )
+)"""
+        not_src = ""
     elif fuzzy_dist is not None:
         # fuzzy expansion in SQL: each query token picks the vocab terms
         # within fuzzy_dist edits, ranked (dist asc, df desc, term asc)
@@ -1000,6 +1101,25 @@ def bm25_sql(
         )
     for t in excluded or ():
         filt += f"\n  AND doc_id NOT IN (SELECT doc_id FROM tf WHERE term = '{t}')"
+    if span_first is not None:
+        # Lucene span_first: first occurrence of the span term within the
+        # first n positions (list_position is 1-based first index)
+        sp_t, sp_n = span_first
+        filt += (
+            "\n  AND doc_id IN (SELECT doc_id FROM tok"
+            f" WHERE list_position(toks, '{sp_t}') IS NOT NULL"
+            f" AND list_position(toks, '{sp_t}') <= {sp_n})"
+        )
+    demote_expr = ""
+    if demote_terms:
+        dterms = ", ".join(f"'{t}'" for t in sorted(set(demote_terms)))
+        # boosting query: demotion multiplies INSIDE scores_all, before
+        # the threshold max — identical placement to the shard scorer's
+        # demote; keep the boost a short binary mantissa for exactness
+        demote_expr = (
+            f" * (CASE WHEN d.doc_id IN (SELECT doc_id FROM tf"
+            f" WHERE term IN ({dterms})) THEN {demote_boost} ELSE 1.0 END)"
+        )
     if phrase_adjacent:
         # ordered-token adjacency / proximity (positional phrase): the SQL
         # tokenizer preserves token order.  slop=0: one index variable with
@@ -1171,7 +1291,7 @@ scores AS (
 scores_all AS (
   -- the reference scores EVERY doc (zeros for no-match); the max that feeds
   -- the threshold and the max<=0 keep-all branch both include those zeros
-  SELECT d.doc_id, d.lang, COALESCE(s.score, 0) AS score
+  SELECT d.doc_id, d.lang, COALESCE(s.score, 0){demote_expr} AS score
   FROM src d LEFT JOIN scores s ON s.doc_id = d.doc_id
 ),
 mx AS (SELECT max(score) AS m FROM scores_all),
@@ -8635,6 +8755,17 @@ def build_oracle_sql() -> Dict[str, str]:
         """,
         "bm25_topk": bm25_sql(BM25_QUERY, limit=20),
         "bm25_explain": bm25_sql(EXPLAIN_QUERY, limit=EXPLAIN_K, explain=True),
+        "bm25_boosting": bm25_sql(
+            BOOSTING_POS, limit=20, micro_rank=True,
+            demote_terms=_qtok(BOOSTING_NEG), demote_boost=BOOSTING_FACTOR,
+        ),
+        "span_first": bm25_sql(
+            SPAN_FIRST_TERM, limit=20,
+            span_first=(SPAN_FIRST_TERM, SPAN_FIRST_N),
+        ),
+        "bm25_wildcard": bm25_sql(
+            "", limit=20, wildcard=WILDCARD_SEARCH_PATTERN,
+        ),
         "bm25_msm": bm25_sql(BM25_QUERY, limit=20, min_match=MSM_K, micro_rank=True),
         "bm25_synonyms": bm25_sql(_expand_synonyms(SYN_QUERY), limit=20),
         "bm25_dismax": dismax_sql(DISMAX_CLAUSES, tie=DISMAX_TIE, limit=20),

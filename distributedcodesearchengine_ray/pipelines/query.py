@@ -583,6 +583,64 @@ class IndexShard:
             arr = arr[self.alive[arr]]
         return arr
 
+    def span_first_local(self, term: str, n: int) -> np.ndarray:
+        """Ascending local indices of ALIVE docs whose FIRST occurrence
+        of ``term`` lies within the first ``n`` token positions (Lucene
+        SpanFirstQuery).  Positions are 0-based doc offsets, so the
+        predicate is ``first_pos <= n - 1``; one positional-postings
+        decode per partition containing the term, no text reads."""
+        if not self.has_positions:
+            raise RuntimeError("index was built without with_positions=True")
+        hits = []
+        for pi in range(len(self.parts)):
+            row = self.parts[pi]["term_row"].get(term)
+            if row is None:
+                continue
+            local, starts, pos = self._positions(pi, row)
+            first = pos[starts[:-1]]
+            hits.append(local[first <= n - 1])
+        if not hits:
+            return np.empty(0, dtype=np.int64)
+        arr = np.sort(np.concatenate(hits))
+        if self.alive is not None and len(arr):
+            arr = arr[self.alive[arr]]
+        return arr
+
+    def search_span_first(
+        self,
+        query_tokens: List[str],
+        idfs: Dict[str, float],
+        limit: int,
+        span_term: str,
+        n: int,
+        filters: Optional[Dict[str, str]] = None,
+    ) -> Tuple[float, List[dict]]:
+        """span_first search: BM25 over ``query_tokens`` restricted to
+        docs where ``span_term`` first occurs within the first ``n``
+        positions.  Same return contract as ``search`` (unfiltered local
+        max + top rows) so the driver threshold/merge applies unchanged."""
+        if self.n_local == 0:
+            return 0.0, []
+        scores = self._dense_scores(query_tokens, idfs)
+        if self.alive is None:
+            local_max = float(scores.max()) if len(scores) else 0.0
+        else:
+            live = scores[self.alive]
+            local_max = float(live.max()) if len(live) else 0.0
+        cand = self.span_first_local(span_term, n)
+        if len(cand) == 0:
+            return local_max, []
+        cand = cand[self._filter_mask(filters, cand)]
+        if len(cand) == 0:
+            return local_max, []
+        order = np.lexsort((self._doc_ids[cand], -scores[cand]))[:limit]
+        cand = cand[order]
+        return local_max, [
+            {"doc_id": int(self._doc_ids[i]), "score": float(scores[i]),
+             "_local": int(i)}
+            for i in cand
+        ]
+
     def search_positional(
         self,
         phrase_tokens: List[str],
@@ -679,6 +737,7 @@ class IndexShard:
         excluded: Optional[List[str]] = None,
         after: Optional[Tuple[float, int]] = None,
         min_match: Optional[int] = None,
+        demote: Optional[Tuple[List[str], float]] = None,
     ) -> Tuple[float, List[dict]]:
         """Return (local unfiltered max score, top-``limit`` candidate rows).
 
@@ -702,6 +761,7 @@ class IndexShard:
         if (
             method == "wand" and not dense_all and not required
             and not excluded and after is None and min_match is None
+            and demote is None
         ):
             local_max, top = self._wand_topk(query_tokens, idfs, limit, filters)
             if filters and top is not None:
@@ -713,6 +773,18 @@ class IndexShard:
             ]
             return local_max, rows
         scores = self._dense_scores(query_tokens, idfs)
+        if demote is not None:
+            # boosting query (ES `boosting`): docs matching ANY negative
+            # term keep ranking but at score * negative_boost — applied
+            # BEFORE the threshold max, so demotion is a pure score
+            # transform of the standard pipeline (the oracle multiplies
+            # inside scores_all identically; 0.5 is float-exact)
+            neg_terms, factor = demote
+            dm = np.zeros(self.n_local, dtype=bool)
+            for t in sorted(set(neg_terms)):
+                dm |= self._contains_mask(t)
+            scores = scores.copy()
+            scores[dm] *= factor
         if self.alive is None:
             local_max = float(scores.max()) if len(scores) else 0.0
         else:
@@ -1578,6 +1650,94 @@ class QueryEngine:
         rows.sort(
             key=lambda r: (-math.floor(r["score"] * 1e6 + 0.5), r["doc_id"])
         )
+        return [{"doc_id": r["doc_id"], "score": r["score"]} for r in rows[:limit]]
+
+    def search_boosting(
+        self,
+        positive: str,
+        negative: str,
+        boost: float = 0.5,
+        limit: int = 20,
+        filters: Optional[Dict[str, str]] = None,
+    ) -> List[dict]:
+        """Boosting query (ES ``boosting``): rank by the positive query's
+        BM25 score, demoting docs that match ANY negative-query term to
+        score * ``boost`` (they stay in the results, unlike ``-term``
+        exclusion).  Demotion happens inside the shard scorer before the
+        F4 threshold; pick ``boost`` with a short binary mantissa (0.5,
+        0.25) so the demoted floats stay bit-identical to the SQL
+        oracle's CASE multiply.  Micro-grain global ordering (like
+        min_match/dis_max) keeps near-ulp ties stable."""
+        import math
+
+        import ray
+
+        toks = tokenize(positive)
+        neg = tokenize(negative)
+        if not toks:
+            return []
+        q_idfs = self.lexicon.idfs(toks)
+        fetch = limit + 16
+        demote = (neg, float(boost)) if neg else None
+        refs = [
+            a.search.remote(toks, q_idfs, fetch, filters, False, "dense",
+                            None, None, None, None, demote)
+            for a in self.actors
+        ]
+        parts = ray.get(refs)
+        global_max = max((m for m, _ in parts), default=0.0)
+        if global_max > 0:
+            min_score = global_max * 0.01
+            rows = [r for _, rs in parts for r in rs if r["score"] >= min_score]
+        else:
+            refs2 = [
+                a.search.remote(toks, q_idfs, fetch, filters, True, "dense",
+                                None, None, None, None, demote)
+                for a in self.actors
+            ]
+            rows = [r for _, rs in ray.get(refs2) for r in rs]
+        rows.sort(
+            key=lambda r: (-math.floor(r["score"] * 1e6 + 0.5), r["doc_id"])
+        )
+        return [{"doc_id": r["doc_id"], "score": r["score"]} for r in rows[:limit]]
+
+    def search_span_first(
+        self,
+        query: str,
+        span_term: str,
+        n: int,
+        limit: int = 20,
+        filters: Optional[Dict[str, str]] = None,
+    ) -> List[dict]:
+        """Lucene span_first: BM25-ranked docs whose FIRST occurrence of
+        ``span_term`` is within the first ``n`` token positions — decided
+        from the positional index (one postings decode per shard), never
+        from text.  Requires ``with_positions=True`` at build."""
+        import ray
+
+        if not self.manifest.extra.get("positions"):
+            raise RuntimeError(
+                "index was built without positions; rebuild with "
+                "with_positions=True to use span_first search"
+            )
+        toks = tokenize(query)
+        if not toks:
+            return []
+        q_idfs = self.lexicon.idfs(toks)
+        parts = ray.get(
+            [
+                a.search_span_first.remote(
+                    toks, q_idfs, max(limit, 1), span_term, n, filters
+                )
+                for a in self.actors
+            ]
+        )
+        global_max = max((m for m, _ in parts), default=0.0)
+        rows = [r for _, rs in parts for r in rs]
+        if global_max > 0:
+            min_score = global_max * 0.01
+            rows = [r for r in rows if r["score"] >= min_score]
+        rows.sort(key=lambda r: (-r["score"], r["doc_id"]))
         return [{"doc_id": r["doc_id"], "score": r["score"]} for r in rows[:limit]]
 
     def search_dismax(

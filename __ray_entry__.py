@@ -207,6 +207,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hapax_by_lang": Q.hapax_by_lang,  # rare_terms: hapax legomena count/ratio per lang
         "events_hourly_dense": Q.events_hourly_dense,  # date_histogram min_doc_count=0, zero-filled buckets
         "user_type_adjacency": Q.user_type_adjacency,  # ES adjacency_matrix: pairwise distinct-user intersections
+        "value_percentile_ranks": Q.value_percentile_ranks,  # ES percentile_ranks: bps at-or-below fixed thresholds
+        "cumulative_users": Q.cumulative_users,  # cumulative_cardinality: first-seen users per day + running total
+        "ccnet_buckets": Q.ccnet_buckets,  # CCNet head/middle/tail perplexity terciles per lang
     }
 
 

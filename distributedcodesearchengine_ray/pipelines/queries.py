@@ -8644,6 +8644,197 @@ def user_type_adjacency(sf_dir: str):
     )
 
 
+PCT_RANK_THRESHOLDS_C = (5000, 15000, 30000)  # cents
+
+
+def value_percentile_ranks(sf_dir: str):
+    """ES percentile_ranks aggregation: for fixed cent thresholds, the
+    fraction (basis points, integer-exact) of each event type's values
+    at or below the threshold.  One pass of per-batch counter partials
+    (|thresholds| counters + total per type) -> tiny groupby."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+    ths = list(PCT_RANK_THRESHOLDS_C)
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = _micro(t["value"].to_numpy(zero_copy_only=False), 100.0)
+        df = pd.DataFrame({"k": t["event_type"].to_pandas()})
+        for i, th in enumerate(ths):
+            df[f"le{i}"] = (x <= th).astype(np.int64)
+        df["n"] = 1
+        g = df.groupby("k", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    aggs = [Sum(f"le{i}", alias_name=f"le{i}") for i in range(len(ths))]
+    aggs.append(Sum("n", alias_name="n"))
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("k")
+        .aggregate(*aggs)
+        .to_pandas()
+        .sort_values("k", ignore_index=True)
+    )
+    rows = {"event_type": [], "threshold_c": [], "n_le": [], "n": [],
+            "pct_bps": []}
+    for r in out.itertuples(index=False):
+        for i, th in enumerate(ths):
+            n_le, n = int(getattr(r, f"le{i}")), int(r.n)
+            rows["event_type"].append(r.k)
+            rows["threshold_c"].append(th)
+            rows["n_le"].append(n_le)
+            rows["n"].append(n)
+            rows["pct_bps"].append((n_le * 10000 + n // 2) // n if n else 0)
+    return pa.table(
+        {
+            "event_type": pa.array(rows["event_type"], pa.string()),
+            "threshold_c": pa.array(rows["threshold_c"], pa.int64()),
+            "n_le": pa.array(rows["n_le"], pa.int64()),
+            "n": pa.array(rows["n"], pa.int64()),
+            "pct_bps": pa.array(rows["pct_bps"], pa.int64()),
+        }
+    )
+
+
+def cumulative_users(sf_dir: str):
+    """ES cumulative_cardinality pipeline agg: per day, the count of
+    FIRST-SEEN users and the running total of distinct users ever seen.
+    The distributed part is a per-user min-day fold (groupby user over
+    per-batch min partials) + a per-day count; the cumsum runs on the
+    driver over the bounded day axis."""
+    from ray.data.aggregate import Min
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def per_batch(t: pa.Table) -> pa.Table:
+        us = t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        day = us // (86400 * 1_000_000)
+        df = pd.DataFrame({"user_id": t["user_id"].to_pandas(), "day": day})
+        g = df.groupby("user_id", as_index=False)["day"].min()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    first = (
+        ds.map_batches(per_batch, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Min("day", alias_name="day"))
+    )
+
+    def day_counts(t: pa.Table) -> pa.Table:
+        g = (
+            pd.DataFrame({"day": t["day"].to_numpy(zero_copy_only=False)})
+            .groupby("day", as_index=False)
+            .size()
+            .rename(columns={"size": "new_users"})
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    days = (
+        first.map_batches(day_counts, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Sum("new_users", alias_name="new_users"))
+        .to_pandas()
+        .sort_values("day", ignore_index=True)
+    )
+    new = days["new_users"].to_numpy(np.int64)
+    return pa.table(
+        {
+            "day": pa.array(days["day"].to_numpy(np.int64)),
+            "new_users": pa.array(new),
+            "cum_users": pa.array(np.cumsum(new)),
+        }
+    )
+
+
+CCNET_Q1 = 1 / 3
+CCNET_Q2 = 2 / 3
+
+
+def ccnet_buckets(sf_dir: str):
+    """CCNet head/middle/tail perplexity bucketing per language: each
+    doc's bigram-LM cross-entropy (the existing distributed
+    train->broadcast->score pipeline) reduces to an integer centi-nat
+    per-pair rate; per-language tercile thresholds come from a
+    bounded-domain histogram (quantile_disc rank rule) and the bucket
+    counts read off the SAME histogram — one scoring pass, one
+    histogram exchange, no doc-level driver materialization."""
+    from ..stages.lm import perplexity_profile
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+    prof = perplexity_profile(ds)
+    lang_ds = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+    joined = prof.join(
+        lang_ds, join_type="inner",
+        num_partitions=_join_parts(sf_dir, "documents"), on=("doc_id",),
+    )
+
+    def hist(t: pa.Table) -> pa.Table:
+        n_pairs = t["n_pairs"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ll = t["ll_milli"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = n_pairs >= 1
+        nll_centi = (-ll[keep]) // (n_pairs[keep] * 10)
+        df = pd.DataFrame({"lang": t["lang"].to_pandas().to_numpy()[keep],
+                           "v": nll_centi})
+        g = df.groupby(["lang", "v"], as_index=False).size().rename(
+            columns={"size": "c"})
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = joined.map_batches(hist, batch_format="pyarrow").to_pandas()
+    rows = {"lang": [], "bucket": [], "n_docs": []}
+    for lang, grp in partials.groupby("lang", sort=True):
+        merged = grp.groupby("v", sort=True)["c"].sum()
+        values = merged.index.to_numpy(np.int64)
+        cnts = merged.to_numpy(np.int64)
+        cum = cnts.cumsum()
+        n = int(cum[-1]) if len(cum) else 0
+        if n == 0:
+            continue
+        qv = {}
+        for q in (CCNET_Q1, CCNET_Q2):
+            rank = max(1, int(np.ceil(q * n)))
+            qv[q] = int(values[int(np.searchsorted(cum, rank, side="left"))])
+        head = int(cnts[values <= qv[CCNET_Q1]].sum())
+        mid = int(cnts[(values > qv[CCNET_Q1]) & (values <= qv[CCNET_Q2])].sum())
+        tail = n - head - mid
+        for b, c in (("head", head), ("middle", mid), ("tail", tail)):
+            if c == 0:
+                continue  # GROUP BY on the oracle side emits no empty bucket
+            rows["lang"].append(lang)
+            rows["bucket"].append(b)
+            rows["n_docs"].append(c)
+    return pa.table(
+        {
+            "lang": pa.array(rows["lang"], pa.string()),
+            "bucket": pa.array(rows["bucket"], pa.string()),
+            "n_docs": pa.array(rows["n_docs"], pa.int64()),
+        }
+    )
+
+
+def _percentile_ranks_sql() -> str:
+    """UNION-ALL unpivot of per-threshold counters, mirroring
+    ``value_percentile_ranks``' integer bps arithmetic."""
+    les = ",\n                   ".join(
+        f"CAST(count(*) FILTER (WHERE x <= {th}) AS BIGINT) AS le{i}"
+        for i, th in enumerate(PCT_RANK_THRESHOLDS_C)
+    )
+    arms = "\n            UNION ALL ".join(
+        f"SELECT event_type, CAST({th} AS BIGINT) AS threshold_c, le{i} AS n_le,"
+        f" n, CAST((le{i} * 10000 + n // 2) // n AS BIGINT) AS pct_bps FROM s"
+        for i, th in enumerate(PCT_RANK_THRESHOLDS_C)
+    )
+    return f"""
+            WITH b AS (SELECT event_type,
+                              CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS x
+                       FROM events),
+            s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                   {les}
+                  FROM b GROUP BY 1)
+            {arms}
+        """
+
+
 def _qtok(q: str) -> List[str]:
     from ..functions.tokenizer import tokenize
 
@@ -10658,5 +10849,63 @@ def build_oracle_sql() -> Dict[str, str]:
             FROM p a JOIN p b
               ON a.user_id = b.user_id AND a.event_type <= b.event_type
             GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "value_percentile_ranks": _percentile_ranks_sql(),
+        "cumulative_users": """
+            WITH f AS (SELECT user_id,
+                              CAST(min(floor(epoch(ts) / 86400)) AS BIGINT) AS day
+                       FROM events GROUP BY 1),
+            d AS (SELECT day, CAST(count(*) AS BIGINT) AS new_users
+                  FROM f GROUP BY 1)
+            SELECT day, new_users,
+                   CAST(sum(new_users) OVER (ORDER BY day) AS BIGINT) AS cum_users
+            FROM d ORDER BY day
+        """,
+        "ccnet_buckets": r"""
+            WITH tok AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '\s+'), x -> length(x) > 0) AS toks
+              FROM documents
+            ), pairs AS (
+              SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+              FROM tok, unnest(generate_series(1, len(toks)-1)) AS g(i)
+              WHERE len(toks) >= 2
+            ), bgc AS (
+              SELECT w1, w2, count(*) AS c2 FROM pairs GROUP BY w1, w2
+            ), lc AS (
+              SELECT w1, count(*) AS c1 FROM pairs GROUP BY w1
+            ), voc AS (
+              SELECT count(DISTINCT tok) AS v
+              FROM (SELECT unnest(toks) AS tok FROM tok)
+            ), scored AS (
+              SELECT p.doc_id,
+                     CAST(floor(ln((COALESCE(b.c2, 0) + 1.0) / (COALESCE(l.c1, 0) + voc.v)) * 1000 + 0.5) AS BIGINT) AS ll
+              FROM pairs p
+              LEFT JOIN bgc b ON p.w1 = b.w1 AND p.w2 = b.w2
+              LEFT JOIN lc l ON p.w1 = l.w1
+              CROSS JOIN voc
+            ), agg AS (
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pairs,
+                     CAST(sum(ll) AS BIGINT) AS ll_milli
+              FROM scored GROUP BY doc_id
+            ), p2 AS (
+              SELECT d.lang,
+                     CAST((-a.ll_milli) // (a.n_pairs * 10) AS BIGINT) AS nll_centi
+              FROM documents d JOIN agg a ON d.doc_id = a.doc_id
+              WHERE a.n_pairs >= 1
+            ), q AS (
+              SELECT lang,
+                     quantile_disc(nll_centi, 0.3333333333333333) AS q1,
+                     quantile_disc(nll_centi, 0.6666666666666666) AS q2
+              FROM p2 GROUP BY lang
+            ), b2 AS (
+              SELECT p2.lang,
+                     CASE WHEN nll_centi <= q.q1 THEN 'head'
+                          WHEN nll_centi <= q.q2 THEN 'middle'
+                          ELSE 'tail' END AS bucket
+              FROM p2 JOIN q USING (lang)
+            )
+            SELECT lang, bucket, CAST(count(*) AS BIGINT) AS n_docs
+            FROM b2 GROUP BY 1, 2 ORDER BY 1, 2
         """,
     }

@@ -210,6 +210,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_percentile_ranks": Q.value_percentile_ranks,  # ES percentile_ranks: bps at-or-below fixed thresholds
         "cumulative_users": Q.cumulative_users,  # cumulative_cardinality: first-seen users per day + running total
         "ccnet_buckets": Q.ccnet_buckets,  # CCNet head/middle/tail perplexity terciles per lang
+        "value_trend_by_type": Q.value_trend_by_type,  # distributed OLS slope/intercept from exact moments
+        "nation_order_rank_dist": Q.nation_order_rank_dist,  # PERCENT_RANK + CUME_DIST windows
+        "cheapest_supplier_per_brand": Q.cheapest_supplier_per_brand,  # Q2-essence correlated argmin + join-back
     }
 
 

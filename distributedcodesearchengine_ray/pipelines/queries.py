@@ -8812,6 +8812,203 @@ def ccnet_buckets(sf_dir: str):
     )
 
 
+def value_trend_by_type(sf_dir: str):
+    """Distributed simple linear regression (OLS trend): per event type,
+    the slope and intercept of cent value over absolute epoch-hour —
+    exact (n, Sx, Sy, Sxx, Sxy) moment partials carried as hi/lo int64
+    halves (x*y products overflow int64 at trillion-row scale), closed
+    forms evaluated with the SAME double expression tree as the
+    HUGEINT-summing SQL oracle (regr_slope/regr_intercept semantics)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+    moment_cols = ["sx", "sy", "sxx", "sxy"]
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        x = us // (3600 * 1_000_000)
+        y = _micro(t["value"].to_numpy(zero_copy_only=False), 100.0)
+        df = pd.DataFrame({"k": t["event_type"].to_pandas(), "x": x, "y": y})
+        rows = {"event_type": [], "n": []}
+        for c in moment_cols:
+            rows[f"{c}_hi"] = []
+            rows[f"{c}_lo"] = []
+        for k, grp in df.groupby("k", sort=False):
+            xs = grp["x"].to_numpy(np.int64)
+            ys = grp["y"].to_numpy(np.int64)
+            rows["event_type"].append(k)
+            rows["n"].append(len(xs))
+            for c, arr in (("sx", xs), ("sy", ys), ("sxx", xs * xs),
+                           ("sxy", xs * ys)):
+                hi, lo = _hilo(_chunked_int_sum(arr, chunk=512))
+                rows[f"{c}_hi"].append(hi)
+                rows[f"{c}_lo"].append(lo)
+        return pa.table({c: pa.array(v, pa.int64() if c != "event_type" else None)
+                         for c, v in rows.items()})
+
+    aggs = [Sum("n", alias_name="n")]
+    for c in moment_cols:
+        aggs.append(Sum(f"{c}_hi", alias_name=f"{c}_hi"))
+        aggs.append(Sum(f"{c}_lo", alias_name=f"{c}_lo"))
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(*aggs)
+        .to_pandas()
+        .sort_values("event_type", ignore_index=True)
+    )
+    import math
+
+    res = {"event_type": [], "n": [], "slope_micro": [], "intercept_micro": []}
+    for r in out.itertuples(index=False):
+        n = int(r.n)
+        sx = float(_unhilo(r.sx_hi, r.sx_lo))
+        sy = float(_unhilo(r.sy_hi, r.sy_lo))
+        sxx = float(_unhilo(r.sxx_hi, r.sxx_lo))
+        sxy = float(_unhilo(r.sxy_hi, r.sxy_lo))
+        fn = float(n)
+        slope = (fn * sxy - sx * sy) / (fn * sxx - sx * sx)
+        intercept = sy / fn - slope * (sx / fn)
+        res["event_type"].append(r.event_type)
+        res["n"].append(n)
+        res["slope_micro"].append(int(math.floor(slope * 1e6 + 0.5)))
+        res["intercept_micro"].append(int(math.floor(intercept * 1e6 + 0.5)))
+    return pa.table(
+        {
+            "event_type": pa.array(res["event_type"], pa.string()),
+            "n": pa.array(res["n"], pa.int64()),
+            "slope_micro": pa.array(res["slope_micro"], pa.int64()),
+            "intercept_micro": pa.array(res["intercept_micro"], pa.int64()),
+        }
+    )
+
+
+def nation_order_rank_dist(sf_dir: str):
+    """PERCENT_RANK + CUME_DIST window functions over the per-nation
+    order-count aggregate: the distributed part is a custkey join +
+    nation-keyed count fold; the rank distribution evaluates on the
+    driver over <=|nations| rows with the exact window definitions
+    (percent_rank = (rank-1)/(n-1) with RANK ties, cume_dist = peers-at
+    -or-below / n), micro-rounded identically to the SQL oracle."""
+    from ray.data.aggregate import Sum
+
+    import ray
+
+    nat = _read(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
+    names = dict(zip(nat["n_nationkey"].astype(int), nat["n_name"]))
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).map_batches(
+        lambda t: pa.table(
+            {"o_custkey": t["c_custkey"], "c_nationkey": t["c_nationkey"]}
+        ),
+        batch_format="pyarrow",
+    )
+    orders = _read(sf_dir, "orders", columns=["o_custkey"])
+    oc = orders.join(
+        _with_join_sentinels(cust, "o_custkey"),
+        join_type="inner",
+        num_partitions=_join_parts(sf_dir, "orders", "customer"),
+        on=("o_custkey",),
+    )
+
+    def per_batch(t: pa.Table) -> pa.Table:
+        g = (
+            pd.DataFrame({"nk": t["c_nationkey"].to_numpy(zero_copy_only=False)})
+            .groupby("nk", as_index=False)
+            .size()
+            .rename(columns={"size": "n_orders"})
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (
+        oc.map_batches(per_batch, batch_format="pyarrow")
+        .groupby("nk")
+        .aggregate(Sum("n_orders", alias_name="n_orders"))
+        .to_pandas()
+    )
+    cnt = out["n_orders"].to_numpy(np.int64)
+    n = len(cnt)
+    import math
+
+    # RANK over ascending n_orders: 1 + #rows strictly below
+    rank = np.array([1 + int((cnt < c).sum()) for c in cnt], dtype=np.int64)
+    at_or_below = np.array([int((cnt <= c).sum()) for c in cnt], dtype=np.int64)
+    pr = (rank - 1).astype(np.float64) / float(n - 1) if n > 1 else np.zeros(n)
+    cd = at_or_below.astype(np.float64) / float(n)
+    res = pd.DataFrame(
+        {
+            "n_name": [names[int(k)] for k in out["nk"]],
+            "n_orders": cnt,
+            "pr_micro": np.floor(pr * 1e6 + 0.5).astype(np.int64),
+            "cd_micro": np.floor(cd * 1e6 + 0.5).astype(np.int64),
+        }
+    ).sort_values("n_name", ignore_index=True)
+    return pa.Table.from_pandas(res, preserve_index=False)
+
+
+def cheapest_supplier_per_brand(sf_dir: str):
+    """TPC-H Q2 essence over the available tables: per part brand, the
+    minimum observed unit price (cent-exact extendedprice/quantity) and
+    the supplier achieving it (suppkey-asc tie-break) — correlated-min
+    + join-back expressed as the ALGEBRAIC argmin shape: per-batch
+    partial argmin per brand -> one brand-keyed groupby -> final argmin
+    per group.  Brand attaches via the broadcast-or-join helper."""
+    line = _read(
+        sf_dir, "lineitem",
+        columns=["l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"],
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "l_partkey": t["l_partkey"],
+                "s_suppkey": t["l_suppkey"],
+                "price_c": _cents_col(
+                    pcc.divide(
+                        pcc.cast(t["l_extendedprice"], pa.float64()),
+                        pcc.cast(t["l_quantity"], pa.float64()),
+                    )
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_brand"]).map_batches(
+        lambda t: pa.table({"l_partkey": t["p_partkey"], "p_brand": t["p_brand"]}),
+        batch_format="pyarrow",
+    )
+    lp = _attach_int_lookup(line, part, sf_dir, "part", "l_partkey", "lineitem")
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "p_brand": t["p_brand"].to_pandas(),
+                "price_c": t["price_c"].to_numpy(zero_copy_only=False),
+                "s_suppkey": t["s_suppkey"].to_numpy(zero_copy_only=False),
+            }
+        )
+        df = df.sort_values(["p_brand", "price_c", "s_suppkey"]).groupby(
+            "p_brand", sort=False).head(1)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["price_c", "s_suppkey"]).head(1)[
+            ["p_brand", "price_c", "s_suppkey"]
+        ]
+
+    out = (
+        lp.map_batches(partial, batch_format="pyarrow")
+        .groupby("p_brand")
+        .map_groups(final, batch_format="pandas")
+        .to_pandas()
+        .sort_values("p_brand", ignore_index=True)
+    )
+    return pa.table(
+        {
+            "p_brand": pa.array(out["p_brand"], pa.string()),
+            "price_c": pa.array(out["price_c"].to_numpy(np.int64)),
+            "s_suppkey": pa.array(out["s_suppkey"].to_numpy(np.int64)),
+        }
+    )
+
+
 def _percentile_ranks_sql() -> str:
     """UNION-ALL unpivot of per-threshold counters, mirroring
     ``value_percentile_ranks``' integer bps arithmetic."""
@@ -10851,6 +11048,56 @@ def build_oracle_sql() -> Dict[str, str]:
             GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "value_percentile_ranks": _percentile_ranks_sql(),
+        "value_trend_by_type": """
+            WITH b AS (SELECT event_type,
+                              CAST(floor(epoch(ts)/3600) AS HUGEINT) AS x,
+                              CAST(floor(value*100.0+0.5) AS HUGEINT) AS y
+                       FROM events),
+            s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                         sum(x) AS sx, sum(y) AS sy,
+                         sum(x*x) AS sxx, sum(x*y) AS sxy
+                  FROM b GROUP BY 1)
+            SELECT event_type, n,
+                   CAST(floor((CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE)
+                                 - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+                        / (CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
+                                 - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
+                        * 1000000 + 0.5) AS BIGINT) AS slope_micro,
+                   CAST(floor((CAST(sy AS DOUBLE)/CAST(n AS DOUBLE)
+                        - (CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE)
+                                 - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+                          / (CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
+                                 - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
+                          * (CAST(sx AS DOUBLE)/CAST(n AS DOUBLE)))
+                        * 1000000 + 0.5) AS BIGINT) AS intercept_micro
+            FROM s ORDER BY event_type
+        """,
+        "nation_order_rank_dist": """
+            WITH c AS (SELECT n.n_name, CAST(count(*) AS BIGINT) AS n_orders
+                       FROM orders o
+                       JOIN customer cu ON cu.c_custkey = o.o_custkey
+                       JOIN nation n ON n.n_nationkey = cu.c_nationkey
+                       GROUP BY 1)
+            SELECT n_name, n_orders,
+                   CAST(floor(percent_rank() OVER (ORDER BY n_orders)
+                        * 1000000 + 0.5) AS BIGINT) AS pr_micro,
+                   CAST(floor(cume_dist() OVER (ORDER BY n_orders)
+                        * 1000000 + 0.5) AS BIGINT) AS cd_micro
+            FROM c ORDER BY n_name
+        """,
+        "cheapest_supplier_per_brand": """
+            WITH u AS (SELECT p.p_brand,
+                              CAST(floor(l_extendedprice / l_quantity * 100 + 0.5)
+                                   AS BIGINT) AS price_c,
+                              l_suppkey AS s_suppkey
+                       FROM lineitem JOIN part p ON p.p_partkey = l_partkey)
+            SELECT p_brand, price_c, s_suppkey
+            FROM (SELECT p_brand, price_c, s_suppkey,
+                         row_number() OVER (PARTITION BY p_brand
+                                            ORDER BY price_c, s_suppkey) AS rn
+                  FROM u)
+            WHERE rn = 1 ORDER BY p_brand
+        """,
         "cumulative_users": """
             WITH f AS (SELECT user_id,
                               CAST(min(floor(epoch(ts) / 86400)) AS BIGINT) AS day

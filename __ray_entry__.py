@@ -42,6 +42,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_boosting": Q.bm25_boosting,  # ES boosting query: negative-match demotion at score*0.5
         "span_first": Q.span_first_q,  # Lucene span_first: first occurrence within N positions, positional index
         "bm25_wildcard": Q.bm25_wildcard,  # scored wildcard search: lexicon expansion ranked as OR'd BM25
+        "bm25_top_hits": Q.bm25_top_hits,  # ES top_hits: top-k hits per lang bucket, groups ranked by best
+        "docs_sorted_top": Q.docs_sorted_top,  # native Dataset.sort multi-key export
         "bm25_topk_wand": Q.bm25_topk_wand,
         "bm25_page2": Q.bm25_page2,  # search-after deep pagination, OFFSET oracle
         "bm25_collapse": Q.bm25_collapse,  # field collapsing: best hit per lang group

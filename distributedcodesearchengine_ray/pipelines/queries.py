@@ -659,6 +659,52 @@ def bm25_wildcard(sf_dir: str):
     )
 
 
+TOP_HITS_K = 2
+
+
+def bm25_top_hits(sf_dir: str, query: str = EXPLAIN_QUERY):
+    """ES top_hits inside a terms agg: top-2 BM25 hits per language
+    bucket, buckets ranked by their best hit — per-shard per-group
+    top-k partials (groups x k wire cost), driver merge."""
+    from .query import QueryEngine
+
+    idx = _documents_index(sf_dir)
+    engine = QueryEngine(idx, num_actors=2)
+    try:
+        rows = engine.top_hits(query, group_col="language", k=TOP_HITS_K,
+                               limit_groups=10)
+    finally:
+        engine.close()
+    return pa.table(
+        {
+            "grp_rank": pa.array([r["grp_rank"] for r in rows], pa.int64()),
+            "lang": pa.array([r["group"] for r in rows], pa.string()),
+            "hit_rank": pa.array([r["hit_rank"] for r in rows], pa.int64()),
+            "doc_id": pa.array([r["doc_id"] for r in rows], pa.int64()),
+            "score_micro": pa.array(_micro([r["score"] for r in rows]), pa.int64()),
+        }
+    )
+
+
+def docs_sorted_top(sf_dir: str):
+    """Native distributed sort: documents ordered by (lang asc, n_chars
+    desc, doc_id asc) — Ray Data's range-partitioned ``Dataset.sort``
+    exercised end-to-end — truncated to the top 100 rows."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+    out = (
+        ds.sort(["lang", "n_chars", "doc_id"], descending=[False, True, False])
+        .limit(100)
+        .to_pandas()
+    )
+    return pa.table(
+        {
+            "doc_id": pa.array(out["doc_id"].to_numpy(np.int64)),
+            "lang": pa.array(out["lang"], pa.string()),
+            "n_chars": pa.array(out["n_chars"].to_numpy(np.int64)),
+        }
+    )
+
+
 QLD_MU = 500.0
 
 
@@ -1019,6 +1065,8 @@ def bm25_sql(
     span_first: Optional[Tuple[str, int]] = None,
     wildcard: Optional[str] = None,
     wildcard_max: int = 64,
+    top_hits_k: Optional[int] = None,
+    top_hits_groups: int = 10,
 ) -> str:
     """Pure-SQL BM25Okapi (k1=1.5 b=0.75 eps=0.25) over documents.text.
 
@@ -1218,6 +1266,23 @@ JOIN idf ON idf.term = tf.term
 JOIN dl ON dl.doc_id = k.doc_id
 ORDER BY k.rank, tf.term"""
         final = "-- CTE-splice\n," + final
+    elif top_hits_k is not None:
+        # top_hits inside a terms agg: top k hits per lang bucket,
+        # buckets ranked by their best hit — QueryEngine.top_hits' twin
+        final = f"""SELECT gr.grp_rank, h.lang, h.hit_rank, h.doc_id,
+       CAST(floor(h.score * 1000000 + 0.5) AS BIGINT) AS score_micro
+FROM (SELECT lang, doc_id, score,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY score DESC, doc_id ASC) - 1 AS hit_rank
+      FROM kept) h
+JOIN (SELECT lang,
+             row_number() OVER (ORDER BY score DESC, doc_id ASC) - 1 AS grp_rank
+      FROM (SELECT lang, doc_id, score,
+                   row_number() OVER (PARTITION BY lang
+                                      ORDER BY score DESC, doc_id ASC) AS rn
+            FROM kept) WHERE rn = 1) gr USING (lang)
+WHERE h.hit_rank < {top_hits_k} AND gr.grp_rank < {top_hits_groups}
+ORDER BY gr.grp_rank, h.hit_rank"""
     elif collapse:
         # field collapsing: best (score desc, doc_id asc) hit per lang,
         # groups ranked by their best hit — the SQL twin of
@@ -9154,6 +9219,14 @@ def build_oracle_sql() -> Dict[str, str]:
         "bm25_wildcard": bm25_sql(
             "", limit=20, wildcard=WILDCARD_SEARCH_PATTERN,
         ),
+        "bm25_top_hits": bm25_sql(
+            EXPLAIN_QUERY, top_hits_k=TOP_HITS_K, top_hits_groups=10,
+        ),
+        "docs_sorted_top": """
+            SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+            FROM documents
+            ORDER BY lang ASC, n_chars DESC, doc_id ASC LIMIT 100
+        """,
         "bm25_msm": bm25_sql(BM25_QUERY, limit=20, min_match=MSM_K, micro_rank=True),
         "bm25_synonyms": bm25_sql(_expand_synonyms(SYN_QUERY), limit=20),
         "bm25_dismax": dismax_sql(DISMAX_CLAUSES, tie=DISMAX_TIE, limit=20),

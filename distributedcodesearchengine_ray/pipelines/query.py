@@ -925,6 +925,55 @@ class IndexShard:
         vals, counts = np.unique(col[cand], return_counts=True)
         return {str(v): int(c) for v, c in zip(vals, counts)}
 
+    def group_top_hits(
+        self,
+        query_tokens: List[str],
+        idfs: Dict[str, float],
+        group_col: str,
+        k: int,
+        min_score: Optional[float],
+        filters: Optional[Dict[str, str]] = None,
+    ) -> Dict[str, List[Tuple[float, int]]]:
+        """top_hits partial (ES ``top_hits`` inside a terms agg): per
+        distinct ``group_col`` value, this shard's best ``k`` hits
+        (score desc, doc_id asc) from the thresholded set.  At most
+        groups x k pairs cross the wire — the collapse_best shape
+        generalized from 1 to k."""
+        col = self._filter_cols.get(group_col)
+        if col is None:
+            raise KeyError(
+                f"group column {group_col!r} not in this index's docmeta "
+                f"(available: {sorted(self._filter_cols)})"
+            )
+        if self.n_local == 0:
+            return {}
+        scores = self._dense_scores(query_tokens, idfs)
+        if min_score is None:
+            cand = (
+                np.arange(self.n_local)
+                if self.alive is None
+                else np.flatnonzero(self.alive)
+            )
+        else:
+            cand = np.flatnonzero(scores >= min_score)
+            if self.alive is not None:
+                cand = cand[self.alive[cand]]
+        cand = cand[self._filter_mask(filters, cand)]
+        if len(cand) == 0:
+            return {}
+        import pandas as pd
+
+        df = pd.DataFrame(
+            {"g": col[cand], "score": scores[cand], "doc_id": self._doc_ids[cand]}
+        )
+        df = df.sort_values(
+            ["score", "doc_id"], ascending=[False, True], kind="mergesort"
+        ).groupby("g", sort=False).head(k)
+        out: Dict[str, List[Tuple[float, int]]] = {}
+        for g, s, d in zip(df["g"], df["score"], df["doc_id"]):
+            out.setdefault(str(g), []).append((float(s), int(d)))
+        return out
+
     def collapse_best(
         self,
         query_tokens: List[str],
@@ -1297,6 +1346,59 @@ class QueryEngine:
             ((s, d, g) for g, (s, d) in best.items()), key=lambda x: (-x[0], x[1])
         )[:limit]
         return [{"group": g, "doc_id": d, "score": s} for s, d, g in rows]
+
+    def top_hits(
+        self,
+        query: str,
+        group_col: str = "language",
+        k: int = 2,
+        limit_groups: int = 10,
+        filters: Optional[Dict[str, str]] = None,
+    ) -> List[dict]:
+        """ES ``top_hits`` inside a terms aggregation: the top ``k`` hits
+        per ``group_col`` bucket, buckets ranked by their best hit
+        (score desc, doc_id asc) and capped at ``limit_groups``.  Same
+        two cheap rounds as ``collapse``; only groups x k pairs per
+        shard cross the wire.  Returns [{grp_rank, group, hit_rank,
+        doc_id, score}]."""
+        import ray
+
+        toks = tokenize(query)
+        if not toks:
+            return []
+        q_idfs = self.lexicon.idfs(toks)
+        parts = ray.get(
+            [a.search.remote(toks, q_idfs, 1, None, False, "dense")
+             for a in self.actors]
+        )
+        global_max = max((m for m, _ in parts), default=0.0)
+        min_score = global_max * 0.01 if global_max > 0 else None
+        partials = ray.get(
+            [
+                a.group_top_hits.remote(toks, q_idfs, group_col, k, min_score,
+                                        filters)
+                for a in self.actors
+            ]
+        )
+        groups: Dict[str, List[Tuple[float, int]]] = {}
+        for p in partials:
+            for g, pairs in p.items():
+                groups.setdefault(g, []).extend(pairs)
+        merged = {
+            g: sorted(pairs, key=lambda x: (-x[0], x[1]))[:k]
+            for g, pairs in groups.items()
+        }
+        ranked = sorted(
+            merged.items(), key=lambda kv: (-kv[1][0][0], kv[1][0][1])
+        )[:limit_groups]
+        out: List[dict] = []
+        for gi, (g, pairs) in enumerate(ranked):
+            for hi, (s, d) in enumerate(pairs):
+                out.append(
+                    {"grp_rank": gi, "group": g, "hit_rank": hi,
+                     "doc_id": d, "score": s}
+                )
+        return out
 
     def search_qld(
         self,

@@ -215,6 +215,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_trend_by_type": Q.value_trend_by_type,  # distributed OLS slope/intercept from exact moments
         "nation_order_rank_dist": Q.nation_order_rank_dist,  # PERCENT_RANK + CUME_DIST windows
         "cheapest_supplier_per_brand": Q.cheapest_supplier_per_brand,  # Q2-essence correlated argmin + join-back
+        "q4_order_priority": Q.q4_order_priority,  # Q4 shape: decorrelated EXISTS via orderkey-grain max
+        "q9_product_profit": Q.q9_product_profit,  # Q9 shape: multi-dimension profit by (nation, year)
+        "q12_priority_by_returnflag": Q.q12_priority_by_returnflag,  # Q12 shape: two-counter priority pivot
+        "q15_top_supplier": Q.q15_top_supplier,  # Q15 shape: max-revenue supplier view, ties kept
+        "q19_discounted_revenue": Q.q19_discounted_revenue,  # Q19 shape: OR-disjunction branch mask revenue
+        "q20_part_promotion": Q.q20_part_promotion,  # Q20 shape: nested-IN semi-join chain + HAVING
+        "q21_waiting_suppliers": Q.q21_waiting_suppliers,  # Q21 shape: sole-late-supplier on multi-supplier orders
     }
 
 

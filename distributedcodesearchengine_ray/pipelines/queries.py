@@ -9074,6 +9074,641 @@ def cheapest_supplier_per_brand(sf_dir: str):
     )
 
 
+Q4_FROM = "1996-01-01"
+Q4_TO = "1996-07-01"
+
+
+def q4_order_priority(sf_dir: str):
+    """TPC-H Q4 shape — order-priority checking (adapted: the shipped
+    schema has no commit/receipt dates, so "late" = any lineitem shipped
+    after the order date): count of orders per priority in a 6-month
+    window having at least one late lineitem.
+
+    Distributed plan: the EXISTS decorrelates into an orderkey-grain
+    aggregate — lineitem folds MAP-SIDE to per-batch (orderkey ->
+    max shipdate) partials, ONE orderkey groupby finishes the max, the
+    windowed orders join that (per-order, not per-lineitem, volume) and
+    the predicate becomes ``max_ship > o_orderdate``; priority counts
+    fold map-side to <= 5 rows per batch before a tiny final groupby."""
+    from ray.data.aggregate import Max, Sum
+
+    lo, hi = pd.Timestamp(Q4_FROM), pd.Timestamp(Q4_TO)
+
+    def line_partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "o_orderkey": t["l_orderkey"].to_numpy(zero_copy_only=False),
+                "ship_us": t["l_shipdate"].cast(pa.int64()).to_numpy(
+                    zero_copy_only=False
+                ),
+            }
+        )
+        p = df.groupby("o_orderkey", sort=False)["ship_us"].max().reset_index()
+        return pa.Table.from_pandas(p, preserve_index=False)
+
+    last_ship = (
+        _read(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"])
+        .map_batches(line_partial, batch_format="pyarrow")
+        .groupby("o_orderkey")
+        .aggregate(Max("ship_us", alias_name="ship_us"))
+    )
+
+    orders = _read(
+        sf_dir, "orders", columns=["o_orderkey", "o_orderdate", "o_orderpriority"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "odate_us": pcc.cast(t["o_orderdate"], pa.int64()),
+                "o_orderpriority": t["o_orderpriority"],
+            }
+        ).filter(
+            pcc.and_(
+                pcc.greater_equal(t["o_orderdate"], pa.scalar(lo)),
+                pcc.less(t["o_orderdate"], pa.scalar(hi)),
+            )
+        ),
+        batch_format="pyarrow",
+    )
+
+    j = orders.join(
+        _with_join_sentinels(last_ship, "o_orderkey"),
+        join_type="inner",
+        num_partitions=_join_parts(sf_dir, "orders", "lineitem"),
+        on=("o_orderkey",),
+    )
+
+    def prio_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pcc.greater(t["ship_us"], t["odate_us"]))
+        df = (
+            pd.Series(t["o_orderpriority"].to_pandas())
+            .value_counts()
+            .rename_axis("o_orderpriority")
+            .reset_index(name="order_count")
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    out = (
+        j.map_batches(prio_partial, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(Sum("order_count", alias_name="order_count"))
+        .to_pandas()
+        .sort_values("o_orderpriority", ignore_index=True)
+    )
+    return pa.table(
+        {
+            "o_orderpriority": pa.array(out["o_orderpriority"], pa.string()),
+            "order_count": pa.array(out["order_count"].to_numpy(np.int64)),
+        }
+    )
+
+
+Q12_FROM = "1997-01-01"
+Q12_TO = "1998-01-01"
+Q12_HIGH = ("1-URGENT", "2-HIGH")
+
+
+def q12_priority_by_returnflag(sf_dir: str):
+    """TPC-H Q12 shape (adapted: no l_shipmode column — l_returnflag
+    plays the ship-mode role): per return flag, how many lineitems
+    shipped in one year belong to critical-priority orders vs not —
+    the classic two-conditional-counter pivot after a fact⋈fact join.
+
+    Distributed plan: lineitem prunes to the ship-year map-side and
+    carries only (orderkey, returnflag); orders carries (orderkey,
+    is_high 0/1); one orderkey hash join, then per-batch (flag ->
+    high, low) partials fold to <= 3 rows each before the final tiny
+    groupby."""
+    from ray.data.aggregate import Sum
+
+    lo, hi = pd.Timestamp(Q12_FROM), pd.Timestamp(Q12_TO)
+
+    line = _read(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_returnflag", "l_shipdate"]
+    ).map_batches(
+        lambda t: pa.table(
+            {"o_orderkey": t["l_orderkey"], "l_returnflag": t["l_returnflag"]}
+        ).filter(
+            pcc.and_(
+                pcc.greater_equal(t["l_shipdate"], pa.scalar(lo)),
+                pcc.less(t["l_shipdate"], pa.scalar(hi)),
+            )
+        ),
+        batch_format="pyarrow",
+    )
+    orders = _read(
+        sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "is_high": pcc.cast(
+                    pcc.is_in(t["o_orderpriority"], value_set=pa.array(Q12_HIGH)),
+                    pa.int64(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    j = line.join(
+        _with_join_sentinels(orders, "o_orderkey"),
+        join_type="inner",
+        num_partitions=_join_parts(sf_dir, "lineitem", "orders"),
+        on=("o_orderkey",),
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "l_returnflag": t["l_returnflag"].to_pandas(),
+                "high": t["is_high"].to_numpy(zero_copy_only=False),
+            }
+        )
+        g = df.groupby("l_returnflag", sort=False)["high"].agg(["sum", "count"])
+        return pa.table(
+            {
+                "l_returnflag": pa.array(g.index, pa.string()),
+                "high_line_count": pa.array(g["sum"].to_numpy(np.int64)),
+                "low_line_count": pa.array(
+                    (g["count"] - g["sum"]).to_numpy(np.int64)
+                ),
+            }
+        )
+
+    out = (
+        j.map_batches(partial, batch_format="pyarrow")
+        .groupby("l_returnflag")
+        .aggregate(
+            Sum("high_line_count", alias_name="high_line_count"),
+            Sum("low_line_count", alias_name="low_line_count"),
+        )
+        .to_pandas()
+        .sort_values("l_returnflag", ignore_index=True)
+    )
+    return pa.table(
+        {
+            "l_returnflag": pa.array(out["l_returnflag"], pa.string()),
+            "high_line_count": pa.array(out["high_line_count"].to_numpy(np.int64)),
+            "low_line_count": pa.array(out["low_line_count"].to_numpy(np.int64)),
+        }
+    )
+
+
+Q15_FROM = "1997-01-01"
+Q15_TO = "1997-04-01"
+
+
+def q15_top_supplier(sf_dir: str):
+    """TPC-H Q15 shape — top supplier: the supplier(s) with the maximum
+    quarterly revenue (the view + scalar-max-subquery pattern), ties
+    kept, enriched with the supplier name.
+
+    Distributed plan: lineitem prunes to the quarter map-side, folds to
+    per-batch (suppkey -> cents) partials, ONE suppkey groupby; the max
+    and its ties resolve on the <= |suppliers| aggregate; names attach
+    via a suppkey-pushdown point read of the supplier parquet."""
+    from ray.data.aggregate import Sum
+
+    lo, hi = pd.Timestamp(Q15_FROM), pd.Timestamp(Q15_TO)
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = pcc.and_(
+            pcc.greater_equal(t["l_shipdate"], pa.scalar(lo)),
+            pcc.less(t["l_shipdate"], pa.scalar(hi)),
+        )
+        t = t.filter(m)
+        df = pd.DataFrame(
+            {
+                "s_suppkey": t["l_suppkey"].to_numpy(zero_copy_only=False),
+                "total_revenue_c": _cents_col(
+                    pcc.multiply(
+                        t["l_extendedprice"],
+                        pcc.subtract(pa.scalar(1.0), t["l_discount"]),
+                    )
+                ).to_numpy(zero_copy_only=False),
+            }
+        )
+        p = df.groupby("s_suppkey", sort=False)["total_revenue_c"].sum().reset_index()
+        return pa.Table.from_pandas(p, preserve_index=False)
+
+    rev = (
+        _read(
+            sf_dir, "lineitem",
+            columns=["l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("s_suppkey")
+        .aggregate(Sum("total_revenue_c", alias_name="total_revenue_c"))
+        .to_pandas()
+    )
+    if len(rev) == 0:
+        return pa.table(
+            {"s_suppkey": pa.array([], pa.int64()),
+             "s_name": pa.array([], pa.string()),
+             "total_revenue_c": pa.array([], pa.int64())}
+        )
+    best = rev[rev["total_revenue_c"] == rev["total_revenue_c"].max()]
+    keys = sorted(int(k) for k in best["s_suppkey"])
+    import pyarrow.dataset as pads
+
+    supp = pads.dataset(os.path.join(sf_dir, "supplier.parquet")).to_table(
+        columns=["s_suppkey", "s_name"],
+        filter=pads.field("s_suppkey").isin(keys),
+    ).to_pandas()
+    out = best.merge(supp, on="s_suppkey").sort_values("s_suppkey", ignore_index=True)
+    return pa.table(
+        {
+            "s_suppkey": pa.array(out["s_suppkey"].to_numpy(np.int64)),
+            "s_name": pa.array(out["s_name"], pa.string()),
+            "total_revenue_c": pa.array(out["total_revenue_c"].to_numpy(np.int64)),
+        }
+    )
+
+
+Q19_BRANCHES = (
+    ("Brand#12", 1, 5, 1, 11),
+    ("Brand#23", 1, 10, 10, 20),
+    ("Brand#34", 1, 15, 20, 30),
+)
+
+
+def q19_discounted_revenue(sf_dir: str):
+    """TPC-H Q19 shape — discounted revenue from an OR-disjunction of
+    (brand, size-range, quantity-range) branches over part⋈lineitem.
+
+    Distributed plan: part's (brand, size) attach via the
+    broadcast-or-join helper; the three branch predicates evaluate as
+    ONE vectorized Arrow mask per batch (no row loop, no per-branch
+    rescan); per-batch cent partials fold to a single driver scalar."""
+    line = _read(
+        sf_dir, "lineitem",
+        columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "l_partkey": t["l_partkey"],
+                "qty": pcc.cast(t["l_quantity"], pa.float64()),
+                "revenue_c": _cents_col(
+                    pcc.multiply(
+                        t["l_extendedprice"],
+                        pcc.subtract(pa.scalar(1.0), t["l_discount"]),
+                    )
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_brand", "p_size"]).map_batches(
+        lambda t: pa.table(
+            {
+                "l_partkey": t["p_partkey"],
+                "p_brand": t["p_brand"],
+                "p_size": pcc.cast(t["p_size"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    lp = _attach_int_lookup(line, part, sf_dir, "part", "l_partkey", "lineitem")
+
+    def partial(t: pa.Table) -> pa.Table:
+        mask = None
+        for brand, s_lo, s_hi, q_lo, q_hi in Q19_BRANCHES:
+            m = pcc.and_(
+                pcc.and_(
+                    pcc.equal(t["p_brand"], brand),
+                    pcc.and_(
+                        pcc.greater_equal(t["p_size"], pa.scalar(s_lo, pa.int64())),
+                        pcc.less_equal(t["p_size"], pa.scalar(s_hi, pa.int64())),
+                    ),
+                ),
+                pcc.and_(
+                    pcc.greater_equal(t["qty"], pa.scalar(float(q_lo))),
+                    pcc.less_equal(t["qty"], pa.scalar(float(q_hi))),
+                ),
+            )
+            mask = m if mask is None else pcc.or_(mask, m)
+        kept = t.filter(mask)
+        s = pcc.sum(kept["revenue_c"])
+        return pa.table({"revenue_c": pa.array(
+            [s.as_py() if s.is_valid else 0], pa.int64())})
+
+    parts = lp.map_batches(partial, batch_format="pyarrow").to_pandas()
+    return pa.table(
+        {"revenue_c": pa.array([int(parts["revenue_c"].sum())], pa.int64())}
+    )
+
+
+Q20_PREFIX = "large"
+Q20_FROM = "1997-01-01"
+Q20_TO = "1998-01-01"
+Q20_MIN_QTY = 50
+
+
+def q20_part_promotion(sf_dir: str):
+    """TPC-H Q20 shape (adapted: no partsupp/availqty — the nested-IN
+    chain keeps its multi-hop semi-join form with a fixed quantity
+    threshold): suppliers who shipped more than ``Q20_MIN_QTY`` units
+    of name-prefix parts in one year.
+
+    Distributed plan: the part predicate resolves to a (partkey -> 1)
+    side attached via the broadcast-or-join helper (inner semantics
+    prune non-matching lineitems map-side); quantities fold to
+    per-batch suppkey partials, ONE suppkey groupby applies the HAVING;
+    supplier names attach via a suppkey-pushdown point read."""
+    from ray.data.aggregate import Sum
+
+    lo, hi = pd.Timestamp(Q20_FROM), pd.Timestamp(Q20_TO)
+
+    line = _read(
+        sf_dir, "lineitem",
+        columns=["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"],
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "l_partkey": t["l_partkey"],
+                "s_suppkey": t["l_suppkey"],
+                "qty": pcc.cast(t["l_quantity"], pa.int64()),
+            }
+        ).filter(
+            pcc.and_(
+                pcc.greater_equal(t["l_shipdate"], pa.scalar(lo)),
+                pcc.less(t["l_shipdate"], pa.scalar(hi)),
+            )
+        ),
+        batch_format="pyarrow",
+    )
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_name"]).map_batches(
+        lambda t: pa.table(
+            {"l_partkey": t["p_partkey"]}
+        ).filter(pcc.starts_with(t["p_name"], Q20_PREFIX)),
+        batch_format="pyarrow",
+    )
+    lp = _attach_int_lookup(line, part, sf_dir, "part", "l_partkey", "lineitem")
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "s_suppkey": t["s_suppkey"].to_numpy(zero_copy_only=False),
+                "qty": t["qty"].to_numpy(zero_copy_only=False),
+            }
+        )
+        p = df.groupby("s_suppkey", sort=False)["qty"].sum().reset_index()
+        return pa.Table.from_pandas(p, preserve_index=False)
+
+    agg = (
+        lp.map_batches(partial, batch_format="pyarrow")
+        .groupby("s_suppkey")
+        .aggregate(Sum("qty", alias_name="qty"))
+        .to_pandas()
+    )
+    agg = agg[agg["qty"] > Q20_MIN_QTY]
+    if len(agg) == 0:
+        return pa.table(
+            {"s_suppkey": pa.array([], pa.int64()),
+             "s_name": pa.array([], pa.string()),
+             "qty": pa.array([], pa.int64())}
+        )
+    import pyarrow.dataset as pads
+
+    keys = sorted(int(k) for k in agg["s_suppkey"])
+    supp = pads.dataset(os.path.join(sf_dir, "supplier.parquet")).to_table(
+        columns=["s_suppkey", "s_name"],
+        filter=pads.field("s_suppkey").isin(keys),
+    ).to_pandas()
+    out = agg.merge(supp, on="s_suppkey").sort_values("s_suppkey", ignore_index=True)
+    return pa.table(
+        {
+            "s_suppkey": pa.array(out["s_suppkey"].to_numpy(np.int64)),
+            "s_name": pa.array(out["s_name"], pa.string()),
+            "qty": pa.array(out["qty"].to_numpy(np.int64)),
+        }
+    )
+
+
+Q21_LATE_DAYS = 60
+
+
+def q21_waiting_suppliers(sf_dir: str):
+    """TPC-H Q21 shape (adapted: "kept the order waiting" = shipped
+    more than ``Q21_LATE_DAYS`` days after the order date — the shipped
+    schema has no commit/receipt dates): suppliers who were the SOLE
+    late supplier on a multi-supplier order, ranked by how often.
+
+    Distributed plan: lineitem joins orders once on orderkey for the
+    order date, folds map-side to distinct (orderkey, suppkey,
+    late-any) partials, ONE (orderkey, suppkey) groupby finishes the
+    OR, then an orderkey-keyed ``map_groups`` applies the exists /
+    not-exists pair (n_supp > 1, n_late == 1) inside each order group —
+    order groups are tiny (bounded fan-out per order) so the group UDF
+    is O(order size), never corpus-wide; a final suppkey count fold
+    ranks the top 10."""
+    from ray.data.aggregate import Max, Sum
+
+    us_per_day = 86_400_000_000
+
+    line = _read(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey", "l_shipdate"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "o_orderkey": t["l_orderkey"],
+                "s_suppkey": t["l_suppkey"],
+                "ship_us": pcc.cast(t["l_shipdate"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"]).map_batches(
+        lambda t: pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "odate_us": pcc.cast(t["o_orderdate"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    j = line.join(
+        _with_join_sentinels(orders, "o_orderkey"),
+        join_type="inner",
+        num_partitions=_join_parts(sf_dir, "lineitem", "orders"),
+        on=("o_orderkey",),
+    )
+
+    def late_partial(t: pa.Table) -> pa.Table:
+        late = pcc.cast(
+            pcc.greater(
+                t["ship_us"],
+                pcc.add(t["odate_us"], pa.scalar(Q21_LATE_DAYS * us_per_day)),
+            ),
+            pa.int64(),
+        )
+        df = pd.DataFrame(
+            {
+                "o_orderkey": t["o_orderkey"].to_numpy(zero_copy_only=False),
+                "s_suppkey": t["s_suppkey"].to_numpy(zero_copy_only=False),
+                "late": late.to_numpy(zero_copy_only=False),
+            }
+        )
+        p = df.groupby(["o_orderkey", "s_suppkey"], sort=False)["late"].max().reset_index()
+        return pa.Table.from_pandas(p, preserve_index=False)
+
+    per_os = (
+        j.map_batches(late_partial, batch_format="pyarrow")
+        .groupby(["o_orderkey", "s_suppkey"])
+        .aggregate(Max("late", alias_name="late"))
+    )
+
+    def order_group(df: pd.DataFrame) -> pd.DataFrame:
+        n_supp = len(df)
+        n_late = int(df["late"].sum())
+        if n_supp > 1 and n_late == 1:
+            sole = df[df["late"] == 1]
+            return pd.DataFrame({"s_suppkey": sole["s_suppkey"], "numwait": 1})
+        return pd.DataFrame({"s_suppkey": pd.Series([], dtype=np.int64),
+                             "numwait": pd.Series([], dtype=np.int64)})
+
+    waits = (
+        per_os.groupby("o_orderkey")
+        .map_groups(order_group, batch_format="pandas")
+        .groupby("s_suppkey")
+        .aggregate(Sum("numwait", alias_name="numwait"))
+        .to_pandas()
+    )
+    if len(waits) == 0:
+        return pa.table(
+            {"s_name": pa.array([], pa.string()),
+             "numwait": pa.array([], pa.int64())}
+        )
+    import pyarrow.dataset as pads
+
+    keys = sorted(int(k) for k in waits["s_suppkey"])
+    supp = pads.dataset(os.path.join(sf_dir, "supplier.parquet")).to_table(
+        columns=["s_suppkey", "s_name"],
+        filter=pads.field("s_suppkey").isin(keys),
+    ).to_pandas()
+    out = (
+        waits.merge(supp, on="s_suppkey")
+        .sort_values(["numwait", "s_name"], ascending=[False, True],
+                     kind="mergesort")
+        .head(10)
+        .reset_index(drop=True)
+    )
+    return pa.table(
+        {
+            "s_name": pa.array(out["s_name"], pa.string()),
+            "numwait": pa.array(out["numwait"].to_numpy(np.int64)),
+        }
+    )
+
+
+Q9_TOKEN = "widget"
+Q9_COST_FACTOR = 0.5
+
+
+def q9_product_profit(sf_dir: str):
+    """TPC-H Q9 shape (adapted: no partsupp — unit cost is
+    ``Q9_COST_FACTOR * p_retailprice``): profit on name-matching parts
+    per (supplier nation, order year).
+
+    Distributed plan: part's retail price (pre-filtered to matching
+    names) and supplier's nation both attach via the broadcast-or-join
+    helper; the order year arrives through ONE orderkey hash join; the
+    per-row profit expression rounds to cents per element
+    (float-expression-identical to the oracle) and folds map-side to
+    (nation, year) partials before a tiny final groupby."""
+    from ray.data.aggregate import Sum
+
+    nat = _read(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
+    names = dict(zip(nat["n_nationkey"].astype(int), nat["n_name"]))
+
+    line = _read(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+                 "l_extendedprice", "l_discount"],
+    )
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_name", "p_retailprice"]).map_batches(
+        lambda t: pa.table(
+            {"l_partkey": t["p_partkey"], "p_retailprice": t["p_retailprice"]}
+        ).filter(pcc.match_substring(t["p_name"], Q9_TOKEN)),
+        batch_format="pyarrow",
+    )
+    lp = _attach_int_lookup(line, part, sf_dir, "part", "l_partkey", "lineitem")
+    supp = _read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]).map_batches(
+        lambda t: pa.table(
+            {"l_suppkey": t["s_suppkey"],
+             "s_nationkey": pcc.cast(t["s_nationkey"], pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+    lps = _attach_int_lookup(lp, supp, sf_dir, "supplier", "l_suppkey", "lineitem")
+
+    def proj(t: pa.Table) -> pa.Table:
+        profit = pcc.subtract(
+            pcc.multiply(
+                t["l_extendedprice"], pcc.subtract(pa.scalar(1.0), t["l_discount"])
+            ),
+            pcc.multiply(
+                pcc.multiply(
+                    pcc.cast(t["l_quantity"], pa.float64()),
+                    pa.scalar(Q9_COST_FACTOR),
+                ),
+                t["p_retailprice"],
+            ),
+        )
+        return pa.table(
+            {
+                "o_orderkey": t["l_orderkey"],
+                "s_nationkey": t["s_nationkey"],
+                "profit_c": _cents_col(profit),
+            }
+        )
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"]).map_batches(
+        lambda t: pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "o_year": pcc.cast(pcc.year(t["o_orderdate"]), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    j = lps.map_batches(proj, batch_format="pyarrow").join(
+        _with_join_sentinels(orders, "o_orderkey"),
+        join_type="inner",
+        num_partitions=_join_parts(sf_dir, "lineitem", "orders"),
+        on=("o_orderkey",),
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "s_nationkey": t["s_nationkey"].to_numpy(zero_copy_only=False),
+                "o_year": t["o_year"].to_numpy(zero_copy_only=False),
+                "profit_c": t["profit_c"].to_numpy(zero_copy_only=False),
+            }
+        )
+        p = df.groupby(["s_nationkey", "o_year"], sort=False)["profit_c"].sum().reset_index()
+        return pa.Table.from_pandas(p, preserve_index=False)
+
+    out = (
+        j.map_batches(partial, batch_format="pyarrow")
+        .groupby(["s_nationkey", "o_year"])
+        .aggregate(Sum("profit_c", alias_name="profit_c"))
+        .to_pandas()
+    )
+    out["n_name"] = out["s_nationkey"].map(lambda k: names[int(k)])
+    out = out.sort_values(
+        ["n_name", "o_year"], ascending=[True, False], ignore_index=True
+    )
+    return pa.table(
+        {
+            "n_name": pa.array(out["n_name"], pa.string()),
+            "o_year": pa.array(out["o_year"].to_numpy(np.int64)),
+            "profit_c": pa.array(out["profit_c"].to_numpy(np.int64)),
+        }
+    )
+
+
 def _percentile_ranks_sql() -> str:
     """UNION-ALL unpivot of per-threshold counters, mirroring
     ``value_percentile_ranks``' integer bps arithmetic."""
@@ -11170,6 +11805,97 @@ def build_oracle_sql() -> Dict[str, str]:
                                             ORDER BY price_c, s_suppkey) AS rn
                   FROM u)
             WHERE rn = 1 ORDER BY p_brand
+        """,
+        "q4_order_priority": f"""
+            SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '{Q4_FROM}'
+              AND o_orderdate <  TIMESTAMP '{Q4_TO}'
+              AND EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey
+                            AND l_shipdate > o_orderdate)
+            GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "q12_priority_by_returnflag": f"""
+            SELECT l_returnflag,
+                   CAST(count(*) FILTER (WHERE o_orderpriority IN
+                        ('{Q12_HIGH[0]}', '{Q12_HIGH[1]}')) AS BIGINT)
+                     AS high_line_count,
+                   CAST(count(*) FILTER (WHERE o_orderpriority NOT IN
+                        ('{Q12_HIGH[0]}', '{Q12_HIGH[1]}')) AS BIGINT)
+                     AS low_line_count
+            FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE l_shipdate >= TIMESTAMP '{Q12_FROM}'
+              AND l_shipdate <  TIMESTAMP '{Q12_TO}'
+            GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "q15_top_supplier": f"""
+            WITH rev AS (
+              SELECT l_suppkey AS s_suppkey,
+                     CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                                         * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                       AS total_revenue_c
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '{Q15_FROM}'
+                AND l_shipdate <  TIMESTAMP '{Q15_TO}'
+              GROUP BY 1)
+            SELECT s_suppkey, s_name, total_revenue_c
+            FROM supplier JOIN rev USING (s_suppkey)
+            WHERE total_revenue_c = (SELECT max(total_revenue_c) FROM rev)
+            ORDER BY s_suppkey
+        """,
+        "q19_discounted_revenue": f"""
+            SELECT CAST(coalesce(sum(CAST(floor(l_extendedprice
+                        * (1 - l_discount) * 100 + 0.5) AS BIGINT)), 0)
+                   AS BIGINT) AS revenue_c
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE {" OR ".join(
+                f"(p_brand = '{b}' AND p_size BETWEEN {slo} AND {shi}"
+                f" AND l_quantity BETWEEN {qlo} AND {qhi})"
+                for b, slo, shi, qlo, qhi in Q19_BRANCHES)}
+        """,
+        "q20_part_promotion": f"""
+            SELECT s_suppkey, s_name, qty FROM supplier JOIN (
+              SELECT l_suppkey AS s_suppkey,
+                     CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+              FROM lineitem
+              WHERE l_partkey IN (SELECT p_partkey FROM part
+                                  WHERE p_name LIKE '{Q20_PREFIX}%')
+                AND l_shipdate >= TIMESTAMP '{Q20_FROM}'
+                AND l_shipdate <  TIMESTAMP '{Q20_TO}'
+              GROUP BY 1 HAVING sum(CAST(l_quantity AS BIGINT)) > {Q20_MIN_QTY}
+            ) USING (s_suppkey) ORDER BY s_suppkey
+        """,
+        "q21_waiting_suppliers": f"""
+            WITH ls AS (
+              SELECT l_orderkey AS ok, l_suppkey AS sk,
+                     max(CASE WHEN l_shipdate > o_orderdate
+                              + INTERVAL {Q21_LATE_DAYS} DAY
+                              THEN 1 ELSE 0 END) AS late
+              FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+              GROUP BY 1, 2),
+            g AS (SELECT ok, sk, late,
+                         count(*) OVER (PARTITION BY ok) AS n_supp,
+                         sum(late) OVER (PARTITION BY ok) AS n_late
+                  FROM ls)
+            SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+            FROM g JOIN supplier ON s_suppkey = sk
+            WHERE late = 1 AND n_supp > 1 AND n_late = 1
+            GROUP BY s_name
+            ORDER BY numwait DESC, s_name LIMIT 10
+        """,
+        "q9_product_profit": f"""
+            SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                   CAST(sum(CAST(floor((l_extendedprice * (1 - l_discount)
+                        - l_quantity * {Q9_COST_FACTOR} * p_retailprice)
+                        * 100 + 0.5) AS BIGINT)) AS BIGINT) AS profit_c
+            FROM lineitem
+            JOIN part ON p_partkey = l_partkey
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN nation ON n_nationkey = s_nationkey
+            JOIN orders ON o_orderkey = l_orderkey
+            WHERE p_name LIKE '%{Q9_TOKEN}%'
+            GROUP BY 1, 2 ORDER BY n_name, o_year DESC
         """,
         "cumulative_users": """
             WITH f AS (SELECT user_id,

@@ -222,6 +222,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q19_discounted_revenue": Q.q19_discounted_revenue,  # Q19 shape: OR-disjunction branch mask revenue
         "q20_part_promotion": Q.q20_part_promotion,  # Q20 shape: nested-IN semi-join chain + HAVING
         "q21_waiting_suppliers": Q.q21_waiting_suppliers,  # Q21 shape: sole-late-supplier on multi-supplier orders
+        "match_phrase_prefix": Q.match_phrase_prefix,  # ES match_phrase_prefix: lexicon-expanded final slot
+        "lineitem_matrix_stats": Q.lineitem_matrix_stats,  # ES matrix_stats: pairwise cov/corr from exact moments
+        "weighted_avg_price": Q.weighted_avg_price,  # ES weighted_avg: qty-weighted price per return flag
+        "daily_purchase_ratio": Q.daily_purchase_ratio,  # bucket_script + derivative + bucket_selector pipeline aggs
     }
 
 

@@ -826,6 +826,33 @@ def phrase_proximity(sf_dir: str):
     )
 
 
+MPP_FIXED, MPP_PREFIX = "big order", "sc"
+
+
+def match_phrase_prefix(sf_dir: str, limit: int = 20):
+    """ES match_phrase_prefix: the fixed tokens adjacently in order,
+    followed by ANY vocabulary term starting with the prefix (one
+    lexicon prefix-range pushdown expands it; the expansion slot
+    filters, scoring stays over the fixed tokens)."""
+    from .query import QueryEngine
+
+    idx = _documents_index(sf_dir, with_positions=True)
+    engine = QueryEngine(idx, num_actors=2)
+    try:
+        hits = engine.search_match_phrase_prefix(
+            f"{MPP_FIXED} {MPP_PREFIX}", limit=limit
+        )
+    finally:
+        engine.close()
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(len(hits)), pa.int64()),
+            "doc_id": pa.array([h["doc_id"] for h in hits], pa.int64()),
+            "score_micro": pa.array(_micro([h["score"] for h in hits]), pa.int64()),
+        }
+    )
+
+
 TOMBSTONE_LANG = "de"
 
 
@@ -1050,6 +1077,7 @@ def bm25_sql(
     required: Optional[List[str]] = None,
     excluded: Optional[List[str]] = None,
     phrase_adjacent: bool = False,
+    phrase_prefix: Optional[str] = None,
     slop: int = 0,
     corpus_where: Optional[str] = None,
     snippet_window: Optional[int] = None,
@@ -1178,9 +1206,18 @@ def bm25_sql(
         ptoks = tokenize(query)
         k = len(ptoks)
         if slop == 0:
-            conds = " AND ".join(
+            cond_list = [
                 f"toks[CAST(i AS BIGINT) + {j}] = '{t}'" for j, t in enumerate(ptoks)
-            )
+            ]
+            if phrase_prefix is not None:
+                # match_phrase_prefix: one extra final slot matched by
+                # ANY token with the prefix (scoring stays over ptoks)
+                cond_list.append(
+                    f"starts_with(toks[CAST(i AS BIGINT) + {k}],"
+                    f" '{phrase_prefix}')"
+                )
+                k += 1
+            conds = " AND ".join(cond_list)
             filt += (
                 "\n  AND doc_id IN (SELECT doc_id FROM tok"
                 f" WHERE len(toks) >= {k} AND EXISTS ("
@@ -9709,6 +9746,199 @@ def q9_product_profit(sf_dir: str):
     )
 
 
+MATRIX_FIELDS = ("l_quantity", "l_extendedprice", "l_discount")
+
+
+def lineitem_matrix_stats(sf_dir: str):
+    """ES matrix_stats over (quantity, extendedprice, discount): the
+    population covariance and Pearson correlation for every field pair.
+
+    Distributed plan: fields integerize per element (units / cents /
+    basis points), ONE pass emits per-batch exact moment partials
+    (n, S_i, S_ij) as hi/lo int64 halves, a single global fold (no
+    grouping key: partials concatenate to a tiny table summed on the
+    driver) recombines arbitrary-precision moments, and the closed
+    forms evaluate with the SAME double expression tree as the oracle's
+    HUGEINT sums."""
+    import math
+
+    ds = _read(sf_dir, "lineitem", columns=list(MATRIX_FIELDS))
+    pairs = [(i, j) for i in range(3) for j in range(i + 1, 3)]
+
+    def partial(t: pa.Table) -> pa.Table:
+        q = t["l_quantity"].to_numpy(zero_copy_only=False).astype(np.int64)
+        p = _micro(t["l_extendedprice"].to_numpy(zero_copy_only=False), 100.0)
+        d = _micro(t["l_discount"].to_numpy(zero_copy_only=False), 10000.0)
+        cols = [q, p, d]
+        row = {"n": [len(q)]}
+        for i, x in enumerate(cols):
+            hi, lo = _hilo(_chunked_int_sum(x))
+            row[f"s{i}_hi"], row[f"s{i}_lo"] = [hi], [lo]
+            hi, lo = _hilo(_chunked_int_sum(x * x))
+            row[f"s{i}{i}_hi"], row[f"s{i}{i}_lo"] = [hi], [lo]
+        for i, j in pairs:
+            hi, lo = _hilo(_chunked_int_sum(cols[i] * cols[j]))
+            row[f"s{i}{j}_hi"], row[f"s{i}{j}_lo"] = [hi], [lo]
+        return pa.table({k: pa.array(v, pa.int64()) for k, v in row.items()})
+
+    agg = ds.map_batches(partial, batch_format="pyarrow").to_pandas().sum()
+    n = int(agg["n"])
+    fn = float(n)
+    s = {i: float(_unhilo(agg[f"s{i}_hi"], agg[f"s{i}_lo"])) for i in range(3)}
+    ss = {
+        (i, j): float(_unhilo(agg[f"s{i}{j}_hi"], agg[f"s{i}{j}_lo"]))
+        for i in range(3)
+        for j in range(i, 3)
+    }
+    rows = {"field_x": [], "field_y": [], "cov_micro": [], "corr_micro": []}
+    for i, j in pairs:
+        cov = ss[(i, j)] / fn - (s[i] / fn) * (s[j] / fn)
+        var_i = ss[(i, i)] / fn - (s[i] / fn) * (s[i] / fn)
+        var_j = ss[(j, j)] / fn - (s[j] / fn) * (s[j] / fn)
+        corr = cov / math.sqrt(var_i * var_j)
+        rows["field_x"].append(MATRIX_FIELDS[i])
+        rows["field_y"].append(MATRIX_FIELDS[j])
+        rows["cov_micro"].append(int(math.floor(cov * 1e6 + 0.5)))
+        rows["corr_micro"].append(int(math.floor(corr * 1e6 + 0.5)))
+    return pa.table(
+        {
+            "field_x": pa.array(rows["field_x"], pa.string()),
+            "field_y": pa.array(rows["field_y"], pa.string()),
+            "cov_micro": pa.array(rows["cov_micro"], pa.int64()),
+            "corr_micro": pa.array(rows["corr_micro"], pa.int64()),
+        }
+    )
+
+
+def weighted_avg_price(sf_dir: str):
+    """ES weighted_avg: quantity-weighted average extended price (in
+    cents, milli-rounded) per return flag — exact integer numerator
+    (sum of qty x cents rides as hi/lo halves) and denominator, one
+    double division per group identical to the oracle's."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    ds = _read(
+        sf_dir, "lineitem", columns=["l_returnflag", "l_quantity", "l_extendedprice"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        q = t["l_quantity"].to_numpy(zero_copy_only=False).astype(np.int64)
+        p = _micro(t["l_extendedprice"].to_numpy(zero_copy_only=False), 100.0)
+        df = pd.DataFrame(
+            {"l_returnflag": t["l_returnflag"].to_pandas(), "w": q, "wx": q * p}
+        )
+        rows = {"l_returnflag": [], "w": [], "num_hi": [], "num_lo": []}
+        for k, grp in df.groupby("l_returnflag", sort=False):
+            hi, lo = _hilo(_chunked_int_sum(grp["wx"].to_numpy(np.int64)))
+            rows["l_returnflag"].append(k)
+            rows["w"].append(int(grp["w"].sum()))
+            rows["num_hi"].append(hi)
+            rows["num_lo"].append(lo)
+        return pa.table(
+            {
+                "l_returnflag": pa.array(rows["l_returnflag"], pa.string()),
+                "w": pa.array(rows["w"], pa.int64()),
+                "num_hi": pa.array(rows["num_hi"], pa.int64()),
+                "num_lo": pa.array(rows["num_lo"], pa.int64()),
+            }
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("l_returnflag")
+        .aggregate(
+            Sum("w", alias_name="w"),
+            Sum("num_hi", alias_name="num_hi"),
+            Sum("num_lo", alias_name="num_lo"),
+        )
+        .to_pandas()
+        .sort_values("l_returnflag", ignore_index=True)
+    )
+    wavg = [
+        int(
+            math.floor(
+                float(_unhilo(r.num_hi, r.num_lo)) / float(r.w) * 1000.0 + 0.5
+            )
+        )
+        for r in out.itertuples(index=False)
+    ]
+    return pa.table(
+        {
+            "l_returnflag": pa.array(out["l_returnflag"], pa.string()),
+            "sum_qty": pa.array(out["w"].to_numpy(np.int64)),
+            "wavg_milli": pa.array(wavg, pa.int64()),
+        }
+    )
+
+
+RATIO_MIN_MICRO = 1_000_000
+
+
+def daily_purchase_ratio(sf_dir: str):
+    """ES pipeline aggregations in one shape — date_histogram (day) +
+    bucket_script (purchase/view ratio) + derivative (day-over-day
+    total delta, 0 for the first bucket) + bucket_selector (keep ratio
+    >= 1.0 buckets).
+
+    Distributed plan: one pass of per-batch (day -> n_total,
+    n_purchase, n_view) partials, one day-keyed groupby (the day axis
+    is bounded — years of days, never corpus-sized), then the pipeline
+    stages (script, derivative, selector) run on the driver over that
+    bounded bucket table in exact integer arithmetic."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["ts", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = (
+            t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            // 86_400_000_000
+        )
+        et = t["event_type"].to_pandas()
+        df = pd.DataFrame({"day": day, "p": (et == "purchase"), "v": (et == "view")})
+        g = df.groupby("day", sort=False).agg(
+            n_total=("p", "size"), n_purchase=("p", "sum"), n_view=("v", "sum")
+        ).reset_index()
+        return pa.table(
+            {
+                "day": pa.array(g["day"].to_numpy(np.int64)),
+                "n_total": pa.array(g["n_total"].to_numpy(np.int64)),
+                "n_purchase": pa.array(g["n_purchase"].to_numpy(np.int64)),
+                "n_view": pa.array(g["n_view"].to_numpy(np.int64)),
+            }
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(
+            Sum("n_total", alias_name="n_total"),
+            Sum("n_purchase", alias_name="n_purchase"),
+            Sum("n_view", alias_name="n_view"),
+        )
+        .to_pandas()
+        .sort_values("day", ignore_index=True)
+    )
+    tot = out["n_total"].to_numpy(np.int64)
+    deriv = np.concatenate([[0], tot[1:] - tot[:-1]])
+    nv = out["n_view"].to_numpy(np.int64)
+    npu = out["n_purchase"].to_numpy(np.int64)
+    ratio = np.where(nv == 0, -1, (npu * 1_000_000 + nv // 2) // np.maximum(nv, 1))
+    keep = ratio >= RATIO_MIN_MICRO
+    return pa.table(
+        {
+            "day": pa.array(out["day"].to_numpy(np.int64)[keep]),
+            "n_total": pa.array(tot[keep]),
+            "n_purchase": pa.array(npu[keep]),
+            "n_view": pa.array(nv[keep]),
+            "ratio_micro": pa.array(ratio[keep].astype(np.int64)),
+            "deriv": pa.array(deriv[keep].astype(np.int64)),
+        }
+    )
+
+
 def _percentile_ranks_sql() -> str:
     """UNION-ALL unpivot of per-threshold counters, mirroring
     ``value_percentile_ranks``' integer bps arithmetic."""
@@ -11805,6 +12035,73 @@ def build_oracle_sql() -> Dict[str, str]:
                                             ORDER BY price_c, s_suppkey) AS rn
                   FROM u)
             WHERE rn = 1 ORDER BY p_brand
+        """,
+        "match_phrase_prefix": bm25_sql(
+            MPP_FIXED, limit=20, phrase_adjacent=True, phrase_prefix=MPP_PREFIX
+        ),
+        "lineitem_matrix_stats": """
+            WITH b AS (SELECT CAST(l_quantity AS BIGINT) AS x0,
+                              CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS x1,
+                              CAST(floor(l_discount * 10000 + 0.5) AS BIGINT) AS x2
+                       FROM lineitem),
+            m AS (SELECT CAST(count(*) AS DOUBLE) AS fn,
+                         CAST(sum(CAST(x0 AS HUGEINT)) AS DOUBLE) AS s0,
+                         CAST(sum(CAST(x1 AS HUGEINT)) AS DOUBLE) AS s1,
+                         CAST(sum(CAST(x2 AS HUGEINT)) AS DOUBLE) AS s2,
+                         CAST(sum(CAST(x0 AS HUGEINT) * x0) AS DOUBLE) AS s00,
+                         CAST(sum(CAST(x1 AS HUGEINT) * x1) AS DOUBLE) AS s11,
+                         CAST(sum(CAST(x2 AS HUGEINT) * x2) AS DOUBLE) AS s22,
+                         CAST(sum(CAST(x0 AS HUGEINT) * x1) AS DOUBLE) AS s01,
+                         CAST(sum(CAST(x0 AS HUGEINT) * x2) AS DOUBLE) AS s02,
+                         CAST(sum(CAST(x1 AS HUGEINT) * x2) AS DOUBLE) AS s12
+                  FROM b)
+            SELECT 'l_quantity' AS field_x, 'l_extendedprice' AS field_y,
+                   CAST(floor((s01/fn - (s0/fn)*(s1/fn)) * 1000000 + 0.5) AS BIGINT) AS cov_micro,
+                   CAST(floor((s01/fn - (s0/fn)*(s1/fn))
+                        / sqrt((s00/fn - (s0/fn)*(s0/fn)) * (s11/fn - (s1/fn)*(s1/fn)))
+                        * 1000000 + 0.5) AS BIGINT) AS corr_micro FROM m
+            UNION ALL
+            SELECT 'l_quantity', 'l_discount',
+                   CAST(floor((s02/fn - (s0/fn)*(s2/fn)) * 1000000 + 0.5) AS BIGINT),
+                   CAST(floor((s02/fn - (s0/fn)*(s2/fn))
+                        / sqrt((s00/fn - (s0/fn)*(s0/fn)) * (s22/fn - (s2/fn)*(s2/fn)))
+                        * 1000000 + 0.5) AS BIGINT) FROM m
+            UNION ALL
+            SELECT 'l_extendedprice', 'l_discount',
+                   CAST(floor((s12/fn - (s1/fn)*(s2/fn)) * 1000000 + 0.5) AS BIGINT),
+                   CAST(floor((s12/fn - (s1/fn)*(s2/fn))
+                        / sqrt((s11/fn - (s1/fn)*(s1/fn)) * (s22/fn - (s2/fn)*(s2/fn)))
+                        * 1000000 + 0.5) AS BIGINT) FROM m
+        """,
+        "weighted_avg_price": """
+            SELECT l_returnflag,
+                   CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+                   CAST(floor(
+                     CAST(sum(CAST(CAST(l_quantity AS BIGINT)
+                          * CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                          AS HUGEINT)) AS DOUBLE)
+                     / CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE)
+                     * 1000.0 + 0.5) AS BIGINT) AS wavg_milli
+            FROM lineitem GROUP BY 1 ORDER BY 1
+        """,
+        "daily_purchase_ratio": f"""
+            WITH d AS (
+              SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+                     CAST(count(*) AS BIGINT) AS n_total,
+                     CAST(count(*) FILTER (WHERE event_type = 'purchase')
+                          AS BIGINT) AS n_purchase,
+                     CAST(count(*) FILTER (WHERE event_type = 'view')
+                          AS BIGINT) AS n_view
+              FROM events GROUP BY 1),
+            w AS (SELECT day, n_total, n_purchase, n_view,
+                         CAST(coalesce(n_total - lag(n_total) OVER (ORDER BY day), 0)
+                              AS BIGINT) AS deriv,
+                         CAST(CASE WHEN n_view = 0 THEN -1
+                              ELSE (n_purchase * 1000000 + n_view // 2) // n_view
+                              END AS BIGINT) AS ratio_micro
+                  FROM d)
+            SELECT day, n_total, n_purchase, n_view, ratio_micro, deriv
+            FROM w WHERE ratio_micro >= {RATIO_MIN_MICRO} ORDER BY day
         """,
         "q4_order_priority": f"""
             SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count

@@ -514,39 +514,52 @@ class IndexShard:
         return out
 
     def phrase_adjacency_local(
-        self, phrase_tokens: List[str], slop: int = 0
+        self,
+        phrase_tokens: List[str],
+        slop: int = 0,
+        last_alternatives: Optional[List[str]] = None,
     ) -> np.ndarray:
         """Ascending local indices of ALIVE docs containing the token
         sequence in order with inter-token gaps <= ``slop + 1``
         (``slop=0`` = exact Lucene-PhraseQuery adjacency; ``slop>0`` =
         ordered proximity).  Candidate docs are pre-filtered by
         intersecting doc sets RAREST token first, so per-doc positional
-        work is bounded by the rarest token's df, not a hot token's."""
+        work is bounded by the rarest token's df, not a hot token's.
+
+        ``last_alternatives`` appends one EXTRA final slot matched by
+        ANY of the given terms (Lucene MultiPhraseQuery's single
+        multi-term position — the match_phrase_prefix expansion slot):
+        its per-doc positions are the sorted union over the
+        alternatives' postings."""
         if not self.has_positions:
             raise RuntimeError("index was built without with_positions=True")
-        if not phrase_tokens:
-            return np.empty(0, dtype=np.int64)
         empty = np.empty(0, dtype=np.int64)
-        tok_lists = []  # per phrase token: [(local, starts, pos), ...]
-        for tok in phrase_tokens:
+        slots: List[List[str]] = [[t] for t in phrase_tokens]
+        if last_alternatives is not None:
+            slots.append(list(last_alternatives))
+        if not slots:
+            return empty
+        tok_lists = []  # per slot: [(local, starts, pos), ...]
+        for alts in slots:
             per = []
             for pi in range(len(self.parts)):
-                row = self.parts[pi]["term_row"].get(tok)
-                if row is not None:
-                    per.append(self._positions(pi, row))
+                for tok in alts:
+                    row = self.parts[pi]["term_row"].get(tok)
+                    if row is not None:
+                        per.append(self._positions(pi, row))
             if not per:
                 return empty
             tok_lists.append(per)
 
         doc_sets = [
-            np.concatenate([e[0] for e in per]) for per in tok_lists
-        ]  # ascending: partitions concatenate in local order
+            np.unique(np.concatenate([e[0] for e in per])) for per in tok_lists
+        ]  # unique: a multi-term slot can repeat a doc across alternatives
         cand = None
         for i in np.argsort([len(d) for d in doc_sets]):  # rarest first
             cand = (
                 doc_sets[i]
                 if cand is None
-                else np.intersect1d(cand, doc_sets[i], assume_unique=False)
+                else np.intersect1d(cand, doc_sets[i], assume_unique=True)
             )
             if not len(cand):
                 return empty
@@ -558,7 +571,13 @@ class IndexShard:
                 for j in range(len(local)):
                     d = int(local[j])
                     if d in cand_set:
-                        m[d] = pos[starts[j] : starts[j + 1]]
+                        seg = pos[starts[j] : starts[j + 1]]
+                        prev_seg = m.get(d)
+                        m[d] = (
+                            seg
+                            if prev_seg is None
+                            else np.sort(np.concatenate([prev_seg, seg]))
+                        )
             pos_maps.append(m)
 
         win = slop + 1
@@ -648,11 +667,15 @@ class IndexShard:
         limit: int,
         filters: Optional[Dict[str, str]] = None,
         slop: int = 0,
+        last_alternatives: Optional[List[str]] = None,
     ) -> Tuple[float, List[dict]]:
         """Positional phrase search: BM25 over the phrase's tokens,
         restricted to docs where they appear adjacently in order.  Same
         return contract as ``search`` (unfiltered local max + top rows) so
-        the driver's threshold/merge applies unchanged."""
+        the driver's threshold/merge applies unchanged.
+        ``last_alternatives`` adds a trailing multi-term slot to the
+        adjacency requirement only (match_phrase_prefix: the prefix
+        expansion is a FILTER, scoring stays over the fixed tokens)."""
         if self.n_local == 0:
             return 0.0, []
         scores = self._dense_scores(phrase_tokens, idfs)
@@ -661,7 +684,9 @@ class IndexShard:
         else:
             live = scores[self.alive]
             local_max = float(live.max()) if len(live) else 0.0
-        cand = self.phrase_adjacency_local(phrase_tokens, slop=slop)
+        cand = self.phrase_adjacency_local(
+            phrase_tokens, slop=slop, last_alternatives=last_alternatives
+        )
         if len(cand) == 0:
             return local_max, []
         cand = cand[self._filter_mask(filters, cand)]
@@ -1979,6 +2004,52 @@ class QueryEngine:
         parts = ray.get(
             [
                 a.search_positional.remote(toks, q_idfs, max(limit, 1), filters, slop)
+                for a in self.actors
+            ]
+        )
+        global_max = max((m for m, _ in parts), default=0.0)
+        rows = [r for _, rs in parts for r in rs]
+        if global_max > 0:
+            min_score = global_max * 0.01
+            rows = [r for r in rows if r["score"] >= min_score]
+        rows.sort(key=lambda r: (-r["score"], r["doc_id"]))
+        return [{"doc_id": r["doc_id"], "score": r["score"]} for r in rows[:limit]]
+
+    def search_match_phrase_prefix(
+        self,
+        phrase: str,
+        limit: int = 20,
+        filters: Optional[Dict[str, str]] = None,
+        max_expand: int = 1 << 20,
+    ) -> List[dict]:
+        """ES ``match_phrase_prefix``: the phrase's last token matches
+        any vocabulary term with that PREFIX (Lucene MultiPhraseQuery's
+        expanded final position); the fixed tokens must precede it
+        adjacently.  The expansion comes from ONE lexicon prefix-range
+        pushdown (cost scales with vocabulary, never corpus) and acts as
+        a filter slot only — BM25 scores over the fixed tokens, with the
+        standard threshold/merge, so ranking is expansion-independent
+        (ES's constant-score-expansion analogue).  ``max_expand``
+        defaults effectively-uncapped for oracle exactness; production
+        ES caps at 50."""
+        import ray
+
+        if not self.manifest.extra.get("positions"):
+            raise RuntimeError(
+                "index was built without positions; rebuild with "
+                "with_positions=True to use match_phrase_prefix"
+            )
+        toks = tokenize(phrase)
+        if not toks:
+            return []
+        fixed, prefix = toks[:-1], toks[-1]
+        expansion = [t for t, _ in self.lexicon.expand(prefix + "*", max_expand)]
+        q_idfs = self.lexicon.idfs(fixed)
+        parts = ray.get(
+            [
+                a.search_positional.remote(
+                    fixed, q_idfs, max(limit, 1), filters, 0, expansion
+                )
                 for a in self.actors
             ]
         )

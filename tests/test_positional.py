@@ -79,6 +79,52 @@ def test_positional_matches_bruteforce(ray_session, pos_index):
         eng.close()
 
 
+def test_match_phrase_prefix_matches_bruteforce(ray_session, pos_index):
+    """match_phrase_prefix == brute force: fixed tokens adjacent, then
+    ANY token starting with the prefix; scored as BM25 over the fixed
+    tokens only (so the hit SET equals the un-thresholded truth here,
+    like the plain positional test)."""
+    from distributedcodesearchengine_ray.functions.tokenizer import tokenize
+    from distributedcodesearchengine_ray.pipelines.build_index import (
+        _entity_doc_text,
+    )
+    from distributedcodesearchengine_ray.pipelines.query import QueryEngine
+
+    import pyarrow.parquet as pq
+
+    cases = [("parse json", "da"), ("send", "ht"), ("http", "re")]
+    meta_dir = os.path.join(pos_index, "docmeta")
+    docs = {}
+    for f in sorted(os.listdir(meta_dir)):
+        t = pq.read_table(os.path.join(meta_dir, f))
+        for did, txt in zip(t["doc_id"].to_pylist(), _entity_doc_text(t).to_pylist()):
+            docs[did] = tokenize(txt)
+
+    eng = QueryEngine(pos_index, num_actors=2)
+    try:
+        for fixed, prefix in cases:
+            ftoks = tokenize(fixed)
+            k = len(ftoks)
+            truth = {
+                did
+                for did, toks in docs.items()
+                if any(
+                    toks[i : i + k] == ftoks and toks[i + k].startswith(prefix)
+                    for i in range(len(toks) - k)
+                )
+            }
+            got = eng.search_match_phrase_prefix(
+                f"{fixed} {prefix}", limit=10_000
+            )
+            got_ids = {r["doc_id"] for r in got}
+            assert got_ids == truth, (fixed, prefix)
+            scores = [r["score"] for r in got]
+            assert scores == sorted(scores, reverse=True)
+            assert truth, (fixed, prefix)  # cases must actually match docs
+    finally:
+        eng.close()
+
+
 def test_positional_is_stricter_than_bag(ray_session, pos_index):
     """Every positional hit also appears in the plain BM25 result set for
     the same tokens, and adjacency is genuinely stricter for multi-token

@@ -226,6 +226,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_matrix_stats": Q.lineitem_matrix_stats,  # ES matrix_stats: pairwise cov/corr from exact moments
         "weighted_avg_price": Q.weighted_avg_price,  # ES weighted_avg: qty-weighted price per return flag
         "daily_purchase_ratio": Q.daily_purchase_ratio,  # bucket_script + derivative + bucket_selector pipeline aggs
+        "auc_length_en": Q.auc_length_en,  # exact ROC-AUC from one bounded-domain histogram, no sort
+        "kappa_quality_gates": Q.kappa_quality_gates,  # Cohen's kappa between two quality gates
+        "bm25_function_score": Q.bm25_function_score,  # ES function_score: field_value_factor sqrt(dl) boost
     }
 
 

@@ -294,6 +294,13 @@ def run_bench() -> dict:
         ("spend_rank_in_nation", Q.spend_rank_in_nation),
         ("user_value_twap", Q.user_value_twap),
         ("weighted_median_price", Q.weighted_median_price),
+        ("q4_order_priority", Q.q4_order_priority),
+        ("q9_product_profit", Q.q9_product_profit),
+        ("q12_priority_by_returnflag", Q.q12_priority_by_returnflag),
+        ("q21_waiting_suppliers", Q.q21_waiting_suppliers),
+        ("lineitem_matrix_stats", Q.lineitem_matrix_stats),
+        ("weighted_avg_price", Q.weighted_avg_price),
+        ("match_phrase_prefix", Q.match_phrase_prefix),
     ):
         t0 = time.time()
         res = fn(sf_dir)

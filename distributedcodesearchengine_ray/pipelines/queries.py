@@ -853,6 +853,28 @@ def match_phrase_prefix(sf_dir: str, limit: int = 20):
     )
 
 
+def bm25_function_score(sf_dir: str, query: str = BM25_QUERY, limit: int = 20):
+    """ES function_score with field_value_factor(field=dl, modifier=
+    sqrt): BM25 boosted by the IEEE-exact sqrt of each doc's token
+    length before the threshold — longer docs rank up, bit-identically
+    on both sides because sqrt is correctly rounded everywhere."""
+    from .query import QueryEngine
+
+    idx = _documents_index(sf_dir)
+    engine = QueryEngine(idx, num_actors=2)
+    try:
+        hits = engine.search_function_score(query, limit=limit)
+    finally:
+        engine.close()
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(len(hits)), pa.int64()),
+            "doc_id": pa.array([h["doc_id"] for h in hits], pa.int64()),
+            "score_micro": pa.array(_micro([h["score"] for h in hits]), pa.int64()),
+        }
+    )
+
+
 TOMBSTONE_LANG = "de"
 
 
@@ -1078,6 +1100,7 @@ def bm25_sql(
     excluded: Optional[List[str]] = None,
     phrase_adjacent: bool = False,
     phrase_prefix: Optional[str] = None,
+    boost_sqrt_dl: bool = False,
     slop: int = 0,
     corpus_where: Optional[str] = None,
     snippet_window: Optional[int] = None,
@@ -1186,6 +1209,14 @@ def bm25_sql(
             f" WHERE list_position(toks, '{sp_t}') IS NOT NULL"
             f" AND list_position(toks, '{sp_t}') <= {sp_n})"
         )
+    boost_expr, boost_join = "", ""
+    if boost_sqrt_dl:
+        # function_score field_value_factor(sqrt): multiplies INSIDE
+        # scores_all, before the threshold max — identical placement to
+        # IndexShard.search_function_score; sqrt is IEEE-correctly-
+        # rounded so both sides stay bit-identical
+        boost_expr = " * sqrt(bdl.dl)"
+        boost_join = " JOIN dl bdl ON bdl.doc_id = d.doc_id"
     demote_expr = ""
     if demote_terms:
         dterms = ", ".join(f"'{t}'" for t in sorted(set(demote_terms)))
@@ -1393,8 +1424,8 @@ scores AS (
 scores_all AS (
   -- the reference scores EVERY doc (zeros for no-match); the max that feeds
   -- the threshold and the max<=0 keep-all branch both include those zeros
-  SELECT d.doc_id, d.lang, COALESCE(s.score, 0){demote_expr} AS score
-  FROM src d LEFT JOIN scores s ON s.doc_id = d.doc_id
+  SELECT d.doc_id, d.lang, COALESCE(s.score, 0){demote_expr}{boost_expr} AS score
+  FROM src d LEFT JOIN scores s ON s.doc_id = d.doc_id{boost_join}
 ),
 mx AS (SELECT max(score) AS m FROM scores_all),
 kept AS (
@@ -9939,6 +9970,117 @@ def daily_purchase_ratio(sf_dir: str):
     )
 
 
+AUC_POS_LANG = "en"
+
+
+def auc_length_en(sf_dir: str):
+    """Classifier-evaluation ROC-AUC, distributed: how well document
+    length (n_chars) predicts lang == 'en' — the Mann-Whitney U rank
+    statistic with tie correction, computed EXACTLY from one
+    bounded-integer-domain histogram (score -> positive/negative
+    counts), never a global sort: per-batch (n_chars, label) count
+    partials -> one score-keyed groupby (domain-sized, corpus-free) ->
+    driver integer fold ``2U = sum_s np(s) * (2*cum_nn(<s) + nn(s))``
+    and integer-exact basis points."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", columns=["n_chars", "lang"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        s = t["n_chars"].to_numpy(zero_copy_only=False)
+        pos = (
+            pcc.equal(t["lang"], AUC_POS_LANG)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        df = pd.DataFrame({"s": s, "np_": pos, "nn_": 1 - pos})
+        g = df.groupby("s", sort=False).sum().reset_index()
+        return pa.table(
+            {
+                "s": pa.array(g["s"].to_numpy(np.int64)),
+                "np_": pa.array(g["np_"].to_numpy(np.int64)),
+                "nn_": pa.array(g["nn_"].to_numpy(np.int64)),
+            }
+        )
+
+    h = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("s")
+        .aggregate(Sum("np_", alias_name="np_"), Sum("nn_", alias_name="nn_"))
+        .to_pandas()
+        .sort_values("s", ignore_index=True)
+    )
+    np_ = h["np_"].to_numpy(np.int64)
+    nn_ = h["nn_"].to_numpy(np.int64)
+    cum_nn = np.concatenate([[0], np.cumsum(nn_)[:-1]])
+    u2 = int((np_ * (2 * cum_nn + nn_)).sum())
+    tp, tn = int(np_.sum()), int(nn_.sum())
+    auc_bps = (u2 * 10000 + tp * tn) // (2 * tp * tn)
+    return pa.table(
+        {
+            "n_pos": pa.array([tp], pa.int64()),
+            "n_neg": pa.array([tn], pa.int64()),
+            "auc_bps": pa.array([auc_bps], pa.int64()),
+        }
+    )
+
+
+KAPPA_CHARS_MIN = 300
+KAPPA_TOKENS_MIN = 55
+
+
+def kappa_quality_gates(sf_dir: str):
+    """Inter-rater Cohen's kappa between two quality gates (rater A:
+    n_chars >= 300; rater B: whitespace tokens >= 55): four contingency
+    counters fold map-side to one row per batch, the driver evaluates
+    po/pe/kappa with the oracle-identical double expression tree."""
+    import math
+
+    ds = _read(sf_dir, "documents", columns=["text", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        from ..stages.text_stats import token_counts
+
+        a = (
+            t["n_chars"].to_numpy(zero_copy_only=False) >= KAPPA_CHARS_MIN
+        )
+        b = (
+            token_counts(t)["ws_tokens"].to_numpy(zero_copy_only=False)
+            >= KAPPA_TOKENS_MIN
+        )
+        return pa.table(
+            {
+                "n11": pa.array([int((a & b).sum())], pa.int64()),
+                "n10": pa.array([int((a & ~b).sum())], pa.int64()),
+                "n01": pa.array([int((~a & b).sum())], pa.int64()),
+                "n00": pa.array([int((~a & ~b).sum())], pa.int64()),
+            }
+        )
+
+    agg = ds.map_batches(partial, batch_format="pyarrow").to_pandas().sum()
+    n11, n10, n01, n00 = (int(agg[k]) for k in ("n11", "n10", "n01", "n00"))
+    fn = float(n11 + n10 + n01 + n00)
+    po = (float(n11) + float(n00)) / fn
+    pe = (
+        (float(n11 + n10) / fn) * (float(n11 + n01) / fn)
+        + (float(n01 + n00) / fn) * (float(n10 + n00) / fn)
+    )
+    kappa = (po - pe) / (1.0 - pe)
+    import math as _m
+
+    return pa.table(
+        {
+            "n11": pa.array([n11], pa.int64()),
+            "n10": pa.array([n10], pa.int64()),
+            "n01": pa.array([n01], pa.int64()),
+            "n00": pa.array([n00], pa.int64()),
+            "kappa_micro": pa.array(
+                [int(_m.floor(kappa * 1e6 + 0.5))], pa.int64()
+            ),
+        }
+    )
+
+
 def _percentile_ranks_sql() -> str:
     """UNION-ALL unpivot of per-threshold counters, mirroring
     ``value_percentile_ranks``' integer bps arithmetic."""
@@ -12035,6 +12177,51 @@ def build_oracle_sql() -> Dict[str, str]:
                                             ORDER BY price_c, s_suppkey) AS rn
                   FROM u)
             WHERE rn = 1 ORDER BY p_brand
+        """,
+        "bm25_function_score": bm25_sql(BM25_QUERY, limit=20, boost_sqrt_dl=True),
+        "auc_length_en": f"""
+            WITH h AS (SELECT CAST(n_chars AS BIGINT) AS s,
+                              CAST(count(*) FILTER (WHERE lang = '{AUC_POS_LANG}')
+                                   AS BIGINT) AS np_,
+                              CAST(count(*) FILTER (WHERE lang <> '{AUC_POS_LANG}')
+                                   AS BIGINT) AS nn_
+                       FROM documents GROUP BY 1),
+            c AS (SELECT s, np_, nn_,
+                         CAST(coalesce(sum(nn_) OVER (ORDER BY s
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                              0) AS BIGINT) AS cum_nn
+                  FROM h),
+            t AS (SELECT sum(np_) AS tp, sum(nn_) AS tn,
+                         sum(np_ * (2 * cum_nn + nn_)) AS u2
+                  FROM c)
+            SELECT CAST(tp AS BIGINT) AS n_pos, CAST(tn AS BIGINT) AS n_neg,
+                   CAST((u2 * 10000 + tp * tn) // (2 * tp * tn) AS BIGINT)
+                     AS auc_bps
+            FROM t
+        """,
+        "kappa_quality_gates": f"""
+            WITH f AS (SELECT (n_chars >= {KAPPA_CHARS_MIN}) AS a,
+                              ({_WS_TOKENS_SQL} >= {KAPPA_TOKENS_MIN}) AS b
+                       FROM documents),
+            c AS (SELECT CAST(count(*) FILTER (WHERE a AND b) AS BIGINT) AS n11,
+                         CAST(count(*) FILTER (WHERE a AND NOT b) AS BIGINT) AS n10,
+                         CAST(count(*) FILTER (WHERE NOT a AND b) AS BIGINT) AS n01,
+                         CAST(count(*) FILTER (WHERE NOT a AND NOT b) AS BIGINT) AS n00
+                  FROM f)
+            SELECT n11, n10, n01, n00,
+                   CAST(floor((
+                     ((CAST(n11 AS DOUBLE) + CAST(n00 AS DOUBLE))
+                        / CAST(n11 + n10 + n01 + n00 AS DOUBLE)
+                      - (CAST(n11 + n10 AS DOUBLE) / CAST(n11 + n10 + n01 + n00 AS DOUBLE)
+                           * (CAST(n11 + n01 AS DOUBLE) / CAST(n11 + n10 + n01 + n00 AS DOUBLE))
+                         + CAST(n01 + n00 AS DOUBLE) / CAST(n11 + n10 + n01 + n00 AS DOUBLE)
+                           * (CAST(n10 + n00 AS DOUBLE) / CAST(n11 + n10 + n01 + n00 AS DOUBLE))))
+                     / (1.0 - (CAST(n11 + n10 AS DOUBLE) / CAST(n11 + n10 + n01 + n00 AS DOUBLE)
+                           * (CAST(n11 + n01 AS DOUBLE) / CAST(n11 + n10 + n01 + n00 AS DOUBLE))
+                         + CAST(n01 + n00 AS DOUBLE) / CAST(n11 + n10 + n01 + n00 AS DOUBLE)
+                           * (CAST(n10 + n00 AS DOUBLE) / CAST(n11 + n10 + n01 + n00 AS DOUBLE))))
+                   ) * 1000000 + 0.5) AS BIGINT) AS kappa_micro
+            FROM c
         """,
         "match_phrase_prefix": bm25_sql(
             MPP_FIXED, limit=20, phrase_adjacent=True, phrase_prefix=MPP_PREFIX

@@ -660,6 +660,42 @@ class IndexShard:
             for i in cand
         ]
 
+    def search_function_score(
+        self,
+        query_tokens: List[str],
+        idfs: Dict[str, float],
+        limit: int,
+        filters: Optional[Dict[str, str]] = None,
+    ) -> Tuple[float, List[dict]]:
+        """ES function_score with ``field_value_factor(field=dl,
+        modifier=sqrt)``: every doc's BM25 score multiplies by the IEEE-
+        exact sqrt of its token length BEFORE the threshold, so longer
+        docs rank up and the max*0.01 cut applies to the boosted score.
+        Same return contract as ``search`` (unfiltered local max + top
+        rows); zero-score docs stay zero (sqrt multiplies)."""
+        if self.n_local == 0:
+            return 0.0, []
+        scores = self._dense_scores(query_tokens, idfs) * np.sqrt(
+            self._doc_len.astype(np.float64)
+        )
+        if self.alive is None:
+            local_max = float(scores.max()) if len(scores) else 0.0
+            cand = np.arange(self.n_local)
+        else:
+            live = scores[self.alive]
+            local_max = float(live.max()) if len(live) else 0.0
+            cand = np.flatnonzero(self.alive)
+        cand = cand[self._filter_mask(filters, cand)]
+        if len(cand) == 0:
+            return local_max, []
+        order = np.lexsort((self._doc_ids[cand], -scores[cand]))[:limit]
+        cand = cand[order]
+        return local_max, [
+            {"doc_id": int(self._doc_ids[i]), "score": float(scores[i]),
+             "_local": int(i)}
+            for i in cand
+        ]
+
     def search_positional(
         self,
         phrase_tokens: List[str],
@@ -1424,6 +1460,35 @@ class QueryEngine:
                      "doc_id": d, "score": s}
                 )
         return out
+
+    def search_function_score(
+        self,
+        query: str,
+        limit: int = 20,
+        filters: Optional[Dict[str, str]] = None,
+    ) -> List[dict]:
+        """ES function_score / field_value_factor(sqrt) search: BM25
+        boosted by sqrt(doc token length) per doc, threshold max*0.01 on
+        the BOOSTED score, standard (score desc, doc_id asc) merge."""
+        import ray
+
+        toks = tokenize(query)
+        if not toks:
+            return []
+        q_idfs = self.lexicon.idfs(toks)
+        parts = ray.get(
+            [
+                a.search_function_score.remote(toks, q_idfs, max(limit, 1), filters)
+                for a in self.actors
+            ]
+        )
+        global_max = max((m for m, _ in parts), default=0.0)
+        rows = [r for _, rs in parts for r in rs]
+        if global_max > 0:
+            min_score = global_max * 0.01
+            rows = [r for r in rows if r["score"] >= min_score]
+        rows.sort(key=lambda r: (-r["score"], r["doc_id"]))
+        return [{"doc_id": r["doc_id"], "score": r["score"]} for r in rows[:limit]]
 
     def search_qld(
         self,

@@ -229,6 +229,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "auc_length_en": Q.auc_length_en,  # exact ROC-AUC from one bounded-domain histogram, no sort
         "kappa_quality_gates": Q.kappa_quality_gates,  # Cohen's kappa between two quality gates
         "bm25_function_score": Q.bm25_function_score,  # ES function_score: field_value_factor sqrt(dl) boost
+        "bm25_terms_set": Q.bm25_terms_set,  # ES terms_set: per-doc dynamic minimum_should_match
+        "string_stats_by_lang": Q.string_stats_by_lang,  # ES string_stats incl. Shannon char entropy
+        "daily_order_moving_stats": Q.daily_order_moving_stats,  # moving_fn + serial_diff pipeline aggs
+        "docs_random_score": Q.docs_random_score,  # ES random_score: seeded deterministic ranking
+        "multi_terms_counts": Q.multi_terms_counts,  # ES multi_terms: compound-key buckets
+        "bm25_regexp": Q.bm25_regexp,  # Lucene regexp query: vocab full-match expansion
+        "chi2_lang_source": Q.chi2_lang_source,  # Pearson chi-square independence test
+        "ztest_quality_en": Q.ztest_quality_en,  # two-proportion z-test on a quality gate
+        "diversified_sample": Q.diversified_sample,  # ES diversified_sampler: per-lang cap
+        "phrase_suggest": Q.phrase_suggest,  # ES phrase suggester: bigram-LM did-you-mean
+        "completion_suggest": Q.completion_suggest,  # ES completion suggester: prefix top-k
+        "bm25_match_bool_prefix": Q.bm25_match_bool_prefix,  # ES match_bool_prefix
+        "span_not": Q.span_not_q,  # Lucene span_not: positional exclusion window
+        "bm25_common_terms": Q.bm25_common_terms,  # Lucene CommonTermsQuery: df-gated MUSTs
+        "q6_forecast_revenue": Q.q6_forecast_revenue,  # TPC-H Q6 streaming filter-sum
     }
 
 

@@ -22,6 +22,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pcc
+import pyarrow.dataset as pads
 
 from ..functions.tokenizer import token_count_array, tokenize_array
 from ..stages.text_stats import (
@@ -634,6 +635,108 @@ def span_first_q(sf_dir: str):
     )
 
 
+def q6_forecast_revenue(sf_dir: str):
+    """TPC-H Q6 shape: one streaming filter-sum over three pruned
+    columns — shipdate year 1994, discount band 5-7 cents (integer-
+    quantized compare, float-safe), quantity < 24.  Per-row cents
+    rounding before the fold keeps both sides integer-exact."""
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = (
+            t["l_shipdate"].to_numpy(zero_copy_only=False)
+            .astype("datetime64[D]")
+        )
+        dc = _cents_col(t["l_discount"]).to_numpy(zero_copy_only=False)
+        qc = _cents_col(t["l_quantity"]).to_numpy(zero_copy_only=False)
+        mask = (
+            (day >= np.datetime64("1994-01-01"))
+            & (day < np.datetime64("1995-01-01"))
+            & (dc >= 5)
+            & (dc <= 7)
+            & (qc < 2400)
+        )
+        rev = pcc.multiply(t["l_extendedprice"], t["l_discount"])
+        rev_c = _cents_col(rev).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "revenue_c": pa.array([int(rev_c[mask].sum())], pa.int64()),
+                "n": pa.array([int(mask.sum())], pa.int64()),
+            }
+        )
+
+    agg = ds.map_batches(partial, batch_format="pyarrow").to_pandas().sum()
+    return pa.table(
+        {
+            "revenue_c": pa.array([int(agg["revenue_c"])], pa.int64()),
+            "n": pa.array([int(agg["n"])], pa.int64()),
+        }
+    )
+
+
+CTQ_QUERY = "query merge dup stream"
+CTQ_CUTOFF_MILLI = 600
+
+
+def bm25_common_terms(sf_dir: str):
+    """Lucene CommonTermsQuery: query terms with df/N <= 0.6 become MUST
+    clauses (here the rare 'dup'), high-frequency terms stay optional —
+    df classification from one lexicon stats read, then the standard
+    boolean search path."""
+    from .query import QueryEngine
+
+    idx = _documents_index(sf_dir)
+    engine = QueryEngine(idx, num_actors=2)
+    try:
+        rows = engine.search_common_terms(
+            CTQ_QUERY, cutoff_milli=CTQ_CUTOFF_MILLI, limit=20
+        )
+    finally:
+        engine.close()
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(len(rows)), pa.int64()),
+            "doc_id": pa.array([r["doc_id"] for r in rows], pa.int64()),
+            "score_micro": pa.array(_micro([r["score"] for r in rows]), pa.int64()),
+        }
+    )
+
+
+SPAN_NOT_INCLUDE = "merge"
+SPAN_NOT_EXCLUDE = "sort"
+SPAN_NOT_DIST = 2
+
+
+def span_not_q(sf_dir: str):
+    """Lucene span_not: BM25-ranked docs with at least one occurrence of
+    the include term farther than DIST positions from every occurrence
+    of the exclude term — resolved from the positional index with one
+    vectorized nearest-neighbor searchsorted per shard, never from
+    text."""
+    from .query import QueryEngine
+
+    idx = _documents_index(sf_dir, with_positions=True)
+    engine = QueryEngine(idx, num_actors=2)
+    try:
+        rows = engine.search_span_not(
+            SPAN_NOT_INCLUDE, SPAN_NOT_INCLUDE, SPAN_NOT_EXCLUDE,
+            dist=SPAN_NOT_DIST, limit=20,
+        )
+    finally:
+        engine.close()
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(len(rows)), pa.int64()),
+            "doc_id": pa.array([r["doc_id"] for r in rows], pa.int64()),
+            "score_micro": pa.array(_micro([r["score"] for r in rows]), pa.int64()),
+        }
+    )
+
+
 WILDCARD_SEARCH_PATTERN = "s*"
 
 
@@ -648,6 +751,34 @@ def bm25_wildcard(sf_dir: str):
     engine = QueryEngine(idx, num_actors=2)
     try:
         rows = engine.search(WILDCARD_SEARCH_PATTERN, limit=20)
+    finally:
+        engine.close()
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(len(rows)), pa.int64()),
+            "doc_id": pa.array([r["doc_id"] for r in rows], pa.int64()),
+            "score_micro": pa.array(_micro([r["score"] for r in rows]), pa.int64()),
+        }
+    )
+
+
+REGEXP_PATTERN = "[a-z]*a[a-z]*"
+REGEXP_MAX_EXP = 8
+
+
+def bm25_regexp(sf_dir: str):
+    """Lucene regexp query: the anchored pattern FULL-matches against
+    the index vocabulary (RE2 on both engines), the matches are cut to
+    the top ``REGEXP_MAX_EXP`` by (df desc, term asc) — RegexpQuery's
+    rewrite cap — and score as ordinary OR'd BM25 terms."""
+    from .query import QueryEngine
+
+    idx = _documents_index(sf_dir)
+    engine = QueryEngine(idx, num_actors=2)
+    try:
+        rows = engine.search_regexp(
+            REGEXP_PATTERN, limit=20, max_expansions=REGEXP_MAX_EXP
+        )
     finally:
         engine.close()
     return pa.table(
@@ -1101,6 +1232,7 @@ def bm25_sql(
     phrase_adjacent: bool = False,
     phrase_prefix: Optional[str] = None,
     boost_sqrt_dl: bool = False,
+    terms_set_dl: Optional[tuple] = None,
     slop: int = 0,
     corpus_where: Optional[str] = None,
     snippet_window: Optional[int] = None,
@@ -1114,8 +1246,12 @@ def bm25_sql(
     demote_terms: Optional[List[str]] = None,
     demote_boost: float = 0.5,
     span_first: Optional[Tuple[str, int]] = None,
+    span_not: Optional[Tuple[str, str, int]] = None,
+    common_cutoff_milli: Optional[int] = None,
     wildcard: Optional[str] = None,
     wildcard_max: int = 64,
+    regexp: Optional[str] = None,
+    bool_prefix: Optional[str] = None,
     top_hits_k: Optional[int] = None,
     top_hits_groups: int = 10,
 ) -> str:
@@ -1159,6 +1295,37 @@ def bm25_sql(
   )
 )"""
         not_src = ""
+    elif bool_prefix is not None:
+        # ES match_bool_prefix: the leading chunks tokenize to regular
+        # terms (duplicates keep their multiplicity), the final chunk is
+        # a prefix expansion (df desc, term asc, capped) — a term hit by
+        # both paths scores with the summed multiplicity, exactly like
+        # QueryEngine._wildcard_tokens' concatenated token list.
+        lead_toks = tokenize(query)
+        qtvals = ", ".join(f"('{t}')" for t in lead_toks)
+        q_cte = f"""q AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS mult FROM (
+    SELECT t AS term FROM (VALUES {qtvals}) AS qt(t)
+    UNION ALL
+    SELECT term FROM (
+      SELECT term FROM df WHERE term LIKE '{bool_prefix}%'
+      ORDER BY df DESC, term ASC LIMIT {wildcard_max}
+    )
+  ) GROUP BY term
+)"""
+        not_src = ""
+    elif regexp is not None:
+        # Lucene regexp query: anchored FULL match against the vocabulary
+        # (df desc, term asc, capped — LexiconReader.expand_regex), the
+        # matches scored as OR'd BM25 terms with mult=1.  DuckDB's
+        # regexp_full_match is RE2, same engine as the lexicon scan.
+        q_cte = f"""q AS (
+  SELECT term, 1 AS mult FROM (
+    SELECT term FROM df WHERE regexp_full_match(term, '{regexp}')
+    ORDER BY df DESC, term ASC LIMIT {wildcard_max}
+  )
+)"""
+        not_src = ""
     elif fuzzy_dist is not None:
         # fuzzy expansion in SQL: each query token picks the vocab terms
         # within fuzzy_dist edits, ranked (dist asc, df desc, term asc)
@@ -1198,6 +1365,20 @@ def bm25_sql(
             f" WHERE term IN ({msm_terms})"
             f" GROUP BY doc_id HAVING count(DISTINCT term) >= {min_match})"
         )
+    if terms_set_dl is not None:
+        # ES terms_set (minimum_should_match_field): per-doc required
+        # distinct-term count — low below the dl threshold, high at or
+        # above it (IndexShard.search_terms_set's exact predicate)
+        ts_thr, ts_lo, ts_hi = terms_set_dl
+        ts_terms = ", ".join(f"'{t}'" for t in sorted(set(tokenize(query))))
+        filt += (
+            "\n  AND doc_id IN (SELECT t2.doc_id FROM tf t2"
+            " JOIN dl ON dl.doc_id = t2.doc_id"
+            f" WHERE t2.term IN ({ts_terms})"
+            " GROUP BY t2.doc_id, dl.dl"
+            " HAVING count(DISTINCT t2.term) >="
+            f" CASE WHEN dl.dl >= {ts_thr} THEN {ts_hi} ELSE {ts_lo} END)"
+        )
     for t in excluded or ():
         filt += f"\n  AND doc_id NOT IN (SELECT doc_id FROM tf WHERE term = '{t}')"
     if span_first is not None:
@@ -1208,6 +1389,43 @@ def bm25_sql(
             "\n  AND doc_id IN (SELECT doc_id FROM tok"
             f" WHERE list_position(toks, '{sp_t}') IS NOT NULL"
             f" AND list_position(toks, '{sp_t}') <= {sp_n})"
+        )
+    if common_cutoff_milli is not None:
+        # Lucene CommonTermsQuery: low-frequency query terms (df/N <=
+        # cutoff, integer millis compare — absent terms classify low at
+        # df=0) are MUST clauses; the doc must contain every one.  The
+        # threshold max stays unmasked, like the engine's required terms.
+        ct_qt = ", ".join(f"('{t}')" for t in sorted(set(tokenize(query))))
+        lowq = (
+            f"(SELECT DISTINCT t AS term FROM (VALUES {ct_qt}) v(t)"
+            " WHERE (SELECT coalesce(max(df), 0) FROM df"
+            " WHERE df.term = v.t) * 1000"
+            f" <= {common_cutoff_milli} * (SELECT n FROM stats))"
+        )
+        filt += (
+            f"\n  AND ((SELECT count(*) FROM {lowq} lq0) = 0"
+            " OR doc_id IN ("
+            f"SELECT tf.doc_id FROM tf JOIN {lowq} lq ON lq.term = tf.term"
+            " GROUP BY tf.doc_id"
+            f" HAVING count(DISTINCT tf.term) = (SELECT count(*) FROM {lowq} lq2)))"
+        )
+    if span_not is not None:
+        # Lucene span_not: some include-position farther than dist from
+        # EVERY exclude-position (position differences are base-invariant,
+        # so 1-based subscripts here match the 0-based index positions)
+        sn_inc, sn_exc, sn_d = span_not
+        pos_sub = (
+            "SELECT doc_id, toks[CAST(i AS INT)] AS t, CAST(i AS BIGINT) AS p"
+            " FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i"
+            " FROM tok)"
+        )
+        filt += (
+            "\n  AND doc_id IN (SELECT DISTINCT pi.doc_id"
+            f" FROM ({pos_sub}) pi WHERE pi.t = '{sn_inc}'"
+            " AND NOT EXISTS ("
+            f"SELECT 1 FROM ({pos_sub}) pe WHERE pe.t = '{sn_exc}'"
+            " AND pe.doc_id = pi.doc_id"
+            f" AND abs(pe.p - pi.p) <= {sn_d}))"
         )
     boost_expr, boost_join = "", ""
     if boost_sqrt_dl:
@@ -10081,6 +10299,633 @@ def kappa_quality_gates(sf_dir: str):
     )
 
 
+def chi2_lang_source(sf_dir: str):
+    """Pearson chi-square test of independence between ``lang`` and
+    ``source``: one (lang, source) count fold (map-side partials, the
+    contingency table is alphabet-bounded so the exchange is corpus-
+    free), then the statistic over the FULL marginal cross product —
+    zero cells included via their expected counts.  Integer-exact on
+    both sides: each cell's term ``(N*O - r*c)^2 / (N*r*c)`` keeps the
+    numerator difference in int64 (exact), squares/divides in double
+    (IEEE-deterministic), and rounds to micro BEFORE the summation, so
+    the fold is immune to float ordering."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", columns=["lang", "source"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {"lang": t["lang"].to_pandas(), "source": t["source"].to_pandas()}
+        )
+        g = df.groupby(["lang", "source"], sort=False, as_index=False).size()
+        return pa.table(
+            {
+                "lang": pa.array(g["lang"].tolist(), pa.string()),
+                "source": pa.array(g["source"].tolist(), pa.string()),
+                "o": pa.array(g["size"].to_numpy(np.int64)),
+            }
+        )
+
+    obs = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang", "source"])
+        .aggregate(Sum("o", alias_name="o"))
+        .to_pandas()
+    )
+    pivot = obs.pivot_table(
+        index="lang", columns="source", values="o", fill_value=0
+    ).astype(np.int64)
+    O = pivot.to_numpy(np.int64)
+    r = O.sum(axis=1)
+    c = O.sum(axis=0)
+    n = int(O.sum())
+    diff = n * O - np.outer(r, c)  # exact in int64
+    terms = diff.astype(np.float64) ** 2 / (
+        float(n) * np.outer(r, c).astype(np.float64)
+    )
+    chi2_micro = int(np.floor(terms * 1e6 + 0.5).astype(np.int64).sum())
+    dof = (len(r) - 1) * (len(c) - 1)
+    return pa.table(
+        {
+            "n": pa.array([n], pa.int64()),
+            "dof": pa.array([dof], pa.int64()),
+            "chi2_micro": pa.array([chi2_micro], pa.int64()),
+        }
+    )
+
+
+COMPLETION_PREFIX = "s"
+COMPLETION_K = 10
+
+
+def completion_suggest(sf_dir: str):
+    """ES completion suggester (search-as-you-type): vocabulary terms
+    with the given prefix ranked by (df desc, term asc), capped.  Pure
+    lexicon work — the prefix becomes a parquet RANGE predicate on the
+    term-sorted shards (LexiconReader.expand), cost scales with
+    vocabulary, never corpus."""
+    from .query import QueryEngine
+
+    idx = _documents_index(sf_dir)
+    engine = QueryEngine(idx, num_actors=2)
+    try:
+        rows = engine.lexicon.expand(
+            COMPLETION_PREFIX + "*", max_expand=COMPLETION_K
+        )
+    finally:
+        engine.close()
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(len(rows)), pa.int64()),
+            "term": pa.array([t for t, _ in rows], pa.string()),
+            "df": pa.array([d for _, d in rows], pa.int64()),
+        }
+    )
+
+
+MBP_QUERY = "window s"
+
+
+def bm25_match_bool_prefix(sf_dir: str):
+    """ES match_bool_prefix: every whitespace chunk scores as a regular
+    OR'd BM25 term except the LAST, which expands as a prefix against
+    the vocabulary (df desc, term asc, capped) — the type-ahead variant
+    of match.  Routed through the engine's wildcard tokenizer by
+    appending ``*`` to the final chunk, so expansion + scoring reuse the
+    standard lexicon/shard paths unchanged."""
+    from .query import QueryEngine
+
+    idx = _documents_index(sf_dir)
+    engine = QueryEngine(idx, num_actors=2)
+    try:
+        rows = engine.search(MBP_QUERY + "*", limit=20)
+    finally:
+        engine.close()
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(len(rows)), pa.int64()),
+            "doc_id": pa.array([r["doc_id"] for r in rows], pa.int64()),
+            "score_micro": pa.array(_micro([r["score"] for r in rows]), pa.int64()),
+        }
+    )
+
+
+PSUGGEST_QUERY = "sow oin"
+PSUGGEST_DIST = 2
+PSUGGEST_PER_TOKEN = 5
+PSUGGEST_K = 5
+
+
+def phrase_suggest(sf_dir: str):
+    """ES phrase suggester ("did you mean"): each query token expands to
+    its vocabulary candidates within ``PSUGGEST_DIST`` edits (dist asc,
+    df desc, term asc, capped — the direct generator), and the candidate
+    PHRASES are ranked by a corpus bigram language model: score = sum of
+    the corpus occurrence counts of each adjacent candidate pair.  The
+    bigram counting is one streaming ``map_batches`` pass — candidate
+    sets are tiny and shipped in the closure, per-batch work is a
+    vectorized token-stream adjacency count (never a corpus-wide bigram
+    table) — followed by a candidate-sized groupby.  Cost scales with
+    corpus for the one scan, candidates^2 for everything else."""
+    from itertools import product
+
+    from ray.data.aggregate import Sum
+
+    from ..functions.tokenizer import tokenize, tokenize_array
+    from .query import QueryEngine
+
+    idx = _documents_index(sf_dir)
+    engine = QueryEngine(idx, num_actors=2)
+    try:
+        cands = [
+            [
+                t
+                for t, _, _ in engine.lexicon.suggest(
+                    tok, max_dist=PSUGGEST_DIST, limit=PSUGGEST_PER_TOKEN
+                )
+            ]
+            for tok in tokenize(PSUGGEST_QUERY)
+        ]
+    finally:
+        engine.close()
+    if not cands or any(not c for c in cands):
+        return pa.table(
+            {
+                "rank": pa.array([], pa.int64()),
+                "suggestion": pa.array([], pa.string()),
+                "score": pa.array([], pa.int64()),
+            }
+        )
+    sets = [np.array(sorted(c), dtype=object) for c in cands]
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        lists = tokenize_array(t["text"])
+        flat = np.asarray(lists.values.to_pylist(), dtype=object)
+        par = np.repeat(
+            np.arange(len(lists), dtype=np.int64),
+            np.diff(lists.offsets.to_numpy(zero_copy_only=False)),
+        )
+        rows = {"pos": [], "a": [], "b": [], "n": []}
+        if len(flat) >= 2:
+            adj = par[:-1] == par[1:]
+            for p in range(len(sets) - 1):
+                A, B = sets[p], sets[p + 1]
+                ia = pd.Index(A).get_indexer(flat[:-1])
+                ib = pd.Index(B).get_indexer(flat[1:])
+                mask = adj & (ia >= 0) & (ib >= 0)
+                if not mask.any():
+                    continue
+                codes = ia[mask] * len(B) + ib[mask]
+                cnt = np.bincount(codes, minlength=len(A) * len(B))
+                nz = np.flatnonzero(cnt)
+                rows["pos"].extend([p] * len(nz))
+                rows["a"].extend(A[nz // len(B)].tolist())
+                rows["b"].extend(B[nz % len(B)].tolist())
+                rows["n"].extend(cnt[nz].tolist())
+        return pa.table(
+            {
+                "pos": pa.array(rows["pos"], pa.int64()),
+                "a": pa.array(rows["a"], pa.string()),
+                "b": pa.array(rows["b"], pa.string()),
+                "n": pa.array(rows["n"], pa.int64()),
+            }
+        )
+
+    bc = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["pos", "a", "b"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    counts: Dict[Tuple[int, str, str], int] = {
+        (int(r.pos), r.a, r.b): int(r.n) for r in bc.itertuples()
+    }
+    scored = []
+    for combo in product(*cands):
+        s = sum(
+            counts.get((p, combo[p], combo[p + 1]), 0)
+            for p in range(len(combo) - 1)
+        )
+        scored.append((" ".join(combo), s))
+    scored.sort(key=lambda r: (-r[1], r[0]))
+    top = scored[:PSUGGEST_K]
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(len(top)), pa.int64()),
+            "suggestion": pa.array([s for s, _ in top], pa.string()),
+            "score": pa.array([n for _, n in top], pa.int64()),
+        }
+    )
+
+
+def _phrase_suggest_sql() -> str:
+    """SQL twin of ``phrase_suggest``: per-token Levenshtein candidates
+    (dist asc, df desc, term asc, capped — mirroring LexiconReader.
+    suggest) cross-joined into phrases, scored by the sum of corpus
+    bigram counts of adjacent candidate pairs."""
+    from ..functions.tokenizer import tokenize
+
+    toks = tokenize(PSUGGEST_QUERY)
+    tok = _tok_sql("text")
+    cand_ctes = ",\n".join(
+        f"""cand{i} AS (
+  SELECT term FROM dfv WHERE levenshtein(term, '{t}') <= {PSUGGEST_DIST}
+  QUALIFY row_number() OVER (
+    ORDER BY levenshtein(term, '{t}') ASC, df DESC, term ASC
+  ) <= {PSUGGEST_PER_TOKEN})"""
+        for i, t in enumerate(toks)
+    )
+    froms = " CROSS JOIN ".join(f"cand{i} c{i}" for i in range(len(toks)))
+    score = " + ".join(
+        f"""coalesce((SELECT n FROM bc
+             WHERE bc.t1 = c{p}.term AND bc.t2 = c{p + 1}.term), 0)"""
+        for p in range(len(toks) - 1)
+    )
+    phrase = " || ' ' || ".join(f"c{i}.term" for i in range(len(toks)))
+    return f"""
+        WITH tok AS (SELECT doc_id, {tok} AS l FROM documents),
+        dfv AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+                FROM (SELECT DISTINCT doc_id, unnest(l) AS term FROM tok)
+                GROUP BY term),
+        idxs AS (SELECT l, unnest(range(1, len(l))) AS i FROM tok),
+        bc AS (SELECT l[CAST(i AS INT)] AS t1, l[CAST(i AS INT) + 1] AS t2,
+                      CAST(count(*) AS BIGINT) AS n
+               FROM idxs GROUP BY 1, 2),
+        {cand_ctes},
+        combos AS (SELECT {phrase} AS suggestion,
+                          CAST({score} AS BIGINT) AS score
+                   FROM {froms})
+        SELECT row_number() OVER (ORDER BY score DESC, suggestion ASC) - 1
+                 AS rank,
+               suggestion, score
+        FROM combos ORDER BY score DESC, suggestion ASC LIMIT {PSUGGEST_K}
+    """
+
+
+DIVSAMPLE_PER_LANG = 3
+DIVSAMPLE_N = 12
+
+
+def diversified_sample(sf_dir: str):
+    """ES diversified_sampler: the global top ``DIVSAMPLE_N`` docs by
+    (n_chars desc, doc_id asc) with at most ``DIVSAMPLE_PER_LANG`` docs
+    per language (max_docs_per_value de-biasing).  Every final winner is
+    inside its language's global top-K, so per-block per-lang top-K
+    partials are a lossless reduction: wire cost blocks x langs x K,
+    the driver merges per-lang then cuts globally — never a sort of the
+    corpus."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+    k = DIVSAMPLE_PER_LANG
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "doc_id": t["doc_id"].to_numpy(zero_copy_only=False),
+                "lang": t["lang"].to_pandas(),
+                "n_chars": t["n_chars"].to_numpy(zero_copy_only=False),
+            }
+        )
+        df = df.sort_values(
+            ["n_chars", "doc_id"], ascending=[False, True], ignore_index=True
+        )
+        df = df.groupby("lang", sort=False).head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    cand = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    cand = cand.sort_values(
+        ["n_chars", "doc_id"], ascending=[False, True], ignore_index=True
+    )
+    top = cand.groupby("lang", sort=False).head(k).head(DIVSAMPLE_N)
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(len(top)), pa.int64()),
+            "doc_id": pa.array(top["doc_id"].to_numpy(np.int64)),
+            "lang": pa.array(top["lang"].tolist(), pa.string()),
+            "n_chars": pa.array(top["n_chars"].to_numpy(np.int64)),
+        }
+    )
+
+
+ZTEST_CHARS_MIN = 300
+ZTEST_LANG = "en"
+
+
+def ztest_quality_en(sf_dir: str):
+    """Two-proportion z-test: does lang='en' pass the n_chars >= 300
+    quality gate at a different rate than the rest of the corpus?
+    Four counters fold map-side; the driver evaluates the pooled-
+    variance z with the oracle-identical expression tree (sqrt is
+    IEEE-correctly-rounded, so both sides stay bit-identical)."""
+    import math
+
+    ds = _read(sf_dir, "documents", columns=["lang", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        en = pcc.equal(t["lang"], ZTEST_LANG).to_numpy(zero_copy_only=False)
+        hi = (
+            t["n_chars"].to_numpy(zero_copy_only=False) >= ZTEST_CHARS_MIN
+        )
+        return pa.table(
+            {
+                "n1": pa.array([int(en.sum())], pa.int64()),
+                "k1": pa.array([int((en & hi).sum())], pa.int64()),
+                "n2": pa.array([int((~en).sum())], pa.int64()),
+                "k2": pa.array([int((~en & hi).sum())], pa.int64()),
+            }
+        )
+
+    agg = ds.map_batches(partial, batch_format="pyarrow").to_pandas().sum()
+    n1, k1, n2, k2 = (int(agg[k]) for k in ("n1", "k1", "n2", "k2"))
+    p1 = float(k1) / float(n1)
+    p2 = float(k2) / float(n2)
+    pp = float(k1 + k2) / float(n1 + n2)
+    z = (p1 - p2) / math.sqrt(
+        pp * (1.0 - pp) * (1.0 / float(n1) + 1.0 / float(n2))
+    )
+    return pa.table(
+        {
+            "n1": pa.array([n1], pa.int64()),
+            "k1": pa.array([k1], pa.int64()),
+            "n2": pa.array([n2], pa.int64()),
+            "k2": pa.array([k2], pa.int64()),
+            "z_micro": pa.array([int(math.floor(z * 1e6 + 0.5))], pa.int64()),
+        }
+    )
+
+
+TERMS_SET_DL = 55
+TERMS_SET_LOW = 2
+TERMS_SET_HIGH = 3
+
+
+def bm25_terms_set(sf_dir: str, query: str = BM25_QUERY, limit: int = 20):
+    """ES terms_set query (minimum_should_match_field): BM25 ranking
+    restricted to docs containing a PER-DOC required number of distinct
+    query terms — 2 for docs shorter than ``TERMS_SET_DL`` tokens, 3
+    otherwise (``QueryEngine.search_terms_set``; membership masks from
+    the scorer's own decoded postings, threshold max unmasked)."""
+    from .query import QueryEngine
+
+    idx = _documents_index(sf_dir)
+    engine = QueryEngine(idx, num_actors=2)
+    try:
+        hits = engine.search_terms_set(
+            query, TERMS_SET_DL, TERMS_SET_LOW, TERMS_SET_HIGH, limit=limit
+        )
+    finally:
+        engine.close()
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(len(hits)), pa.int64()),
+            "doc_id": pa.array([h["doc_id"] for h in hits], pa.int64()),
+            "score_micro": pa.array(_micro([h["score"] for h in hits]), pa.int64()),
+        }
+    )
+
+
+def string_stats_by_lang(sf_dir: str):
+    """ES string_stats aggregation per language: doc count, min/max/avg
+    character length, and the Shannon entropy of the CHARACTER
+    distribution.  Distributed as two streaming folds over one
+    column-pruned read each: (lang, codepoint) count partials -> one
+    domain-sized groupby (the char alphabet is bounded, so the exchange
+    is corpus-free), and (lang) min/max/sum length partials.  Entropy is
+    integer-exact on both sides: per-char terms round to micro-nats
+    BEFORE summation (``floor(n*ln(n)*1e6+0.5)`` summed as int64), then
+    ``H_micro = floor(ln(N)*1e6+0.5) - sum // N`` — immune to float
+    summation order, with only scalar libm ``ln`` calls shared with the
+    SQL oracle."""
+    import math
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    ds = _read(sf_dir, "documents", columns=["lang", "text"])
+
+    def char_partial(t: pa.Table) -> pa.Table:
+        langs = t["lang"].to_pandas()
+        texts = t["text"].to_pandas()
+        rows = {"lang": [], "ch": [], "n": []}
+        for lg, grp in texts.groupby(langs, sort=False):
+            joined = "".join(grp.tolist())
+            codes = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
+            uniq, cnt = np.unique(codes, return_counts=True)
+            rows["lang"].extend([lg] * len(uniq))
+            rows["ch"].extend(uniq.astype(np.int64).tolist())
+            rows["n"].extend(cnt.astype(np.int64).tolist())
+        return pa.table(
+            {
+                "lang": pa.array(rows["lang"], pa.string()),
+                "ch": pa.array(rows["ch"], pa.int64()),
+                "n": pa.array(rows["n"], pa.int64()),
+            }
+        )
+
+    hist = (
+        ds.map_batches(char_partial, batch_format="pyarrow")
+        .groupby(["lang", "ch"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+
+    def len_partial(t: pa.Table) -> pa.Table:
+        ln = pcc.utf8_length(t["text"]).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"lang": t["lang"].to_pandas(), "ln": ln})
+        g = df.groupby("lang", sort=False)["ln"].agg(["count", "min", "max", "sum"])
+        g = g.reset_index()
+        return pa.table(
+            {
+                "lang": pa.array(g["lang"].tolist(), pa.string()),
+                "n_docs": pa.array(g["count"].to_numpy(np.int64)),
+                "mn": pa.array(g["min"].to_numpy(np.int64), pa.int64()),
+                "mx": pa.array(g["max"].to_numpy(np.int64), pa.int64()),
+                "sl": pa.array(g["sum"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    lens = (
+        ds.map_batches(len_partial, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Min("mn", alias_name="mn"),
+            Max("mx", alias_name="mx"),
+            Sum("sl", alias_name="sl"),
+        )
+        .to_pandas()
+        .set_index("lang")
+        .sort_index()
+    )
+    out = {
+        "lang": [], "n_docs": [], "min_len": [], "max_len": [],
+        "avg_len_micro": [], "n_chars_total": [], "distinct_chars": [],
+        "entropy_micro": [],
+    }
+    for lg, grp in hist.groupby("lang", sort=True):
+        n = grp["n"].to_numpy(np.int64)
+        nt = int(n.sum())
+        # per-element micro-nat rounding, then an integer sum: scalar
+        # math.log == DuckDB ln (both libm on this box)
+        s = sum(int(math.floor(float(c) * math.log(float(c)) * 1e6 + 0.5))
+                for c in n)
+        r = lens.loc[lg]
+        out["lang"].append(lg)
+        out["n_docs"].append(int(r["n_docs"]))
+        out["min_len"].append(int(r["mn"]))
+        out["max_len"].append(int(r["mx"]))
+        out["avg_len_micro"].append(int(r["sl"]) * 1_000_000 // int(r["n_docs"]))
+        out["n_chars_total"].append(nt)
+        out["distinct_chars"].append(len(n))
+        out["entropy_micro"].append(
+            int(math.floor(math.log(float(nt)) * 1e6 + 0.5)) - s // nt
+        )
+    return pa.table(
+        {
+            "lang": pa.array(out["lang"], pa.string()),
+            **{k: pa.array(v, pa.int64()) for k, v in out.items() if k != "lang"},
+        }
+    )
+
+
+MOVING_WINDOW = 7
+
+
+def daily_order_moving_stats(sf_dir: str):
+    """ES moving_fn + serial_diff pipeline aggregations over a zero-
+    filled daily date_histogram of orders: the trailing 7-day moving
+    average (integer micro, full windows only) and the lag-7 serial
+    difference of the daily order count.  The day-keyed count fold is
+    distributed (map-side partials, bounded day axis); the window pass
+    runs on the driver over the dense axis in exact integer arithmetic."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "orders", columns=["o_orderdate"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = (
+            t["o_orderdate"].to_numpy(zero_copy_only=False)
+            .astype("datetime64[s]").astype(np.int64) // 86400
+        )
+        uniq, cnt = np.unique(day, return_counts=True)
+        return pa.table(
+            {"day": pa.array(uniq), "cnt": pa.array(cnt.astype(np.int64))}
+        )
+
+    daily = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+        .sort_values("day", ignore_index=True)
+    )
+    lo, hi = int(daily["day"].min()), int(daily["day"].max())
+    axis = np.arange(lo, hi + 1, dtype=np.int64)
+    dense = np.zeros(len(axis), dtype=np.int64)
+    dense[daily["day"].to_numpy(np.int64) - lo] = daily["cnt"].to_numpy(np.int64)
+    csum = np.concatenate([[0], np.cumsum(dense)])
+    w = MOVING_WINDOW
+    idx = np.arange(w, len(axis))
+    wsum = csum[idx + 1] - csum[idx + 1 - w]
+    return pa.table(
+        {
+            "day": pa.array(axis[idx]),
+            "cnt": pa.array(dense[idx]),
+            "ma7_micro": pa.array(wsum * 1_000_000 // w),
+            "diff7": pa.array(dense[idx] - dense[idx - w]),
+        }
+    )
+
+
+RSCORE_SEED = "rs1"
+RSCORE_LANG = "en"
+
+
+def docs_random_score(sf_dir: str, limit: int = 20):
+    """ES function_score random_score with a seed: a deterministic,
+    partitioning-independent pseudo-random ranking of the docs matching
+    a filter (lang), keyed by ``md5(seed:doc_id)``.  Per-block top-k
+    partials keep the wire cost at blocks*k; the driver merges k rows.
+    Oracle: ``ORDER BY md5(...) LIMIT k``."""
+    import hashlib as _hl
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pcc.equal(t["lang"], RSCORE_LANG))
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        keys = [
+            _hl.md5(f"{RSCORE_SEED}:{i}".encode()).hexdigest() for i in ids
+        ]
+        order = np.lexsort((ids, np.asarray(keys)))[:limit]
+        return pa.table(
+            {
+                "key": pa.array([keys[i] for i in order], pa.string()),
+                "doc_id": pa.array(ids[order], pa.int64()),
+            }
+        )
+
+    top = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(["key", "doc_id"], ignore_index=True)
+        .head(limit)
+    )
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(len(top)), pa.int64()),
+            "doc_id": pa.array(top["doc_id"].to_numpy(np.int64)),
+        }
+    )
+
+
+MULTI_TERMS_K = 10
+
+
+def multi_terms_counts(sf_dir: str):
+    """ES multi_terms aggregation: buckets keyed by the COMPOUND
+    (lang, source) term pair, doc count and total chars per bucket,
+    ordered count desc then key asc, top 10.  Map-side pair partials ->
+    one bucket-keyed groupby (bucket table is small) -> driver cut."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", columns=["lang", "source", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "lang": t["lang"].to_pandas(),
+                "source": t["source"].to_pandas(),
+                "nc": t["n_chars"].to_numpy(zero_copy_only=False),
+            }
+        )
+        g = df.groupby(["lang", "source"], sort=False, as_index=False).agg(
+            n=("nc", "size"), sum_chars=("nc", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    buckets = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang", "source"])
+        .aggregate(Sum("n", alias_name="n"), Sum("sum_chars", alias_name="sum_chars"))
+        .to_pandas()
+        .sort_values(
+            ["n", "lang", "source"], ascending=[False, True, True],
+            ignore_index=True,
+        )
+        .head(MULTI_TERMS_K)
+    )
+    return pa.table(
+        {
+            "lang": pa.array(buckets["lang"], pa.string()),
+            "source": pa.array(buckets["source"], pa.string()),
+            "n": pa.array(buckets["n"].to_numpy(np.int64)),
+            "sum_chars": pa.array(buckets["sum_chars"].to_numpy(np.int64)),
+        }
+    )
+
+
 def _percentile_ranks_sql() -> str:
     """UNION-ALL unpivot of per-threshold counters, mirroring
     ``value_percentile_ranks``' integer bps arithmetic."""
@@ -10219,6 +11064,23 @@ def build_oracle_sql() -> Dict[str, str]:
             BOOSTING_POS, limit=20, micro_rank=True,
             demote_terms=_qtok(BOOSTING_NEG), demote_boost=BOOSTING_FACTOR,
         ),
+        "q6_forecast_revenue": """
+            SELECT CAST(coalesce(sum(CAST(floor(l_extendedprice * l_discount
+                          * 100 + 0.5) AS BIGINT)), 0) AS BIGINT) AS revenue_c,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM lineitem
+            WHERE l_shipdate >= DATE '1994-01-01'
+              AND l_shipdate < DATE '1995-01-01'
+              AND CAST(floor(l_discount * 100 + 0.5) AS BIGINT) BETWEEN 5 AND 7
+              AND CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) < 2400
+        """,
+                        "bm25_common_terms": bm25_sql(
+            CTQ_QUERY, limit=20, common_cutoff_milli=CTQ_CUTOFF_MILLI,
+        ),
+        "span_not": bm25_sql(
+            SPAN_NOT_INCLUDE, limit=20,
+            span_not=(SPAN_NOT_INCLUDE, SPAN_NOT_EXCLUDE, SPAN_NOT_DIST),
+        ),
         "span_first": bm25_sql(
             SPAN_FIRST_TERM, limit=20,
             span_first=(SPAN_FIRST_TERM, SPAN_FIRST_N),
@@ -10226,6 +11088,22 @@ def build_oracle_sql() -> Dict[str, str]:
         "bm25_wildcard": bm25_sql(
             "", limit=20, wildcard=WILDCARD_SEARCH_PATTERN,
         ),
+        "bm25_regexp": bm25_sql(
+            "", limit=20, regexp=REGEXP_PATTERN, wildcard_max=REGEXP_MAX_EXP,
+        ),
+        "bm25_match_bool_prefix": bm25_sql(
+            "window", limit=20, bool_prefix="s",
+        ),
+        "completion_suggest": f"""
+            WITH tok AS (SELECT doc_id, {{tok}} AS l FROM documents),
+            dfv AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+                    FROM (SELECT DISTINCT doc_id, unnest(l) AS term FROM tok)
+                    GROUP BY term)
+            SELECT row_number() OVER (ORDER BY df DESC, term ASC) - 1 AS rank,
+                   term, df
+            FROM dfv WHERE term LIKE '{COMPLETION_PREFIX}%'
+            ORDER BY df DESC, term ASC LIMIT {COMPLETION_K}
+        """.replace("{tok}", _tok_sql("text")),
         "bm25_top_hits": bm25_sql(
             EXPLAIN_QUERY, top_hits_k=TOP_HITS_K, top_hits_groups=10,
         ),
@@ -12222,6 +13100,129 @@ def build_oracle_sql() -> Dict[str, str]:
                            * (CAST(n10 + n00 AS DOUBLE) / CAST(n11 + n10 + n01 + n00 AS DOUBLE))))
                    ) * 1000000 + 0.5) AS BIGINT) AS kappa_micro
             FROM c
+        """,
+        "bm25_terms_set": bm25_sql(
+            BM25_QUERY,
+            limit=20,
+            terms_set_dl=(TERMS_SET_DL, TERMS_SET_LOW, TERMS_SET_HIGH),
+            micro_rank=True,
+        ),
+        "phrase_suggest": _phrase_suggest_sql(),
+        "diversified_sample": f"""
+            WITH s AS (SELECT doc_id, lang, n_chars FROM documents
+                       QUALIFY row_number() OVER (PARTITION BY lang
+                                 ORDER BY n_chars DESC, doc_id)
+                               <= {DIVSAMPLE_PER_LANG})
+            SELECT row_number() OVER (ORDER BY n_chars DESC, doc_id) - 1
+                     AS rank,
+                   doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+            FROM s ORDER BY n_chars DESC, doc_id LIMIT {DIVSAMPLE_N}
+        """,
+        "chi2_lang_source": """
+            WITH o AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS o
+                       FROM documents GROUP BY 1, 2),
+            r AS (SELECT lang, CAST(sum(o) AS BIGINT) AS r FROM o GROUP BY 1),
+            c AS (SELECT source, CAST(sum(o) AS BIGINT) AS c FROM o GROUP BY 1),
+            tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM o),
+            cells AS (SELECT r.r, c.c, coalesce(o.o, 0) AS o
+                      FROM r CROSS JOIN c
+                      LEFT JOIN o ON o.lang = r.lang AND o.source = c.source),
+            t AS (SELECT CAST(floor(
+                    CAST((SELECT n FROM tot) * o - r * c AS DOUBLE)
+                    * CAST((SELECT n FROM tot) * o - r * c AS DOUBLE)
+                    / (CAST((SELECT n FROM tot) AS DOUBLE)
+                       * CAST(r * c AS DOUBLE))
+                    * 1000000 + 0.5) AS BIGINT) AS m
+                  FROM cells)
+            SELECT (SELECT n FROM tot) AS n,
+                   CAST(((SELECT count(*) FROM r) - 1)
+                        * ((SELECT count(*) FROM c) - 1) AS BIGINT) AS dof,
+                   CAST(sum(m) AS BIGINT) AS chi2_micro
+            FROM t
+        """,
+        "ztest_quality_en": f"""
+            WITH cnt AS (SELECT
+                CAST(count(*) FILTER (WHERE lang = '{ZTEST_LANG}')
+                     AS BIGINT) AS n1,
+                CAST(count(*) FILTER (WHERE lang = '{ZTEST_LANG}'
+                     AND n_chars >= {ZTEST_CHARS_MIN}) AS BIGINT) AS k1,
+                CAST(count(*) FILTER (WHERE lang <> '{ZTEST_LANG}')
+                     AS BIGINT) AS n2,
+                CAST(count(*) FILTER (WHERE lang <> '{ZTEST_LANG}'
+                     AND n_chars >= {ZTEST_CHARS_MIN}) AS BIGINT) AS k2
+                FROM documents)
+            SELECT n1, k1, n2, k2,
+                   CAST(floor(
+                     (CAST(k1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                      - CAST(k2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+                     / sqrt((CAST(k1 + k2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+                            * (1.0 - CAST(k1 + k2 AS DOUBLE)
+                                     / CAST(n1 + n2 AS DOUBLE))
+                            * (1.0 / CAST(n1 AS DOUBLE)
+                               + 1.0 / CAST(n2 AS DOUBLE)))
+                     * 1000000 + 0.5) AS BIGINT) AS z_micro
+            FROM cnt
+        """,
+        "string_stats_by_lang": """
+            WITH c AS (SELECT lang, unnest(string_split(text, '')) AS ch
+                       FROM documents),
+            h AS (SELECT lang, ch, CAST(count(*) AS BIGINT) AS n
+                  FROM c GROUP BY 1, 2),
+            e AS (SELECT lang, CAST(sum(n) AS BIGINT) AS nt,
+                         CAST(count(*) AS BIGINT) AS dc,
+                         CAST(sum(CAST(floor(CAST(n AS DOUBLE)
+                              * ln(CAST(n AS DOUBLE)) * 1000000 + 0.5)
+                              AS BIGINT)) AS BIGINT) AS s
+                  FROM h GROUP BY 1),
+            d AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                         CAST(min(length(text)) AS BIGINT) AS min_len,
+                         CAST(max(length(text)) AS BIGINT) AS max_len,
+                         CAST(sum(length(text)) AS BIGINT) AS sum_len
+                  FROM documents GROUP BY 1)
+            SELECT d.lang, n_docs, min_len, max_len,
+                   sum_len * 1000000 // n_docs AS avg_len_micro,
+                   nt AS n_chars_total, dc AS distinct_chars,
+                   CAST(floor(ln(CAST(nt AS DOUBLE)) * 1000000 + 0.5)
+                        AS BIGINT) - s // nt AS entropy_micro
+            FROM d JOIN e USING (lang) ORDER BY d.lang
+        """,
+        "daily_order_moving_stats": f"""
+            WITH daily AS (SELECT CAST(epoch(o_orderdate) // 86400 AS BIGINT)
+                                    AS day,
+                                  CAST(count(*) AS BIGINT) AS cnt
+                           FROM orders GROUP BY 1),
+            axis AS (SELECT unnest(range((SELECT min(day) FROM daily),
+                                         (SELECT max(day) FROM daily) + 1))
+                       AS day),
+            dense AS (SELECT a.day, coalesce(d.cnt, 0) AS cnt,
+                             row_number() OVER (ORDER BY a.day) - 1 AS idx
+                      FROM axis a LEFT JOIN daily d USING (day)),
+            w AS (SELECT day, cnt, idx,
+                         sum(cnt) OVER (ORDER BY day
+                           ROWS BETWEEN {MOVING_WINDOW - 1} PRECEDING
+                           AND CURRENT ROW) AS wsum,
+                         lag(cnt, {MOVING_WINDOW}) OVER (ORDER BY day) AS lag7
+                  FROM dense)
+            SELECT day, cnt,
+                   CAST(wsum * 1000000 // {MOVING_WINDOW} AS BIGINT)
+                     AS ma7_micro,
+                   CAST(cnt - lag7 AS BIGINT) AS diff7
+            FROM w WHERE idx >= {MOVING_WINDOW} ORDER BY day
+        """,
+        "docs_random_score": f"""
+            SELECT row_number() OVER (
+                     ORDER BY md5('{RSCORE_SEED}:' || CAST(doc_id AS VARCHAR)),
+                              doc_id) - 1 AS rank,
+                   doc_id
+            FROM documents WHERE lang = '{RSCORE_LANG}'
+            ORDER BY md5('{RSCORE_SEED}:' || CAST(doc_id AS VARCHAR)), doc_id
+            LIMIT 20
+        """,
+        "multi_terms_counts": f"""
+            SELECT lang, source, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars
+            FROM documents GROUP BY lang, source
+            ORDER BY n DESC, lang, source LIMIT {MULTI_TERMS_K}
         """,
         "match_phrase_prefix": bm25_sql(
             MPP_FIXED, limit=20, phrase_adjacent=True, phrase_prefix=MPP_PREFIX

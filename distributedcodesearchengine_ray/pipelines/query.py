@@ -625,6 +625,108 @@ class IndexShard:
             arr = arr[self.alive[arr]]
         return arr
 
+    def span_not_local(self, include: str, exclude: str, dist: int) -> np.ndarray:
+        """Ascending local indices of ALIVE docs with at least one
+        occurrence of ``include`` that is NOT within ``dist`` token
+        positions of any occurrence of ``exclude`` (Lucene SpanNotQuery
+        with pre=post=dist).  Pure positional-postings work, vectorized:
+        per partition, the ragged per-doc position lists of both terms
+        merge through ONE searchsorted on (doc-rank << 32 | position)
+        keys — nearest-exclude-neighbor distance per include position,
+        no per-doc Python loop, no text reads."""
+        if not self.has_positions:
+            raise RuntimeError("index was built without with_positions=True")
+
+        def _ragged(values: np.ndarray, starts: np.ndarray, idx: np.ndarray):
+            lens = (starts[idx + 1] - starts[idx]).astype(np.int64)
+            total = int(lens.sum())
+            flat = np.arange(total, dtype=np.int64)
+            offs = np.repeat(np.cumsum(lens) - lens, lens)
+            out = values[np.repeat(starts[idx], lens) + (flat - offs)]
+            return out.astype(np.int64), lens
+
+        BASE = np.int64(1) << np.int64(32)
+        hits = []
+        for pi in range(len(self.parts)):
+            row_i = self.parts[pi]["term_row"].get(include)
+            if row_i is None:
+                continue
+            li, si, posi = self._positions(pi, row_i)
+            row_e = self.parts[pi]["term_row"].get(exclude)
+            if row_e is None:
+                hits.append(li)
+                continue
+            le, se, pose = self._positions(pi, row_e)
+            common, ia, ie = np.intersect1d(li, le, return_indices=True)
+            only = np.setdiff1d(li, common, assume_unique=True)
+            if len(only):
+                hits.append(only)
+            if len(common) == 0:
+                continue
+            pos_ic, len_i = _ragged(posi, si, ia)
+            pos_ec, len_e = _ragged(pose, se, ie)
+            rank_i = np.repeat(np.arange(len(common), dtype=np.int64), len_i)
+            rank_e = np.repeat(np.arange(len(common), dtype=np.int64), len_e)
+            key_i = rank_i * BASE + pos_ic
+            key_e = rank_e * BASE + pos_ec
+            j = np.searchsorted(key_e, key_i)
+            jr = np.minimum(j, len(key_e) - 1)
+            right_ok = (
+                (j >= len(key_e))
+                | (rank_e[jr] != rank_i)
+                | (pos_ec[jr] - pos_ic > dist)
+            )
+            jl = np.maximum(j - 1, 0)
+            left_ok = (
+                (j == 0) | (rank_e[jl] != rank_i) | (pos_ic - pos_ec[jl] > dist)
+            )
+            ok = right_ok & left_ok
+            surv = np.bincount(rank_i[ok], minlength=len(common)) > 0
+            if surv.any():
+                hits.append(common[surv])
+        if not hits:
+            return np.empty(0, dtype=np.int64)
+        arr = np.sort(np.concatenate(hits))
+        if self.alive is not None and len(arr):
+            arr = arr[self.alive[arr]]
+        return arr
+
+    def search_span_not(
+        self,
+        query_tokens: List[str],
+        idfs: Dict[str, float],
+        limit: int,
+        include: str,
+        exclude: str,
+        dist: int,
+        filters: Optional[Dict[str, str]] = None,
+    ) -> Tuple[float, List[dict]]:
+        """span_not search: BM25 over ``query_tokens`` restricted to the
+        ``span_not_local`` doc set.  Same return contract as ``search``
+        (unfiltered local max + top rows) so the driver threshold/merge
+        applies unchanged."""
+        if self.n_local == 0:
+            return 0.0, []
+        scores = self._dense_scores(query_tokens, idfs)
+        if self.alive is None:
+            local_max = float(scores.max()) if len(scores) else 0.0
+        else:
+            live = scores[self.alive]
+            local_max = float(live.max()) if len(live) else 0.0
+        cand = self.span_not_local(include, exclude, dist)
+        if len(cand) == 0:
+            return local_max, []
+        cand = cand[self._filter_mask(filters, cand)]
+        if len(cand) == 0:
+            return local_max, []
+        order = np.lexsort((self._doc_ids[cand], -scores[cand]))[:limit]
+        cand = cand[order]
+        return local_max, [
+            {"doc_id": int(self._doc_ids[i]), "score": float(scores[i]),
+             "_local": int(i)}
+            for i in cand
+        ]
+
     def search_span_first(
         self,
         query_tokens: List[str],
@@ -686,6 +788,64 @@ class IndexShard:
             local_max = float(live.max()) if len(live) else 0.0
             cand = np.flatnonzero(self.alive)
         cand = cand[self._filter_mask(filters, cand)]
+        if len(cand) == 0:
+            return local_max, []
+        order = np.lexsort((self._doc_ids[cand], -scores[cand]))[:limit]
+        cand = cand[order]
+        return local_max, [
+            {"doc_id": int(self._doc_ids[i]), "score": float(scores[i]),
+             "_local": int(i)}
+            for i in cand
+        ]
+
+    def search_terms_set(
+        self,
+        query_tokens: List[str],
+        idfs: Dict[str, float],
+        limit: int,
+        dl_threshold: int,
+        low_req: int = 2,
+        high_req: int = 3,
+        filters: Optional[Dict[str, str]] = None,
+        dense_all: bool = False,
+    ) -> Tuple[float, List[dict]]:
+        """ES ``terms_set`` query (minimum_should_match_field semantics):
+        rank with full BM25 but keep only docs containing at least a
+        PER-DOC required number of distinct query terms — ``low_req``
+        when the doc's token length < ``dl_threshold``, ``high_req``
+        otherwise (short docs need fewer matches).  Membership masks come
+        from the same decoded postings the scorer uses; the F4 threshold
+        max stays unmasked (filters-after-scoring, like min_match)."""
+        if self.n_local == 0:
+            return 0.0, []
+        scores = self._dense_scores(query_tokens, idfs)
+        if self.alive is None:
+            local_max = float(scores.max()) if len(scores) else 0.0
+        else:
+            live = scores[self.alive]
+            local_max = float(live.max()) if len(live) else 0.0
+        if dense_all:
+            cand = (
+                np.arange(self.n_local)
+                if self.alive is None
+                else np.flatnonzero(self.alive)
+            )
+        else:
+            cand = np.flatnonzero(scores > 0)
+            neg = np.flatnonzero(scores < 0)
+            if len(neg):
+                cand = np.concatenate([cand, neg])
+            if self.alive is not None:
+                cand = cand[self.alive[cand]]
+        if len(cand) == 0:
+            return local_max, []
+        mask = self._filter_mask(filters, cand)
+        cnt = np.zeros(len(cand), dtype=np.int64)
+        for t in sorted(set(query_tokens)):
+            cnt += self._contains_mask(t)[cand]
+        req = np.where(self._doc_len[cand] >= dl_threshold, high_req, low_req)
+        mask &= cnt >= req
+        cand = cand[mask]
         if len(cand) == 0:
             return local_max, []
         order = np.lexsort((self._doc_ids[cand], -scores[cand]))[:limit]
@@ -1186,7 +1346,37 @@ class LexiconReader:
             [i for i in (pattern.find("*"), pattern.find("?")) if i >= 0],
             default=len(pattern),
         )
-        prefix = pattern[:first_wild]
+        return self._scan_matching(rx, pattern[:first_wild], max_expand)
+
+    def expand_regex(
+        self, pattern: str, max_expand: int = 64
+    ) -> List[Tuple[str, int]]:
+        """Lucene ``regexp`` query expansion: the pattern is anchored and
+        FULL-matched against every vocabulary term (Lucene RegexpQuery
+        semantics — ``s[aeiou].*`` matches the whole term, never a
+        substring).  The leading literal run of the pattern (chars before
+        the first regex metacharacter) becomes the same parquet RANGE
+        predicate ``expand`` uses, so anchored-literal-prefix regexes
+        touch only the covering row groups.  Matches return (term, df)
+        ordered (df desc, term asc), capped at ``max_expand`` — and then
+        score as ordinary OR'd BM25 terms, like wildcard expansion.
+        Both this scan and the DuckDB oracle (`regexp_full_match`) run
+        RE2, so the match set is engine-identical by construction."""
+        meta = set(".?*+()[]{}|\\^$")
+        prefix = ""
+        for c in pattern:
+            if c in meta:
+                break
+            prefix += c
+        return self._scan_matching(f"^(?:{pattern})$", prefix, max_expand)
+
+    def _scan_matching(
+        self, rx: str, prefix: str, max_expand: int
+    ) -> List[Tuple[str, int]]:
+        """Shared lexicon scan: prefix range pushdown + one vectorized
+        RE2 kernel per term-sorted shard, (df desc, term asc) cap."""
+        import pyarrow.compute as pc
+
         filt = None
         if prefix:
             filt = (pads.field("term") >= prefix) & (
@@ -1729,6 +1919,54 @@ class QueryEngine:
             return []
         return self.search(" ".join(expanded), limit=limit, filters=filters)
 
+    def search_common_terms(
+        self,
+        query: str,
+        cutoff_milli: int = 600,
+        limit: int = 20,
+        filters: Optional[Dict[str, str]] = None,
+    ) -> List[dict]:
+        """Lucene CommonTermsQuery: query terms whose document frequency
+        is at most ``cutoff_milli``/1000 of the corpus are LOW-frequency
+        and become MUST clauses (they still score); high-frequency terms
+        stay optional SHOULD clauses.  The df classification is one
+        lexicon stats read (integer cutoff compare, no float); the query
+        then routes through the standard boolean search path, so scoring,
+        threshold and merge are unchanged.  Terms absent from the
+        vocabulary classify as low-frequency (df=0) and, being
+        unsatisfiable MUSTs, empty the result — Lucene's behavior."""
+        toks = tokenize(query)
+        if not toks:
+            return []
+        stats = self.lexicon.stats(toks)
+        n = max(self.manifest.n_docs, 1)
+        low = {
+            t
+            for t in toks
+            if stats.get(t, (0, 0.0))[0] * 1000 <= cutoff_milli * n
+        }
+        q2 = " ".join(("+" + t) if t in low else t for t in toks)
+        return self.search(q2, limit=limit, filters=filters)
+
+    def search_regexp(
+        self,
+        pattern: str,
+        limit: int = 20,
+        max_expansions: int = 64,
+        filters: Optional[Dict[str, str]] = None,
+    ) -> List[dict]:
+        """Lucene ``regexp`` query: the anchored pattern full-matches
+        against the index vocabulary (df desc, term asc, capped — like
+        RegexpQuery's rewrite) and the matching terms score as ordinary
+        OR'd BM25 terms through the standard shard path.  Expansion is
+        lexicon-only work; cost scales with vocabulary, never corpus."""
+        expanded = [
+            t for t, _ in self.lexicon.expand_regex(pattern, max_expansions)
+        ]
+        if not expanded:
+            return []
+        return self.search(" ".join(expanded), limit=limit, filters=filters)
+
     def close(self) -> None:
         import ray
 
@@ -1844,6 +2082,56 @@ class QueryEngine:
         )
         return [{"doc_id": r["doc_id"], "score": r["score"]} for r in rows[:limit]]
 
+    def search_terms_set(
+        self,
+        query: str,
+        dl_threshold: int,
+        low_req: int = 2,
+        high_req: int = 3,
+        limit: int = 20,
+        filters: Optional[Dict[str, str]] = None,
+    ) -> List[dict]:
+        """ES ``terms_set`` (minimum_should_match_field): full-BM25
+        ranking restricted to docs containing at least a per-doc required
+        number of distinct query terms — ``low_req`` below
+        ``dl_threshold`` tokens, ``high_req`` at or above it.  Same
+        micro-grain merge as ``search_min_match`` (membership-masked
+        result sets surface near-ulp ties; micro rounding + doc_id
+        tie-break is stable on both sides of the oracle compare)."""
+        import math
+
+        import ray
+
+        toks = tokenize(query)
+        if not toks:
+            return []
+        q_idfs = self.lexicon.idfs(toks)
+        fetch = limit + 16
+        refs = [
+            a.search_terms_set.remote(
+                toks, q_idfs, fetch, dl_threshold, low_req, high_req, filters
+            )
+            for a in self.actors
+        ]
+        parts = ray.get(refs)
+        global_max = max((m for m, _ in parts), default=0.0)
+        if global_max > 0:
+            min_score = global_max * 0.01
+            rows = [r for _, rs in parts for r in rs if r["score"] >= min_score]
+        else:
+            refs2 = [
+                a.search_terms_set.remote(
+                    toks, q_idfs, fetch, dl_threshold, low_req, high_req,
+                    filters, True
+                )
+                for a in self.actors
+            ]
+            rows = [r for _, rs in ray.get(refs2) for r in rs]
+        rows.sort(
+            key=lambda r: (-math.floor(r["score"] * 1e6 + 0.5), r["doc_id"])
+        )
+        return [{"doc_id": r["doc_id"], "score": r["score"]} for r in rows[:limit]]
+
     def search_boosting(
         self,
         positive: str,
@@ -1920,6 +2208,47 @@ class QueryEngine:
             [
                 a.search_span_first.remote(
                     toks, q_idfs, max(limit, 1), span_term, n, filters
+                )
+                for a in self.actors
+            ]
+        )
+        global_max = max((m for m, _ in parts), default=0.0)
+        rows = [r for _, rs in parts for r in rs]
+        if global_max > 0:
+            min_score = global_max * 0.01
+            rows = [r for r in rows if r["score"] >= min_score]
+        rows.sort(key=lambda r: (-r["score"], r["doc_id"]))
+        return [{"doc_id": r["doc_id"], "score": r["score"]} for r in rows[:limit]]
+
+    def search_span_not(
+        self,
+        query: str,
+        include: str,
+        exclude: str,
+        dist: int = 0,
+        limit: int = 20,
+        filters: Optional[Dict[str, str]] = None,
+    ) -> List[dict]:
+        """Lucene span_not: BM25-ranked docs with at least one occurrence
+        of ``include`` farther than ``dist`` positions from every
+        occurrence of ``exclude`` — decided from the positional index
+        (vectorized neighbor search per shard), never from text.
+        Requires ``with_positions=True`` at build."""
+        import ray
+
+        if not self.manifest.extra.get("positions"):
+            raise RuntimeError(
+                "index was built without positions; rebuild with "
+                "with_positions=True to use span_not search"
+            )
+        toks = tokenize(query)
+        if not toks:
+            return []
+        q_idfs = self.lexicon.idfs(toks)
+        parts = ray.get(
+            [
+                a.search_span_not.remote(
+                    toks, q_idfs, max(limit, 1), include, exclude, dist, filters
                 )
                 for a in self.actors
             ]

@@ -283,3 +283,48 @@ def test_compact_guard_on_positional(ray_session, pos_index):
     shutil.copytree(pos_index, f"{BASE}/idx_compact_guard")
     with pytest.raises(NotImplementedError, match="position"):
         compact_index(f"{BASE}/idx_compact_guard")
+
+
+def _brute_span_not(doc_tokens, inc, exc, dist):
+    pos_i = [i for i, t in enumerate(doc_tokens) if t == inc]
+    pos_e = [i for i, t in enumerate(doc_tokens) if t == exc]
+    return any(all(abs(a - b) > dist for b in pos_e) for a in pos_i)
+
+
+@pytest.mark.parametrize("inc,exc,dist", [
+    ("http", "request", 1),
+    ("http", "request", 3),
+    ("json", "parse", 0),
+    ("user", "zzznotaterm", 2),  # exclude absent -> include docs all match
+])
+def test_span_not_matches_bruteforce(ray_session, pos_index, inc, exc, dist):
+    """SpanNotQuery: engine doc set == brute-force positional exclusion
+    over the tokenized entity docs (all scores positive single-term BM25,
+    so the max*0.01 threshold drops nothing here)."""
+    import os as _os
+
+    import pyarrow.parquet as pq
+
+    from distributedcodesearchengine_ray.functions.tokenizer import tokenize
+    from distributedcodesearchengine_ray.pipelines.build_index import (
+        _entity_doc_text,
+    )
+    from distributedcodesearchengine_ray.pipelines.query import QueryEngine
+
+    truth = set()
+    meta_dir = _os.path.join(pos_index, "docmeta")
+    for f in sorted(_os.listdir(meta_dir)):
+        t = pq.read_table(_os.path.join(meta_dir, f))
+        texts = _entity_doc_text(t).to_pylist()
+        for did, txt in zip(t["doc_id"].to_pylist(), texts):
+            if _brute_span_not(tokenize(txt), inc, exc, dist):
+                truth.add(did)
+    eng = QueryEngine(pos_index, num_actors=2)
+    try:
+        got = eng.search_span_not(inc, inc, exc, dist=dist, limit=10_000)
+        got_ids = {r["doc_id"] for r in got}
+        scores = [r["score"] for r in got]
+        assert scores == sorted(scores, reverse=True)
+        assert got_ids == truth, (inc, exc, dist)
+    finally:
+        eng.close()

@@ -242,6 +242,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "completion_suggest": Q.completion_suggest,  # ES completion suggester: prefix top-k
         "bm25_match_bool_prefix": Q.bm25_match_bool_prefix,  # ES match_bool_prefix
         "span_not": Q.span_not_q,  # Lucene span_not: positional exclusion window
+        "span_near": Q.span_near_q,  # Lucene span_near unordered: proximity window
+        "bm25_rank_feature": Q.bm25_rank_feature,  # ES rank_feature saturation boost
+        "auto_date_histogram": Q.auto_date_histogram,  # ES auto_date_histogram ladder
         "bm25_common_terms": Q.bm25_common_terms,  # Lucene CommonTermsQuery: df-gated MUSTs
         "q6_forecast_revenue": Q.q6_forecast_revenue,  # TPC-H Q6 streaming filter-sum
     }

@@ -706,6 +706,36 @@ def bm25_common_terms(sf_dir: str):
     )
 
 
+SPAN_NEAR_A = "hash"
+SPAN_NEAR_B = "join"
+SPAN_NEAR_WINDOW = 3
+
+
+def span_near_q(sf_dir: str):
+    """Lucene span_near (in_order=false): BM25-ranked docs where 'hash'
+    occurs within 3 positions of 'join' in either order — resolved from
+    the positional index with one vectorized nearest-neighbor
+    searchsorted per shard, never from text."""
+    from .query import QueryEngine
+
+    idx = _documents_index(sf_dir, with_positions=True)
+    engine = QueryEngine(idx, num_actors=2)
+    try:
+        rows = engine.search_span_near(
+            f"{SPAN_NEAR_A} {SPAN_NEAR_B}", SPAN_NEAR_A, SPAN_NEAR_B,
+            window=SPAN_NEAR_WINDOW, limit=20,
+        )
+    finally:
+        engine.close()
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(len(rows)), pa.int64()),
+            "doc_id": pa.array([r["doc_id"] for r in rows], pa.int64()),
+            "score_micro": pa.array(_micro([r["score"] for r in rows]), pa.int64()),
+        }
+    )
+
+
 SPAN_NOT_INCLUDE = "merge"
 SPAN_NOT_EXCLUDE = "sort"
 SPAN_NOT_DIST = 2
@@ -1006,6 +1036,35 @@ def bm25_function_score(sf_dir: str, query: str = BM25_QUERY, limit: int = 20):
     )
 
 
+RF_WEIGHT = 2.5  # short binary mantissa: exact on both engines
+RF_PIVOT = 30
+
+
+def bm25_rank_feature(sf_dir: str, query: str = BM25_QUERY, limit: int = 20):
+    """ES rank_feature (saturation function) as a bool-should clause:
+    score = BM25 + 2.5 * dl/(dl+30) on every doc — the length feature
+    promotes longer docs additively rather than multiplicatively, with
+    the same expression tree on both sides (BIGINT/BIGINT division is
+    IEEE double everywhere)."""
+    from .query import QueryEngine
+
+    idx = _documents_index(sf_dir)
+    engine = QueryEngine(idx, num_actors=2)
+    try:
+        hits = engine.search_rank_feature(
+            query, weight=RF_WEIGHT, pivot=RF_PIVOT, limit=limit
+        )
+    finally:
+        engine.close()
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(len(hits)), pa.int64()),
+            "doc_id": pa.array([h["doc_id"] for h in hits], pa.int64()),
+            "score_micro": pa.array(_micro([h["score"] for h in hits]), pa.int64()),
+        }
+    )
+
+
 TOMBSTONE_LANG = "de"
 
 
@@ -1232,6 +1291,7 @@ def bm25_sql(
     phrase_adjacent: bool = False,
     phrase_prefix: Optional[str] = None,
     boost_sqrt_dl: bool = False,
+    rank_feature: Optional[Tuple[float, int]] = None,
     terms_set_dl: Optional[tuple] = None,
     slop: int = 0,
     corpus_where: Optional[str] = None,
@@ -1247,6 +1307,7 @@ def bm25_sql(
     demote_boost: float = 0.5,
     span_first: Optional[Tuple[str, int]] = None,
     span_not: Optional[Tuple[str, str, int]] = None,
+    span_near: Optional[Tuple[str, str, int]] = None,
     common_cutoff_milli: Optional[int] = None,
     wildcard: Optional[str] = None,
     wildcard_max: int = 64,
@@ -1409,6 +1470,22 @@ def bm25_sql(
             " GROUP BY tf.doc_id"
             f" HAVING count(DISTINCT tf.term) = (SELECT count(*) FROM {lowq} lq2)))"
         )
+    if span_near is not None:
+        # Lucene span_near unordered: some a-position within window of
+        # some b-position (1-based subscripts; differences base-invariant)
+        sa_t, sb_t, sn_w = span_near
+        pos_sub2 = (
+            "SELECT doc_id, toks[CAST(i AS INT)] AS t, CAST(i AS BIGINT) AS p"
+            " FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i"
+            " FROM tok)"
+        )
+        filt += (
+            "\n  AND doc_id IN (SELECT DISTINCT pa.doc_id"
+            f" FROM ({pos_sub2}) pa JOIN ({pos_sub2}) pb"
+            " ON pb.doc_id = pa.doc_id"
+            f" WHERE pa.t = '{sa_t}' AND pb.t = '{sb_t}'"
+            f" AND abs(pa.p - pb.p) <= {sn_w})"
+        )
     if span_not is not None:
         # Lucene span_not: some include-position farther than dist from
         # EVERY exclude-position (position differences are base-invariant,
@@ -1428,6 +1505,13 @@ def bm25_sql(
             f" AND abs(pe.p - pi.p) <= {sn_d}))"
         )
     boost_expr, boost_join = "", ""
+    if rank_feature is not None:
+        # ES rank_feature saturation as a bool-should clause: additive
+        # weight * dl/(dl+pivot) on EVERY doc (scores_all semantics);
+        # BIGINT/BIGINT division is double on both engines, same tree
+        rf_w, rf_p = rank_feature
+        boost_expr = f" + {rf_w} * (bdl.dl / (bdl.dl + {rf_p}))"
+        boost_join = " JOIN dl bdl ON bdl.doc_id = d.doc_id"
     if boost_sqrt_dl:
         # function_score field_value_factor(sqrt): multiplies INSIDE
         # scores_all, before the threshold max — identical placement to
@@ -10838,6 +10922,60 @@ def daily_order_moving_stats(sf_dir: str):
     )
 
 
+ADH_TARGET = 30
+ADH_LADDER = (1, 7, 30, 90, 365)  # fixed-width day intervals (documented
+# deviation from ES's calendar rounding: epoch-anchored buckets)
+
+
+def auto_date_histogram(sf_dir: str):
+    """ES auto_date_histogram: the SMALLEST interval from a fixed ladder
+    whose bucket count fits the target (<= 30) wins, then orders bucket
+    into epoch-anchored fixed-width windows of that interval.  The
+    distributed pass is one day-grain count fold (bounded axis — never
+    corpus-sized); ladder selection and re-bucketing run on the driver
+    over that tiny table, in pure integers on both sides."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "orders", columns=["o_orderdate"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = (
+            t["o_orderdate"].to_numpy(zero_copy_only=False)
+            .astype("datetime64[s]").astype(np.int64) // 86400
+        )
+        uniq, cnt = np.unique(day, return_counts=True)
+        return pa.table(
+            {"day": pa.array(uniq), "cnt": pa.array(cnt.astype(np.int64))}
+        )
+
+    daily = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+    )
+    days = daily["day"].to_numpy(np.int64)
+    lo, hi = int(days.min()), int(days.max())
+    iv = ADH_LADDER[-1]
+    for cand in ADH_LADDER:
+        if hi // cand - lo // cand + 1 <= ADH_TARGET:
+            iv = cand
+            break
+    bucket = (days // iv) * iv
+    g = (
+        pd.DataFrame({"bucket_day": bucket, "n": daily["cnt"].to_numpy(np.int64)})
+        .groupby("bucket_day", as_index=False)["n"].sum()
+        .sort_values("bucket_day", ignore_index=True)
+    )
+    return pa.table(
+        {
+            "bucket_day": pa.array(g["bucket_day"].to_numpy(np.int64)),
+            "interval_days": pa.array([iv] * len(g), pa.int64()),
+            "n": pa.array(g["n"].to_numpy(np.int64)),
+        }
+    )
+
+
 RSCORE_SEED = "rs1"
 RSCORE_LANG = "en"
 
@@ -11076,6 +11214,10 @@ def build_oracle_sql() -> Dict[str, str]:
         """,
                         "bm25_common_terms": bm25_sql(
             CTQ_QUERY, limit=20, common_cutoff_milli=CTQ_CUTOFF_MILLI,
+        ),
+        "span_near": bm25_sql(
+            f"{SPAN_NEAR_A} {SPAN_NEAR_B}", limit=20,
+            span_near=(SPAN_NEAR_A, SPAN_NEAR_B, SPAN_NEAR_WINDOW),
         ),
         "span_not": bm25_sql(
             SPAN_NOT_INCLUDE, limit=20,
@@ -13057,6 +13199,9 @@ def build_oracle_sql() -> Dict[str, str]:
             WHERE rn = 1 ORDER BY p_brand
         """,
         "bm25_function_score": bm25_sql(BM25_QUERY, limit=20, boost_sqrt_dl=True),
+        "bm25_rank_feature": bm25_sql(
+            BM25_QUERY, limit=20, rank_feature=(RF_WEIGHT, RF_PIVOT),
+        ),
         "auc_length_en": f"""
             WITH h AS (SELECT CAST(n_chars AS BIGINT) AS s,
                               CAST(count(*) FILTER (WHERE lang = '{AUC_POS_LANG}')
@@ -13208,6 +13353,19 @@ def build_oracle_sql() -> Dict[str, str]:
                      AS ma7_micro,
                    CAST(cnt - lag7 AS BIGINT) AS diff7
             FROM w WHERE idx >= {MOVING_WINDOW} ORDER BY day
+        """,
+        "auto_date_histogram": f"""
+            WITH d AS (SELECT CAST(epoch(o_orderdate) // 86400 AS BIGINT)
+                         AS day FROM orders),
+            mm AS (SELECT min(day) AS lo, max(day) AS hi FROM d),
+            iv AS (SELECT CASE
+                {" ".join(f"WHEN hi // {c} - lo // {c} + 1 <= {ADH_TARGET} THEN {c}" for c in ADH_LADDER[:-1])}
+                ELSE {ADH_LADDER[-1]} END AS iv FROM mm)
+            SELECT (day // (SELECT iv FROM iv)) * (SELECT iv FROM iv)
+                     AS bucket_day,
+                   CAST((SELECT iv FROM iv) AS BIGINT) AS interval_days,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM d GROUP BY 1 ORDER BY 1
         """,
         "docs_random_score": f"""
             SELECT row_number() OVER (

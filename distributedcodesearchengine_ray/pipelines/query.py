@@ -625,6 +625,90 @@ class IndexShard:
             arr = arr[self.alive[arr]]
         return arr
 
+    def span_near_local(self, term_a: str, term_b: str, window: int) -> np.ndarray:
+        """Ascending local indices of ALIVE docs where some occurrence of
+        ``term_a`` lies within ``window`` token positions of some
+        occurrence of ``term_b`` (Lucene SpanNearQuery, in_order=false).
+        Same vectorized ragged-neighbor merge as ``span_not_local`` —
+        one searchsorted on (doc-rank << 32 | position) keys per
+        partition — with the predicate inverted: docs survive when a
+        nearest-neighbor distance is <= window."""
+        if not self.has_positions:
+            raise RuntimeError("index was built without with_positions=True")
+        BASE = np.int64(1) << np.int64(32)
+        hits = []
+        for pi in range(len(self.parts)):
+            row_a = self.parts[pi]["term_row"].get(term_a)
+            row_b = self.parts[pi]["term_row"].get(term_b)
+            if row_a is None or row_b is None:
+                continue
+            la, sa, posa = self._positions(pi, row_a)
+            lb, sb, posb = self._positions(pi, row_b)
+            common, ia, ib = np.intersect1d(la, lb, return_indices=True)
+            if len(common) == 0:
+                continue
+            pos_ac, len_a = _ragged_gather(posa, sa, ia)
+            pos_bc, len_b = _ragged_gather(posb, sb, ib)
+            rank_a = np.repeat(np.arange(len(common), dtype=np.int64), len_a)
+            rank_b = np.repeat(np.arange(len(common), dtype=np.int64), len_b)
+            key_a = rank_a * BASE + pos_ac
+            key_b = rank_b * BASE + pos_bc
+            j = np.searchsorted(key_b, key_a)
+            jr = np.minimum(j, len(key_b) - 1)
+            right_near = (
+                (j < len(key_b))
+                & (rank_b[jr] == rank_a)
+                & (pos_bc[jr] - pos_ac <= window)
+            )
+            jl = np.maximum(j - 1, 0)
+            left_near = (
+                (j > 0) & (rank_b[jl] == rank_a) & (pos_ac - pos_bc[jl] <= window)
+            )
+            near = right_near | left_near
+            surv = np.bincount(rank_a[near], minlength=len(common)) > 0
+            if surv.any():
+                hits.append(common[surv])
+        if not hits:
+            return np.empty(0, dtype=np.int64)
+        arr = np.sort(np.concatenate(hits))
+        if self.alive is not None and len(arr):
+            arr = arr[self.alive[arr]]
+        return arr
+
+    def search_span_near(
+        self,
+        query_tokens: List[str],
+        idfs: Dict[str, float],
+        limit: int,
+        term_a: str,
+        term_b: str,
+        window: int,
+        filters: Optional[Dict[str, str]] = None,
+    ) -> Tuple[float, List[dict]]:
+        """span_near search: BM25 over ``query_tokens`` restricted to the
+        ``span_near_local`` doc set.  Same return contract as ``search``."""
+        if self.n_local == 0:
+            return 0.0, []
+        scores = self._dense_scores(query_tokens, idfs)
+        if self.alive is None:
+            local_max = float(scores.max()) if len(scores) else 0.0
+        else:
+            live = scores[self.alive]
+            local_max = float(live.max()) if len(live) else 0.0
+        cand = self.span_near_local(term_a, term_b, window)
+        if len(cand) == 0:
+            return local_max, []
+        cand = cand[self._filter_mask(filters, cand)]
+        if len(cand) == 0:
+            return local_max, []
+        order = np.lexsort((self._doc_ids[cand], -scores[cand]))[:limit]
+        cand = cand[order]
+        return local_max, [
+            {"doc_id": int(self._doc_ids[i]), "score": float(scores[i]),
+             "_local": int(i)}
+            for i in cand
+        ]
+
     def span_not_local(self, include: str, exclude: str, dist: int) -> np.ndarray:
         """Ascending local indices of ALIVE docs with at least one
         occurrence of ``include`` that is NOT within ``dist`` token
@@ -636,15 +720,6 @@ class IndexShard:
         no per-doc Python loop, no text reads."""
         if not self.has_positions:
             raise RuntimeError("index was built without with_positions=True")
-
-        def _ragged(values: np.ndarray, starts: np.ndarray, idx: np.ndarray):
-            lens = (starts[idx + 1] - starts[idx]).astype(np.int64)
-            total = int(lens.sum())
-            flat = np.arange(total, dtype=np.int64)
-            offs = np.repeat(np.cumsum(lens) - lens, lens)
-            out = values[np.repeat(starts[idx], lens) + (flat - offs)]
-            return out.astype(np.int64), lens
-
         BASE = np.int64(1) << np.int64(32)
         hits = []
         for pi in range(len(self.parts)):
@@ -663,8 +738,8 @@ class IndexShard:
                 hits.append(only)
             if len(common) == 0:
                 continue
-            pos_ic, len_i = _ragged(posi, si, ia)
-            pos_ec, len_e = _ragged(pose, se, ie)
+            pos_ic, len_i = _ragged_gather(posi, si, ia)
+            pos_ec, len_e = _ragged_gather(pose, se, ie)
             rank_i = np.repeat(np.arange(len(common), dtype=np.int64), len_i)
             rank_e = np.repeat(np.arange(len(common), dtype=np.int64), len_e)
             key_i = rank_i * BASE + pos_ic
@@ -780,6 +855,44 @@ class IndexShard:
         scores = self._dense_scores(query_tokens, idfs) * np.sqrt(
             self._doc_len.astype(np.float64)
         )
+        if self.alive is None:
+            local_max = float(scores.max()) if len(scores) else 0.0
+            cand = np.arange(self.n_local)
+        else:
+            live = scores[self.alive]
+            local_max = float(live.max()) if len(live) else 0.0
+            cand = np.flatnonzero(self.alive)
+        cand = cand[self._filter_mask(filters, cand)]
+        if len(cand) == 0:
+            return local_max, []
+        order = np.lexsort((self._doc_ids[cand], -scores[cand]))[:limit]
+        cand = cand[order]
+        return local_max, [
+            {"doc_id": int(self._doc_ids[i]), "score": float(scores[i]),
+             "_local": int(i)}
+            for i in cand
+        ]
+
+    def search_rank_feature(
+        self,
+        query_tokens: List[str],
+        idfs: Dict[str, float],
+        limit: int,
+        weight: float,
+        pivot: int,
+        filters: Optional[Dict[str, str]] = None,
+    ) -> Tuple[float, List[dict]]:
+        """ES rank_feature as a bool-should clause: every doc's score is
+        BM25 + ``weight`` * saturation(dl) with saturation(x) = x/(x+
+        ``pivot``) — the additive feature applies to ALL docs (any doc
+        matches the rank_feature clause), exactly like the SQL twin's
+        scores_all, and the max*0.01 threshold applies to the combined
+        score.  Pure IEEE ops in the same tree order on both sides."""
+        if self.n_local == 0:
+            return 0.0, []
+        dl = self._doc_len
+        feat = weight * (dl.astype(np.float64) / (dl + pivot))
+        scores = self._dense_scores(query_tokens, idfs) + feat
         if self.alive is None:
             local_max = float(scores.max()) if len(scores) else 0.0
             cand = np.arange(self.n_local)
@@ -1433,6 +1546,18 @@ class LexiconReader:
         return rows[:limit]
 
 
+def _ragged_gather(values: np.ndarray, starts: np.ndarray, idx: np.ndarray):
+    """Concatenate ``values[starts[i]:starts[i+1]]`` for every i in
+    ``idx`` without a Python loop; returns (flat values, per-i lengths).
+    Shared by the positional span operators' ragged-list merges."""
+    lens = (starts[idx + 1] - starts[idx]).astype(np.int64)
+    total = int(lens.sum())
+    flat = np.arange(total, dtype=np.int64)
+    offs = np.repeat(np.cumsum(lens) - lens, lens)
+    out = values[np.repeat(starts[idx], lens) + (flat - offs)]
+    return out.astype(np.int64), lens
+
+
 def _levenshtein_capped(a: str, b: str, cap: int) -> int:
     """Classic DP with a row-minimum early exit; returns cap+1 when the
     true distance exceeds ``cap`` (callers only need <= cap)."""
@@ -1669,6 +1794,40 @@ class QueryEngine:
         parts = ray.get(
             [
                 a.search_function_score.remote(toks, q_idfs, max(limit, 1), filters)
+                for a in self.actors
+            ]
+        )
+        global_max = max((m for m, _ in parts), default=0.0)
+        rows = [r for _, rs in parts for r in rs]
+        if global_max > 0:
+            min_score = global_max * 0.01
+            rows = [r for r in rows if r["score"] >= min_score]
+        rows.sort(key=lambda r: (-r["score"], r["doc_id"]))
+        return [{"doc_id": r["doc_id"], "score": r["score"]} for r in rows[:limit]]
+
+    def search_rank_feature(
+        self,
+        query: str,
+        weight: float = 2.5,
+        pivot: int = 30,
+        limit: int = 20,
+        filters: Optional[Dict[str, str]] = None,
+    ) -> List[dict]:
+        """ES rank_feature (saturation) as a bool-should clause: BM25
+        plus ``weight`` * dl/(dl+``pivot``) per doc — the additive
+        feature applies to every doc, the max*0.01 threshold to the
+        combined score, standard (score desc, doc_id asc) merge."""
+        import ray
+
+        toks = tokenize(query)
+        if not toks:
+            return []
+        q_idfs = self.lexicon.idfs(toks)
+        parts = ray.get(
+            [
+                a.search_rank_feature.remote(
+                    toks, q_idfs, max(limit, 1), weight, pivot, filters
+                )
                 for a in self.actors
             ]
         )
@@ -2208,6 +2367,47 @@ class QueryEngine:
             [
                 a.search_span_first.remote(
                     toks, q_idfs, max(limit, 1), span_term, n, filters
+                )
+                for a in self.actors
+            ]
+        )
+        global_max = max((m for m, _ in parts), default=0.0)
+        rows = [r for _, rs in parts for r in rs]
+        if global_max > 0:
+            min_score = global_max * 0.01
+            rows = [r for r in rows if r["score"] >= min_score]
+        rows.sort(key=lambda r: (-r["score"], r["doc_id"]))
+        return [{"doc_id": r["doc_id"], "score": r["score"]} for r in rows[:limit]]
+
+    def search_span_near(
+        self,
+        query: str,
+        term_a: str,
+        term_b: str,
+        window: int = 3,
+        limit: int = 20,
+        filters: Optional[Dict[str, str]] = None,
+    ) -> List[dict]:
+        """Lucene span_near (in_order=false): BM25-ranked docs where some
+        occurrence of ``term_a`` lies within ``window`` positions of some
+        occurrence of ``term_b``, in either order — decided from the
+        positional index, never from text.  Requires
+        ``with_positions=True`` at build."""
+        import ray
+
+        if not self.manifest.extra.get("positions"):
+            raise RuntimeError(
+                "index was built without positions; rebuild with "
+                "with_positions=True to use span_near search"
+            )
+        toks = tokenize(query)
+        if not toks:
+            return []
+        q_idfs = self.lexicon.idfs(toks)
+        parts = ray.get(
+            [
+                a.search_span_near.remote(
+                    toks, q_idfs, max(limit, 1), term_a, term_b, window, filters
                 )
                 for a in self.actors
             ]

@@ -328,3 +328,45 @@ def test_span_not_matches_bruteforce(ray_session, pos_index, inc, exc, dist):
         assert got_ids == truth, (inc, exc, dist)
     finally:
         eng.close()
+
+
+def _brute_span_near(doc_tokens, a, b, window):
+    pos_a = [i for i, t in enumerate(doc_tokens) if t == a]
+    pos_b = [i for i, t in enumerate(doc_tokens) if t == b]
+    return any(abs(i - j) <= window for i in pos_a for j in pos_b)
+
+
+@pytest.mark.parametrize("a,b,window", [
+    ("http", "request", 1),
+    ("http", "request", 5),
+    ("json", "data", 0),   # window 0 can never hit (distinct positions)
+    ("user", "parse", 2),
+])
+def test_span_near_matches_bruteforce(ray_session, pos_index, a, b, window):
+    """Unordered SpanNearQuery: engine doc set == brute-force pairwise
+    proximity over the tokenized entity docs."""
+    import os as _os
+
+    import pyarrow.parquet as pq
+
+    from distributedcodesearchengine_ray.functions.tokenizer import tokenize
+    from distributedcodesearchengine_ray.pipelines.build_index import (
+        _entity_doc_text,
+    )
+    from distributedcodesearchengine_ray.pipelines.query import QueryEngine
+
+    truth = set()
+    meta_dir = _os.path.join(pos_index, "docmeta")
+    for f in sorted(_os.listdir(meta_dir)):
+        t = pq.read_table(_os.path.join(meta_dir, f))
+        texts = _entity_doc_text(t).to_pylist()
+        for did, txt in zip(t["doc_id"].to_pylist(), texts):
+            if _brute_span_near(tokenize(txt), a, b, window):
+                truth.add(did)
+    eng = QueryEngine(pos_index, num_actors=2)
+    try:
+        got = eng.search_span_near(f"{a} {b}", a, b, window=window, limit=10_000)
+        got_ids = {r["doc_id"] for r in got}
+        assert got_ids == truth, (a, b, window)
+    finally:
+        eng.close()

@@ -2143,9 +2143,17 @@ class QueryEngine:
         """Reference-semantics BM25 search -> ranked [{doc_id, score}].
 
         ``method="fuzzy"`` routes through Levenshtein term expansion
-        (``search_fuzzy``); ``"dense"``/``"wand"`` pick the shard scorer."""
+        (``search_fuzzy``); ``"regexp"`` treats the query as a Lucene
+        regexp over the vocabulary (``search_regexp``);
+        ``"common_terms"`` classifies terms by document frequency
+        (``search_common_terms``); ``"dense"``/``"wand"`` pick the shard
+        scorer."""
         if method == "fuzzy":
             return self.search_fuzzy(query, limit=limit, filters=filters)
+        if method == "regexp":
+            return self.search_regexp(query, limit=limit, filters=filters)
+        if method == "common_terms":
+            return self.search_common_terms(query, limit=limit, filters=filters)
         return self.search_batch([(query, filters)], limit=limit, method=method)[0]
 
     def search_after(

@@ -44,7 +44,7 @@ API_INFO = {
     "version": __version__,
     "endpoints": [
         "/health", "/api", "/stats", "/search", "/search/batch", "/facets", "/similar",
-        "/suggest", "/explain", "/index", "/index/sync", "/index/status",
+        "/suggest", "/explain", "/analyze", "/index", "/index/sync", "/index/status",
     ],
 }
 
@@ -287,6 +287,17 @@ def make_handler(engine: CodeSearchEngine, jobs: Dict[str, dict], build_lock: th
             elif url.path == "/explain":
                 q = {k: v[0] for k, v in parse_qs(url.query).items()}
                 self._explain(q)
+            elif url.path == "/analyze":
+                # ES _analyze parity: run the code-aware tokenizer on the
+                # given text and return the token list
+                q = {k: v[0] for k, v in parse_qs(url.query).items()}
+                text = q.get("text")
+                if text is None:
+                    self._send(400, {"error": "missing text"})
+                else:
+                    from .functions.tokenizer import tokenize
+
+                    self._send(200, {"tokens": tokenize(text)})
             elif url.path == "/index/status":
                 q = {k: v[0] for k, v in parse_qs(url.query).items()}
                 jid = q.get("job_id")

@@ -291,3 +291,31 @@ def test_search_batch_validation(server):
         assert False, "expected 400"
     except urllib.error.HTTPError as e:
         assert e.code == 400
+
+
+def test_analyze_route(server):
+    """ES _analyze parity: the code-aware tokenizer over HTTP."""
+    from urllib.parse import quote
+
+    status, body = _get(f"{server}/analyze?text={quote('parseJSONData(req, res)')}")
+    assert status == 200
+    from distributedcodesearchengine_ray.functions.tokenizer import tokenize
+
+    assert body["tokens"] == tokenize("parseJSONData(req, res)")
+
+
+def test_analyze_missing_text_400(server):
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(f"{server}/analyze")
+    assert e.value.code == 400
+
+
+def test_search_method_regexp(server):
+    """method=regexp treats q as a Lucene regexp over the vocabulary."""
+    status, body = _get(f"{server}/search?q=pars.*&limit=5&method=regexp")
+    assert status == 200 and body["total"] > 0
+
+
+def test_search_method_common_terms(server):
+    status, body = _get(f"{server}/search?q=parse+json+data&limit=5&method=common_terms")
+    assert status == 200 and body["total"] > 0

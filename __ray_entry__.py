@@ -245,6 +245,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_near": Q.span_near_q,  # Lucene span_near unordered: proximity window
         "bm25_rank_feature": Q.bm25_rank_feature,  # ES rank_feature saturation boost
         "auto_date_histogram": Q.auto_date_histogram,  # ES auto_date_histogram ladder
+        "daily_bucket_stats": Q.daily_bucket_stats,  # ES stats_bucket + percentiles_bucket
+        "bucket_sort_daily": Q.bucket_sort_daily,  # ES bucket_sort: order/from/size
         "bm25_common_terms": Q.bm25_common_terms,  # Lucene CommonTermsQuery: df-gated MUSTs
         "q6_forecast_revenue": Q.q6_forecast_revenue,  # TPC-H Q6 streaming filter-sum
     }

@@ -6371,9 +6371,13 @@ def supplier_cnt_by_parttype(sf_dir: str):
     j = j.join(good_supp, join_type="inner", num_partitions=npart, on=("s_suppkey",))
 
     def partial_cnt(t: pa.Table) -> pa.Table:
+        # one batch per suppkey-hash join partition: every suppkey's rows
+        # are all here, so the (brand,type,size,supp) distinct is local —
+        # no global 4-key groupby needed
         g = (
-            t.select(["p_brand", "p_type", "p_size"])
+            t.select(["p_brand", "p_type", "p_size", "s_suppkey"])
             .to_pandas()
+            .drop_duplicates()
             .groupby(["p_brand", "p_type", "p_size"], sort=False)
             .size()
             .reset_index(name="supplier_cnt")
@@ -6381,9 +6385,7 @@ def supplier_cnt_by_parttype(sf_dir: str):
         return pa.Table.from_pandas(g, preserve_index=False)
 
     out = (
-        j.groupby(["p_brand", "p_type", "p_size", "s_suppkey"])
-        .aggregate(Count(alias_name="one"))
-        .map_batches(partial_cnt, batch_format="pyarrow")
+        j.map_batches(partial_cnt, batch_format="pyarrow", batch_size=None)
         .to_pandas()
         .groupby(["p_brand", "p_type", "p_size"], as_index=False)["supplier_cnt"]
         .sum()
@@ -7584,33 +7586,77 @@ def weighted_median_price(sf_dir: str):
         sf_dir, "lineitem", columns=["l_returnflag", "l_extendedprice", "l_quantity"]
     )
 
-    def hist(t: pa.Table) -> pa.Table:
+    # Two-pass exact weighted quantile (extendedprice cents are nearly
+    # unique, so a (flag, cents) groupby would be a corpus-sized
+    # exchange): pass 1 folds a COARSE $1000-bucket histogram (flags x
+    # ~100 buckets), the driver locates each flag's median bucket and
+    # the cumulative weight before it, pass 2 re-streams only the rows
+    # inside that one bucket per flag (~1/100 of the data) at full cents
+    # resolution.  Both exchanges stay bounded; the result is the same
+    # integer-exact lower weighted median.
+    COARSE = 100_000  # cents per coarse bucket ($1000)
+
+    def coarse_hist(t: pa.Table) -> pa.Table:
         g = (
             pd.DataFrame(
                 {
                     "l_returnflag": t["l_returnflag"].to_pandas(),
-                    "cents": _cents_col(t["l_extendedprice"]).to_numpy(zero_copy_only=False),
-                    "w": _cents_col(t["l_quantity"]).to_numpy(zero_copy_only=False) // 100,
+                    "b": _cents_col(t["l_extendedprice"]).to_numpy(
+                        zero_copy_only=False
+                    )
+                    // COARSE,
+                    "w": _cents_col(t["l_quantity"]).to_numpy(zero_copy_only=False)
+                    // 100,
                 }
             )
-            .groupby(["l_returnflag", "cents"], as_index=False)["w"]
+            .groupby(["l_returnflag", "b"], as_index=False)["w"]
             .sum()
         )
         return pa.Table.from_pandas(g, preserve_index=False)
 
     h = (
-        ds.map_batches(hist, batch_format="pyarrow")
+        ds.map_batches(coarse_hist, batch_format="pyarrow")
+        .groupby(["l_returnflag", "b"])
+        .aggregate(Sum("w", alias_name="w"))
+        .to_pandas()
+    )
+    target: Dict[str, tuple] = {}
+    for flag, grp in h.groupby("l_returnflag", sort=True):
+        grp = grp.sort_values("b")
+        w = grp["w"].to_numpy(np.int64)
+        cum = w.cumsum()
+        total = int(cum[-1])
+        idx = int(np.searchsorted(2 * cum, total))
+        before = int(cum[idx - 1]) if idx > 0 else 0
+        target[str(flag)] = (int(grp["b"].to_numpy(np.int64)[idx]), before, total)
+
+    def fine_hist(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "l_returnflag": t["l_returnflag"].to_pandas(),
+                "cents": _cents_col(t["l_extendedprice"]).to_numpy(
+                    zero_copy_only=False
+                ),
+                "w": _cents_col(t["l_quantity"]).to_numpy(zero_copy_only=False)
+                // 100,
+            }
+        )
+        bucket = df["l_returnflag"].map({f: b for f, (b, _, _) in target.items()})
+        df = df[df["cents"] // COARSE == bucket]
+        g = df.groupby(["l_returnflag", "cents"], as_index=False)["w"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    fine = (
+        ds.map_batches(fine_hist, batch_format="pyarrow")
         .groupby(["l_returnflag", "cents"])
         .aggregate(Sum("w", alias_name="w"))
         .to_pandas()
     )
     flags, totals, medians = [], [], []
-    for flag, grp in h.groupby("l_returnflag", sort=True):
+    for flag, grp in fine.groupby("l_returnflag", sort=True):
         grp = grp.sort_values("cents")
-        w = grp["w"].to_numpy(np.int64)
-        cum = w.cumsum()
-        total = int(cum[-1])
-        # lower weighted median: first value with 2*cum >= total
+        b, before, total = target[str(flag)]
+        cum = before + grp["w"].to_numpy(np.int64).cumsum()
         idx = int(np.searchsorted(2 * cum, total))
         flags.append(flag)
         totals.append(total)
@@ -9454,13 +9500,14 @@ def q4_order_priority(sf_dir: str):
     after the order date): count of orders per priority in a 6-month
     window having at least one late lineitem.
 
-    Distributed plan: the EXISTS decorrelates into an orderkey-grain
-    aggregate — lineitem folds MAP-SIDE to per-batch (orderkey ->
-    max shipdate) partials, ONE orderkey groupby finishes the max, the
-    windowed orders join that (per-order, not per-lineitem, volume) and
-    the predicate becomes ``max_ship > o_orderdate``; priority counts
-    fold map-side to <= 5 rows per batch before a tiny final groupby."""
-    from ray.data.aggregate import Max, Sum
+    Distributed plan: the EXISTS needs NO global aggregate — lineitem
+    folds MAP-SIDE to per-batch (orderkey -> max shipdate) partials and
+    those partials join the windowed orders directly: ANY partial max >
+    o_orderdate proves the EXISTS, and because the hash join co-locates
+    each orderkey in one output partition, the per-order dedup runs
+    partition-locally (batch_size=None).  The only exchange is the join
+    itself; priority counts fold to <= 5 rows per partition."""
+    from ray.data.aggregate import Sum
 
     lo, hi = pd.Timestamp(Q4_FROM), pd.Timestamp(Q4_TO)
 
@@ -9476,12 +9523,9 @@ def q4_order_priority(sf_dir: str):
         p = df.groupby("o_orderkey", sort=False)["ship_us"].max().reset_index()
         return pa.Table.from_pandas(p, preserve_index=False)
 
-    last_ship = (
-        _read(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"])
-        .map_batches(line_partial, batch_format="pyarrow")
-        .groupby("o_orderkey")
-        .aggregate(Max("ship_us", alias_name="ship_us"))
-    )
+    last_ship = _read(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"]
+    ).map_batches(line_partial, batch_format="pyarrow")
 
     orders = _read(
         sf_dir, "orders", columns=["o_orderkey", "o_orderdate", "o_orderpriority"]
@@ -9509,9 +9553,17 @@ def q4_order_priority(sf_dir: str):
     )
 
     def prio_partial(t: pa.Table) -> pa.Table:
+        # one batch per join partition: every orderkey's partial maxima
+        # are all here, so the per-order distinct is local
         t = t.filter(pcc.greater(t["ship_us"], t["odate_us"]))
+        df = pd.DataFrame(
+            {
+                "ok": t["o_orderkey"].to_numpy(zero_copy_only=False),
+                "o_orderpriority": t["o_orderpriority"].to_pandas(),
+            }
+        ).drop_duplicates("ok")
         df = (
-            pd.Series(t["o_orderpriority"].to_pandas())
+            df["o_orderpriority"]
             .value_counts()
             .rename_axis("o_orderpriority")
             .reset_index(name="order_count")
@@ -9519,7 +9571,7 @@ def q4_order_priority(sf_dir: str):
         return pa.Table.from_pandas(df, preserve_index=False)
 
     out = (
-        j.map_batches(prio_partial, batch_format="pyarrow")
+        j.map_batches(prio_partial, batch_format="pyarrow", batch_size=None)
         .groupby("o_orderpriority")
         .aggregate(Sum("order_count", alias_name="order_count"))
         .to_pandas()
@@ -9904,7 +9956,17 @@ def q21_waiting_suppliers(sf_dir: str):
         on=("o_orderkey",),
     )
 
-    def late_partial(t: pa.Table) -> pa.Table:
+    # The hash join already co-locates every orderkey's rows in ONE
+    # output partition, and Ray's hash-shuffle reducer finalizes each
+    # partition as exactly one block (hash_shuffle.py finalize yields a
+    # single block; verified on ray 2.49), so with batch_size=None the
+    # whole exists/not-exists pair folds PARTITION-LOCALLY per batch:
+    # distinct-(order,supp) late OR, then per-order n_supp / n_late /
+    # sole-late-suppkey (sum(late*suppkey) IS the key when n_late==1) —
+    # no second shuffle.  This replaced a per-order-group Python UDF +
+    # two global groupbys that cost 172 s at sf0.1; only the tiny
+    # supplier-keyed count fold exchanges data after the join.
+    def per_partition(t: pa.Table) -> pa.Table:
         late = pcc.cast(
             pcc.greater(
                 t["ship_us"],
@@ -9914,32 +9976,33 @@ def q21_waiting_suppliers(sf_dir: str):
         )
         df = pd.DataFrame(
             {
-                "o_orderkey": t["o_orderkey"].to_numpy(zero_copy_only=False),
-                "s_suppkey": t["s_suppkey"].to_numpy(zero_copy_only=False),
+                "ok": t["o_orderkey"].to_numpy(zero_copy_only=False),
+                "sk": t["s_suppkey"].to_numpy(zero_copy_only=False),
                 "late": late.to_numpy(zero_copy_only=False),
             }
         )
-        p = df.groupby(["o_orderkey", "s_suppkey"], sort=False)["late"].max().reset_index()
-        return pa.Table.from_pandas(p, preserve_index=False)
-
-    per_os = (
-        j.map_batches(late_partial, batch_format="pyarrow")
-        .groupby(["o_orderkey", "s_suppkey"])
-        .aggregate(Max("late", alias_name="late"))
-    )
-
-    def order_group(df: pd.DataFrame) -> pd.DataFrame:
-        n_supp = len(df)
-        n_late = int(df["late"].sum())
-        if n_supp > 1 and n_late == 1:
-            sole = df[df["late"] == 1]
-            return pd.DataFrame({"s_suppkey": sole["s_suppkey"], "numwait": 1})
-        return pd.DataFrame({"s_suppkey": pd.Series([], dtype=np.int64),
-                             "numwait": pd.Series([], dtype=np.int64)})
+        per_os = (
+            df.groupby(["ok", "sk"], sort=False)["late"].max().reset_index()
+        )
+        # sole-late suppkey: sum(late * sk) per order (exact when n_late==1)
+        per_os["ls"] = per_os["late"].to_numpy() * per_os["sk"].to_numpy()
+        g = per_os.groupby("ok", sort=False).agg(
+            n_supp=("late", "size"),
+            n_late=("late", "sum"),
+            late_supp=("ls", "sum"),
+        )
+        keep = g[(g["n_supp"] > 1) & (g["n_late"] == 1)]
+        uniq, cnt = np.unique(keep["late_supp"].to_numpy(np.int64),
+                              return_counts=True)
+        return pa.table(
+            {
+                "s_suppkey": pa.array(uniq.astype(np.int64)),
+                "numwait": pa.array(cnt.astype(np.int64)),
+            }
+        )
 
     waits = (
-        per_os.groupby("o_orderkey")
-        .map_groups(order_group, batch_format="pandas")
+        j.map_batches(per_partition, batch_format="pyarrow", batch_size=None)
         .groupby("s_suppkey")
         .aggregate(Sum("numwait", alias_name="numwait"))
         .to_pandas()
@@ -10972,6 +11035,97 @@ def auto_date_histogram(sf_dir: str):
             "bucket_day": pa.array(g["bucket_day"].to_numpy(np.int64)),
             "interval_days": pa.array([iv] * len(g), pa.int64()),
             "n": pa.array(g["n"].to_numpy(np.int64)),
+        }
+    )
+
+
+PB_PCTS = (25, 50, 75, 90, 99)
+
+
+def daily_bucket_stats(sf_dir: str):
+    """ES stats_bucket + percentiles_bucket pipeline aggregations over
+    the daily order date_histogram: min/max/sum/avg of the per-day
+    counts plus exact NEAREST-RANK percentiles (value at 1-based
+    position ceil(p*n/100) of the sorted counts — no interpolation, so
+    both sides are integer-identical).  The distributed part is the one
+    bounded day-grain count fold; the bucket-value pass is driver-side
+    over that tiny axis."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "orders", columns=["o_orderdate"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = (
+            t["o_orderdate"].to_numpy(zero_copy_only=False)
+            .astype("datetime64[s]").astype(np.int64) // 86400
+        )
+        uniq, cnt = np.unique(day, return_counts=True)
+        return pa.table(
+            {"day": pa.array(uniq), "cnt": pa.array(cnt.astype(np.int64))}
+        )
+
+    daily = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+    )
+    c = np.sort(daily["cnt"].to_numpy(np.int64))
+    n = len(c)
+    pct_vals = [int(c[min(n - 1, max(0, -(-p * n // 100) - 1))]) for p in PB_PCTS]
+    return pa.table(
+        {
+            "n_buckets": pa.array([n], pa.int64()),
+            "min_cnt": pa.array([int(c[0])], pa.int64()),
+            "max_cnt": pa.array([int(c[-1])], pa.int64()),
+            "sum_cnt": pa.array([int(c.sum())], pa.int64()),
+            "avg_cnt_micro": pa.array([int(c.sum()) * 1_000_000 // n], pa.int64()),
+            **{
+                f"p{p}": pa.array([v], pa.int64())
+                for p, v in zip(PB_PCTS, pct_vals)
+            },
+        }
+    )
+
+
+BSORT_FROM = 2
+BSORT_SIZE = 5
+
+
+def bucket_sort_daily(sf_dir: str):
+    """ES bucket_sort pipeline aggregation: the daily date_histogram's
+    buckets re-ordered by (count desc, day asc), then truncated with
+    from=2 / size=5 — the busiest days 3 through 7.  One bounded
+    day-grain fold; ordering/truncation on the driver."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "orders", columns=["o_orderdate"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = (
+            t["o_orderdate"].to_numpy(zero_copy_only=False)
+            .astype("datetime64[s]").astype(np.int64) // 86400
+        )
+        uniq, cnt = np.unique(day, return_counts=True)
+        return pa.table(
+            {"day": pa.array(uniq), "cnt": pa.array(cnt.astype(np.int64))}
+        )
+
+    daily = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+        .sort_values(["cnt", "day"], ascending=[False, True], ignore_index=True)
+        .iloc[BSORT_FROM : BSORT_FROM + BSORT_SIZE]
+    )
+    return pa.table(
+        {
+            "rank": pa.array(
+                np.arange(BSORT_FROM, BSORT_FROM + len(daily)), pa.int64()
+            ),
+            "day": pa.array(daily["day"].to_numpy(np.int64)),
+            "cnt": pa.array(daily["cnt"].to_numpy(np.int64)),
         }
     )
 
@@ -13353,6 +13507,36 @@ def build_oracle_sql() -> Dict[str, str]:
                      AS ma7_micro,
                    CAST(cnt - lag7 AS BIGINT) AS diff7
             FROM w WHERE idx >= {MOVING_WINDOW} ORDER BY day
+        """,
+        "daily_bucket_stats": f"""
+            WITH daily AS (SELECT CAST(epoch(o_orderdate) // 86400 AS BIGINT)
+                             AS day, CAST(count(*) AS BIGINT) AS cnt
+                           FROM orders GROUP BY 1),
+            r AS (SELECT cnt, row_number() OVER (ORDER BY cnt) AS rn
+                  FROM daily),
+            t AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                         CAST(min(cnt) AS BIGINT) AS mn,
+                         CAST(max(cnt) AS BIGINT) AS mx,
+                         CAST(sum(cnt) AS BIGINT) AS s
+                  FROM daily)
+            SELECT n AS n_buckets, mn AS min_cnt, mx AS max_cnt, s AS sum_cnt,
+                   s * 1000000 // n AS avg_cnt_micro,
+                   {", ".join(
+                       f"(SELECT cnt FROM r WHERE rn = greatest(1, ({p} * (SELECT n FROM t) + 99) // 100)) AS p{p}"
+                       for p in PB_PCTS
+                   )}
+            FROM t
+        """,
+        "bucket_sort_daily": f"""
+            WITH daily AS (SELECT CAST(epoch(o_orderdate) // 86400 AS BIGINT)
+                             AS day, CAST(count(*) AS BIGINT) AS cnt
+                           FROM orders GROUP BY 1),
+            r AS (SELECT day, cnt,
+                         row_number() OVER (ORDER BY cnt DESC, day) - 1 AS rank
+                  FROM daily)
+            SELECT rank, day, cnt FROM r
+            WHERE rank >= {BSORT_FROM} AND rank < {BSORT_FROM + BSORT_SIZE}
+            ORDER BY rank
         """,
         "auto_date_histogram": f"""
             WITH d AS (SELECT CAST(epoch(o_orderdate) // 86400 AS BIGINT)

@@ -56,6 +56,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_ndcg": Q.search_ndcg,  # NDCG@10/MRR eval vs synthetic qrels, BM25-in-SQL + DCG oracle
         "percolate_queries": Q.percolate_queries,  # reverse search: registered boolean queries vs corpus
         "bm25_rm3": Q.bm25_rm3,  # pseudo-relevance-feedback expansion, two-pass SQL oracle
+        "bm25_rescore": Q.bm25_rescore,  # ES rescore: top-window rerank, O(window) secondary scoring
         "snippet_windows": Q.snippet_windows,  # best-window highlighter, window-count SQL oracle
         "phrase_positional": Q.phrase_positional,  # positional phrase (token adjacency), BM25+EXISTS oracle
         "phrase_proximity": Q.phrase_proximity,  # ordered proximity slop=1, gap-constraint oracle
@@ -151,6 +152,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "full_outer_balance": Q.full_outer_balance,  # FULL OUTER join of two pre-aggregated folds
         "lineitem_unpivot": Q.lineitem_unpivot,  # UNPIVOT/melt: wide measures to long in one scan
         "funnel_counts": Q.funnel_counts,  # ordered funnel stages, chained min-after-min oracle
+        "eql_sequence": Q.eql_sequence,  # EQL sequence-by-user with maxspan, searchsorted chain walk
         "region_nation_rollup": Q.region_nation_rollup,  # dimension-hierarchy ROLLUP over a fact join
         "events_debounce": Q.events_debounce,  # dedup-within-window (alert suppression), LAG oracle
         "orders_yoy": Q.orders_yoy,  # year-over-year growth, LAG over the yearly aggregate

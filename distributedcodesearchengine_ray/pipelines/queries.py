@@ -1191,6 +1191,46 @@ def more_like_this(sf_dir: str, src: int = MLT_SRC_DOC, limit: int = 20):
     )
 
 
+RESCORE_QUERY = BM25_QUERY  # primary ranking
+RESCORE_SECONDARY = "hash table scan"  # window-priced secondary signal
+RESCORE_WINDOW = 50
+RESCORE_QW, RESCORE_RW = 1.0, 2.0  # short binary mantissas: float-exact
+
+
+def bm25_rescore(sf_dir: str, limit: int = 20):
+    """Elasticsearch ``rescore``: the primary BM25 top-``RESCORE_WINDOW``
+    window re-ranked by ``qw*primary + rw*secondary``, the secondary BM25
+    computed ONLY for window docs (O(window) point-score fan-out via
+    ``IndexShard.scores_for`` — the expensive signal is priced per
+    window, never per corpus).  Rank/truncate at micro grain so near-ulp
+    ties order by doc_id on both sides of the driver compare."""
+    from .query import QueryEngine
+
+    idx = _documents_index(sf_dir)
+    engine = QueryEngine(idx, num_actors=2)
+    try:
+        hits = engine.search_rescore(
+            RESCORE_QUERY,
+            RESCORE_SECONDARY,
+            window=RESCORE_WINDOW,
+            query_weight=RESCORE_QW,
+            rescore_weight=RESCORE_RW,
+            limit=RESCORE_WINDOW,  # overfetch: truncate at micro grain below
+        )
+    finally:
+        engine.close()
+    ids = np.array([h["doc_id"] for h in hits], np.int64)
+    micro = np.asarray(_micro([h["score"] for h in hits]), np.int64)
+    order = np.lexsort((ids, -micro))[:limit]
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(len(order)), pa.int64()),
+            "doc_id": pa.array(ids[order], pa.int64()),
+            "score_micro": pa.array(micro[order], pa.int64()),
+        }
+    )
+
+
 SNIPPET_WINDOW = 12
 
 
@@ -1831,6 +1871,97 @@ SELECT row_number() OVER (ORDER BY score_micro DESC, doc_id ASC) - 1 AS rank,
        doc_id, score_micro
 FROM (SELECT doc_id, CAST(floor(score * 1000000 + 0.5) AS BIGINT) AS score_micro
       FROM kept)
+ORDER BY score_micro DESC, doc_id ASC LIMIT {limit}
+"""
+
+
+def bm25_rescore_sql(
+    query: str,
+    secondary: str,
+    window: int,
+    qw: float,
+    rw: float,
+    limit: int = 20,
+) -> str:
+    """SQL twin of ``QueryEngine.search_rescore`` (ES ``rescore``): the
+    primary BM25 pipeline (identical CTE body to ``bm25_sql``, including
+    the epsilon floor and the max<=0 keep-all threshold branch) picks the
+    top ``window`` docs; those — and only those — get a secondary BM25
+    score and re-rank by ``qw*primary + rw*secondary`` (weights are short
+    binary mantissas, the combination is one float expression on both
+    engines).  Final order at micro grain, doc_id-asc ties."""
+    from ..functions.tokenizer import tokenize
+
+    def vals(q: str) -> str:
+        mult: Dict[str, int] = {}
+        for t in tokenize(q):
+            mult[t] = mult.get(t, 0) + 1
+        return ", ".join(f"('{t}', {m})" for t, m in sorted(mult.items()))
+
+    score_expr = """sum(q{p}.mult * idf.idf * tf.tf * 2.5 /
+             (tf.tf + 1.5 * (1 - 0.75 + 0.75 * dl.dl / (SELECT avgdl FROM stats))))"""
+    return f"""
+WITH tok AS (
+  SELECT doc_id, {_tok_sql('text')} AS toks FROM documents
+),
+stats AS (SELECT count(*) AS n, avg(len(toks)) AS avgdl FROM tok),
+tf AS (
+  SELECT doc_id, t AS term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(toks) AS t FROM tok) GROUP BY doc_id, t
+),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+idf0 AS (
+  SELECT term, ln((SELECT n FROM stats) - df + 0.5) - ln(df + 0.5) AS idf_raw
+  FROM df
+),
+eps AS (SELECT 0.25 * avg(idf_raw) AS e FROM idf0),
+idf AS (
+  SELECT term,
+         CASE WHEN idf_raw < 0 THEN (SELECT e FROM eps) ELSE idf_raw END AS idf
+  FROM idf0
+),
+dl AS (SELECT doc_id, len(toks) AS dl FROM tok),
+q1(term, mult) AS (VALUES {vals(query)}),
+q2(term, mult) AS (VALUES {vals(secondary)}),
+scores1 AS (
+  SELECT tf.doc_id,
+         {score_expr.format(p='1')} AS score
+  FROM tf
+  JOIN q1 ON q1.term = tf.term
+  JOIN idf ON idf.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  GROUP BY tf.doc_id
+),
+scores_all AS (
+  SELECT d.doc_id, COALESCE(s.score, 0) AS score
+  FROM documents d LEFT JOIN scores1 s ON s.doc_id = d.doc_id
+),
+mx AS (SELECT max(score) AS m FROM scores_all),
+kept AS (
+  SELECT doc_id, score FROM scores_all
+  WHERE ((SELECT m FROM mx) <= 0 OR score >= 0.01 * (SELECT m FROM mx))
+),
+win AS (
+  SELECT doc_id, score FROM kept
+  ORDER BY score DESC, doc_id ASC LIMIT {window}
+),
+scores2 AS (
+  SELECT tf.doc_id,
+         {score_expr.format(p='2')} AS score
+  FROM tf
+  JOIN q2 ON q2.term = tf.term
+  JOIN idf ON idf.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  GROUP BY tf.doc_id
+),
+comb AS (
+  SELECT w.doc_id, {qw} * w.score + {rw} * COALESCE(s2.score, 0.0) AS score
+  FROM win w LEFT JOIN scores2 s2 ON s2.doc_id = w.doc_id
+)
+SELECT row_number() OVER (ORDER BY score_micro DESC, doc_id ASC) - 1 AS rank,
+       doc_id, score_micro
+FROM (SELECT doc_id, CAST(floor(score * 1000000 + 0.5) AS BIGINT) AS score_micro
+      FROM comb)
 ORDER BY score_micro DESC, doc_id ASC LIMIT {limit}
 """
 
@@ -3107,6 +3238,82 @@ def funnel_counts(sf_dir: str):
         {
             "stage": pa.array([FUNNEL_STAGES[int(i)] for i in out["stage"]], pa.string()),
             "n_users": pa.array(out["n_users"], pa.int64()),
+        }
+    )
+
+
+EQL_SEQ = ("view", "click", "purchase")  # sequence by user_id [A][B][C]
+EQL_MAXSPAN_US = 7 * 86400 * 1_000_000  # with maxspan=7d
+_EQL_EMPTY = pd.DataFrame(
+    {
+        "user_id": pd.Series([], dtype=np.int64),
+        "n_seq": pd.Series([], dtype=np.int64),
+    }
+)
+
+
+def eql_sequence(sf_dir: str):
+    """EQL-style sequence query (Elastic Event Query Language:
+    ``sequence by user_id with maxspan=7d [view] [click] [purchase]``):
+    for every 'view' event, the FIRST 'click' strictly after it, then
+    the FIRST 'purchase' strictly after that click; a match completes
+    when the whole chain fits inside ``maxspan`` of the head event.
+    Emits per-user completed-sequence counts.
+
+    One user-keyed exchange of the pre-filtered (user, stage, ts)
+    triples — events not in the sequence never shuffle; the per-user
+    chain walk is two vectorized searchsorteds (no Python loop over
+    events).  Oracle: chained min-after correlated subqueries on
+    epoch-microsecond integers."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+    stage_of = {s: i for i, s in enumerate(EQL_SEQ)}
+
+    def prefilter(t: pa.Table) -> pa.Table:
+        types = t["event_type"].to_pandas()
+        keep = types.isin(stage_of).to_numpy()
+        sub = t.filter(pa.array(keep))
+        return pa.table(
+            {
+                "user_id": sub["user_id"],
+                "ts_us": pa.array(
+                    sub["ts"].to_numpy(zero_copy_only=False)
+                    .astype("datetime64[us]").astype(np.int64)
+                ),
+                "stage": pa.array(types[keep].map(stage_of).to_numpy(np.int64)),
+            }
+        )
+
+    def chain(df: pd.DataFrame) -> pd.DataFrame:
+        uid = int(df["user_id"].iloc[0])
+        ts = df["ts_us"].to_numpy(np.int64)
+        st = df["stage"].to_numpy(np.int64)
+        ta = np.sort(ts[st == 0])
+        tb = np.sort(ts[st == 1])
+        tc = np.sort(ts[st == 2])
+        if not (len(ta) and len(tb) and len(tc)):
+            return _EQL_EMPTY
+        # first B strictly after each A, then first C strictly after that B
+        ib = np.searchsorted(tb, ta, side="right")
+        ok = ib < len(tb)
+        ta, ib = ta[ok], ib[ok]
+        ic = np.searchsorted(tc, tb[ib], side="right")
+        ok = ic < len(tc)
+        n = int(np.count_nonzero(tc[ic[ok]] - ta[ok] <= EQL_MAXSPAN_US))
+        if n == 0:
+            return _EQL_EMPTY
+        return pd.DataFrame({"user_id": [uid], "n_seq": [n]})
+
+    out = (
+        ds.map_batches(prefilter, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(chain, batch_format="pandas")
+        .to_pandas()
+        .sort_values("user_id", ignore_index=True)
+    )
+    return pa.table(
+        {
+            "user_id": pa.array(out["user_id"], pa.int64()),
+            "n_seq": pa.array(out["n_seq"], pa.int64()),
         }
     )
 
@@ -11507,6 +11714,10 @@ def build_oracle_sql() -> Dict[str, str]:
         ),
         "more_like_this": bm25_sql("", limit=20, mlt_src=MLT_SRC_DOC),
         "bm25_rm3": bm25_rm3_sql(BM25_QUERY, RM3_FB_K, RM3_N_EXP, limit=20),
+        "bm25_rescore": bm25_rescore_sql(
+            RESCORE_QUERY, RESCORE_SECONDARY, RESCORE_WINDOW,
+            RESCORE_QW, RESCORE_RW, limit=20,
+        ),
         "snippet_windows": bm25_sql(BM25_QUERY, limit=20, snippet_window=SNIPPET_WINDOW),
         "phrase_positional": bm25_sql(PHRASE_POS_QUERY, limit=20, phrase_adjacent=True),
         "phrase_proximity": bm25_sql(
@@ -12118,6 +12329,28 @@ def build_oracle_sql() -> Dict[str, str]:
                     PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
                   FROM events)
             WHERE rn = 1 ORDER BY user_id
+        """,
+        "eql_sequence": f"""
+            WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts FROM events),
+            a AS (SELECT user_id, ts AS ta FROM e WHERE event_type = '{EQL_SEQ[0]}'),
+            ab AS (
+              SELECT a.user_id, a.ta,
+                     (SELECT min(b.ts) FROM e b
+                      WHERE b.user_id = a.user_id
+                        AND b.event_type = '{EQL_SEQ[1]}'
+                        AND b.ts > a.ta) AS tb
+              FROM a),
+            abc AS (
+              SELECT user_id, ta,
+                     (SELECT min(c.ts) FROM e c
+                      WHERE c.user_id = ab.user_id
+                        AND c.event_type = '{EQL_SEQ[2]}'
+                        AND c.ts > ab.tb) AS tc
+              FROM ab WHERE tb IS NOT NULL)
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n_seq
+            FROM abc
+            WHERE tc IS NOT NULL AND tc - ta <= {EQL_MAXSPAN_US}
+            GROUP BY user_id ORDER BY user_id
         """,
         "funnel_counts": f"""
             WITH s0 AS (SELECT user_id, min(ts) AS t0 FROM events

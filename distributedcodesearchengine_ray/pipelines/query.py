@@ -1170,6 +1170,35 @@ class IndexShard:
             )
         return local_max, rows
 
+    def scores_for(
+        self,
+        query_tokens: List[str],
+        idfs: Dict[str, float],
+        doc_ids: List[int],
+    ) -> Tuple[List[int], List[float]]:
+        """Exact dense BM25 scores for a specific doc_id set — the rescore
+        window primitive (ES ``rescore``): the caller already knows WHICH
+        docs it wants re-scored, so no top-k / threshold logic applies.
+        Returns (ids, scores) for the requested ids this shard owns; ids
+        absent locally are another shard's (or nobody's) to answer.  Wire
+        cost is O(|window|), never per-corpus rows."""
+        if self.n_local == 0 or not len(doc_ids):
+            return [], []
+        want = np.asarray(doc_ids, dtype=np.int64)
+        order = np.argsort(self._doc_ids, kind="stable")
+        sorted_ids = self._doc_ids[order]
+        pos = np.searchsorted(sorted_ids, want)
+        pos = np.minimum(pos, len(sorted_ids) - 1)
+        ok = sorted_ids[pos] == want
+        if not ok.any():
+            return [], []
+        local = order[pos[ok]]
+        scores = self._dense_scores(query_tokens, idfs)
+        return (
+            [int(d) for d in want[ok]],
+            [float(s) for s in scores[local]],
+        )
+
     def search_dismax(
         self,
         clause_token_lists: List[List[str]],
@@ -2197,6 +2226,52 @@ class QueryEngine:
             rows = [r for _, rs in ray.get(refs2) for r in rs]
         rows.sort(key=lambda r: (-r["score"], r["doc_id"]))
         return [{"doc_id": r["doc_id"], "score": r["score"]} for r in rows[:limit]]
+
+    def search_rescore(
+        self,
+        query: str,
+        rescore_query: str,
+        window: int = 50,
+        query_weight: float = 1.0,
+        rescore_weight: float = 2.0,
+        limit: int = 20,
+        filters: Optional[Dict[str, str]] = None,
+    ) -> List[dict]:
+        """Elasticsearch ``rescore``: the top ``window`` hits of the
+        primary query (standard F4-thresholded BM25 pipeline) are
+        re-ranked by ``query_weight * primary + rescore_weight *
+        secondary``, where the secondary BM25 score is computed ONLY for
+        the window docs (``IndexShard.scores_for`` — an O(window)
+        point-score fan-out, never a second corpus-wide top-k).  Docs
+        outside the window are untouched, which is the whole point of the
+        operator: an expensive secondary signal priced per window, not
+        per corpus.  Weights should be short binary mantissas (1.0, 2.0,
+        0.5...) so the combined expression stays float-exact against the
+        SQL oracle."""
+        import ray
+
+        primary = self.search(query, limit=window, filters=filters)
+        if not primary:
+            return []
+        ids = [h["doc_id"] for h in primary]
+        sec: Dict[int, float] = {}
+        toks2 = tokenize(rescore_query)
+        if toks2:
+            idfs2 = self.lexicon.idfs(toks2)
+            refs = [a.scores_for.remote(toks2, idfs2, ids) for a in self.actors]
+            for got_ids, got_scores in ray.get(refs):
+                for d, s in zip(got_ids, got_scores):
+                    sec[d] = s
+        rows = [
+            {
+                "doc_id": h["doc_id"],
+                "score": query_weight * h["score"]
+                + rescore_weight * sec.get(h["doc_id"], 0.0),
+            }
+            for h in primary
+        ]
+        rows.sort(key=lambda r: (-r["score"], r["doc_id"]))
+        return rows[:limit]
 
     def search_min_match(
         self,

@@ -57,6 +57,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "percolate_queries": Q.percolate_queries,  # reverse search: registered boolean queries vs corpus
         "bm25_rm3": Q.bm25_rm3,  # pseudo-relevance-feedback expansion, two-pass SQL oracle
         "bm25_rescore": Q.bm25_rescore,  # ES rescore: top-window rerank, O(window) secondary scoring
+        "multi_match_bm25f": Q.multi_match_bm25f,  # ES multi_match most_fields: per-field BM25 + boosts
         "snippet_windows": Q.snippet_windows,  # best-window highlighter, window-count SQL oracle
         "phrase_positional": Q.phrase_positional,  # positional phrase (token adjacency), BM25+EXISTS oracle
         "phrase_proximity": Q.phrase_proximity,  # ordered proximity slop=1, gap-constraint oracle

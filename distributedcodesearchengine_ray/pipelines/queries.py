@@ -1231,6 +1231,131 @@ def bm25_rescore(sf_dir: str, limit: int = 20):
     )
 
 
+MM_QUERY = BM25_QUERY  # multi_match over the same reference query
+MM_TITLE_K = 8  # "title" field = first 8 tokens of text, "body" = the rest
+MM_BOOST_TITLE, MM_BOOST_BODY = 2.0, 1.0  # float-exact field boosts
+
+
+def _mm_field_tfs(t: pa.Table, terms: List[str]):
+    """Per-batch field decomposition for multi_match: tokenize ``text``
+    vectorized, split each doc's token stream at ``MM_TITLE_K`` into
+    title/body, and count per-term tfs per field with bincount segment
+    sums (no Python loop over tokens — only over the handful of query
+    terms).  Returns (doc_ids, dl_title, dl_body, tf_title, tf_body)
+    where the tf entries are {term: int64[n]} dicts."""
+    from ..functions.tokenizer import tokenize_array
+
+    toks = tokenize_array(t["text"])
+    n = len(toks)
+    offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    lens = np.diff(offs)
+    flat = toks.values
+    pos = np.arange(len(flat), dtype=np.int64) - np.repeat(offs[:-1], lens)
+    doc_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
+    is_title = pos < MM_TITLE_K
+    dl_t = np.minimum(lens, MM_TITLE_K)
+    dl_b = lens - dl_t
+    tf_t: Dict[str, np.ndarray] = {}
+    tf_b: Dict[str, np.ndarray] = {}
+    for q in terms:
+        hit = pcc.equal(flat, q).to_numpy(zero_copy_only=False).astype(bool)
+        tf_t[q] = np.bincount(doc_idx[hit & is_title], minlength=n).astype(np.int64)
+        tf_b[q] = np.bincount(doc_idx[hit & ~is_title], minlength=n).astype(np.int64)
+    ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    return ids, dl_t, dl_b, tf_t, tf_b
+
+
+def multi_match_bm25f(sf_dir: str, query: str = MM_QUERY, limit: int = 20):
+    """Elasticsearch ``multi_match`` (``most_fields``, BM25F shape): the
+    query scores independently against a "title" field (first
+    ``MM_TITLE_K`` tokens) and a "body" field (the rest), each with its
+    OWN document length, average length, and document frequency; the doc
+    score is ``2.0 * bm25_title + 1.0 * bm25_body``.  Field-level idf is
+    Lucene's ``ln(1 + (N - df + 0.5)/(df + 0.5))`` (always positive, so
+    no epsilon floor is involved at field granularity).
+
+    Two streaming passes, no prebuilt index: a stats fold (N, per-field
+    total length, per-field per-query-term df — one tiny partial row per
+    batch, map-side combined) and a scoring pass with the broadcast
+    stats, emitting per-block top-k partials (blocks x k wire cost).
+    Rank/truncate at micro grain.  Oracle: two per-field scoring CTEs
+    over the same list-slice field split."""
+    from ..functions.tokenizer import tokenize
+
+    qtoks = tokenize(query)
+    terms = sorted(set(qtoks))
+    mult = {t: qtoks.count(t) for t in terms}
+    if not terms:
+        return pa.table({"rank": pa.array([], pa.int64()),
+                         "doc_id": pa.array([], pa.int64()),
+                         "score_micro": pa.array([], pa.int64())})
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def stats_partial(t: pa.Table) -> pa.Table:
+        _, dl_t, dl_b, tf_t, tf_b = _mm_field_tfs(t, terms)
+        row = {
+            "n": [len(dl_t)],
+            "sum_dl_t": [int(dl_t.sum())],
+            "sum_dl_b": [int(dl_b.sum())],
+        }
+        for i, q in enumerate(terms):
+            row[f"df_t_{i}"] = [int(np.count_nonzero(tf_t[q]))]
+            row[f"df_b_{i}"] = [int(np.count_nonzero(tf_b[q]))]
+        return pa.table({k: pa.array(v, pa.int64()) for k, v in row.items()})
+
+    agg = (
+        ds.map_batches(stats_partial, batch_format="pyarrow")
+        .to_pandas()
+        .sum(axis=0)
+    )
+    n_docs = int(agg["n"])
+    avgdl_t = agg["sum_dl_t"] / n_docs
+    avgdl_b = agg["sum_dl_b"] / n_docs
+    idf_t = {
+        q: float(np.log(1 + (n_docs - int(agg[f"df_t_{i}"]) + 0.5)
+                        / (int(agg[f"df_t_{i}"]) + 0.5)))
+        for i, q in enumerate(terms)
+    }
+    idf_b = {
+        q: float(np.log(1 + (n_docs - int(agg[f"df_b_{i}"]) + 0.5)
+                        / (int(agg[f"df_b_{i}"]) + 0.5)))
+        for i, q in enumerate(terms)
+    }
+    k = limit + 10  # overfetch for the micro-grain driver truncation
+
+    def score_block(t: pa.Table) -> pa.Table:
+        ids, dl_t, dl_b, tf_t, tf_b = _mm_field_tfs(t, terms)
+        score = np.zeros(len(ids), dtype=np.float64)
+        for q in terms:  # sorted: deterministic accumulation order
+            m = mult[q]
+            tf = tf_t[q].astype(np.float64)
+            score += (MM_BOOST_TITLE * m * idf_t[q] * tf * 2.5
+                      / (tf + 1.5 * (1 - 0.75 + 0.75 * dl_t / avgdl_t)))
+            tf = tf_b[q].astype(np.float64)
+            score += (MM_BOOST_BODY * m * idf_b[q] * tf * 2.5
+                      / (tf + 1.5 * (1 - 0.75 + 0.75 * dl_b / avgdl_b)))
+        nz = np.flatnonzero(score > 0)
+        top = nz[np.lexsort((ids[nz], -score[nz]))[:k]]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[top], pa.int64()),
+                "score": pa.array(score[top], pa.float64()),
+            }
+        )
+
+    out = ds.map_batches(score_block, batch_format="pyarrow").to_pandas()
+    ids = out["doc_id"].to_numpy(np.int64)
+    micro = np.asarray(_micro(out["score"].to_numpy()), np.int64)
+    order = np.lexsort((ids, -micro))[:limit]
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(len(order)), pa.int64()),
+            "doc_id": pa.array(ids[order], pa.int64()),
+            "score_micro": pa.array(micro[order], pa.int64()),
+        }
+    )
+
+
 SNIPPET_WINDOW = 12
 
 
@@ -1871,6 +1996,70 @@ SELECT row_number() OVER (ORDER BY score_micro DESC, doc_id ASC) - 1 AS rank,
        doc_id, score_micro
 FROM (SELECT doc_id, CAST(floor(score * 1000000 + 0.5) AS BIGINT) AS score_micro
       FROM kept)
+ORDER BY score_micro DESC, doc_id ASC LIMIT {limit}
+"""
+
+
+def multi_match_sql(query: str, limit: int = 20) -> str:
+    """SQL twin of ``multi_match_bm25f``: the same title/body split as a
+    1-based list slice at ``MM_TITLE_K``, per-field stats (N, avg field
+    length, per-term field df), Lucene idf ``ln(1 + (N-df+0.5)/(df+0.5))``
+    and the identical per-field BM25 expression tree, field contributions
+    combined by the boosted sum.  Micro-grain final ranking."""
+    from ..functions.tokenizer import tokenize
+
+    qtoks = tokenize(query)
+    terms = sorted(set(qtoks))
+    qvals = ", ".join(f"('{t}', {qtoks.count(t)})" for t in terms)
+    inlist = ", ".join(f"'{t}'" for t in terms)
+    K = MM_TITLE_K
+
+    def field_cte(name: str, col: str, avg: str, boost: float) -> str:
+        return f"""tf{name} AS (
+  SELECT doc_id, t AS term, count(*) AS tf
+  FROM (SELECT doc_id, unnest({col}) AS t FROM f)
+  WHERE t IN ({inlist}) GROUP BY doc_id, t
+),
+idf{name} AS (
+  SELECT term,
+         ln(1 + ((SELECT n FROM stats) - df + 0.5) / (df + 0.5)) AS idf
+  FROM (SELECT term, count(*) AS df FROM tf{name} GROUP BY term)
+),
+s{name} AS (
+  SELECT x.doc_id,
+         {boost} * q.mult * i.idf * x.tf * 2.5 /
+         (x.tf + 1.5 * (1 - 0.75 + 0.75 * d.dl{name} / (SELECT {avg} FROM stats))) AS s
+  FROM tf{name} x
+  JOIN q ON q.term = x.term
+  JOIN idf{name} i ON i.term = x.term
+  JOIN dls d ON d.doc_id = x.doc_id
+)"""
+
+    return f"""
+WITH tok AS (
+  SELECT doc_id, {_tok_sql('text')} AS toks FROM documents
+),
+f AS (
+  SELECT doc_id, toks[1:{K}] AS t_title, toks[{K + 1}:len(toks)] AS t_body
+  FROM tok
+),
+dls AS (SELECT doc_id, len(t_title) AS dlt, len(t_body) AS dlb FROM f),
+stats AS (
+  SELECT count(*) AS n, avg(len(t_title)) AS avgdl_t, avg(len(t_body)) AS avgdl_b
+  FROM f
+),
+q(term, mult) AS (VALUES {qvals}),
+{field_cte('t', 't_title', 'avgdl_t', MM_BOOST_TITLE)},
+{field_cte('b', 't_body', 'avgdl_b', MM_BOOST_BODY)},
+scores AS (
+  SELECT doc_id, sum(s) AS score
+  FROM (SELECT * FROM st UNION ALL SELECT * FROM sb)
+  GROUP BY doc_id
+)
+SELECT row_number() OVER (ORDER BY score_micro DESC, doc_id ASC) - 1 AS rank,
+       doc_id, score_micro
+FROM (SELECT doc_id, CAST(floor(score * 1000000 + 0.5) AS BIGINT) AS score_micro
+      FROM scores WHERE score > 0)
 ORDER BY score_micro DESC, doc_id ASC LIMIT {limit}
 """
 
@@ -11718,6 +11907,7 @@ def build_oracle_sql() -> Dict[str, str]:
             RESCORE_QUERY, RESCORE_SECONDARY, RESCORE_WINDOW,
             RESCORE_QW, RESCORE_RW, limit=20,
         ),
+        "multi_match_bm25f": multi_match_sql(MM_QUERY, limit=20),
         "snippet_windows": bm25_sql(BM25_QUERY, limit=20, snippet_window=SNIPPET_WINDOW),
         "phrase_positional": bm25_sql(PHRASE_POS_QUERY, limit=20, phrase_adjacent=True),
         "phrase_proximity": bm25_sql(

@@ -36,6 +36,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_df_top100": Q.term_df_top100,
         "heavy_hitter_tokens": Q.heavy_hitter_tokens,  # 2-pass sketch, SQL oracle
         "significant_terms": Q.significant_terms,  # ES-style fg-vs-bg G2/LLR terms, milli-nat oracle
+        "significant_text": Q.significant_text,  # ES significant_text: G2 terms of the query's result set
         "vocab_set_ops": Q.vocab_set_ops,  # vocabulary set algebra between lang slices, one-bit-flag fold
         "bm25_topk": Q.bm25_topk,
         "bm25_explain": Q.bm25_explain,  # _explain: per-term BM25 score decomposition of the top hits

@@ -255,6 +255,124 @@ def significant_terms(sf_dir: str):
     )
 
 
+SIGTEXT_QUERY = "dup data stream"  # rare head term -> coherent result set
+SIGTEXT_FG_K = 50  # foreground = the query's top-50 BM25 hits
+SIGTEXT_TOP_N = 20
+
+
+def significant_text(sf_dir: str, query: str = SIGTEXT_QUERY):
+    """Elasticsearch ``significant_text``: terms unusually frequent in the
+    QUERY'S RESULT SET (top ``SIGTEXT_FG_K`` BM25 hits — the full
+    reference pipeline incl. the F4 threshold) versus the whole corpus,
+    scored by the same Dunning G2 / milli-nat encoding as
+    ``significant_terms``.  Unlike significant_terms' fixed lang slice,
+    the foreground here is search-driven — the "what is this result set
+    about" operator.
+
+    The fg doc set is tiny (<= K ids) and travels by closure; the
+    background pass is ONE distinct-(term, doc) explosion ->
+    vocabulary-keyed groupby -> per-block G2 top-k partials -> driver
+    merge, identical shape (and exchange) to significant_terms."""
+    from ray.data.aggregate import Sum
+
+    from .query import QueryEngine
+
+    idx = _documents_index(sf_dir)
+    engine = QueryEngine(idx, num_actors=2)
+    try:
+        hits = engine.search(query, limit=SIGTEXT_FG_K)
+    finally:
+        engine.close()
+    fg_ids = np.array(sorted(h["doc_id"] for h in hits), np.int64)
+    n_fg = len(fg_ids)
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    n_docs = _read(sf_dir, "documents", columns=["doc_id"]).count()
+
+    def explode(t: pa.Table) -> pa.Table:
+        toks = tokenize_array(t["text"])
+        flat = pcc.list_flatten(toks)
+        parents = pcc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        fg = np.isin(t["doc_id"].to_numpy(zero_copy_only=False), fg_ids)
+        df_ = pd.DataFrame(
+            {"term": flat.to_pandas(), "d": parents}
+        ).drop_duplicates()
+        df_["fg"] = fg[df_["d"].to_numpy()].astype(np.int64)
+        partial = df_.groupby("term", sort=False).agg(
+            df_fg=("fg", "sum"), df_all=("fg", "size")
+        ).reset_index()
+        return pa.table(
+            {
+                "term": pa.array(partial["term"], pa.string()),
+                "df_fg": pa.array(partial["df_fg"].to_numpy(), pa.int64()),
+                "df_all": pa.array(partial["df_all"].to_numpy(), pa.int64()),
+            }
+        )
+
+    def score_topk(t: pa.Table) -> pa.Table:
+        dfg = t["df_fg"].to_numpy(zero_copy_only=False)
+        dall = t["df_all"].to_numpy(zero_copy_only=False)
+        keep = (dfg > 0) & (dfg * n_docs > dall * n_fg)
+        t = t.filter(pa.array(keep))
+        if len(t) == 0:
+            return pa.table(
+                {
+                    "term": pa.array([], pa.string()),
+                    "df_fg": pa.array([], pa.int64()),
+                    "df_all": pa.array([], pa.int64()),
+                    "llr_milli": pa.array([], pa.int64()),
+                }
+            )
+        a = dfg[keep].astype(np.float64)
+        df_all = dall[keep].astype(np.float64)
+        b = df_all - a
+        c = n_fg - a
+        d = (n_docs - n_fg) - b
+        n = float(n_docs)
+
+        def cell(o, e_num, e_den):
+            with np.errstate(divide="ignore", invalid="ignore"):
+                v = o * np.log(o * n / (e_num * e_den))
+            return np.where(o > 0, v, 0.0)
+
+        g2 = 2.0 * (
+            cell(a, a + b, a + c)
+            + cell(b, a + b, b + d)
+            + cell(c, c + d, a + c)
+            + cell(d, c + d, b + d)
+        )
+        llr = _micro(g2, scale=1e3)
+        df_out = pd.DataFrame(
+            {
+                "term": t["term"].to_pandas(),
+                "df_fg": t["df_fg"].to_pandas(),
+                "df_all": t["df_all"].to_pandas(),
+                "llr_milli": llr,
+            }
+        ).sort_values(["llr_milli", "term"], ascending=[False, True],
+                      kind="mergesort").head(SIGTEXT_TOP_N)
+        return pa.Table.from_pandas(df_out, preserve_index=False)
+
+    out = (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("df_fg", alias_name="df_fg"), Sum("df_all", alias_name="df_all"))
+        .map_batches(score_topk, batch_format="pyarrow")
+        .to_pandas()
+    )
+    if "llr_milli" not in out.columns:
+        out = pd.DataFrame(columns=["term", "df_fg", "df_all", "llr_milli"])
+    out = out.sort_values(["llr_milli", "term"], ascending=[False, True],
+                          kind="mergesort", ignore_index=True).head(SIGTEXT_TOP_N)
+    return pa.table(
+        {
+            "term": pa.array(out["term"], pa.string()),
+            "df_fg": pa.array(out["df_fg"], pa.int64()),
+            "df_all": pa.array(out["df_all"], pa.int64()),
+            "llr_milli": pa.array(out["llr_milli"], pa.int64()),
+        }
+    )
+
+
 VOCABDIFF_FG_LANG = "de"
 VOCABDIFF_BG_LANG = "en"
 
@@ -1997,6 +2115,99 @@ SELECT row_number() OVER (ORDER BY score_micro DESC, doc_id ASC) - 1 AS rank,
 FROM (SELECT doc_id, CAST(floor(score * 1000000 + 0.5) AS BIGINT) AS score_micro
       FROM kept)
 ORDER BY score_micro DESC, doc_id ASC LIMIT {limit}
+"""
+
+
+def significant_text_sql(query: str, fg_k: int, top_n: int) -> str:
+    """SQL twin of ``significant_text``: the standard BM25 CTE body
+    (epsilon floor, max<=0 keep-all threshold) picks the top ``fg_k``
+    foreground docs; df_fg/df_all come from the distinct (doc, term)
+    pairs; the G2 milli-nat expression and the integer positive-
+    association gate are copied verbatim from the significant_terms
+    oracle (same float trees as the engine's vectorized cells)."""
+    from ..functions.tokenizer import tokenize
+
+    qtoks = tokenize(query)
+    mult: Dict[str, int] = {}
+    for t in qtoks:
+        mult[t] = mult.get(t, 0) + 1
+    qvals = ", ".join(f"('{t}', {m})" for t, m in sorted(mult.items()))
+    return f"""
+WITH tok AS (
+  SELECT doc_id, {_tok_sql('text')} AS toks FROM documents
+),
+stats AS (SELECT count(*) AS n, avg(len(toks)) AS avgdl FROM tok),
+tf AS (
+  SELECT doc_id, t AS term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(toks) AS t FROM tok) GROUP BY doc_id, t
+),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+idf0 AS (
+  SELECT term, ln((SELECT n FROM stats) - df + 0.5) - ln(df + 0.5) AS idf_raw
+  FROM df
+),
+eps AS (SELECT 0.25 * avg(idf_raw) AS e FROM idf0),
+idf AS (
+  SELECT term,
+         CASE WHEN idf_raw < 0 THEN (SELECT e FROM eps) ELSE idf_raw END AS idf
+  FROM idf0
+),
+dl AS (SELECT doc_id, len(toks) AS dl FROM tok),
+q(term, mult) AS (VALUES {qvals}),
+scores AS (
+  SELECT tf.doc_id,
+         sum(q.mult * idf.idf * tf.tf * 2.5 /
+             (tf.tf + 1.5 * (1 - 0.75 + 0.75 * dl.dl / (SELECT avgdl FROM stats)))) AS score
+  FROM tf
+  JOIN q ON q.term = tf.term
+  JOIN idf ON idf.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  GROUP BY tf.doc_id
+),
+scores_all AS (
+  SELECT d.doc_id, COALESCE(s.score, 0) AS score
+  FROM documents d LEFT JOIN scores s ON s.doc_id = d.doc_id
+),
+mx AS (SELECT max(score) AS m FROM scores_all),
+kept AS (
+  SELECT doc_id, score FROM scores_all
+  WHERE ((SELECT m FROM mx) <= 0 OR score >= 0.01 * (SELECT m FROM mx))
+),
+fg AS (SELECT doc_id FROM kept ORDER BY score DESC, doc_id ASC LIMIT {fg_k}),
+nn AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT count(*) FROM fg) AS n_fg
+),
+d AS (
+  SELECT term,
+         count(*) AS df_all,
+         count(*) FILTER (WHERE doc_id IN (SELECT doc_id FROM fg)) AS df_fg
+  FROM tf GROUP BY term
+),
+cells AS (
+  SELECT term, df_fg, df_all,
+         CAST(df_fg AS DOUBLE) AS a,
+         CAST(df_all - df_fg AS DOUBLE) AS b,
+         CAST(nn.n_fg - df_fg AS DOUBLE) AS c,
+         CAST(nn.n_docs - nn.n_fg - (df_all - df_fg) AS DOUBLE) AS dd,
+         CAST(nn.n_docs AS DOUBLE) AS n
+  FROM d, nn
+  WHERE df_fg > 0 AND df_fg * nn.n_docs > df_all * nn.n_fg
+),
+g AS (
+  SELECT term,
+         CAST(df_fg AS BIGINT) AS df_fg,
+         CAST(df_all AS BIGINT) AS df_all,
+         CAST(floor(2 * (
+           CASE WHEN a > 0 THEN a * ln(a * n / ((a+b) * (a+c))) ELSE 0 END +
+           CASE WHEN b > 0 THEN b * ln(b * n / ((a+b) * (b+dd))) ELSE 0 END +
+           CASE WHEN c > 0 THEN c * ln(c * n / ((c+dd) * (a+c))) ELSE 0 END +
+           CASE WHEN dd > 0 THEN dd * ln(dd * n / ((c+dd) * (b+dd))) ELSE 0 END
+         ) * 1000 + 0.5) AS BIGINT) AS llr_milli
+  FROM cells
+)
+SELECT term, df_fg, df_all, llr_milli FROM g
+ORDER BY llr_milli DESC, term ASC LIMIT {top_n}
 """
 
 
@@ -11908,6 +12119,9 @@ def build_oracle_sql() -> Dict[str, str]:
             RESCORE_QW, RESCORE_RW, limit=20,
         ),
         "multi_match_bm25f": multi_match_sql(MM_QUERY, limit=20),
+        "significant_text": significant_text_sql(
+            SIGTEXT_QUERY, SIGTEXT_FG_K, SIGTEXT_TOP_N
+        ),
         "snippet_windows": bm25_sql(BM25_QUERY, limit=20, snippet_window=SNIPPET_WINDOW),
         "phrase_positional": bm25_sql(PHRASE_POS_QUERY, limit=20, phrase_adjacent=True),
         "phrase_proximity": bm25_sql(

@@ -301,6 +301,10 @@ def run_bench() -> dict:
         ("lineitem_matrix_stats", Q.lineitem_matrix_stats),
         ("weighted_avg_price", Q.weighted_avg_price),
         ("match_phrase_prefix", Q.match_phrase_prefix),
+        ("bm25_rescore", Q.bm25_rescore),
+        ("multi_match_bm25f", Q.multi_match_bm25f),
+        ("significant_text", Q.significant_text),
+        ("eql_sequence", Q.eql_sequence),
     ):
         t0 = time.time()
         res = fn(sf_dir)

@@ -239,6 +239,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_random_score": Q.docs_random_score,  # ES random_score: seeded deterministic ranking
         "multi_terms_counts": Q.multi_terms_counts,  # ES multi_terms: compound-key buckets
         "bm25_regexp": Q.bm25_regexp,  # Lucene regexp query: vocab full-match expansion
+        "bm25_term_range": Q.bm25_term_range,  # Lucene TermRangeQuery: [lo,hi) lexicon slice
         "chi2_lang_source": Q.chi2_lang_source,  # Pearson chi-square independence test
         "ztest_quality_en": Q.ztest_quality_en,  # two-proportion z-test on a quality gate
         "diversified_sample": Q.diversified_sample,  # ES diversified_sampler: per-lang cap

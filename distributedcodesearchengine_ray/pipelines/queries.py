@@ -938,6 +938,39 @@ def bm25_regexp(sf_dir: str):
     )
 
 
+TERM_RANGE_LO = "sl"
+TERM_RANGE_HI = "st"
+TERM_RANGE_MAX = 64
+
+
+def bm25_term_range(sf_dir: str):
+    """Lucene TermRangeQuery: the lexicographic vocabulary slice
+    ``[TERM_RANGE_LO, TERM_RANGE_HI)`` expands against the term-sorted
+    lexicon shards via ONE parquet range-predicate pushdown (df desc,
+    term asc, capped at 64 — the scoring rewrite's cap) and the
+    expansions rank as ordinary OR'd BM25 terms through the standard
+    shard-actor path.  Expansion cost scales with vocabulary, never
+    corpus; scoring cost equals an OR query of the expanded terms."""
+    from .query import QueryEngine
+
+    idx = _documents_index(sf_dir)
+    engine = QueryEngine(idx, num_actors=2)
+    try:
+        rows = engine.search_term_range(
+            TERM_RANGE_LO, TERM_RANGE_HI, limit=20,
+            max_expansions=TERM_RANGE_MAX,
+        )
+    finally:
+        engine.close()
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(len(rows)), pa.int64()),
+            "doc_id": pa.array([r["doc_id"] for r in rows], pa.int64()),
+            "score_micro": pa.array(_micro([r["score"] for r in rows]), pa.int64()),
+        }
+    )
+
+
 TOP_HITS_K = 2
 
 
@@ -1595,6 +1628,7 @@ def bm25_sql(
     wildcard: Optional[str] = None,
     wildcard_max: int = 64,
     regexp: Optional[str] = None,
+    term_range: Optional[Tuple[str, str]] = None,
     bool_prefix: Optional[str] = None,
     top_hits_k: Optional[int] = None,
     top_hits_groups: int = 10,
@@ -1656,6 +1690,19 @@ def bm25_sql(
       ORDER BY df DESC, term ASC LIMIT {wildcard_max}
     )
   ) GROUP BY term
+)"""
+        not_src = ""
+    elif term_range is not None:
+        # Lucene TermRangeQuery: the vocabulary slice [lo, hi) cut to the
+        # top wildcard_max by (df desc, term asc) — the scoring rewrite's
+        # cap — scored as OR'd BM25 terms with mult=1
+        # (LexiconReader.expand_range / QueryEngine.search_term_range)
+        tr_lo, tr_hi = term_range
+        q_cte = f"""q AS (
+  SELECT term, 1 AS mult FROM (
+    SELECT term FROM df WHERE term >= '{tr_lo}' AND term < '{tr_hi}'
+    ORDER BY df DESC, term ASC LIMIT {wildcard_max}
+  )
 )"""
         not_src = ""
     elif regexp is not None:
@@ -11993,6 +12040,10 @@ def build_oracle_sql() -> Dict[str, str]:
         ),
         "bm25_regexp": bm25_sql(
             "", limit=20, regexp=REGEXP_PATTERN, wildcard_max=REGEXP_MAX_EXP,
+        ),
+        "bm25_term_range": bm25_sql(
+            "", limit=20, term_range=(TERM_RANGE_LO, TERM_RANGE_HI),
+            wildcard_max=TERM_RANGE_MAX,
         ),
         "bm25_match_bool_prefix": bm25_sql(
             "window", limit=20, bool_prefix="s",

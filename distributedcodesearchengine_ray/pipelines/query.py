@@ -1490,6 +1490,30 @@ class LexiconReader:
         )
         return self._scan_matching(rx, pattern[:first_wild], max_expand)
 
+    def expand_range(
+        self, lo: str, hi: str, max_expand: int = 64
+    ) -> List[Tuple[str, int]]:
+        """Lucene ``TermRangeQuery`` expansion: vocabulary terms in the
+        lexicographic interval ``[lo, hi)``.  The bounds become ONE
+        parquet RANGE predicate on the term-sorted lexicon shards (only
+        the covering row groups are read — same pushdown as prefix
+        expansion), and matches return (term, df) ordered (df desc,
+        term asc) capped at ``max_expand``, Lucene's scoring-rewrite
+        cap.  Cost scales with vocabulary, never corpus."""
+        if not os.path.isdir(self.path):
+            return []
+        filt = (pads.field("term") >= lo) & (pads.field("term") < hi)
+        rows: List[Tuple[str, int]] = []
+        for f in sorted(os.listdir(self.path)):
+            if not f.endswith(".parquet"):
+                continue
+            t = pads.dataset(
+                os.path.join(self.path, f), format="parquet"
+            ).to_table(columns=["term", "df"], filter=filt)
+            rows.extend(zip(t["term"].to_pylist(), t["df"].to_pylist()))
+        rows.sort(key=lambda r: (-r[1], r[0]))
+        return rows[:max_expand]
+
     def expand_regex(
         self, pattern: str, max_expand: int = 64
     ) -> List[Tuple[str, int]]:
@@ -2150,6 +2174,27 @@ class QueryEngine:
         lexicon-only work; cost scales with vocabulary, never corpus."""
         expanded = [
             t for t, _ in self.lexicon.expand_regex(pattern, max_expansions)
+        ]
+        if not expanded:
+            return []
+        return self.search(" ".join(expanded), limit=limit, filters=filters)
+
+    def search_term_range(
+        self,
+        lo: str,
+        hi: str,
+        limit: int = 20,
+        max_expansions: int = 64,
+        filters: Optional[Dict[str, str]] = None,
+    ) -> List[dict]:
+        """Lucene ``TermRangeQuery``: vocabulary terms in ``[lo, hi)``
+        expand against the term-sorted lexicon with one RANGE-predicate
+        pushdown (df desc, term asc, capped — the scoring rewrite's cap)
+        and score as ordinary OR'd BM25 terms through the standard shard
+        path.  Expansion is lexicon-only work; scoring cost is the same
+        as an OR query of ``max_expansions`` terms."""
+        expanded = [
+            t for t, _ in self.lexicon.expand_range(lo, hi, max_expansions)
         ]
         if not expanded:
             return []

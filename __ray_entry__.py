@@ -241,6 +241,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_regexp": Q.bm25_regexp,  # Lucene regexp query: vocab full-match expansion
         "bm25_term_range": Q.bm25_term_range,  # Lucene TermRangeQuery: [lo,hi) lexicon slice
         "chi2_lang_source": Q.chi2_lang_source,  # Pearson chi-square independence test
+        "mutual_info_lang_source": Q.mutual_info_lang_source,  # MI + marginal entropies, micro-nats
+        "ks_test_value": Q.ks_test_value,  # two-sample Kolmogorov-Smirnov, pure-integer D
+        "spearman_qty_discount": Q.spearman_qty_discount,  # Spearman rho via exact tie ranks
         "ztest_quality_en": Q.ztest_quality_en,  # two-proportion z-test on a quality gate
         "diversified_sample": Q.diversified_sample,  # ES diversified_sampler: per-lang cap
         "phrase_suggest": Q.phrase_suggest,  # ES phrase suggester: bigram-LM did-you-mean

@@ -11157,6 +11157,213 @@ def chi2_lang_source(sf_dir: str):
     )
 
 
+def mutual_info_lang_source(sf_dir: str):
+    """Mutual information I(lang; source) in micro-nats, plus the
+    marginal entropies H(lang) / H(source) (normalized-MI comes free on
+    the client).  Same alphabet-bounded (lang, source) count fold as
+    ``chi2_lang_source`` — the contingency table never scales with the
+    corpus — then I = sum over OBSERVED cells of (o/n)*ln(o*n/(r*c))
+    (zero cells contribute 0 in the limit).  The products ``o*n`` and
+    ``r*c`` stay exact in int64; each cell's double term is rounded to
+    micro BEFORE the summation, so the statistic is immune to float
+    ordering, and the oracle uses the identical expression tree."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", columns=["lang", "source"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {"lang": t["lang"].to_pandas(), "source": t["source"].to_pandas()}
+        )
+        g = df.groupby(["lang", "source"], sort=False, as_index=False).size()
+        return pa.table(
+            {
+                "lang": pa.array(g["lang"].tolist(), pa.string()),
+                "source": pa.array(g["source"].tolist(), pa.string()),
+                "o": pa.array(g["size"].to_numpy(np.int64)),
+            }
+        )
+
+    obs = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang", "source"])
+        .aggregate(Sum("o", alias_name="o"))
+        .to_pandas()
+    )
+    pivot = obs.pivot_table(
+        index="lang", columns="source", values="o", fill_value=0
+    ).astype(np.int64)
+    O = pivot.to_numpy(np.int64)
+    r = O.sum(axis=1)
+    c = O.sum(axis=0)
+    n = int(O.sum())
+    rc = np.outer(r, c)
+    pos = O > 0
+    terms = (O[pos].astype(np.float64) / float(n)) * np.log(
+        (O[pos] * n).astype(np.float64) / rc[pos].astype(np.float64)
+    )
+    mi_micro = int(np.floor(terms * 1e6 + 0.5).astype(np.int64).sum())
+
+    def _h_micro(m: np.ndarray) -> int:
+        m = m[m > 0]
+        t = -(m.astype(np.float64) / float(n)) * np.log(
+            m.astype(np.float64) / float(n)
+        )
+        return int(np.floor(t * 1e6 + 0.5).astype(np.int64).sum())
+
+    return pa.table(
+        {
+            "n": pa.array([n], pa.int64()),
+            "mi_micro": pa.array([mi_micro], pa.int64()),
+            "h_lang_micro": pa.array([_h_micro(r)], pa.int64()),
+            "h_source_micro": pa.array([_h_micro(c)], pa.int64()),
+        }
+    )
+
+
+KS_TYPE_A = "click"
+KS_TYPE_B = "view"
+
+
+def ks_test_value(sf_dir: str):
+    """Two-sample Kolmogorov–Smirnov test between the ``value``
+    distributions of two event types.  Distributed: one map-side
+    (value-cent, type) count fold over events — the cent domain is
+    bounded, so the exchange is corpus-free — then the D statistic from
+    the merged CDFs on the driver with ARBITRARY-PRECISION integers:
+    ``D = max_v |c1(v)*n2 - c2(v)*n1| / (n1*n2)`` (Python ints, so the
+    cross-multiplied gap never overflows at any corpus size; the oracle
+    uses HUGEINT).  ``ks_micro`` rounds by pure integer arithmetic
+    ``(2*num*1e6 + den) // (2*den)`` — no float anywhere — and
+    ``at_cent`` is the smallest value cent achieving the max gap."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        v = _cents_col(t["value"]).to_numpy(zero_copy_only=False)
+        sel = (et == KS_TYPE_A) | (et == KS_TYPE_B)
+        df = pd.DataFrame(
+            {"v_cent": v[sel], "a": (et[sel] == KS_TYPE_A).astype(np.int64)}
+        )
+        g = df.groupby("v_cent", sort=False, as_index=False).agg(
+            a=("a", "sum"), n=("a", "size")
+        )
+        return pa.table(
+            {
+                "v_cent": pa.array(g["v_cent"].to_numpy(np.int64)),
+                "a": pa.array(g["a"].to_numpy(np.int64)),
+                "b": pa.array((g["n"] - g["a"]).to_numpy(np.int64)),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("v_cent")
+        .aggregate(Sum("a", alias_name="a"), Sum("b", alias_name="b"))
+        .to_pandas()
+        .sort_values("v_cent", ignore_index=True)
+    )
+    n1 = int(agg["a"].sum())
+    n2 = int(agg["b"].sum())
+    den = n1 * n2
+    ca = cb = 0
+    best_gap = -1
+    at_cent = 0
+    for v, a, b in zip(
+        agg["v_cent"].tolist(), agg["a"].tolist(), agg["b"].tolist()
+    ):
+        ca += int(a)
+        cb += int(b)
+        gap = abs(ca * n2 - cb * n1)
+        if gap > best_gap:
+            best_gap, at_cent = gap, int(v)
+    ks_micro = (2 * best_gap * 1_000_000 + den) // (2 * den) if den else 0
+    return pa.table(
+        {
+            "n1": pa.array([n1], pa.int64()),
+            "n2": pa.array([n2], pa.int64()),
+            "at_cent": pa.array([at_cent], pa.int64()),
+            "ks_micro": pa.array([ks_micro], pa.int64()),
+        }
+    )
+
+
+def spearman_qty_discount(sf_dir: str):
+    """Spearman rank correlation between ``l_quantity`` and
+    ``l_discount``.  Both domains are tiny and bounded (50 x 11 cents
+    values), so ONE joint-count fold produces the full contingency
+    table corpus-free; exact average-tie ranks come from the marginal
+    counts as integers — ``r2 = 2*cum_before + cnt + 1`` is twice the
+    average rank, and Pearson-over-ranks is invariant under that
+    scaling (both sides use the same scaled ints anyway).  All moments
+    are arbitrary-precision integers on the driver (HUGEINT in the
+    oracle); the ONLY doubles are the final ``num / sqrt(d1*d2)``,
+    an identical expression tree on both sides."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "lineitem", columns=["l_quantity", "l_discount"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        qv = _cents_col(t["l_quantity"]).to_numpy(zero_copy_only=False)
+        dv = _cents_col(t["l_discount"]).to_numpy(zero_copy_only=False)
+        g = (
+            pd.DataFrame({"qv": qv, "dv": dv})
+            .groupby(["qv", "dv"], sort=False, as_index=False)
+            .size()
+        )
+        return pa.table(
+            {
+                "qv": pa.array(g["qv"].to_numpy(np.int64)),
+                "dv": pa.array(g["dv"].to_numpy(np.int64)),
+                "c": pa.array(g["size"].to_numpy(np.int64)),
+            }
+        )
+
+    j = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["qv", "dv"])
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+    )
+
+    def _ranks2(col: str) -> Dict[int, int]:
+        m = j.groupby(col)["c"].sum().sort_index()
+        out: Dict[int, int] = {}
+        cum = 0
+        for v, cnt in m.items():
+            out[int(v)] = 2 * cum + int(cnt) + 1
+            cum += int(cnt)
+        return out
+
+    rx, ry = _ranks2("qv"), _ranks2("dv")
+    n = sx = sxx = sy = syy = sxy = 0
+    for qv, dv, c in zip(j["qv"].tolist(), j["dv"].tolist(), j["c"].tolist()):
+        c = int(c)
+        a, b = rx[int(qv)], ry[int(dv)]
+        n += c
+        sx += c * a
+        sxx += c * a * a
+        sy += c * b
+        syy += c * b * b
+        sxy += c * a * b
+    num = n * sxy - sx * sy
+    d1 = n * sxx - sx * sx
+    d2 = n * syy - sy * sy
+    rho = float(num) / math.sqrt(float(d1) * float(d2)) if d1 and d2 else 0.0
+    return pa.table(
+        {
+            "n": pa.array([n], pa.int64()),
+            "rho_micro": pa.array(
+                [int(math.floor(rho * 1e6 + 0.5))], pa.int64()
+            ),
+        }
+    )
+
+
 COMPLETION_PREFIX = "s"
 COMPLETION_K = 10
 
@@ -14126,6 +14333,88 @@ def build_oracle_sql() -> Dict[str, str]:
                         * ((SELECT count(*) FROM c) - 1) AS BIGINT) AS dof,
                    CAST(sum(m) AS BIGINT) AS chi2_micro
             FROM t
+        """,
+        "mutual_info_lang_source": """
+            WITH o AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS o
+                       FROM documents GROUP BY 1, 2),
+            r AS (SELECT lang, CAST(sum(o) AS BIGINT) AS r FROM o GROUP BY 1),
+            c AS (SELECT source, CAST(sum(o) AS BIGINT) AS c FROM o GROUP BY 1),
+            tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM o),
+            mi AS (SELECT CAST(floor(
+                     (CAST(o.o AS DOUBLE) / CAST((SELECT n FROM tot) AS DOUBLE))
+                     * ln(CAST(o.o * (SELECT n FROM tot) AS DOUBLE)
+                          / CAST(r.r * c.c AS DOUBLE))
+                     * 1000000 + 0.5) AS BIGINT) AS m
+                   FROM o JOIN r ON r.lang = o.lang
+                          JOIN c ON c.source = o.source
+                   WHERE o.o > 0),
+            hl AS (SELECT CAST(floor(
+                     -(CAST(r AS DOUBLE) / CAST((SELECT n FROM tot) AS DOUBLE))
+                     * ln(CAST(r AS DOUBLE) / CAST((SELECT n FROM tot) AS DOUBLE))
+                     * 1000000 + 0.5) AS BIGINT) AS m FROM r WHERE r > 0),
+            hs AS (SELECT CAST(floor(
+                     -(CAST(c AS DOUBLE) / CAST((SELECT n FROM tot) AS DOUBLE))
+                     * ln(CAST(c AS DOUBLE) / CAST((SELECT n FROM tot) AS DOUBLE))
+                     * 1000000 + 0.5) AS BIGINT) AS m FROM c WHERE c > 0)
+            SELECT (SELECT n FROM tot) AS n,
+                   (SELECT CAST(sum(m) AS BIGINT) FROM mi) AS mi_micro,
+                   (SELECT CAST(sum(m) AS BIGINT) FROM hl) AS h_lang_micro,
+                   (SELECT CAST(sum(m) AS BIGINT) FROM hs) AS h_source_micro
+        """,
+        "ks_test_value": f"""
+            WITH e AS (SELECT event_type,
+                              CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+                       FROM events
+                       WHERE event_type IN ('{KS_TYPE_A}', '{KS_TYPE_B}')),
+            g AS (SELECT v,
+                    CAST(count(*) FILTER (WHERE event_type = '{KS_TYPE_A}')
+                         AS HUGEINT) AS a,
+                    CAST(count(*) FILTER (WHERE event_type = '{KS_TYPE_B}')
+                         AS HUGEINT) AS b
+                  FROM e GROUP BY v),
+            n AS (SELECT sum(a) AS n1, sum(b) AS n2 FROM g),
+            cum AS (SELECT v,
+                      sum(a) OVER (ORDER BY v) AS ca,
+                      sum(b) OVER (ORDER BY v) AS cb
+                    FROM g),
+            d AS (SELECT v, abs(ca * (SELECT n2 FROM n)
+                                - cb * (SELECT n1 FROM n)) AS gap FROM cum),
+            m AS (SELECT max(gap) AS g FROM d)
+            SELECT CAST((SELECT n1 FROM n) AS BIGINT) AS n1,
+                   CAST((SELECT n2 FROM n) AS BIGINT) AS n2,
+                   CAST((SELECT min(v) FROM d
+                         WHERE gap = (SELECT g FROM m)) AS BIGINT) AS at_cent,
+                   CAST((2 * (SELECT g FROM m) * 1000000
+                         + (SELECT n1 * n2 FROM n))
+                        // (2 * (SELECT n1 * n2 FROM n)) AS BIGINT) AS ks_micro
+        """,
+        "spearman_qty_discount": """
+            WITH j AS (SELECT CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS qv,
+                              CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS dv,
+                              CAST(count(*) AS HUGEINT) AS c
+                       FROM lineitem GROUP BY 1, 2),
+            mq AS (SELECT qv, sum(c) AS cq FROM j GROUP BY 1),
+            mq2 AS (SELECT qv, cq,
+                      2 * (sum(cq) OVER (ORDER BY qv) - cq) + cq + 1 AS r2
+                    FROM mq),
+            md AS (SELECT dv, sum(c) AS cd FROM j GROUP BY 1),
+            md2 AS (SELECT dv, cd,
+                      2 * (sum(cd) OVER (ORDER BY dv) - cd) + cd + 1 AS r2
+                    FROM md),
+            s AS (SELECT (SELECT sum(c) FROM j) AS n,
+                         (SELECT sum(cq * r2) FROM mq2) AS sx,
+                         (SELECT sum(cq * r2 * r2) FROM mq2) AS sxx,
+                         (SELECT sum(cd * r2) FROM md2) AS sy,
+                         (SELECT sum(cd * r2 * r2) FROM md2) AS syy,
+                         (SELECT sum(j.c * a.r2 * b.r2)
+                          FROM j JOIN mq2 a USING (qv)
+                                 JOIN md2 b USING (dv)) AS sxy)
+            SELECT CAST(n AS BIGINT) AS n,
+                   CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE)
+                        / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                               * CAST(n * syy - sy * sy AS DOUBLE))
+                        * 1000000 + 0.5) AS BIGINT) AS rho_micro
+            FROM s
         """,
         "ztest_quality_en": f"""
             WITH cnt AS (SELECT

@@ -151,6 +151,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_transitions": Q.event_transitions,  # Markov bigram counts over per-user ordered streams
         "value_corr_by_type": Q.value_corr_by_type,  # algebraic-moments Pearson r, integer partials
         "hourly_anomalies": Q.hourly_anomalies,  # rolling z-score anomaly flags per event type
+        "cusum_daily_revenue": Q.cusum_daily_revenue,  # CUSUM change-point walk, integer cents
+        "filters_agg_events": Q.filters_agg_events,  # ES filters agg: named buckets + other_bucket
         "full_outer_balance": Q.full_outer_balance,  # FULL OUTER join of two pre-aggregated folds
         "lineitem_unpivot": Q.lineitem_unpivot,  # UNPIVOT/melt: wide measures to long in one scan
         "funnel_counts": Q.funnel_counts,  # ordered funnel stages, chained min-after-min oracle

@@ -11157,6 +11157,111 @@ def chi2_lang_source(sf_dir: str):
     )
 
 
+CUSUM_SLACK_DIV = 20  # slack k = target // 20 (cents)
+
+
+def cusum_daily_revenue(sf_dir: str):
+    """CUSUM change-point monitoring over the daily order-revenue
+    series: ``S+_t = max(0, S+_{t-1} + x_t - (target + k))`` and
+    ``S-_t = max(0, S-_{t-1} + (target - k) - x_t)`` with the target
+    the integer-rounded mean daily revenue and slack ``k = target//20``.
+    The distributed part is a per-day cents fold (map-side partials +
+    one bounded-day-axis groupby — the exchange never scales with the
+    corpus); the sequential walk runs on the driver over the bounded
+    day axis with Python ints (the oracle replays it with a recursive
+    CTE over HUGEINTs).  Everything is integer cents — no float
+    anywhere, so both sides are bit-stable."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = pcc.strftime(t["o_orderdate"], format="%Y-%m-%d")
+        g = (
+            pd.DataFrame(
+                {"day": day.to_pandas(),
+                 "rev_c": _cents_col(t["o_totalprice"]).to_pandas()}
+            )
+            .groupby("day", as_index=False)["rev_c"]
+            .sum()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    days = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Sum("rev_c", alias_name="rev_c"))
+        .to_pandas()
+        .sort_values("day", ignore_index=True)
+    )
+    revs = [int(x) for x in days["rev_c"].tolist()]
+    nd = len(revs)
+    tot = sum(revs)
+    target = (tot + nd // 2) // nd if nd else 0
+    slack = target // CUSUM_SLACK_DIV
+    sp = sn = 0
+    sps, sns = [], []
+    for x in revs:
+        sp = max(0, sp + x - (target + slack))
+        sn = max(0, sn + (target - slack) - x)
+        sps.append(sp)
+        sns.append(sn)
+    return pa.table(
+        {
+            "day": pa.array(days["day"].tolist(), pa.string()),
+            "rev_c": pa.array(revs, pa.int64()),
+            "s_pos_c": pa.array(sps, pa.int64()),
+            "s_neg_c": pa.array(sns, pa.int64()),
+        }
+    )
+
+
+FILTERS_AGG_HIGH_CENTS = 10_000  # "high_value" bucket: value >= $100
+
+
+def filters_agg_events(sf_dir: str):
+    """ES ``filters`` aggregation with ``other_bucket``: three NAMED
+    predicate buckets over events — an event can land in SEVERAL
+    buckets at once (unlike ``terms``/``multi_terms``, membership is
+    per-filter, not partitioning) — plus ``_other_`` for events that
+    match none.  One vectorized map-side fold emits per-bucket count +
+    cents partials; the exchange is bounded by the bucket alphabet."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = _cents_col(t["value"]).to_numpy(zero_copy_only=False)
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        masks = {
+            "high_value": v >= FILTERS_AGG_HIGH_CENTS,
+            "clicks": et == "click",
+            "errors_or_signups": (et == "error") | (et == "signup"),
+        }
+        other = ~np.logical_or.reduce(list(masks.values()))
+        masks["_other_"] = other
+        return pa.table(
+            {
+                "bucket": pa.array(list(masks), pa.string()),
+                "n_events": pa.array(
+                    [int(m.sum()) for m in masks.values()], pa.int64()
+                ),
+                "value_c": pa.array(
+                    [int(v[m].sum()) for m in masks.values()], pa.int64()
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(
+            Sum("n_events", alias_name="n_events"),
+            Sum("value_c", alias_name="value_c"),
+        )
+    )
+
+
 def mutual_info_lang_source(sf_dir: str):
     """Mutual information I(lang; source) in micro-nats, plus the
     marginal entropies H(lang) / H(source) (normalized-MI comes free on
@@ -14333,6 +14438,56 @@ def build_oracle_sql() -> Dict[str, str]:
                         * ((SELECT count(*) FROM c) - 1) AS BIGINT) AS dof,
                    CAST(sum(m) AS BIGINT) AS chi2_micro
             FROM t
+        """,
+        "cusum_daily_revenue": f"""
+            WITH RECURSIVE days AS (
+              SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+                     CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                          AS HUGEINT) AS rev
+              FROM orders GROUP BY 1),
+            ord AS (SELECT day, rev,
+                           row_number() OVER (ORDER BY day) AS i FROM days),
+            p AS (SELECT CAST(count(*) AS HUGEINT) AS nd,
+                         CAST(sum(rev) AS HUGEINT) AS tot FROM ord),
+            t AS (SELECT (tot + nd // 2) // nd AS target,
+                         ((tot + nd // 2) // nd) // {CUSUM_SLACK_DIV} AS k
+                  FROM p),
+            walk AS (
+              SELECT o.i, o.day, o.rev,
+                     greatest(CAST(0 AS HUGEINT),
+                              o.rev - ((SELECT target FROM t) + (SELECT k FROM t))) AS sp,
+                     greatest(CAST(0 AS HUGEINT),
+                              ((SELECT target FROM t) - (SELECT k FROM t)) - o.rev) AS sn
+              FROM ord o WHERE o.i = 1
+              UNION ALL
+              SELECT o.i, o.day, o.rev,
+                     greatest(CAST(0 AS HUGEINT),
+                              w.sp + o.rev - ((SELECT target FROM t) + (SELECT k FROM t))),
+                     greatest(CAST(0 AS HUGEINT),
+                              w.sn + ((SELECT target FROM t) - (SELECT k FROM t)) - o.rev)
+              FROM walk w JOIN ord o ON o.i = w.i + 1)
+            SELECT day, CAST(rev AS BIGINT) AS rev_c,
+                   CAST(sp AS BIGINT) AS s_pos_c,
+                   CAST(sn AS BIGINT) AS s_neg_c
+            FROM walk ORDER BY day
+        """,
+        "filters_agg_events": f"""
+            WITH e AS (SELECT event_type,
+                              CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+                       FROM events)
+            SELECT 'high_value' AS bucket, CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(coalesce(sum(c), 0) AS BIGINT) AS value_c
+            FROM e WHERE c >= {FILTERS_AGG_HIGH_CENTS}
+            UNION ALL
+            SELECT 'clicks', count(*), CAST(coalesce(sum(c), 0) AS BIGINT)
+            FROM e WHERE event_type = 'click'
+            UNION ALL
+            SELECT 'errors_or_signups', count(*), CAST(coalesce(sum(c), 0) AS BIGINT)
+            FROM e WHERE event_type IN ('error', 'signup')
+            UNION ALL
+            SELECT '_other_', count(*), CAST(coalesce(sum(c), 0) AS BIGINT)
+            FROM e WHERE c < {FILTERS_AGG_HIGH_CENTS}
+              AND event_type NOT IN ('click', 'error', 'signup')
         """,
         "mutual_info_lang_source": """
             WITH o AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS o

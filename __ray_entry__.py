@@ -118,6 +118,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "train_test_split": Q.train_test_split_q,  # deterministic 90/5/5 split
         "decontaminate": Q.decontaminate_q,  # benchmark 5-gram overlap, semi-join oracle
         "cdc_upsert": Q.cdc_upsert,  # MERGE/upsert: change stream resolved by one algebraic groupby
+        "scd2_intervals": Q.scd2_intervals,  # SCD type-2 validity intervals from a change stream
         "cdc_incremental_agg": Q.cdc_incremental_agg,  # incremental view maintenance, O(|changes|) deltas
         "user_value_twap": Q.user_value_twap,  # time-weighted average (LOCF integral), integer partials
         "bm25_boosted": Q.bm25_boosted,  # query-time term boosts via duplicate-token rule

@@ -11157,6 +11157,58 @@ def chi2_lang_source(sf_dir: str):
     )
 
 
+SCD2_OPEN_US = 1 << 62  # open-interval sentinel (epoch micros)
+
+
+def scd2_intervals(sf_dir: str):
+    """SCD type-2 dimension reconstruction from a change stream: each
+    user's time-ordered events are an attribute history (``event_type``
+    plays the tracked attribute), and CONSECUTIVE equal values collapse
+    into one version row with half-open ``[valid_from, valid_to)``
+    validity — ``valid_to`` is the next version's start, the open
+    current version gets a fixed sentinel — plus a per-user version
+    number.  This is the warehouse dimension-history shape (MERGE +
+    effective-dating).  One user-keyed exchange; the run collapse and
+    LEAD inside each group are vectorized numpy over epoch-microsecond
+    int64s, so both sides compare integer-exact."""
+    ds = _read(
+        sf_dir, "events", columns=["user_id", "ts", "event_id", "event_type"]
+    )
+
+    def pergroup(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["ts", "event_id"])
+        et = df["event_type"].to_numpy()
+        if len(et) == 0:
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series([], dtype=np.int64),
+                    "version": pd.Series([], dtype=np.int64),
+                    "attr": pd.Series([], dtype=str),
+                    "valid_from_us": pd.Series([], dtype=np.int64),
+                    "valid_to_us": pd.Series([], dtype=np.int64),
+                }
+            )
+        tus = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        change = np.ones(len(et), bool)
+        change[1:] = et[1:] != et[:-1]
+        idx = np.flatnonzero(change)
+        vfrom = tus[idx]
+        vto = np.empty(len(idx), np.int64)
+        vto[:-1] = vfrom[1:]
+        vto[-1] = SCD2_OPEN_US
+        return pd.DataFrame(
+            {
+                "user_id": np.full(len(idx), int(df["user_id"].iloc[0]), np.int64),
+                "version": np.arange(len(idx), dtype=np.int64),
+                "attr": et[idx],
+                "valid_from_us": vfrom,
+                "valid_to_us": vto,
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(pergroup, batch_format="pandas")
+
+
 CUSUM_SLACK_DIV = 20  # slack k = target // 20 (cents)
 
 
@@ -14438,6 +14490,26 @@ def build_oracle_sql() -> Dict[str, str]:
                         * ((SELECT count(*) FROM c) - 1) AS BIGINT) AS dof,
                    CAST(sum(m) AS BIGINT) AS chi2_micro
             FROM t
+        """,
+        "scd2_intervals": f"""
+            WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_id,
+                              event_type FROM events),
+            o AS (SELECT user_id, t, event_id, event_type,
+                         lag(event_type) OVER
+                           (PARTITION BY user_id ORDER BY t, event_id) AS prev
+                  FROM e),
+            starts AS (SELECT user_id, t, event_id, event_type,
+                              row_number() OVER
+                                (PARTITION BY user_id ORDER BY t, event_id)
+                                - 1 AS version
+                       FROM o WHERE prev IS NULL OR prev <> event_type)
+            SELECT user_id, CAST(version AS BIGINT) AS version,
+                   event_type AS attr,
+                   CAST(t AS BIGINT) AS valid_from_us,
+                   CAST(coalesce(lead(t) OVER
+                          (PARTITION BY user_id ORDER BY t, event_id),
+                        {SCD2_OPEN_US}) AS BIGINT) AS valid_to_us
+            FROM starts ORDER BY user_id, version
         """,
         "cusum_daily_revenue": f"""
             WITH RECURSIVE days AS (

@@ -39,6 +39,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "significant_text": Q.significant_text,  # ES significant_text: G2 terms of the query's result set
         "vocab_set_ops": Q.vocab_set_ops,  # vocabulary set algebra between lang slices, one-bit-flag fold
         "bm25_topk": Q.bm25_topk,
+        "federated_search": Q.federated_search,  # scatter-gather across 2 sub-indexes, exact global stats
         "bm25_explain": Q.bm25_explain,  # _explain: per-term BM25 score decomposition of the top hits
         "bm25_boosting": Q.bm25_boosting,  # ES boosting query: negative-match demotion at score*0.5
         "span_first": Q.span_first_q,  # Lucene span_first: first occurrence within N positions, positional index

@@ -575,6 +575,78 @@ def _documents_index(
     return idx
 
 
+def _documents_subindex(sf_dir: str, parity: int) -> str:
+    """Build (resume-cached) a file-mode BM25 sub-index over HALF the
+    documents table (``doc_id % 2 == parity``) — the federation fixture:
+    two independently-built indexes whose union is the full corpus.
+    Paths keep the ORIGINAL zero-padded doc_id, so each sub-index's
+    insertion order is the ascending original ids of its half and the
+    local->global id map is ``2*i + parity``."""
+    from .build_index import build_index
+
+    tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:12] + f"c-fed{parity}"
+    idx = f"/tmp/rcs_cache/docidx-{tag}"
+    os.makedirs(idx, exist_ok=True)
+    corpus_dir = f"{idx}-corpus"
+    done = f"{corpus_dir}._DONE"
+    if not os.path.exists(done):
+        import shutil
+
+        shutil.rmtree(corpus_dir, ignore_errors=True)
+
+        def to_corpus(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            keep = (ids % 2) == parity
+            ids = ids[keep]
+            return pa.table(
+                {
+                    "repo": pa.array(["docs"] * len(ids), pa.string()),
+                    "path": pa.array([f"{i:012d}.txt" for i in ids], pa.string()),
+                    "commit": pa.array(["0" * 40] * len(ids), pa.string()),
+                    "lang": t["lang"].filter(pa.array(keep)),
+                    "content": t["text"].filter(pa.array(keep)),
+                }
+            )
+
+        _read(sf_dir, "documents").map_batches(
+            to_corpus, batch_format="pyarrow"
+        ).write_parquet(corpus_dir)
+        open(done, "w").write("ok")
+    build_index(
+        corpus_dir, idx, mode="file", docs_per_partition=2000,
+        apply_path_filters=False, resume=True,
+    )
+    return idx
+
+
+def federated_search(sf_dir: str, query: str = BM25_QUERY, limit: int = 20):
+    """Federated scatter-gather BM25 across TWO independently-built
+    sub-indexes (even / odd doc_ids) with exact global-statistics
+    recombination — N, avgdl, per-term df and the epsilon floor all
+    recombine so results are SCORE-IDENTICAL to one index built over
+    the union corpus (the oracle is the same whole-corpus BM25 SQL
+    that checks ``bm25_topk``).  See ``pipelines/federated.py``."""
+    from .federated import FederatedEngine
+
+    idxs = [_documents_subindex(sf_dir, 0), _documents_subindex(sf_dir, 1)]
+    eng = FederatedEngine(
+        idxs,
+        [lambda i: 2 * i, lambda i: 2 * i + 1],
+        num_actors_each=2,
+    )
+    try:
+        hits = eng.search(query, limit=limit)
+    finally:
+        eng.close()
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(len(hits)), pa.int64()),
+            "doc_id": pa.array([h["doc_id"] for h in hits], pa.int64()),
+            "score_micro": pa.array(_micro([h["score"] for h in hits]), pa.int64()),
+        }
+    )
+
+
 def bm25_topk(sf_dir: str, query: str = BM25_QUERY, limit: int = 20,
               filters: Optional[Dict[str, str]] = None):
     """Distributed BM25 top-k over documents -> (rank, doc_id, score_micro)."""
@@ -12369,6 +12441,9 @@ def build_oracle_sql() -> Dict[str, str]:
             ORDER BY n_occurrences DESC, term ASC
         """,
         "bm25_topk": bm25_sql(BM25_QUERY, limit=20),
+        # federation is score-identical to one union index by design, so
+        # it shares the whole-corpus BM25 oracle
+        "federated_search": bm25_sql(BM25_QUERY, limit=20),
         "bm25_explain": bm25_sql(EXPLAIN_QUERY, limit=EXPLAIN_K, explain=True),
         "bm25_boosting": bm25_sql(
             BOOSTING_POS, limit=20, micro_rank=True,

@@ -61,11 +61,19 @@ class IndexShard:
     postings, plus docmeta arrays (doc_len and the filterable columns).
     """
 
-    def __init__(self, index_dir: str, part_ids: Sequence[int]):
+    def __init__(
+        self,
+        index_dir: str,
+        part_ids: Sequence[int],
+        avgdl_override: Optional[float] = None,
+    ):
         manifest = IndexManifest.load(index_dir)
         self.k1 = manifest.k1
         self.b = manifest.b
-        self.avgdl = manifest.avgdl
+        # federated search recombines global stats across sub-indexes:
+        # the caller may inject the UNION corpus's avgdl so this shard's
+        # length norm matches a single index built over the union
+        self.avgdl = manifest.avgdl if avgdl_override is None else avgdl_override
         self._decoded: Dict[Tuple[int, int], tuple] = {}
         self.parts: List[dict] = []
         n_local = 0
@@ -1643,6 +1651,7 @@ class QueryEngine:
         index_dir: str,
         num_actors: Optional[int] = None,
         prewarm_terms: int = 0,
+        avgdl_override: Optional[float] = None,
     ):
         import ray
 
@@ -1664,7 +1673,9 @@ class QueryEngine:
         # fractional num_cpus: scoring bursts are short; 0.5 lets builds and
         # other stages interleave with a resident query pool
         self.actors = [
-            Actor.options(num_cpus=0.5).remote(index_dir, part_ids[i::num_actors])
+            Actor.options(num_cpus=0.5).remote(
+                index_dir, part_ids[i::num_actors], avgdl_override
+            )
             for i in range(num_actors)
         ]
         ray.get([a.ping.remote() for a in self.actors])  # surface init errors

@@ -305,6 +305,12 @@ def run_bench() -> dict:
         ("multi_match_bm25f", Q.multi_match_bm25f),
         ("significant_text", Q.significant_text),
         ("eql_sequence", Q.eql_sequence),
+        ("bm25_term_range", Q.bm25_term_range),
+        ("federated_search", Q.federated_search),
+        ("ks_test_value", Q.ks_test_value),
+        ("spearman_qty_discount", Q.spearman_qty_discount),
+        ("cusum_daily_revenue", Q.cusum_daily_revenue),
+        ("scd2_intervals", Q.scd2_intervals),
     ):
         t0 = time.time()
         res = fn(sf_dir)

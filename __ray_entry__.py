@@ -237,6 +237,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "auc_length_en": Q.auc_length_en,  # exact ROC-AUC from one bounded-domain histogram, no sort
         "kappa_quality_gates": Q.kappa_quality_gates,  # Cohen's kappa between two quality gates
         "bm25_function_score": Q.bm25_function_score,  # ES function_score: field_value_factor sqrt(dl) boost
+        "bm25_decay_gauss": Q.bm25_decay_gauss,  # ES function_score gauss decay on doc length
+        "bm25_pinned": Q.bm25_pinned,  # ES pinned query: curated ids first, organic follows
+        "hhi_supplier_revenue": Q.hhi_supplier_revenue,  # Herfindahl concentration, integer bps
+        "top_metrics_by_lang": Q.top_metrics_by_lang,  # ES top_metrics: packed-int algebraic argmax
         "bm25_terms_set": Q.bm25_terms_set,  # ES terms_set: per-doc dynamic minimum_should_match
         "string_stats_by_lang": Q.string_stats_by_lang,  # ES string_stats incl. Shannon char entropy
         "daily_order_moving_stats": Q.daily_order_moving_stats,  # moving_fn + serial_diff pipeline aggs

@@ -1259,6 +1259,69 @@ def bm25_function_score(sf_dir: str, query: str = BM25_QUERY, limit: int = 20):
     )
 
 
+DECAY_ORIGIN = 15  # gauss decay target doc length (tokens)
+DECAY_SCALE = 10
+
+
+def bm25_decay_gauss(sf_dir: str, query: str = BM25_QUERY, limit: int = 20):
+    """ES function_score gauss DECAY on doc token length: score = BM25 *
+    exp(-(dl-origin)^2 / (2*scale^2)) — docs near the target length rank
+    up, the max*0.01 threshold applies to the decayed score.  The decay
+    denominator is one shared double literal and (dl-origin)^2 is exact
+    in both int and float, so both sides evaluate the identical
+    expression tree through the same libm exp."""
+    from .query import QueryEngine
+
+    idx = _documents_index(sf_dir)
+    engine = QueryEngine(idx, num_actors=2)
+    try:
+        hits = engine.search_decay_gauss(
+            query, origin=DECAY_ORIGIN, scale=DECAY_SCALE, limit=limit
+        )
+    finally:
+        engine.close()
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(len(hits)), pa.int64()),
+            "doc_id": pa.array([h["doc_id"] for h in hits], pa.int64()),
+            "score_micro": pa.array(_micro([h["score"] for h in hits]), pa.int64()),
+        }
+    )
+
+
+PINNED_IDS = [7, 3, 11]  # promoted in THIS order (ES pinned query)
+
+
+def bm25_pinned(sf_dir: str, query: str = BM25_QUERY, limit: int = 20):
+    """ES pinned query: the pinned ids rank FIRST in their given order
+    (organic scores ignored for them), organic BM25 results follow with
+    the pinned ids excluded — the editorial-curation shape.  The engine
+    over-fetches ``limit + |pins|`` organic rows (threshold max stays
+    corpus-wide and unmasked), drops the pinned, and fills the tail."""
+    from .query import QueryEngine
+
+    idx = _documents_index(sf_dir)
+    engine = QueryEngine(idx, num_actors=2)
+    try:
+        pins = [p for p in PINNED_IDS if p < engine.manifest.n_docs]
+        hits = engine.search(query, limit=limit + len(pins))
+    finally:
+        engine.close()
+    pinset = set(pins)
+    organic = [h for h in hits if h["doc_id"] not in pinset][: limit - len(pins)]
+    ids = pins + [h["doc_id"] for h in organic]
+    pinned_flag = [1] * len(pins) + [0] * len(organic)
+    scores = [0] * len(pins) + [int(x) for x in _micro([h["score"] for h in organic])]
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(len(ids)), pa.int64()),
+            "doc_id": pa.array(ids, pa.int64()),
+            "pinned": pa.array(pinned_flag, pa.int64()),
+            "score_micro": pa.array(scores, pa.int64()),
+        }
+    )
+
+
 RF_WEIGHT = 2.5  # short binary mantissa: exact on both engines
 RF_PIVOT = 30
 
@@ -1701,6 +1764,8 @@ def bm25_sql(
     wildcard_max: int = 64,
     regexp: Optional[str] = None,
     term_range: Optional[Tuple[str, str]] = None,
+    decay_gauss: Optional[Tuple[int, float]] = None,
+    pinned_ids: Optional[List[int]] = None,
     bool_prefix: Optional[str] = None,
     top_hits_k: Optional[int] = None,
     top_hits_groups: int = 10,
@@ -1921,6 +1986,17 @@ def bm25_sql(
         # rounded so both sides stay bit-identical
         boost_expr = " * sqrt(bdl.dl)"
         boost_join = " JOIN dl bdl ON bdl.doc_id = d.doc_id"
+    if decay_gauss is not None:
+        # function_score gauss decay on dl: (dl-origin)^2 is exact BIGINT
+        # arithmetic cast to the same double the engine's float square
+        # produces; denom is one shared double literal; exp is the same
+        # libm on both engines (IndexShard.search_decay)
+        dg_o, dg_denom = decay_gauss
+        boost_expr = (
+            f" * exp(-(CAST((bdl.dl - {dg_o}) * (bdl.dl - {dg_o})"
+            f" AS DOUBLE)) / {dg_denom!r})"
+        )
+        boost_join = " JOIN dl bdl ON bdl.doc_id = d.doc_id"
     demote_expr = ""
     if demote_terms:
         dterms = ", ".join(f"'{t}'" for t in sorted(set(demote_terms)))
@@ -2077,6 +2153,25 @@ ORDER BY score DESC, doc_id ASC LIMIT {limit}"""
 FROM (SELECT doc_id, CAST(floor(score * 1000000 + 0.5) AS BIGINT) AS score_micro
       FROM kept {not_src})
 ORDER BY score_micro DESC, doc_id ASC LIMIT {limit}"""
+    elif pinned_ids is not None:
+        # ES pinned query: pins first in their GIVEN order with sentinel
+        # scores, organic kept rows follow excluding the pins (threshold
+        # max stayed corpus-wide above); one rank axis, one LIMIT
+        pin_rows = ", ".join(
+            f"({i}, {d}, 1, 0)" for i, d in enumerate(pinned_ids)
+        )
+        not_in = ", ".join(str(d) for d in pinned_ids)
+        final = f"""SELECT CAST(rank AS BIGINT) AS rank, CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(pinned AS BIGINT) AS pinned, CAST(score_micro AS BIGINT) AS score_micro
+FROM (
+  SELECT * FROM (VALUES {pin_rows}) p(rank, doc_id, pinned, score_micro)
+  UNION ALL
+  SELECT {len(pinned_ids)} - 1
+           + row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank,
+         doc_id, 0 AS pinned,
+         CAST(floor(score * 1000000 + 0.5) AS BIGINT) AS score_micro
+  FROM kept WHERE doc_id NOT IN ({not_in})
+) ORDER BY rank LIMIT {limit}"""
     elif micro_rank:
         # micro-grain ranking (see more_like_this): near-ulp ties order
         # by doc_id identically on both sides of the compare
@@ -11229,6 +11324,101 @@ def chi2_lang_source(sf_dir: str):
     )
 
 
+def hhi_supplier_revenue(sf_dir: str):
+    """Herfindahl–Hirschman concentration index of lineitem revenue by
+    supplier, in basis points: HHI = sum_i (s_i/T)^2 * 10000.  The only
+    corpus-scale work is the suppkey-keyed cents fold (map-side
+    partials); the squares/division run on the driver with
+    arbitrary-precision integers — ``(sum s_i^2 * 10000 * 2 + T^2) //
+    (2*T^2)`` — so no float ever appears (HUGEINT on the oracle side).
+    The market-concentration audit shape (antitrust, vendor risk)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(
+        sf_dir, "lineitem", columns=["l_suppkey", "l_extendedprice", "l_discount"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        rev = pcc.multiply(
+            t["l_extendedprice"], pcc.subtract(pa.scalar(1.0), t["l_discount"])
+        )
+        g = (
+            pd.DataFrame(
+                {"l_suppkey": t["l_suppkey"].to_pandas(),
+                 "rev_c": _cents_col(rev).to_pandas()}
+            )
+            .groupby("l_suppkey", as_index=False)["rev_c"]
+            .sum()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    per_supp = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("l_suppkey")
+        .aggregate(Sum("rev_c", alias_name="rev_c"))
+        .to_pandas()
+    )
+    shares = [int(x) for x in per_supp["rev_c"].tolist()]
+    total = sum(shares)
+    sq = sum(s * s for s in shares)
+    hhi_bps = (sq * 10_000 * 2 + total * total) // (2 * total * total) if total else 0
+    return pa.table(
+        {
+            "n_suppliers": pa.array([len(shares)], pa.int64()),
+            "total_c": pa.array([total], pa.int64()),
+            "hhi_bps": pa.array([hhi_bps], pa.int64()),
+        }
+    )
+
+
+TOPM_CHAR_BITS = 22  # n_chars must fit below 2^22 for the packed argmax
+TOPM_ID_BITS = 40
+
+
+def top_metrics_by_lang(sf_dir: str):
+    """ES top_metrics aggregation: per lang bucket, the metrics of the
+    TOP document by (n_chars desc, doc_id asc).  The argmax is fully
+    algebraic — the sort key packs into ONE int64
+    ``((2^22 - n_chars) << 40) | doc_id`` so a plain Min fold yields the
+    winner (no row shuffles, no map_groups); the driver unpacks.  Bounds
+    are asserted, not assumed."""
+    from ray.data.aggregate import Min
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        nc = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(nc):
+            assert nc.max() < (1 << TOPM_CHAR_BITS), "n_chars exceeds pack bound"
+            assert ids.max() < (1 << TOPM_ID_BITS), "doc_id exceeds pack bound"
+        packed = (((1 << TOPM_CHAR_BITS) - nc) << TOPM_ID_BITS) | ids
+        g = (
+            pd.DataFrame({"lang": t["lang"].to_pandas(), "packed": packed})
+            .groupby("lang", as_index=False)["packed"]
+            .min()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Min("packed", alias_name="packed"))
+        .to_pandas()
+        .sort_values("lang", ignore_index=True)
+    )
+    packed = out["packed"].to_numpy(np.int64)
+    return pa.table(
+        {
+            "lang": pa.array(out["lang"], pa.string()),
+            "doc_id": pa.array(packed & ((1 << TOPM_ID_BITS) - 1), pa.int64()),
+            "n_chars": pa.array(
+                (1 << TOPM_CHAR_BITS) - (packed >> TOPM_ID_BITS), pa.int64()
+            ),
+        }
+    )
+
+
 SCD2_OPEN_US = 1 << 62  # open-interval sentinel (epoch micros)
 
 
@@ -14565,6 +14755,34 @@ def build_oracle_sql() -> Dict[str, str]:
                         * ((SELECT count(*) FROM c) - 1) AS BIGINT) AS dof,
                    CAST(sum(m) AS BIGINT) AS chi2_micro
             FROM t
+        """,
+        "bm25_decay_gauss": bm25_sql(
+            BM25_QUERY, limit=20,
+            decay_gauss=(DECAY_ORIGIN, float(2 * DECAY_SCALE * DECAY_SCALE)),
+        ),
+        "bm25_pinned": bm25_sql(BM25_QUERY, limit=20, pinned_ids=PINNED_IDS),
+        "hhi_supplier_revenue": """
+            WITH s AS (SELECT l_suppkey,
+                              CAST(sum(CAST(floor(l_extendedprice
+                                   * (1.0 - l_discount) * 100 + 0.5) AS BIGINT))
+                                   AS HUGEINT) AS rev
+                       FROM lineitem GROUP BY 1),
+            t AS (SELECT CAST(count(*) AS BIGINT) AS n_suppliers,
+                         sum(rev) AS total,
+                         sum(rev * rev) AS sq FROM s)
+            SELECT n_suppliers,
+                   CAST(total AS BIGINT) AS total_c,
+                   CAST((sq * 10000 * 2 + total * total)
+                        // (2 * total * total) AS BIGINT) AS hhi_bps
+            FROM t
+        """,
+        "top_metrics_by_lang": """
+            SELECT lang, doc_id, CAST(n_chars AS BIGINT) AS n_chars
+            FROM (SELECT lang, doc_id, n_chars,
+                         row_number() OVER (PARTITION BY lang
+                             ORDER BY n_chars DESC, doc_id ASC) AS rn
+                  FROM documents)
+            WHERE rn = 1 ORDER BY lang
         """,
         "scd2_intervals": f"""
             WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_id,

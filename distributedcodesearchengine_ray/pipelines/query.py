@@ -881,6 +881,44 @@ class IndexShard:
             for i in cand
         ]
 
+    def search_decay(
+        self,
+        query_tokens: List[str],
+        idfs: Dict[str, float],
+        limit: int,
+        origin: int,
+        denom: float,
+        filters: Optional[Dict[str, str]] = None,
+    ) -> Tuple[float, List[dict]]:
+        """ES function_score gauss decay on doc length: every doc's BM25
+        multiplies by ``exp(-(dl - origin)^2 / denom)`` (the caller
+        precomputes ``denom = 2*scale^2`` as one double literal shared
+        with the SQL oracle) BEFORE the threshold — docs near the origin
+        length rank up.  Same return contract as ``search``."""
+        if self.n_local == 0:
+            return 0.0, []
+        d = self._doc_len.astype(np.float64) - float(origin)
+        scores = self._dense_scores(query_tokens, idfs) * np.exp(
+            -(d * d) / float(denom)
+        )
+        if self.alive is None:
+            local_max = float(scores.max()) if len(scores) else 0.0
+            cand = np.arange(self.n_local)
+        else:
+            live = scores[self.alive]
+            local_max = float(live.max()) if len(live) else 0.0
+            cand = np.flatnonzero(self.alive)
+        cand = cand[self._filter_mask(filters, cand)]
+        if len(cand) == 0:
+            return local_max, []
+        order = np.lexsort((self._doc_ids[cand], -scores[cand]))[:limit]
+        cand = cand[order]
+        return local_max, [
+            {"doc_id": int(self._doc_ids[i]), "score": float(scores[i]),
+             "_local": int(i)}
+            for i in cand
+        ]
+
     def search_rank_feature(
         self,
         query_tokens: List[str],
@@ -1858,6 +1896,40 @@ class QueryEngine:
         parts = ray.get(
             [
                 a.search_function_score.remote(toks, q_idfs, max(limit, 1), filters)
+                for a in self.actors
+            ]
+        )
+        global_max = max((m for m, _ in parts), default=0.0)
+        rows = [r for _, rs in parts for r in rs]
+        if global_max > 0:
+            min_score = global_max * 0.01
+            rows = [r for r in rows if r["score"] >= min_score]
+        rows.sort(key=lambda r: (-r["score"], r["doc_id"]))
+        return [{"doc_id": r["doc_id"], "score": r["score"]} for r in rows[:limit]]
+
+    def search_decay_gauss(
+        self,
+        query: str,
+        origin: int = 30,
+        scale: int = 20,
+        limit: int = 20,
+        filters: Optional[Dict[str, str]] = None,
+    ) -> List[dict]:
+        """ES function_score gauss decay on doc token length: BM25 times
+        ``exp(-(dl-origin)^2 / (2*scale^2))`` per doc, threshold max*0.01
+        on the decayed score, standard (score desc, doc_id asc) merge."""
+        import ray
+
+        toks = tokenize(query)
+        if not toks:
+            return []
+        q_idfs = self.lexicon.idfs(toks)
+        denom = float(2 * scale * scale)
+        parts = ray.get(
+            [
+                a.search_decay.remote(
+                    toks, q_idfs, max(limit, 1), origin, denom, filters
+                )
                 for a in self.actors
             ]
         )

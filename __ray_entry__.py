@@ -154,6 +154,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_corr_by_type": Q.value_corr_by_type,  # algebraic-moments Pearson r, integer partials
         "hourly_anomalies": Q.hourly_anomalies,  # rolling z-score anomaly flags per event type
         "cusum_daily_revenue": Q.cusum_daily_revenue,  # CUSUM change-point walk, integer cents
+        "mann_kendall_daily_revenue": Q.mann_kendall_daily_revenue,  # MK trend test, tie-corrected
+        "zorder_events": Q.zorder_events,  # Z-order/Morton clustering keys (layout primitive)
+        "value_quantile_normalize": Q.value_quantile_normalize,  # empirical-CDF rank transform, bps
         "filters_agg_events": Q.filters_agg_events,  # ES filters agg: named buckets + other_bucket
         "full_outer_balance": Q.full_outer_balance,  # FULL OUTER join of two pre-aggregated folds
         "lineitem_unpivot": Q.lineitem_unpivot,  # UNPIVOT/melt: wide measures to long in one scan

@@ -11419,6 +11419,147 @@ def top_metrics_by_lang(sf_dir: str):
     )
 
 
+def mann_kendall_daily_revenue(sf_dir: str):
+    """Mann-Kendall trend test over the daily order-revenue series:
+    ``S = sum_{i<j} sign(x_j - x_i)`` with the tie-corrected variance
+    ``var = (n(n-1)(2n+5) - sum_t t(t-1)(2t+5)) / 18`` and the
+    continuity-corrected z.  The distributed part is the bounded
+    day-axis cents fold; the O(n^2) pair scan runs on the driver over
+    the <=few-thousand-day axis (numpy outer sign).  S and the variance
+    NUMERATOR stay exact integers on both sides; z is one shared double
+    expression ``(S -/+ 1) / sqrt(var18 / 18)``."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = pcc.strftime(t["o_orderdate"], format="%Y-%m-%d")
+        g = (
+            pd.DataFrame(
+                {"day": day.to_pandas(),
+                 "rev_c": _cents_col(t["o_totalprice"]).to_pandas()}
+            )
+            .groupby("day", as_index=False)["rev_c"]
+            .sum()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    days = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Sum("rev_c", alias_name="rev_c"))
+        .to_pandas()
+        .sort_values("day", ignore_index=True)
+    )
+    x = days["rev_c"].to_numpy(np.int64)
+    n = len(x)
+    diff_sign = np.sign(np.subtract.outer(x, x))  # [i, j] = sign(x_i - x_j)
+    s = -int(np.triu(diff_sign, k=1).sum())  # sum over i<j of sign(x_j - x_i)
+    _, tie_counts = np.unique(x, return_counts=True)
+    ties = sum(int(t) * (int(t) - 1) * (2 * int(t) + 5) for t in tie_counts if t > 1)
+    var18 = n * (n - 1) * (2 * n + 5) - ties
+    if s > 0:
+        z = (s - 1) / math.sqrt(var18 / 18.0)
+    elif s < 0:
+        z = (s + 1) / math.sqrt(var18 / 18.0)
+    else:
+        z = 0.0
+    return pa.table(
+        {
+            "n_days": pa.array([n], pa.int64()),
+            "s": pa.array([s], pa.int64()),
+            "var18": pa.array([var18], pa.int64()),
+            "z_micro": pa.array([int(math.floor(z * 1e6 + 0.5))], pa.int64()),
+        }
+    )
+
+
+ZORDER_BITS = 16
+
+
+def zorder_events(sf_dir: str):
+    """Z-order (Morton) clustering keys over events: the 2-D key
+    interleaves ``user_id % 2^16`` and the clipped value cents bit by
+    bit, so sorting by it co-locates rows close in BOTH dimensions — the
+    lakehouse data-layout primitive behind multi-column range pruning
+    (write the table ordered by ``zval`` and min/max footer stats prune
+    on either column).  Pure map-side numpy bit arithmetic; the oracle
+    evaluates the identical 32-term shift/mask expression."""
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "value"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        a = (
+            t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            % (1 << ZORDER_BITS)
+        )
+        b = np.minimum(
+            _cents_col(t["value"]).to_numpy(zero_copy_only=False),
+            (1 << ZORDER_BITS) - 1,
+        )
+        z = np.zeros(len(a), np.int64)
+        for i in range(ZORDER_BITS):
+            z |= ((a >> i) & 1) << (2 * i + 1)
+            z |= ((b >> i) & 1) << (2 * i)
+        return pa.table({"event_id": t["event_id"], "zval": pa.array(z)})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def value_quantile_normalize(sf_dir: str):
+    """Quantile normalization of the events ``value`` column: each row
+    maps to its empirical-CDF position in basis points — ``q_bps =
+    round(count(v' <= v) / n * 10000)`` — the rank-based feature
+    transform (ties share a value, hence a rank).  One bounded
+    cent-histogram fold builds the CDF; the driver broadcasts the sorted
+    (value, cumulative-count) arrays via ``ray.put`` and a map-side
+    ``searchsorted`` transforms every row — raw rows never shuffle.
+    Integer-only rounding on both sides."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["event_id", "value"])
+
+    def hist(t: pa.Table) -> pa.Table:
+        g = (
+            pd.DataFrame({"v": _cents_col(t["value"]).to_pandas()})
+            .groupby("v", as_index=False)
+            .size()
+        )
+        return pa.table(
+            {"v": pa.array(g["v"].to_numpy(np.int64)),
+             "n": pa.array(g["size"].to_numpy(np.int64))}
+        )
+
+    cdf = (
+        ds.map_batches(hist, batch_format="pyarrow")
+        .groupby("v")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values("v", ignore_index=True)
+    )
+    vals = cdf["v"].to_numpy(np.int64)
+    cum = cdf["n"].to_numpy(np.int64).cumsum()
+    n_total = int(cum[-1]) if len(cum) else 0
+    cdf_ref = ray.put((vals, cum, n_total))
+
+    class Normalize:
+        def __init__(self):
+            self.vals, self.cum, self.n = ray.get(cdf_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            v = _cents_col(t["value"]).to_numpy(zero_copy_only=False)
+            idx = np.searchsorted(self.vals, v, side="right") - 1
+            le = self.cum[idx]
+            q = (le * 10_000 * 2 + self.n) // (2 * self.n)
+            return pa.table(
+                {"event_id": t["event_id"], "q_bps": pa.array(q.astype(np.int64))}
+            )
+
+    return ds.map_batches(Normalize, batch_format="pyarrow", concurrency=2)
+
+
 SCD2_OPEN_US = 1 << 62  # open-interval sentinel (epoch micros)
 
 
@@ -14755,6 +14896,60 @@ def build_oracle_sql() -> Dict[str, str]:
                         * ((SELECT count(*) FROM c) - 1) AS BIGINT) AS dof,
                    CAST(sum(m) AS BIGINT) AS chi2_micro
             FROM t
+        """,
+        "mann_kendall_daily_revenue": """
+            WITH days AS (SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+                     CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                          AS BIGINT) AS rev
+                   FROM orders GROUP BY 1),
+            nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM days),
+            ss AS (SELECT CAST(coalesce(sum(CASE WHEN b.rev > a.rev THEN 1
+                                               WHEN b.rev < a.rev THEN -1
+                                               ELSE 0 END), 0) AS BIGINT) AS s
+                   FROM days a JOIN days b ON a.day < b.day),
+            ties AS (SELECT CAST(coalesce(sum(t * (t - 1) * (2 * t + 5)), 0)
+                                 AS BIGINT) AS tt
+                     FROM (SELECT CAST(count(*) AS BIGINT) AS t
+                           FROM days GROUP BY rev) WHERE t > 1),
+            v AS (SELECT (SELECT n FROM nn) AS n, (SELECT s FROM ss) AS s,
+                         (SELECT n FROM nn) * ((SELECT n FROM nn) - 1)
+                           * (2 * (SELECT n FROM nn) + 5)
+                           - (SELECT tt FROM ties) AS var18)
+            SELECT n AS n_days, s, CAST(var18 AS BIGINT) AS var18,
+                   CAST(floor(CASE
+                     WHEN s > 0 THEN (s - 1) / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+                     WHEN s < 0 THEN (s + 1) / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+                     ELSE 0.0 END * 1000000 + 0.5) AS BIGINT) AS z_micro
+            FROM v
+        """,
+        "zorder_events": f"""
+            WITH e AS (SELECT event_id,
+                              user_id % {1 << ZORDER_BITS} AS a,
+                              least(CAST(floor(value * 100 + 0.5) AS BIGINT),
+                                    {(1 << ZORDER_BITS) - 1}) AS b
+                       FROM events)
+            SELECT event_id,
+                   CAST({" + ".join(
+                       f"(((a >> {i}) & 1) << {2 * i + 1})"
+                       f" + (((b >> {i}) & 1) << {2 * i})"
+                       for i in range(ZORDER_BITS)
+                   )} AS BIGINT) AS zval
+            FROM e
+        """,
+        "value_quantile_normalize": """
+            WITH e AS (SELECT event_id,
+                              CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+                       FROM events),
+            nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e),
+            r AS (SELECT event_id,
+                         CAST(count(*) OVER (ORDER BY v RANGE BETWEEN
+                              UNBOUNDED PRECEDING AND CURRENT ROW)
+                              AS BIGINT) AS le
+                  FROM e)
+            SELECT event_id,
+                   CAST((le * 10000 * 2 + (SELECT n FROM nn))
+                        // (2 * (SELECT n FROM nn)) AS BIGINT) AS q_bps
+            FROM r
         """,
         "bm25_decay_gauss": bm25_sql(
             BM25_QUERY, limit=20,

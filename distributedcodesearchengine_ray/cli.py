@@ -4,7 +4,7 @@
 Usage:
     python -m distributedcodesearchengine_ray.cli index  <corpus_dir> --index-dir DIR [--mode entity|file] [--no-resume] [--embeddings]
     python -m distributedcodesearchengine_ray.cli search "<query>" --index-dir DIR [--limit N]
-        [--language L] [--entity-type T] [--repo R] [--hybrid] [--method dense|wand|fuzzy|regexp|common_terms]
+        [--language L] [--entity-type T] [--repo R] [--hybrid] [--method dense|wand|fuzzy|regexp|common_terms|decay]
     python -m distributedcodesearchengine_ray.cli stats  --index-dir DIR
     python -m distributedcodesearchengine_ray.cli dedup  <table> [--method exact|minhash|simhash|ngram|embed]
         [--threshold J] [--clusters] [--out DIR]
@@ -74,7 +74,7 @@ def main(argv=None) -> int:
     ps.add_argument("--entity-type")
     ps.add_argument("--repo")
     ps.add_argument("--hybrid", action="store_true")
-    ps.add_argument("--method", choices=["dense", "wand", "fuzzy", "regexp", "common_terms"], default="dense")
+    ps.add_argument("--method", choices=["dense", "wand", "fuzzy", "regexp", "common_terms", "decay"], default="dense")
     ps.add_argument(
         "--facets",
         metavar="COL",

@@ -1303,21 +1303,19 @@ def bm25_pinned(sf_dir: str, query: str = BM25_QUERY, limit: int = 20):
     idx = _documents_index(sf_dir)
     engine = QueryEngine(idx, num_actors=2)
     try:
-        pins = [p for p in PINNED_IDS if p < engine.manifest.n_docs]
-        hits = engine.search(query, limit=limit + len(pins))
+        hits = engine.search_pinned(query, PINNED_IDS, limit=limit)
     finally:
         engine.close()
-    pinset = set(pins)
-    organic = [h for h in hits if h["doc_id"] not in pinset][: limit - len(pins)]
-    ids = pins + [h["doc_id"] for h in organic]
-    pinned_flag = [1] * len(pins) + [0] * len(organic)
-    scores = [0] * len(pins) + [int(x) for x in _micro([h["score"] for h in organic])]
     return pa.table(
         {
-            "rank": pa.array(np.arange(len(ids)), pa.int64()),
-            "doc_id": pa.array(ids, pa.int64()),
-            "pinned": pa.array(pinned_flag, pa.int64()),
-            "score_micro": pa.array(scores, pa.int64()),
+            "rank": pa.array(np.arange(len(hits)), pa.int64()),
+            "doc_id": pa.array([h["doc_id"] for h in hits], pa.int64()),
+            "pinned": pa.array([int(h["pinned"]) for h in hits], pa.int64()),
+            "score_micro": pa.array(
+                [0 if h["pinned"] else int(x)
+                 for h, x in zip(hits, _micro([h["score"] for h in hits]))],
+                pa.int64(),
+            ),
         }
     )
 

@@ -1761,7 +1761,7 @@ class QueryEngine:
 
         toks = (
             self._wildcard_tokens(query)
-            if ("*" in query or "?" in query)
+            if ("*" in query or "?" in query or ".." in query)
             else tokenize(query)
         )
         if not toks:
@@ -2163,12 +2163,22 @@ class QueryEngine:
 
     def _wildcard_tokens(self, query: str) -> List[str]:
         """Tokenize a query whose whitespace chunks may carry ``*``/``?``
-        wildcards: plain chunks go through the code tokenizer, wildcard
-        chunks expand against the lexicon (df-descending, capped) — the
-        expanded terms then score as ordinary OR'd BM25 query tokens."""
+        wildcards or a ``lo..hi`` term range: plain chunks go through the
+        code tokenizer, wildcard chunks expand against the lexicon
+        (df-descending, capped), range chunks expand the lexicographic
+        vocabulary slice ``[lo, hi)`` (TermRangeQuery) — the expanded
+        terms then score as ordinary OR'd BM25 query tokens."""
         toks: List[str] = []
         for chunk in query.split():
-            if "*" in chunk or "?" in chunk:
+            if ".." in chunk and "*" not in chunk and "?" not in chunk:
+                lo, _, hi = chunk.partition("..")
+                if lo and hi:
+                    toks.extend(
+                        t for t, _ in self.lexicon.expand_range(lo.lower(), hi.lower())
+                    )
+                else:
+                    toks.extend(tokenize(chunk))
+            elif "*" in chunk or "?" in chunk:
                 toks.extend(t for t, _ in self.lexicon.expand(chunk.lower()))
             else:
                 toks.extend(tokenize(chunk))
@@ -2311,7 +2321,31 @@ class QueryEngine:
             return self.search_regexp(query, limit=limit, filters=filters)
         if method == "common_terms":
             return self.search_common_terms(query, limit=limit, filters=filters)
+        if method == "decay":
+            return self.search_decay_gauss(query, limit=limit, filters=filters)
         return self.search_batch([(query, filters)], limit=limit, method=method)[0]
+
+    def search_pinned(
+        self,
+        query: str,
+        pinned_ids: List[int],
+        limit: int = 20,
+        filters: Optional[Dict[str, str]] = None,
+    ) -> List[dict]:
+        """ES pinned query: ``pinned_ids`` (those that exist) rank FIRST
+        in their given order with sentinel scores, organic BM25 results
+        follow with the pins excluded.  The organic pass over-fetches
+        ``limit + |pins|`` rows (the max*0.01 threshold stays corpus-wide
+        and unmasked), drops the pins, and fills the tail — one ordinary
+        fan-out, no extra shard round."""
+        pins = [p for p in pinned_ids if 0 <= p < self.manifest.n_docs]
+        hits = self.search(query, limit=limit + len(pins), filters=filters)
+        pinset = set(pins)
+        organic = [h for h in hits if h["doc_id"] not in pinset]
+        out = [{"doc_id": p, "score": 0.0, "pinned": True} for p in pins]
+        for h in organic[: max(limit - len(pins), 0)]:
+            out.append({"doc_id": h["doc_id"], "score": h["score"], "pinned": False})
+        return out
 
     def search_after(
         self,
@@ -2728,7 +2762,9 @@ class QueryEngine:
         parsed = [self._parse_boolean(q) if ("+" in q or "-" in q) else (q, [], [])
                   for q, _ in queries]
         token_lists = [
-            self._wildcard_tokens(q) if ("*" in q or "?" in q) else tokenize(q)
+            self._wildcard_tokens(q)
+            if ("*" in q or "?" in q or ".." in q)
+            else tokenize(q)
             for (q, _, _) in parsed
         ]
         # quoted segments are BOTH scored (their tokens) and required

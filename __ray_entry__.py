@@ -161,6 +161,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "full_outer_balance": Q.full_outer_balance,  # FULL OUTER join of two pre-aggregated folds
         "lineitem_unpivot": Q.lineitem_unpivot,  # UNPIVOT/melt: wide measures to long in one scan
         "funnel_counts": Q.funnel_counts,  # ordered funnel stages, chained min-after-min oracle
+        "funnel_time_to_convert": Q.funnel_time_to_convert,  # first-view -> first-purchase latency
+        "ab_test_conversion": Q.ab_test_conversion,  # hash-armed A/B conversion + pooled z
+        "zipf_fit_terms": Q.zipf_fit_terms,  # Zipf power-law OLS over top-100 dfs, integer moments
         "eql_sequence": Q.eql_sequence,  # EQL sequence-by-user with maxspan, searchsorted chain walk
         "region_nation_rollup": Q.region_nation_rollup,  # dimension-hierarchy ROLLUP over a fact join
         "events_debounce": Q.events_debounce,  # dedup-within-window (alert suppression), LAG oracle

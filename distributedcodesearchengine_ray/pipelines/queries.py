@@ -11715,6 +11715,174 @@ def filters_agg_events(sf_dir: str):
     )
 
 
+ZIPF_TOP = 100
+
+
+def zipf_fit_terms(sf_dir: str):
+    """Zipf power-law fit of the term-frequency distribution: OLS slope
+    of ln(df) on ln(rank) over the top-``ZIPF_TOP`` vocabulary terms
+    (rank by df desc, term asc) — the corpus-health audit (natural text
+    fits slope ~ -1; synthetic/templated corpora deviate).  The
+    distributed part is the standard df fold; the fit quantizes each
+    ln() to MICRO-NAT INTEGERS FIRST, so all OLS moments are exact
+    integer sums on both sides and only the final slope/intercept
+    division is float (identical expression trees)."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        toks = tokenize_array(t["text"])
+        flat = pcc.list_flatten(toks)
+        parents = pcc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        df_ = pd.DataFrame({"term": flat.to_pandas(), "d": parents}).drop_duplicates()
+        partial = df_.groupby("term", sort=False).size().reset_index(name="df")
+        return pa.table(
+            {"term": pa.array(partial["term"], pa.string()),
+             "df": pa.array(partial["df"].to_numpy(), pa.int64())}
+        )
+
+    top = (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("df", alias_name="df"))
+        .to_pandas()
+        .sort_values(["df", "term"], ascending=[False, True], ignore_index=True)
+        .head(ZIPF_TOP)
+    )
+    n = len(top)
+    xs = [int(math.floor(math.log(r + 1) * 1e6 + 0.5)) for r in range(n)]
+    ys = [
+        int(math.floor(math.log(int(d)) * 1e6 + 0.5)) for d in top["df"].tolist()
+    ]
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(x * x for x in xs)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    num = n * sxy - sx * sy
+    den = n * sxx - sx * sx
+    slope = float(num) / float(den) if den else 0.0
+    intercept = (sy - slope * sx) / n  # micro-nat units
+    return pa.table(
+        {
+            "n_terms": pa.array([n], pa.int64()),
+            "slope_micro": pa.array(
+                [int(math.floor(slope * 1e6 + 0.5))], pa.int64()
+            ),
+            "intercept_micronat": pa.array(
+                [int(math.floor(intercept + 0.5))], pa.int64()
+            ),
+        }
+    )
+
+
+FUNNEL_FROM = "view"
+FUNNEL_TO = "purchase"
+
+
+def funnel_time_to_convert(sf_dir: str):
+    """Time-to-convert: per user, the seconds from their FIRST
+    ``view`` to the first ``purchase`` AT OR AFTER it (the funnel-latency
+    distribution behind conversion SLAs).  One user-keyed exchange of
+    pre-filtered (ts, type) pairs; inside each group two vectorized mins
+    — no per-row loop; non-converting users drop out.  Integer epoch
+    seconds on both sides."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+    ds = ds.filter(
+        expr=f"event_type == '{FUNNEL_FROM}' or event_type == '{FUNNEL_TO}'"
+    )
+
+    def pergroup(df: pd.DataFrame) -> pd.DataFrame:
+        tus = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        et = df["event_type"].to_numpy()
+        views = tus[et == FUNNEL_FROM]
+        if len(views) == 0:
+            return pd.DataFrame(
+                {"user_id": pd.Series([], dtype=np.int64),
+                 "convert_sec": pd.Series([], dtype=np.int64)}
+            )
+        t0 = views.min()
+        buys = tus[(et == FUNNEL_TO) & (tus >= t0)]
+        if len(buys) == 0:
+            return pd.DataFrame(
+                {"user_id": pd.Series([], dtype=np.int64),
+                 "convert_sec": pd.Series([], dtype=np.int64)}
+            )
+        return pd.DataFrame(
+            {
+                "user_id": [int(df["user_id"].iloc[0])],
+                "convert_sec": [int((buys.min() - t0) // 1_000_000)],
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(pergroup, batch_format="pandas")
+
+
+AB_SALT = "exp42"
+
+
+def ab_test_conversion(sf_dir: str):
+    """A/B experiment readout: users hash-split into two arms
+    (``md5(salt:user_id)`` parity — deterministic, reproducible), a user
+    CONVERTS if any ``purchase`` follows their first ``view``; emits per-
+    arm user/conversion counts and the two-proportion pooled z in micro.
+    One user-keyed exchange; the z expression tree matches the oracle's
+    exactly (integer counts in, one double expression out)."""
+    import math
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+    ds = ds.filter(
+        expr=f"event_type == '{FUNNEL_FROM}' or event_type == '{FUNNEL_TO}'"
+    )
+
+    def pergroup(df: pd.DataFrame) -> pd.DataFrame:
+        uid = int(df["user_id"].iloc[0])
+        tus = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        et = df["event_type"].to_numpy()
+        views = tus[et == FUNNEL_FROM]
+        if len(views) == 0:
+            return pd.DataFrame(
+                {"arm": pd.Series([], dtype=np.int64),
+                 "n": pd.Series([], dtype=np.int64),
+                 "k": pd.Series([], dtype=np.int64)}
+            )
+        t0 = views.min()
+        conv = int(((et == FUNNEL_TO) & (tus >= t0)).any())
+        arm = int(
+            hashlib.md5(f"{AB_SALT}:{uid}".encode()).hexdigest()[-1], 16
+        ) % 2
+        return pd.DataFrame({"arm": [arm], "n": [1], "k": [conv]})
+
+    from ray.data.aggregate import Sum
+
+    arms = (
+        ds.groupby("user_id")
+        .map_groups(pergroup, batch_format="pandas")
+        .groupby("arm")
+        .aggregate(Sum("n", alias_name="n"), Sum("k", alias_name="k"))
+        .to_pandas()
+        .sort_values("arm", ignore_index=True)
+    )
+    vals = {int(r["arm"]): (int(r["n"]), int(r["k"])) for _, r in arms.iterrows()}
+    n1, k1 = vals.get(0, (0, 0))
+    n2, k2 = vals.get(1, (0, 0))
+    if n1 and n2 and 0 < k1 + k2 < n1 + n2:
+        p = (k1 + k2) / (n1 + n2)
+        z = (k1 / n1 - k2 / n2) / math.sqrt(p * (1.0 - p) * (1.0 / n1 + 1.0 / n2))
+    else:
+        z = 0.0
+    return pa.table(
+        {
+            "n_a": pa.array([n1], pa.int64()),
+            "k_a": pa.array([k1], pa.int64()),
+            "n_b": pa.array([n2], pa.int64()),
+            "k_b": pa.array([k2], pa.int64()),
+            "z_micro": pa.array([int(math.floor(z * 1e6 + 0.5))], pa.int64()),
+        }
+    )
+
+
 def mutual_info_lang_source(sf_dir: str):
     """Mutual information I(lang; source) in micro-nats, plus the
     marginal entropies H(lang) / H(source) (normalized-MI comes free on
@@ -14894,6 +15062,81 @@ def build_oracle_sql() -> Dict[str, str]:
                         * ((SELECT count(*) FROM c) - 1) AS BIGINT) AS dof,
                    CAST(sum(m) AS BIGINT) AS chi2_micro
             FROM t
+        """,
+        "zipf_fit_terms": f"""
+            WITH tok AS (SELECT doc_id, {tok} AS toks FROM documents),
+            pairs AS (SELECT DISTINCT doc_id, unnest(toks) AS term FROM tok),
+            d AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+                  FROM pairs GROUP BY term),
+            top AS (SELECT df,
+                           row_number() OVER (ORDER BY df DESC, term ASC) - 1 AS r
+                    FROM d ORDER BY df DESC, term ASC LIMIT {ZIPF_TOP}),
+            q AS (SELECT CAST(floor(ln(CAST(r + 1 AS DOUBLE)) * 1000000 + 0.5)
+                              AS HUGEINT) AS x,
+                         CAST(floor(ln(CAST(df AS DOUBLE)) * 1000000 + 0.5)
+                              AS HUGEINT) AS y
+                  FROM top),
+            s AS (SELECT CAST(count(*) AS HUGEINT) AS n, sum(x) AS sx,
+                         sum(y) AS sy, sum(x * x) AS sxx, sum(x * y) AS sxy
+                  FROM q)
+            SELECT CAST(n AS BIGINT) AS n_terms,
+                   CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE)
+                        / CAST(n * sxx - sx * sx AS DOUBLE)
+                        * 1000000 + 0.5) AS BIGINT) AS slope_micro,
+                   CAST(floor((CAST(sy AS DOUBLE)
+                        - CAST(n * sxy - sx * sy AS DOUBLE)
+                          / CAST(n * sxx - sx * sx AS DOUBLE)
+                          * CAST(sx AS DOUBLE))
+                        / CAST(n AS DOUBLE) + 0.5) AS BIGINT)
+                     AS intercept_micronat
+            FROM s
+        """,
+        "funnel_time_to_convert": f"""
+            WITH v AS (SELECT user_id, min(epoch_us(ts)) AS t0
+                       FROM events WHERE event_type = '{FUNNEL_FROM}'
+                       GROUP BY 1),
+            p AS (SELECT e.user_id, min(epoch_us(e.ts)) AS tp
+                  FROM events e JOIN v ON v.user_id = e.user_id
+                  WHERE e.event_type = '{FUNNEL_TO}'
+                    AND epoch_us(e.ts) >= v.t0
+                  GROUP BY 1)
+            SELECT p.user_id,
+                   CAST((p.tp - v.t0) // 1000000 AS BIGINT) AS convert_sec
+            FROM p JOIN v USING (user_id)
+        """,
+        "ab_test_conversion": f"""
+            WITH v AS (SELECT user_id, min(epoch_us(ts)) AS t0
+                       FROM events WHERE event_type = '{FUNNEL_FROM}'
+                       GROUP BY 1),
+            conv AS (SELECT v.user_id,
+                            CAST(max(CASE WHEN e.event_type = '{FUNNEL_TO}'
+                                     AND epoch_us(e.ts) >= v.t0
+                                     THEN 1 ELSE 0 END) AS BIGINT) AS k
+                     FROM v JOIN events e ON e.user_id = v.user_id
+                     GROUP BY 1),
+            armed AS (SELECT CASE WHEN right(md5('{AB_SALT}:'
+                               || CAST(user_id AS VARCHAR)), 1)
+                               IN ('1','3','5','7','9','b','d','f')
+                             THEN 1 ELSE 0 END AS arm, k
+                      FROM conv),
+            s AS (SELECT
+                    CAST(coalesce(sum(CASE WHEN arm = 0 THEN 1 END), 0) AS BIGINT) AS n1,
+                    CAST(coalesce(sum(CASE WHEN arm = 0 THEN k END), 0) AS BIGINT) AS k1,
+                    CAST(coalesce(sum(CASE WHEN arm = 1 THEN 1 END), 0) AS BIGINT) AS n2,
+                    CAST(coalesce(sum(CASE WHEN arm = 1 THEN k END), 0) AS BIGINT) AS k2
+                  FROM armed)
+            SELECT n1 AS n_a, k1 AS k_a, n2 AS n_b, k2 AS k_b,
+                   CAST(floor(CASE WHEN n1 > 0 AND n2 > 0
+                        AND k1 + k2 > 0 AND k1 + k2 < n1 + n2 THEN
+                     (CAST(k1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                      - CAST(k2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+                     / sqrt((CAST(k1 + k2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+                            * (1.0 - CAST(k1 + k2 AS DOUBLE)
+                                     / CAST(n1 + n2 AS DOUBLE))
+                            * (1.0 / CAST(n1 AS DOUBLE)
+                               + 1.0 / CAST(n2 AS DOUBLE)))
+                     ELSE 0.0 END * 1000000 + 0.5) AS BIGINT) AS z_micro
+            FROM s
         """,
         "mann_kendall_daily_revenue": """
             WITH days AS (SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,

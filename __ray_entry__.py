@@ -85,6 +85,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_keep_best": Q.dedup_keep_best,  # keep longest per cluster, closure+window oracle
         "doc_pagerank": Q.doc_pagerank,  # integer PageRank over the near-dup graph, unrolled-SQL oracle
         "dup_triangles": Q.dup_triangles,  # triangle enumeration over the near-dup graph, 3-way self-join oracle
+        "dup_graph_bfs": Q.dup_graph_bfs,  # multi-source BFS hop distances, recursive-SQL oracle
         "dup_degree_hist": Q.dup_degree_hist,  # near-dup graph degree distribution incl. isolated docs
         "simhash_near_dups": Q.simhash_near_dups,  # rows-only, scalar-oracle gated
         "clone_pairs": Q.clone_pairs,  # winnowing clone join, rows-only (pytest brute-force gate)

@@ -2768,6 +2768,44 @@ def dedup_keep_best(sf_dir: str):
     )
 
 
+BFS_SOURCE_MOD = 50
+
+
+def dup_graph_bfs(sf_dir: str):
+    """Multi-source BFS hop distances over the exact near-dup graph
+    (shared memoized pair join): for every graph node, the hop distance
+    to the NEAREST source doc (``doc_id % 50 == 0``) through
+    Jaccard>=0.5 edges; nodes in components with no source keep -1 —
+    the provenance-radius question ("how far is this doc from a known
+    original").  Vectorized frontier relaxation
+    ``dist = min(dist, dist[neighbor] + 1)`` runs to fixpoint (bounded
+    by the graph diameter) over the pair-join-sized arrays — the same
+    size class and driver/distributed split convention as
+    ``dedup_clusters``; at the >=5M-edge scale the identical loop
+    distributes as edges-join-frontier + groupby-min.  Oracle: a WITH
+    RECURSIVE shortest-hop closure with a node-count depth bound."""
+    pairs = _ngram_pairs(sf_dir)
+    a = pairs["id_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+    b = pairs["id_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+    nodes = np.unique(np.concatenate([a, b]))
+    uidx = np.searchsorted(nodes, np.concatenate([a, b]))
+    vidx = np.searchsorted(nodes, np.concatenate([b, a]))
+    big = np.int64(1) << 40
+    d = np.where(nodes % BFS_SOURCE_MOD == 0, 0, big).astype(np.int64)
+    while True:
+        nd = d.copy()
+        np.minimum.at(nd, vidx, d[uidx] + 1)
+        if np.array_equal(nd, d):
+            break
+        d = nd
+    return pa.table(
+        {
+            "doc_id": pa.array(nodes),
+            "dist": pa.array(np.where(d >= big, -1, d).astype(np.int64)),
+        }
+    )
+
+
 def dup_triangles(sf_dir: str):
     """Triangle enumeration over the exact near-dup pair graph (shared
     memoized join): each a<b<c triple of mutually-similar docs once —
@@ -13586,6 +13624,39 @@ def build_oracle_sql() -> Dict[str, str]:
               SELECT e.ev AS v, reach.r FROM edges e JOIN reach ON reach.v = e.eu)
             SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v
             ORDER BY doc_id
+        """,
+        "dup_graph_bfs": f"""
+            WITH RECURSIVE toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                 x -> length(x) > 0) AS t
+              FROM documents),
+            grams AS (
+              SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram
+              FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+              WHERE len(t) >= 3),
+            sz AS (SELECT doc_id, count(*) AS s FROM grams GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+              FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+            pairs AS (
+              SELECT id_a, id_b
+              FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+              WHERE i / (sa.s + sb.s - i) >= 0.5),
+            edges AS (SELECT id_a AS eu, id_b AS ev FROM pairs
+                      UNION SELECT id_b, id_a FROM pairs),
+            nodes AS (SELECT DISTINCT eu AS v FROM edges),
+            walk AS (
+              SELECT v, 0 AS d FROM nodes WHERE v % {BFS_SOURCE_MOD} = 0
+              UNION
+              SELECT e.ev AS v, walk.d + 1 AS d
+              FROM edges e JOIN walk ON walk.v = e.eu
+              WHERE walk.d < (SELECT count(*) FROM nodes))
+            SELECT n.v AS doc_id,
+                   CAST(coalesce(min(w.d), -1) AS BIGINT) AS dist
+            FROM nodes n LEFT JOIN walk w ON w.v = n.v
+            GROUP BY n.v ORDER BY doc_id
         """,
         "dedup_keep_best": """
             WITH RECURSIVE toks AS (

@@ -122,6 +122,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_upsert": Q.cdc_upsert,  # MERGE/upsert: change stream resolved by one algebraic groupby
         "scd2_intervals": Q.scd2_intervals,  # SCD type-2 validity intervals from a change stream
         "cdc_incremental_agg": Q.cdc_incremental_agg,  # incremental view maintenance, O(|changes|) deltas
+        "snapshot_diff": Q.snapshot_diff,  # table-version reconciliation: added/removed/changed per lang
+        "source_share_within_lang": Q.source_share_within_lang,  # ES normalize: percent-of-parent bps
         "user_value_twap": Q.user_value_twap,  # time-weighted average (LOCF integral), integer partials
         "bm25_boosted": Q.bm25_boosted,  # query-time term boosts via duplicate-token rule
         "line_dedup": Q.line_dedup,  # CCNet corpus-wide paragraph dedup, window+agg oracle

@@ -11753,6 +11753,139 @@ def filters_agg_events(sf_dir: str):
     )
 
 
+def snapshot_diff(sf_dir: str):
+    """Table-version reconciliation (snapshot diff): compare the base
+    ``documents`` table against its CDC-applied successor (the same
+    deterministic change stream ``cdc_upsert`` uses) and count
+    added / removed / changed / unchanged rows per lang — the
+    data-versioning audit behind incremental publishing.  One
+    doc_id-keyed tag-union groupby classifies every key algebraically
+    (ver-split n_chars sentinels, no row iteration); per-lang counts
+    fold map-side.  Oracle: FULL OUTER JOIN with the same CASE."""
+    from ray.data.aggregate import Max, Sum
+
+    cols = ["doc_id", "lang", "n_chars"]
+
+    def base_rows(t: pa.Table) -> pa.Table:
+        n = len(t)
+        return pa.table(
+            {
+                "doc_id": pcc.cast(t["doc_id"], pa.int64()),
+                "lang": t["lang"],
+                "in_a": pa.array(np.ones(n, np.int64)),
+                "in_b": pa.array(np.zeros(n, np.int64)),
+                "nch_a": pcc.cast(t["n_chars"], pa.int64()),
+                "nch_b": pa.array(np.full(n, -1, np.int64)),
+            }
+        )
+
+    def next_rows(t: pa.Table) -> pa.Table:
+        # the CDC-applied successor: %10==0 deleted, 1/2 updated (+delta),
+        # 3 inserted at +offset, everything else carried unchanged
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lang = t["lang"].to_pandas().to_numpy()
+        nch = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mod = ids % 10
+        keep = mod != 0
+        upd = (mod == 1) | (mod == 2)
+        out_ids = [ids[keep]]
+        out_lang = [lang[keep]]
+        out_nch = [np.where(upd[keep], nch[keep] + CDC_UPDATE_DELTA, nch[keep])]
+        ins = mod == 3
+        out_ids.append(ids[ins] + CDC_INSERT_OFFSET)
+        out_lang.append(lang[ins])
+        out_nch.append(nch[ins])
+        oi = np.concatenate(out_ids)
+        n = oi.size
+        return pa.table(
+            {
+                "doc_id": pa.array(oi),
+                "lang": pa.array(np.concatenate(out_lang), pa.string()),
+                "in_a": pa.array(np.zeros(n, np.int64)),
+                "in_b": pa.array(np.ones(n, np.int64)),
+                "nch_a": pa.array(np.full(n, -1, np.int64)),
+                "nch_b": pa.array(np.concatenate(out_nch)),
+            }
+        )
+
+    ds = _read(sf_dir, "documents", columns=cols)
+    tagged = ds.map_batches(base_rows, batch_format="pyarrow").union(
+        ds.map_batches(next_rows, batch_format="pyarrow")
+    )
+    per_key = tagged.groupby(["doc_id", "lang"]).aggregate(
+        Sum("in_a", alias_name="in_a"),
+        Sum("in_b", alias_name="in_b"),
+        Max("nch_a", alias_name="nch_a"),
+        Max("nch_b", alias_name="nch_b"),
+    )
+
+    def classify(t: pa.Table) -> pa.Table:
+        ina = t["in_a"].to_numpy(zero_copy_only=False)
+        inb = t["in_b"].to_numpy(zero_copy_only=False)
+        na = t["nch_a"].to_numpy(zero_copy_only=False)
+        nb = t["nch_b"].to_numpy(zero_copy_only=False)
+        status = np.where(
+            ina == 0, "added",
+            np.where(inb == 0, "removed",
+                     np.where(na != nb, "changed", "unchanged")),
+        )
+        g = (
+            pd.DataFrame({"lang": t["lang"].to_pandas(), "status": status})
+            .groupby(["lang", "status"], as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+        g["n"] = g["n"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (
+        per_key.map_batches(classify, batch_format="pyarrow")
+        .groupby(["lang", "status"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
+def source_share_within_lang(sf_dir: str):
+    """ES ``normalize`` pipeline agg (percent_of_parent): each (lang,
+    source) bucket's share of its PARENT lang bucket, in integer basis
+    points.  One alphabet-bounded count fold; shares computed from the
+    exact integer counts with integer rounding on both sides."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", columns=["lang", "source"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = (
+            pd.DataFrame(
+                {"lang": t["lang"].to_pandas(), "source": t["source"].to_pandas()}
+            )
+            .groupby(["lang", "source"], as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+        g["n"] = g["n"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    cells = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang", "source"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    cells = cells.sort_values(["lang", "source"], ignore_index=True)
+    p = cells.groupby("lang")["n"].transform("sum").to_numpy(np.int64)
+    n = cells["n"].to_numpy(np.int64)
+    share = (n * 10_000 * 2 + p) // (2 * p)
+    return pa.table(
+        {
+            "lang": pa.array(cells["lang"], pa.string()),
+            "source": pa.array(cells["source"], pa.string()),
+            "n": pa.array(n),
+            "share_bps": pa.array(share.astype(np.int64)),
+        }
+    )
+
+
 ZIPF_TOP = 100
 
 
@@ -15133,6 +15266,36 @@ def build_oracle_sql() -> Dict[str, str]:
                         * ((SELECT count(*) FROM c) - 1) AS BIGINT) AS dof,
                    CAST(sum(m) AS BIGINT) AS chi2_micro
             FROM t
+        """,
+        "snapshot_diff": f"""
+            WITH b AS (SELECT doc_id, lang, n_chars FROM documents),
+            nxt AS (
+              SELECT doc_id, lang,
+                     CASE WHEN doc_id % 10 IN (1, 2)
+                          THEN n_chars + {CDC_UPDATE_DELTA}
+                          ELSE n_chars END AS n_chars
+              FROM documents WHERE doc_id % 10 <> 0
+              UNION ALL
+              SELECT doc_id + {CDC_INSERT_OFFSET}, lang, n_chars
+              FROM documents WHERE doc_id % 10 = 3),
+            j AS (SELECT coalesce(b.lang, nxt.lang) AS lang,
+                         CASE WHEN b.doc_id IS NULL THEN 'added'
+                              WHEN nxt.doc_id IS NULL THEN 'removed'
+                              WHEN b.n_chars <> nxt.n_chars THEN 'changed'
+                              ELSE 'unchanged' END AS status
+                  FROM b FULL OUTER JOIN nxt USING (doc_id))
+            SELECT lang, status, CAST(count(*) AS BIGINT) AS n
+            FROM j GROUP BY 1, 2
+        """,
+        "source_share_within_lang": """
+            WITH c AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS n
+                       FROM documents GROUP BY 1, 2),
+            p AS (SELECT lang, CAST(sum(n) AS BIGINT) AS p FROM c GROUP BY 1)
+            SELECT c.lang, c.source, c.n,
+                   CAST((c.n * 10000 * 2 + p.p) // (2 * p.p) AS BIGINT)
+                     AS share_bps
+            FROM c JOIN p ON p.lang = c.lang
+            ORDER BY c.lang, c.source
         """,
         "zipf_fit_terms": f"""
             WITH tok AS (SELECT doc_id, {tok} AS toks FROM documents),

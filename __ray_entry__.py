@@ -111,6 +111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_cooccurrence": Q.term_cooccurrence_q,  # top-vocab PMI pairs, self-join oracle
         "bpe_vocab": Q.bpe_vocab,  # BPE tokenizer training, rows-only (pytest exactness gate)
         "nb_classify": Q.nb_classify,  # Naive-Bayes source classifier, unrolled-NB SQL oracle
+        "logreg_lang_en": Q.logreg_lang_en,  # distributed logistic regression, unrolled-GD oracle
         "fingerprint_profile": Q.fingerprint_profile,  # rows-only
         "distinct_users_hll": Q.distinct_users_hll,  # HLL sketch, rows-only (pytest register-exact gate)
         # training-data layout (packing / sampling / splitting)

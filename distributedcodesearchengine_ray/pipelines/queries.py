@@ -278,7 +278,7 @@ def significant_text(sf_dir: str, query: str = SIGTEXT_QUERY):
     from .query import QueryEngine
 
     idx = _documents_index(sf_dir)
-    engine = QueryEngine(idx, num_actors=2)
+    engine = QueryEngine(idx, num_actors=2, pool=True)
     try:
         hits = engine.search(query, limit=SIGTEXT_FG_K)
     finally:
@@ -653,7 +653,7 @@ def bm25_topk(sf_dir: str, query: str = BM25_QUERY, limit: int = 20,
     from .query import QueryEngine
 
     idx = _documents_index(sf_dir)
-    engine = QueryEngine(idx, num_actors=2)
+    engine = QueryEngine(idx, num_actors=2, pool=True)
     try:
         hits = engine.search(query, limit=limit, filters=filters)
     finally:
@@ -680,7 +680,7 @@ def bm25_page2(sf_dir: str, query: str = BM25_QUERY):
     from .query import QueryEngine
 
     idx = _documents_index(sf_dir)
-    engine = QueryEngine(idx, num_actors=2)
+    engine = QueryEngine(idx, num_actors=2, pool=True)
     try:
         page1 = engine.search(query, limit=PAGE_SIZE)
         if len(page1) < PAGE_SIZE:
@@ -708,7 +708,7 @@ def bm25_collapse(sf_dir: str, query: str = BM25_QUERY, limit: int = 3):
     from .query import QueryEngine
 
     idx = _documents_index(sf_dir)
-    engine = QueryEngine(idx, num_actors=2)
+    engine = QueryEngine(idx, num_actors=2, pool=True)
     try:
         rows = engine.collapse(query, collapse_col="language", limit=limit)
     finally:
@@ -742,7 +742,7 @@ def bm25_explain(sf_dir: str, query: str = EXPLAIN_QUERY):
     from .query import QueryEngine
 
     idx = _documents_index(sf_dir)
-    engine = QueryEngine(idx, num_actors=2)
+    engine = QueryEngine(idx, num_actors=2, pool=True)
     try:
         rows = engine.explain(query, limit=EXPLAIN_K)
     finally:
@@ -781,7 +781,7 @@ def bm25_boosting(sf_dir: str):
     from .query import QueryEngine
 
     idx = _documents_index(sf_dir)
-    engine = QueryEngine(idx, num_actors=2)
+    engine = QueryEngine(idx, num_actors=2, pool=True)
     try:
         rows = engine.search_boosting(
             BOOSTING_POS, BOOSTING_NEG, boost=BOOSTING_FACTOR, limit=20
@@ -809,7 +809,7 @@ def span_first_q(sf_dir: str):
     from .query import QueryEngine
 
     idx = _documents_index(sf_dir, with_positions=True)
-    engine = QueryEngine(idx, num_actors=2)
+    engine = QueryEngine(idx, num_actors=2, pool=True)
     try:
         rows = engine.search_span_first(
             SPAN_FIRST_TERM, SPAN_FIRST_TERM, SPAN_FIRST_N, limit=20
@@ -880,7 +880,7 @@ def bm25_common_terms(sf_dir: str):
     from .query import QueryEngine
 
     idx = _documents_index(sf_dir)
-    engine = QueryEngine(idx, num_actors=2)
+    engine = QueryEngine(idx, num_actors=2, pool=True)
     try:
         rows = engine.search_common_terms(
             CTQ_QUERY, cutoff_milli=CTQ_CUTOFF_MILLI, limit=20
@@ -909,7 +909,7 @@ def span_near_q(sf_dir: str):
     from .query import QueryEngine
 
     idx = _documents_index(sf_dir, with_positions=True)
-    engine = QueryEngine(idx, num_actors=2)
+    engine = QueryEngine(idx, num_actors=2, pool=True)
     try:
         rows = engine.search_span_near(
             f"{SPAN_NEAR_A} {SPAN_NEAR_B}", SPAN_NEAR_A, SPAN_NEAR_B,
@@ -940,7 +940,7 @@ def span_not_q(sf_dir: str):
     from .query import QueryEngine
 
     idx = _documents_index(sf_dir, with_positions=True)
-    engine = QueryEngine(idx, num_actors=2)
+    engine = QueryEngine(idx, num_actors=2, pool=True)
     try:
         rows = engine.search_span_not(
             SPAN_NOT_INCLUDE, SPAN_NOT_INCLUDE, SPAN_NOT_EXCLUDE,
@@ -968,7 +968,7 @@ def bm25_wildcard(sf_dir: str):
     from .query import QueryEngine
 
     idx = _documents_index(sf_dir)
-    engine = QueryEngine(idx, num_actors=2)
+    engine = QueryEngine(idx, num_actors=2, pool=True)
     try:
         rows = engine.search(WILDCARD_SEARCH_PATTERN, limit=20)
     finally:
@@ -994,7 +994,7 @@ def bm25_regexp(sf_dir: str):
     from .query import QueryEngine
 
     idx = _documents_index(sf_dir)
-    engine = QueryEngine(idx, num_actors=2)
+    engine = QueryEngine(idx, num_actors=2, pool=True)
     try:
         rows = engine.search_regexp(
             REGEXP_PATTERN, limit=20, max_expansions=REGEXP_MAX_EXP
@@ -1026,7 +1026,7 @@ def bm25_term_range(sf_dir: str):
     from .query import QueryEngine
 
     idx = _documents_index(sf_dir)
-    engine = QueryEngine(idx, num_actors=2)
+    engine = QueryEngine(idx, num_actors=2, pool=True)
     try:
         rows = engine.search_term_range(
             TERM_RANGE_LO, TERM_RANGE_HI, limit=20,
@@ -1053,7 +1053,7 @@ def bm25_top_hits(sf_dir: str, query: str = EXPLAIN_QUERY):
     from .query import QueryEngine
 
     idx = _documents_index(sf_dir)
-    engine = QueryEngine(idx, num_actors=2)
+    engine = QueryEngine(idx, num_actors=2, pool=True)
     try:
         rows = engine.top_hits(query, group_col="language", k=TOP_HITS_K,
                                limit_groups=10)
@@ -1101,7 +1101,7 @@ def qld_topk(sf_dir: str, query: str = BM25_QUERY, limit: int = 20):
     from .query import QueryEngine
 
     idx = _documents_index(sf_dir)
-    engine = QueryEngine(idx, num_actors=2)
+    engine = QueryEngine(idx, num_actors=2, pool=True)
     try:
         hits = engine.search_qld(query, limit=limit, mu=QLD_MU)
     finally:
@@ -1169,7 +1169,7 @@ def phrase_positional(sf_dir: str, phrase: str = PHRASE_POS_QUERY, limit: int = 
     from .query import QueryEngine
 
     idx = _documents_index(sf_dir, with_positions=True)
-    engine = QueryEngine(idx, num_actors=2)
+    engine = QueryEngine(idx, num_actors=2, pool=True)
     try:
         hits = engine.search_phrase_positional(phrase, limit=limit)
     finally:
@@ -1194,7 +1194,7 @@ def phrase_proximity(sf_dir: str):
     from .query import QueryEngine
 
     idx = _documents_index(sf_dir, with_positions=True)
-    engine = QueryEngine(idx, num_actors=2)
+    engine = QueryEngine(idx, num_actors=2, pool=True)
     try:
         hits = engine.search_phrase_positional(
             PHRASE_PROX_QUERY, limit=20, slop=PHRASE_PROX_SLOP
@@ -1221,7 +1221,7 @@ def match_phrase_prefix(sf_dir: str, limit: int = 20):
     from .query import QueryEngine
 
     idx = _documents_index(sf_dir, with_positions=True)
-    engine = QueryEngine(idx, num_actors=2)
+    engine = QueryEngine(idx, num_actors=2, pool=True)
     try:
         hits = engine.search_match_phrase_prefix(
             f"{MPP_FIXED} {MPP_PREFIX}", limit=limit
@@ -1245,7 +1245,7 @@ def bm25_function_score(sf_dir: str, query: str = BM25_QUERY, limit: int = 20):
     from .query import QueryEngine
 
     idx = _documents_index(sf_dir)
-    engine = QueryEngine(idx, num_actors=2)
+    engine = QueryEngine(idx, num_actors=2, pool=True)
     try:
         hits = engine.search_function_score(query, limit=limit)
     finally:
@@ -1273,7 +1273,7 @@ def bm25_decay_gauss(sf_dir: str, query: str = BM25_QUERY, limit: int = 20):
     from .query import QueryEngine
 
     idx = _documents_index(sf_dir)
-    engine = QueryEngine(idx, num_actors=2)
+    engine = QueryEngine(idx, num_actors=2, pool=True)
     try:
         hits = engine.search_decay_gauss(
             query, origin=DECAY_ORIGIN, scale=DECAY_SCALE, limit=limit
@@ -1301,7 +1301,7 @@ def bm25_pinned(sf_dir: str, query: str = BM25_QUERY, limit: int = 20):
     from .query import QueryEngine
 
     idx = _documents_index(sf_dir)
-    engine = QueryEngine(idx, num_actors=2)
+    engine = QueryEngine(idx, num_actors=2, pool=True)
     try:
         hits = engine.search_pinned(query, PINNED_IDS, limit=limit)
     finally:
@@ -1333,7 +1333,7 @@ def bm25_rank_feature(sf_dir: str, query: str = BM25_QUERY, limit: int = 20):
     from .query import QueryEngine
 
     idx = _documents_index(sf_dir)
-    engine = QueryEngine(idx, num_actors=2)
+    engine = QueryEngine(idx, num_actors=2, pool=True)
     try:
         hits = engine.search_rank_feature(
             query, weight=RF_WEIGHT, pivot=RF_PIVOT, limit=limit
@@ -1366,7 +1366,7 @@ def bm25_tombstone(sf_dir: str, query: str = BM25_QUERY, limit: int = 20):
     if not os.path.exists(marker):
         tombstone_delete(idx, "lang", TOMBSTONE_LANG)
         open(marker, "w").write("ok")
-    engine = QueryEngine(idx, num_actors=2)
+    engine = QueryEngine(idx, num_actors=2, pool=True)
     try:
         hits = engine.search(query, limit=limit)
     finally:
@@ -1387,7 +1387,7 @@ def bm25_facets(sf_dir: str, query: str = BM25_QUERY):
     from .query import QueryEngine
 
     idx = _documents_index(sf_dir)
-    engine = QueryEngine(idx, num_actors=2)
+    engine = QueryEngine(idx, num_actors=2, pool=True)
     try:
         counts = engine.facets(query, facet_col="language")
     finally:
@@ -1411,7 +1411,7 @@ def bm25_topk_wand(sf_dir: str):
     from .query import QueryEngine
 
     idx = _documents_index(sf_dir)
-    engine = QueryEngine(idx, num_actors=2)
+    engine = QueryEngine(idx, num_actors=2, pool=True)
     try:
         hits = engine.search(BM25_QUERY, limit=20, method="wand")
     finally:
@@ -1454,7 +1454,7 @@ def more_like_this(sf_dir: str, src: int = MLT_SRC_DOC, limit: int = 20):
         .to_table(columns=["text"], filter=pads.field("doc_id") == src)["text"][0]
         .as_py()
     )
-    engine = QueryEngine(idx, num_actors=2)
+    engine = QueryEngine(idx, num_actors=2, pool=True)
     try:
         # Overfetch, then rank/truncate at micro grain: near-tied docs
         # (scores within 1e-6) must order by doc_id on BOTH sides of the
@@ -1491,7 +1491,7 @@ def bm25_rescore(sf_dir: str, limit: int = 20):
     from .query import QueryEngine
 
     idx = _documents_index(sf_dir)
-    engine = QueryEngine(idx, num_actors=2)
+    engine = QueryEngine(idx, num_actors=2, pool=True)
     try:
         hits = engine.search_rescore(
             RESCORE_QUERY,
@@ -1652,7 +1652,7 @@ def snippet_windows(sf_dir: str, query: str = BM25_QUERY, limit: int = 20):
     from .query import QueryEngine
 
     idx = _documents_index(sf_dir)
-    engine = QueryEngine(idx, num_actors=2)
+    engine = QueryEngine(idx, num_actors=2, pool=True)
     try:
         hits = engine.snippets(query, limit=limit, window=SNIPPET_WINDOW)
     finally:
@@ -1683,7 +1683,7 @@ def bm25_rm3(sf_dir: str, query: str = BM25_QUERY, limit: int = 20):
     from .query import QueryEngine
 
     idx = _documents_index(sf_dir)
-    engine = QueryEngine(idx, num_actors=2)
+    engine = QueryEngine(idx, num_actors=2, pool=True)
     try:
         hits = engine.search_rm3(
             query, limit=limit + 10, fb_k=RM3_FB_K, n_exp=RM3_N_EXP
@@ -6624,7 +6624,7 @@ def search_ndcg(sf_dir: str):
     from .query import QueryEngine
 
     idx = _documents_index(sf_dir)
-    engine = QueryEngine(idx, num_actors=2)
+    engine = QueryEngine(idx, num_actors=2, pool=True)
     out_q, out_ndcg, out_mrr = [], [], []
     try:
         for q in NDCG_QUERIES:
@@ -7651,7 +7651,7 @@ def bm25_msm(sf_dir: str, query: str = BM25_QUERY, limit: int = 20, k: int = MSM
     from .query import QueryEngine
 
     idx = _documents_index(sf_dir)
-    engine = QueryEngine(idx, num_actors=2)
+    engine = QueryEngine(idx, num_actors=2, pool=True)
     try:
         hits = engine.search_min_match(query, k, limit=limit)
     finally:
@@ -7679,7 +7679,7 @@ def bm25_fuzzy(sf_dir: str, query: str = FUZZY_QUERY, limit: int = 20):
     from .query import QueryEngine
 
     idx = _documents_index(sf_dir)
-    engine = QueryEngine(idx, num_actors=2)
+    engine = QueryEngine(idx, num_actors=2, pool=True)
     try:
         hits = engine.search_fuzzy(
             query, limit=limit, max_dist=FUZZY_DIST, max_expansions=FUZZY_MAX_EXP
@@ -7925,7 +7925,7 @@ def bm25_boosted(sf_dir: str, query: str = BOOST_QUERY, limit: int = 20):
     from .query import QueryEngine
 
     idx = _documents_index(sf_dir)
-    engine = QueryEngine(idx, num_actors=2)
+    engine = QueryEngine(idx, num_actors=2, pool=True)
     try:
         hits = engine.search(_expand_boosts(query), limit=limit)
     finally:
@@ -8554,7 +8554,7 @@ def bm25_synonyms(sf_dir: str, query: str = SYN_QUERY, limit: int = 20):
     from .query import QueryEngine
 
     idx = _documents_index(sf_dir)
-    engine = QueryEngine(idx, num_actors=2)
+    engine = QueryEngine(idx, num_actors=2, pool=True)
     try:
         hits = engine.search(_expand_synonyms(query), limit=limit)
     finally:
@@ -8805,7 +8805,7 @@ def bm25_dismax(sf_dir: str, clauses: Optional[List[str]] = None, limit: int = 2
     from .query import QueryEngine
 
     idx = _documents_index(sf_dir)
-    engine = QueryEngine(idx, num_actors=2)
+    engine = QueryEngine(idx, num_actors=2, pool=True)
     try:
         hits = engine.search_dismax(
             clauses or DISMAX_CLAUSES, limit=limit, tie=DISMAX_TIE
@@ -11886,6 +11886,161 @@ def source_share_within_lang(sf_dir: str):
     )
 
 
+LOGREG_ITERS = 3
+LOGREG_LR = 0.5  # short binary mantissa: exact on both engines
+
+
+def _logreg_features(t: pa.Table):
+    """Shared feature projection: y = 1[lang=='en'], x1 = n_chars/1000,
+    x2 = space-count/100 — every expression has an identical SQL twin."""
+    y = (t["lang"].to_pandas().to_numpy() == "en").astype(np.float64)
+    x1 = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.float64) / 1000.0
+    spaces = pcc.subtract(
+        pcc.utf8_length(t["text"]),
+        pcc.utf8_length(pcc.replace_substring(t["text"], pattern=" ", replacement="")),
+    )
+    x2 = spaces.to_numpy(zero_copy_only=False).astype(np.float64) / 100.0
+    return y, x1, x2
+
+
+def logreg_lang_en(sf_dir: str):
+    """Distributed LOGISTIC REGRESSION (full-batch gradient descent,
+    ``LOGREG_ITERS`` fixed iterations from w=0, lr=0.5): predict
+    ``lang == 'en'`` from (bias, n_chars/1000, space-count/100).  The
+    iterative-ML shape beyond KMeans: each iteration is ONE streaming
+    pass — per-row gradient terms ``(sigmoid(w.x) - y) * x_j`` are
+    rounded to MICRO INTEGERS PER ROW before the fold, so the gradient
+    sums are exact integers independent of batching/partitioning, and
+    the weight update is one shared double expression.  The oracle
+    unrolls all iterations in SQL CTEs, re-deriving the same weights
+    from the same integer gradient sums (kmeans_clusters' pattern).
+    Emits the final weights (micro) and the training accuracy count
+    (``z >= 0`` vs label — a float-threshold-free integer check)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", columns=["lang", "n_chars", "text"])
+    w = (0.0, 0.0, 0.0)
+    n_total = None
+    for _ in range(LOGREG_ITERS):
+        w0, w1, w2 = w
+
+        def grad_pass(t: pa.Table, _w0=w0, _w1=w1, _w2=w2) -> pa.Table:
+            y, x1, x2 = _logreg_features(t)
+            z = _w0 + _w1 * x1 + _w2 * x2
+            s = 1.0 / (1.0 + np.exp(-z))
+            r = s - y
+            return pa.table(
+                {
+                    "g0": pa.array(
+                        [int(np.floor(r * 1e6 + 0.5).astype(np.int64).sum())]
+                    ),
+                    "g1": pa.array(
+                        [int(np.floor(r * x1 * 1e6 + 0.5).astype(np.int64).sum())]
+                    ),
+                    "g2": pa.array(
+                        [int(np.floor(r * x2 * 1e6 + 0.5).astype(np.int64).sum())]
+                    ),
+                    "n": pa.array([len(t)]),
+                }
+            )
+
+        agg = (
+            ds.map_batches(grad_pass, batch_format="pyarrow")
+            .aggregate(
+                Sum("g0", alias_name="g0"), Sum("g1", alias_name="g1"),
+                Sum("g2", alias_name="g2"), Sum("n", alias_name="n"),
+            )
+        )
+        n_total = int(agg["n"])
+        nd = float(n_total)
+        w = tuple(
+            wj - LOGREG_LR * (float(int(agg[gk])) / 1000000.0) / nd
+            for wj, gk in zip((w0, w1, w2), ("g0", "g1", "g2"))
+        )
+
+    w0, w1, w2 = w
+
+    def acc_pass(t: pa.Table) -> pa.Table:
+        y, x1, x2 = _logreg_features(t)
+        z = w0 + w1 * x1 + w2 * x2
+        correct = int(((z >= 0.0) == (y == 1.0)).sum())
+        return pa.table({"correct": pa.array([correct])})
+
+    from ray.data.aggregate import Sum as _Sum
+
+    correct = int(
+        ds.map_batches(acc_pass, batch_format="pyarrow").aggregate(
+            _Sum("correct", alias_name="correct")
+        )["correct"]
+    )
+    import math
+
+    return pa.table(
+        {
+            "n": pa.array([n_total], pa.int64()),
+            "w0_micro": pa.array([int(math.floor(w0 * 1e6 + 0.5))], pa.int64()),
+            "w1_micro": pa.array([int(math.floor(w1 * 1e6 + 0.5))], pa.int64()),
+            "w2_micro": pa.array([int(math.floor(w2 * 1e6 + 0.5))], pa.int64()),
+            "correct": pa.array([correct], pa.int64()),
+        }
+    )
+
+
+def _logreg_sql() -> str:
+    """Unrolled-GD oracle twin of ``logreg_lang_en``: identical feature
+    expressions, per-row micro-rounded gradient terms, identical weight
+    update tree, accuracy by the same z>=0 integer check."""
+    feats = """f AS (SELECT CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+                  CAST(n_chars AS DOUBLE) / 1000.0 AS x1,
+                  CAST(length(text) - length(replace(text, ' ', ''))
+                       AS DOUBLE) / 100.0 AS x2
+           FROM documents)"""
+    parts = [feats,
+             "nn AS (SELECT CAST(count(*) AS BIGINT) AS n,"
+             " CAST(count(*) AS DOUBLE) AS nd FROM f)",
+             "w0 AS (SELECT 0.0 AS a, 0.0 AS b, 0.0 AS c)"]
+    for k in range(1, LOGREG_ITERS + 1):
+        prev = f"w{k - 1}"
+        sig = (
+            f"1.0 / (1.0 + exp(-((SELECT a FROM {prev})"
+            f" + (SELECT b FROM {prev}) * x1"
+            f" + (SELECT c FROM {prev}) * x2)))"
+        )
+        parts.append(
+            f"""g{k} AS (SELECT
+              sum(CAST(floor(({sig} - y) * 1000000 + 0.5) AS BIGINT)) AS ga,
+              sum(CAST(floor(({sig} - y) * x1 * 1000000 + 0.5) AS BIGINT)) AS gb,
+              sum(CAST(floor(({sig} - y) * x2 * 1000000 + 0.5) AS BIGINT)) AS gc
+            FROM f)"""
+        )
+        parts.append(
+            f"""w{k} AS (SELECT
+              (SELECT a FROM {prev}) - {LOGREG_LR} * (CAST((SELECT ga FROM g{k})
+                 AS DOUBLE) / 1000000.0) / (SELECT nd FROM nn) AS a,
+              (SELECT b FROM {prev}) - {LOGREG_LR} * (CAST((SELECT gb FROM g{k})
+                 AS DOUBLE) / 1000000.0) / (SELECT nd FROM nn) AS b,
+              (SELECT c FROM {prev}) - {LOGREG_LR} * (CAST((SELECT gc FROM g{k})
+                 AS DOUBLE) / 1000000.0) / (SELECT nd FROM nn) AS c)"""
+        )
+    last = f"w{LOGREG_ITERS}"
+    zfin = (
+        f"(SELECT a FROM {last}) + (SELECT b FROM {last}) * x1"
+        f" + (SELECT c FROM {last}) * x2"
+    )
+    return f"""
+        WITH {", ".join(parts)}
+        SELECT (SELECT n FROM nn) AS n,
+               CAST(floor((SELECT a FROM {last}) * 1000000 + 0.5) AS BIGINT)
+                 AS w0_micro,
+               CAST(floor((SELECT b FROM {last}) * 1000000 + 0.5) AS BIGINT)
+                 AS w1_micro,
+               CAST(floor((SELECT c FROM {last}) * 1000000 + 0.5) AS BIGINT)
+                 AS w2_micro,
+               (SELECT CAST(sum(CASE WHEN ({zfin} >= 0.0) = (y = 1.0)
+                                THEN 1 ELSE 0 END) AS BIGINT) FROM f) AS correct
+    """
+
+
 ZIPF_TOP = 100
 
 
@@ -12274,7 +12429,7 @@ def completion_suggest(sf_dir: str):
     from .query import QueryEngine
 
     idx = _documents_index(sf_dir)
-    engine = QueryEngine(idx, num_actors=2)
+    engine = QueryEngine(idx, num_actors=2, pool=True)
     try:
         rows = engine.lexicon.expand(
             COMPLETION_PREFIX + "*", max_expand=COMPLETION_K
@@ -12303,7 +12458,7 @@ def bm25_match_bool_prefix(sf_dir: str):
     from .query import QueryEngine
 
     idx = _documents_index(sf_dir)
-    engine = QueryEngine(idx, num_actors=2)
+    engine = QueryEngine(idx, num_actors=2, pool=True)
     try:
         rows = engine.search(MBP_QUERY + "*", limit=20)
     finally:
@@ -12342,7 +12497,7 @@ def phrase_suggest(sf_dir: str):
     from .query import QueryEngine
 
     idx = _documents_index(sf_dir)
-    engine = QueryEngine(idx, num_actors=2)
+    engine = QueryEngine(idx, num_actors=2, pool=True)
     try:
         cands = [
             [
@@ -12575,7 +12730,7 @@ def bm25_terms_set(sf_dir: str, query: str = BM25_QUERY, limit: int = 20):
     from .query import QueryEngine
 
     idx = _documents_index(sf_dir)
-    engine = QueryEngine(idx, num_actors=2)
+    engine = QueryEngine(idx, num_actors=2, pool=True)
     try:
         hits = engine.search_terms_set(
             query, TERMS_SET_DL, TERMS_SET_LOW, TERMS_SET_HIGH, limit=limit
@@ -15267,6 +15422,7 @@ def build_oracle_sql() -> Dict[str, str]:
                    CAST(sum(m) AS BIGINT) AS chi2_micro
             FROM t
         """,
+        "logreg_lang_en": _logreg_sql(),
         "snapshot_diff": f"""
             WITH b AS (SELECT doc_id, lang, n_chars FROM documents),
             nxt AS (

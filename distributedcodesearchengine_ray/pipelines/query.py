@@ -1681,8 +1681,33 @@ def _levenshtein_capped(a: str, b: str, cap: int) -> int:
     return prev[lb]
 
 
+_POOLED_ACTORS: Dict[tuple, list] = {}
+_POOL_MAX_ACTORS = 4  # only small engines pool (a 16-actor bench pool would
+#                       hold half the cluster hostage between queries)
+
+
+def _manifest_fingerprint(index_dir: str) -> str:
+    """Cheap identity of the on-disk index state: pooled actors may only
+    be reused while the manifest file is byte-identical (any rebuild,
+    append, tombstone or compaction rewrites it)."""
+    p = os.path.join(index_dir, "manifest.json")
+    try:
+        st = os.stat(p)
+        return f"{st.st_mtime_ns}-{st.st_size}"
+    except OSError:
+        return "missing"
+
+
 class QueryEngine:
-    """Driver-side fan-out/merge over the shard-actor pool."""
+    """Driver-side fan-out/merge over the shard-actor pool.
+
+    Consecutive engines over the SAME unchanged index reuse the previous
+    engine's warm shard actors (postings already loaded, decoded-postings
+    caches intact) instead of paying actor startup + parquet loads per
+    engine — the dominant cost when a driver runs hundreds of one-shot
+    queries against one index.  ``close()`` parks small pools
+    (<= ``_POOL_MAX_ACTORS``) for reuse; a changed manifest fingerprint
+    evicts and kills stale pools for that index dir."""
 
     def __init__(
         self,
@@ -1690,6 +1715,7 @@ class QueryEngine:
         num_actors: Optional[int] = None,
         prewarm_terms: int = 0,
         avgdl_override: Optional[float] = None,
+        pool: bool = False,
     ):
         import ray
 
@@ -1707,6 +1733,27 @@ class QueryEngine:
             total = int(ray.cluster_resources().get("CPU", 4))
             num_actors = max(1, min(len(part_ids), total // 2))
         num_actors = max(1, min(num_actors, len(part_ids) or 1))
+        # pool=False (default) keeps strict close()=kill semantics: parked
+        # actors hold their 0.5-CPU reservations, which can starve
+        # concurrent multi-CPU Dataset tasks on small clusters — only the
+        # run-many-one-shot-queries driver path opts in.
+        self._pool = bool(pool)
+        self._pool_key = (
+            index_dir, num_actors, avgdl_override,
+            _manifest_fingerprint(index_dir),
+        )
+        pooled = _POOLED_ACTORS.pop(self._pool_key, None) if pool else None
+        if pooled is not None:
+            try:  # cheap liveness probe: a dead cluster/actor falls through
+                ray.get([a.ping.remote() for a in pooled], timeout=30)
+                self.actors = pooled
+                return
+            except Exception:
+                pass
+        # a changed fingerprint makes older pools for this dir stale: kill
+        for k in [k for k in _POOLED_ACTORS if k[0] == index_dir]:
+            for a in _POOLED_ACTORS.pop(k):
+                ray.kill(a)
         Actor = ray.remote(IndexShard)
         # fractional num_cpus: scoring bursts are short; 0.5 lets builds and
         # other stages interleave with a resident query pool
@@ -2294,10 +2341,27 @@ class QueryEngine:
         return self.search(" ".join(expanded), limit=limit, filters=filters)
 
     def close(self) -> None:
+        """Park a small warm pool for the next engine over this same
+        index state; kill larger pools outright (see class docstring)."""
         import ray
 
-        for a in self.actors:
-            ray.kill(a)
+        if (
+            self.actors
+            and self._pool
+            and len(self.actors) <= _POOL_MAX_ACTORS
+            and self._pool_key not in _POOLED_ACTORS
+        ):
+            # GLOBAL cap: at most ONE parked pool (newest wins).  Parked
+            # actors keep their 0.5-CPU reservations; letting one pool per
+            # index dir accumulate can reserve a small cluster solid and
+            # starve 2-CPU build tasks into a deadlock.
+            for k in list(_POOLED_ACTORS):
+                for a in _POOLED_ACTORS.pop(k):
+                    ray.kill(a)
+            _POOLED_ACTORS[self._pool_key] = self.actors
+        else:
+            for a in self.actors:
+                ray.kill(a)
         self.actors = []
 
     def search(

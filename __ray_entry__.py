@@ -135,6 +135,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_cosine_dups": Q.embed_cosine_dups,
         "knn_cosine": Q.knn_cosine,
         "knn_cosine_filtered": Q.knn_cosine_filtered,
+        "knn_l2": Q.knn_l2,  # exact Euclidean top-k, sequential-accumulation distance
         "knn_pq": Q.knn_pq,  # product-quantization ADC search, rows-only (pytest ADC-oracle gate)
         "knn_mmr": Q.knn_mmr,  # MMR diversified rerank, rows-only (pytest full-numpy gate)
         "hybrid_rrf": Q.hybrid_rrf,  # J1/K3 weighted-RRF fusion, full-SQL oracle
@@ -159,6 +160,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hourly_anomalies": Q.hourly_anomalies,  # rolling z-score anomaly flags per event type
         "cusum_daily_revenue": Q.cusum_daily_revenue,  # CUSUM change-point walk, integer cents
         "mann_kendall_daily_revenue": Q.mann_kendall_daily_revenue,  # MK trend test, tie-corrected
+        "ewma_daily_orders": Q.ewma_daily_orders,  # exponential smoothing, recursive-CTE oracle
         "zorder_events": Q.zorder_events,  # Z-order/Morton clustering keys (layout primitive)
         "value_quantile_normalize": Q.value_quantile_normalize,  # empirical-CDF rank transform, bps
         "filters_agg_events": Q.filters_agg_events,  # ES filters agg: named buckets + other_bucket

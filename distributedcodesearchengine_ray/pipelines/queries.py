@@ -3511,6 +3511,76 @@ def knn_cosine(sf_dir: str):
     )
 
 
+def knn_l2(sf_dir: str):
+    """Exact EUCLIDEAN (L2) top-10 of the same query vectors as
+    ``knn_cosine`` — the unnormalized-metric twin (Qdrant/FAISS distance
+    mode).  Same broadcast-query / per-block-top-k shape; distances
+    rank ASCENDING with vec_id tie-break.  The per-vector sum of squared
+    differences accumulates STRICTLY sequentially over dimensions (a
+    64-step vectorized loop over rows), matching the oracle kernel's
+    element order, so both sides produce identical doubles."""
+    import ray
+
+    from ..stages.annsearch import _emb_matrix
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    qdf = (
+        _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+        .filter(lambda r: r["vec_id"] < 3)
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    qs = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
+    qref = ray.put(qs)
+    k = 10
+
+    class BlockL2:
+        def __init__(self):
+            self.q = ray.get(qref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            E = _emb_matrix(t["embedding"], np.float64)
+            ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            out = {"query_idx": [], "vec_id": [], "dist": []}
+            for qi in range(len(self.q)):
+                acc = np.zeros(len(E), np.float64)
+                for j in range(E.shape[1]):  # sequential over dims
+                    d = E[:, j] - self.q[qi, j]
+                    acc += d * d
+                dist = np.sqrt(acc)
+                order = np.lexsort((ids, dist))[:k]
+                out["query_idx"].extend([qi] * len(order))
+                out["vec_id"].extend(ids[order].tolist())
+                out["dist"].extend(dist[order].tolist())
+            return pa.table(
+                {
+                    "query_idx": pa.array(out["query_idx"], pa.int64()),
+                    "vec_id": pa.array(out["vec_id"], pa.int64()),
+                    "dist": pa.array(out["dist"], pa.float64()),
+                }
+            )
+
+    cands = ds.map_batches(
+        BlockL2, batch_format="pyarrow", batch_size=8192, concurrency=2
+    ).to_pandas()
+    qids = qdf["vec_id"].to_numpy()
+    rows = {"q_id": [], "rank": [], "vec_id": [], "dist_micro": []}
+    for qi, grp in cands.groupby("query_idx"):
+        grp = grp.sort_values(["dist", "vec_id"], kind="mergesort").head(k)
+        rows["q_id"].extend([int(qids[qi])] * len(grp))
+        rows["rank"].extend(range(len(grp)))
+        rows["vec_id"].extend(grp["vec_id"].tolist())
+        rows["dist_micro"].extend(int(x) for x in _micro(grp["dist"].to_numpy()))
+    return pa.table(
+        {
+            "q_id": pa.array(rows["q_id"], pa.int64()),
+            "rank": pa.array(rows["rank"], pa.int64()),
+            "vec_id": pa.array(rows["vec_id"], pa.int64()),
+            "dist_micro": pa.array(rows["dist_micro"], pa.int64()),
+        }
+    )
+
+
 def knn_pq(sf_dir: str):
     """Product-quantization ANN (the compressed-domain scale path):
     train m=8/k=16 codebooks on a hash-sample, encode the corpus to
@@ -11648,6 +11718,55 @@ def scd2_intervals(sf_dir: str):
     return ds.groupby("user_id").map_groups(pergroup, batch_format="pandas")
 
 
+def ewma_daily_orders(sf_dir: str):
+    """Exponential smoothing (EWMA, alpha=0.5) of the daily order-count
+    series — ES ``moving_fn: ewma``'s recursive form, the forecasting
+    primitive trailing averages can't express.  The distributed part is
+    the bounded day-axis count fold; the driver replays the recursion
+    ``z_t = 0.5*x_t + 0.5*z_{t-1}`` (alpha dyadic, both sides evaluate
+    the identical sequential expression so the doubles match bit for
+    bit); the oracle replays it with a recursive CTE."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "orders", columns=["o_orderdate"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = pcc.strftime(t["o_orderdate"], format="%Y-%m-%d")
+        g = (
+            pd.DataFrame({"day": day.to_pandas()})
+            .groupby("day", as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+        g["n"] = g["n"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    days = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values("day", ignore_index=True)
+    )
+    xs = [float(x) for x in days["n"].tolist()]
+    z = 0.0
+    zs = []
+    for i, x in enumerate(xs):
+        z = x if i == 0 else 0.5 * x + 0.5 * z
+        zs.append(z)
+    return pa.table(
+        {
+            "day": pa.array(days["day"].tolist(), pa.string()),
+            "n": pa.array(days["n"].to_numpy(np.int64)),
+            "ewma_micro": pa.array(
+                [int(math.floor(v * 1e6 + 0.5)) for v in zs], pa.int64()
+            ),
+        }
+    )
+
+
 CUSUM_SLACK_DIV = 20  # slack k = target // 20 (cents)
 
 
@@ -15629,6 +15748,38 @@ def build_oracle_sql() -> Dict[str, str]:
                           (PARTITION BY user_id ORDER BY t, event_id),
                         {SCD2_OPEN_US}) AS BIGINT) AS valid_to_us
             FROM starts ORDER BY user_id, version
+        """,
+        "knn_l2": """
+            WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qe
+                       FROM embeddings WHERE vec_id < 3),
+            sims AS (
+              SELECT q.q_id, e.vec_id,
+                     list_distance(e.embedding::DOUBLE[], q.qe) AS dist
+              FROM embeddings e CROSS JOIN q),
+            ranked AS (
+              SELECT q_id, vec_id, dist,
+                     row_number() OVER (PARTITION BY q_id
+                         ORDER BY dist ASC, vec_id ASC) - 1 AS rank
+              FROM sims)
+            SELECT q_id, rank, vec_id,
+                   CAST(floor(dist * 1000000 + 0.5) AS BIGINT) AS dist_micro
+            FROM ranked WHERE rank < 10 ORDER BY q_id, rank
+        """,
+        "ewma_daily_orders": """
+            WITH RECURSIVE days AS (
+              SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM orders GROUP BY 1),
+            ord AS (SELECT day, n,
+                           row_number() OVER (ORDER BY day) AS i FROM days),
+            walk AS (
+              SELECT i, day, n, CAST(n AS DOUBLE) AS z FROM ord WHERE i = 1
+              UNION ALL
+              SELECT o.i, o.day, o.n, 0.5 * CAST(o.n AS DOUBLE) + 0.5 * w.z
+              FROM walk w JOIN ord o ON o.i = w.i + 1)
+            SELECT day, n,
+                   CAST(floor(z * 1000000 + 0.5) AS BIGINT) AS ewma_micro
+            FROM walk ORDER BY day
         """,
         "cusum_daily_revenue": f"""
             WITH RECURSIVE days AS (

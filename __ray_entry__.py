@@ -56,6 +56,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_boolean": Q.bm25_boolean,  # +term/-term operators, shared scoring CTE
         "more_like_this": Q.more_like_this,  # find-similar via top tf*idf terms
         "search_ndcg": Q.search_ndcg,  # NDCG@10/MRR eval vs synthetic qrels, BM25-in-SQL + DCG oracle
+        "rank_eval_pr": Q.rank_eval_pr,  # ES rank_eval: P@10/R@10 vs boolean-AND qrels
+        "has_child_orders": Q.has_child_orders,  # ES has_child join-field, score_mode=max
         "percolate_queries": Q.percolate_queries,  # reverse search: registered boolean queries vs corpus
         "bm25_rm3": Q.bm25_rm3,  # pseudo-relevance-feedback expansion, two-pass SQL oracle
         "bm25_rescore": Q.bm25_rescore,  # ES rescore: top-window rerank, O(window) secondary scoring
@@ -162,6 +164,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mann_kendall_daily_revenue": Q.mann_kendall_daily_revenue,  # MK trend test, tie-corrected
         "ewma_daily_orders": Q.ewma_daily_orders,  # exponential smoothing, recursive-CTE oracle
         "zorder_events": Q.zorder_events,  # Z-order/Morton clustering keys (layout primitive)
+        "geo_distance_rings": Q.geo_distance_rings,  # ES geo_distance rings (hash-derived coords)
+        "geohash_cells": Q.geohash_cells,  # ES geohash_grid precision-5 cells
         "value_quantile_normalize": Q.value_quantile_normalize,  # empirical-CDF rank transform, bps
         "filters_agg_events": Q.filters_agg_events,  # ES filters agg: named buckets + other_bucket
         "full_outer_balance": Q.full_outer_balance,  # FULL OUTER join of two pre-aggregated folds

@@ -311,6 +311,12 @@ def run_bench() -> dict:
         ("spearman_qty_discount", Q.spearman_qty_discount),
         ("cusum_daily_revenue", Q.cusum_daily_revenue),
         ("scd2_intervals", Q.scd2_intervals),
+        # round-3 additions
+        ("geo_distance_rings", Q.geo_distance_rings),
+        ("geohash_cells", Q.geohash_cells),
+        ("rank_eval_pr", Q.rank_eval_pr),
+        ("has_child_orders", Q.has_child_orders),
+        ("logreg_lang_en", Q.logreg_lang_en),
     ):
         t0 = time.time()
         res = fn(sf_dir)

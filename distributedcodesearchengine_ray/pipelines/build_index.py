@@ -976,6 +976,14 @@ def _lexicon_pass(index_dir: str, n_docs: int, epsilon: float):
             alive = agg > 0
             terms_arr = terms_arr.filter(pa.array(alive))
             agg = agg[alive]
+        # Sort by term BEFORE the idf_raw partial sum: the per-bucket fold
+        # order is then a pure function of the bucket's (term -> df) map,
+        # so FederatedEngine._union_average_idf can reproduce the union
+        # build's epsilon floor bit-identically (same sorted arrays, same
+        # numpy pairwise summation), not just to ulp tolerance.
+        order = pc.sort_indices(terms_arr)
+        terms_arr = terms_arr.take(order)
+        agg = agg[order.to_numpy(zero_copy_only=False)]
         idf_raw = np.log(n_docs - agg.astype(np.float64) + 0.5) - np.log(
             agg.astype(np.float64) + 0.5
         )
@@ -986,7 +994,6 @@ def _lexicon_pass(index_dir: str, n_docs: int, epsilon: float):
                 "idf_raw": pa.array(idf_raw, pa.float64()),
             }
         )
-        out = out.take(pc.sort_indices(out["term"]))
         pq.write_table(out, os.path.join(lex_dir, f"bucket-{b:04d}.tmp"))
         return float(idf_raw.sum()), int(len(agg))
 

@@ -63,10 +63,23 @@ class FederatedEngine:
             raise ValueError("one id_map per index_dir")
         dirs = [normalize_dir(d) for d in index_dirs]
         self.manifests = [IndexManifest.load(d) for d in dirs]
+        # Score identity requires every sub-index to score with the same
+        # BM25 parameters and document mode — same contract merge_indexes
+        # enforces (build_index.py merge preconditions).  Federating
+        # mismatched builds would silently blend incompatible score
+        # spaces, so fail loudly instead.
+        m0 = self.manifests[0]
+        for m, d in zip(self.manifests[1:], dirs[1:]):
+            if (m.k1, m.b, m.epsilon, m.mode) != (m0.k1, m0.b, m0.epsilon, m0.mode):
+                raise ValueError(
+                    f"sub-index parameter mismatch: {d} has "
+                    f"(k1={m.k1}, b={m.b}, epsilon={m.epsilon}, mode={m.mode}) "
+                    f"vs (k1={m0.k1}, b={m0.b}, epsilon={m0.epsilon}, mode={m0.mode})"
+                )
         self.N = sum(m.n_docs for m in self.manifests)
         total_tokens = sum(m.total_tokens for m in self.manifests)
         self.avgdl = total_tokens / self.N if self.N else 0.0
-        self.eps = 0.25 * self._union_average_idf(dirs)
+        self.eps = m0.epsilon * self._union_average_idf(dirs)
         self.engines = [
             QueryEngine(d, num_actors=num_actors_each, avgdl_override=self.avgdl)
             for d in dirs
@@ -74,42 +87,57 @@ class FederatedEngine:
         self.id_maps = list(id_maps)
 
     def _union_average_idf(self, dirs: Sequence[str]) -> float:
-        """Mean raw idf over the UNION vocabulary: distributed term-keyed
-        df merge across all sub-index lexicons, then per-block idf_raw
-        partial sums (the build's exact expression) folded on the
-        driver.  Terms are co-bucketed by the same hash in every
-        sub-index, but the groupby does not rely on that — it is one
-        vocabulary-sized exchange, independent of corpus size."""
-        import ray.data as rd
-        from ray.data.aggregate import Sum
+        """Mean raw idf over the UNION vocabulary, BIT-IDENTICAL to what a
+        single union build's ``_lexicon_pass`` would produce.
 
-        paths = [
-            os.path.join(d, "lexicon", f)
-            for d in dirs
-            for f in sorted(os.listdir(os.path.join(d, "lexicon")))
-            if f.endswith(".parquet")
-        ]
-        n = float(self.N)
+        Every sub-index bucketed its lexicon with the same term hash and
+        ``LEX_BUCKETS``, so bucket b of the union vocabulary is exactly
+        the union of each sub-index's bucket-b file.  One task per bucket
+        merges the integer dfs per term (exact, order-free), sorts by
+        term, and computes the numpy pairwise idf_raw sum over the sorted
+        array — the identical expression, array order, and summation
+        ``_lexicon_pass.lex_bucket`` uses — and the driver folds the
+        per-bucket partials in bucket order, matching its
+        ``sum(s for s, _ in partials)``.  Cost scales with vocabulary,
+        never corpus size."""
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+        import ray
 
-        def partial(t: pa.Table) -> pa.Table:
-            df = t["df"].to_numpy(zero_copy_only=False).astype(np.float64)
-            raw = np.log(n - df + 0.5) - np.log(df + 0.5)
-            return pa.table(
-                {
-                    "s": pa.array([float(raw.sum())], pa.float64()),
-                    "c": pa.array([len(raw)], pa.int64()),
-                }
+        from .build_index import LEX_BUCKETS
+
+        n_union = self.N
+
+        @ray.remote(num_cpus=1)
+        def bucket_partial(b: int) -> tuple:
+            if pa.cpu_count() != 1:
+                pa.set_cpu_count(1)
+            files = [
+                p
+                for d in dirs
+                if os.path.exists(p := os.path.join(d, "lexicon", f"bucket-{b:04d}.parquet"))
+            ]
+            if not files:
+                return 0.0, 0
+            tbl = pa.concat_tables(
+                pq.read_table(f, columns=["term", "df"]) for f in files
             )
+            dict_arr = pc.dictionary_encode(tbl["term"].combine_chunks())
+            if isinstance(dict_arr, pa.ChunkedArray):
+                dict_arr = dict_arr.combine_chunks()
+            codes = dict_arr.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            dfs = tbl["df"].to_numpy(zero_copy_only=False)
+            agg = np.bincount(codes, weights=dfs).astype(np.int64)
+            order = pc.sort_indices(dict_arr.dictionary).to_numpy(zero_copy_only=False)
+            agg = agg[order]
+            idf_raw = np.log(n_union - agg.astype(np.float64) + 0.5) - np.log(
+                agg.astype(np.float64) + 0.5
+            )
+            return float(idf_raw.sum()), int(len(agg))
 
-        parts = (
-            rd.read_parquet(paths, columns=["term", "df"])
-            .groupby("term")
-            .aggregate(Sum("df", alias_name="df"))
-            .map_batches(partial, batch_format="pyarrow")
-            .to_pandas()
-        )
-        vocab = int(parts["c"].sum())
-        return float(parts["s"].sum()) / vocab if vocab else 0.0
+        partials = ray.get([bucket_partial.remote(b) for b in range(LEX_BUCKETS)])
+        vocab = int(sum(c for _, c in partials))
+        return float(sum(s for s, _ in partials)) / vocab if vocab else 0.0
 
     def _global_idfs(self, toks: List[str]) -> Dict[str, float]:
         dfs: Dict[str, int] = {}

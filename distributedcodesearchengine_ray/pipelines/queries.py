@@ -510,16 +510,48 @@ def _documents_index(
 ) -> str:
     """Build (resume-cached) the file-mode BM25 index over documents.
     ``variant`` names an independent cache copy (e.g. for destructive
-    tombstone-delete queries)."""
+    tombstone-delete queries).  The build runs under an exclusive file
+    lock so two processes sharing /tmp/rcs_cache (e.g. parallel test
+    runs) can't interleave the same build (the resume logic is
+    idempotent per process, not concurrency-safe across them)."""
     from .build_index import build_index
 
-    tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:12] + "c"
+    tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:12] + "d"
     if with_positions:
         tag += "-pos"
     if variant:
         tag += f"-{variant}"
     idx = f"/tmp/rcs_cache/docidx-{tag}"
     os.makedirs(idx, exist_ok=True)
+    with _cache_lock(idx):
+        return _documents_index_locked(
+            sf_dir, idx, with_positions=with_positions
+        )
+
+
+def _cache_lock(path: str):
+    """Exclusive advisory lock guarding a /tmp/rcs_cache build dir."""
+    import fcntl
+    from contextlib import contextmanager
+
+    @contextmanager
+    def _lock():
+        fd = os.open(path + ".lock", os.O_CREAT | os.O_RDWR)
+        try:
+            fcntl.flock(fd, fcntl.LOCK_EX)
+            yield
+        finally:
+            fcntl.flock(fd, fcntl.LOCK_UN)
+            os.close(fd)
+
+    return _lock()
+
+
+def _documents_index_locked(
+    sf_dir: str, idx: str, *, with_positions: bool = False
+) -> str:
+    from .build_index import build_index
+
     ds = _read(sf_dir, "documents")
     # bm25 queries compare engine doc_ids (lexicographic ranks of the
     # zero-padded synthesized paths) to the table's doc_id column, which is
@@ -584,38 +616,39 @@ def _documents_subindex(sf_dir: str, parity: int) -> str:
     local->global id map is ``2*i + parity``."""
     from .build_index import build_index
 
-    tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:12] + f"c-fed{parity}"
+    tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:12] + f"d-fed{parity}"
     idx = f"/tmp/rcs_cache/docidx-{tag}"
     os.makedirs(idx, exist_ok=True)
-    corpus_dir = f"{idx}-corpus"
-    done = f"{corpus_dir}._DONE"
-    if not os.path.exists(done):
-        import shutil
+    with _cache_lock(idx):
+        corpus_dir = f"{idx}-corpus"
+        done = f"{corpus_dir}._DONE"
+        if not os.path.exists(done):
+            import shutil
 
-        shutil.rmtree(corpus_dir, ignore_errors=True)
+            shutil.rmtree(corpus_dir, ignore_errors=True)
 
-        def to_corpus(t: pa.Table) -> pa.Table:
-            ids = t["doc_id"].to_numpy(zero_copy_only=False)
-            keep = (ids % 2) == parity
-            ids = ids[keep]
-            return pa.table(
-                {
-                    "repo": pa.array(["docs"] * len(ids), pa.string()),
-                    "path": pa.array([f"{i:012d}.txt" for i in ids], pa.string()),
-                    "commit": pa.array(["0" * 40] * len(ids), pa.string()),
-                    "lang": t["lang"].filter(pa.array(keep)),
-                    "content": t["text"].filter(pa.array(keep)),
-                }
-            )
+            def to_corpus(t: pa.Table) -> pa.Table:
+                ids = t["doc_id"].to_numpy(zero_copy_only=False)
+                keep = (ids % 2) == parity
+                ids = ids[keep]
+                return pa.table(
+                    {
+                        "repo": pa.array(["docs"] * len(ids), pa.string()),
+                        "path": pa.array([f"{i:012d}.txt" for i in ids], pa.string()),
+                        "commit": pa.array(["0" * 40] * len(ids), pa.string()),
+                        "lang": t["lang"].filter(pa.array(keep)),
+                        "content": t["text"].filter(pa.array(keep)),
+                    }
+                )
 
-        _read(sf_dir, "documents").map_batches(
-            to_corpus, batch_format="pyarrow"
-        ).write_parquet(corpus_dir)
-        open(done, "w").write("ok")
-    build_index(
-        corpus_dir, idx, mode="file", docs_per_partition=2000,
-        apply_path_filters=False, resume=True,
-    )
+            _read(sf_dir, "documents").map_batches(
+                to_corpus, batch_format="pyarrow"
+            ).write_parquet(corpus_dir)
+            open(done, "w").write("ok")
+        build_index(
+            corpus_dir, idx, mode="file", docs_per_partition=2000,
+            apply_path_filters=False, resume=True,
+        )
     return idx
 
 
@@ -3357,11 +3390,12 @@ def _trigram_index(sf_dir: str) -> str:
 
     tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
     idx = f"/tmp/rcs_cache/tridx-{tag}"
-    marker = os.path.join(idx, "tri_manifest.json")
-    if not os.path.exists(marker):
-        os.makedirs(idx, exist_ok=True)
-        ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-        build_trigram_index(ds, idx)
+    os.makedirs(idx, exist_ok=True)
+    with _cache_lock(idx):
+        marker = os.path.join(idx, "tri_manifest.json")
+        if not os.path.exists(marker):
+            ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+            build_trigram_index(ds, idx)
     return idx
 
 
@@ -3561,7 +3595,7 @@ def knn_l2(sf_dir: str):
             )
 
     cands = ds.map_batches(
-        BlockL2, batch_format="pyarrow", batch_size=8192, concurrency=2
+        BlockL2, batch_format="pyarrow", batch_size=8192, concurrency=(1, 2)
     ).to_pandas()
     qids = qdf["vec_id"].to_numpy()
     rows = {"q_id": [], "rank": [], "vec_id": [], "dist_micro": []}
@@ -4269,7 +4303,7 @@ def top_parts_by_revenue(sf_dir: str):
             return pa.table({"p_partkey": t["l_partkey"], "revenue_c": _cents_col(rev)})
 
     out = (
-        ds.map_batches(JoinRevenue, batch_format="pyarrow", concurrency=2)
+        ds.map_batches(JoinRevenue, batch_format="pyarrow", concurrency=(1, 2))
         .groupby("p_partkey")
         .aggregate(Sum("revenue_c", alias_name="revenue_c"))
         .to_pandas()
@@ -4350,7 +4384,7 @@ def orders_by_nation(sf_dir: str):
             )
 
     out = (
-        joined.map_batches(AddNation, batch_format="pyarrow", concurrency=2)
+        joined.map_batches(AddNation, batch_format="pyarrow", concurrency=(1, 2))
         .groupby("n_name")
         .aggregate(Count(alias_name="n_orders"), Sum("total_c", alias_name="total_c"))
         .to_pandas()
@@ -4423,7 +4457,7 @@ def nation_above_avg_orders(sf_dir: str):
             )
 
     above = (
-        joined.map_batches(AboveAvg, batch_format="pyarrow", concurrency=2)
+        joined.map_batches(AboveAvg, batch_format="pyarrow", concurrency=(1, 2))
         .groupby("c_nationkey")
         .aggregate(Sum("above", alias_name="n_above"))
         .to_pandas()
@@ -4628,7 +4662,7 @@ def q5_local_supplier_volume(sf_dir: str, region: str = Q5_REGION):
                     }
                 ).filter(pa.array(nk >= 0))
 
-        ls = line.map_batches(JoinSupp, batch_format="pyarrow", concurrency=2)
+        ls = line.map_batches(JoinSupp, batch_format="pyarrow", concurrency=(1, 2))
     else:
         ls = line.join(
             _with_join_sentinels(supp, "l_suppkey"),
@@ -4720,7 +4754,7 @@ def top2_orders_per_nation(sf_dir: str):
         return df
 
     out = (
-        joined.map_batches(AddNation, batch_format="pyarrow", concurrency=2)
+        joined.map_batches(AddNation, batch_format="pyarrow", concurrency=(1, 2))
         .groupby("n_name")
         .map_groups(top2, batch_format="pandas")
         .to_pandas()
@@ -4767,7 +4801,7 @@ def supplier_balance_by_region(sf_dir: str):
             )
 
     out = (
-        ds.map_batches(AddRegion, batch_format="pyarrow", concurrency=2)
+        ds.map_batches(AddRegion, batch_format="pyarrow", concurrency=(1, 2))
         .groupby("r_name")
         .aggregate(Count(alias_name="n_suppliers"), Sum("bal_c", alias_name="bal_c"))
         .to_pandas()
@@ -5706,7 +5740,7 @@ def length_outliers(sf_dir: str):
             keep = 4 * dev * dev > 9 * (n * q - s * s)
             return t.filter(pa.array(keep))
 
-    out = counts.map_batches(FilterOutliers, batch_format="pyarrow", concurrency=2).to_pandas()
+    out = counts.map_batches(FilterOutliers, batch_format="pyarrow", concurrency=(1, 2)).to_pandas()
     if "doc_id" not in out.columns:  # every block filtered empty: no outliers
         out = pd.DataFrame(
             {
@@ -6735,9 +6769,9 @@ def _ndcg_sql() -> str:
         parts.append(
             f"""
             SELECT '{q}' AS query,
-                   CASE WHEN i.idcg_micro = 0 THEN 0
-                        ELSE (d.dcg_micro * 1000) // i.idcg_micro END AS ndcg_milli,
-                   COALESCE(m.mrr_milli, 0) AS mrr_milli
+                   CAST(CASE WHEN i.idcg_micro = 0 THEN 0
+                        ELSE (d.dcg_micro * 1000) // i.idcg_micro END AS BIGINT) AS ndcg_milli,
+                   CAST(COALESCE(m.mrr_milli, 0) AS BIGINT) AS mrr_milli
             FROM
               (SELECT COALESCE(sum(CAST(floor((pow(2, doc_id % 4) - 1)
                          / log2(rank + 2) * 1000000 + 0.5) AS BIGINT)), 0) AS dcg_micro
@@ -9075,7 +9109,11 @@ def _attach_int_lookup(ds, side, sf_dir: str, side_table: str, key: str,
                 cols[c] = pa.array(v[idx_c])
             return pa.table(cols).filter(pa.array(hit))
 
-    return ds.map_batches(Attach, batch_format="pyarrow", concurrency=2)
+    # autoscaling (min=1) pool: a FIXED concurrency=2 demands 2 whole CPUs
+    # before the stage can start — on a small cluster with other actors
+    # resident (e.g. a parked query pool) chained attach stages then
+    # deadlock the streaming executor waiting on pending actors forever.
+    return ds.map_batches(Attach, batch_format="pyarrow", concurrency=(1, 2))
 
 
 def _share_bps(num: np.ndarray, den: np.ndarray) -> np.ndarray:
@@ -11663,7 +11701,7 @@ def value_quantile_normalize(sf_dir: str):
                 {"event_id": t["event_id"], "q_bps": pa.array(q.astype(np.int64))}
             )
 
-    return ds.map_batches(Normalize, batch_format="pyarrow", concurrency=2)
+    return ds.map_batches(Normalize, batch_format="pyarrow", concurrency=(1, 2))
 
 
 SCD2_OPEN_US = 1 << 62  # open-interval sentinel (epoch micros)
@@ -12109,15 +12147,19 @@ def _logreg_sql() -> str:
     """Unrolled-GD oracle twin of ``logreg_lang_en``: identical feature
     expressions, per-row micro-rounded gradient terms, identical weight
     update tree, accuracy by the same z>=0 integer check."""
-    feats = """f AS (SELECT CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+    # Every CTE is MATERIALIZED: DuckDB inlines plain CTEs, and the
+    # w{k} -> g{k} -> w{k-1} reference chain fans out ~9x per iteration —
+    # the inlined plan re-scans the documents parquet thousands of times
+    # and exhausts the process fd limit ("Too many open files").
+    feats = """f AS MATERIALIZED (SELECT CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
                   CAST(n_chars AS DOUBLE) / 1000.0 AS x1,
                   CAST(length(text) - length(replace(text, ' ', ''))
                        AS DOUBLE) / 100.0 AS x2
            FROM documents)"""
     parts = [feats,
-             "nn AS (SELECT CAST(count(*) AS BIGINT) AS n,"
+             "nn AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n,"
              " CAST(count(*) AS DOUBLE) AS nd FROM f)",
-             "w0 AS (SELECT 0.0 AS a, 0.0 AS b, 0.0 AS c)"]
+             "w0 AS MATERIALIZED (SELECT 0.0 AS a, 0.0 AS b, 0.0 AS c)"]
     for k in range(1, LOGREG_ITERS + 1):
         prev = f"w{k - 1}"
         sig = (
@@ -12126,14 +12168,14 @@ def _logreg_sql() -> str:
             f" + (SELECT c FROM {prev}) * x2)))"
         )
         parts.append(
-            f"""g{k} AS (SELECT
+            f"""g{k} AS MATERIALIZED (SELECT
               sum(CAST(floor(({sig} - y) * 1000000 + 0.5) AS BIGINT)) AS ga,
               sum(CAST(floor(({sig} - y) * x1 * 1000000 + 0.5) AS BIGINT)) AS gb,
               sum(CAST(floor(({sig} - y) * x2 * 1000000 + 0.5) AS BIGINT)) AS gc
             FROM f)"""
         )
         parts.append(
-            f"""w{k} AS (SELECT
+            f"""w{k} AS MATERIALIZED (SELECT
               (SELECT a FROM {prev}) - {LOGREG_LR} * (CAST((SELECT ga FROM g{k})
                  AS DOUBLE) / 1000000.0) / (SELECT nd FROM nn) AS a,
               (SELECT b FROM {prev}) - {LOGREG_LR} * (CAST((SELECT gb FROM g{k})
@@ -13279,6 +13321,424 @@ def _qtok(q: str) -> List[str]:
     return tokenize(q)
 
 
+# ---------------------------------------------------------------- geo
+# Deterministic synthetic coordinates derived from c_custkey with two
+# Knuth/xxhash odd-multiplier mixes — both engines evaluate the SAME
+# integer expressions, so the coordinates agree exactly and no external
+# geo data is needed.  The distance/geohash math then uses identical
+# double expression trees (libm sin/cos/asin on both sides).
+GEO_MIX_LAT = 2654435761  # Knuth multiplicative hash constant
+GEO_MIX_LON = 2246822519  # xxhash PRIME32_2
+GEO_MOD = 1 << 32
+GEO_ORIGIN = (48.8566, 2.3522)  # fixed query origin (Paris)
+GEO_RINGS_KM = (2000, 5000, 10000)  # ring edges; last ring is open
+GEO_EARTH_R_KM = 6371.0
+GEOHASH_BASE32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+GEOHASH_PRECISION = 5  # 25 bits: 13 lon + 12 lat
+GEOHASH_TOP = 20
+
+
+def _geo_latlon(custkey: np.ndarray) -> tuple:
+    """(lat, lon) doubles from the integer mixes (same exprs as SQL)."""
+    k = custkey.astype(np.int64)
+    h1 = (k * GEO_MIX_LAT) % GEO_MOD
+    h2 = (k * GEO_MIX_LON) % GEO_MOD
+    lat = -90.0 + 180.0 * (h1.astype(np.float64) / float(GEO_MOD))
+    lon = -180.0 + 360.0 * (h2.astype(np.float64) / float(GEO_MOD))
+    return lat, lon
+
+
+def geo_distance_rings(sf_dir: str):
+    """ES ``geo_distance`` aggregation: customers bucketed by haversine
+    distance from a fixed origin into concentric rings, with count and
+    account-balance cents per ring.  Coordinates are derived from
+    ``c_custkey`` by two integer hash mixes (exact on both sides); the
+    haversine tree is one shared double expression, and the ring
+    classification compares MICRO-ROUNDED distance integers, so the
+    bucket decision is identical on both engines.  Map-side ring
+    partials (<= 4 rows/block) -> tiny groupby — customer rows never
+    shuffle."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "customer", columns=["c_custkey", "c_acctbal"])
+    lat0, lon0 = GEO_ORIGIN
+    cos_phi0 = math.cos(lat0 * (math.pi / 180.0))  # scalar, same on both sides
+
+    def fn(t: pa.Table) -> pa.Table:
+        k = t["c_custkey"].to_numpy(zero_copy_only=False)
+        lat, lon = _geo_latlon(k)
+        phi = lat * (math.pi / 180.0)
+        dphi = (lat - lat0) * (math.pi / 180.0)
+        dlmb = (lon - lon0) * (math.pi / 180.0)
+        a = (
+            np.sin(dphi / 2.0) ** 2
+            + cos_phi0 * np.cos(phi) * np.sin(dlmb / 2.0) ** 2
+        )
+        d_km = 2.0 * GEO_EARTH_R_KM * np.arcsin(np.sqrt(a))
+        d_micro = _micro(d_km)
+        ring = np.searchsorted(
+            np.asarray([e * 1_000_000 for e in GEO_RINGS_KM], np.int64),
+            d_micro,
+            side="right",
+        )
+        cents = _cents_col(t["c_acctbal"]).to_numpy(zero_copy_only=False)
+        g = (
+            pd.DataFrame({"ring": ring, "cents": cents})
+            .groupby("ring", as_index=False)
+            .agg(n=("cents", "size"), bal_cents=("cents", "sum"))
+        )
+        return pa.table(
+            {
+                "ring": pa.array(g["ring"].to_numpy(np.int64)),
+                "n": pa.array(g["n"].to_numpy(np.int64)),
+                "bal_cents": pa.array(g["bal_cents"].to_numpy(np.int64)),
+            }
+        )
+
+    out = (
+        ds.map_batches(fn, batch_format="pyarrow")
+        .groupby("ring")
+        .aggregate(Sum("n", alias_name="n"), Sum("bal_cents", alias_name="bal_cents"))
+        .to_pandas()
+        .sort_values("ring", ignore_index=True)
+    )
+    return pa.table(
+        {
+            "ring": pa.array(out["ring"].to_numpy(np.int64)),
+            "n": pa.array(out["n"].to_numpy(np.int64)),
+            "bal_cents": pa.array(out["bal_cents"].to_numpy(np.int64)),
+        }
+    )
+
+
+def geohash_cells(sf_dir: str):
+    """ES ``geohash_grid`` aggregation: precision-5 geohash cell per
+    customer (true base-32 geohash bit interleave — 13 lon bits even
+    positions, 12 lat bits odd, exactly the public algorithm), top
+    cells by (count desc, cell asc).  The quantization and interleave
+    are pure integer expressions mirrored in SQL; the float
+    ``floor((lon+180)/360 * 2^13)`` quantizer is one shared double
+    expression."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "customer", columns=["c_custkey"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        k = t["c_custkey"].to_numpy(zero_copy_only=False)
+        lat, lon = _geo_latlon(k)
+        qlon = np.minimum(
+            np.floor((lon + 180.0) / 360.0 * (1 << 13)).astype(np.int64),
+            (1 << 13) - 1,
+        )
+        qlat = np.minimum(
+            np.floor((lat + 90.0) / 180.0 * (1 << 12)).astype(np.int64),
+            (1 << 12) - 1,
+        )
+        # geohash bit order: msb first, lon first (even global positions)
+        z = np.zeros(len(k), np.int64)
+        for i in range(13):  # lon bit i (from msb) -> global bit 2i
+            z |= ((qlon >> (12 - i)) & 1) << (24 - 2 * i)
+        for i in range(12):  # lat bit i (from msb) -> global bit 2i+1
+            z |= ((qlat >> (11 - i)) & 1) << (23 - 2 * i)
+        alphabet = np.array(list(GEOHASH_BASE32))
+        cells = np.full(len(k), "", dtype=f"<U{GEOHASH_PRECISION}")
+        for c in range(GEOHASH_PRECISION):  # 5 vectorized char picks
+            idx = (z >> (5 * (GEOHASH_PRECISION - 1 - c))) & 31
+            cells = np.char.add(cells, alphabet[idx])
+        g = (
+            pd.DataFrame({"cell": cells})
+            .groupby("cell", as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+        return pa.table(
+            {
+                "cell": pa.array(g["cell"], pa.string()),
+                "n": pa.array(g["n"].to_numpy(np.int64)),
+            }
+        )
+
+    out = (
+        ds.map_batches(fn, batch_format="pyarrow")
+        .groupby("cell")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values(["n", "cell"], ascending=[False, True], ignore_index=True)
+        .head(GEOHASH_TOP)
+    )
+    return pa.table(
+        {
+            "cell": pa.array(out["cell"], pa.string()),
+            "n": pa.array(out["n"].to_numpy(np.int64)),
+        }
+    )
+
+
+# rank_eval (ES Ranking Evaluation API): precision@k / recall@k per query
+# against a DERIVABLE judgment set — a doc is relevant iff its token set
+# contains EVERY query token (boolean-AND qrels both engines can
+# recompute; no external judgment file).
+RANK_EVAL_K = 10
+
+
+def rank_eval_pr(sf_dir: str):
+    """ES rank_eval: P@10 and R@10 of the distributed BM25 run per
+    query, qrels = docs containing all query tokens.  One corpus pass
+    computes per-doc qrel membership for ALL queries at once (per-batch
+    token-set masks -> tiny per-query partials); hits come from the
+    already-rank-identity-proven engine top-k.  All ratios integer
+    (milli = hits*1000 // denom)."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.tokenizer import tokenize
+    from .query import QueryEngine
+
+    idx = _documents_index(sf_dir)
+    engine = QueryEngine(idx, num_actors=2, pool=True)
+    try:
+        topk = {
+            q: [h["doc_id"] for h in engine.search(q, limit=RANK_EVAL_K)]
+            for q in NDCG_QUERIES
+        }
+    finally:
+        engine.close()
+
+    q_toks = {q: sorted(set(tokenize(q))) for q in NDCG_QUERIES}
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def qrel_pass(t: pa.Table) -> pa.Table:
+        toks = tokenize_array(t["text"])
+        flat = pcc.list_flatten(toks)
+        parents = pcc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        need = sorted({tm for ts in q_toks.values() for tm in ts})
+        dfp = pd.DataFrame({"term": flat.to_pandas(), "d": parents})
+        dfp = dfp[dfp["term"].isin(need)].drop_duplicates()
+        n = len(t)
+        has = {tm: np.zeros(n, dtype=bool) for tm in need}
+        for tm, grp in dfp.groupby("term", sort=False):
+            has[tm][grp["d"].to_numpy()] = True
+        doc_ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        rows_q, rows_rel, rows_hit = [], [], []
+        for q, terms in q_toks.items():
+            mask = np.ones(n, dtype=bool)
+            for tm in terms:
+                mask &= has[tm]
+            rel_ids = doc_ids[mask]
+            rows_q.append(q)
+            rows_rel.append(int(mask.sum()))
+            rows_hit.append(int(np.isin(rel_ids, topk[q]).sum()))
+        return pa.table(
+            {
+                "query": pa.array(rows_q, pa.string()),
+                "n_rel": pa.array(rows_rel, pa.int64()),
+                "n_hit": pa.array(rows_hit, pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(qrel_pass, batch_format="pyarrow")
+        .groupby("query")
+        .aggregate(Sum("n_rel", alias_name="n_rel"), Sum("n_hit", alias_name="n_hit"))
+        .to_pandas()
+        .sort_values("query", ignore_index=True)
+    )
+    n_rel = agg["n_rel"].to_numpy(np.int64)
+    n_hit = agg["n_hit"].to_numpy(np.int64)
+    p_milli = n_hit * 1000 // RANK_EVAL_K
+    r_milli = np.where(n_rel > 0, n_hit * 1000 // np.maximum(n_rel, 1), 0)
+    return pa.table(
+        {
+            "query": pa.array(agg["query"], pa.string()),
+            "n_rel": pa.array(n_rel),
+            "p_milli": pa.array(p_milli.astype(np.int64)),
+            "r_milli": pa.array(r_milli.astype(np.int64)),
+        }
+    )
+
+
+# has_child (ES join-field): rank PARENT orders by their matching
+# lineitem children — score_mode=max over child revenue cents, child
+# filter on quantity.
+HAS_CHILD_MIN_QTY = 45
+HAS_CHILD_TOP = 20
+
+
+def has_child_orders(sf_dir: str):
+    """ES ``has_child`` query (join field, ``score_mode=max``): parents
+    (orders) ranked by the MAX matching child score — child = lineitem
+    with ``l_quantity >= 45``, child score = revenue cents — plus the
+    matching-children count, top 20 by (score desc, orderkey asc),
+    enriched with the parent's priority via a point pushdown read (the
+    J4 lookup shape).  Children pre-aggregate map-side per orderkey, so
+    the exchange carries one row per (block, parent), never raw
+    lineitems."""
+    from ray.data.aggregate import Max, Sum
+
+    li = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def child_partials(t: pa.Table) -> pa.Table:
+        qty = t["l_quantity"].to_numpy(zero_copy_only=False)
+        keep = qty >= HAS_CHILD_MIN_QTY
+        if not keep.any():
+            return pa.table(
+                {
+                    "o_orderkey": pa.array([], pa.int64()),
+                    "score_cents": pa.array([], pa.int64()),
+                    "n_children": pa.array([], pa.int64()),
+                }
+            )
+        ep = _cents_col(t["l_extendedprice"]).to_numpy(zero_copy_only=False)[keep]
+        dc = _cents_col(t["l_discount"]).to_numpy(zero_copy_only=False)[keep]
+        # child score: revenue cents = floor(ep_cents*(100-disc_cents)/100)
+        score = ep * (100 - dc) // 100
+        ok = t["l_orderkey"].to_numpy(zero_copy_only=False)[keep]
+        g = (
+            pd.DataFrame({"k": ok, "s": score})
+            .groupby("k", as_index=False)
+            .agg(score_cents=("s", "max"), n_children=("s", "size"))
+        )
+        return pa.table(
+            {
+                "o_orderkey": pa.array(g["k"].to_numpy(np.int64)),
+                "score_cents": pa.array(g["score_cents"].to_numpy(np.int64)),
+                "n_children": pa.array(g["n_children"].to_numpy(np.int64)),
+            }
+        )
+
+    parents = (
+        li.map_batches(child_partials, batch_format="pyarrow")
+        .groupby("o_orderkey")
+        .aggregate(
+            Max("score_cents", alias_name="score_cents"),
+            Sum("n_children", alias_name="n_children"),
+        )
+        .to_pandas()
+        .sort_values(
+            ["score_cents", "o_orderkey"], ascending=[False, True], ignore_index=True
+        )
+        .head(HAS_CHILD_TOP)
+    )
+    keys = parents["o_orderkey"].tolist()
+    prio = (
+        pads.dataset(os.path.join(sf_dir, "orders.parquet"), format="parquet")
+        .to_table(
+            columns=["o_orderkey", "o_orderpriority"],
+            filter=pads.field("o_orderkey").isin(keys),
+        )
+        .to_pandas()
+        .set_index("o_orderkey")["o_orderpriority"]
+    )
+    return pa.table(
+        {
+            "o_orderkey": pa.array(parents["o_orderkey"].to_numpy(np.int64)),
+            "score_cents": pa.array(parents["score_cents"].to_numpy(np.int64)),
+            "n_children": pa.array(parents["n_children"].to_numpy(np.int64)),
+            "o_orderpriority": pa.array(
+                [prio.get(k) for k in keys], pa.string()
+            ),
+        }
+    )
+
+
+def _geo_latlon_sql() -> str:
+    """SQL twin of ``_geo_latlon`` (same integer mixes, same doubles)."""
+    return f"""
+      SELECT c_custkey,
+             -90.0 + 180.0 * (CAST((c_custkey * {GEO_MIX_LAT}) % {GEO_MOD}
+                 AS DOUBLE) / {float(GEO_MOD)!r}) AS lat,
+             -180.0 + 360.0 * (CAST((c_custkey * {GEO_MIX_LON}) % {GEO_MOD}
+                 AS DOUBLE) / {float(GEO_MOD)!r}) AS lon,
+             CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+      FROM customer"""
+
+
+def _geo_rings_sql() -> str:
+    import math
+
+    lat0, lon0 = GEO_ORIGIN
+    phi0 = lat0 * (math.pi / 180.0)
+    cos_phi0 = math.cos(phi0)  # scalar precomputed on BOTH sides
+    deg = math.pi / 180.0
+    cases = " ".join(
+        f"WHEN d_micro < {e * 1_000_000} THEN {i}"
+        for i, e in enumerate(GEO_RINGS_KM)
+    )
+    return f"""
+        WITH c AS ({_geo_latlon_sql()}),
+        d AS (
+          SELECT cents,
+                 CAST(floor(2.0 * {GEO_EARTH_R_KM!r} * asin(sqrt(
+                   pow(sin(((lat - {lat0!r}) * {deg!r}) / 2.0), 2)
+                   + {cos_phi0!r} * cos(lat * {deg!r})
+                     * pow(sin(((lon - {lon0!r}) * {deg!r}) / 2.0), 2)
+                 )) * 1000000 + 0.5) AS BIGINT) AS d_micro
+          FROM c)
+        SELECT CAST(ring AS BIGINT) AS ring, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(cents) AS BIGINT) AS bal_cents
+        FROM (SELECT cents, CASE {cases} ELSE {len(GEO_RINGS_KM)} END AS ring
+              FROM d)
+        GROUP BY ring ORDER BY ring
+    """
+
+
+def _geohash_sql() -> str:
+    interleave = " + ".join(
+        [f"(((qlon >> {12 - i}) & 1) << {24 - 2 * i})" for i in range(13)]
+        + [f"(((qlat >> {11 - i}) & 1) << {23 - 2 * i})" for i in range(12)]
+    )
+    chars = " || ".join(
+        f"substr('{GEOHASH_BASE32}', CAST(((z >> {5 * (GEOHASH_PRECISION - 1 - c)}) & 31) AS INTEGER) + 1, 1)"
+        for c in range(GEOHASH_PRECISION)
+    )
+    return f"""
+        WITH c AS ({_geo_latlon_sql()}),
+        q AS (
+          SELECT least(CAST(floor((lon + 180.0) / 360.0 * {float(1 << 13)!r})
+                       AS BIGINT), {(1 << 13) - 1}) AS qlon,
+                 least(CAST(floor((lat + 90.0) / 180.0 * {float(1 << 12)!r})
+                       AS BIGINT), {(1 << 12) - 1}) AS qlat
+          FROM c),
+        zc AS (SELECT CAST({interleave} AS BIGINT) AS z FROM q)
+        SELECT cell, CAST(count(*) AS BIGINT) AS n
+        FROM (SELECT {chars} AS cell FROM zc)
+        GROUP BY cell ORDER BY n DESC, cell ASC LIMIT {GEOHASH_TOP}
+    """
+
+
+def _rank_eval_sql() -> str:
+    from ..functions.tokenizer import tokenize
+
+    tok = _tok_sql("text")
+    parts = []
+    for q in NDCG_QUERIES:
+        terms = ", ".join(f"'{t}'" for t in sorted(set(tokenize(q))))
+        inner = bm25_sql(q, limit=RANK_EVAL_K)
+        parts.append(
+            f"""
+            SELECT '{q}' AS query, nr.n_rel,
+                   CAST(h.hits * 1000 // {RANK_EVAL_K} AS BIGINT) AS p_milli,
+                   CAST(CASE WHEN nr.n_rel > 0 THEN h.hits * 1000 // nr.n_rel
+                        ELSE 0 END AS BIGINT) AS r_milli
+            FROM
+              (SELECT CAST(count(*) AS BIGINT) AS n_rel
+               FROM (SELECT {tok} AS toks FROM documents)
+               WHERE list_has_all(toks, [{terms}])) nr,
+              (SELECT CAST(count(*) AS BIGINT) AS hits
+               FROM ({inner}) r
+               JOIN (SELECT doc_id, {tok} AS toks FROM documents) t
+                 ON t.doc_id = r.doc_id
+               WHERE list_has_all(t.toks, [{terms}])) h
+            """
+        )
+    return " UNION ALL ".join(parts)
+
+
 def build_oracle_sql() -> Dict[str, str]:
     tok = _tok_sql("text")
     stop_list = ", ".join(f"'{w}'" for w in sorted(STOPWORDS))
@@ -13936,7 +14396,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "redact_props": _redact_sql(),
         "props_k_by_type": r"""
             SELECT event_type, count(*) AS n,
-                   sum(COALESCE(TRY_CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT), 0)) AS sum_k
+                   CAST(sum(COALESCE(TRY_CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT), 0)) AS BIGINT) AS sum_k
             FROM events GROUP BY event_type ORDER BY event_type
         """,
         "clean_text": f"""
@@ -14545,7 +15005,8 @@ def build_oracle_sql() -> Dict[str, str]:
                                       / {float(DECAY_TAU_US)})) * 1000 + 0.5)
                           AS BIGINT) AS s
               FROM events, m)
-            SELECT user_id, sum(s) AS score_milli FROM s GROUP BY user_id
+            SELECT user_id, CAST(sum(s) AS BIGINT) AS score_milli
+            FROM s GROUP BY user_id
             ORDER BY score_milli DESC, user_id ASC LIMIT {DECAY_TOP_N}
         """,
         "dup_spans": f"""
@@ -16254,5 +16715,24 @@ def build_oracle_sql() -> Dict[str, str]:
             )
             SELECT lang, bucket, CAST(count(*) AS BIGINT) AS n_docs
             FROM b2 GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "geo_distance_rings": _geo_rings_sql(),
+        "geohash_cells": _geohash_sql(),
+        "rank_eval_pr": _rank_eval_sql(),
+        "has_child_orders": f"""
+            WITH ch AS (
+              SELECT l_orderkey AS o_orderkey,
+                     CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                       * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))
+                       // 100 AS score
+              FROM lineitem WHERE l_quantity >= {HAS_CHILD_MIN_QTY}),
+            p AS (
+              SELECT o_orderkey, CAST(max(score) AS BIGINT) AS score_cents,
+                     CAST(count(*) AS BIGINT) AS n_children
+              FROM ch GROUP BY o_orderkey
+              ORDER BY score_cents DESC, o_orderkey ASC LIMIT {HAS_CHILD_TOP})
+            SELECT p.o_orderkey, p.score_cents, p.n_children, o.o_orderpriority
+            FROM p JOIN orders o USING (o_orderkey)
+            ORDER BY p.score_cents DESC, p.o_orderkey ASC
         """,
     }

@@ -1749,7 +1749,15 @@ class QueryEngine:
                 self.actors = pooled
                 return
             except Exception:
-                pass
+                # A failed probe must not abandon the popped actors: any
+                # still-alive ones would keep their 0.5-CPU reservations
+                # forever (exactly the starvation the pooling notes warn
+                # about).  Best-effort kill before creating fresh actors.
+                for a in pooled:
+                    try:
+                        ray.kill(a)
+                    except Exception:
+                        pass
         # a changed fingerprint makes older pools for this dir stale: kill
         for k in [k for k in _POOLED_ACTORS if k[0] == index_dir]:
             for a in _POOLED_ACTORS.pop(k):
@@ -1767,6 +1775,31 @@ class QueryEngine:
         if prewarm_terms:
             hot = self._hot_terms(prewarm_terms)
             ray.get([a.prewarm.remote(hot) for a in self.actors])
+
+    def _tombstoned_ids(self) -> frozenset:
+        """Global doc_ids logically deleted via tombstone files (cached;
+        empty frozenset on the common tombstone-free path).  Mirrors the
+        shard-side alive-mask source (IndexShard reads the same files)."""
+        cached = getattr(self, "_dead_ids_cache", None)
+        if cached is not None:
+            return cached
+        dead: frozenset = frozenset()
+        tomb_dir = os.path.join(self.index_dir, "tombstones")
+        if os.path.isdir(tomb_dir):
+            files = [
+                os.path.join(tomb_dir, f)
+                for f in sorted(os.listdir(tomb_dir))
+                if f.endswith(".parquet")
+            ]
+            if files:
+                dead = frozenset(
+                    int(x)
+                    for f in files
+                    for x in pq.read_table(f, columns=["doc_id"])["doc_id"]
+                    .to_numpy(zero_copy_only=False)
+                )
+        self._dead_ids_cache = dead
+        return dead
 
     def _hot_terms(self, n: int) -> List[str]:
         """Top-n terms by global df from the lexicon (df column only)."""
@@ -1798,6 +1831,7 @@ class QueryEngine:
         query: str,
         facet_col: str = "language",
         filters: Optional[Dict[str, str]] = None,
+        range_syntax: bool = False,
     ) -> Dict[str, int]:
         """Faceted search: facet-value counts over the FULL result set of
         ``query`` (every doc passing the reference's max*0.01 threshold,
@@ -1807,8 +1841,8 @@ class QueryEngine:
         import ray
 
         toks = (
-            self._wildcard_tokens(query)
-            if ("*" in query or "?" in query or ".." in query)
+            self._wildcard_tokens(query, ranges=range_syntax)
+            if ("*" in query or "?" in query or (range_syntax and ".." in query))
             else tokenize(query)
         )
         if not toks:
@@ -2208,23 +2242,31 @@ class QueryEngine:
                     scored.append(chunk)
         return " ".join(scored), required, excluded
 
-    def _wildcard_tokens(self, query: str) -> List[str]:
+    def _wildcard_tokens(self, query: str, ranges: bool = False) -> List[str]:
         """Tokenize a query whose whitespace chunks may carry ``*``/``?``
-        wildcards or a ``lo..hi`` term range: plain chunks go through the
-        code tokenizer, wildcard chunks expand against the lexicon
-        (df-descending, capped), range chunks expand the lexicographic
-        vocabulary slice ``[lo, hi)`` (TermRangeQuery) — the expanded
-        terms then score as ordinary OR'd BM25 query tokens."""
+        wildcards or (with ``ranges=True``) a ``lo..hi`` term range: plain
+        chunks go through the code tokenizer, wildcard chunks expand
+        against the lexicon (df-descending, capped), range chunks expand
+        the lexicographic vocabulary slice ``[lo, hi)`` (TermRangeQuery)
+        — the expanded terms then score as ordinary OR'd BM25 query
+        tokens.
+
+        Range syntax is OPT-IN (``range_syntax=True`` on
+        search/search_batch/facets): ordinary queries with an embedded
+        ``..`` ("0..10", "a..b") must tokenize literally, not silently
+        range-expand.  Even when enabled, an empty expansion (lo >= hi,
+        or no vocabulary in the slice) falls back to tokenizing the chunk
+        literally instead of dropping it."""
         toks: List[str] = []
         for chunk in query.split():
-            if ".." in chunk and "*" not in chunk and "?" not in chunk:
+            if ranges and ".." in chunk and "*" not in chunk and "?" not in chunk:
                 lo, _, hi = chunk.partition("..")
-                if lo and hi:
-                    toks.extend(
-                        t for t, _ in self.lexicon.expand_range(lo.lower(), hi.lower())
-                    )
-                else:
-                    toks.extend(tokenize(chunk))
+                expanded = (
+                    [t for t, _ in self.lexicon.expand_range(lo.lower(), hi.lower())]
+                    if lo and hi
+                    else []
+                )
+                toks.extend(expanded if expanded else tokenize(chunk))
             elif "*" in chunk or "?" in chunk:
                 toks.extend(t for t, _ in self.lexicon.expand(chunk.lower()))
             else:
@@ -2342,12 +2384,22 @@ class QueryEngine:
 
     def close(self) -> None:
         """Park a small warm pool for the next engine over this same
-        index state; kill larger pools outright (see class docstring)."""
+        index state; kill larger pools outright (see class docstring).
+
+        Parking is additionally disabled on small clusters (< 8 CPUs):
+        even one parked pool's 0.5-CPU reservations are a meaningful
+        slice of a 4-CPU cluster and can leave later actor-pool stages
+        (fixed-min pools, join aggregators) pending forever."""
         import ray
 
+        try:
+            total_cpus = int(ray.cluster_resources().get("CPU", 0))
+        except Exception:
+            total_cpus = 0
         if (
             self.actors
             and self._pool
+            and total_cpus >= 8
             and len(self.actors) <= _POOL_MAX_ACTORS
             and self._pool_key not in _POOLED_ACTORS
         ):
@@ -2370,6 +2422,7 @@ class QueryEngine:
         limit: int = 20,
         filters: Optional[Dict[str, str]] = None,
         method: str = "dense",
+        range_syntax: bool = False,
     ) -> List[dict]:
         """Reference-semantics BM25 search -> ranked [{doc_id, score}].
 
@@ -2378,7 +2431,8 @@ class QueryEngine:
         regexp over the vocabulary (``search_regexp``);
         ``"common_terms"`` classifies terms by document frequency
         (``search_common_terms``); ``"dense"``/``"wand"`` pick the shard
-        scorer."""
+        scorer.  ``range_syntax=True`` opts in to ``lo..hi`` term-range
+        chunks (otherwise ``..`` tokenizes literally)."""
         if method == "fuzzy":
             return self.search_fuzzy(query, limit=limit, filters=filters)
         if method == "regexp":
@@ -2387,7 +2441,10 @@ class QueryEngine:
             return self.search_common_terms(query, limit=limit, filters=filters)
         if method == "decay":
             return self.search_decay_gauss(query, limit=limit, filters=filters)
-        return self.search_batch([(query, filters)], limit=limit, method=method)[0]
+        return self.search_batch(
+            [(query, filters)], limit=limit, method=method,
+            range_syntax=range_syntax,
+        )[0]
 
     def search_pinned(
         self,
@@ -2401,8 +2458,15 @@ class QueryEngine:
         follow with the pins excluded.  The organic pass over-fetches
         ``limit + |pins|`` rows (the max*0.01 threshold stays corpus-wide
         and unmasked), drops the pins, and fills the tail — one ordinary
-        fan-out, no extra shard round."""
-        pins = [p for p in pinned_ids if 0 <= p < self.manifest.n_docs]
+        fan-out, no extra shard round.
+
+        Pin existence = within the id space actually assigned (max
+        partition ``doc_hi``, NOT ``n_docs`` — the live count undercounts
+        the id bound once tombstones exist) and not tombstoned (a deleted
+        doc must not resurface pinned with a sentinel score)."""
+        doc_hi = max((p.doc_hi for p in self.manifest.partitions), default=0)
+        dead = self._tombstoned_ids()
+        pins = [p for p in pinned_ids if 0 <= p < doc_hi and p not in dead]
         hits = self.search(query, limit=limit + len(pins), filters=filters)
         pinset = set(pins)
         organic = [h for h in hits if h["doc_id"] not in pinset]
@@ -2819,6 +2883,7 @@ class QueryEngine:
         queries: List[Tuple[str, Optional[Dict[str, str]]]],
         limit: int = 20,
         method: str = "dense",
+        range_syntax: bool = False,
     ) -> List[List[dict]]:
         import ray
 
@@ -2826,8 +2891,8 @@ class QueryEngine:
         parsed = [self._parse_boolean(q) if ("+" in q or "-" in q) else (q, [], [])
                   for q, _ in queries]
         token_lists = [
-            self._wildcard_tokens(q)
-            if ("*" in q or "?" in q or ".." in q)
+            self._wildcard_tokens(q, ranges=range_syntax)
+            if ("*" in q or "?" in q or (range_syntax and ".." in q))
             else tokenize(q)
             for (q, _, _) in parsed
         ]

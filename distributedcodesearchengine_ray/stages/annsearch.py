@@ -206,7 +206,7 @@ def vector_topk_ivf(
             return batch.filter(pa.array(np.isin(cells, list(probe))))
 
     filtered = ds.map_batches(
-        CellFilter, batch_format="pyarrow", batch_size=8192, concurrency=2
+        CellFilter, batch_format="pyarrow", batch_size=8192, concurrency=(1, 2)
     )
     return vector_topk(filtered, queries, k=k, id_column=id_column)
 

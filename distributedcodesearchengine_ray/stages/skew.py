@@ -116,7 +116,7 @@ def term_df_salted(
 
     # phase 1: (term, salt) sub-aggregates; phase 2: <= num_salts rows/term
     return (
-        ds.map_batches(Explode, batch_format="pyarrow", concurrency=2)
+        ds.map_batches(Explode, batch_format="pyarrow", concurrency=(1, 2))
         .groupby(["term", "salt"])
         .aggregate(Sum("df", alias_name="df"))
         .groupby("term")

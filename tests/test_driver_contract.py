@@ -50,6 +50,14 @@ def _compare(name, got: pd.DataFrame, exp: pd.DataFrame):
     g, e = _normalize(got), _normalize(exp)
     for col in g.columns:
         gv, ev = g[col], e[col]
+        # The driver's value hash is dtype-sensitive: an int64 Ray column
+        # vs a float64 oracle column (e.g. DuckDB sum(BIGINT) -> HUGEINT
+        # -> float64 in pandas) hash-mismatches even when values agree.
+        # Require matching numeric kind, not just tolerant value equality.
+        knd = {"i": "num", "u": "num", "f": "flt", "O": "obj", "b": "bool"}
+        assert knd.get(gv.dtype.kind, gv.dtype.kind) == knd.get(ev.dtype.kind, ev.dtype.kind) or (
+            gv.dtype.kind in "iu" and ev.dtype.kind in "iu"
+        ), f"{name}.{col} dtype kind {gv.dtype} != {ev.dtype} (driver hash is dtype-sensitive)"
         if gv.dtype.kind == "f" or ev.dtype.kind == "f":
             pd.testing.assert_series_equal(
                 gv.astype(float), ev.astype(float), check_names=False, rtol=1e-9

@@ -34,8 +34,11 @@ def test_federated_matches_single_index(ray_session, query):
 
 def test_federated_global_stats_match_union(ray_session):
     """The recombined scalars equal the union index's manifest values
-    (avgdl exactly; the eps floor to float tolerance — different
-    summation order over the same vocabulary)."""
+    BIT-IDENTICALLY: the federation folds per-bucket idf_raw partials
+    over the same term-sorted arrays in the same bucket order as the
+    union build's _lexicon_pass, so no summation-order ulp drift exists
+    and micro-rounded eps-floored scores can never flake at a rounding
+    boundary."""
     from distributedcodesearchengine_ray.pipelines.federated import FederatedEngine
     from distributedcodesearchengine_ray.pipelines.queries import (
         _documents_index,
@@ -51,7 +54,41 @@ def test_federated_global_stats_match_union(ray_session):
     )
     try:
         assert eng.N == union.n_docs
-        assert eng.avgdl == pytest.approx(union.avgdl, rel=1e-12)
-        assert eng.eps == pytest.approx(0.25 * union.average_idf, rel=1e-9)
+        assert eng.avgdl == union.avgdl
+        assert eng.eps == union.epsilon * union.average_idf
     finally:
         eng.close()
+
+
+def test_federated_rejects_parameter_mismatch(ray_session, tmp_path):
+    """Sub-indexes built with different BM25 parameters must be refused —
+    merging their score spaces silently breaks the advertised score
+    identity (same contract merge_indexes enforces)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from distributedcodesearchengine_ray.pipelines.build_index import build_index
+    from distributedcodesearchengine_ray.pipelines.federated import FederatedEngine
+    from distributedcodesearchengine_ray.pipelines.queries import _documents_subindex
+
+    corpus = tmp_path / "corpus.parquet"
+    pq.write_table(
+        pa.table(
+            {
+                "repo": ["r"] * 4,
+                "path": [f"f{i}.py" for i in range(4)],
+                "commit": ["c"] * 4,
+                "lang": ["python"] * 4,
+                "content": ["def alphaBeta(): pass"] * 4,
+            }
+        ),
+        str(corpus),
+    )
+    odd = tmp_path / "idx_k1"
+    build_index(str(corpus), str(odd), mode="file", k1=1.2)
+    with pytest.raises(ValueError, match="parameter mismatch"):
+        FederatedEngine(
+            [_documents_subindex(SF, 0), str(odd)],
+            [lambda i: i, lambda i: i],
+            num_actors_each=1,
+        )

@@ -121,6 +121,36 @@ def test_facets_match_rebuild(ray_session, deleted_and_rebuilt):
         er.close()
 
 
+def test_pinned_respects_tombstones_and_id_bound(ray_session, deleted_and_rebuilt):
+    """search_pinned existence checks must use the assigned id bound (max
+    partition doc_hi), not n_docs (live count < id bound once tombstones
+    exist): live docs with high ids stay pinnable, dead ids never
+    resurface pinned."""
+    import pyarrow.parquet as pq
+
+    from distributedcodesearchengine_ray.pipelines.query import QueryEngine
+
+    qe = QueryEngine(f"{BASE}/idx_tomb", num_actors=2)
+    try:
+        tomb_dir = f"{BASE}/idx_tomb/tombstones"
+        dead_ids = sorted(
+            int(x)
+            for f in sorted(os.listdir(tomb_dir))
+            if f.endswith(".parquet")
+            for x in pq.read_table(os.path.join(tomb_dir, f))["doc_id"].to_pylist()
+        )
+        assert dead_ids, "fixture must actually tombstone something"
+        doc_hi = max(p.doc_hi for p in qe.manifest.partitions)
+        assert doc_hi > qe.manifest.n_docs  # the bound n_docs would miss
+        live_high = next(i for i in range(doc_hi - 1, -1, -1) if i not in set(dead_ids))
+        hits = qe.search_pinned(QUERIES[0], [dead_ids[0], live_high], limit=10)
+        pinned = [h["doc_id"] for h in hits if h["pinned"]]
+        assert pinned == [live_high]
+        assert dead_ids[0] not in [h["doc_id"] for h in hits]
+    finally:
+        qe.close()
+
+
 def test_stats_exclude_dead(ray_session, deleted_and_rebuilt):
     from distributedcodesearchengine_ray.engine import CodeSearchEngine
 

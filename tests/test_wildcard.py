@@ -89,3 +89,35 @@ def test_facets_match_full_result_set(file_index):
         assert engine.facets("") == {}
     finally:
         engine.close()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_range_syntax_is_opt_in(file_index):
+    """``lo..hi`` chunks are literal by default — an ordinary query with
+    an embedded ".." ("0..10") must tokenize like the plain tokenizer
+    says, not silently range-expand.  With range_syntax=True the chunk
+    expands to the [lo, hi) vocabulary slice, and an EMPTY expansion
+    (lo >= hi) falls back to literal tokens instead of vanishing."""
+    from distributedcodesearchengine_ray.functions.tokenizer import tokenize
+    from distributedcodesearchengine_ray.pipelines.query import LexiconReader, QueryEngine
+
+    idx, _ = file_index
+    lex = LexiconReader(idx)
+    engine = QueryEngine(idx, num_actors=2)
+    try:
+        # default: ".." tokenizes literally ("json a..b" == its tokens)
+        lit = engine.search("json parse..data", limit=10)
+        plain = engine.search(" ".join(tokenize("json parse..data")), limit=10)
+        assert lit == plain
+        # opt-in: expands like the explicit TermRangeQuery terms
+        terms = [t for t, _ in lex.expand_range("parse", "pat")]
+        assert terms, "fixture vocabulary must contain [parse, pat) terms"
+        ranged = engine.search("parse..pat", limit=10, range_syntax=True)
+        expanded = engine.search(" ".join(terms), limit=10)
+        assert ranged == expanded
+        # opt-in but empty slice (lo >= hi): falls back to literal tokens
+        empty = engine.search("pat..parse", limit=10, range_syntax=True)
+        lit2 = engine.search(" ".join(tokenize("pat..parse")), limit=10)
+        assert empty == lit2
+    finally:
+        engine.close()

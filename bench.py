@@ -317,6 +317,9 @@ def run_bench() -> dict:
         ("rank_eval_pr", Q.rank_eval_pr),
         ("has_child_orders", Q.has_child_orders),
         ("logreg_lang_en", Q.logreg_lang_en),
+        ("moving_percentiles_daily", Q.moving_percentiles_daily),
+        ("linear_attribution", Q.linear_attribution),
+        ("categorize_text_docs", Q.categorize_text_docs),
     ):
         t0 = time.time()
         res = fn(sf_dir)

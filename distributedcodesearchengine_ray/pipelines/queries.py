@@ -13321,6 +13321,185 @@ def _qtok(q: str) -> List[str]:
     return tokenize(q)
 
 
+ATTR_WINDOW_S = 7 * 86400  # attribution lookback
+ATTR_TOUCH_TYPES = ("view", "click")
+
+
+def linear_attribution(sf_dir: str):
+    """Multi-touch LINEAR attribution: every ``purchase`` splits 1000
+    milli-credits equally over the same user's ``view``/``click``
+    touches in the preceding 7 days (inclusive of the purchase instant);
+    output = total credit and touch count per touch type.  Purchases
+    with no touches contribute nothing.  One user-keyed exchange of
+    pre-filtered (ts, type) triples; per-user work is two sorted
+    searchsorteds (window edges) + a type cumsum — no pairwise join
+    materializes.  Credit is ``1000 // n`` per touch (integer floor on
+    both sides), so sums are exact."""
+    from ray.data.aggregate import Sum
+
+    types = (ATTR_TOUCH_TYPES[0], ATTR_TOUCH_TYPES[1], FUNNEL_TO)
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+    ds = ds.filter(expr=" or ".join(f"event_type == '{t}'" for t in types))
+
+    def pergroup(df: pd.DataFrame) -> pd.DataFrame:
+        tus = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        et = df["event_type"].to_numpy()
+        order = np.argsort(tus, kind="mergesort")
+        tus, et = tus[order], et[order]
+        is_touch = et != FUNNEL_TO
+        t_ts = tus[is_touch]
+        t_ty = et[is_touch]
+        p_ts = tus[~is_touch]
+        if len(p_ts) == 0 or len(t_ts) == 0:
+            return pd.DataFrame(
+                {"touch_type": pd.Series([], dtype=object),
+                 "credit_milli": pd.Series([], dtype=np.int64),
+                 "n_touches": pd.Series([], dtype=np.int64)}
+            )
+        # per-type cumulative touch counts along the sorted touch axis
+        cums = {
+            ty: np.concatenate([[0], np.cumsum(t_ty == ty)]) for ty in ATTR_TOUCH_TYPES
+        }
+        lo = np.searchsorted(t_ts, p_ts - ATTR_WINDOW_S * 1_000_000, side="left")
+        hi = np.searchsorted(t_ts, p_ts, side="right")
+        out_ty, out_cr, out_n = [], [], []
+        counts = {ty: cums[ty][hi] - cums[ty][lo] for ty in ATTR_TOUCH_TYPES}
+        total = sum(counts.values())
+        ok = total > 0
+        per = np.zeros(len(p_ts), dtype=np.int64)
+        per[ok] = 1000 // total[ok]
+        for ty in ATTR_TOUCH_TYPES:
+            out_ty.append(ty)
+            out_cr.append(int((per * counts[ty]).sum()))
+            out_n.append(int(counts[ty].sum()))
+        return pd.DataFrame(
+            {"touch_type": out_ty,
+             "credit_milli": np.asarray(out_cr, np.int64),
+             "n_touches": np.asarray(out_n, np.int64)}
+        )
+
+    out = (
+        ds.groupby("user_id")
+        .map_groups(pergroup, batch_format="pandas")
+        .groupby("touch_type")
+        .aggregate(
+            Sum("credit_milli", alias_name="credit_milli"),
+            Sum("n_touches", alias_name="n_touches"),
+        )
+        .to_pandas()
+        .sort_values("touch_type", ignore_index=True)
+    )
+    return pa.table(
+        {
+            "touch_type": pa.array(out["touch_type"], pa.string()),
+            "credit_milli": pa.array(out["credit_milli"].to_numpy(np.int64)),
+            "n_touches": pa.array(out["n_touches"].to_numpy(np.int64)),
+        }
+    )
+
+
+CATEGORIZE_TOP = 20
+CATEGORIZE_TOKENS = 5
+
+
+def categorize_text_docs(sf_dir: str):
+    """ES ``categorize_text`` aggregation (log-template clustering, the
+    drain-style shape): every document collapses to a template — its
+    first ``CATEGORIZE_TOKENS`` whitespace tokens with digit runs
+    masked to ``#`` — then templates count-fold to the
+    top-``CATEGORIZE_TOP`` buckets (count desc, template asc).  Two
+    vectorized RE2 kernels per batch + map-side pre-aggregation —
+    raw texts never shuffle."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        masked = pcc.replace_substring_regex(
+            pcc.fill_null(t["text"], ""), r"\d+", "#"
+        )
+        toks = pcc.split_pattern_regex(masked, r"\s+")
+        tpl = pcc.binary_join(
+            pcc.list_slice(toks, 0, CATEGORIZE_TOKENS), " "
+        )
+        g = (
+            pd.DataFrame({"template": tpl.to_pandas()})
+            .groupby("template", as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+        return pa.table(
+            {"template": pa.array(g["template"], pa.string()),
+             "n": pa.array(g["n"].to_numpy(np.int64))}
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("template")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values(["n", "template"], ascending=[False, True], ignore_index=True)
+        .head(CATEGORIZE_TOP)
+    )
+    return pa.table(
+        {
+            "template": pa.array(out["template"], pa.string()),
+            "n": pa.array(out["n"].to_numpy(np.int64)),
+        }
+    )
+
+
+MOVING_PCT_QS = (0.5, 0.9)
+
+
+def moving_percentiles_daily(sf_dir: str):
+    """ES ``moving_percentiles`` pipeline aggregation: trailing-7-day
+    p50/p90 of DAILY ORDER REVENUE (cents) over the zero-filled daily
+    date_histogram — full windows only.  The distributed pass is the
+    bounded day-keyed cents fold; the driver computes each window's
+    nearest-rank percentile (``max(1, ceil(q*N))``, DuckDB
+    ``quantile_disc`` semantics — integer cents, so both sides are
+    exact) with one vectorized sliding-window sort."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = (
+            t["o_orderdate"].to_numpy(zero_copy_only=False)
+            .astype("datetime64[s]").astype(np.int64) // 86400
+        )
+        cents = _cents_col(t["o_totalprice"]).to_numpy(zero_copy_only=False)
+        g = (
+            pd.DataFrame({"day": day, "rev": cents})
+            .groupby("day", as_index=False)["rev"].sum()
+        )
+        return pa.table(
+            {"day": pa.array(g["day"].to_numpy(np.int64)),
+             "rev": pa.array(g["rev"].to_numpy(np.int64))}
+        )
+
+    daily = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Sum("rev", alias_name="rev"))
+        .to_pandas()
+        .sort_values("day", ignore_index=True)
+    )
+    lo, hi = int(daily["day"].min()), int(daily["day"].max())
+    axis = np.arange(lo, hi + 1, dtype=np.int64)
+    dense = np.zeros(len(axis), dtype=np.int64)
+    dense[daily["day"].to_numpy(np.int64) - lo] = daily["rev"].to_numpy(np.int64)
+    w = MOVING_WINDOW
+    idx = np.arange(w, len(axis))
+    win = np.sort(np.lib.stride_tricks.sliding_window_view(dense, w), axis=1)[1:]
+    cols = {"day": pa.array(axis[idx]), "rev": pa.array(dense[idx])}
+    for q in MOVING_PCT_QS:
+        rank = max(1, int(np.ceil(q * w)))  # 1-indexed nearest rank
+        cols[f"p{int(q * 100)}_cents"] = pa.array(win[:, rank - 1])
+    return pa.table(cols)
+
+
 # ---------------------------------------------------------------- geo
 # Deterministic synthetic coordinates derived from c_custkey with two
 # Knuth/xxhash odd-multiplier mixes — both engines evaluate the SAME
@@ -16715,6 +16894,65 @@ def build_oracle_sql() -> Dict[str, str]:
             )
             SELECT lang, bucket, CAST(count(*) AS BIGINT) AS n_docs
             FROM b2 GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "linear_attribution": f"""
+            WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_type FROM events
+                       WHERE event_type IN ('view', 'click', 'purchase')),
+            p AS (SELECT user_id, t FROM e WHERE event_type = 'purchase'),
+            tch AS (SELECT user_id, t, event_type FROM e
+                    WHERE event_type <> 'purchase'),
+            pairs AS (
+              SELECT p.user_id, p.t AS pt, tch.event_type AS touch_type
+              FROM p JOIN tch ON tch.user_id = p.user_id
+               AND tch.t >= p.t - {ATTR_WINDOW_S * 1_000_000}
+               AND tch.t <= p.t),
+            pn AS (SELECT user_id, pt, CAST(count(*) AS BIGINT) AS n
+                   FROM pairs GROUP BY 1, 2),
+            agg AS (
+              SELECT touch_type,
+                     CAST(sum(1000 // pn.n) AS BIGINT) AS credit_milli,
+                     CAST(count(*) AS BIGINT) AS n_touches
+              FROM pairs JOIN pn USING (user_id, pt)
+              GROUP BY touch_type)
+            SELECT ty.touch_type,
+                   coalesce(agg.credit_milli, 0) AS credit_milli,
+                   coalesce(agg.n_touches, 0) AS n_touches
+            FROM (VALUES ('view'), ('click')) AS ty(touch_type)
+            LEFT JOIN agg USING (touch_type)
+            ORDER BY ty.touch_type
+        """,
+        "categorize_text_docs": f"""
+            SELECT array_to_string(
+                     list_slice(regexp_split_to_array(
+                       regexp_replace(coalesce(text, ''), '\\d+', '#', 'g'),
+                       '\\s+'), 1, {CATEGORIZE_TOKENS}), ' ') AS template,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM documents GROUP BY 1
+            ORDER BY n DESC, template ASC LIMIT {CATEGORIZE_TOP}
+        """,
+        "moving_percentiles_daily": f"""
+            WITH daily AS (SELECT CAST(epoch(o_orderdate) // 86400 AS BIGINT) AS day,
+                                  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5)
+                                       AS BIGINT)) AS BIGINT) AS rev
+                           FROM orders GROUP BY 1),
+            axis AS (SELECT unnest(range((SELECT min(day) FROM daily),
+                                         (SELECT max(day) FROM daily) + 1)) AS day),
+            dense AS (SELECT a.day, coalesce(d.rev, 0) AS rev,
+                             row_number() OVER (ORDER BY a.day) - 1 AS idx
+                      FROM axis a LEFT JOIN daily d USING (day)),
+            w AS (SELECT day, rev, idx,
+                         {", ".join(
+                             f"quantile_disc(rev, {q}) OVER (ORDER BY day "
+                             f"ROWS BETWEEN {MOVING_WINDOW - 1} PRECEDING "
+                             f"AND CURRENT ROW) AS p{int(q * 100)}_cents"
+                             for q in MOVING_PCT_QS
+                         )}
+                  FROM dense)
+            SELECT day, rev, {", ".join(
+                f"CAST(p{int(q * 100)}_cents AS BIGINT) AS p{int(q * 100)}_cents"
+                for q in MOVING_PCT_QS
+            )}
+            FROM w WHERE idx >= {MOVING_WINDOW} ORDER BY day
         """,
         "geo_distance_rings": _geo_rings_sql(),
         "geohash_cells": _geohash_sql(),

@@ -215,6 +215,90 @@ class MediaFeatureStage:
         return out.append_column("embedding", emb)
 
 
+def _ppm_pixels(payload: bytes) -> tuple:
+    """Decode a P6/P5 netpbm payload to (pixels ndarray [h,w,c], w, h)."""
+    info = decode_ppm(payload)
+    w, h, c = info["width"], info["height"], info["channels"]
+    # re-locate the pixel offset the same way decode_ppm does
+    pos, fields = 2, []
+    while len(fields) < 3 and pos < len(payload):
+        ch = payload[pos : pos + 1]
+        if ch == b"#":
+            while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                pos += 1
+        elif ch.isspace():
+            pos += 1
+        else:
+            start = pos
+            while pos < len(payload) and not payload[pos : pos + 1].isspace():
+                pos += 1
+            fields.append(int(payload[start:pos]))
+    pos += 1
+    px = np.frombuffer(payload, dtype=np.uint8, count=w * h * c, offset=pos)
+    return px.reshape(h, w, c), w, h
+
+
+def resize_ppm(payload: bytes, tw: int, th: int) -> bytes:
+    """REAL nearest-neighbor resize of a P6/P5 netpbm image — pure numpy
+    integer index math (``src = floor((dst + 0.5) * src_dim / dst_dim)``,
+    the standard nearest-neighbor grid), re-encoded as a valid netpbm
+    payload round-trippable through ``decode_ppm``."""
+    px, w, h = _ppm_pixels(payload)
+    ys = np.minimum(((np.arange(th) + 0.5) * h / th).astype(np.int64), h - 1)
+    xs = np.minimum(((np.arange(tw) + 0.5) * w / tw).astype(np.int64), w - 1)
+    thumb = px[ys][:, xs]
+    magic = b"P6" if px.shape[2] == 3 else b"P5"
+    return magic + f"\n{tw} {th}\n255\n".encode() + thumb.tobytes()
+
+
+class MediaResizeStage:
+    """Actor-pool resize/thumbnail stage (the image-preprocessing shape:
+    decode -> resize -> re-encode, one batch per call, target size held
+    as per-actor state in ``__init__``).
+
+    ``use_real=True`` resizes netpbm payloads for real (nearest-neighbor,
+    numpy) and raises ``NotImplementedError`` for codec formats absent
+    from this container; ``use_real=False`` emits a deterministic fake
+    thumbnail (sha256-seeded bytes of exactly the target dimensions) so
+    the Ray-side plumbing — schema, binary output column, actor pool
+    shape — is identical either way."""
+
+    def __init__(self, width: int = 16, height: int = 16, use_real: bool = False):
+        self.width = width
+        self.height = height
+        self.use_real = use_real
+
+    def _one(self, payload: bytes, kind: str) -> bytes:
+        if self.use_real:
+            if payload[:2] in (b"P6", b"P5"):
+                return resize_ppm(payload, self.width, self.height)
+            raise NotImplementedError(
+                f"no codec to resize this {kind} payload (magic "
+                f"{payload[:4]!r}); only netpbm resizes without external "
+                "libraries — install PIL for JPEG/PNG"
+            )
+        seed = hashlib.sha256(payload).digest()
+        n = self.width * self.height * 3
+        reps = -(-n // len(seed))
+        body = (seed * reps)[:n]
+        return b"P6" + f"\n{self.width} {self.height}\n255\n".encode() + body
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        thumbs = [
+            self._one(p or b"", k)
+            for p, k in zip(batch["payload"].to_pylist(), batch["kind"].to_pylist())
+        ]
+        out = batch.select([c for c in ("media_id", "kind") if c in batch.column_names])
+        out = out.append_column("thumb", pa.array(thumbs, pa.binary()))
+        out = out.append_column(
+            "thumb_w", pa.array([self.width] * len(batch), pa.int32())
+        )
+        out = out.append_column(
+            "thumb_h", pa.array([self.height] * len(batch), pa.int32())
+        )
+        return out
+
+
 def frame_sample(payload: bytes, frame_bytes: int = 1024, every: int = 4) -> list:
     """Video frame-sampling stub: byte-chunk 'frames', keep every Nth."""
     frames = [payload[i : i + frame_bytes] for i in range(0, len(payload), frame_bytes)]

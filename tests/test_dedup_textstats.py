@@ -780,6 +780,61 @@ def test_multimodal_real_decode(ray_session):
         assert row["std_byte"] > 0
 
 
+def test_multimodal_real_resize(ray_session):
+    """The REAL resize path: netpbm images nearest-neighbor thumbnailed
+    by pure numpy, output payloads round-trip through decode_ppm with
+    the target dimensions and preserved corner pixels."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from distributedcodesearchengine_ray.stages.multimodal import (
+        MediaResizeStage,
+        _ppm_pixels,
+        decode_ppm,
+        gen_media_table,
+        resize_ppm,
+    )
+
+    tbl = gen_media_table(30, real_formats=True)
+    images = tbl.filter(pc.equal(tbl["kind"], "image"))
+    out = (
+        rd.from_arrow(images)
+        .map_batches(
+            MediaResizeStage,
+            fn_constructor_kwargs={"width": 8, "height": 6, "use_real": True},
+            batch_format="pyarrow",
+            batch_size=4,
+            concurrency=(1, 2),
+        )
+        .to_pandas()
+        .set_index("media_id")
+    )
+    payloads = dict(zip(tbl["media_id"].to_pylist(), tbl["payload"].to_pylist()))
+    assert len(out) == len(images)
+    for mid, row in out.iterrows():
+        info = decode_ppm(row["thumb"])
+        assert (info["width"], info["height"], info["channels"]) == (8, 6, 3)
+        # nearest-neighbor identity: each thumb pixel equals a source pixel
+        src, w, h = _ppm_pixels(payloads[mid])
+        thumb, _, _ = _ppm_pixels(row["thumb"])
+        ys = np.minimum(((np.arange(6) + 0.5) * h / 6).astype(np.int64), h - 1)
+        xs = np.minimum(((np.arange(8) + 0.5) * w / 8).astype(np.int64), w - 1)
+        assert (thumb == src[ys][:, xs]).all()
+    # deterministic: same input -> same bytes
+    some = next(iter(payloads.values()))
+    assert resize_ppm(some, 8, 6) == resize_ppm(some, 8, 6)
+    # fake path still emits schema-compatible decodable thumbs
+    fake = MediaResizeStage(width=5, height=4)(tbl.slice(0, 3))
+    for t in fake["thumb"].to_pylist():
+        info = decode_ppm(t)
+        assert (info["width"], info["height"]) == (5, 4)
+    # real path refuses codec-requiring payloads with the install hint
+    opaque = gen_media_table(3)  # fake payloads (no real formats)
+    with pytest.raises(NotImplementedError, match="codec"):
+        MediaResizeStage(use_real=True)(opaque.slice(0, 1))
+
+
 def test_redact_pii_synthetic():
     """Typed placeholders + per-category counts on texts with real PII."""
     import pyarrow as pa

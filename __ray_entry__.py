@@ -167,6 +167,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_distance_rings": Q.geo_distance_rings,  # ES geo_distance rings (hash-derived coords)
         "moving_percentiles_daily": Q.moving_percentiles_daily,  # ES moving_percentiles (trailing-7d p50/p90)
         "linear_attribution": Q.linear_attribution,  # multi-touch linear attribution (7d lookback)
+        "curation_funnel": Q.curation_funnel,  # end-to-end curation: dedup -> gopher -> decontam -> budget
         "categorize_text_docs": Q.categorize_text_docs,  # ES categorize_text (log-template clustering)
         "geohash_cells": Q.geohash_cells,  # ES geohash_grid precision-5 cells
         "value_quantile_normalize": Q.value_quantile_normalize,  # empirical-CDF rank transform, bps

@@ -320,6 +320,7 @@ def run_bench() -> dict:
         ("moving_percentiles_daily", Q.moving_percentiles_daily),
         ("linear_attribution", Q.linear_attribution),
         ("categorize_text_docs", Q.categorize_text_docs),
+        ("curation_funnel", Q.curation_funnel),
     ):
         t0 = time.time()
         res = fn(sf_dir)

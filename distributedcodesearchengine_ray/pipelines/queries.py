@@ -13321,6 +13321,105 @@ def _qtok(q: str) -> List[str]:
     return tokenize(q)
 
 
+CURATION_STAGES = ("all", "dedup", "gopher", "decontam", "budget")
+
+
+def curation_funnel(sf_dir: str):
+    """END-TO-END training-data curation funnel — the composed pipeline a
+    100-TB pretraining-data run actually executes, as ONE lazy Dataset
+    chain: exact dedup (hash-bucketed first-per-content) -> Gopher
+    quality gate (map-side flags) -> benchmark decontamination (broadcast
+    5-gram set; overlap with the benchmark half ``doc_id % 19 == 0``
+    drops the doc — including benchmark members themselves) -> quality-
+    ordered 30% token-budget selection (histogram threshold, no global
+    sort).  Emits per-stage surviving (n_docs, n_tokens) — the funnel
+    audit every curation run reports.  Every stage streams; the driver
+    sees only the five count rows.  Oracle: the identical stages chained
+    as SQL CTEs (GROUP BY text winners, the gopher flag algebra, the
+    exploded-gram semi-join, the SUM() OVER budget prefix)."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages.decontam import decontaminate
+    from ..stages.dedup import exact_dedup
+    from ..stages.selection import token_budget_select
+    from ..stages.text_stats import gopher_gate
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def stats(t: pa.Table) -> pa.Table:
+        toks = pcc.split_pattern_regex(
+            pcc.fill_null(pcc.cast(t["text"], pa.string()), ""), r"\s+"
+        )
+        flat = pcc.list_flatten(toks)
+        par = pcc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        ne = pcc.greater(pcc.utf8_length(flat), 0).to_numpy(zero_copy_only=False)
+        n = len(t)
+        n_tokens = np.bincount(par[ne], minlength=n).astype(np.int64)
+        stop = pcc.is_in(
+            pcc.utf8_lower(flat.filter(pa.array(ne))),
+            value_set=pa.array(sorted(STOPWORDS)),
+        ).to_numpy(zero_copy_only=False)
+        n_stop = np.bincount(par[ne][stop], minlength=n).astype(np.int64)
+        score = np.where(
+            n_tokens > 0,
+            np.floor(1000.0 * n_stop / np.maximum(n_tokens, 1) + 0.5).astype(np.int64),
+            0,
+        )
+        return pa.table(
+            {
+                "doc_id": pcc.cast(t["doc_id"], pa.int64()),
+                "text": t["text"],
+                "n_tokens": pa.array(n_tokens),
+                "score": pa.array(score),
+            }
+        )
+
+    base = docs.map_batches(stats, batch_format="pyarrow")
+
+    def gopher_filter(t: pa.Table) -> pa.Table:
+        keep = gopher_gate(t)["keep"].to_numpy(zero_copy_only=False) == 1
+        return t.filter(pa.array(keep))
+
+    def is_bench(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % DECONTAM_BENCH_MOD == 0))
+
+    s1 = exact_dedup(base)
+    # materialize the two smallest cuts so each lazy stage aggregate does
+    # not re-execute the whole upstream chain (halves the wall time of the
+    # audit).  A production 100-TB run would instead WRITE each stage to
+    # partitioned parquet (counts from file metadata, resume for free) —
+    # these in-memory cuts are the driver-query stand-in for that.
+    s2 = s1.map_batches(gopher_filter, batch_format="pyarrow").materialize()
+    bench = docs.map_batches(is_bench, batch_format="pyarrow")
+    s3 = (
+        decontaminate(s2, bench, n=5)
+        .filter(expr="contaminated == 0")
+        .materialize()
+    )
+    s4 = token_budget_select(
+        s3.select_columns(["doc_id", "score", "n_tokens"]),
+        TOKEN_BUDGET_NUM,
+        TOKEN_BUDGET_DEN,
+    )
+
+    def totals(ds) -> tuple:
+        agg = ds.aggregate(
+            Count(alias_name="n"), Sum("n_tokens", alias_name="tok")
+        )
+        return int(agg["n"] or 0), int(agg["tok"] or 0)
+
+    rows = [totals(base), totals(s1), totals(s2), totals(s3), totals(s4)]
+    return pa.table(
+        {
+            "stage_ord": pa.array(range(len(CURATION_STAGES)), pa.int64()),
+            "stage": pa.array(list(CURATION_STAGES), pa.string()),
+            "n_docs": pa.array([n for n, _ in rows], pa.int64()),
+            "n_tokens": pa.array([t for _, t in rows], pa.int64()),
+        }
+    )
+
+
 ATTR_WINDOW_S = 7 * 86400  # attribution lookback
 ATTR_TOUCH_TYPES = ("view", "click")
 
@@ -13823,6 +13922,101 @@ def has_child_orders(sf_dir: str):
             ),
         }
     )
+
+
+def _curation_sql() -> str:
+    stop_list = ", ".join(f"'{w}'" for w in sorted(STOPWORDS))
+    gram5 = "t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]"
+    return f"""
+        WITH bstat AS (
+          SELECT doc_id, text, toks,
+                 CAST(len(toks) AS BIGINT) AS n_tokens,
+                 CASE WHEN len(toks) > 0
+                      THEN CAST(floor(1000.0 *
+                             len(list_filter(toks, x -> lower(x) IN ({stop_list})))
+                             / len(toks) + 0.5) AS BIGINT)
+                      ELSE 0 END AS score
+          FROM (SELECT doc_id, text,
+                       list_filter(regexp_split_to_array(text, '\\s+'),
+                                   x -> length(x) > 0) AS toks
+                FROM documents)),
+        win AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+        s1 AS (SELECT b.* FROM bstat b JOIN win USING (doc_id)),
+        tstats AS (
+          SELECT doc_id, n_tokens,
+                 CAST(length(array_to_string(toks, '')) AS BIGINT) AS tok_len_sum,
+                 CAST(len(list_filter(toks, x -> lower(x) IN ({stop_list})))
+                      AS BIGINT) AS n_stop
+          FROM s1),
+        lc AS (
+          SELECT doc_id, line, count(*) AS cnt, length(line) AS len
+          FROM (SELECT doc_id, unnest(str_split(text, chr(10))) AS line FROM s1)
+          GROUP BY doc_id, line),
+        lagg AS (
+          SELECT doc_id, CAST(sum((cnt-1)*len) AS BIGINT) AS dup_line_chars,
+                 CAST(sum(cnt*len) AS BIGINT) AS line_chars
+          FROM lc GROUP BY doc_id),
+        bagg AS (
+          SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+                 CAST(max(cnt) AS BIGINT) AS top_bigram_n
+          FROM (SELECT doc_id, bigram, count(*) AS cnt
+                FROM (SELECT s.doc_id, s.toks[i] || ' ' || s.toks[i+1] AS bigram
+                      FROM s1 s, unnest(generate_series(1, len(s.toks)-1)) AS g(i)
+                      WHERE len(s.toks) >= 2)
+                GROUP BY doc_id, bigram)
+          GROUP BY doc_id),
+        keepers AS (
+          SELECT t.doc_id FROM tstats t
+          JOIN lagg l ON l.doc_id = t.doc_id
+          LEFT JOIN bagg b ON b.doc_id = t.doc_id
+          WHERE t.n_tokens BETWEEN 20 AND 5000
+            AND 4 * t.n_tokens <= t.tok_len_sum
+            AND t.tok_len_sum <= 12 * t.n_tokens
+            AND t.n_stop >= 2
+            AND 100 * l.dup_line_chars <= 30 * l.line_chars
+            AND (COALESCE(b.n_bigrams, 0) = 0
+                 OR 100 * b.top_bigram_n <= 18 * b.n_bigrams)),
+        s2 AS (SELECT s1.* FROM s1 JOIN keepers USING (doc_id)),
+        bgrams AS (
+          SELECT DISTINCT {gram5} AS gram
+          FROM (SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                   x -> length(x) > 0) AS t
+                FROM documents
+                WHERE doc_id % {DECONTAM_BENCH_MOD} = 0),
+               UNNEST(range(1, len(t) - 3)) AS u(i)
+          WHERE len(t) >= 5),
+        dirty AS (
+          SELECT DISTINCT doc_id
+          FROM (SELECT doc_id, {gram5} AS gram
+                FROM (SELECT doc_id,
+                             list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                         x -> length(x) > 0) AS t
+                      FROM s2),
+                     UNNEST(range(1, len(t) - 3)) AS u(i)
+                WHERE len(t) >= 5)
+          WHERE gram IN (SELECT gram FROM bgrams)),
+        s3 AS (SELECT s2.* FROM s2 LEFT JOIN dirty USING (doc_id)
+               WHERE dirty.doc_id IS NULL),
+        bgt AS (SELECT CAST(sum(n_tokens) AS BIGINT) * {TOKEN_BUDGET_NUM}
+                  // {TOKEN_BUDGET_DEN} AS budget FROM s3),
+        cum AS (SELECT doc_id, n_tokens,
+                       sum(n_tokens) OVER (ORDER BY score DESC, doc_id ASC
+                                           ROWS UNBOUNDED PRECEDING) AS c
+                FROM s3),
+        s4 AS (SELECT doc_id, n_tokens FROM cum, bgt WHERE c <= budget)
+        SELECT CAST(0 AS BIGINT) AS stage_ord, 'all' AS stage, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(COALESCE(sum(n_tokens), 0) AS BIGINT) AS n_tokens FROM bstat
+        UNION ALL SELECT 1, 'dedup', CAST(count(*) AS BIGINT),
+               CAST(COALESCE(sum(n_tokens), 0) AS BIGINT) FROM s1
+        UNION ALL SELECT 2, 'gopher', CAST(count(*) AS BIGINT),
+               CAST(COALESCE(sum(n_tokens), 0) AS BIGINT) FROM s2
+        UNION ALL SELECT 3, 'decontam', CAST(count(*) AS BIGINT),
+               CAST(COALESCE(sum(n_tokens), 0) AS BIGINT) FROM s3
+        UNION ALL SELECT 4, 'budget', CAST(count(*) AS BIGINT),
+               CAST(COALESCE(sum(n_tokens), 0) AS BIGINT) FROM s4
+        ORDER BY stage_ord
+    """
 
 
 def _geo_latlon_sql() -> str:
@@ -16954,6 +17148,7 @@ def build_oracle_sql() -> Dict[str, str]:
             )}
             FROM w WHERE idx >= {MOVING_WINDOW} ORDER BY day
         """,
+        "curation_funnel": _curation_sql(),
         "geo_distance_rings": _geo_rings_sql(),
         "geohash_cells": _geohash_sql(),
         "rank_eval_pr": _rank_eval_sql(),

@@ -321,6 +321,7 @@ def run_bench() -> dict:
         ("linear_attribution", Q.linear_attribution),
         ("categorize_text_docs", Q.categorize_text_docs),
         ("curation_funnel", Q.curation_funnel),
+        ("span_containing", Q.span_containing_q),
     ):
         t0 = time.time()
         res = fn(sf_dir)

@@ -990,6 +990,36 @@ def span_not_q(sf_dir: str):
     )
 
 
+SPAN_CONT_A, SPAN_CONT_B, SPAN_CONT_C = "merge", "stream", "data"
+SPAN_CONT_WIDTH = 6
+
+
+def span_containing_q(sf_dir: str):
+    """Lucene span_containing: BM25-ranked docs where an ordered
+    'merge'..'stream' span of width <= 6 contains an occurrence of
+    'data' — resolved from the positional index with a three-way ragged
+    neighbor merge per shard (tightest enclosing span per c-occurrence),
+    never from text."""
+    from .query import QueryEngine
+
+    idx = _documents_index(sf_dir, with_positions=True)
+    engine = QueryEngine(idx, num_actors=2, pool=True)
+    try:
+        rows = engine.search_span_containing(
+            f"{SPAN_CONT_A} {SPAN_CONT_B}", SPAN_CONT_A, SPAN_CONT_B,
+            SPAN_CONT_C, width=SPAN_CONT_WIDTH, limit=20,
+        )
+    finally:
+        engine.close()
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(len(rows)), pa.int64()),
+            "doc_id": pa.array([r["doc_id"] for r in rows], pa.int64()),
+            "score_micro": pa.array(_micro([r["score"] for r in rows]), pa.int64()),
+        }
+    )
+
+
 WILDCARD_SEARCH_PATTERN = "s*"
 
 
@@ -1790,6 +1820,7 @@ def bm25_sql(
     span_first: Optional[Tuple[str, int]] = None,
     span_not: Optional[Tuple[str, str, int]] = None,
     span_near: Optional[Tuple[str, str, int]] = None,
+    span_containing: Optional[Tuple[str, str, str, int]] = None,
     common_cutoff_milli: Optional[int] = None,
     wildcard: Optional[str] = None,
     wildcard_max: int = 64,
@@ -1983,6 +2014,25 @@ def bm25_sql(
             " ON pb.doc_id = pa.doc_id"
             f" WHERE pa.t = '{sa_t}' AND pb.t = '{sb_t}'"
             f" AND abs(pa.p - pb.p) <= {sn_w})"
+        )
+    if span_containing is not None:
+        # Lucene span_containing: an ordered a..b span of width <= W
+        # contains a c-occurrence — exists (pa, pb, pc) with
+        # pa <= pc <= pb and pb - pa <= W (1-based subscripts; the
+        # differences and orderings are base-invariant)
+        sc_a, sc_b, sc_c, sc_w = span_containing
+        pos_sub3 = (
+            "SELECT doc_id, toks[CAST(i AS INT)] AS t, CAST(i AS BIGINT) AS p"
+            " FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i"
+            " FROM tok)"
+        )
+        filt += (
+            "\n  AND doc_id IN (SELECT DISTINCT pc.doc_id"
+            f" FROM ({pos_sub3}) pc"
+            f" JOIN ({pos_sub3}) pa ON pa.doc_id = pc.doc_id"
+            f" JOIN ({pos_sub3}) pb ON pb.doc_id = pc.doc_id"
+            f" WHERE pc.t = '{sc_c}' AND pa.t = '{sc_a}' AND pb.t = '{sc_b}'"
+            f" AND pa.p <= pc.p AND pc.p <= pb.p AND pb.p - pa.p <= {sc_w})"
         )
     if span_not is not None:
         # Lucene span_not: some include-position farther than dist from
@@ -14240,6 +14290,11 @@ def build_oracle_sql() -> Dict[str, str]:
         "span_near": bm25_sql(
             f"{SPAN_NEAR_A} {SPAN_NEAR_B}", limit=20,
             span_near=(SPAN_NEAR_A, SPAN_NEAR_B, SPAN_NEAR_WINDOW),
+        ),
+        "span_containing": bm25_sql(
+            f"{SPAN_CONT_A} {SPAN_CONT_B}", limit=20,
+            span_containing=(SPAN_CONT_A, SPAN_CONT_B, SPAN_CONT_C,
+                             SPAN_CONT_WIDTH),
         ),
         "span_not": bm25_sql(
             SPAN_NOT_INCLUDE, limit=20,

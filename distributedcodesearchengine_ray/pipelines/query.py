@@ -717,6 +717,103 @@ class IndexShard:
             for i in cand
         ]
 
+    def span_containing_local(
+        self, term_a: str, term_b: str, term_c: str, width: int
+    ) -> np.ndarray:
+        """Ascending local indices of ALIVE docs where some ordered span
+        ``[pa, pb]`` (``pa`` an occurrence of ``term_a``, ``pb`` of
+        ``term_b``, ``pa <= pb``, ``pb - pa <= width``) CONTAINS an
+        occurrence of ``term_c`` (``pa <= pc <= pb``) — Lucene
+        SpanContainingQuery with a span_near(in_order=true) big span.
+
+        For each c-occurrence it suffices to test the TIGHTEST candidate
+        span: the nearest a-position at-or-left of ``pc`` and the nearest
+        b-position at-or-right (any valid enclosing span implies that one
+        is valid).  Both neighbors come from one searchsorted each on
+        (doc-rank << 32 | position) keys — the span_near ragged-merge
+        pattern, three-way."""
+        if not self.has_positions:
+            raise RuntimeError("index was built without with_positions=True")
+        BASE = np.int64(1) << np.int64(32)
+        hits = []
+        for pi in range(len(self.parts)):
+            rows = [self.parts[pi]["term_row"].get(t) for t in (term_a, term_b, term_c)]
+            if any(r is None for r in rows):
+                continue
+            la, sa, posa = self._positions(pi, rows[0])
+            lb, sb, posb = self._positions(pi, rows[1])
+            lc, sc, posc = self._positions(pi, rows[2])
+            common = np.intersect1d(np.intersect1d(la, lb), lc)
+            if len(common) == 0:
+                continue
+            ia = np.searchsorted(la, common)
+            ib = np.searchsorted(lb, common)
+            ic = np.searchsorted(lc, common)
+            pos_ac, len_a = _ragged_gather(posa, sa, ia)
+            pos_bc, len_b = _ragged_gather(posb, sb, ib)
+            pos_cc, len_c = _ragged_gather(posc, sc, ic)
+            rank_a = np.repeat(np.arange(len(common), dtype=np.int64), len_a)
+            rank_b = np.repeat(np.arange(len(common), dtype=np.int64), len_b)
+            rank_c = np.repeat(np.arange(len(common), dtype=np.int64), len_c)
+            key_a = rank_a * BASE + pos_ac
+            key_b = rank_b * BASE + pos_bc
+            key_c = rank_c * BASE + pos_cc
+            # nearest a at-or-left of each c (searchsorted right - 1)
+            ja = np.searchsorted(key_a, key_c, side="right") - 1
+            jal = np.maximum(ja, 0)
+            left_ok = (ja >= 0) & (rank_a[jal] == rank_c)
+            pa_star = pos_ac[jal]
+            # nearest b at-or-right of each c
+            jb = np.searchsorted(key_b, key_c, side="left")
+            jbr = np.minimum(jb, len(key_b) - 1)
+            right_ok = (jb < len(key_b)) & (rank_b[jbr] == rank_c)
+            pb_star = pos_bc[jbr]
+            match = left_ok & right_ok & (pb_star - pa_star <= width)
+            surv = np.bincount(rank_c[match], minlength=len(common)) > 0
+            if surv.any():
+                hits.append(common[surv])
+        if not hits:
+            return np.empty(0, dtype=np.int64)
+        arr = np.sort(np.concatenate(hits))
+        if self.alive is not None and len(arr):
+            arr = arr[self.alive[arr]]
+        return arr
+
+    def search_span_containing(
+        self,
+        query_tokens: List[str],
+        idfs: Dict[str, float],
+        limit: int,
+        term_a: str,
+        term_b: str,
+        term_c: str,
+        width: int,
+        filters: Optional[Dict[str, str]] = None,
+    ) -> Tuple[float, List[dict]]:
+        """span_containing search: BM25 over ``query_tokens`` restricted
+        to the ``span_containing_local`` doc set."""
+        if self.n_local == 0:
+            return 0.0, []
+        scores = self._dense_scores(query_tokens, idfs)
+        if self.alive is None:
+            local_max = float(scores.max()) if len(scores) else 0.0
+        else:
+            live = scores[self.alive]
+            local_max = float(live.max()) if len(live) else 0.0
+        cand = self.span_containing_local(term_a, term_b, term_c, width)
+        if len(cand) == 0:
+            return local_max, []
+        cand = cand[self._filter_mask(filters, cand)]
+        if len(cand) == 0:
+            return local_max, []
+        order = np.lexsort((self._doc_ids[cand], -scores[cand]))[:limit]
+        cand = cand[order]
+        return local_max, [
+            {"doc_id": int(self._doc_ids[i]), "score": float(scores[i]),
+             "_local": int(i)}
+            for i in cand
+        ]
+
     def span_not_local(self, include: str, exclude: str, dist: int) -> np.ndarray:
         """Ascending local indices of ALIVE docs with at least one
         occurrence of ``include`` that is NOT within ``dist`` token
@@ -2822,6 +2919,49 @@ class QueryEngine:
             [
                 a.search_span_not.remote(
                     toks, q_idfs, max(limit, 1), include, exclude, dist, filters
+                )
+                for a in self.actors
+            ]
+        )
+        global_max = max((m for m, _ in parts), default=0.0)
+        rows = [r for _, rs in parts for r in rs]
+        if global_max > 0:
+            min_score = global_max * 0.01
+            rows = [r for r in rows if r["score"] >= min_score]
+        rows.sort(key=lambda r: (-r["score"], r["doc_id"]))
+        return [{"doc_id": r["doc_id"], "score": r["score"]} for r in rows[:limit]]
+
+    def search_span_containing(
+        self,
+        query: str,
+        term_a: str,
+        term_b: str,
+        term_c: str,
+        width: int = 5,
+        limit: int = 20,
+        filters: Optional[Dict[str, str]] = None,
+    ) -> List[dict]:
+        """Lucene span_containing: BM25-ranked docs where an ordered
+        ``term_a .. term_b`` span of width <= ``width`` contains an
+        occurrence of ``term_c`` — decided from the positional index
+        (per-shard three-way ragged neighbor merge), never from text.
+        Requires ``with_positions=True`` at build."""
+        import ray
+
+        if not self.manifest.extra.get("positions"):
+            raise RuntimeError(
+                "index was built without positions; rebuild with "
+                "with_positions=True to use span_containing search"
+            )
+        toks = tokenize(query)
+        if not toks:
+            return []
+        q_idfs = self.lexicon.idfs(toks)
+        parts = ray.get(
+            [
+                a.search_span_containing.remote(
+                    toks, q_idfs, max(limit, 1), term_a, term_b, term_c,
+                    width, filters
                 )
                 for a in self.actors
             ]

@@ -370,3 +370,52 @@ def test_span_near_matches_bruteforce(ray_session, pos_index, a, b, window):
         assert got_ids == truth, (a, b, window)
     finally:
         eng.close()
+
+
+def _brute_span_containing(doc_tokens, a, b, c, width):
+    pos_a = [i for i, t in enumerate(doc_tokens) if t == a]
+    pos_b = [i for i, t in enumerate(doc_tokens) if t == b]
+    pos_c = [i for i, t in enumerate(doc_tokens) if t == c]
+    return any(
+        pa_ <= pc <= pb and pb - pa_ <= width
+        for pa_ in pos_a for pb in pos_b for pc in pos_c
+    )
+
+
+@pytest.mark.parametrize("a,b,c,width", [
+    ("http", "request", "send", 4),
+    ("parse", "data", "json", 6),
+    ("user", "token", "zzznotaterm", 5),  # little absent -> empty
+    ("json", "json", "parse", 8),         # a == b degenerate big span
+])
+def test_span_containing_matches_bruteforce(ray_session, pos_index, a, b, c, width):
+    """SpanContainingQuery: engine doc set == brute-force triple
+    enumeration (exists pa <= pc <= pb with pb - pa <= width) over the
+    tokenized entity docs."""
+    import os as _os
+
+    import pyarrow.parquet as pq
+
+    from distributedcodesearchengine_ray.functions.tokenizer import tokenize
+    from distributedcodesearchengine_ray.pipelines.build_index import (
+        _entity_doc_text,
+    )
+    from distributedcodesearchengine_ray.pipelines.query import QueryEngine
+
+    truth = set()
+    meta_dir = _os.path.join(pos_index, "docmeta")
+    for f in sorted(_os.listdir(meta_dir)):
+        t = pq.read_table(_os.path.join(meta_dir, f))
+        texts = _entity_doc_text(t).to_pylist()
+        for did, txt in zip(t["doc_id"].to_pylist(), texts):
+            if _brute_span_containing(tokenize(txt), a, b, c, width):
+                truth.add(did)
+    eng = QueryEngine(pos_index, num_actors=2)
+    try:
+        got = eng.search_span_containing(
+            f"{a} {b}", a, b, c, width=width, limit=10_000
+        )
+        got_ids = {r["doc_id"] for r in got}
+        assert got_ids == truth, (a, b, c, width)
+    finally:
+        eng.close()

@@ -4693,24 +4693,36 @@ def q5_local_supplier_volume(sf_dir: str, region: str = Q5_REGION):
         import ray as _ray
 
         sp = supp.to_pandas()
+        s_order = np.argsort(sp["l_suppkey"].to_numpy(np.int64), kind="mergesort")
         smap_ref = _ray.put(
-            dict(zip(sp["l_suppkey"].astype(int), sp["s_nationkey"].astype(int)))
+            (
+                sp["l_suppkey"].to_numpy(np.int64)[s_order],
+                sp["s_nationkey"].to_numpy(np.int64)[s_order],
+            )
         )
 
         class JoinSupp:
             def __init__(self):
-                self.smap = _ray.get(smap_ref)
+                self.skeys, self.snat = _ray.get(smap_ref)
 
             def __call__(self, t: pa.Table) -> pa.Table:
-                keys = t["l_suppkey"].to_numpy(zero_copy_only=False)
-                nk = np.array([self.smap.get(int(k), -1) for k in keys], dtype=np.int64)
+                keys = t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+                if len(self.skeys) == 0:
+                    hit = np.zeros(len(keys), dtype=bool)
+                    idx_c = np.zeros(len(keys), dtype=np.int64)
+                    nat_col = np.full(len(keys), -1, dtype=np.int64)
+                else:
+                    idx = np.searchsorted(self.skeys, keys)
+                    idx_c = np.clip(idx, 0, len(self.skeys) - 1)
+                    hit = self.skeys[idx_c] == keys
+                    nat_col = self.snat[idx_c]
                 return pa.table(
                     {
                         "o_orderkey": t["l_orderkey"],
-                        "s_nationkey": pa.array(nk),
+                        "s_nationkey": pa.array(nat_col),
                         "revenue_c": t["revenue_c"],
                     }
-                ).filter(pa.array(nk >= 0))
+                ).filter(pa.array(hit))
 
         ls = line.map_batches(JoinSupp, batch_format="pyarrow", concurrency=(1, 2))
     else:
@@ -4725,11 +4737,11 @@ def q5_local_supplier_volume(sf_dir: str, region: str = Q5_REGION):
             ),
             batch_format="pyarrow",
         )
-    oc = orders.join(
-        _with_join_sentinels(cust, "o_custkey"),
-        join_type="inner", num_partitions=_join_parts(sf_dir, "orders", "customer"),
-        on=("o_custkey",),
-    )
+    # customer attaches through the gated broadcast-or-join helper: under
+    # 64 MiB on disk the (custkey -> nationkey) map ships once via ray.put
+    # and folds into the orders scan (no shuffle); above, it falls back to
+    # the distributed hash join — same pattern as the supplier side.
+    oc = _attach_int_lookup(orders, cust, sf_dir, "customer", "o_custkey", "orders")
     j = ls.join(
         _with_join_sentinels(oc.select_columns(["o_orderkey", "c_nationkey"]), "o_orderkey"),
         join_type="inner",

@@ -171,6 +171,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curation_funnel": Q.curation_funnel,  # end-to-end curation: dedup -> gopher -> decontam -> budget
         "categorize_text_docs": Q.categorize_text_docs,  # ES categorize_text (log-template clustering)
         "geohash_cells": Q.geohash_cells,  # ES geohash_grid precision-5 cells
+        "geo_bounds_centroid": Q.geo_bounds_centroid,  # ES geo_bounds + geo_centroid per segment
         "value_quantile_normalize": Q.value_quantile_normalize,  # empirical-CDF rank transform, bps
         "filters_agg_events": Q.filters_agg_events,  # ES filters agg: named buckets + other_bucket
         "full_outer_balance": Q.full_outer_balance,  # FULL OUTER join of two pre-aggregated folds

@@ -322,6 +322,7 @@ def run_bench() -> dict:
         ("categorize_text_docs", Q.categorize_text_docs),
         ("curation_funnel", Q.curation_funnel),
         ("span_containing", Q.span_containing_q),
+        ("geo_bounds_centroid", Q.geo_bounds_centroid),
     ):
         t0 = time.time()
         res = fn(sf_dir)

@@ -13816,6 +13816,81 @@ def geohash_cells(sf_dir: str):
     )
 
 
+def geo_bounds_centroid(sf_dir: str):
+    """ES ``geo_bounds`` + ``geo_centroid`` aggregations per market
+    segment: the bounding box (min/max lat/lon, micro-degrees) and the
+    arithmetic centroid (sum of micro-degree ints // count — integer
+    exact, no float summation order) of each segment's customers, over
+    the same hash-derived deterministic coordinates the other geo
+    operators use.  Map-side per-segment partials (6 ints each) -> tiny
+    groupby."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    ds = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        k = t["c_custkey"].to_numpy(zero_copy_only=False)
+        lat, lon = _geo_latlon(k)
+        lat_u, lon_u = _micro(lat), _micro(lon)
+        df_ = pd.DataFrame(
+            {"seg": t["c_mktsegment"].to_pandas(), "lat": lat_u, "lon": lon_u}
+        )
+        g = df_.groupby("seg", as_index=False).agg(
+            n=("lat", "size"),
+            lat_min=("lat", "min"), lat_max=("lat", "max"),
+            lon_min=("lon", "min"), lon_max=("lon", "max"),
+            lat_sum=("lat", "sum"), lon_sum=("lon", "sum"),
+        )
+        return pa.table(
+            {
+                "seg": pa.array(g["seg"], pa.string()),
+                **{
+                    c: pa.array(g[c].to_numpy(np.int64))
+                    for c in ("n", "lat_min", "lat_max", "lon_min",
+                              "lon_max", "lat_sum", "lon_sum")
+                },
+            }
+        )
+
+    out = (
+        ds.map_batches(fn, batch_format="pyarrow")
+        .groupby("seg")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Min("lat_min", alias_name="lat_min"),
+            Max("lat_max", alias_name="lat_max"),
+            Min("lon_min", alias_name="lon_min"),
+            Max("lon_max", alias_name="lon_max"),
+            Sum("lat_sum", alias_name="lat_sum"),
+            Sum("lon_sum", alias_name="lon_sum"),
+        )
+        .to_pandas()
+        .sort_values("seg", ignore_index=True)
+    )
+    n = out["n"].to_numpy(np.int64)
+
+    # DuckDB's BIGINT // TRUNCATES toward zero on negatives (-7 // 2 = -3)
+    # while numpy floor_divide floors — and micro-lat/lon sums go negative,
+    # so mirror the truncating semantics exactly
+    def trunc_div(s: np.ndarray, d: np.ndarray) -> np.ndarray:
+        return np.sign(s) * (np.abs(s) // d)
+
+    cen_lat = trunc_div(out["lat_sum"].to_numpy(np.int64), n)
+    cen_lon = trunc_div(out["lon_sum"].to_numpy(np.int64), n)
+    return pa.table(
+        {
+            "seg": pa.array(out["seg"], pa.string()),
+            "n": pa.array(n),
+            "lat_min": pa.array(out["lat_min"].to_numpy(np.int64)),
+            "lat_max": pa.array(out["lat_max"].to_numpy(np.int64)),
+            "lon_min": pa.array(out["lon_min"].to_numpy(np.int64)),
+            "lon_max": pa.array(out["lon_max"].to_numpy(np.int64)),
+            "cen_lat": pa.array(cen_lat.astype(np.int64)),
+            "cen_lon": pa.array(cen_lon.astype(np.int64)),
+        }
+    )
+
+
 # rank_eval (ES Ranking Evaluation API): precision@k / recall@k per query
 # against a DERIVABLE judgment set — a doc is relevant iff its token set
 # contains EVERY query token (boolean-AND qrels both engines can
@@ -17216,6 +17291,21 @@ def build_oracle_sql() -> Dict[str, str]:
             FROM w WHERE idx >= {MOVING_WINDOW} ORDER BY day
         """,
         "curation_funnel": _curation_sql(),
+        "geo_bounds_centroid": f"""
+            WITH c AS ({_geo_latlon_sql()}),
+            m AS (SELECT cu.c_mktsegment AS seg,
+                         CAST(floor(c.lat * 1000000 + 0.5) AS BIGINT) AS lat_u,
+                         CAST(floor(c.lon * 1000000 + 0.5) AS BIGINT) AS lon_u
+                  FROM c JOIN customer cu USING (c_custkey))
+            SELECT seg, CAST(count(*) AS BIGINT) AS n,
+                   CAST(min(lat_u) AS BIGINT) AS lat_min,
+                   CAST(max(lat_u) AS BIGINT) AS lat_max,
+                   CAST(min(lon_u) AS BIGINT) AS lon_min,
+                   CAST(max(lon_u) AS BIGINT) AS lon_max,
+                   CAST(CAST(sum(lat_u) AS BIGINT) // count(*) AS BIGINT) AS cen_lat,
+                   CAST(CAST(sum(lon_u) AS BIGINT) // count(*) AS BIGINT) AS cen_lon
+            FROM m GROUP BY seg ORDER BY seg
+        """,
         "geo_distance_rings": _geo_rings_sql(),
         "geohash_cells": _geohash_sql(),
         "rank_eval_pr": _rank_eval_sql(),

@@ -13446,12 +13446,14 @@ def curation_funnel(sf_dir: str):
         ids = t["doc_id"].to_numpy(zero_copy_only=False)
         return t.filter(pa.array(ids % DECONTAM_BENCH_MOD == 0))
 
-    s1 = exact_dedup(base)
-    # materialize the two smallest cuts so each lazy stage aggregate does
-    # not re-execute the whole upstream chain (halves the wall time of the
-    # audit).  A production 100-TB run would instead WRITE each stage to
-    # partitioned parquet (counts from file metadata, resume for free) —
-    # these in-memory cuts are the driver-query stand-in for that.
+    # materialize each stage cut so the lazy per-stage aggregates never
+    # re-execute upstream work: exactly one corpus-scale pass per stage
+    # remains ('all' totals, the dedup exchange, the gopher map, the
+    # decontam map).  A production 100-TB run would instead WRITE each
+    # stage to partitioned parquet (counts from file metadata, resume for
+    # free) — these in-memory cuts are the driver-query stand-in for
+    # that.
+    s1 = exact_dedup(base).materialize()
     s2 = s1.map_batches(gopher_filter, batch_format="pyarrow").materialize()
     bench = docs.map_batches(is_bench, batch_format="pyarrow")
     s3 = (

@@ -137,6 +137,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "embed_cosine_dups": Q.embed_cosine_dups,
         "knn_cosine": Q.knn_cosine,
+        "knn_radius": Q.knn_radius,  # cosine radius search (similarity threshold, no top-k cap)
         "knn_cosine_filtered": Q.knn_cosine_filtered,
         "knn_l2": Q.knn_l2,  # exact Euclidean top-k, sequential-accumulation distance
         "knn_pq": Q.knn_pq,  # product-quantization ADC search, rows-only (pytest ADC-oracle gate)

@@ -323,6 +323,7 @@ def run_bench() -> dict:
         ("curation_funnel", Q.curation_funnel),
         ("span_containing", Q.span_containing_q),
         ("geo_bounds_centroid", Q.geo_bounds_centroid),
+        ("knn_radius", Q.knn_radius),
     ):
         t0 = time.time()
         res = fn(sf_dir)

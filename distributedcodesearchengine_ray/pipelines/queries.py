@@ -3595,6 +3595,39 @@ def knn_cosine(sf_dir: str):
     )
 
 
+KNN_RADIUS_TAU = 0.2
+
+
+def knn_radius(sf_dir: str):
+    """Cosine RADIUS search (ES knn ``similarity`` threshold / Qdrant
+    score_threshold): every vector with cosine >= 0.2 to each query
+    vector (vec_id < 3), no top-k cap.  The threshold applies inside
+    each block, so the exchange carries only matches — O(answer), never
+    O(corpus)."""
+    from ..stages.annsearch import vector_radius
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    qdf = (
+        _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+        .filter(lambda r: r["vec_id"] < 3)
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    qs = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
+    out = vector_radius(
+        ds, qs, KNN_RADIUS_TAU, id_column="vec_id", normalize=True,
+        dtype=np.float64,
+    ).to_pandas()
+    qids = qdf["vec_id"].to_numpy()
+    return pa.table(
+        {
+            "q_id": pa.array(qids[out["query_idx"].to_numpy()], pa.int64()),
+            "vec_id": pa.array(out["vec_id"], pa.int64()),
+            "score_micro": pa.array(_micro(out["score"].to_numpy())),
+        }
+    )
+
+
 def knn_l2(sf_dir: str):
     """Exact EUCLIDEAN (L2) top-10 of the same query vectors as
     ``knn_cosine`` — the unnormalized-metric twin (Qdrant/FAISS distance
@@ -15147,6 +15180,18 @@ def build_oracle_sql() -> Dict[str, str]:
                    CASE WHEN dup.i IS NULL THEN 1 ELSE 0 END AS keep
             FROM a2 LEFT JOIN dup ON a2.vec_id = dup.i
             ORDER BY a2.vec_id
+        """,
+        "knn_radius": f"""
+            WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qe
+                       FROM embeddings WHERE vec_id < 3),
+            sims AS (
+              SELECT q.q_id, e.vec_id,
+                     list_cosine_similarity(e.embedding::DOUBLE[], q.qe) AS score
+              FROM embeddings e CROSS JOIN q)
+            SELECT q_id, vec_id,
+                   CAST(floor(score * 1000000 + 0.5) AS BIGINT) AS score_micro
+            FROM sims WHERE score >= {KNN_RADIUS_TAU}
+            ORDER BY q_id, score DESC, vec_id
         """,
         "knn_cosine": """
             WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < 3),

@@ -70,6 +70,85 @@ class _BlockTopK:
         )
 
 
+class _BlockRadius:
+    """map_batches task: per-block cosine RADIUS search (ES knn
+    ``similarity`` threshold) — every (query, vector) pair with cosine
+    >= tau is emitted, no top-k cap.  The threshold applies INSIDE the
+    block so only matches ever leave a worker: the exchange is
+    O(matches), never O(corpus), which is what makes radius search
+    viable at scale (a hot query near a dense cluster returns many rows,
+    but they are the ANSWER, not intermediate state)."""
+
+    def __init__(self, queries_ref, tau: float, id_column: str,
+                 normalize: bool = True, dtype=np.float64):
+        import ray
+
+        self.dtype = dtype
+        q = np.asarray(ray.get(queries_ref), dtype=dtype)
+        if normalize:
+            n = np.linalg.norm(q, axis=1, keepdims=True)
+            n[n == 0] = 1.0
+            q = q / n
+        self.q = q
+        self.tau = tau
+        self.id_column = id_column
+        self.normalize = normalize
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mat = _emb_matrix(batch["embedding"], dtype=self.dtype)
+        if self.normalize:
+            n = np.linalg.norm(mat, axis=1, keepdims=True)
+            n[n == 0] = 1.0
+            mat = mat / n
+        sims = mat @ self.q.T  # B x Q
+        ids = batch[self.id_column].to_numpy(zero_copy_only=False)
+        rows, cols = np.nonzero(sims >= self.tau)
+        return pa.table(
+            {
+                self.id_column: pa.array(ids[rows]),
+                "query_idx": pa.array(cols.astype(np.int64), pa.int64()),
+                "score": pa.array(sims[rows, cols].astype(np.float64), pa.float64()),
+            }
+        )
+
+
+def vector_radius(
+    ds,
+    queries: np.ndarray,
+    tau: float,
+    id_column: str = "vec_id",
+    normalize: bool = True,
+    dtype=np.float64,
+) -> pa.Table:
+    """Exact cosine radius search: all vectors with similarity >= ``tau``
+    per query row, sorted (query_idx, score desc, id asc)."""
+    import ray
+
+    qref = ray.put(np.asarray(queries, dtype=dtype))
+    out = (
+        ds.map_batches(
+            _BlockRadius(qref, tau, id_column, normalize, dtype),
+            batch_format="pyarrow",
+            batch_size=8192,
+            zero_copy_batch=True,
+        )
+        .to_pandas()
+        .sort_values(
+            ["query_idx", "score", id_column],
+            ascending=[True, False, True],
+            kind="mergesort",
+            ignore_index=True,
+        )
+    )
+    return pa.table(
+        {
+            "query_idx": pa.array(out["query_idx"].to_numpy(np.int64)),
+            id_column: pa.array(out[id_column].to_numpy(np.int64)),
+            "score": pa.array(out["score"].to_numpy(np.float64)),
+        }
+    )
+
+
 def vector_topk(
     ds,
     queries: np.ndarray,

@@ -95,6 +95,11 @@ def main(argv=None) -> int:
         "query-likelihood Dirichlet",
     )
     ps.add_argument(
+        "--range-syntax", action="store_true",
+        help="enable lo..hi term-range chunks in the query "
+        "(TermRangeQuery expansion; off by default so '..' is literal)",
+    )
+    ps.add_argument(
         "--positional", action="store_true",
         help="positional phrase search: the query tokens must appear "
         "adjacently in order (needs an index built with --positions)",
@@ -576,6 +581,7 @@ def main(argv=None) -> int:
                     repo_filter=args.repo,
                     use_hybrid=args.hybrid,
                     method=args.method,
+                    range_syntax=args.range_syntax,
                 )
             for h in hits:
                 print(

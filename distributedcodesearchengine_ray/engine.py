@@ -125,6 +125,7 @@ class CodeSearchEngine:
         use_hybrid: bool = False,
         method: str = "dense",
         normalize: bool = True,
+        range_syntax: bool = False,
     ) -> List[dict]:
         """Ranked hits with metadata + highlights.
 
@@ -144,7 +145,8 @@ class CodeSearchEngine:
                 h["highlights"] = _highlights(h)
             return hits
         df = self._bm25().search_with_meta(
-            query, limit=limit, filters=filters or None, method=method
+            query, limit=limit, filters=filters or None, method=method,
+            range_syntax=range_syntax,
         )
         hits = df.to_dict("records")
         if hits and normalize:

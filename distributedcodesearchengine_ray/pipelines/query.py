@@ -3389,9 +3389,11 @@ class QueryEngine:
         filters: Optional[Dict[str, str]] = None,
         columns: Optional[List[str]] = None,
         method: str = "dense",
+        range_syntax: bool = False,
     ) -> pd.DataFrame:
         """Search + metadata join (docmeta parquet filtered by doc_id)."""
-        hits = self.search(query, limit=limit, filters=filters, method=method)
+        hits = self.search(query, limit=limit, filters=filters, method=method,
+                           range_syntax=range_syntax)
         return self.hits_with_meta(hits, columns=columns)
 
     def hits_with_meta(

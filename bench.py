@@ -324,6 +324,7 @@ def run_bench() -> dict:
         ("span_containing", Q.span_containing_q),
         ("geo_bounds_centroid", Q.geo_bounds_centroid),
         ("knn_radius", Q.knn_radius),
+        ("orders_top_with_ties", Q.orders_top_with_ties),
     ):
         t0 = time.time()
         res = fn(sf_dir)

@@ -13416,6 +13416,63 @@ def _qtok(q: str) -> List[str]:
     return tokenize(q)
 
 
+TOP_TIES_K = 10
+
+
+def orders_top_with_ties(sf_dir: str):
+    """Top-K rows WITH TIES (ANSI ``FETCH FIRST k ROWS WITH TIES`` /
+    ``rank() <= k``): the highest-value orders by total price where
+    every row tying the K-th value is included.  Distributed as the
+    threshold pattern a global sort would waste: per-block top-K cents
+    partials -> the driver reads the K-th value off the merged
+    candidates -> one streaming filter pass keeps ``cents >= v_k``.
+    Two passes, no all-to-all.  Integer cents on both sides."""
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+
+    def partial_topk(t: pa.Table) -> pa.Table:
+        c = _cents_col(t["o_totalprice"]).to_numpy(zero_copy_only=False)
+        k = min(TOP_TIES_K, len(c))
+        if k == 0:
+            return pa.table({"cents": pa.array([], pa.int64())})
+        top = np.partition(c, len(c) - k)[len(c) - k:]
+        return pa.table({"cents": pa.array(np.sort(top)[::-1])})
+
+    cand = (
+        ds.map_batches(partial_topk, batch_format="pyarrow")
+        .to_pandas()["cents"]
+        .sort_values(ascending=False, ignore_index=True)
+    )
+    if len(cand) == 0:
+        return pa.table(
+            {"o_orderkey": pa.array([], pa.int64()),
+             "cents": pa.array([], pa.int64())}
+        )
+    v_k = int(cand.iloc[min(TOP_TIES_K, len(cand)) - 1])
+
+    def keep(t: pa.Table) -> pa.Table:
+        c = _cents_col(t["o_totalprice"]).to_numpy(zero_copy_only=False)
+        m = c >= v_k
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"].filter(pa.array(m)),
+                "cents": pa.array(c[m]),
+            }
+        )
+
+    out = (
+        ds.map_batches(keep, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(["cents", "o_orderkey"], ascending=[False, True],
+                     ignore_index=True)
+    )
+    return pa.table(
+        {
+            "o_orderkey": pa.array(out["o_orderkey"].to_numpy(np.int64)),
+            "cents": pa.array(out["cents"].to_numpy(np.int64)),
+        }
+    )
+
+
 CURATION_STAGES = ("all", "dedup", "gopher", "decontam", "budget")
 
 
@@ -17336,6 +17393,16 @@ def build_oracle_sql() -> Dict[str, str]:
                 for q in MOVING_PCT_QS
             )}
             FROM w WHERE idx >= {MOVING_WINDOW} ORDER BY day
+        """,
+        "orders_top_with_ties": f"""
+            WITH c AS (SELECT o_orderkey,
+                              CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                                AS cents
+                       FROM orders),
+            r AS (SELECT o_orderkey, cents,
+                         rank() OVER (ORDER BY cents DESC) AS rk FROM c)
+            SELECT o_orderkey, cents FROM r WHERE rk <= {TOP_TIES_K}
+            ORDER BY cents DESC, o_orderkey ASC
         """,
         "curation_funnel": _curation_sql(),
         "geo_bounds_centroid": f"""

@@ -48,6 +48,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_top_hits": Q.bm25_top_hits,  # ES top_hits: top-k hits per lang bucket, groups ranked by best
         "docs_sorted_top": Q.docs_sorted_top,  # native Dataset.sort multi-key export
         "orders_top_with_ties": Q.orders_top_with_ties,  # FETCH FIRST k WITH TIES via the threshold pattern
+        "orders_date_range_agg": Q.orders_date_range_agg,  # ES date_range half-open buckets
+        "weekly_event_rate": Q.weekly_event_rate,  # ES rate agg (per-day, weekly buckets)
         "bm25_topk_wand": Q.bm25_topk_wand,
         "bm25_page2": Q.bm25_page2,  # search-after deep pagination, OFFSET oracle
         "bm25_collapse": Q.bm25_collapse,  # field collapsing: best hit per lang group

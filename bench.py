@@ -325,6 +325,8 @@ def run_bench() -> dict:
         ("geo_bounds_centroid", Q.geo_bounds_centroid),
         ("knn_radius", Q.knn_radius),
         ("orders_top_with_ties", Q.orders_top_with_ties),
+        ("orders_date_range_agg", Q.orders_date_range_agg),
+        ("weekly_event_rate", Q.weekly_event_rate),
     ):
         t0 = time.time()
         res = fn(sf_dir)

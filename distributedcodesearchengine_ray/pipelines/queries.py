@@ -13416,6 +13416,96 @@ def _qtok(q: str) -> List[str]:
     return tokenize(q)
 
 
+DATE_RANGE_EDGES = ("1997-01-01", "1999-01-01")  # half-open buckets
+
+
+def orders_date_range_agg(sf_dir: str):
+    """ES ``date_range`` aggregation: orders bucketed into half-open
+    date ranges (-inf, e1), [e1, e2), [e2, +inf) with count and revenue
+    cents per bucket.  Map-side searchsorted bucket partials (3 rows per
+    block) -> tiny groupby."""
+    from ray.data.aggregate import Sum
+
+    edges_us = (
+        pd.to_datetime(list(DATE_RANGE_EDGES)).values.astype("datetime64[us]")
+        .astype(np.int64)
+    )
+    ds = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        d = (
+            t["o_orderdate"].to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").astype(np.int64)
+        )
+        b = np.searchsorted(edges_us, d, side="right")
+        cents = _cents_col(t["o_totalprice"]).to_numpy(zero_copy_only=False)
+        g = (
+            pd.DataFrame({"bucket": b, "cents": cents})
+            .groupby("bucket", as_index=False)
+            .agg(n=("cents", "size"), rev_cents=("cents", "sum"))
+        )
+        return pa.table(
+            {
+                "bucket": pa.array(g["bucket"].to_numpy(np.int64)),
+                "n": pa.array(g["n"].to_numpy(np.int64)),
+                "rev_cents": pa.array(g["rev_cents"].to_numpy(np.int64)),
+            }
+        )
+
+    out = (
+        ds.map_batches(fn, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Sum("n", alias_name="n"), Sum("rev_cents", alias_name="rev_cents"))
+        .to_pandas()
+        .sort_values("bucket", ignore_index=True)
+    )
+    return pa.table(
+        {
+            "bucket": pa.array(out["bucket"].to_numpy(np.int64)),
+            "n": pa.array(out["n"].to_numpy(np.int64)),
+            "rev_cents": pa.array(out["rev_cents"].to_numpy(np.int64)),
+        }
+    )
+
+
+def weekly_event_rate(sf_dir: str):
+    """ES ``rate`` aggregation (unit=day) inside a weekly
+    date_histogram: per Monday-aligned calendar week, the event count
+    and the per-day rate in milli (``n * 1000 // 7`` — integer on both
+    sides).  One bounded week-keyed count fold; week truncation is the
+    same epoch-day integer arithmetic cohort_retention uses."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["ts"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        d = t["ts"].to_numpy().astype("datetime64[D]").astype(np.int64)
+        monday = d - (d + 3) % 7  # 1970-01-01 was a Thursday
+        uniq, cnt = np.unique(monday, return_counts=True)
+        return pa.table(
+            {"wk": pa.array(uniq), "n": pa.array(cnt.astype(np.int64))}
+        )
+
+    out = (
+        ds.map_batches(fn, batch_format="pyarrow")
+        .groupby("wk")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values("wk", ignore_index=True)
+    )
+    wks = out["wk"].to_numpy(np.int64)
+    n = out["n"].to_numpy(np.int64)
+    return pa.table(
+        {
+            "week_start": pa.array(
+                [str(x) for x in wks.astype("datetime64[D]")], pa.string()
+            ),
+            "n": pa.array(n),
+            "rate_milli": pa.array((n * 1000 // 7).astype(np.int64)),
+        }
+    )
+
+
 TOP_TIES_K = 10
 
 
@@ -17393,6 +17483,25 @@ def build_oracle_sql() -> Dict[str, str]:
                 for q in MOVING_PCT_QS
             )}
             FROM w WHERE idx >= {MOVING_WINDOW} ORDER BY day
+        """,
+        "orders_date_range_agg": f"""
+            WITH b AS (
+              SELECT CASE WHEN o_orderdate < DATE '{DATE_RANGE_EDGES[0]}' THEN 0
+                          WHEN o_orderdate < DATE '{DATE_RANGE_EDGES[1]}' THEN 1
+                          ELSE 2 END AS bucket,
+                     CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+              FROM orders)
+            SELECT CAST(bucket AS BIGINT) AS bucket,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(cents) AS BIGINT) AS rev_cents
+            FROM b GROUP BY bucket ORDER BY bucket
+        """,
+        "weekly_event_rate": """
+            WITH w AS (SELECT date_trunc('week', ts) AS ws FROM events),
+            g AS (SELECT ws, CAST(count(*) AS BIGINT) AS n FROM w GROUP BY ws)
+            SELECT strftime(ws, '%Y-%m-%d') AS week_start, n,
+                   CAST(n * 1000 // 7 AS BIGINT) AS rate_milli
+            FROM g ORDER BY ws
         """,
         "orders_top_with_ties": f"""
             WITH c AS (SELECT o_orderkey,

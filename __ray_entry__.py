@@ -57,6 +57,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_lang": Q.bm25_topk_lang,
         "lang_histogram": Q.lang_histogram,
         "bm25_facets": Q.bm25_facets,  # facet counts over the full result set
+        "bm25_count": Q.bm25_count,  # ES _count: thresholded match total, no hits fetched
         "bm25_boolean": Q.bm25_boolean,  # +term/-term operators, shared scoring CTE
         "more_like_this": Q.more_like_this,  # find-similar via top tf*idf terms
         "search_ndcg": Q.search_ndcg,  # NDCG@10/MRR eval vs synthetic qrels, BM25-in-SQL + DCG oracle

@@ -327,6 +327,7 @@ def run_bench() -> dict:
         ("orders_top_with_ties", Q.orders_top_with_ties),
         ("orders_date_range_agg", Q.orders_date_range_agg),
         ("weekly_event_rate", Q.weekly_event_rate),
+        ("bm25_count", Q.bm25_count),
     ):
         t0 = time.time()
         res = fn(sf_dir)

@@ -1463,6 +1463,20 @@ def bm25_facets(sf_dir: str, query: str = BM25_QUERY):
     )
 
 
+def bm25_count(sf_dir: str, query: str = BM25_QUERY):
+    """ES ``_count`` API: the query's total thresholded match count,
+    no hits fetched — only per-shard counts cross the wire."""
+    from .query import QueryEngine
+
+    idx = _documents_index(sf_dir)
+    engine = QueryEngine(idx, num_actors=2, pool=True)
+    try:
+        n = engine.count(query)
+    finally:
+        engine.close()
+    return pa.table({"n": pa.array([n], pa.int64())})
+
+
 def bm25_topk_lang(sf_dir: str):
     """BM25 with a post-scoring language filter (F3 semantics)."""
     return bm25_topk(sf_dir, query=BM25_QUERY_FILTERED, filters={"language": "en"})
@@ -14698,6 +14712,10 @@ def build_oracle_sql() -> Dict[str, str]:
         "qld_topk": qld_sql(BM25_QUERY, limit=20),
         "bm25_topk_lang": bm25_sql(BM25_QUERY_FILTERED, limit=20, lang_filter="en"),
         "bm25_facets": bm25_sql(BM25_QUERY, facet=True),
+        "bm25_count": f"""
+            SELECT CAST(sum(n_docs) AS BIGINT) AS n
+            FROM ({bm25_sql(BM25_QUERY, facet=True)})
+        """,
         "bm25_boolean": bm25_sql(
             BM25_QUERY, limit=20, required=["join"], excluded=["hash"]
         ),

@@ -1962,6 +1962,21 @@ class QueryEngine:
                 out[v] = out.get(v, 0) + c
         return dict(sorted(out.items()))
 
+    def count(
+        self,
+        query: str,
+        filters: Optional[Dict[str, str]] = None,
+        range_syntax: bool = False,
+    ) -> int:
+        """ES ``_count`` API: how many docs the query matches under the
+        reference threshold semantics (max*0.01; max<=0 keeps all
+        scored docs), WITHOUT fetching any hits — per-shard counts only
+        cross the wire (reuses the facet machinery: one limit-1 fan-out
+        for the global max, one count round)."""
+        return sum(
+            self.facets(query, filters=filters, range_syntax=range_syntax).values()
+        )
+
     def collapse(
         self,
         query: str,

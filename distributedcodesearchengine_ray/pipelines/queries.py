@@ -3628,16 +3628,35 @@ def knn_radius(sf_dir: str):
         .sort_values("vec_id")
     )
     qs = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
+    # membership and ordering decide on the INTEGER micro score on both
+    # sides (oracle thresholds the same CAST): the raw-float tau compare
+    # would let a similarity within an ulp of tau flip membership between
+    # the engine's normalize-then-dot and DuckDB's dot/(|x||y|) trees.
+    # The block-side tau is nudged an ulp-safe hair low so the boundary
+    # rows always reach the exact micro filter here.
     out = vector_radius(
-        ds, qs, KNN_RADIUS_TAU, id_column="vec_id", normalize=True,
+        ds, qs, KNN_RADIUS_TAU - 1e-9, id_column="vec_id", normalize=True,
         dtype=np.float64,
     ).to_pandas()
     qids = qdf["vec_id"].to_numpy()
+    res = pd.DataFrame(
+        {
+            "q_id": qids[out["query_idx"].to_numpy()].astype(np.int64),
+            "vec_id": out["vec_id"].to_numpy(np.int64),
+            "score_micro": _micro(out["score"].to_numpy()),
+        }
+    )
+    tau_micro = int(round(KNN_RADIUS_TAU * 1_000_000))
+    res = res[res["score_micro"] >= tau_micro].sort_values(
+        ["q_id", "score_micro", "vec_id"],
+        ascending=[True, False, True],
+        ignore_index=True,
+    )
     return pa.table(
         {
-            "q_id": pa.array(qids[out["query_idx"].to_numpy()], pa.int64()),
-            "vec_id": pa.array(out["vec_id"], pa.int64()),
-            "score_micro": pa.array(_micro(out["score"].to_numpy())),
+            "q_id": pa.array(res["q_id"].to_numpy(np.int64)),
+            "vec_id": pa.array(res["vec_id"].to_numpy(np.int64)),
+            "score_micro": pa.array(res["score_micro"].to_numpy(np.int64)),
         }
     )
 
@@ -13580,24 +13599,47 @@ def orders_top_with_ties(sf_dir: str):
 CURATION_STAGES = ("all", "dedup", "gopher", "decontam", "budget")
 
 
-def curation_funnel(sf_dir: str):
-    """END-TO-END training-data curation funnel — the composed pipeline a
-    100-TB pretraining-data run actually executes, as ONE lazy Dataset
-    chain: exact dedup (hash-bucketed first-per-content) -> Gopher
-    quality gate (map-side flags) -> benchmark decontamination (broadcast
-    5-gram set; overlap with the benchmark half ``doc_id % 19 == 0``
-    drops the doc — including benchmark members themselves) -> quality-
-    ordered 30% token-budget selection (histogram threshold, no global
-    sort).  Emits per-stage surviving (n_docs, n_tokens) — the funnel
-    audit every curation run reports.  Every stage streams; the driver
-    sees only the five count rows.  Oracle: the identical stages chained
-    as SQL CTEs (GROUP BY text winners, the gopher flag algebra, the
-    exploded-gram semi-join, the SUM() OVER budget prefix)."""
-    from ray.data.aggregate import Count, Sum
+def curation_funnel(sf_dir: str, flags_path: str | None = None):
+    """END-TO-END training-data curation funnel — exact dedup (min-id
+    winner per content hash) -> Gopher quality gate -> benchmark
+    decontamination (broadcast 5-gram set; the benchmark half is
+    ``doc_id % 19 == 0``) -> quality-ordered 30% token-budget selection.
+    Emits per-stage surviving (n_docs, n_tokens) — the funnel audit
+    every curation run reports.
 
-    from ..stages.decontam import decontaminate
-    from ..stages.dedup import exact_dedup
-    from ..stages.selection import token_budget_select
+    Scale shape (one corpus pass, zero corpus-scale materialization —
+    the stages are INDEPENDENT per-doc flags, so they compose into one
+    map instead of three filtered cuts):
+
+    - ONE streaming pass over the raw text computes every per-doc
+      signal (token count, quality score, gopher keep flag,
+      contamination flag vs the broadcast gram set, content hash) and
+      then DROPS the text — texts never shuffle and never pin;
+    - the dedup winner flag is the only exchange, over the slim
+      (hash, id, flags) rows bucketed 256 ways;
+    - the slim flag table lands in partitioned parquet (``flags_path``;
+      a temp dir by default) — the production resume point, ~48 bytes
+      per doc.  Every funnel count is then an aggregate over the flag
+      table: a map-side partial histogram on the bounded key
+      (winner, gopher, contaminated, score<=1000) — <= 8008 rows leave
+      any block — and a driver-side cumulative walk reproduces the
+      token-budget threshold (stages/selection.py semantics) with only
+      the single cutoff-score group ever needing per-doc resolution
+      (pack_sequences prefix over that one group, read back from the
+      flag parquet with predicate pushdown).
+
+    Oracle: the identical stages chained as SQL CTEs (GROUP BY text
+    winners, the gopher flag algebra, the exploded-gram semi-join, the
+    SUM() OVER budget prefix)."""
+    import shutil
+    import tempfile
+
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..stages.decontam import ContaminationFlagger, benchmark_gram_refs
+    from ..stages.dedup import _stable_hash
+    from ..stages.packing import pack_sequences
     from ..stages.text_stats import gopher_gate
 
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
@@ -13621,53 +13663,145 @@ def curation_funnel(sf_dir: str):
             np.floor(1000.0 * n_stop / np.maximum(n_tokens, 1) + 0.5).astype(np.int64),
             0,
         )
+        h = _stable_hash(t["text"].to_numpy(zero_copy_only=False)).astype(np.int64)
+        gop = gopher_gate(t)["keep"]
         return pa.table(
             {
                 "doc_id": pcc.cast(t["doc_id"], pa.int64()),
                 "text": t["text"],
                 "n_tokens": pa.array(n_tokens),
                 "score": pa.array(score),
+                "gopher": gop,
+                "__h": pa.array(h),
+                "__b": pa.array((h % 256).astype(np.int64)),
             }
         )
-
-    base = docs.map_batches(stats, batch_format="pyarrow")
-
-    def gopher_filter(t: pa.Table) -> pa.Table:
-        keep = gopher_gate(t)["keep"].to_numpy(zero_copy_only=False) == 1
-        return t.filter(pa.array(keep))
 
     def is_bench(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_numpy(zero_copy_only=False)
         return t.filter(pa.array(ids % DECONTAM_BENCH_MOD == 0))
 
-    # materialize each stage cut so the lazy per-stage aggregates never
-    # re-execute upstream work: exactly one corpus-scale pass per stage
-    # remains ('all' totals, the dedup exchange, the gopher map, the
-    # decontam map).  A production 100-TB run would instead WRITE each
-    # stage to partitioned parquet (counts from file metadata, resume for
-    # free) — these in-memory cuts are the driver-query stand-in for
-    # that.
-    s1 = exact_dedup(base).materialize()
-    s2 = s1.map_batches(gopher_filter, batch_format="pyarrow").materialize()
     bench = docs.map_batches(is_bench, batch_format="pyarrow")
-    s3 = (
-        decontaminate(s2, bench, n=5)
-        .filter(expr="contaminated == 0")
-        .materialize()
-    )
-    s4 = token_budget_select(
-        s3.select_columns(["doc_id", "score", "n_tokens"]),
-        TOKEN_BUDGET_NUM,
-        TOKEN_BUDGET_DEN,
+    gram_ref = benchmark_gram_refs(bench, n=5)
+
+    # the single text-bearing pass: signals + flags, then text is gone
+    flagged = docs.map_batches(stats, batch_format="pyarrow").map_batches(
+        ContaminationFlagger,
+        fn_constructor_kwargs={"gram_set_ref": gram_ref, "n": 5},
+        batch_format="pyarrow",
+        concurrency=(1, 8),
     )
 
-    def totals(ds) -> tuple:
-        agg = ds.aggregate(
-            Count(alias_name="n"), Sum("n_tokens", alias_name="tok")
+    def mark_winner(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["__h", "doc_id"], kind="mergesort", ignore_index=True)
+        df["winner"] = df["__h"].ne(df["__h"].shift()).astype(np.int64)
+        return df.drop(columns=["__h", "__b"])
+
+    slim = flagged.groupby("__b").map_groups(mark_winner, batch_format="pandas")
+
+    tmp = flags_path or tempfile.mkdtemp(prefix="curation_flags_", dir="/tmp")
+    try:
+        slim.write_parquet(tmp)
+        flags = rd.read_parquet(
+            tmp,
+            columns=[
+                "doc_id",
+                "n_tokens",
+                "score",
+                "gopher",
+                "contaminated",
+                "winner",
+            ],
         )
-        return int(agg["n"] or 0), int(agg["tok"] or 0)
 
-    rows = [totals(base), totals(s1), totals(s2), totals(s3), totals(s4)]
+        keys = ["winner", "gopher", "contaminated", "score"]
+
+        def part_hist(df: pd.DataFrame) -> pd.DataFrame:
+            g = df.groupby(keys, as_index=False, sort=False).agg(
+                n=("doc_id", "size"), tok=("n_tokens", "sum")
+            )
+            for c in ("n", "tok"):
+                g[c] = g[c].astype(np.int64)
+            return g
+
+        hist = (
+            flags.map_batches(part_hist, batch_format="pandas")
+            .groupby(keys)
+            .aggregate(Sum("n", alias_name="n"), Sum("tok", alias_name="tok"))
+            .to_pandas()
+        )
+
+        def tot(mask) -> tuple:
+            sub = hist[mask]
+            return int(sub["n"].sum()), int(sub["tok"].sum())
+
+        all_n, all_tok = tot(np.ones(len(hist), dtype=bool))
+        w = hist["winner"].to_numpy() == 1
+        g = hist["gopher"].to_numpy() == 1
+        c = hist["contaminated"].to_numpy() == 0
+        s1_n, s1_tok = tot(w)
+        s2_n, s2_tok = tot(w & g)
+        s3_n, s3_tok = tot(w & g & c)
+
+        # token-budget stage from the s3 score histogram (same math as
+        # stages/selection.py::token_budget_select, driver-side walk)
+        h3 = (
+            hist[w & g & c]
+            .groupby("score", as_index=False)
+            .agg(n=("n", "sum"), tok=("tok", "sum"))
+            .sort_values("score", ascending=False, ignore_index=True)
+        )
+        toks = h3["tok"].to_numpy(dtype=np.int64)
+        ns = h3["n"].to_numpy(dtype=np.int64)
+        budget = s3_tok * TOKEN_BUDGET_NUM // TOKEN_BUDGET_DEN
+        cum = np.cumsum(toks) if len(toks) else np.empty(0, np.int64)
+        over = np.flatnonzero(cum > budget)
+        if len(over) == 0:  # everything fits
+            s4_n, s4_tok = s3_n, s3_tok
+        else:
+            cut_i = int(over[0])
+            cutoff = int(h3["score"].iloc[cut_i])
+            s4_n = int(ns[:cut_i].sum())
+            s4_tok = int(cum[cut_i - 1]) if cut_i > 0 else 0
+            remaining = budget - s4_tok
+            if remaining > 0:
+                # only the cutoff-score group needs per-doc resolution:
+                # read it back from the flag parquet (pushdown filter)
+                cut = flags.filter(
+                    expr=(
+                        "winner == 1 and gopher == 1 and contaminated == 0 "
+                        f"and score == {cutoff}"
+                    )
+                ).select_columns(["doc_id", "n_tokens"])
+                packed = pack_sequences(cut, budget=max(remaining, 1))
+
+                def keep_counts(t: pa.Table) -> pa.Table:
+                    start = t["start_tok"].to_numpy(zero_copy_only=False)
+                    ntok = t["n_tokens"].to_numpy(zero_copy_only=False)
+                    keep = start + ntok <= remaining
+                    return pa.table(
+                        {
+                            "n": pa.array([int(keep.sum())], pa.int64()),
+                            "tok": pa.array([int(ntok[keep].sum())], pa.int64()),
+                        }
+                    )
+
+                agg = packed.map_batches(
+                    keep_counts, batch_format="pyarrow"
+                ).aggregate(Sum("n", alias_name="n"), Sum("tok", alias_name="tok"))
+                s4_n += int(agg["n"] or 0)
+                s4_tok += int(agg["tok"] or 0)
+    finally:
+        if flags_path is None:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    rows = [
+        (all_n, all_tok),
+        (s1_n, s1_tok),
+        (s2_n, s2_tok),
+        (s3_n, s3_tok),
+        (s4_n, s4_tok),
+    ]
     return pa.table(
         {
             "stage_ord": pa.array(range(len(CURATION_STAGES)), pa.int64()),
@@ -14222,6 +14356,15 @@ def has_child_orders(sf_dir: str):
             }
         )
 
+    def block_topk(t: pa.Table) -> pa.Table:
+        sc = t["score_cents"].to_numpy(zero_copy_only=False)
+        ok = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ok, -sc))[:HAS_CHILD_TOP]
+        return t.take(pa.array(order))
+
+    # per-block top-k partials after the aggregate: the driver merges
+    # blocks x k candidate rows, never the full sf-proportional parent
+    # table (orders_top_with_ties threshold pattern)
     parents = (
         li.map_batches(child_partials, batch_format="pyarrow")
         .groupby("o_orderkey")
@@ -14229,6 +14372,7 @@ def has_child_orders(sf_dir: str):
             Max("score_cents", alias_name="score_cents"),
             Sum("n_children", alias_name="n_children"),
         )
+        .map_batches(block_topk, batch_format="pyarrow")
         .to_pandas()
         .sort_values(
             ["score_cents", "o_orderkey"], ascending=[False, True], ignore_index=True
@@ -14713,7 +14857,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "bm25_topk_lang": bm25_sql(BM25_QUERY_FILTERED, limit=20, lang_filter="en"),
         "bm25_facets": bm25_sql(BM25_QUERY, facet=True),
         "bm25_count": f"""
-            SELECT CAST(sum(n_docs) AS BIGINT) AS n
+            SELECT CAST(COALESCE(sum(n_docs), 0) AS BIGINT) AS n
             FROM ({bm25_sql(BM25_QUERY, facet=True)})
         """,
         "bm25_boolean": bm25_sql(
@@ -15353,10 +15497,12 @@ def build_oracle_sql() -> Dict[str, str]:
               SELECT q.q_id, e.vec_id,
                      list_cosine_similarity(e.embedding::DOUBLE[], q.qe) AS score
               FROM embeddings e CROSS JOIN q)
-            SELECT q_id, vec_id,
-                   CAST(floor(score * 1000000 + 0.5) AS BIGINT) AS score_micro
-            FROM sims WHERE score >= {KNN_RADIUS_TAU}
-            ORDER BY q_id, score DESC, vec_id
+            SELECT q_id, vec_id, score_micro
+            FROM (SELECT q_id, vec_id,
+                         CAST(floor(score * 1000000 + 0.5) AS BIGINT) AS score_micro
+                  FROM sims)
+            WHERE score_micro >= {int(round(KNN_RADIUS_TAU * 1_000_000))}
+            ORDER BY q_id, score_micro DESC, vec_id
         """,
         "knn_cosine": """
             WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < 3),

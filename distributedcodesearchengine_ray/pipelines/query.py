@@ -1431,6 +1431,34 @@ class IndexShard:
         vals, counts = np.unique(col[cand], return_counts=True)
         return {str(v): int(c) for v, c in zip(vals, counts)}
 
+    def match_count(
+        self,
+        query_tokens: List[str],
+        idfs: Dict[str, float],
+        min_score: Optional[float],
+        filters: Optional[Dict[str, str]] = None,
+    ) -> int:
+        """Thresholded match COUNT for this shard — the ``_count`` API's
+        partial.  Same candidate semantics as :meth:`facet_counts`
+        (``min_score=None`` = the keep-all branch) but touches no facet
+        column, so the count is independent of facet-value nullability
+        and only one integer crosses the wire."""
+        if self.n_local == 0:
+            return 0
+        if min_score is None:
+            cand = (
+                np.arange(self.n_local)
+                if self.alive is None
+                else np.flatnonzero(self.alive)
+            )
+        else:
+            scores = self._dense_scores(query_tokens, idfs)
+            cand = np.flatnonzero(scores >= min_score)
+            if self.alive is not None:
+                cand = cand[self.alive[cand]]
+        cand = cand[self._filter_mask(filters, cand)]
+        return int(len(cand))
+
     def group_top_hits(
         self,
         query_tokens: List[str],
@@ -1970,11 +1998,32 @@ class QueryEngine:
     ) -> int:
         """ES ``_count`` API: how many docs the query matches under the
         reference threshold semantics (max*0.01; max<=0 keeps all
-        scored docs), WITHOUT fetching any hits — per-shard counts only
-        cross the wire (reuses the facet machinery: one limit-1 fan-out
-        for the global max, one count round)."""
+        scored docs), WITHOUT fetching any hits — one limit-1 fan-out
+        for the global max, then a count-only round where each shard
+        returns a single integer (no facet column involved, so NULL
+        facet values can never leak out of the count)."""
+        import ray
+
+        toks = (
+            self._wildcard_tokens(query, ranges=range_syntax)
+            if ("*" in query or "?" in query or (range_syntax and ".." in query))
+            else tokenize(query)
+        )
+        if not toks:
+            return 0
+        q_idfs = self.lexicon.idfs(toks)
+        parts = ray.get(
+            [a.search.remote(toks, q_idfs, 1, None, False, "dense") for a in self.actors]
+        )
+        global_max = max((m for m, _ in parts), default=0.0)
+        min_score = global_max * 0.01 if global_max > 0 else None
         return sum(
-            self.facets(query, filters=filters, range_syntax=range_syntax).values()
+            ray.get(
+                [
+                    a.match_count.remote(toks, q_idfs, min_score, filters)
+                    for a in self.actors
+                ]
+            )
         )
 
     def collapse(

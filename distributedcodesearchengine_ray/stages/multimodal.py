@@ -234,6 +234,12 @@ def _ppm_pixels(payload: bytes) -> tuple:
                 pos += 1
             fields.append(int(payload[start:pos]))
     pos += 1
+    if len(fields) >= 3 and fields[2] > 255:
+        # 2-byte samples: silently reading uint8 would produce garbage
+        raise NotImplementedError(
+            f"netpbm maxval {fields[2]} > 255 (2-byte samples) is not "
+            "supported; only 1-byte-sample P5/P6 payloads resize here"
+        )
     px = np.frombuffer(payload, dtype=np.uint8, count=w * h * c, offset=pos)
     return px.reshape(h, w, c), w, h
 

@@ -11,11 +11,23 @@
                                    "mode"?, "embeddings"?, "docs_per_partition"?}
                                    (server.py:228-248 minus git clone: the
                                    corpus is a parquet path, not a repo URL)
-    POST /index                 -> queue the same build to a background
-                                   thread -> {"job_id": ...} (the reference's
-                                   RabbitMQ queue route, server.py:196-226,
-                                   with Ray as the execution backend)
+    POST /index                 -> queue the same build -> {"job_id": ...}
+                                   (the reference's RabbitMQ queue route,
+                                   server.py:196-226, with Ray as the
+                                   execution backend).  Body may carry
+                                   "priority" 0-10 (clamped like
+                                   queue/publisher.py:178); a single worker
+                                   thread consumes jobs highest-priority
+                                   first, FIFO within a priority level
+                                   (the x-max-priority declaration at
+                                   publisher.py:67-74)
     GET  /index/status[?job_id=]-> one job record / all job records
+    GET  /index/failed          -> failed-job records (the DLQ analogue of
+                                   the reference's <queue>_failed queue,
+                                   publisher.py:77-91)
+    POST /index/retry           -> {"job_id": ...}: requeue a FAILED job at
+                                   its original priority (worker.py:155-158
+                                   requeue-on-error, made explicit)
     POST /index/purge           -> drop QUEUED jobs (D4 queue-purge
                                    semantics; running/finished jobs stay)
 
@@ -28,6 +40,8 @@ staging layout); searches stay concurrent.
 
 from __future__ import annotations
 
+import heapq
+import itertools
 import json
 import threading
 import time
@@ -45,8 +59,44 @@ API_INFO = {
     "endpoints": [
         "/health", "/api", "/stats", "/search", "/search/batch", "/facets", "/similar",
         "/suggest", "/explain", "/analyze", "/index", "/index/sync", "/index/status",
+        "/index/failed", "/index/retry", "/index/purge",
     ],
 }
+
+MAX_PRIORITY = 10  # reference x-max-priority (queue/publisher.py:72)
+
+
+class JobQueue:
+    """In-process priority job queue — the reference RabbitMQ queue's
+    ordering contract (publisher.py:67-74) on a heap: jobs pop
+    highest-priority first, FIFO within a priority level (monotonic
+    sequence number as the tie-break).  One daemon worker consumes;
+    failed jobs stay in ``jobs`` as the DLQ analogue until retried."""
+
+    def __init__(self):
+        self._heap: list = []
+        self._cv = threading.Condition()
+        self._seq = itertools.count()
+        self._closed = False
+
+    def push(self, priority: int, job_id: str) -> None:
+        with self._cv:
+            heapq.heappush(self._heap, (-priority, next(self._seq), job_id))
+            self._cv.notify()
+
+    def pop(self, timeout: Optional[float] = None) -> Optional[str]:
+        with self._cv:
+            while not self._heap and not self._closed:
+                if not self._cv.wait(timeout=timeout):
+                    return None
+            if self._closed and not self._heap:
+                return None
+            return heapq.heappop(self._heap)[2]
+
+    def close(self) -> None:
+        with self._cv:
+            self._closed = True
+            self._cv.notify_all()
 
 
 def _run_build_locked(engine: CodeSearchEngine, params: dict) -> dict:
@@ -76,7 +126,12 @@ def _run_build_locked(engine: CodeSearchEngine, params: dict) -> dict:
     }
 
 
-def make_handler(engine: CodeSearchEngine, jobs: Dict[str, dict], build_lock: threading.Lock):
+def make_handler(
+    engine: CodeSearchEngine,
+    jobs: Dict[str, dict],
+    build_lock: threading.Lock,
+    jobq: Optional[JobQueue] = None,
+):
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):  # quiet
             pass
@@ -307,6 +362,12 @@ def make_handler(engine: CodeSearchEngine, jobs: Dict[str, dict], build_lock: th
                     self._send(200, jobs[jid])
                 else:
                     self._send(404, {"error": f"unknown job_id {jid}"})
+            elif url.path == "/index/failed":
+                # the DLQ view: every job that errored and was not retried
+                self._send(
+                    200,
+                    {"jobs": [r for r in jobs.values() if r["status"] == "failed"]},
+                )
             else:
                 self._send(404, {"error": "not found"})
 
@@ -318,7 +379,9 @@ def make_handler(engine: CodeSearchEngine, jobs: Dict[str, dict], build_lock: th
                     jobs[j]["status"] = "purged"
                 self._send(200, {"success": True, "purged": len(queued)})
                 return
-            if url.path not in ("/search", "/search/batch", "/index", "/index/sync"):
+            if url.path not in (
+                "/search", "/search/batch", "/index", "/index/sync", "/index/retry"
+            ):
                 self._send(404, {"error": "not found"})
                 return
             try:
@@ -326,6 +389,27 @@ def make_handler(engine: CodeSearchEngine, jobs: Dict[str, dict], build_lock: th
                 body = json.loads(self.rfile.read(n) or b"{}")
             except (ValueError, json.JSONDecodeError):
                 self._send(400, {"error": "invalid JSON body"})
+                return
+            if url.path == "/index/retry":
+                jid = body.get("job_id")
+                rec = jobs.get(jid)
+                if rec is None:
+                    self._send(404, {"error": f"unknown job_id {jid}"})
+                    return
+                if rec["status"] != "failed":
+                    self._send(
+                        400,
+                        {"error": f"job {jid} is {rec['status']!r}, not 'failed'"},
+                    )
+                    return
+                rec["status"] = "queued"
+                rec["error"] = None
+                rec["finished_at"] = None
+                rec["retries"] = rec.get("retries", 0) + 1
+                if jobq is not None:
+                    jobq.push(rec.get("priority", 0), jid)
+                self._send(200, {"success": True, "job_id": jid,
+                                 "retries": rec["retries"]})
                 return
             if url.path == "/search":
                 self._search(body)
@@ -372,33 +456,30 @@ def make_handler(engine: CodeSearchEngine, jobs: Dict[str, dict], build_lock: th
                 except Exception as e:
                     self._send(500, {"success": False, "error": str(e)})
                 return
-            # POST /index: queue to a background thread (the reference's
-            # RabbitMQ publish, with Ray as the worker)
+            # POST /index: publish to the priority queue (the reference's
+            # RabbitMQ publish, publisher.py:124-178, with Ray as the
+            # worker); priority is clamped 0..10 like publisher.py:178
+            try:
+                priority = int(params.get("priority", 0))
+            except (TypeError, ValueError):
+                self._send(400, {"error": f"invalid priority: {params.get('priority')!r}"})
+                return
+            priority = min(max(priority, 0), MAX_PRIORITY)
             job_id = uuid.uuid4().hex[:12]
             jobs[job_id] = {
                 "job_id": job_id, "status": "queued", "corpus": params["corpus"],
-                "result": None, "error": None,
+                "priority": priority, "retries": 0, "queued_at": time.time(),
+                "finished_at": None, "params": params, "result": None,
+                "error": None,
             }
-
-            def run():
-                with build_lock:
-                    # a purge that landed while this job waited wins (D4)
-                    if jobs[job_id]["status"] == "purged":
-                        return
-                    jobs[job_id]["status"] = "running"
-                    try:
-                        jobs[job_id]["result"] = _run_build_locked(engine, params)
-                        jobs[job_id]["status"] = "done"
-                    except Exception as e:
-                        jobs[job_id]["error"] = str(e)
-                        jobs[job_id]["status"] = "failed"
-
-            threading.Thread(target=run, daemon=True).start()
+            if jobq is not None:
+                jobq.push(priority, job_id)
             self._send(
                 200,
                 {
                     "success": True,
                     "job_id": job_id,
+                    "priority": priority,
                     "message": f"corpus queued for indexing: {params['corpus']}",
                 },
             )
@@ -413,21 +494,53 @@ class SearchServer:
         self.engine = CodeSearchEngine(index_dir, mode=mode)
         self.jobs: Dict[str, dict] = {}
         self._build_lock = threading.Lock()
+        self.jobq = JobQueue()
         self.httpd = ThreadingHTTPServer(
-            (host, port), make_handler(self.engine, self.jobs, self._build_lock)
+            (host, port),
+            make_handler(self.engine, self.jobs, self._build_lock, self.jobq),
         )
         self.port = self.httpd.server_address[1]
         self._thread: Optional[threading.Thread] = None
+        self._worker_thread: Optional[threading.Thread] = None
+
+    def _worker(self) -> None:
+        """The queue consumer (reference worker.py consume loop): one job
+        at a time, highest priority first; errors park the job in the
+        failed/DLQ state until /index/retry republishes it."""
+        while True:
+            jid = self.jobq.pop()
+            if jid is None:  # queue closed
+                return
+            rec = self.jobs.get(jid)
+            # skip purged jobs and stale heap entries (D4: purge wins)
+            if rec is None or rec["status"] != "queued":
+                continue
+            with self._build_lock:
+                if rec["status"] != "queued":  # purge landed while waiting
+                    continue
+                rec["status"] = "running"
+                try:
+                    rec["result"] = _run_build_locked(self.engine, rec["params"])
+                    rec["status"] = "done"
+                except Exception as e:
+                    rec["error"] = str(e)
+                    rec["status"] = "failed"
+                rec["finished_at"] = time.time()
 
     def start(self) -> int:
         self._thread = threading.Thread(target=self.httpd.serve_forever, daemon=True)
         self._thread.start()
+        self._worker_thread = threading.Thread(target=self._worker, daemon=True)
+        self._worker_thread.start()
         return self.port
 
     def stop(self) -> None:
         self.httpd.shutdown()
         if self._thread:
             self._thread.join(timeout=5)
+        self.jobq.close()
+        if self._worker_thread:
+            self._worker_thread.join(timeout=5)
         self.engine.close()
 
 

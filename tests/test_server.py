@@ -319,3 +319,73 @@ def test_search_method_regexp(server):
 def test_search_method_common_terms(server):
     status, body = _get(f"{server}/search?q=parse+json+data&limit=5&method=common_terms")
     assert status == 200 and body["total"] > 0
+
+def test_jobqueue_priority_order():
+    """JobQueue pops highest priority first, FIFO within a level
+    (reference publisher.py x-max-priority ordering)."""
+    from distributedcodesearchengine_ray.server import JobQueue
+
+    q = JobQueue()
+    q.push(0, "a")
+    q.push(5, "b")
+    q.push(5, "c")
+    q.push(9, "d")
+    assert [q.pop(timeout=1) for _ in range(4)] == ["d", "b", "c", "a"]
+    q.close()
+    assert q.pop(timeout=1) is None
+
+
+def test_index_priority_and_retry(server, tmp_path_factory):
+    """Priority: while the worker is busy, a later high-priority job runs
+    before an earlier low-priority one.  Failure: a bad corpus parks the
+    job in the failed/DLQ state (visible via /index/failed), and
+    /index/retry republishes it."""
+    import time
+
+    corpus = write_corpus(
+        str(tmp_path_factory.mktemp("c4")), n_files=60, seed=5, num_shards=1
+    )
+    # occupy the worker with a real build, then enqueue low before high
+    _, busy = _post(f"{server}/index", {"corpus": corpus})
+    _, low = _post(f"{server}/index", {"corpus": "/nonexistent/low", "priority": 1})
+    _, high = _post(f"{server}/index", {"corpus": "/nonexistent/high", "priority": 9})
+    assert low["priority"] == 1 and high["priority"] == 9
+    deadline = time.time() + 300
+    while time.time() < deadline:
+        _, recs = _get(f"{server}/index/status")
+        states = {j["job_id"]: j for j in recs["jobs"]}
+        if all(
+            states[j["job_id"]]["status"] in ("done", "failed")
+            for j in (busy, low, high)
+        ):
+            break
+        time.sleep(0.2)
+    lo, hi = states[low["job_id"]], states[high["job_id"]]
+    assert lo["status"] == "failed" and hi["status"] == "failed"
+    # the high-priority job (queued later) finished first
+    assert hi["finished_at"] <= lo["finished_at"]
+
+    # DLQ view lists both failures
+    _, failed = _get(f"{server}/index/failed")
+    failed_ids = {j["job_id"] for j in failed["jobs"]}
+    assert {low["job_id"], high["job_id"]} <= failed_ids
+
+    # retry republishes; the job fails again (corpus still bad) with
+    # retries incremented
+    _, r = _post(f"{server}/index/retry", {"job_id": low["job_id"]})
+    assert r["success"] and r["retries"] == 1
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        _, rec = _get(f"{server}/index/status?job_id={low['job_id']}")
+        if rec["status"] == "failed":
+            break
+        time.sleep(0.2)
+    assert rec["status"] == "failed" and rec["retries"] == 1
+
+    # retry of a non-failed job is a 400; unknown job is a 404
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(f"{server}/index/retry", {"job_id": busy["job_id"]})
+    assert e.value.code == 400
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(f"{server}/index/retry", {"job_id": "nope"})
+    assert e.value.code == 404

@@ -79,8 +79,13 @@ class SentenceTransformerEmbedStage(MockEmbedStage):
 
     Raises ``RuntimeError`` in ``__init__`` when sentence-transformers /
     torch are not installed (the reference's error path,
-    generator.py:126-130) — this container has neither, so the class is
-    exercised by a pytest that skips unless the import succeeds.
+    generator.py:126-130).  The ``model`` parameter injects any object
+    with the two-method sentence-transformers surface (``encode`` /
+    ``get_sentence_embedding_dimension``) so every part of the stage
+    EXCEPT the torch forward pass — text projection, batching,
+    normalize flag pass-through, the zero-vector error path, output
+    schema — is exercised by skipless tests in this container; only the
+    default model load stays environment-gated.
     """
 
     def __init__(
@@ -89,17 +94,22 @@ class SentenceTransformerEmbedStage(MockEmbedStage):
         device=None,
         normalize: bool = True,
         text_column: str = "__searchable__",
+        model=None,
     ):
+        self.model = model if model is not None else self._load_model(model_name, device)
+        self.normalize = normalize
+        self.dim = int(self.model.get_sentence_embedding_dimension())
+        self.text_column = text_column
+
+    @staticmethod
+    def _load_model(model_name: str, device):
         try:
             from sentence_transformers import SentenceTransformer
         except ImportError as e:
             raise RuntimeError(
                 "Please install: pip install sentence-transformers transformers torch"
             ) from e
-        self.model = SentenceTransformer(model_name, device=device)
-        self.normalize = normalize
-        self.dim = int(self.model.get_sentence_embedding_dimension())
-        self.text_column = text_column
+        return SentenceTransformer(model_name, device=device)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = self._texts(batch)

@@ -266,6 +266,87 @@ def test_sentence_transformer_stage_guard():
         SentenceTransformerEmbedStage()
 
 
+class _StubSTModel:
+    """The two-method sentence-transformers surface, deterministic: row i
+    of a batch embeds to [i+1, 0, ..., 0] scaled by (1 if normalized
+    else 2), so batching order, dim, and the normalize flag are all
+    observable.  ``fail=True`` raises inside encode to drive the
+    zero-vector error path (generator.py:155-159)."""
+
+    def __init__(self, dim=4, fail=False):
+        self._dim = dim
+        self.fail = fail
+        self.seen_normalize = None
+
+    def get_sentence_embedding_dimension(self):
+        return self._dim
+
+    def encode(self, texts, convert_to_numpy=True, normalize_embeddings=True,
+               show_progress_bar=False):
+        if self.fail:
+            raise RuntimeError("model exploded")
+        self.seen_normalize = normalize_embeddings
+        import numpy as np
+
+        out = np.zeros((len(texts), self._dim), dtype=np.float32)
+        out[:, 0] = np.arange(1, len(texts) + 1) * (1.0 if normalize_embeddings else 2.0)
+        return out
+
+
+def test_sentence_transformer_stage_stub_contract():
+    """Everything up to the torch forward pass, skipless: text projection,
+    batch shaping, normalize pass-through, output schema + lang rename
+    — via an injected stub model (the class's documented DI seam)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from distributedcodesearchengine_ray.stages.embed_stage import (
+        MockEmbedStage,
+        SentenceTransformerEmbedStage,
+    )
+
+    stub = _StubSTModel(dim=4)
+    stage = SentenceTransformerEmbedStage(model=stub)
+    tbl = pa.table(
+        {"doc_id": [0, 1, 2], "name": ["parse_json", "send_request", "retry"],
+         "entity_type": ["function"] * 3, "signature": ["a", "b", "c"],
+         "parameters": [["x"], ["y"], []], "docstring": ["", "", ""],
+         "return_type": ["", "", ""], "parent_class": ["", "", ""],
+         "lang": ["python", "go", "rust"]}
+    )
+    out = stage(tbl)
+    # schema identical to MockEmbedStage's
+    mock_out = MockEmbedStage(dim=4)(tbl)
+    assert out.column_names == mock_out.column_names
+    assert out["language"].to_pylist() == ["python", "go", "rust"]
+    emb = np.asarray(out["embedding"].to_pylist(), dtype=np.float32)
+    assert emb.shape == (3, 4)
+    # row order preserved through encode; normalize=True reached the model
+    assert list(emb[:, 0]) == [1.0, 2.0, 3.0]
+    assert stub.seen_normalize is True
+    # normalize=False is passed through
+    stage_raw = SentenceTransformerEmbedStage(model=_StubSTModel(dim=4), normalize=False)
+    emb_raw = np.asarray(stage_raw(tbl)["embedding"].to_pylist(), dtype=np.float32)
+    assert list(emb_raw[:, 0]) == [2.0, 4.0, 6.0]
+
+
+def test_sentence_transformer_stage_stub_zero_vector_path():
+    """An encode failure produces zero vectors of the model dim, not an
+    exception (the reference's fallback, generator.py:155-159)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from distributedcodesearchengine_ray.stages.embed_stage import (
+        SentenceTransformerEmbedStage,
+    )
+
+    stage = SentenceTransformerEmbedStage(model=_StubSTModel(dim=6, fail=True))
+    tbl = pa.table({"doc_id": [0, 1], "__searchable__": ["alpha", "beta"]})
+    out = stage(tbl)
+    emb = np.asarray(out["embedding"].to_pylist(), dtype=np.float32)
+    assert emb.shape == (2, 6) and not emb.any()
+
+
 def test_sentence_transformer_stage_real(ray_session):
     """Exercised only where the ML stack exists (skipped in this container):
     the real stage must produce the same schema as MockEmbedStage."""

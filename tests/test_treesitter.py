@@ -113,3 +113,57 @@ def test_rust_items(parsers):
     assert names["Draw"]["entity_type"] == "interface"
     assert names["new"]["parent_class"] == "Point"
     assert names["distance"]["entity_type"] == "function"
+
+
+# --- committed golden fixture contract -------------------------------------
+#
+# tests/fixtures/parser_golden.json pins, per language, a source snippet and
+# the entity list the extraction contract must produce.  The snippets are
+# restricted to constructs BOTH branches recognize (no async def / export
+# default / annotated TS methods — the reference's own regex fallback,
+# python_parser.py:303-305 and javascript_parser.py:375-378, skips those
+# too), so the same golden asserts the regex branch here and the
+# tree-sitter branch wherever the grammars are installed.
+
+import json
+import os
+
+_GOLDEN_PATH = os.path.join(os.path.dirname(__file__), "fixtures", "parser_golden.json")
+
+# the inventory both engines must agree on; regex-only extras (exact
+# signature strings, loc) are asserted for the fallback only
+_CORE_FIELDS = ("entity_type", "name", "parent_class", "language", "repo_name")
+
+
+def _golden():
+    with open(_GOLDEN_PATH) as f:
+        return json.load(f)
+
+
+def _core(ents):
+    return [{k: e.get(k) for k in _CORE_FIELDS} for e in ents]
+
+
+@pytest.mark.parametrize("lang", ["python", "javascript", "go", "rust", "typescript"])
+def test_golden_regex_exact(lang):
+    """The regex fallback reproduces the committed golden EXACTLY (every
+    field) — runs in every environment, grammars or not."""
+    g = _golden()[lang]
+    ents = parse_content(g["source"], g["file_path"], "golden-repo", lang)
+    assert ents == g["entities"]
+
+
+@pytest.mark.parametrize("lang", ["python", "javascript", "go", "rust", "typescript"])
+def test_golden_treesitter_core(lang):
+    """The tree-sitter branch produces the same core entity inventory as
+    the golden (name/type/parent per entity, in order).  Runs only where
+    the grammars are installed; the regex twin above keeps the contract
+    executable here."""
+    if not treesitter_parse.available():
+        pytest.skip("tree-sitter grammars not installed")
+    g = _golden()[lang]
+    ents = parse_content(
+        g["source"], g["file_path"], "golden-repo", lang,
+        parsers=treesitter_parse.make_parsers(),
+    )
+    assert _core(ents) == _core(g["entities"])

@@ -43,6 +43,7 @@ from __future__ import annotations
 import heapq
 import itertools
 import json
+import os
 import threading
 import time
 import uuid
@@ -64,6 +65,13 @@ API_INFO = {
 }
 
 MAX_PRIORITY = 10  # reference x-max-priority (queue/publisher.py:72)
+
+# the reference serves a static GUI from api/static (server.py:87-100,
+# 354-356); same layout here, own implementation
+STATIC_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "static")
+_MEDIA_TYPES = {".html": "text/html", ".css": "text/css",
+                ".js": "application/javascript", ".json": "application/json",
+                ".svg": "image/svg+xml", ".png": "image/png"}
 
 
 class JobQueue:
@@ -136,13 +144,40 @@ def make_handler(
         def log_message(self, fmt, *args):  # quiet
             pass
 
+        def _cors(self) -> None:
+            # the reference's allow-all CORSMiddleware (api/server.py:69-76)
+            self.send_header("Access-Control-Allow-Origin", "*")
+            self.send_header("Access-Control-Allow-Methods", "*")
+            self.send_header("Access-Control-Allow-Headers", "*")
+            self.send_header("Access-Control-Allow-Credentials", "true")
+
         def _send(self, code: int, payload) -> None:
             body = json.dumps(payload, default=str).encode()
             self.send_response(code)
             self.send_header("Content-Type", "application/json")
             self.send_header("Content-Length", str(len(body)))
+            self._cors()
             self.end_headers()
             self.wfile.write(body)
+
+        def _send_file(self, path: str, media_type: str) -> None:
+            try:
+                with open(path, "rb") as f:
+                    body = f.read()
+            except OSError:
+                self._send(404, {"error": "not found"})
+                return
+            self.send_response(200)
+            self.send_header("Content-Type", media_type)
+            self.send_header("Content-Length", str(len(body)))
+            self._cors()
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_OPTIONS(self):  # CORS preflight
+            self.send_response(204)
+            self._cors()
+            self.end_headers()
 
         def _search(self, params: dict) -> None:
             query = params.get("q") or params.get("query")
@@ -312,7 +347,23 @@ def make_handler(
 
         def do_GET(self):
             url = urlparse(self.path)
-            if url.path == "/health":
+            if url.path == "/":
+                # serve the GUI; JSON API info when the GUI is absent
+                # (reference server.py:87-100)
+                index = os.path.join(STATIC_DIR, "index.html")
+                if os.path.isfile(index):
+                    self._send_file(index, "text/html")
+                else:
+                    self._send(200, API_INFO)
+            elif url.path.startswith("/static/"):
+                rel = os.path.normpath(url.path[len("/static/"):])
+                if rel.startswith(("..", "/")):  # traversal guard
+                    self._send(404, {"error": "not found"})
+                    return
+                full = os.path.join(STATIC_DIR, rel)
+                ext = os.path.splitext(full)[1].lower()
+                self._send_file(full, _MEDIA_TYPES.get(ext, "application/octet-stream"))
+            elif url.path == "/health":
                 self._send(200, {"status": "ok"})
             elif url.path == "/api":
                 self._send(200, API_INFO)

@@ -389,3 +389,32 @@ def test_index_priority_and_retry(server, tmp_path_factory):
     with pytest.raises(urllib.error.HTTPError) as e:
         _post(f"{server}/index/retry", {"job_id": "nope"})
     assert e.value.code == 404
+
+
+def test_gui_and_static_mount(server):
+    """GET / serves the GUI; /static/<file> serves static assets; CORS
+    headers ride every response (reference server.py:69-76,87-100)."""
+    req = urllib.request.Request(f"{server}/")
+    with urllib.request.urlopen(req, timeout=30) as r:
+        assert r.status == 200
+        assert r.headers["Content-Type"] == "text/html"
+        assert r.headers["Access-Control-Allow-Origin"] == "*"
+        body = r.read().decode()
+    assert "DistributedCodeSearchEngine" in body and "/search" in body
+
+    with urllib.request.urlopen(f"{server}/static/index.html", timeout=30) as r:
+        assert r.status == 200 and r.headers["Content-Type"] == "text/html"
+
+    # traversal guarded
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(f"{server}/static/../server.py", timeout=30)
+    assert e.value.code == 404
+
+    # JSON responses carry CORS too; OPTIONS preflight answers 204
+    status, _ = _get(f"{server}/health")
+    with urllib.request.urlopen(f"{server}/health", timeout=30) as r:
+        assert r.headers["Access-Control-Allow-Origin"] == "*"
+    req = urllib.request.Request(f"{server}/search", method="OPTIONS")
+    with urllib.request.urlopen(req, timeout=30) as r:
+        assert r.status == 204
+        assert r.headers["Access-Control-Allow-Methods"] == "*"

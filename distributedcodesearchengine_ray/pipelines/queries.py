@@ -13597,6 +13597,10 @@ def orders_top_with_ties(sf_dir: str):
 
 
 CURATION_STAGES = ("all", "dedup", "gopher", "decontam", "budget")
+# cutoff-score groups at or below this row count resolve their budget
+# prefix on the driver (one vectorized cumsum) instead of paying two Ray
+# exchanges; same small-input rule as stages/dedup.py's banding tail
+CURATION_DRIVER_CUT_ROWS = 2_000_000
 
 
 def curation_funnel(sf_dir: str, flags_path: str | None = None):
@@ -13645,33 +13649,25 @@ def curation_funnel(sf_dir: str, flags_path: str | None = None):
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
     def stats(t: pa.Table) -> pa.Table:
-        toks = pcc.split_pattern_regex(
-            pcc.fill_null(pcc.cast(t["text"], pa.string()), ""), r"\s+"
-        )
-        flat = pcc.list_flatten(toks)
-        par = pcc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
-        ne = pcc.greater(pcc.utf8_length(flat), 0).to_numpy(zero_copy_only=False)
-        n = len(t)
-        n_tokens = np.bincount(par[ne], minlength=n).astype(np.int64)
-        stop = pcc.is_in(
-            pcc.utf8_lower(flat.filter(pa.array(ne))),
-            value_set=pa.array(sorted(STOPWORDS)),
-        ).to_numpy(zero_copy_only=False)
-        n_stop = np.bincount(par[ne][stop], minlength=n).astype(np.int64)
+        # ONE tokenization pass: gopher_gate's raw signals feed the
+        # quality score too (stopword milli-ratio over the same
+        # whitespace tokens)
+        gg = gopher_gate(t, return_signals=True)
+        n_tokens = gg["n_tokens"].to_numpy(zero_copy_only=False)
+        n_stop = gg["n_stop"].to_numpy(zero_copy_only=False)
         score = np.where(
             n_tokens > 0,
             np.floor(1000.0 * n_stop / np.maximum(n_tokens, 1) + 0.5).astype(np.int64),
             0,
         )
         h = _stable_hash(t["text"].to_numpy(zero_copy_only=False)).astype(np.int64)
-        gop = gopher_gate(t)["keep"]
         return pa.table(
             {
                 "doc_id": pcc.cast(t["doc_id"], pa.int64()),
                 "text": t["text"],
-                "n_tokens": pa.array(n_tokens),
+                "n_tokens": pcc.cast(gg["n_tokens"], pa.int64()),
                 "score": pa.array(score),
-                "gopher": gop,
+                "gopher": gg["keep"],
                 "__h": pa.array(h),
                 "__b": pa.array((h % 256).astype(np.int64)),
             }
@@ -13773,24 +13769,36 @@ def curation_funnel(sf_dir: str, flags_path: str | None = None):
                         f"and score == {cutoff}"
                     )
                 ).select_columns(["doc_id", "n_tokens"])
-                packed = pack_sequences(cut, budget=max(remaining, 1))
-
-                def keep_counts(t: pa.Table) -> pa.Table:
-                    start = t["start_tok"].to_numpy(zero_copy_only=False)
-                    ntok = t["n_tokens"].to_numpy(zero_copy_only=False)
+                cut_rows = int(ns[cut_i])  # exact, from the histogram
+                if cut_rows <= CURATION_DRIVER_CUT_ROWS:
+                    # one score group is usually tiny — resolve the
+                    # prefix on the driver (same shortcut-size rule as
+                    # the dedup banding tail)
+                    cdf = cut.to_pandas().sort_values("doc_id", ignore_index=True)
+                    ntok = cdf["n_tokens"].to_numpy(dtype=np.int64)
+                    start = np.concatenate([[0], np.cumsum(ntok)[:-1]])
                     keep = start + ntok <= remaining
-                    return pa.table(
-                        {
-                            "n": pa.array([int(keep.sum())], pa.int64()),
-                            "tok": pa.array([int(ntok[keep].sum())], pa.int64()),
-                        }
-                    )
+                    s4_n += int(keep.sum())
+                    s4_tok += int(ntok[keep].sum())
+                else:  # distributed ordered prefix over just this group
+                    packed = pack_sequences(cut, budget=max(remaining, 1))
 
-                agg = packed.map_batches(
-                    keep_counts, batch_format="pyarrow"
-                ).aggregate(Sum("n", alias_name="n"), Sum("tok", alias_name="tok"))
-                s4_n += int(agg["n"] or 0)
-                s4_tok += int(agg["tok"] or 0)
+                    def keep_counts(t: pa.Table) -> pa.Table:
+                        start = t["start_tok"].to_numpy(zero_copy_only=False)
+                        ntok = t["n_tokens"].to_numpy(zero_copy_only=False)
+                        keep = start + ntok <= remaining
+                        return pa.table(
+                            {
+                                "n": pa.array([int(keep.sum())], pa.int64()),
+                                "tok": pa.array([int(ntok[keep].sum())], pa.int64()),
+                            }
+                        )
+
+                    agg = packed.map_batches(
+                        keep_counts, batch_format="pyarrow"
+                    ).aggregate(Sum("n", alias_name="n"), Sum("tok", alias_name="tok"))
+                    s4_n += int(agg["n"] or 0)
+                    s4_tok += int(agg["tok"] or 0)
     finally:
         if flags_path is None:
             shutil.rmtree(tmp, ignore_errors=True)

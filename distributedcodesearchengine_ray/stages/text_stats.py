@@ -337,6 +337,7 @@ def gopher_gate(
     min_stop: int = 2,
     max_dup_line_pct: int = 30,
     max_top_bigram_pct: int = 18,
+    return_signals: bool = False,
 ) -> pa.Table:
     """Gopher-style document quality GATE (Rae et al. 2021 §A.1.1): the
     composed keep/drop verdict with one 0/1 flag per rule, not just the
@@ -394,15 +395,19 @@ def gopher_gate(
     f_bigram |= n_bigrams == 0
     keep = f_words & f_wordlen & f_stop & f_dupline & f_bigram
     as_i64 = lambda m: pa.array(m.astype(np.int64))  # noqa: E731
-    return pa.table(
-        {
-            id_col: batch[id_col],
-            "n_tokens": pa.array(n_tokens),
-            "f_words": as_i64(f_words),
-            "f_wordlen": as_i64(f_wordlen),
-            "f_stop": as_i64(f_stop),
-            "f_dupline": as_i64(f_dupline),
-            "f_bigram": as_i64(f_bigram),
-            "keep": as_i64(keep),
-        }
-    )
+    cols = {
+        id_col: batch[id_col],
+        "n_tokens": pa.array(n_tokens),
+        "f_words": as_i64(f_words),
+        "f_wordlen": as_i64(f_wordlen),
+        "f_stop": as_i64(f_stop),
+        "f_dupline": as_i64(f_dupline),
+        "f_bigram": as_i64(f_bigram),
+        "keep": as_i64(keep),
+    }
+    if return_signals:
+        # the raw counts the flags derive from, for callers that need
+        # them too (one tokenization pass instead of two)
+        cols["n_stop"] = pa.array(n_stop)
+        cols["tok_len_sum"] = pa.array(tok_len_sum)
+    return pa.table(cols)

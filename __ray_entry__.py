@@ -141,6 +141,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "embed_cosine_dups": Q.embed_cosine_dups,
         "knn_cosine": Q.knn_cosine,
+        "knn_int8": Q.knn_int8,  # int8 scalar-quantized ANN + exact rescore
         "knn_radius": Q.knn_radius,  # cosine radius search (similarity threshold, no top-k cap)
         "knn_cosine_filtered": Q.knn_cosine_filtered,
         "knn_l2": Q.knn_l2,  # exact Euclidean top-k, sequential-accumulation distance
@@ -176,6 +177,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curation_funnel": Q.curation_funnel,  # end-to-end curation: dedup -> gopher -> decontam -> budget
         "categorize_text_docs": Q.categorize_text_docs,  # ES categorize_text (log-template clustering)
         "geohash_cells": Q.geohash_cells,  # ES geohash_grid precision-5 cells
+        "geotile_cells": Q.geotile_cells,  # ES geotile_grid z/x/y mercator tiles
+        "filters_agg_orders": Q.filters_agg_orders,  # ES filters agg + other_bucket
+        "top_metrics_by_type": Q.top_metrics_by_type,  # ES top_metrics (latest value per type)
         "geo_bounds_centroid": Q.geo_bounds_centroid,  # ES geo_bounds + geo_centroid per segment
         "value_quantile_normalize": Q.value_quantile_normalize,  # empirical-CDF rank transform, bps
         "filters_agg_events": Q.filters_agg_events,  # ES filters agg: named buckets + other_bucket

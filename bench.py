@@ -60,6 +60,7 @@ PIPELINES = (
     ("embed_cosine_dups", "embed_cosine_dups"),
     ("kmeans_clusters", "kmeans_clusters"),
     ("knn_cosine", "knn_cosine"),
+    ("knn_int8", "knn_int8"),
     ("heavy_hitter_tokens", "heavy_hitter_tokens"),
     ("repetition_stats", "repetition_stats_q"),
     ("lm_perplexity", "lm_perplexity"),
@@ -146,6 +147,7 @@ PIPELINES = (
     ("scd2_intervals", "scd2_intervals"),
     ("geo_distance_rings", "geo_distance_rings"),
     ("geohash_cells", "geohash_cells"),
+    ("geotile_cells", "geotile_cells"),
     ("rank_eval_pr", "rank_eval_pr"),
     ("has_child_orders", "has_child_orders"),
     ("logreg_lang_en", "logreg_lang_en"),
@@ -160,6 +162,9 @@ PIPELINES = (
     ("orders_date_range_agg", "orders_date_range_agg"),
     ("weekly_event_rate", "weekly_event_rate"),
     ("bm25_count", "bm25_count"),
+    # round-4 additions
+    ("filters_agg_orders", "filters_agg_orders"),
+    ("top_metrics_by_type", "top_metrics_by_type"),
 )
 
 

@@ -3609,6 +3609,36 @@ def knn_cosine(sf_dir: str):
     )
 
 
+def knn_int8(sf_dir: str):
+    """Cosine top-10 via int8 scalar quantization + exact rescore (the
+    ES ``int8_hnsw`` / FAISS SQ8 compressed-domain path): per-block
+    approximate int8 candidates (top-64) rescored with the exact
+    float64 dot, so the result EQUALS the brute-force ``knn_cosine``
+    answer — same SQL oracle — at a quarter of the scan bandwidth.
+    The equality precondition (true top-10 inside approx top-64 per
+    block) is asserted by tests/test_hybrid.py on this data."""
+    from ..stages.annsearch import vector_topk_int8
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    qdf = (
+        _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+        .filter(lambda r: r["vec_id"] < 3)
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    qs = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
+    out = vector_topk_int8(ds, qs, k=10, candidates=64, id_column="vec_id").to_pandas()
+    qids = qdf["vec_id"].to_numpy()
+    return pa.table(
+        {
+            "q_id": pa.array(qids[out["query_idx"].to_numpy()], pa.int64()),
+            "rank": pa.array(out["rank"], pa.int64()),
+            "vec_id": pa.array(out["vec_id"], pa.int64()),
+            "score_micro": pa.array(_micro(out["score"].to_numpy())),
+        }
+    )
+
+
 KNN_RADIUS_TAU = 0.2
 
 
@@ -13501,6 +13531,105 @@ def orders_date_range_agg(sf_dir: str):
     )
 
 
+# ES `filters` aggregation: named (possibly overlapping) predicate buckets
+FILTERS_AGG = ("urgent", "high", "low_value", "_other_")
+
+
+def filters_agg_orders(sf_dir: str):
+    """ES ``filters`` aggregation with ``other_bucket``: named predicate
+    buckets — urgent priority, high priority, total price < 1000 — each
+    with count and revenue cents, plus ``_other_`` for rows matching no
+    filter.  Buckets may OVERLAP (a doc counts in every filter it
+    matches, the ES semantics); one streaming pass, map-side partials of
+    <= 4 rows per block."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "orders", columns=["o_orderpriority", "o_totalprice"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        prio = t["o_orderpriority"].to_numpy(zero_copy_only=False)
+        cents = _cents_col(t["o_totalprice"]).to_numpy(zero_copy_only=False)
+        masks = (
+            prio == "1-URGENT",
+            prio == "2-HIGH",
+            cents < 100_000,
+        )
+        other = ~(masks[0] | masks[1] | masks[2])
+        rows = []
+        for name, m in zip(FILTERS_AGG, (*masks, other)):
+            rows.append((name, int(m.sum()), int(cents[m].sum())))
+        return pa.table(
+            {
+                "bucket": pa.array([r[0] for r in rows], pa.string()),
+                "n": pa.array([r[1] for r in rows], pa.int64()),
+                "rev_cents": pa.array([r[2] for r in rows], pa.int64()),
+            }
+        )
+
+    out = (
+        ds.map_batches(fn, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Sum("n", alias_name="n"), Sum("rev_cents", alias_name="rev_cents"))
+        .to_pandas()
+        .sort_values("bucket", ignore_index=True)
+    )
+    return pa.table(
+        {
+            "bucket": pa.array(out["bucket"], pa.string()),
+            "n": pa.array(out["n"].to_numpy(np.int64)),
+            "rev_cents": pa.array(out["rev_cents"].to_numpy(np.int64)),
+        }
+    )
+
+
+def top_metrics_by_type(sf_dir: str):
+    """ES ``top_metrics`` aggregation: per event_type, the metric value
+    (cents) of the row ranked first by (ts desc, event_id asc) — "the
+    value at the latest event".  Map-side per-block argmax partials
+    (<= one row per type per block) -> driver merge over blocks x types
+    rows; event rows never shuffle."""
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "event_type", "value"])
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["event_type", "ts", "event_id"],
+            ascending=[True, False, True],
+            kind="mergesort",
+            ignore_index=True,
+        )
+        top = df.groupby("event_type", as_index=False, sort=True).head(1)
+        return pd.DataFrame(
+            {
+                "event_type": top["event_type"],
+                "ts": top["ts"],
+                "event_id": top["event_id"].astype(np.int64),
+                "value_cents": np.floor(
+                    top["value"].to_numpy(np.float64) * 100 + 0.5
+                ).astype(np.int64),
+            }
+        )
+
+    cand = ds.map_batches(fn, batch_format="pandas").to_pandas()
+    out = (
+        cand.sort_values(
+            ["event_type", "ts", "event_id"],
+            ascending=[True, False, True],
+            kind="mergesort",
+            ignore_index=True,
+        )
+        .groupby("event_type", as_index=False, sort=True)
+        .head(1)
+        .sort_values("event_type", ignore_index=True)
+    )
+    return pa.table(
+        {
+            "event_type": pa.array(out["event_type"], pa.string()),
+            "event_id": pa.array(out["event_id"].to_numpy(np.int64)),
+            "value_cents": pa.array(out["value_cents"].to_numpy(np.int64)),
+        }
+    )
+
+
 def weekly_event_rate(sf_dir: str):
     """ES ``rate`` aggregation (unit=day) inside a weekly
     date_histogram: per Monday-aligned calendar week, the event count
@@ -14154,6 +14283,71 @@ def geohash_cells(sf_dir: str):
     )
 
 
+GEOTILE_ZOOM = 6  # 64x64 web-mercator tile grid
+GEOTILE_LAT_MAX = 85.05112878  # ES geotile_grid's mercator latitude clamp
+
+
+def geotile_cells(sf_dir: str):
+    """ES ``geotile_grid`` aggregation: customers bucketed into web-
+    mercator ``z/x/y`` map tiles at zoom 6, top tiles by (count desc,
+    key asc).  The x tile is the same linear lon quantizer geohash
+    uses; the y tile is the true mercator projection ``(1 -
+    ln(tan(phi) + 1/cos(phi)) / pi) / 2 * 2^z`` with ES's +-85.05112878
+    latitude clamp — written as ONE shared double expression tree on
+    both sides (tan/cos/ln resolve to the same libm on this box, the
+    geo_distance_rings precedent).  Map-side partials over a <= 4096-
+    cell domain; customer rows never shuffle."""
+    from ray.data.aggregate import Sum
+
+    n_tiles = 1 << GEOTILE_ZOOM
+    ds = _read(sf_dir, "customer", columns=["c_custkey"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        k = t["c_custkey"].to_numpy(zero_copy_only=False)
+        lat, lon = _geo_latlon(k)
+        latc = np.maximum(np.minimum(lat, GEOTILE_LAT_MAX), -GEOTILE_LAT_MAX)
+        x = np.minimum(
+            np.floor((lon + 180.0) / 360.0 * n_tiles).astype(np.int64),
+            n_tiles - 1,
+        )
+        phi = latc * np.pi / 180.0
+        y = (1.0 - np.log(np.tan(phi) + 1.0 / np.cos(phi)) / np.pi) / 2.0 * n_tiles
+        y = np.maximum(
+            np.minimum(np.floor(y).astype(np.int64), n_tiles - 1), 0
+        )
+        cells = np.char.add(
+            np.char.add(f"{GEOTILE_ZOOM}/", x.astype(str)),
+            np.char.add("/", y.astype(str)),
+        )
+        g = (
+            pd.DataFrame({"cell": cells})
+            .groupby("cell", as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+        return pa.table(
+            {
+                "cell": pa.array(g["cell"], pa.string()),
+                "n": pa.array(g["n"].to_numpy(np.int64)),
+            }
+        )
+
+    out = (
+        ds.map_batches(fn, batch_format="pyarrow")
+        .groupby("cell")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values(["n", "cell"], ascending=[False, True], ignore_index=True)
+        .head(GEOHASH_TOP)
+    )
+    return pa.table(
+        {
+            "cell": pa.array(out["cell"], pa.string()),
+            "n": pa.array(out["n"].to_numpy(np.int64)),
+        }
+    )
+
+
 def geo_bounds_centroid(sf_dir: str):
     """ES ``geo_bounds`` + ``geo_centroid`` aggregations per market
     segment: the bounding box (min/max lat/lon, micro-degrees) and the
@@ -14566,6 +14760,26 @@ def _geohash_sql() -> str:
         SELECT cell, CAST(count(*) AS BIGINT) AS n
         FROM (SELECT {chars} AS cell FROM zc)
         GROUP BY cell ORDER BY n DESC, cell ASC LIMIT {GEOHASH_TOP}
+    """
+
+
+def _geotile_sql() -> str:
+    n = 1 << GEOTILE_ZOOM
+    return f"""
+        WITH c AS ({_geo_latlon_sql()}),
+        m AS (SELECT greatest(least(lat, {GEOTILE_LAT_MAX!r}),
+                              {-GEOTILE_LAT_MAX!r}) AS latc, lon FROM c),
+        t AS (
+          SELECT least(CAST(floor((lon + 180.0) / 360.0 * {float(n)!r})
+                       AS BIGINT), {n - 1}) AS x,
+                 greatest(least(CAST(floor(
+                   (1.0 - ln(tan(latc * pi() / 180.0)
+                             + 1.0 / cos(latc * pi() / 180.0)) / pi())
+                   / 2.0 * {float(n)!r}) AS BIGINT), {n - 1}), 0) AS y
+          FROM m)
+        SELECT '{GEOTILE_ZOOM}/' || x || '/' || y AS cell,
+               CAST(count(*) AS BIGINT) AS n
+        FROM t GROUP BY cell ORDER BY n DESC, cell ASC LIMIT {GEOHASH_TOP}
     """
 
 
@@ -15513,6 +15727,22 @@ def build_oracle_sql() -> Dict[str, str]:
             ORDER BY q_id, score_micro DESC, vec_id
         """,
         "knn_cosine": """
+            WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < 3),
+            sims AS (
+              SELECT q.q_id, e.vec_id,
+                     list_cosine_similarity(e.embedding::DOUBLE[], q.qe) AS score
+              FROM embeddings e CROSS JOIN q),
+            ranked AS (
+              SELECT q_id, vec_id, score,
+                     row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id ASC) - 1 AS rank
+              FROM sims)
+            SELECT q_id, rank, vec_id,
+                   CAST(floor(score * 1000000 + 0.5) AS BIGINT) AS score_micro
+            FROM ranked WHERE rank < 10 ORDER BY q_id, rank
+        """,
+        # int8-quantized ANN rescores exactly, so its answer IS the
+        # brute-force one — same oracle as knn_cosine
+        "knn_int8": """
             WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < 3),
             sims AS (
               SELECT q.q_id, e.vec_id,
@@ -17675,6 +17905,36 @@ def build_oracle_sql() -> Dict[str, str]:
                    CAST(n * 1000 // 7 AS BIGINT) AS rate_milli
             FROM g ORDER BY ws
         """,
+        "filters_agg_orders": """
+            WITH o AS (SELECT o_orderpriority AS prio,
+                              CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+                       FROM orders),
+            b AS (
+              SELECT 'urgent' AS bucket, count(*) AS n,
+                     COALESCE(sum(cents), 0) AS rev FROM o WHERE prio = '1-URGENT'
+              UNION ALL
+              SELECT 'high', count(*), COALESCE(sum(cents), 0)
+              FROM o WHERE prio = '2-HIGH'
+              UNION ALL
+              SELECT 'low_value', count(*), COALESCE(sum(cents), 0)
+              FROM o WHERE cents < 100000
+              UNION ALL
+              SELECT '_other_', count(*), COALESCE(sum(cents), 0)
+              FROM o WHERE prio <> '1-URGENT' AND prio <> '2-HIGH'
+                      AND cents >= 100000)
+            SELECT bucket, CAST(n AS BIGINT) AS n, CAST(rev AS BIGINT) AS rev_cents
+            FROM b ORDER BY bucket
+        """,
+        "top_metrics_by_type": """
+            WITH r AS (
+              SELECT event_type, event_id,
+                     CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_cents,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY ts DESC, event_id ASC) AS rn
+              FROM events)
+            SELECT event_type, CAST(event_id AS BIGINT) AS event_id, value_cents
+            FROM r WHERE rn = 1 ORDER BY event_type
+        """,
         "orders_top_with_ties": f"""
             WITH c AS (SELECT o_orderkey,
                               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
@@ -17703,6 +17963,7 @@ def build_oracle_sql() -> Dict[str, str]:
         """,
         "geo_distance_rings": _geo_rings_sql(),
         "geohash_cells": _geohash_sql(),
+        "geotile_cells": _geotile_sql(),
         "rank_eval_pr": _rank_eval_sql(),
         "has_child_orders": f"""
             WITH ch AS (

@@ -189,6 +189,106 @@ def vector_topk(
     )
 
 
+class _BlockInt8TopK:
+    """map_batches task: int8 scalar-quantized candidate generation +
+    exact float64 rescore (the ES ``int8_hnsw`` / FAISS SQ8 pattern).
+
+    Per block: vectors quantize to symmetric per-row int8 (scale =
+    max|x|/127), the approximate score is one int32 GEMM rescaled by the
+    row/query scales, the approx top-``r`` per query is RESCORED with the
+    exact normalized float64 dot, and only the exact top-``k`` leaves the
+    block.  Identical results to the exact path whenever each block's
+    true top-k sits inside its approx top-r (r >> k margin; gated by
+    tests/test_hybrid.py equality assertions) — at 1/4 the matmul
+    bandwidth, which is the whole point at 100-TB embedding volumes."""
+
+    def __init__(self, queries_ref, k: int, r: int, id_column: str):
+        import ray
+
+        q = np.asarray(ray.get(queries_ref), dtype=np.float64)
+        n = np.linalg.norm(q, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        self.q = q / n
+        qs = np.abs(self.q).max(axis=1, keepdims=True) / 127.0
+        qs[qs == 0] = 1.0
+        self.q8 = np.rint(self.q / qs).astype(np.int32)
+        self.qscale = qs  # Q x 1
+        self.k = k
+        self.r = r
+        self.id_column = id_column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mat = _emb_matrix(batch["embedding"], dtype=np.float64)
+        n = np.linalg.norm(mat, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        mat = mat / n
+        ds_ = np.abs(mat).max(axis=1, keepdims=True) / 127.0
+        ds_[ds_ == 0] = 1.0
+        d8 = np.rint(mat / ds_).astype(np.int32)
+        approx = (d8 @ self.q8.T).astype(np.float64) * ds_ * self.qscale.T
+        ids = batch[self.id_column].to_numpy(zero_copy_only=False)
+        r = min(self.r, approx.shape[0])
+        k = min(self.k, approx.shape[0])
+        out_ids, out_q, out_s = [], [], []
+        for qi in range(approx.shape[1]):
+            col = approx[:, qi]
+            cand = (
+                np.argpartition(-col, r - 1)[:r] if r < len(col) else np.arange(len(col))
+            )
+            exact = mat[cand] @ self.q[qi]  # rescore candidates only
+            top = cand[np.argpartition(-exact, k - 1)[:k]] if k < len(cand) else cand
+            out_ids.append(ids[top])
+            out_q.append(np.full(len(top), qi, dtype=np.int64))
+            out_s.append((mat[top] @ self.q[qi]).astype(np.float64))
+        return pa.table(
+            {
+                self.id_column: pa.array(np.concatenate(out_ids)),
+                "query_idx": pa.array(np.concatenate(out_q), pa.int64()),
+                "score": pa.array(np.concatenate(out_s), pa.float64()),
+            }
+        )
+
+
+def vector_topk_int8(
+    ds,
+    queries: np.ndarray,
+    k: int = 10,
+    candidates: int = 64,
+    id_column: str = "vec_id",
+) -> pa.Table:
+    """Cosine top-k via int8 scalar quantization + exact rescore.
+
+    Same output contract as :func:`vector_topk` (query_idx, rank, id,
+    score sorted by (query_idx, -score, id)); equal to the exact result
+    whenever per-block approx top-``candidates`` covers the true top-k.
+    """
+    import ray
+
+    qref = ray.put(np.asarray(queries, dtype=np.float64))
+    cands = ds.map_batches(
+        _BlockInt8TopK(qref, k, candidates, id_column),
+        batch_format="pyarrow",
+        batch_size=8192,
+        zero_copy_batch=True,
+    ).to_pandas()
+    out = {"query_idx": [], "rank": [], id_column: [], "score": []}
+    for qi, grp in cands.groupby("query_idx"):
+        grp = grp.sort_values(["score", id_column], ascending=[False, True], kind="mergesort")
+        top = grp.head(k)
+        out["query_idx"].extend([qi] * len(top))
+        out["rank"].extend(range(len(top)))
+        out[id_column].extend(top[id_column].tolist())
+        out["score"].extend(top["score"].tolist())
+    return pa.table(
+        {
+            "query_idx": pa.array(out["query_idx"], pa.int64()),
+            "rank": pa.array(out["rank"], pa.int64()),
+            id_column: pa.array(out[id_column], pa.int64()),
+            "score": pa.array(out["score"], pa.float64()),
+        }
+    )
+
+
 def _emb_matrix(emb, dtype=np.float32) -> np.ndarray:
     if isinstance(emb, pa.ChunkedArray):
         emb = emb.combine_chunks()

@@ -127,6 +127,49 @@ def test_vector_topk_lsh_recall(ray_session):
         assert inter >= 3  # decent recall on clustered synthetic data
 
 
+def test_vector_topk_int8_equals_exact(ray_session):
+    """int8 scalar quantization + exact rescore must reproduce the exact
+    brute-force top-k — ids, ranks AND float64 scores — on this data
+    (the equality precondition the knn_int8 driver oracle relies on).
+    Also checks the quantizer's approximation is tight enough that the
+    true top-10 sits comfortably inside the approx top-64 margin."""
+    import ray.data as rd
+
+    from distributedcodesearchengine_ray.stages.annsearch import (
+        vector_topk,
+        vector_topk_int8,
+    )
+
+    ds = rd.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+    df = ds.to_pandas()
+    mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    qs = mat[:3]
+    exact = vector_topk(ds, qs, k=10, id_column="vec_id", dtype=np.float64).to_pandas()
+    sq = vector_topk_int8(ds, qs, k=10, candidates=64, id_column="vec_id").to_pandas()
+    for qi in range(3):
+        e = exact[exact.query_idx == qi].sort_values("rank")
+        a = sq[sq.query_idx == qi].sort_values("rank")
+        assert a["vec_id"].tolist() == e["vec_id"].tolist()
+        np.testing.assert_allclose(
+            a["score"].to_numpy(), e["score"].to_numpy(), rtol=1e-12
+        )
+    # quantization margin: int8 approx scores of the whole corpus rank the
+    # true top-10 well inside the top-64 window
+    matn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    scale = np.abs(matn).max(axis=1, keepdims=True) / 127.0
+    d8 = np.rint(matn / scale)
+    qn = qs / np.linalg.norm(qs, axis=1, keepdims=True)
+    qsc = np.abs(qn).max(axis=1, keepdims=True) / 127.0
+    q8 = np.rint(qn / qsc)
+    approx = (d8 @ q8.T) * scale * qsc.T
+    true = matn @ qn.T
+    for qi in range(3):
+        top10 = np.argsort(-true[:, qi])[:10]
+        approx_rank = np.argsort(-approx[:, qi])
+        worst = max(np.flatnonzero(np.isin(approx_rank, top10))[-1], 0)
+        assert worst < 48  # inside the 64 window with margin
+
+
 def test_hybrid_end_to_end(ray_session, tmp_path):
     from distributedcodesearchengine_ray.pipelines.build_index import build_index
     from distributedcodesearchengine_ray.pipelines.hybrid import HybridEngine

@@ -291,6 +291,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_not": Q.span_not_q,  # Lucene span_not: positional exclusion window
         "span_near": Q.span_near_q,  # Lucene span_near unordered: proximity window
         "bm25_rank_feature": Q.bm25_rank_feature,  # ES rank_feature saturation boost
+        "bm25_distance_feature": Q.bm25_distance_feature,  # ES distance_feature recency boost
         "auto_date_histogram": Q.auto_date_histogram,  # ES auto_date_histogram ladder
         "daily_bucket_stats": Q.daily_bucket_stats,  # ES stats_bucket + percentiles_bucket
         "bucket_sort_daily": Q.bucket_sort_daily,  # ES bucket_sort: order/from/size

@@ -165,6 +165,7 @@ PIPELINES = (
     # round-4 additions
     ("filters_agg_orders", "filters_agg_orders"),
     ("top_metrics_by_type", "top_metrics_by_type"),
+    ("bm25_distance_feature", "bm25_distance_feature"),
 )
 
 

@@ -1412,6 +1412,41 @@ def bm25_rank_feature(sf_dir: str, query: str = BM25_QUERY, limit: int = 20):
     )
 
 
+DF_WEIGHT = 3.0  # short binary mantissa: exact on both engines
+DF_PIVOT = 7  # recency pivot in days
+DF_MIX = 2654435761  # Knuth multiplicative hash constant (geo family)
+DF_MOD = 3650  # derived age_days in [0, 3650)
+
+
+def bm25_distance_feature(sf_dir: str, query: str = BM25_QUERY, limit: int = 20):
+    """ES distance_feature query (recency boost) as a bool-should
+    clause: score = BM25 + 3.0 * pivot/(pivot + age_days) — newer docs
+    get a larger additive boost, with the standard distance_feature
+    hyperbola.  The documents table carries no timestamp, so age_days
+    is the deterministic hash mix ``(doc_id * 2654435761) % 3650``
+    (the geo family's derived-attribute pattern); the feature
+    expression tree is identical on both sides (DOUBLE / (INT +
+    BIGINT))."""
+    from .query import QueryEngine
+
+    idx = _documents_index(sf_dir)
+    engine = QueryEngine(idx, num_actors=2, pool=True)
+    try:
+        hits = engine.search_rank_feature(
+            query, weight=DF_WEIGHT, pivot=DF_PIVOT, limit=limit,
+            mode="distance", age_mix=DF_MIX, age_mod=DF_MOD,
+        )
+    finally:
+        engine.close()
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(len(hits)), pa.int64()),
+            "doc_id": pa.array([h["doc_id"] for h in hits], pa.int64()),
+            "score_micro": pa.array(_micro([h["score"] for h in hits]), pa.int64()),
+        }
+    )
+
+
 TOMBSTONE_LANG = "de"
 
 
@@ -1818,6 +1853,7 @@ def bm25_sql(
     phrase_prefix: Optional[str] = None,
     boost_sqrt_dl: bool = False,
     rank_feature: Optional[Tuple[float, int]] = None,
+    distance_feature: Optional[Tuple[float, int]] = None,
     terms_set_dl: Optional[tuple] = None,
     slop: int = 0,
     corpus_where: Optional[str] = None,
@@ -2074,6 +2110,14 @@ def bm25_sql(
         rf_w, rf_p = rank_feature
         boost_expr = f" + {rf_w} * (bdl.dl / (bdl.dl + {rf_p}))"
         boost_join = " JOIN dl bdl ON bdl.doc_id = d.doc_id"
+    if distance_feature is not None:
+        # ES distance_feature (recency hyperbola) on the hash-derived
+        # age_days — same tree as the shard: DOUBLE / (INT + BIGINT)
+        df_w, df_p = distance_feature
+        boost_expr = (
+            f" + {df_w} * ({float(df_p)!r} / ({df_p}"
+            f" + (d.doc_id * {DF_MIX}) % {DF_MOD}))"
+        )
     if boost_sqrt_dl:
         # function_score field_value_factor(sqrt): multiplies INSIDE
         # scores_all, before the threshold max — identical placement to
@@ -17029,6 +17073,9 @@ def build_oracle_sql() -> Dict[str, str]:
         "bm25_function_score": bm25_sql(BM25_QUERY, limit=20, boost_sqrt_dl=True),
         "bm25_rank_feature": bm25_sql(
             BM25_QUERY, limit=20, rank_feature=(RF_WEIGHT, RF_PIVOT),
+        ),
+        "bm25_distance_feature": bm25_sql(
+            BM25_QUERY, limit=20, distance_feature=(DF_WEIGHT, DF_PIVOT),
         ),
         "auc_length_en": f"""
             WITH h AS (SELECT CAST(n_chars AS BIGINT) AS s,

@@ -1024,17 +1024,28 @@ class IndexShard:
         weight: float,
         pivot: int,
         filters: Optional[Dict[str, str]] = None,
+        mode: str = "saturation",
+        age_mix: int = 0,
+        age_mod: int = 1,
     ) -> Tuple[float, List[dict]]:
         """ES rank_feature as a bool-should clause: every doc's score is
-        BM25 + ``weight`` * saturation(dl) with saturation(x) = x/(x+
-        ``pivot``) — the additive feature applies to ALL docs (any doc
-        matches the rank_feature clause), exactly like the SQL twin's
-        scores_all, and the max*0.01 threshold applies to the combined
-        score.  Pure IEEE ops in the same tree order on both sides."""
+        BM25 + ``weight`` * feature — the additive feature applies to
+        ALL docs (any doc matches the feature clause), exactly like the
+        SQL twin's scores_all, and the max*0.01 threshold applies to the
+        combined score.  Pure IEEE ops in the same tree order on both
+        sides.  ``mode="saturation"``: feature = dl/(dl+pivot) (the
+        length saturation).  ``mode="distance"``: ES distance_feature
+        on recency — feature = pivot/(pivot + age_days) with age_days
+        the deterministic hash mix ``(doc_id * age_mix) % age_mod``
+        (the geo family's derived-attribute pattern)."""
         if self.n_local == 0:
             return 0.0, []
-        dl = self._doc_len
-        feat = weight * (dl.astype(np.float64) / (dl + pivot))
+        if mode == "distance":
+            age = (self._doc_ids.astype(np.int64) * age_mix) % age_mod
+            feat = weight * (float(pivot) / (pivot + age))
+        else:
+            dl = self._doc_len
+            feat = weight * (dl.astype(np.float64) / (dl + pivot))
         scores = self._dense_scores(query_tokens, idfs) + feat
         if self.alive is None:
             local_max = float(scores.max()) if len(scores) else 0.0
@@ -2190,10 +2201,15 @@ class QueryEngine:
         pivot: int = 30,
         limit: int = 20,
         filters: Optional[Dict[str, str]] = None,
+        mode: str = "saturation",
+        age_mix: int = 0,
+        age_mod: int = 1,
     ) -> List[dict]:
-        """ES rank_feature (saturation) as a bool-should clause: BM25
-        plus ``weight`` * dl/(dl+``pivot``) per doc — the additive
-        feature applies to every doc, the max*0.01 threshold to the
+        """ES rank_feature (saturation) / distance_feature (recency) as
+        a bool-should clause: BM25 plus an additive per-doc feature —
+        ``mode="saturation"``: weight * dl/(dl+pivot); ``mode=
+        "distance"``: weight * pivot/(pivot + hash-derived age_days).
+        The feature applies to every doc, the max*0.01 threshold to the
         combined score, standard (score desc, doc_id asc) merge."""
         import ray
 
@@ -2204,7 +2220,8 @@ class QueryEngine:
         parts = ray.get(
             [
                 a.search_rank_feature.remote(
-                    toks, q_idfs, max(limit, 1), weight, pivot, filters
+                    toks, q_idfs, max(limit, 1), weight, pivot, filters,
+                    mode, age_mix, age_mod,
                 )
                 for a in self.actors
             ]

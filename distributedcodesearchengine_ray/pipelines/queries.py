@@ -13774,6 +13774,11 @@ CURATION_STAGES = ("all", "dedup", "gopher", "decontam", "budget")
 # prefix on the driver (one vectorized cumsum) instead of paying two Ray
 # exchanges; same small-input rule as stages/dedup.py's banding tail
 CURATION_DRIVER_CUT_ROWS = 2_000_000
+# flag-table spills at or below this ON-DISK size fold their histogram on
+# the driver (one pyarrow read + pandas groupby) instead of paying two
+# more Ray executions; the distributed path handles the 100-TB case where
+# the slim spill is itself TB-scale (same size rule as _attach_int_lookup)
+CURATION_DRIVER_FLAGS_BYTES = 256 << 20
 
 
 def curation_funnel(sf_dir: str, flags_path: str | None = None):
@@ -13871,34 +13876,43 @@ def curation_funnel(sf_dir: str, flags_path: str | None = None):
     tmp = flags_path or tempfile.mkdtemp(prefix="curation_flags_", dir="/tmp")
     try:
         slim.write_parquet(tmp)
-        flags = rd.read_parquet(
-            tmp,
-            columns=[
-                "doc_id",
-                "n_tokens",
-                "score",
-                "gopher",
-                "contaminated",
-                "winner",
-            ],
-        )
-
+        cols = ["doc_id", "n_tokens", "score", "gopher", "contaminated", "winner"]
         keys = ["winner", "gopher", "contaminated", "score"]
+        spill_bytes = sum(
+            os.path.getsize(os.path.join(tmp, f))
+            for f in os.listdir(tmp)
+            if f.endswith(".parquet")
+        )
+        driver_side = spill_bytes <= CURATION_DRIVER_FLAGS_BYTES
+        fdf = None
+        if driver_side:
+            # small spill: one pyarrow read + pandas groupby instead of
+            # two more Ray executions over a tiny table
+            import pyarrow.parquet as _pq
 
-        def part_hist(df: pd.DataFrame) -> pd.DataFrame:
-            g = df.groupby(keys, as_index=False, sort=False).agg(
+            fdf = _pq.read_table(tmp, columns=cols).to_pandas()
+            hist = fdf.groupby(keys, as_index=False).agg(
                 n=("doc_id", "size"), tok=("n_tokens", "sum")
             )
             for c in ("n", "tok"):
-                g[c] = g[c].astype(np.int64)
-            return g
+                hist[c] = hist[c].astype(np.int64)
+        else:
+            flags = rd.read_parquet(tmp, columns=cols)
 
-        hist = (
-            flags.map_batches(part_hist, batch_format="pandas")
-            .groupby(keys)
-            .aggregate(Sum("n", alias_name="n"), Sum("tok", alias_name="tok"))
-            .to_pandas()
-        )
+            def part_hist(df: pd.DataFrame) -> pd.DataFrame:
+                g = df.groupby(keys, as_index=False, sort=False).agg(
+                    n=("doc_id", "size"), tok=("n_tokens", "sum")
+                )
+                for c in ("n", "tok"):
+                    g[c] = g[c].astype(np.int64)
+                return g
+
+            hist = (
+                flags.map_batches(part_hist, batch_format="pandas")
+                .groupby(keys)
+                .aggregate(Sum("n", alias_name="n"), Sum("tok", alias_name="tok"))
+                .to_pandas()
+            )
 
         def tot(mask) -> tuple:
             sub = hist[mask]
@@ -13934,26 +13948,47 @@ def curation_funnel(sf_dir: str, flags_path: str | None = None):
             s4_tok = int(cum[cut_i - 1]) if cut_i > 0 else 0
             remaining = budget - s4_tok
             if remaining > 0:
-                # only the cutoff-score group needs per-doc resolution:
-                # read it back from the flag parquet (pushdown filter)
-                cut = flags.filter(
-                    expr=(
-                        "winner == 1 and gopher == 1 and contaminated == 0 "
-                        f"and score == {cutoff}"
-                    )
-                ).select_columns(["doc_id", "n_tokens"])
+                # only the cutoff-score group needs per-doc resolution
                 cut_rows = int(ns[cut_i])  # exact, from the histogram
-                if cut_rows <= CURATION_DRIVER_CUT_ROWS:
+                if driver_side or cut_rows <= CURATION_DRIVER_CUT_ROWS:
                     # one score group is usually tiny — resolve the
                     # prefix on the driver (same shortcut-size rule as
-                    # the dedup banding tail)
-                    cdf = cut.to_pandas().sort_values("doc_id", ignore_index=True)
+                    # the dedup banding tail); reuse the in-memory frame
+                    # when the whole spill already lives on the driver
+                    if fdf is not None:
+                        m = (
+                            (fdf["winner"] == 1)
+                            & (fdf["gopher"] == 1)
+                            & (fdf["contaminated"] == 0)
+                            & (fdf["score"] == cutoff)
+                        )
+                        cdf = fdf.loc[m, ["doc_id", "n_tokens"]].sort_values(
+                            "doc_id", ignore_index=True
+                        )
+                    else:
+                        cdf = (
+                            flags.filter(
+                                expr=(
+                                    "winner == 1 and gopher == 1 and "
+                                    f"contaminated == 0 and score == {cutoff}"
+                                )
+                            )
+                            .select_columns(["doc_id", "n_tokens"])
+                            .to_pandas()
+                            .sort_values("doc_id", ignore_index=True)
+                        )
                     ntok = cdf["n_tokens"].to_numpy(dtype=np.int64)
                     start = np.concatenate([[0], np.cumsum(ntok)[:-1]])
                     keep = start + ntok <= remaining
                     s4_n += int(keep.sum())
                     s4_tok += int(ntok[keep].sum())
                 else:  # distributed ordered prefix over just this group
+                    cut = flags.filter(
+                        expr=(
+                            "winner == 1 and gopher == 1 and contaminated == 0 "
+                            f"and score == {cutoff}"
+                        )
+                    ).select_columns(["doc_id", "n_tokens"])
                     packed = pack_sequences(cut, budget=max(remaining, 1))
 
                     def keep_counts(t: pa.Table) -> pa.Table:

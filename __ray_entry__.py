@@ -67,6 +67,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_rm3": Q.bm25_rm3,  # pseudo-relevance-feedback expansion, two-pass SQL oracle
         "bm25_rescore": Q.bm25_rescore,  # ES rescore: top-window rerank, O(window) secondary scoring
         "multi_match_bm25f": Q.multi_match_bm25f,  # ES multi_match most_fields: per-field BM25 + boosts
+        "combined_fields": Q.combined_fields_bm25,  # ES combined_fields: term-centric merged-field BM25
         "snippet_windows": Q.snippet_windows,  # best-window highlighter, window-count SQL oracle
         "phrase_positional": Q.phrase_positional,  # positional phrase (token adjacency), BM25+EXISTS oracle
         "phrase_proximity": Q.phrase_proximity,  # ordered proximity slop=1, gap-constraint oracle

@@ -166,6 +166,7 @@ PIPELINES = (
     ("filters_agg_orders", "filters_agg_orders"),
     ("top_metrics_by_type", "top_metrics_by_type"),
     ("bm25_distance_feature", "bm25_distance_feature"),
+    ("combined_fields", "combined_fields_bm25"),
 )
 
 

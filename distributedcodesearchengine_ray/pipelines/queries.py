@@ -1752,6 +1752,89 @@ def multi_match_bm25f(sf_dir: str, query: str = MM_QUERY, limit: int = 20):
     )
 
 
+# combined_fields boosts act as integer tf/length multipliers
+CF_BOOST_TITLE, CF_BOOST_BODY = 2, 1
+
+
+def combined_fields_bm25(sf_dir: str, query: str = MM_QUERY, limit: int = 20):
+    """Elasticsearch ``combined_fields`` query (term-centric BM25F,
+    Lucene's CombinedFieldQuery): the fields merge into ONE pseudo-field
+    BEFORE scoring — ``tf_c = 2*tf_title + tf_body`` and ``dl_c =
+    2*dl_title + dl_body`` (both integers: the field boosts act as term-
+    frequency multipliers), one combined df/idf/avgdl, one BM25 kernel
+    per term.  The term-centric dual of ``multi_match_bm25f``'s
+    field-centric most_fields (bm25 per field, then weighted sum).
+
+    Same scale shape: a map-side stats fold (one tiny partial row per
+    batch) + a broadcast-stats scoring pass emitting per-block top-k
+    partials; the text never shuffles.  Oracle: the identical combined
+    tf/dl algebra as SQL CTEs."""
+    from ..functions.tokenizer import tokenize
+
+    qtoks = tokenize(query)
+    terms = sorted(set(qtoks))
+    mult = {t: qtoks.count(t) for t in terms}
+    if not terms:
+        return pa.table({"rank": pa.array([], pa.int64()),
+                         "doc_id": pa.array([], pa.int64()),
+                         "score_micro": pa.array([], pa.int64())})
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def stats_partial(t: pa.Table) -> pa.Table:
+        _, dl_t, dl_b, tf_t, tf_b = _mm_field_tfs(t, terms)
+        dlc = CF_BOOST_TITLE * dl_t + CF_BOOST_BODY * dl_b
+        row = {"n": [len(dlc)], "sum_dlc": [int(dlc.sum())]}
+        for i, q in enumerate(terms):
+            tfc = CF_BOOST_TITLE * tf_t[q] + CF_BOOST_BODY * tf_b[q]
+            row[f"df_{i}"] = [int(np.count_nonzero(tfc))]
+        return pa.table({k: pa.array(v, pa.int64()) for k, v in row.items()})
+
+    agg = (
+        ds.map_batches(stats_partial, batch_format="pyarrow")
+        .to_pandas()
+        .sum(axis=0)
+    )
+    n_docs = int(agg["n"])
+    avgdl = agg["sum_dlc"] / n_docs
+    idf = {
+        q: float(np.log(1 + (n_docs - int(agg[f"df_{i}"]) + 0.5)
+                        / (int(agg[f"df_{i}"]) + 0.5)))
+        for i, q in enumerate(terms)
+    }
+    k = limit + 10  # overfetch for the micro-grain driver truncation
+
+    def score_block(t: pa.Table) -> pa.Table:
+        ids, dl_t, dl_b, tf_t, tf_b = _mm_field_tfs(t, terms)
+        dlc = (CF_BOOST_TITLE * dl_t + CF_BOOST_BODY * dl_b).astype(np.float64)
+        score = np.zeros(len(ids), dtype=np.float64)
+        for q in terms:  # sorted: deterministic accumulation order
+            tf = (CF_BOOST_TITLE * tf_t[q] + CF_BOOST_BODY * tf_b[q]).astype(
+                np.float64
+            )
+            score += (mult[q] * idf[q] * tf * 2.5
+                      / (tf + 1.5 * (1 - 0.75 + 0.75 * dlc / avgdl)))
+        nz = np.flatnonzero(score > 0)
+        top = nz[np.lexsort((ids[nz], -score[nz]))[:k]]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[top], pa.int64()),
+                "score": pa.array(score[top], pa.float64()),
+            }
+        )
+
+    out = ds.map_batches(score_block, batch_format="pyarrow").to_pandas()
+    ids = out["doc_id"].to_numpy(np.int64)
+    micro = np.asarray(_micro(out["score"].to_numpy()), np.int64)
+    order = np.lexsort((ids, -micro))[:limit]
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(len(order)), pa.int64()),
+            "doc_id": pa.array(ids[order], pa.int64()),
+            "score_micro": pa.array(micro[order], pa.int64()),
+        }
+    )
+
+
 SNIPPET_WINDOW = 12
 
 
@@ -2620,6 +2703,74 @@ scores AS (
   FROM (SELECT * FROM st UNION ALL SELECT * FROM sb)
   GROUP BY doc_id
 )
+SELECT row_number() OVER (ORDER BY score_micro DESC, doc_id ASC) - 1 AS rank,
+       doc_id, score_micro
+FROM (SELECT doc_id, CAST(floor(score * 1000000 + 0.5) AS BIGINT) AS score_micro
+      FROM scores WHERE score > 0)
+ORDER BY score_micro DESC, doc_id ASC LIMIT {limit}
+"""
+
+
+def combined_fields_sql(query: str, limit: int = 20) -> str:
+    """SQL twin of ``combined_fields_bm25``: the same title/body list
+    slice, fields merged BEFORE scoring (``tf = 2*tf_title + tf_body``,
+    ``dlc = 2*len(title) + len(body)``), one combined df/idf/avgdl, one
+    BM25 expression tree per term, micro-grain final ranking."""
+    from ..functions.tokenizer import tokenize
+
+    qtoks = tokenize(query)
+    terms = sorted(set(qtoks))
+    qvals = ", ".join(f"('{t}', {qtoks.count(t)})" for t in terms)
+    inlist = ", ".join(f"'{t}'" for t in terms)
+    K = MM_TITLE_K
+    wt, wb = CF_BOOST_TITLE, CF_BOOST_BODY
+
+    return f"""
+WITH tok AS (
+  SELECT doc_id, {_tok_sql('text')} AS toks FROM documents
+),
+f AS (
+  SELECT doc_id, toks[1:{K}] AS t_title, toks[{K + 1}:len(toks)] AS t_body
+  FROM tok
+),
+dls AS (SELECT doc_id, {wt} * len(t_title) + {wb} * len(t_body) AS dlc FROM f),
+stats AS (
+  SELECT count(*) AS n,
+         avg({wt} * len(t_title) + {wb} * len(t_body)) AS avgdlc
+  FROM f
+),
+q(term, mult) AS (VALUES {qvals}),
+tft AS (
+  SELECT doc_id, t AS term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(t_title) AS t FROM f)
+  WHERE t IN ({inlist}) GROUP BY doc_id, t
+),
+tfb AS (
+  SELECT doc_id, t AS term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(t_body) AS t FROM f)
+  WHERE t IN ({inlist}) GROUP BY doc_id, t
+),
+tfc AS (
+  SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+         COALESCE(a.term, b.term) AS term,
+         {wt} * COALESCE(a.tf, 0) + {wb} * COALESCE(b.tf, 0) AS tf
+  FROM tft a FULL JOIN tfb b ON a.doc_id = b.doc_id AND a.term = b.term
+),
+idfc AS (
+  SELECT term,
+         ln(1 + ((SELECT n FROM stats) - df + 0.5) / (df + 0.5)) AS idf
+  FROM (SELECT term, count(*) AS df FROM tfc GROUP BY term)
+),
+s AS (
+  SELECT x.doc_id,
+         q.mult * i.idf * x.tf * 2.5 /
+         (x.tf + 1.5 * (1 - 0.75 + 0.75 * d.dlc / (SELECT avgdlc FROM stats))) AS s
+  FROM tfc x
+  JOIN q ON q.term = x.term
+  JOIN idfc i ON i.term = x.term
+  JOIN dls d ON d.doc_id = x.doc_id
+),
+scores AS (SELECT doc_id, sum(s) AS score FROM s GROUP BY doc_id)
 SELECT row_number() OVER (ORDER BY score_micro DESC, doc_id ASC) - 1 AS rank,
        doc_id, score_micro
 FROM (SELECT doc_id, CAST(floor(score * 1000000 + 0.5) AS BIGINT) AS score_micro
@@ -15171,6 +15322,7 @@ def build_oracle_sql() -> Dict[str, str]:
             RESCORE_QW, RESCORE_RW, limit=20,
         ),
         "multi_match_bm25f": multi_match_sql(MM_QUERY, limit=20),
+        "combined_fields": combined_fields_sql(MM_QUERY, limit=20),
         "significant_text": significant_text_sql(
             SIGTEXT_QUERY, SIGTEXT_FG_K, SIGTEXT_TOP_N
         ),

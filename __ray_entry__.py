@@ -44,6 +44,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_boosting": Q.bm25_boosting,  # ES boosting query: negative-match demotion at score*0.5
         "span_first": Q.span_first_q,  # Lucene span_first: first occurrence within N positions, positional index
         "span_containing": Q.span_containing_q,  # Lucene span_containing: a..b span holding c, positional index
+        "span_within": Q.span_within_q,  # Lucene span_within: little phrase inside a..b span
         "bm25_wildcard": Q.bm25_wildcard,  # scored wildcard search: lexicon expansion ranked as OR'd BM25
         "bm25_top_hits": Q.bm25_top_hits,  # ES top_hits: top-k hits per lang bucket, groups ranked by best
         "docs_sorted_top": Q.docs_sorted_top,  # native Dataset.sort multi-key export

@@ -167,6 +167,7 @@ PIPELINES = (
     ("top_metrics_by_type", "top_metrics_by_type"),
     ("bm25_distance_feature", "bm25_distance_feature"),
     ("combined_fields", "combined_fields_bm25"),
+    ("span_within", "span_within_q"),
 )
 
 

@@ -1020,6 +1020,39 @@ def span_containing_q(sf_dir: str):
     )
 
 
+SPAN_WITHIN_D = "scan"  # little span = "data scan" adjacent phrase
+SPAN_WITHIN_WIDTH = 24
+
+
+def span_within_q(sf_dir: str):
+    """Lucene span_within (doc level): BM25-ranked docs where the
+    adjacent little phrase 'data scan' lies WITHIN some ordered
+    'merge'..'stream' span of width <= 24 — the dual of
+    span_containing, with a two-term little span, resolved from the
+    positional index with a four-way ragged neighbor merge per shard
+    (tightest enclosing span per little occurrence), never from
+    text."""
+    from .query import QueryEngine
+
+    idx = _documents_index(sf_dir, with_positions=True)
+    engine = QueryEngine(idx, num_actors=2, pool=True)
+    try:
+        rows = engine.search_span_containing(
+            f"{SPAN_CONT_A} {SPAN_CONT_B}", SPAN_CONT_A, SPAN_CONT_B,
+            SPAN_CONT_C, width=SPAN_WITHIN_WIDTH, limit=20,
+            term_d=SPAN_WITHIN_D,
+        )
+    finally:
+        engine.close()
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(len(rows)), pa.int64()),
+            "doc_id": pa.array([r["doc_id"] for r in rows], pa.int64()),
+            "score_micro": pa.array(_micro([r["score"] for r in rows]), pa.int64()),
+        }
+    )
+
+
 WILDCARD_SEARCH_PATTERN = "s*"
 
 
@@ -1954,6 +1987,7 @@ def bm25_sql(
     span_not: Optional[Tuple[str, str, int]] = None,
     span_near: Optional[Tuple[str, str, int]] = None,
     span_containing: Optional[Tuple[str, str, str, int]] = None,
+    span_within: Optional[Tuple[str, str, str, str, int]] = None,
     common_cutoff_milli: Optional[int] = None,
     wildcard: Optional[str] = None,
     wildcard_max: int = 64,
@@ -2166,6 +2200,29 @@ def bm25_sql(
             f" JOIN ({pos_sub3}) pb ON pb.doc_id = pc.doc_id"
             f" WHERE pc.t = '{sc_c}' AND pa.t = '{sc_a}' AND pb.t = '{sc_b}'"
             f" AND pa.p <= pc.p AND pc.p <= pb.p AND pb.p - pa.p <= {sc_w})"
+        )
+    if span_within is not None:
+        # Lucene span_within (doc level): the adjacent little phrase
+        # c d lies within some ordered a..b span of width <= W —
+        # exists (pa, pb, pc, pd) with pd = pc + 1, pa <= pc,
+        # pd <= pb and pb - pa <= W
+        sw_a, sw_b, sw_c, sw_d, sw_w = span_within
+        pos_sub4 = (
+            "SELECT doc_id, toks[CAST(i AS INT)] AS t, CAST(i AS BIGINT) AS p"
+            " FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i"
+            " FROM tok)"
+        )
+        filt += (
+            "\n  AND doc_id IN (SELECT DISTINCT pc.doc_id"
+            f" FROM ({pos_sub4}) pc"
+            f" JOIN ({pos_sub4}) pd ON pd.doc_id = pc.doc_id"
+            " AND pd.p = pc.p + 1"
+            f" JOIN ({pos_sub4}) pa ON pa.doc_id = pc.doc_id"
+            f" JOIN ({pos_sub4}) pb ON pb.doc_id = pc.doc_id"
+            f" WHERE pc.t = '{sw_c}' AND pd.t = '{sw_d}'"
+            f" AND pa.t = '{sw_a}' AND pb.t = '{sw_b}'"
+            f" AND pa.p <= pc.p AND pd.p <= pb.p"
+            f" AND pb.p - pa.p <= {sw_w})"
         )
     if span_not is not None:
         # Lucene span_not: some include-position farther than dist from
@@ -15174,6 +15231,11 @@ def build_oracle_sql() -> Dict[str, str]:
             f"{SPAN_CONT_A} {SPAN_CONT_B}", limit=20,
             span_containing=(SPAN_CONT_A, SPAN_CONT_B, SPAN_CONT_C,
                              SPAN_CONT_WIDTH),
+        ),
+        "span_within": bm25_sql(
+            f"{SPAN_CONT_A} {SPAN_CONT_B}", limit=20,
+            span_within=(SPAN_CONT_A, SPAN_CONT_B, SPAN_CONT_C,
+                         SPAN_WITHIN_D, SPAN_WITHIN_WIDTH),
         ),
         "span_not": bm25_sql(
             SPAN_NOT_INCLUDE, limit=20,

@@ -718,32 +718,40 @@ class IndexShard:
         ]
 
     def span_containing_local(
-        self, term_a: str, term_b: str, term_c: str, width: int
+        self, term_a: str, term_b: str, term_c: str, width: int,
+        term_d: Optional[str] = None,
     ) -> np.ndarray:
         """Ascending local indices of ALIVE docs where some ordered span
         ``[pa, pb]`` (``pa`` an occurrence of ``term_a``, ``pb`` of
-        ``term_b``, ``pa <= pb``, ``pb - pa <= width``) CONTAINS an
-        occurrence of ``term_c`` (``pa <= pc <= pb``) — Lucene
-        SpanContainingQuery with a span_near(in_order=true) big span.
+        ``term_b``, ``pa <= pb``, ``pb - pa <= width``) CONTAINS the
+        little span — an occurrence of ``term_c`` (``pa <= pc <= pb``),
+        or, with ``term_d`` set, the ADJACENT PHRASE ``term_c term_d``
+        (``pa <= pc`` and ``pc+1 <= pb``).  The single-term form is
+        Lucene SpanContainingQuery; the phrase form is the doc-level
+        SpanWithinQuery(big=a..b, little=c d) — the same match set seen
+        from the little side.
 
-        For each c-occurrence it suffices to test the TIGHTEST candidate
-        span: the nearest a-position at-or-left of ``pc`` and the nearest
-        b-position at-or-right (any valid enclosing span implies that one
-        is valid).  Both neighbors come from one searchsorted each on
-        (doc-rank << 32 | position) keys — the span_near ragged-merge
-        pattern, three-way."""
+        For each little occurrence it suffices to test the TIGHTEST
+        candidate span: the nearest a-position at-or-left of its start
+        and the nearest b-position at-or-right of its end.  All
+        neighbors come from one searchsorted each on (doc-rank << 32 |
+        position) keys — the span_near ragged-merge pattern."""
         if not self.has_positions:
             raise RuntimeError("index was built without with_positions=True")
         BASE = np.int64(1) << np.int64(32)
+        terms = (term_a, term_b, term_c) + ((term_d,) if term_d else ())
         hits = []
         for pi in range(len(self.parts)):
-            rows = [self.parts[pi]["term_row"].get(t) for t in (term_a, term_b, term_c)]
+            rows = [self.parts[pi]["term_row"].get(t) for t in terms]
             if any(r is None for r in rows):
                 continue
             la, sa, posa = self._positions(pi, rows[0])
             lb, sb, posb = self._positions(pi, rows[1])
             lc, sc, posc = self._positions(pi, rows[2])
             common = np.intersect1d(np.intersect1d(la, lb), lc)
+            if term_d:
+                ld, sd, posd = self._positions(pi, rows[3])
+                common = np.intersect1d(common, ld)
             if len(common) == 0:
                 continue
             ia = np.searchsorted(la, common)
@@ -758,17 +766,29 @@ class IndexShard:
             key_a = rank_a * BASE + pos_ac
             key_b = rank_b * BASE + pos_bc
             key_c = rank_c * BASE + pos_cc
-            # nearest a at-or-left of each c (searchsorted right - 1)
+            end_c = key_c  # little-span end key (== start for one term)
+            d_ok = np.ones(len(key_c), dtype=bool)
+            if term_d:
+                id_ = np.searchsorted(ld, common)
+                pos_dc, len_d = _ragged_gather(posd, sd, id_)
+                rank_d = np.repeat(np.arange(len(common), dtype=np.int64), len_d)
+                key_d = rank_d * BASE + pos_dc
+                end_c = key_c + 1
+                # the little span exists only where term_d sits at pc+1
+                jd = np.searchsorted(key_d, end_c, side="left")
+                jdr = np.minimum(jd, max(len(key_d) - 1, 0))
+                d_ok = (jd < len(key_d)) & (key_d[jdr] == end_c)
+            # nearest a at-or-left of each little start (right - 1)
             ja = np.searchsorted(key_a, key_c, side="right") - 1
             jal = np.maximum(ja, 0)
             left_ok = (ja >= 0) & (rank_a[jal] == rank_c)
             pa_star = pos_ac[jal]
-            # nearest b at-or-right of each c
-            jb = np.searchsorted(key_b, key_c, side="left")
+            # nearest b at-or-right of each little end
+            jb = np.searchsorted(key_b, end_c, side="left")
             jbr = np.minimum(jb, len(key_b) - 1)
             right_ok = (jb < len(key_b)) & (rank_b[jbr] == rank_c)
             pb_star = pos_bc[jbr]
-            match = left_ok & right_ok & (pb_star - pa_star <= width)
+            match = d_ok & left_ok & right_ok & (pb_star - pa_star <= width)
             surv = np.bincount(rank_c[match], minlength=len(common)) > 0
             if surv.any():
                 hits.append(common[surv])
@@ -789,9 +809,12 @@ class IndexShard:
         term_c: str,
         width: int,
         filters: Optional[Dict[str, str]] = None,
+        term_d: Optional[str] = None,
     ) -> Tuple[float, List[dict]]:
-        """span_containing search: BM25 over ``query_tokens`` restricted
-        to the ``span_containing_local`` doc set."""
+        """span_containing / span_within search: BM25 over
+        ``query_tokens`` restricted to the ``span_containing_local``
+        doc set (little span = ``term_c`` alone, or the adjacent phrase
+        ``term_c term_d``)."""
         if self.n_local == 0:
             return 0.0, []
         scores = self._dense_scores(query_tokens, idfs)
@@ -800,7 +823,7 @@ class IndexShard:
         else:
             live = scores[self.alive]
             local_max = float(live.max()) if len(live) else 0.0
-        cand = self.span_containing_local(term_a, term_b, term_c, width)
+        cand = self.span_containing_local(term_a, term_b, term_c, width, term_d)
         if len(cand) == 0:
             return local_max, []
         cand = cand[self._filter_mask(filters, cand)]
@@ -3021,12 +3044,15 @@ class QueryEngine:
         width: int = 5,
         limit: int = 20,
         filters: Optional[Dict[str, str]] = None,
+        term_d: Optional[str] = None,
     ) -> List[dict]:
-        """Lucene span_containing: BM25-ranked docs where an ordered
-        ``term_a .. term_b`` span of width <= ``width`` contains an
-        occurrence of ``term_c`` — decided from the positional index
-        (per-shard three-way ragged neighbor merge), never from text.
-        Requires ``with_positions=True`` at build."""
+        """Lucene span_containing / span_within: BM25-ranked docs where
+        an ordered ``term_a .. term_b`` span of width <= ``width``
+        contains the little span — ``term_c`` alone (span_containing) or
+        the adjacent phrase ``term_c term_d`` (the doc-level
+        SpanWithinQuery) — decided from the positional index (per-shard
+        ragged neighbor merge), never from text.  Requires
+        ``with_positions=True`` at build."""
         import ray
 
         if not self.manifest.extra.get("positions"):
@@ -3042,7 +3068,7 @@ class QueryEngine:
             [
                 a.search_span_containing.remote(
                     toks, q_idfs, max(limit, 1), term_a, term_b, term_c,
-                    width, filters
+                    width, filters, term_d
                 )
                 for a in self.actors
             ]

@@ -419,3 +419,55 @@ def test_span_containing_matches_bruteforce(ray_session, pos_index, a, b, c, wid
         assert got_ids == truth, (a, b, c, width)
     finally:
         eng.close()
+
+
+def _brute_span_within(doc_tokens, a, b, c, d, width):
+    pos_a = [i for i, t in enumerate(doc_tokens) if t == a]
+    pos_b = [i for i, t in enumerate(doc_tokens) if t == b]
+    little = [
+        i for i, t in enumerate(doc_tokens[:-1])
+        if t == c and doc_tokens[i + 1] == d
+    ]
+    return any(
+        pa_ <= pc and pc + 1 <= pb and pb - pa_ <= width
+        for pa_ in pos_a for pb in pos_b for pc in little
+    )
+
+
+@pytest.mark.parametrize("a,b,c,d,width", [
+    ("http", "request", "send", "http", 6),
+    ("parse", "data", "json", "data", 8),
+    ("user", "token", "json", "zzznotaterm", 5),  # little pair absent
+    ("json", "json", "parse", "json", 8),         # a == b degenerate
+])
+def test_span_within_matches_bruteforce(ray_session, pos_index, a, b, c, d, width):
+    """SpanWithinQuery (doc level, little = adjacent phrase c d): engine
+    doc set == brute-force quadruple enumeration (exists pa <= pc,
+    pc+1 <= pb, pb - pa <= width with d at pc+1)."""
+    import os as _os
+
+    import pyarrow.parquet as pq
+
+    from distributedcodesearchengine_ray.functions.tokenizer import tokenize
+    from distributedcodesearchengine_ray.pipelines.build_index import (
+        _entity_doc_text,
+    )
+    from distributedcodesearchengine_ray.pipelines.query import QueryEngine
+
+    truth = set()
+    meta_dir = _os.path.join(pos_index, "docmeta")
+    for f in sorted(_os.listdir(meta_dir)):
+        t = pq.read_table(_os.path.join(meta_dir, f))
+        texts = _entity_doc_text(t).to_pylist()
+        for did, txt in zip(t["doc_id"].to_pylist(), texts):
+            if _brute_span_within(tokenize(txt), a, b, c, d, width):
+                truth.add(did)
+    eng = QueryEngine(pos_index, num_actors=2)
+    try:
+        got = eng.search_span_containing(
+            f"{a} {b}", a, b, c, width=width, limit=10_000, term_d=d,
+        )
+        got_ids = {r["doc_id"] for r in got}
+        assert got_ids == truth, (a, b, c, d, width)
+    finally:
+        eng.close()

@@ -1892,6 +1892,10 @@ class QueryEngine:
             total = int(ray.cluster_resources().get("CPU", 4))
             num_actors = max(1, min(len(part_ids), total // 2))
         num_actors = max(1, min(num_actors, len(part_ids) or 1))
+        # kept for heal(): a dead actor rebuilds over its own stride
+        self._part_ids = part_ids
+        self._num_actors = num_actors
+        self._avgdl_override = avgdl_override
         # pool=False (default) keeps strict close()=kill semantics: parked
         # actors hold their 0.5-CPU reservations, which can starve
         # concurrent multi-CPU Dataset tasks on small clusters — only the
@@ -1934,6 +1938,36 @@ class QueryEngine:
         if prewarm_terms:
             hot = self._hot_terms(prewarm_terms)
             ray.get([a.prewarm.remote(hot) for a in self.actors])
+
+    def heal(self) -> int:
+        """Replace DEAD shard actors in place (each rebuilt over its own
+        partition stride from shared storage) and return how many were
+        revived.  The multi-node failure mode this serves: a lost node
+        kills its resident shard actors mid-serve; the next search's
+        fan-out raises ``RayActorError``, retries through this path, and
+        the reloaded shards answer — no index rebuild, no engine
+        restart.  Alive actors (and their warm caches) are untouched."""
+        import ray
+
+        revived = 0
+        for i, a in enumerate(self.actors):
+            try:
+                ray.get(a.ping.remote(), timeout=30)
+            except Exception:
+                try:
+                    ray.kill(a)
+                except Exception:
+                    pass
+                Actor = ray.remote(IndexShard)
+                na = Actor.options(num_cpus=0.5).remote(
+                    self.index_dir,
+                    self._part_ids[i :: self._num_actors],
+                    self._avgdl_override,
+                )
+                ray.get(na.ping.remote())
+                self.actors[i] = na
+                revived += 1
+        return revived
 
     def _tombstoned_ids(self) -> frozenset:
         """Global doc_ids logically deleted via tombstone files (cached;
@@ -3171,10 +3205,23 @@ class QueryEngine:
                 for a in self.actors
             ]
             pending.append((qi, toks, q_idfs, limit, queries[qi][1], refs))
+        from ray.exceptions import RayActorError
+
         for qi, toks, q_idfs, lim, filters, refs in pending:
-            parts = ray.get(refs)
-            global_max = max((m for m, _ in parts), default=0.0)
             _, req, excl = parsed[qi]
+            try:
+                parts = ray.get(refs)
+            except RayActorError:
+                # a shard actor died mid-serve (node loss): revive the
+                # dead strides from shared storage and retry this
+                # fan-out once — warm survivors are untouched
+                self.heal()
+                parts = ray.get([
+                    a.search.remote(toks, q_idfs, lim, filters, False,
+                                    method, req, excl)
+                    for a in self.actors
+                ])
+            global_max = max((m for m, _ in parts), default=0.0)
             if global_max > 0:
                 min_score = global_max * 0.01
                 rows = [r for _, rs in parts for r in rs if r["score"] >= min_score]
@@ -3185,7 +3232,19 @@ class QueryEngine:
                                     req, excl)
                     for a in self.actors
                 ]
-                rows = [r for _, rs in ray.get(refs2) for r in rs]
+                try:
+                    rows = [r for _, rs in ray.get(refs2) for r in rs]
+                except RayActorError:
+                    self.heal()
+                    rows = [
+                        r
+                        for _, rs in ray.get([
+                            a.search.remote(toks, q_idfs, lim, filters, True,
+                                            "dense", req, excl)
+                            for a in self.actors
+                        ])
+                        for r in rs
+                    ]
             rows.sort(key=lambda r: (-r["score"], r["doc_id"]))
             if phrase_lists[qi]:
                 rows = self._phrase_filter(rows, phrase_lists[qi], lim)

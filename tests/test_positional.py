@@ -471,3 +471,29 @@ def test_span_within_matches_bruteforce(ray_session, pos_index, a, b, c, d, widt
         assert got_ids == truth, (a, b, c, d, width)
     finally:
         eng.close()
+
+
+def test_actor_failure_heals_and_search_retries(ray_session, pos_index):
+    """Node-loss resilience: killing a shard actor mid-serve must not
+    change answers — the next search's fan-out hits RayActorError,
+    heal() rebuilds the dead stride from storage, and the retried query
+    returns the identical result.  Surviving actors are not recreated."""
+    import ray
+
+    from distributedcodesearchengine_ray.pipelines.query import QueryEngine
+
+    eng = QueryEngine(pos_index, num_actors=2)
+    try:
+        before = eng.search("parse json data", limit=10)
+        assert before
+        survivor = eng.actors[1]
+        ray.kill(eng.actors[0])
+        after = eng.search("parse json data", limit=10)
+        assert after == before
+        assert eng.actors[1] is survivor  # alive stride untouched
+        # the revived actor serves its own partitions again
+        assert ray.get(eng.actors[0].ping.remote(), timeout=30) is not None
+        # explicit heal() on a healthy pool is a no-op
+        assert eng.heal() == 0
+    finally:
+        eng.close()

@@ -55,12 +55,18 @@ def benchmark_gram_refs(
     its frozenset of distinct n-grams (small: eval-set sized)."""
     import ray
 
-    grams = bench_ds.map_batches(
-        lambda t: _explode_distinct_ngrams(t, n, id_col, text_col).select(["gram"]),
-        batch_format="pyarrow",
-    ).unique("gram")
-    # unique() returns None on an empty dataset (no schema to project)
-    return ray.put(frozenset(grams or ()))
+    def block_distinct(t: pa.Table) -> pa.Table:
+        g = _explode_distinct_ngrams(t, n, id_col, text_col)
+        return pa.table({"gram": pa.array(pd.unique(
+            g["gram"].to_numpy(zero_copy_only=False)
+        ))}) if len(g) else pa.table({"gram": pa.array([], pa.string())})
+
+    # per-block distinct -> driver union: the benchmark side is
+    # eval-set-sized by nature, so the union is driver-small and the
+    # all-to-all a distributed unique() would pay buys nothing
+    parts = bench_ds.map_batches(block_distinct, batch_format="pyarrow").to_pandas()
+    grams = parts["gram"].tolist() if "gram" in parts.columns else []
+    return ray.put(frozenset(grams))
 
 
 class ContaminationFlagger:

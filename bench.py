@@ -104,6 +104,7 @@ PIPELINES = (
     ("doc_deciles", "doc_deciles"),
     ("lineitem_profile", "lineitem_profile"),
     ("knn_pq", "knn_pq"),
+    ("knn_ivfpq", "knn_ivfpq"),
     ("dup_triangles", "dup_triangles"),
     ("q5_local_supplier_volume", "q5_local_supplier_volume"),
     ("cohort_retention", "cohort_retention"),

@@ -4043,6 +4043,42 @@ def knn_pq(sf_dir: str):
     )
 
 
+def knn_ivfpq(sf_dir: str):
+    """IVF-PQ ANN (the composed billion-vector scale path — FAISS
+    IVF16,PQ8 shape): coarse cells from a hash-sampled k-means, 8-byte
+    PQ codes, query = ADC over each query's 4 probed cells only.  The
+    scan touches ~1/4 of the code table (file-pruned when the table is
+    cell-partitioned) and reads codes, not vectors.  Rows-only
+    (codebook/centroid training is not SQL); tests/test_pq.py gates the
+    distributed path bit-exactly against a restricted numpy ADC oracle
+    and enforces a recall floor vs exact cosine."""
+    from ..stages.annsearch import ivf_train_centroids
+    from ..stages.pq import ivfpq_encode, ivfpq_search, train_pq_codebooks
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    qdf = (
+        _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+        .filter(lambda r: r["vec_id"] < 3)
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    qs = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
+    books = train_pq_codebooks(ds, m=8, k=16)
+    cent = ivf_train_centroids(ds, n_centroids=16, id_column="vec_id")
+    out = ivfpq_search(
+        ivfpq_encode(ds, books, cent), books, cent, qs, k=10, n_probe=4
+    ).to_pandas()
+    qids = qdf["vec_id"].to_numpy()
+    return pa.table(
+        {
+            "q_id": pa.array(qids[out["query_idx"].to_numpy()], pa.int64()),
+            "rank": pa.array(out["rank"], pa.int64()),
+            "vec_id": pa.array(out["vec_id"], pa.int64()),
+            "adc_micro": pa.array(_micro(out["adc_dist"].to_numpy())),
+        }
+    )
+
+
 def hybrid_rrf(sf_dir: str, limit: int = 20):
     """Hybrid retrieval through the REAL fusion code path (J1/K3,
     `pipelines/hybrid.py::rrf_fuse`): distributed BM25 top-20 over

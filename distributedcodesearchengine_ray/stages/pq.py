@@ -206,3 +206,130 @@ def pq_search(
             "adc_dist": pa.array(out["adc_dist"], pa.float64()),
         }
     )
+
+
+def ivfpq_encode(ds, books: np.ndarray, centroids: np.ndarray,
+                 id_column: str = "vec_id"):
+    """IVF-PQ build pass: (id, embedding) -> (id, ivf_cell, pq_code[m]).
+
+    One vectorized map — cell = argmax cosine to the (normalized)
+    coarse centroids, code = the PQ subspace argmins.  At 100-TB scale
+    this table writes hive-partitioned by ``ivf_cell`` (the existing
+    embeddings layout convention) so a query's probed cells map to file
+    pruning, not a scan."""
+    m = books.shape[0]
+    cent = np.asarray(centroids, dtype=np.float64)
+
+    def encode(t: pa.Table) -> pa.Table:
+        mat = _normalize(_emb_matrix(t["embedding"], dtype=np.float64))
+        cells = np.argmax(mat @ cent.T, axis=1).astype(np.int64)
+        codes = _encode_matrix(mat, books)
+        flat = pa.array(codes.ravel(), pa.uint8())
+        return pa.table(
+            {
+                id_column: t[id_column],
+                "ivf_cell": pa.array(cells),
+                "pq_code": pa.FixedSizeListArray.from_arrays(flat, m),
+            }
+        )
+
+    return ds.map_batches(encode, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def ivfpq_search(
+    codes_ds,
+    books: np.ndarray,
+    centroids: np.ndarray,
+    queries: np.ndarray,
+    k: int = 10,
+    n_probe: int = 4,
+    id_column: str = "vec_id",
+) -> pa.Table:
+    """IVF-PQ query: ADC top-k restricted to each query's ``n_probe``
+    nearest coarse cells — the compressed-domain billion-vector shape
+    (FAISS IVFxx,PQyy): the scan touches ~n_probe/n_centroids of the
+    code table (file-pruned when the table is cell-partitioned) and
+    reads 8-byte codes, not raw vectors.
+
+    Per block: rows outside the probed-cell union drop first, then the
+    broadcast (Q, m, k) LUT scores survivors; a per-(query, row) cell
+    mask keeps IVF semantics exact (a row only competes for queries
+    that probed its cell).  Returns (query_idx, rank, id, adc_dist)
+    sorted (query_idx, adc_dist asc, id asc).  Approximate by
+    construction (recall < 1 possible); tests/test_pq.py gates recall
+    against exact cosine on the shipped distribution."""
+    import ray
+
+    qmat = _normalize(np.asarray(queries, dtype=np.float64))
+    cent = np.asarray(centroids, dtype=np.float64)
+    qcells = np.argsort(-(qmat @ cent.T), axis=1)[:, :n_probe]
+    probe_union = np.unique(qcells)
+    lut_ref = ray.put(adc_lut(queries, books))
+    qcells_ref = ray.put(qcells)
+
+    class _IVFPQBlock:
+        def __init__(self):
+            self.lut = ray.get(lut_ref)  # (Q, m, k)
+            self.qcells = ray.get(qcells_ref)
+            self.j_idx = np.arange(self.lut.shape[1])
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            cells = batch["ivf_cell"].to_numpy(zero_copy_only=False)
+            keep = np.isin(cells, probe_union)
+            out_ids, out_q, out_d = [], [], []
+            if keep.any():
+                sub = batch.filter(pa.array(keep))
+                code_col = sub["pq_code"]
+                if isinstance(code_col, pa.ChunkedArray):
+                    code_col = code_col.combine_chunks()
+                m = code_col.type.list_size
+                codes = code_col.values.to_numpy(zero_copy_only=False).reshape(-1, m)
+                ids = sub[id_column].to_numpy(zero_copy_only=False)
+                scells = cells[keep]
+                for qi in range(self.lut.shape[0]):
+                    mine = np.isin(scells, self.qcells[qi])
+                    if not mine.any():
+                        continue
+                    rows = np.flatnonzero(mine)
+                    d = self.lut[qi, self.j_idx[None, :], codes[rows]].sum(axis=1)
+                    kk = min(k, len(d))
+                    top = (
+                        np.argpartition(d, kk - 1)[:kk]
+                        if kk < len(d)
+                        else np.arange(len(d))
+                    )
+                    out_ids.append(ids[rows[top]])
+                    out_q.append(np.full(len(top), qi, dtype=np.int64))
+                    out_d.append(d[top])
+            cat = (lambda xs, dt: np.concatenate(xs) if xs else np.empty(0, dt))
+            return pa.table(
+                {
+                    id_column: pa.array(cat(out_ids, np.int64)),
+                    "query_idx": pa.array(cat(out_q, np.int64), pa.int64()),
+                    "adc_dist": pa.array(cat(out_d, np.float64), pa.float64()),
+                }
+            )
+
+    cands = codes_ds.map_batches(
+        _IVFPQBlock,
+        batch_format="pyarrow",
+        batch_size=65536,
+        concurrency=(1, 4),
+        zero_copy_batch=True,
+    ).to_pandas()
+    out = {"query_idx": [], "rank": [], id_column: [], "adc_dist": []}
+    for qi, grp in cands.groupby("query_idx"):
+        grp = grp.sort_values(["adc_dist", id_column], kind="mergesort")
+        top = grp.head(k)
+        out["query_idx"].extend([qi] * len(top))
+        out["rank"].extend(range(len(top)))
+        out[id_column].extend(top[id_column].tolist())
+        out["adc_dist"].extend(top["adc_dist"].tolist())
+    return pa.table(
+        {
+            "query_idx": pa.array(out["query_idx"], pa.int64()),
+            "rank": pa.array(out["rank"], pa.int64()),
+            id_column: pa.array(out[id_column], pa.int64()),
+            "adc_dist": pa.array(out["adc_dist"], pa.float64()),
+        }
+    )

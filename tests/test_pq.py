@@ -114,3 +114,90 @@ def test_pq_compression_ratio():
     ids, mat = _load()
     assert mat.shape[1] == 64
     assert (64 * 4) / 8 == 32.0
+
+
+def test_ivfpq_matches_restricted_numpy_oracle(ray_session):
+    """IVF-PQ: the distributed cell-probed ADC must equal a
+    single-process oracle doing the IDENTICAL restriction (per query,
+    only rows whose cell is among its n_probe nearest centroids
+    compete), bit-exactly including the (dist, id) tie-break; every
+    returned row's cell must be probed, and the probe set must be a
+    strict subset of all cells (the sublinear-scan property)."""
+    import ray.data as rd
+
+    from distributedcodesearchengine_ray.stages.annsearch import (
+        ivf_train_centroids,
+    )
+    from distributedcodesearchengine_ray.stages.pq import (
+        ivfpq_encode,
+        ivfpq_search,
+    )
+
+    ids, mat = _load()
+    ds = rd.read_parquet(os.path.join(SF, "embeddings.parquet"),
+                         columns=["vec_id", "embedding"])
+    books = train_pq_codebooks(ds, m=8, k=16)
+    cent = ivf_train_centroids(ds, n_centroids=16, id_column="vec_id")
+    queries = mat[:3]
+    n_probe = 4
+
+    codes_ds = ivfpq_encode(ds, books, cent)
+    got = ivfpq_search(codes_ds, books, cent, queries, k=10,
+                       n_probe=n_probe).to_pandas()
+
+    # oracle: same centroids/books, same restriction, numpy end-to-end
+    matn = _norm(mat)
+    centf = np.asarray(cent, dtype=np.float64)
+    cells = np.argmax(matn @ centf.T, axis=1)
+    qn = _norm(np.asarray(queries, dtype=np.float64))
+    qcells = np.argsort(-(qn @ centf.T), axis=1)[:, :n_probe]
+    codes = _encode_matrix(matn, books)
+    lut = adc_lut(queries, books)
+    for qi in range(3):
+        mine = np.flatnonzero(np.isin(cells, qcells[qi]))
+        d = lut[qi, np.arange(books.shape[0])[None, :], codes[mine]].sum(axis=1)
+        order = np.lexsort((ids[mine], d))[:10]
+        exp = [(int(ids[mine][i]), d[i]) for i in order]
+        sub = got[got.query_idx == qi].sort_values("rank")
+        assert [(int(v), float(a)) for v, a in
+                zip(sub["vec_id"], sub["adc_dist"])] == [
+            (v, float(a)) for v, a in exp
+        ]
+        # every hit's cell was probed by THIS query
+        hit_cells = cells[np.searchsorted(ids, sub["vec_id"].to_numpy())]
+        assert np.isin(hit_cells, qcells[qi]).all()
+    # sublinear scan: the probe union leaves most cells untouched
+    assert len(np.unique(qcells)) < len(np.unique(cells))
+
+
+def test_ivfpq_recall_floor(ray_session):
+    """IVF-PQ recall@10 vs exact cosine stays useful on the shipped
+    clustered distribution (n_probe=4 of 16 cells)."""
+    import ray.data as rd
+
+    from distributedcodesearchengine_ray.stages.annsearch import (
+        ivf_train_centroids,
+        vector_topk,
+    )
+    from distributedcodesearchengine_ray.stages.pq import (
+        ivfpq_encode,
+        ivfpq_search,
+    )
+
+    ids, mat = _load()
+    ds = rd.read_parquet(os.path.join(SF, "embeddings.parquet"),
+                         columns=["vec_id", "embedding"])
+    books = train_pq_codebooks(ds, m=8, k=16)
+    cent = ivf_train_centroids(ds, n_centroids=16, id_column="vec_id")
+    queries = mat[:3]
+    exact = vector_topk(ds, queries, k=10, id_column="vec_id",
+                        dtype=np.float64).to_pandas()
+    got = ivfpq_search(ivfpq_encode(ds, books, cent), books, cent,
+                       queries, k=10, n_probe=4).to_pandas()
+    recalls = []
+    for qi in range(3):
+        e = set(exact[exact.query_idx == qi]["vec_id"].tolist())
+        a = set(got[got.query_idx == qi]["vec_id"].tolist())
+        recalls.append(len(e & a) / len(e))
+    # the PQ floor (0.3, see test_pq_recall_floor) minus modest IVF loss
+    assert np.mean(recalls) >= 0.25, recalls

@@ -149,6 +149,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_l2": Q.knn_l2,  # exact Euclidean top-k, sequential-accumulation distance
         "knn_pq": Q.knn_pq,  # product-quantization ADC search, rows-only (pytest ADC-oracle gate)
         "knn_ivfpq": Q.knn_ivfpq,  # IVF-PQ cell-probed ADC, rows-only (pytest restricted-oracle gate)
+        "hard_negatives": Q.hard_negatives,  # contrastive hard-negative mining (cosine band top-k)
         "knn_mmr": Q.knn_mmr,  # MMR diversified rerank, rows-only (pytest full-numpy gate)
         "hybrid_rrf": Q.hybrid_rrf,  # J1/K3 weighted-RRF fusion, full-SQL oracle
         "label_centroids": Q.label_centroids,

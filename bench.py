@@ -105,6 +105,7 @@ PIPELINES = (
     ("lineitem_profile", "lineitem_profile"),
     ("knn_pq", "knn_pq"),
     ("knn_ivfpq", "knn_ivfpq"),
+    ("hard_negatives", "hard_negatives"),
     ("dup_triangles", "dup_triangles"),
     ("q5_local_supplier_volume", "q5_local_supplier_volume"),
     ("cohort_retention", "cohort_retention"),

@@ -4043,6 +4043,85 @@ def knn_pq(sf_dir: str):
     )
 
 
+HARDNEG_POS_TAU = 0.95  # above this cosine = positive/near-dup, not a negative
+HARDNEG_K = 5
+
+
+def hard_negatives(sf_dir: str):
+    """Contrastive-training HARD-NEGATIVE mining (DPR/Contriever
+    recipe): for each anchor (vec_id < 3), the top-5 most-similar
+    vectors that are NOT near-positives — cosine <= 0.95 and not the
+    anchor itself — ranked (cosine desc, vec_id asc).  The band filter
+    applies INSIDE each block before its top-k partial, so the exchange
+    stays blocks x k rows; scores compare on integer micro grain on
+    both sides (the knn_radius ulp rule)."""
+    import ray
+
+    from ..stages.annsearch import _emb_matrix
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    qdf = (
+        _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+        .filter(lambda r: r["vec_id"] < 3)
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    qs = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
+    qn = qs / np.maximum(np.linalg.norm(qs, axis=1, keepdims=True), 1e-300)
+    qref = ray.put(qn)
+    qids = qdf["vec_id"].to_numpy(np.int64)
+    tau_micro = int(round(HARDNEG_POS_TAU * 1_000_000))
+
+    class BlockNeg:
+        def __init__(self):
+            self.q = ray.get(qref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            mat = _emb_matrix(t["embedding"], np.float64)
+            n = np.linalg.norm(mat, axis=1, keepdims=True)
+            n[n == 0] = 1.0
+            sims = (mat / n) @ self.q.T
+            ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            micro = np.floor(sims * 1_000_000 + 0.5).astype(np.int64)
+            out_q, out_id, out_m = [], [], []
+            for qi in range(self.q.shape[0]):
+                col = micro[:, qi]
+                ok = (col <= tau_micro) & (ids != qids[qi])
+                rows = np.flatnonzero(ok)
+                order = np.lexsort((ids[rows], -col[rows]))[:HARDNEG_K]
+                pick = rows[order]
+                out_q.append(np.full(len(pick), qi, dtype=np.int64))
+                out_id.append(ids[pick])
+                out_m.append(col[pick])
+            cat = np.concatenate
+            return pa.table(
+                {
+                    "query_idx": pa.array(cat(out_q) if out_q else []),
+                    "vec_id": pa.array(cat(out_id) if out_id else []),
+                    "score_micro": pa.array(cat(out_m) if out_m else []),
+                }
+            )
+
+    cand = ds.map_batches(BlockNeg, batch_format="pyarrow",
+                          concurrency=(1, 4)).to_pandas()
+    rows = []
+    for qi, grp in cand.groupby("query_idx"):
+        grp = grp.sort_values(["score_micro", "vec_id"],
+                              ascending=[False, True], kind="mergesort")
+        top = grp.head(HARDNEG_K)
+        for r, (_, row) in enumerate(top.iterrows()):
+            rows.append((int(qids[qi]), r, int(row["vec_id"]),
+                         int(row["score_micro"])))
+    return pa.table(
+        {
+            "q_id": pa.array([r[0] for r in rows], pa.int64()),
+            "rank": pa.array([r[1] for r in rows], pa.int64()),
+            "vec_id": pa.array([r[2] for r in rows], pa.int64()),
+            "score_micro": pa.array([r[3] for r in rows], pa.int64()),
+        }
+    )
+
+
 def knn_ivfpq(sf_dir: str):
     """IVF-PQ ANN (the composed billion-vector scale path — FAISS
     IVF16,PQ8 shape): coarse cells from a hash-sampled k-means, 8-byte
@@ -16068,6 +16147,24 @@ def build_oracle_sql() -> Dict[str, str]:
             SELECT q_id, rank, vec_id,
                    CAST(floor(score * 1000000 + 0.5) AS BIGINT) AS score_micro
             FROM ranked WHERE rank < 10 ORDER BY q_id, rank
+        """,
+        "hard_negatives": f"""
+            WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qe
+                       FROM embeddings WHERE vec_id < 3),
+            sims AS (
+              SELECT q.q_id, e.vec_id,
+                     CAST(floor(list_cosine_similarity(e.embedding::DOUBLE[], q.qe)
+                                * 1000000 + 0.5) AS BIGINT) AS score_micro
+              FROM embeddings e CROSS JOIN q),
+            ranked AS (
+              SELECT q_id, vec_id, score_micro,
+                     row_number() OVER (PARTITION BY q_id
+                                        ORDER BY score_micro DESC, vec_id ASC) - 1 AS rank
+              FROM sims
+              WHERE score_micro <= {int(round(HARDNEG_POS_TAU * 1_000_000))}
+                AND vec_id <> q_id)
+            SELECT q_id, rank, vec_id, score_micro
+            FROM ranked WHERE rank < {HARDNEG_K} ORDER BY q_id, rank
         """,
         # int8-quantized ANN rescores exactly, so its answer IS the
         # brute-force one — same oracle as knn_cosine

@@ -179,6 +179,16 @@ def main(argv=None) -> int:
     pd_.add_argument("--out", help="write pairs/survivors parquet here")
     pd_.add_argument("--limit", type=int, default=10, help="rows to print")
 
+    pcu = sub.add_parser(
+        "curate",
+        help="end-to-end training-data curation funnel over a parquet "
+        "document table: exact dedup -> Gopher gate -> benchmark "
+        "decontamination -> token-budget selection; writes the slim "
+        "per-doc flag table, the selected doc ids, and the audit",
+    )
+    pcu.add_argument("table", help="documents parquet file, or a directory containing documents.parquet")
+    pcu.add_argument("--out", required=True, help="output dir: flags/ selected/ audit.json")
+
     pr = sub.add_parser(
         "grep",
         help="exact substring/regex search over corpus file contents "
@@ -233,6 +243,49 @@ def main(argv=None) -> int:
             if f.endswith(".parquet")
         )
         print(json.dumps({"corpus": out, "files_ingested": n}))
+        return 0
+
+    if args.cmd == "curate":
+        _ensure_ray()
+        import os
+        import tempfile
+
+        import ray.data as rd
+
+        from .pipelines import queries as Q
+        from .stages.selection import token_budget_select
+
+        src = os.path.abspath(args.table)
+        if os.path.isdir(src):
+            in_dir = src
+            if not os.path.exists(os.path.join(in_dir, "documents.parquet")):
+                print(json.dumps({"error": "directory has no documents.parquet"}))
+                return 2
+        else:  # single parquet file: present it under the expected name
+            in_dir = tempfile.mkdtemp(prefix="curate_in_", dir="/tmp")
+            os.symlink(src, os.path.join(in_dir, "documents.parquet"))
+        os.makedirs(args.out, exist_ok=True)
+        flags_dir = os.path.join(args.out, "flags")
+        audit = Q.curation_funnel(in_dir, flags_path=flags_dir)
+        # selection membership: the same budget walk over the persisted
+        # slim flags (token_budget_select reuses the funnel's semantics)
+        s3 = rd.read_parquet(
+            flags_dir,
+            columns=["doc_id", "n_tokens", "score", "gopher", "contaminated", "winner"],
+        ).filter(expr="winner == 1 and gopher == 1 and contaminated == 0")
+        selected = token_budget_select(
+            s3, Q.TOKEN_BUDGET_NUM, Q.TOKEN_BUDGET_DEN
+        ).select_columns(["doc_id", "score", "n_tokens"])
+        sel_dir = os.path.join(args.out, "selected")
+        selected.write_parquet(sel_dir)
+        rows = audit.to_pylist()
+        with open(os.path.join(args.out, "audit.json"), "w") as f:
+            json.dump(rows, f, indent=1)
+        print(json.dumps({
+            "out": args.out,
+            "stages": {r["stage"]: {"n_docs": r["n_docs"], "n_tokens": r["n_tokens"]}
+                       for r in rows},
+        }))
         return 0
 
     if args.cmd == "dedup":

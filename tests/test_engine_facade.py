@@ -146,6 +146,40 @@ def test_cli_dedup_smoke(tmp_path_factory):
     assert {"id_a", "id_b", "jaccard"} <= set(lines[1].keys())
 
 
+def test_cli_curate_end_to_end(tmp_path_factory):
+    """`cli curate` over the testdata documents table: writes the slim
+    flag table, the selected doc ids, and the audit; selection row count
+    equals the audit's budget stage exactly (the funnel's oracle-checked
+    numbers)."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    out_dir = str(tmp_path_factory.mktemp("curate_out"))
+    out = subprocess.run(
+        [sys.executable, "-m", "distributedcodesearchengine_ray.cli", "curate",
+         "/root/testdata/sf0.001/documents.parquet", "--out", out_dir],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    summary = json.loads(out.stdout.strip().splitlines()[-1])
+    stages = summary["stages"]
+    assert stages["all"]["n_docs"] >= stages["dedup"]["n_docs"] >= \
+        stages["gopher"]["n_docs"] >= stages["decontam"]["n_docs"] >= \
+        stages["budget"]["n_docs"] > 0
+    audit = json.load(open(os.path.join(out_dir, "audit.json")))
+    assert [r["stage"] for r in audit] == [
+        "all", "dedup", "gopher", "decontam", "budget"
+    ]
+    sel = sum(pq.ParquetFile(f).metadata.num_rows
+              for f in glob.glob(os.path.join(out_dir, "selected", "*.parquet")))
+    assert sel == stages["budget"]["n_docs"]
+    flags = sum(pq.ParquetFile(f).metadata.num_rows
+                for f in glob.glob(os.path.join(out_dir, "flags", "*.parquet")))
+    assert flags == stages["all"]["n_docs"]
+
+
 def test_cli_version():
     out = subprocess.run(
         [sys.executable, "-m", "distributedcodesearchengine_ray.cli", "version"],

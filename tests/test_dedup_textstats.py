@@ -928,3 +928,70 @@ def test_dedup_keep_best_elects_longest(ray_session):
     # cluster {1,2,3}: 2 and 3 tie at 9 tokens -> min id 2; {10,11}: 11 longer;
     # {20,21}: tie -> 20
     assert got == {1: 2, 2: 2, 3: 2, 10: 11, 11: 11, 20: 20, 21: 20}
+
+
+def test_multimodal_real_frame_sampling(ray_session):
+    """REAL video frame-sampling: a concatenated-netpbm stream splits on
+    actual frame headers (not byte offsets), every-Nth sampling keeps
+    the right frames, each emitted frame round-trips through decode_ppm
+    with its own dimensions and exact pixels, and opaque containers are
+    refused on the real path."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from distributedcodesearchengine_ray.stages.multimodal import (
+        FrameSampleStage,
+        decode_ppm,
+        frame_sample_ppm,
+        split_ppm_stream,
+    )
+
+    rng = np.random.default_rng(7)
+    frames = []
+    dims = [(5, 4), (3, 7), (8, 2), (6, 6), (4, 4)]
+    for w, h in dims:
+        body = rng.integers(0, 256, size=w * h * 3, dtype=np.uint8).tobytes()
+        frames.append(b"P6" + f"\n{w} {h}\n255\n".encode() + body)
+    stream = b"".join(frames)
+
+    # container parse: exact frame extents, in order
+    assert split_ppm_stream(stream) == frames
+    assert frame_sample_ppm(stream, every=2) == frames[::2]
+    # each sampled frame decodes independently with its own dims
+    for fr, (w, h) in zip(frame_sample_ppm(stream, every=2), dims[::2]):
+        info = decode_ppm(fr)
+        assert (info["width"], info["height"]) == (w, h)
+
+    # truncated stream is an error, not a silent short read
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="truncated"):
+        split_ppm_stream(stream[:-3])
+
+    # the Ray stage: one video row -> sampled frame rows
+    tbl = pa.table(
+        {
+            "media_id": pa.array([1, 2], pa.int64()),
+            "kind": pa.array(["video", "image"], pa.string()),
+            "payload": pa.array([stream, frames[0]], pa.binary()),
+        }
+    )
+    out = (
+        rd.from_arrow(tbl)
+        .map_batches(
+            FrameSampleStage,
+            fn_constructor_kwargs={"every": 2, "use_real": True},
+            batch_format="pyarrow",
+            concurrency=1,
+        )
+        .to_pandas()
+        .sort_values("frame_idx", ignore_index=True)
+    )
+    assert out["media_id"].tolist() == [1, 1, 1]  # image row skipped
+    assert [bytes(b) for b in out["frame"]] == frames[::2]
+
+    # opaque container refused on the real path
+    stage = FrameSampleStage(every=2, use_real=True)
+    with _pytest.raises(NotImplementedError, match="PyAV|ffmpeg"):
+        stage._frames(b"\x00\x00\x01\xba fake mpeg")

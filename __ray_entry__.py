@@ -150,6 +150,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_pq": Q.knn_pq,  # product-quantization ADC search, rows-only (pytest ADC-oracle gate)
         "knn_ivfpq": Q.knn_ivfpq,  # IVF-PQ cell-probed ADC, rows-only (pytest restricted-oracle gate)
         "hard_negatives": Q.hard_negatives,  # contrastive hard-negative mining (cosine band top-k)
+        "media_pipeline": Q.media_pipeline,  # multimodal decode/features/frame-sample, rows-only (pytest gates)
         "knn_mmr": Q.knn_mmr,  # MMR diversified rerank, rows-only (pytest full-numpy gate)
         "hybrid_rrf": Q.hybrid_rrf,  # J1/K3 weighted-RRF fusion, full-SQL oracle
         "label_centroids": Q.label_centroids,

@@ -106,6 +106,7 @@ PIPELINES = (
     ("knn_pq", "knn_pq"),
     ("knn_ivfpq", "knn_ivfpq"),
     ("hard_negatives", "hard_negatives"),
+    ("media_pipeline", "media_pipeline"),
     ("dup_triangles", "dup_triangles"),
     ("q5_local_supplier_volume", "q5_local_supplier_volume"),
     ("cohort_retention", "cohort_retention"),

@@ -4043,6 +4043,89 @@ def knn_pq(sf_dir: str):
     )
 
 
+def media_pipeline(sf_dir: str):
+    """End-to-end MULTIMODAL pipeline over a deterministic synthetic
+    media table (binary payload + typed metadata — the opaque-column
+    convention): real netpbm/WAV decode -> 64-bin byte-histogram
+    features -> real frame sampling of concatenated-netpbm videos, each
+    an actor-pool ``map_batches`` stage.  Emits one summary row per
+    media kind (n, decoded width/sample stats, embedding dim, sampled
+    frames).  Rows-only: the payloads are synthesized binaries, not a
+    SQL-reachable table; the per-stage exactness gates live in
+    tests/test_dedup_textstats.py (true dims, per-pixel resize
+    identity, frame round-trips)."""
+    import ray.data as rd
+
+    from ..stages.multimodal import (
+        FrameSampleStage,
+        MediaDecodeStage,
+        MediaFeatureStage,
+        gen_media_table,
+        split_ppm_stream,
+    )
+
+    base = gen_media_table(120, seed=42, real_formats=True)
+    # keep the REAL-decodable rows (gen_media_table's videos are opaque
+    # fakes); videos here are concatenated netpbm streams built from the
+    # image payloads — the real container the frame sampler parses
+    kinds = base["kind"].to_pylist()
+    keep = pa.array([k in ("image", "audio") for k in kinds])
+    base = base.filter(keep)
+    imgs = [p for p, k in zip(base["payload"].to_pylist(),
+                              base["kind"].to_pylist()) if k == "image"][:12]
+    vids = [b"".join(imgs[i::4]) for i in range(4)]
+    vid_tbl = pa.table(
+        {
+            "media_id": pa.array(
+                [1_000_000 + i for i in range(len(vids))], pa.int64()
+            ),
+            "kind": pa.array(["video"] * len(vids), pa.string()),
+            "payload": pa.array(vids, pa.binary()),
+        }
+    )
+    media = pa.concat_tables(
+        [base.select(["media_id", "kind", "payload"]), vid_tbl]
+    )
+    ds = rd.from_arrow(media)
+
+    decoded = ds.map_batches(
+        MediaDecodeStage, fn_constructor_kwargs={"use_real": True},
+        batch_format="pyarrow", concurrency=(1, 2),
+    ).to_pandas()
+    feats = ds.map_batches(
+        MediaFeatureStage, batch_format="pyarrow", concurrency=(1, 2)
+    ).to_pandas()
+    frames = ds.map_batches(
+        FrameSampleStage,
+        fn_constructor_kwargs={"every": 2, "use_real": True},
+        batch_format="pyarrow", concurrency=(1, 2),
+    ).to_pandas()
+
+    rows = []
+    for kind, grp in decoded.groupby("kind"):
+        emb_dim = len(feats["embedding"].iloc[0])
+        n_frames = int(len(frames)) if kind == "video" else 0
+        rows.append(
+            (
+                kind,
+                int(len(grp)),
+                int(grp["width"].sum()) if "width" in grp else 0,
+                emb_dim,
+                n_frames,
+            )
+        )
+    rows.sort()
+    return pa.table(
+        {
+            "kind": pa.array([r[0] for r in rows], pa.string()),
+            "n": pa.array([r[1] for r in rows], pa.int64()),
+            "width_sum": pa.array([r[2] for r in rows], pa.int64()),
+            "emb_dim": pa.array([r[3] for r in rows], pa.int64()),
+            "frames_sampled": pa.array([r[4] for r in rows], pa.int64()),
+        }
+    )
+
+
 HARDNEG_POS_TAU = 0.95  # above this cosine = positive/near-dup, not a negative
 HARDNEG_K = 5
 

@@ -417,3 +417,86 @@ class FrameSampleStage:
                 "frame": pa.array(frames, pa.binary()),
             }
         )
+
+
+def chunk_wav(payload: bytes, window_ms: int = 250, hop_ms: int = 125) -> list:
+    """REAL audio windowing over a PCM WAV payload: fixed-length windows
+    with hop, per-window integer features — RMS (milli, relative to
+    full scale) and zero-crossing count.  Mono-izes by taking channel 0;
+    the last partial window is kept (standard STFT-frame convention is
+    parameterizable upstream by trimming).  Returns
+    [(start_ms, n_samples, rms_milli, zero_crossings), ...]."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        n, rate, ch, sw = (
+            w.getnframes(), w.getframerate(), w.getnchannels(), w.getsampwidth()
+        )
+        data = w.readframes(n)
+    dtype = {1: np.uint8, 2: np.int16, 4: np.int32}.get(sw)
+    if dtype is None:
+        raise NotImplementedError(f"unsupported WAV sample width {sw}")
+    samples = np.frombuffer(data, dtype=dtype).reshape(-1, ch)[:, 0].astype(np.int64)
+    if sw == 1:  # unsigned 8-bit centers at 128
+        samples = samples - 128
+    full_scale = float(1 << (8 * sw - 1))
+    win = max(1, rate * window_ms // 1000)
+    hop = max(1, rate * hop_ms // 1000)
+    out = []
+    for start in range(0, max(len(samples), 1), hop):
+        seg = samples[start : start + win]
+        if len(seg) == 0:
+            break
+        rms = float(np.sqrt(np.mean(seg.astype(np.float64) ** 2)))
+        zc = int(np.count_nonzero(np.diff(np.signbit(seg))))
+        out.append(
+            (
+                int(start * 1000 // rate),
+                int(len(seg)),
+                int(np.floor(rms / full_scale * 1000 + 0.5)),
+                zc,
+            )
+        )
+        if start + win >= len(samples):
+            break
+    return out
+
+
+class AudioWindowStage:
+    """flat-map-style stage: one audio row -> one row per analysis
+    window (the frame-sampling analog for audio) — real PCM decode +
+    windowed RMS / zero-crossing features, state-free per batch."""
+
+    def __init__(self, window_ms: int = 250, hop_ms: int = 125):
+        self.window_ms = window_ms
+        self.hop_ms = hop_ms
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, win_idx, start_ms, n_samp, rms_m, zcs = [], [], [], [], [], []
+        for mid, kind, payload in zip(
+            batch["media_id"].to_pylist(),
+            batch["kind"].to_pylist(),
+            batch["payload"].to_pylist(),
+        ):
+            if kind != "audio":
+                continue
+            for j, (s, ns, r, z) in enumerate(
+                chunk_wav(payload or b"", self.window_ms, self.hop_ms)
+            ):
+                ids.append(mid)
+                win_idx.append(j)
+                start_ms.append(s)
+                n_samp.append(ns)
+                rms_m.append(r)
+                zcs.append(z)
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "win_idx": pa.array(win_idx, pa.int32()),
+                "start_ms": pa.array(start_ms, pa.int64()),
+                "n_samples": pa.array(n_samp, pa.int64()),
+                "rms_milli": pa.array(rms_m, pa.int64()),
+                "zero_crossings": pa.array(zcs, pa.int64()),
+            }
+        )

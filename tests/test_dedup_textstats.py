@@ -995,3 +995,67 @@ def test_multimodal_real_frame_sampling(ray_session):
     stage = FrameSampleStage(every=2, use_real=True)
     with _pytest.raises(NotImplementedError, match="PyAV|ffmpeg"):
         stage._frames(b"\x00\x00\x01\xba fake mpeg")
+
+
+def test_multimodal_audio_windowing(ray_session):
+    """REAL PCM audio windowing: window boundaries, per-window RMS and
+    zero-crossing counts must equal an independent numpy reference over
+    the decoded samples; the Ray stage emits one row per window and
+    skips non-audio rows."""
+    import io
+    import wave
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from distributedcodesearchengine_ray.stages.multimodal import (
+        AudioWindowStage,
+        _make_wav,
+        chunk_wav,
+    )
+
+    rng = np.random.default_rng(11)
+    payload, n_frames, rate = _make_wav(rng)
+
+    # independent reference
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        data = np.frombuffer(w.readframes(w.getnframes()), dtype=np.int16)
+    win = rate * 25 // 1000
+    hop = rate * 12 // 1000
+    got = chunk_wav(payload, 25, 12)
+    exp = []
+    for start in range(0, len(data), hop):
+        seg = data[start : start + win].astype(np.int64)
+        if len(seg) == 0:
+            break
+        rms = np.sqrt(np.mean(seg.astype(np.float64) ** 2))
+        zc = int(np.count_nonzero(np.diff(np.signbit(seg))))
+        exp.append((start * 1000 // rate, len(seg),
+                    int(np.floor(rms / 32768.0 * 1000 + 0.5)), zc))
+        if start + win >= len(data):
+            break
+    assert got == exp and len(got) >= 2
+
+    tbl = pa.table(
+        {
+            "media_id": pa.array([7, 8], pa.int64()),
+            "kind": pa.array(["audio", "image"], pa.string()),
+            "payload": pa.array([payload, b"P6\n1 1\n255\nABC"], pa.binary()),
+        }
+    )
+    out = (
+        rd.from_arrow(tbl)
+        .map_batches(
+            AudioWindowStage,
+            fn_constructor_kwargs={"window_ms": 25, "hop_ms": 12},
+            batch_format="pyarrow",
+            concurrency=1,
+        )
+        .to_pandas()
+        .sort_values("win_idx", ignore_index=True)
+    )
+    assert out["media_id"].unique().tolist() == [7]  # image skipped
+    assert len(out) == len(exp)
+    assert out["rms_milli"].tolist() == [e[2] for e in exp]
+    assert out["zero_crossings"].tolist() == [e[3] for e in exp]

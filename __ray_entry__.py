@@ -151,6 +151,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivfpq": Q.knn_ivfpq,  # IVF-PQ cell-probed ADC, rows-only (pytest restricted-oracle gate)
         "hard_negatives": Q.hard_negatives,  # contrastive hard-negative mining (cosine band top-k)
         "media_pipeline": Q.media_pipeline,  # multimodal decode/features/frame-sample, rows-only (pytest gates)
+        "alpha_mix_sample": Q.alpha_mix_sample,  # mT5 temperature-sampled language mixture, exact integer targets
         "knn_mmr": Q.knn_mmr,  # MMR diversified rerank, rows-only (pytest full-numpy gate)
         "hybrid_rrf": Q.hybrid_rrf,  # J1/K3 weighted-RRF fusion, full-SQL oracle
         "label_centroids": Q.label_centroids,

@@ -107,6 +107,7 @@ PIPELINES = (
     ("knn_ivfpq", "knn_ivfpq"),
     ("hard_negatives", "hard_negatives"),
     ("media_pipeline", "media_pipeline"),
+    ("alpha_mix_sample", "alpha_mix_sample"),
     ("dup_triangles", "dup_triangles"),
     ("q5_local_supplier_volume", "q5_local_supplier_volume"),
     ("cohort_retention", "cohort_retention"),

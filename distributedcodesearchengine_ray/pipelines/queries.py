@@ -4043,6 +4043,24 @@ def knn_pq(sf_dir: str):
     )
 
 
+ALPHA_MIX_NUM, ALPHA_MIX_DEN = 2, 5  # overall 40% token^0-doc budget
+
+
+def alpha_mix_sample(sf_dir: str):
+    """Temperature-sampled LANGUAGE MIXTURE (the mT5/T5 multilingual
+    recipe, alpha=0.5): a 40% overall doc budget split across languages
+    proportional to sqrt(n_lang) — upsampling tail languages — with
+    EXACT integer per-language targets and deterministic hash-rank
+    selection (never Bernoulli).  Emits the per-language audit incl. a
+    selected-id checksum so the oracle pins membership.  See
+    stages/sampling.py::temperature_sample for the three-bounded-pass
+    scale shape."""
+    from ..stages.sampling import temperature_sample
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+    return temperature_sample(ds, ALPHA_MIX_NUM, ALPHA_MIX_DEN)
+
+
 def media_pipeline(sf_dir: str):
     """End-to-end MULTIMODAL pipeline over a deterministic synthetic
     media table (binary payload + typed metadata — the opaque-column
@@ -15268,6 +15286,42 @@ def _geotile_sql() -> str:
     """
 
 
+def _alpha_mix_sql() -> str:
+    from ..stages.sampling import hash_u32_sql
+
+    n, d = ALPHA_MIX_NUM, ALPHA_MIX_DEN
+    return f"""
+        WITH l AS (SELECT lang, doc_id,
+                          {hash_u32_sql('doc_id')} AS h FROM documents),
+        cnt AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM l GROUP BY lang),
+        w AS (SELECT lang, n,
+                     CAST(floor(sqrt(n) * 1000000 + 0.5) AS BIGINT) AS wgt
+              FROM cnt),
+        tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+                       CAST(sum(wgt) AS BIGINT) AS ww FROM w),
+        tgt AS (SELECT lang, n, wgt,
+                       least(n, ((SELECT nn FROM tot) * {n} // {d})
+                                * wgt // (SELECT ww FROM tot)) AS target
+                FROM w),
+        rk AS (SELECT lang, doc_id,
+                      row_number() OVER (PARTITION BY lang
+                                         ORDER BY h, doc_id) AS rn
+               FROM l),
+        sel AS (SELECT r.lang, r.doc_id
+                FROM rk r JOIN tgt t ON t.lang = r.lang
+                WHERE r.rn <= t.target),
+        agg AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_sel,
+                       CAST(sum(doc_id) AS BIGINT) AS id_sum
+                FROM sel GROUP BY lang)
+        SELECT t.lang, t.n AS n_in, t.wgt AS weight,
+               CAST(t.target AS BIGINT) AS target,
+               CAST(COALESCE(a.n_sel, 0) AS BIGINT) AS n_selected,
+               CAST(COALESCE(a.id_sum, 0) AS BIGINT) AS sel_id_sum
+        FROM tgt t LEFT JOIN agg a ON a.lang = t.lang
+        ORDER BY t.lang
+    """
+
+
 def _rank_eval_sql() -> str:
     from ..functions.tokenizer import tokenize
 
@@ -16231,6 +16285,7 @@ def build_oracle_sql() -> Dict[str, str]:
                    CAST(floor(score * 1000000 + 0.5) AS BIGINT) AS score_micro
             FROM ranked WHERE rank < 10 ORDER BY q_id, rank
         """,
+        "alpha_mix_sample": _alpha_mix_sql(),
         "hard_negatives": f"""
             WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qe
                        FROM embeddings WHERE vec_id < 3),

@@ -100,3 +100,174 @@ def hash_split(
         )
 
     return ds.map_batches(split, batch_format="pyarrow")
+
+
+def temperature_sample(
+    ds,
+    total_num: int,
+    total_den: int,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    n_buckets: int = 4096,
+):
+    """EXACT temperature/alpha-sampled stratum mixture (the mT5 / T5
+    multilingual-mix recipe, alpha = 0.5): the overall budget ``T =
+    N * total_num // total_den`` docs is split across strata
+    proportionally to ``sqrt(n_s)`` — upsampling the tail relative to
+    raw proportions — and each stratum contributes EXACTLY its integer
+    target (never a Bernoulli approximation): the ``target_s`` rows
+    with the smallest ``(hash_u32(id), id)`` keys.
+
+    Integer-exact on both engines: weights are micro-rounded
+    ``floor(sqrt(n)*1e6 + 0.5)`` (sqrt is IEEE-correctly-rounded, all
+    arithmetic after it is int64), targets are floor divisions, and
+    selection keys are the int64 multiplicative hash with the SQL twin
+    ``hash_u32_sql``.
+
+    Scale shape — three bounded passes, no corpus exchange:
+
+    - pass A: per-block (stratum, h >> shift) bucket-count partials ->
+      one groupby over a <= strata x ``n_buckets`` domain; the driver
+      derives per-stratum counts, weights, targets, and the coarse
+      bucket holding each stratum's rank-``target`` cut;
+    - pass B: collect ONLY the cut buckets' (stratum, h, id) rows
+      (~N / n_buckets rows total) and resolve each stratum's exact
+      threshold pair on the driver;
+    - pass C: stateless map-side filter ``(h, id) <= cut`` +
+      per-stratum audit partials -> one tiny groupby.
+
+    Returns a pyarrow Table audit: (stratum, n_in, weight, target,
+    n_selected, sel_id_sum) sorted by stratum — ``n_selected ==
+    target`` by construction, and ``sel_id_sum`` is the int64 checksum
+    of the selected ids so the oracle comparison pins membership, not
+    just counts.
+    """
+    import pandas as pd
+    import ray
+    from ray.data.aggregate import Sum
+
+    shift = 32 - int(np.log2(n_buckets))
+
+    def bucket_partial(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        h = hash_u32(ids)
+        g = (
+            pd.DataFrame({"s": t[stratum_col].to_numpy(zero_copy_only=False),
+                          "b": (h >> shift).astype(np.int64)})
+            .groupby(["s", "b"], as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+        return pa.table(
+            {
+                "s": pa.array(g["s"], pa.string()),
+                "b": pa.array(g["b"].to_numpy(np.int64)),
+                "n": pa.array(g["n"].to_numpy(np.int64)),
+            }
+        )
+
+    hist = (
+        ds.map_batches(bucket_partial, batch_format="pyarrow")
+        .groupby(["s", "b"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values(["s", "b"], ignore_index=True)
+    )
+    n_s = hist.groupby("s")["n"].sum().astype(np.int64)
+    strata = sorted(n_s.index)
+    n_total = int(n_s.sum())
+    weights = {s: int(np.floor(np.sqrt(float(n_s[s])) * 1_000_000 + 0.5))
+               for s in strata}
+    w_total = sum(weights.values())
+    T = n_total * total_num // total_den
+    targets = {s: min(int(n_s[s]), T * weights[s] // w_total) for s in strata}
+
+    # coarse bucket containing each stratum's rank-target cut
+    cut_bucket, rank_in_bucket = {}, {}
+    for s in strata:
+        tgt = targets[s]
+        if tgt <= 0 or tgt >= int(n_s[s]):
+            continue  # select-none / select-all need no threshold
+        sub = hist[hist["s"] == s]
+        cum = sub["n"].cumsum().to_numpy(np.int64)
+        i = int(np.searchsorted(cum, tgt))
+        cut_bucket[s] = int(sub["b"].iloc[i])
+        rank_in_bucket[s] = tgt - (int(cum[i - 1]) if i > 0 else 0)
+
+    cut_ref = ray.put(cut_bucket)
+
+    def in_cut_bucket(t: pa.Table) -> pa.Table:
+        cuts = ray.get(cut_ref)
+        strata_col = t[stratum_col].to_numpy(zero_copy_only=False)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        h = hash_u32(ids)
+        b = (h >> shift).astype(np.int64)
+        want = np.array([cuts.get(s, -1) for s in strata_col], np.int64)
+        keep = b == want
+        return pa.table(
+            {
+                "s": pa.array(strata_col[keep], pa.string()),
+                "h": pa.array(h[keep]),
+                "i": pa.array(ids[keep].astype(np.int64)),
+            }
+        )
+
+    cuts_exact = {}
+    if cut_bucket:
+        tiny = ds.map_batches(in_cut_bucket, batch_format="pyarrow").to_pandas()
+        for s, grp in tiny.groupby("s"):
+            grp = grp.sort_values(["h", "i"], ignore_index=True)
+            r = rank_in_bucket[s]
+            row = grp.iloc[r - 1]
+            cuts_exact[s] = (int(row["h"]), int(row["i"]))
+
+    sel_ref = ray.put((cuts_exact, targets, {s: int(n_s[s]) for s in strata}))
+
+    def select_partial(t: pa.Table) -> pa.Table:
+        cuts, tgt, ns = ray.get(sel_ref)
+        strata_col = t[stratum_col].to_numpy(zero_copy_only=False)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = hash_u32(ids)
+        keep = np.zeros(len(ids), dtype=bool)
+        for s in np.unique(strata_col):
+            m = strata_col == s
+            if tgt.get(s, 0) >= ns.get(s, 0):
+                keep |= m  # select-all stratum
+            elif s in cuts:
+                hc, ic = cuts[s]
+                keep |= m & ((h < hc) | ((h == hc) & (ids <= ic)))
+        g = (
+            pd.DataFrame({"s": strata_col[keep], "i": ids[keep]})
+            .groupby("s", as_index=False)
+            .agg(n_sel=("i", "size"), id_sum=("i", "sum"))
+        )
+        return pa.table(
+            {
+                "s": pa.array(g["s"], pa.string()),
+                "n_sel": pa.array(g["n_sel"].to_numpy(np.int64)),
+                "id_sum": pa.array(g["id_sum"].to_numpy(np.int64)),
+            }
+        )
+
+    sel = (
+        ds.map_batches(select_partial, batch_format="pyarrow")
+        .groupby("s")
+        .aggregate(Sum("n_sel", alias_name="n_sel"),
+                   Sum("id_sum", alias_name="id_sum"))
+        .to_pandas()
+        .set_index("s")
+    )
+    return pa.table(
+        {
+            stratum_col: pa.array(strata, pa.string()),
+            "n_in": pa.array([int(n_s[s]) for s in strata], pa.int64()),
+            "weight": pa.array([weights[s] for s in strata], pa.int64()),
+            "target": pa.array([targets[s] for s in strata], pa.int64()),
+            "n_selected": pa.array(
+                [int(sel["n_sel"].get(s, 0)) for s in strata], pa.int64()
+            ),
+            "sel_id_sum": pa.array(
+                [int(sel["id_sum"].get(s, 0)) for s in strata], pa.int64()
+            ),
+        }
+    )

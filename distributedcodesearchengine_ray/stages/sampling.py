@@ -249,14 +249,18 @@ def temperature_sample(
             }
         )
 
-    sel = (
-        ds.map_batches(select_partial, batch_format="pyarrow")
-        .groupby("s")
-        .aggregate(Sum("n_sel", alias_name="n_sel"),
-                   Sum("id_sum", alias_name="id_sum"))
-        .to_pandas()
-        .set_index("s")
-    )
+    if any(targets[s] > 0 for s in strata):
+        sel = (
+            ds.map_batches(select_partial, batch_format="pyarrow")
+            .groupby("s")
+            .aggregate(Sum("n_sel", alias_name="n_sel"),
+                       Sum("id_sum", alias_name="id_sum"))
+            .to_pandas()
+            .set_index("s")
+        )
+    else:  # zero budget: nothing to scan (and all-empty blocks would
+        # reach the groupby schema-less)
+        sel = pd.DataFrame({"n_sel": [], "id_sum": []})
     return pa.table(
         {
             stratum_col: pa.array(strata, pa.string()),

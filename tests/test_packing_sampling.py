@@ -284,3 +284,51 @@ def test_token_budget_select_matches_window(ray_session):
         assert set(got["doc_id"]) == serial(num, den), (num, den)
         m = got.merge(df, on="doc_id", suffixes=("", "_w"))
         assert (m["n_tokens"] == m["n_tokens_w"]).all()
+
+
+def test_temperature_sample_exact_and_edges(ray_session):
+    """temperature_sample: exact integer targets and membership vs a
+    brute-force pandas reference on a skewed two-stratum table —
+    including the select-all stratum (target clamps at n) and the
+    zero-budget path."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from distributedcodesearchengine_ray.stages.sampling import (
+        hash_u32,
+        temperature_sample,
+    )
+
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(104, dtype=np.int64),
+            "lang": ["big"] * 100 + ["tiny"] * 4,
+        }
+    )
+    ds = rd.from_pandas(df).repartition(6)
+
+    out = temperature_sample(ds, 9, 10).to_pandas().set_index("lang")
+
+    # brute-force reference with identical integer semantics
+    n = df.groupby("lang")["doc_id"].size()
+    w = {s: int(np.floor(np.sqrt(float(n[s])) * 1_000_000 + 0.5)) for s in n.index}
+    T = int(n.sum()) * 9 // 10
+    W = sum(w.values())
+    for s in n.index:
+        tgt = min(int(n[s]), T * w[s] // W)
+        sub = df[df["lang"] == s].copy()
+        sub["h"] = hash_u32(sub["doc_id"].to_numpy())
+        sel = sub.sort_values(["h", "doc_id"]).head(tgt)
+        assert int(out.loc[s, "target"]) == tgt
+        assert int(out.loc[s, "n_selected"]) == tgt
+        assert int(out.loc[s, "sel_id_sum"]) == int(sel["doc_id"].sum())
+    # the sqrt weighting upsamples the tail: tiny keeps ALL its rows
+    assert int(out.loc["tiny", "n_selected"]) == 4  # select-all clamp
+
+    # zero budget: every stratum selects nothing
+    zero = temperature_sample(ds, 0, 1).to_pandas()
+    assert zero["target"].tolist() == [0, 0]
+    assert zero["n_selected"].tolist() == [0, 0]
+    assert zero["sel_id_sum"].tolist() == [0, 0]

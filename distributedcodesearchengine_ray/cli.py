@@ -264,8 +264,16 @@ def main(argv=None) -> int:
         else:  # single parquet file: present it under the expected name
             in_dir = tempfile.mkdtemp(prefix="curate_in_", dir="/tmp")
             os.symlink(src, os.path.join(in_dir, "documents.parquet"))
+        import shutil
+
         os.makedirs(args.out, exist_ok=True)
         flags_dir = os.path.join(args.out, "flags")
+        sel_dir = os.path.join(args.out, "selected")
+        # a re-run must replace, not append: Ray's parquet sink adds
+        # UUID-named files next to a previous run's, and every
+        # downstream read would silently sum both runs
+        for d in (flags_dir, sel_dir):
+            shutil.rmtree(d, ignore_errors=True)
         audit = Q.curation_funnel(in_dir, flags_path=flags_dir)
         # selection membership: the same budget walk over the persisted
         # slim flags (token_budget_select reuses the funnel's semantics)
@@ -276,7 +284,6 @@ def main(argv=None) -> int:
         selected = token_budget_select(
             s3, Q.TOKEN_BUDGET_NUM, Q.TOKEN_BUDGET_DEN
         ).select_columns(["doc_id", "score", "n_tokens"])
-        sel_dir = os.path.join(args.out, "selected")
         selected.write_parquet(sel_dir)
         rows = audit.to_pylist()
         with open(os.path.join(args.out, "audit.json"), "w") as f:

@@ -1964,7 +1964,10 @@ class QueryEngine:
                     self._part_ids[i :: self._num_actors],
                     self._avgdl_override,
                 )
-                ray.get(na.ping.remote())
+                # bounded: after a node loss the cluster may lack the
+                # CPU to place the replacement — surface that instead
+                # of hanging the retried query forever
+                ray.get(na.ping.remote(), timeout=300)
                 self.actors[i] = na
                 revived += 1
         return revived

@@ -57,7 +57,16 @@ class _BlockTopK:
         out_ids, out_q, out_s = [], [], []
         for qi in range(sims.shape[1]):
             col = sims[:, qi]
-            top = np.argpartition(-col, k - 1)[:k] if k < len(col) else np.arange(len(col))
+            if k < len(col):
+                # tie-safe cut: keep every row at-or-above the k-th
+                # score, then (score desc, id asc) — duplicate
+                # embeddings tie bitwise and an argpartition boundary
+                # would drop a block-layout-dependent victim
+                v = np.partition(-col, k - 1)[k - 1]
+                cand = np.flatnonzero(-col <= v)
+                top = cand[np.lexsort((ids[cand], -col[cand]))[:k]]
+            else:
+                top = np.arange(len(col))
             out_ids.append(ids[top])
             out_q.append(np.full(len(top), qi, dtype=np.int64))
             out_s.append(col[top].astype(np.float64))
@@ -236,10 +245,15 @@ class _BlockInt8TopK:
                 np.argpartition(-col, r - 1)[:r] if r < len(col) else np.arange(len(col))
             )
             exact = mat[cand] @ self.q[qi]  # rescore candidates only
-            top = cand[np.argpartition(-exact, k - 1)[:k]] if k < len(cand) else cand
+            # (score desc, id asc) tie-break on the exact cut: duplicate
+            # embeddings tie bitwise, and an argpartition boundary would
+            # pick a block-layout-dependent victim, breaking the
+            # equality-with-exact contract
+            order = np.lexsort((ids[cand], -exact))[:k]
+            top = cand[order]
             out_ids.append(ids[top])
             out_q.append(np.full(len(top), qi, dtype=np.int64))
-            out_s.append((mat[top] @ self.q[qi]).astype(np.float64))
+            out_s.append(exact[order].astype(np.float64))
         return pa.table(
             {
                 self.id_column: pa.array(np.concatenate(out_ids)),

@@ -216,30 +216,10 @@ class MediaFeatureStage:
 
 
 def _ppm_pixels(payload: bytes) -> tuple:
-    """Decode a P6/P5 netpbm payload to (pixels ndarray [h,w,c], w, h)."""
-    info = decode_ppm(payload)
-    w, h, c = info["width"], info["height"], info["channels"]
-    # re-locate the pixel offset the same way decode_ppm does
-    pos, fields = 2, []
-    while len(fields) < 3 and pos < len(payload):
-        ch = payload[pos : pos + 1]
-        if ch == b"#":
-            while pos < len(payload) and payload[pos : pos + 1] != b"\n":
-                pos += 1
-        elif ch.isspace():
-            pos += 1
-        else:
-            start = pos
-            while pos < len(payload) and not payload[pos : pos + 1].isspace():
-                pos += 1
-            fields.append(int(payload[start:pos]))
-    pos += 1
-    if len(fields) >= 3 and fields[2] > 255:
-        # 2-byte samples: silently reading uint8 would produce garbage
-        raise NotImplementedError(
-            f"netpbm maxval {fields[2]} > 255 (2-byte samples) is not "
-            "supported; only 1-byte-sample P5/P6 payloads resize here"
-        )
+    """Decode a P6/P5 netpbm payload to (pixels ndarray [h,w,c], w, h).
+    One header parse (``_ppm_header``, which also rejects maxval > 255
+    2-byte-sample payloads) locates the pixel data."""
+    w, h, c, pos, _end = _ppm_header(payload)
     px = np.frombuffer(payload, dtype=np.uint8, count=w * h * c, offset=pos)
     return px.reshape(h, w, c), w, h
 
@@ -429,11 +409,20 @@ def chunk_wav(payload: bytes, window_ms: int = 250, hop_ms: int = 125) -> list:
     import io
     import wave
 
-    with wave.open(io.BytesIO(payload), "rb") as w:
-        n, rate, ch, sw = (
-            w.getnframes(), w.getframerate(), w.getnchannels(), w.getsampwidth()
-        )
-        data = w.readframes(n)
+    if not payload:
+        return []  # null/empty audio rows yield no windows
+    try:
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            n, rate, ch, sw = (
+                w.getnframes(), w.getframerate(), w.getnchannels(),
+                w.getsampwidth(),
+            )
+            data = w.readframes(n)
+    except (wave.Error, EOFError) as e:
+        raise ValueError(
+            f"not a RIFF/PCM WAV payload (magic {payload[:4]!r}): {e}; "
+            "install soundfile/ffmpeg for compressed audio formats"
+        ) from e
     dtype = {1: np.uint8, 2: np.int16, 4: np.int32}.get(sw)
     if dtype is None:
         raise NotImplementedError(f"unsupported WAV sample width {sw}")

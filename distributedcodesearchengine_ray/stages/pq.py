@@ -41,6 +41,22 @@ import pyarrow as pa
 from .annsearch import _emb_matrix
 
 
+def _topk_dist_id(d: np.ndarray, ids: np.ndarray, k: int) -> np.ndarray:
+    """Indices of the ``k`` smallest (dist, id) pairs — the exact
+    deterministic cut.  Identical PQ codes tie BITWISE on ADC distance,
+    so a plain argpartition boundary would pick an arbitrary
+    (block-layout-dependent) victim; instead partition for the k-th
+    distance, keep every row at-or-below it (usually ~k rows), and
+    lexsort only those."""
+    if k <= 0 or len(d) == 0:
+        return np.empty(0, dtype=np.int64)
+    if k >= len(d):
+        return np.lexsort((ids, d))
+    v = np.partition(d, k - 1)[k - 1]
+    cand = np.flatnonzero(d <= v)
+    return cand[np.lexsort((ids[cand], d[cand]))[:k]]
+
+
 def _normalize(mat: np.ndarray) -> np.ndarray:
     n = np.linalg.norm(mat, axis=1, keepdims=True)
     n[n == 0] = 1.0
@@ -159,7 +175,7 @@ class _PQBlockTopK:
         out_ids, out_q, out_d = [], [], []
         for qi in range(self.lut.shape[0]):
             d = self.lut[qi, self.j_idx[None, :], codes].sum(axis=1)
-            top = np.argpartition(d, k - 1)[:k] if k < len(d) else np.arange(len(d))
+            top = _topk_dist_id(d, ids, k)
             out_ids.append(ids[top])
             out_q.append(np.full(len(top), qi, dtype=np.int64))
             out_d.append(d[top])
@@ -292,12 +308,7 @@ def ivfpq_search(
                         continue
                     rows = np.flatnonzero(mine)
                     d = self.lut[qi, self.j_idx[None, :], codes[rows]].sum(axis=1)
-                    kk = min(k, len(d))
-                    top = (
-                        np.argpartition(d, kk - 1)[:kk]
-                        if kk < len(d)
-                        else np.arange(len(d))
-                    )
+                    top = _topk_dist_id(d, ids[rows], min(k, len(d)))
                     out_ids.append(ids[rows[top]])
                     out_q.append(np.full(len(top), qi, dtype=np.int64))
                     out_d.append(d[top])

@@ -202,7 +202,11 @@ def temperature_sample(
         ids = t[id_col].to_numpy(zero_copy_only=False)
         h = hash_u32(ids)
         b = (h >> shift).astype(np.int64)
-        want = np.array([cuts.get(s, -1) for s in strata_col], np.int64)
+        # vectorized stratum -> cut-bucket lookup (a per-row Python
+        # dict.get would dominate this corpus-scale pass)
+        want = (
+            pd.Series(strata_col).map(cuts).fillna(-1).to_numpy(np.int64)
+        )
         keep = b == want
         return pa.table(
             {

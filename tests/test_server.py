@@ -362,8 +362,15 @@ def test_index_priority_and_retry(server, tmp_path_factory):
         time.sleep(0.2)
     lo, hi = states[low["job_id"]], states[high["job_id"]]
     assert lo["status"] == "failed" and hi["status"] == "failed"
-    # the high-priority job (queued later) finished first
-    assert hi["finished_at"] <= lo["finished_at"]
+    # the high-priority job (queued later) finished first — PROVIDED the
+    # worker was still busy with the real build when both were enqueued
+    # (on a fast box the 60-file build can finish between the POSTs; the
+    # ordering property itself is covered deterministically by
+    # test_jobqueue_priority_order)
+    busy_rec = states[busy["job_id"]]
+    if busy_rec.get("finished_at") and hi.get("queued_at") and \
+            busy_rec["finished_at"] > hi["queued_at"]:
+        assert hi["finished_at"] <= lo["finished_at"]
 
     # DLQ view lists both failures
     _, failed = _get(f"{server}/index/failed")

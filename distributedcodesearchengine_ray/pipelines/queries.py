@@ -4205,20 +4205,22 @@ def hard_negatives(sf_dir: str):
 
     cand = ds.map_batches(BlockNeg, batch_format="pyarrow",
                           concurrency=(1, 4)).to_pandas()
-    rows = []
+    out_q, out_r, out_id, out_m = [], [], [], []
     for qi, grp in cand.groupby("query_idx"):
-        grp = grp.sort_values(["score_micro", "vec_id"],
-                              ascending=[False, True], kind="mergesort")
-        top = grp.head(HARDNEG_K)
-        for r, (_, row) in enumerate(top.iterrows()):
-            rows.append((int(qids[qi]), r, int(row["vec_id"]),
-                         int(row["score_micro"])))
+        top = grp.sort_values(["score_micro", "vec_id"],
+                              ascending=[False, True],
+                              kind="mergesort").head(HARDNEG_K)
+        out_q.append(np.full(len(top), qids[qi], dtype=np.int64))
+        out_r.append(np.arange(len(top), dtype=np.int64))
+        out_id.append(top["vec_id"].to_numpy(np.int64))
+        out_m.append(top["score_micro"].to_numpy(np.int64))
+    cat = lambda xs: np.concatenate(xs) if xs else np.empty(0, np.int64)  # noqa: E731
     return pa.table(
         {
-            "q_id": pa.array([r[0] for r in rows], pa.int64()),
-            "rank": pa.array([r[1] for r in rows], pa.int64()),
-            "vec_id": pa.array([r[2] for r in rows], pa.int64()),
-            "score_micro": pa.array([r[3] for r in rows], pa.int64()),
+            "q_id": pa.array(cat(out_q)),
+            "rank": pa.array(cat(out_r)),
+            "vec_id": pa.array(cat(out_id)),
+            "score_micro": pa.array(cat(out_m)),
         }
     )
 

@@ -488,6 +488,19 @@ def test_actor_failure_heals_and_search_retries(ray_session, pos_index):
         assert before
         survivor = eng.actors[1]
         ray.kill(eng.actors[0])
+        # ray.kill is asynchronous: wait until the death is visible so
+        # the next search deterministically hits a dead actor (otherwise
+        # the still-alive actor may serve it and the final heal()==0
+        # assertion races)
+        import time as _time
+
+        deadline = _time.time() + 60
+        while _time.time() < deadline:
+            try:
+                ray.get(eng.actors[0].ping.remote(), timeout=5)
+                _time.sleep(0.1)
+            except Exception:
+                break
         after = eng.search("parse json data", limit=10)
         assert after == before
         assert eng.actors[1] is survivor  # alive stride untouched

@@ -76,7 +76,23 @@ def _entries():
     return qs, oracles
 
 
-ROUND = "r04"  # bump per round; names the committed evidence artifact
+def _current_round() -> str:
+    """Artifact name for the ROUND IN PROGRESS: one past the newest
+    driver-written CORRECTNESS_r{N}.json (the driver records round N's
+    results at the END of round N, so during round N+1 the max is N)."""
+    import glob
+    import re
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    rounds = [
+        int(m.group(1))
+        for f in glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))
+        if (m := re.search(r"CORRECTNESS_r(\d+)\.json$", f))
+    ]
+    return f"r{(max(rounds) + 1 if rounds else 1):02d}"
+
+
+ROUND = _current_round()
 
 
 def test_all_queries_against_oracle(ray_session, ddb):

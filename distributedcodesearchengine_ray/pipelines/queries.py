@@ -16196,10 +16196,12 @@ def build_oracle_sql() -> Dict[str, str]:
         """,
         "embed_cosine_dups": """
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
-            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                   CAST(floor(list_cosine_similarity(a.v, b.v) * 1000000 + 0.5) AS BIGINT) AS cos_micro
-            FROM e a JOIN e b ON a.vec_id < b.vec_id
-            WHERE list_cosine_similarity(a.v, b.v) >= 0.35
+            SELECT id_a, id_b, cos_micro
+            FROM (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                         CAST(floor(list_cosine_similarity(a.v, b.v)
+                                    * 1000000 + 0.5) AS BIGINT) AS cos_micro
+                  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+            WHERE cos_micro >= 350000
             ORDER BY id_a, id_b
         """,
         "kmeans_clusters": """
@@ -16253,7 +16255,8 @@ def build_oracle_sql() -> Dict[str, str]:
               FROM a2 a JOIN a2 b ON a.cl = b.cl AND a.vec_id < b.vec_id
               JOIN e ea ON ea.vec_id = a.vec_id
               JOIN e eb ON eb.vec_id = b.vec_id
-              WHERE list_cosine_similarity(ea.v, eb.v) >= 0.35)
+              WHERE CAST(floor(list_cosine_similarity(ea.v, eb.v)
+                               * 1000000 + 0.5) AS BIGINT) >= 350000)
             SELECT a2.vec_id, a2.cl AS cluster,
                    CASE WHEN dup.i IS NULL THEN 1 ELSE 0 END AS keep
             FROM a2 LEFT JOIN dup ON a2.vec_id = dup.i

@@ -671,7 +671,13 @@ def embedding_cosine_dups_exact(
         bm = load_mat(t)
         bids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         sims = bm @ full.T
-        keep = (sims >= threshold) & (bids[:, None] < ids_r[None, :])
+        # membership decides on the INTEGER micro cosine (knn_radius ulp
+        # rule) so a pair within an ulp of the threshold cannot flip
+        # between this tree and an oracle's dot/(|x||y|)
+        micro = np.floor(sims * 1_000_000 + 0.5).astype(np.int64)
+        keep = (micro >= int(round(threshold * 1_000_000))) & (
+            bids[:, None] < ids_r[None, :]
+        )
         ia, ib = np.nonzero(keep)
         return pa.table(
             {

@@ -105,11 +105,16 @@ def semantic_dedup(
         n = len(df)
         M = _normalize(np.stack(df[vec_col].to_numpy()))
         dup = np.zeros(n, bool)
+        # membership decides on the INTEGER micro cosine (the knn_radius
+        # ulp rule): a similarity within an ulp of the threshold must
+        # not flip between this tree and the oracle's dot/(|x||y|)
+        tau_micro = int(round(threshold * 1_000_000))
         for s in range(1, n, _BLOCK_ROWS):  # row 0 is never a duplicate
             e = min(s + _BLOCK_ROWS, n)
             sims = M[s:e] @ M[:e].T
+            micro = np.floor(sims * 1_000_000 + 0.5).astype(np.int64)
             mask = np.arange(e)[None, :] < np.arange(s, e)[:, None]
-            dup[s:e] = ((sims >= threshold) & mask).any(axis=1)
+            dup[s:e] = ((micro >= tau_micro) & mask).any(axis=1)
         return pd.DataFrame(
             {
                 id_col: df[id_col].to_numpy(np.int64),

@@ -3844,7 +3844,7 @@ def knn_cosine(sf_dir: str):
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     qdf = (
         _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-        .filter(lambda r: r["vec_id"] < 3)
+        .filter(expr="vec_id < 3")
         .to_pandas()
         .sort_values("vec_id")
     )
@@ -3874,7 +3874,7 @@ def knn_int8(sf_dir: str):
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     qdf = (
         _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-        .filter(lambda r: r["vec_id"] < 3)
+        .filter(expr="vec_id < 3")
         .to_pandas()
         .sort_values("vec_id")
     )
@@ -3905,7 +3905,7 @@ def knn_radius(sf_dir: str):
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     qdf = (
         _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-        .filter(lambda r: r["vec_id"] < 3)
+        .filter(expr="vec_id < 3")
         .to_pandas()
         .sort_values("vec_id")
     )
@@ -3958,7 +3958,7 @@ def knn_l2(sf_dir: str):
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     qdf = (
         _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-        .filter(lambda r: r["vec_id"] < 3)
+        .filter(expr="vec_id < 3")
         .to_pandas()
         .sort_values("vec_id")
     )
@@ -4025,7 +4025,7 @@ def knn_pq(sf_dir: str):
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     qdf = (
         _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-        .filter(lambda r: r["vec_id"] < 3)
+        .filter(expr="vec_id < 3")
         .to_pandas()
         .sort_values("vec_id")
     )
@@ -4163,7 +4163,7 @@ def hard_negatives(sf_dir: str):
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     qdf = (
         _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-        .filter(lambda r: r["vec_id"] < 3)
+        .filter(expr="vec_id < 3")
         .to_pandas()
         .sort_values("vec_id")
     )
@@ -4240,7 +4240,7 @@ def knn_ivfpq(sf_dir: str):
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     qdf = (
         _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-        .filter(lambda r: r["vec_id"] < 3)
+        .filter(expr="vec_id < 3")
         .to_pandas()
         .sort_values("vec_id")
     )
@@ -4272,7 +4272,7 @@ def hybrid_rrf(sf_dir: str, limit: int = 20):
     from .hybrid import rrf_fuse
 
     emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    qdf = emb.filter(lambda r: r["vec_id"] == 0).to_pandas()
+    qdf = emb.filter(expr="vec_id == 0").to_pandas()
     qs = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
     sem_tbl = vector_topk(
         emb, qs, k=limit, id_column="vec_id", normalize=True, dtype=np.float64
@@ -4312,11 +4312,11 @@ def knn_cosine_filtered(sf_dir: str, label: int = 3):
     from ..stages.annsearch import vector_topk
 
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding", "label"]).filter(
-        lambda r: r["label"] == label
+        expr=f"label == {int(label)}"
     )
     qdf = (
         _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-        .filter(lambda r: r["vec_id"] < 3)
+        .filter(expr="vec_id < 3")
         .to_pandas()
         .sort_values("vec_id")
     )
@@ -4778,10 +4778,10 @@ def _click_purchase_streams(sf_dir: str):
     (event_id, user_id, ts) and the purchase stream projected to
     (pid, user_id, ts, value)."""
     ev = _read(sf_dir, "events", columns=["event_id", "user_id", "event_type", "ts", "value"])
-    clicks = ev.filter(lambda r: r["event_type"] == "click").select_columns(
+    clicks = ev.filter(expr="event_type == 'click'").select_columns(
         ["event_id", "user_id", "ts"]
     )
-    purchases = ev.filter(lambda r: r["event_type"] == "purchase").map_batches(
+    purchases = ev.filter(expr="event_type == 'purchase'").map_batches(
         lambda t: pa.table(
             {
                 "pid": t["event_id"],
@@ -7500,7 +7500,7 @@ def knn_mmr(sf_dir: str):
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     qdf = (
         _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-        .filter(lambda r: r["vec_id"] < 3)
+        .filter(expr="vec_id < 3")
         .to_pandas()
         .sort_values("vec_id")
     )
@@ -7510,10 +7510,13 @@ def knn_mmr(sf_dir: str):
         ds, qs, k=MMR_CAND, id_column="vec_id", normalize=True, dtype=np.float64
     ).to_pandas()
     need = np.unique(cand["vec_id"].to_numpy(np.int64))
-    need_set = set(need.tolist())
+    need_arr = pa.array(need, type=pa.int64())
     vecs = (
         _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-        .filter(lambda r: r["vec_id"] in need_set)
+        .map_batches(
+            lambda t: t.filter(pcc.is_in(t["vec_id"], value_set=need_arr)),
+            batch_format="pyarrow",
+        )
         .to_pandas()
         .set_index("vec_id")
     )

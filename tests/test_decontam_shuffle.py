@@ -92,7 +92,7 @@ def test_decontaminate_empty_benchmark_flags_nothing(ray_session):
     from distributedcodesearchengine_ray.stages.decontam import decontaminate
 
     docs = _docs(4)
-    empty = docs.filter(lambda r: False)
+    empty = docs.limit(0)
     out = decontaminate(docs, empty, n=5).to_pandas()
     assert int(out["contaminated"].sum()) == 0
     assert len(out) == docs.count()

@@ -188,6 +188,12 @@ def main(argv=None) -> int:
     )
     pcu.add_argument("table", help="documents parquet file, or a directory containing documents.parquet")
     pcu.add_argument("--out", required=True, help="output dir: flags/ selected/ audit.json")
+    pcu.add_argument(
+        "--benchmark",
+        help="decontamination benchmark file: parquet with a 'text' "
+        "column, or plain text one entry per line (default: the "
+        "synthetic doc_id %% 19 half of the input, for demos)",
+    )
 
     pr = sub.add_parser(
         "grep",
@@ -274,7 +280,11 @@ def main(argv=None) -> int:
         # downstream read would silently sum both runs
         for d in (flags_dir, sel_dir):
             shutil.rmtree(d, ignore_errors=True)
-        audit = Q.curation_funnel(in_dir, flags_path=flags_dir)
+        audit = Q.curation_funnel(
+            in_dir,
+            flags_path=flags_dir,
+            benchmark_path=os.path.abspath(args.benchmark) if args.benchmark else None,
+        )
         # selection membership: the same budget walk over the persisted
         # slim flags (token_budget_select reuses the funnel's semantics)
         s3 = rd.read_parquet(

@@ -4065,8 +4065,10 @@ def media_pipeline(sf_dir: str):
     """End-to-end MULTIMODAL pipeline over a deterministic synthetic
     media table (binary payload + typed metadata — the opaque-column
     convention): real netpbm/WAV decode -> 64-bin byte-histogram
-    features -> real frame sampling of concatenated-netpbm videos, each
-    an actor-pool ``map_batches`` stage.  Emits one summary row per
+    features -> real frame sampling of concatenated-netpbm videos, all
+    FUSED into one actor-pool ``map_batches`` pass
+    (``MediaSummaryStage``) so the dataset executes once and payloads
+    decode once.  Emits one summary row per
     media kind (n, decoded width/sample stats, embedding dim, sampled
     frames).  Rows-only: the payloads are synthesized binaries, not a
     SQL-reachable table; the per-stage exactness gates live in
@@ -4074,13 +4076,7 @@ def media_pipeline(sf_dir: str):
     identity, frame round-trips)."""
     import ray.data as rd
 
-    from ..stages.multimodal import (
-        FrameSampleStage,
-        MediaDecodeStage,
-        MediaFeatureStage,
-        gen_media_table,
-        split_ppm_stream,
-    )
+    from ..stages.multimodal import MediaSummaryStage, gen_media_table
 
     base = gen_media_table(120, seed=42, real_formats=True)
     # keep the REAL-decodable rows (gen_media_table's videos are opaque
@@ -4106,40 +4102,32 @@ def media_pipeline(sf_dir: str):
     )
     ds = rd.from_arrow(media)
 
-    decoded = ds.map_batches(
-        MediaDecodeStage, fn_constructor_kwargs={"use_real": True},
-        batch_format="pyarrow", concurrency=(1, 2),
-    ).to_pandas()
-    feats = ds.map_batches(
-        MediaFeatureStage, batch_format="pyarrow", concurrency=(1, 2)
-    ).to_pandas()
-    frames = ds.map_batches(
-        FrameSampleStage,
-        fn_constructor_kwargs={"every": 2, "use_real": True},
+    # ONE fused execution: decode + features + frame-sample compose inside
+    # MediaSummaryStage, so the payload bytes are read once and only tiny
+    # per-kind partial counter rows leave each task (map-side pre-agg).
+    partials = ds.map_batches(
+        MediaSummaryStage,
+        fn_constructor_kwargs={"use_real": True, "every": 2},
         batch_format="pyarrow", concurrency=(1, 2),
     ).to_pandas()
 
-    rows = []
-    for kind, grp in decoded.groupby("kind"):
-        emb_dim = len(feats["embedding"].iloc[0])
-        n_frames = int(len(frames)) if kind == "video" else 0
-        rows.append(
-            (
-                kind,
-                int(len(grp)),
-                int(grp["width"].sum()) if "width" in grp else 0,
-                emb_dim,
-                n_frames,
-            )
+    fold = (
+        partials.groupby("kind", as_index=False)
+        .agg(
+            n=("n", "sum"),
+            width_sum=("width_sum", "sum"),
+            emb_dim=("emb_dim", "max"),
+            frames_sampled=("frames_sampled", "sum"),
         )
-    rows.sort()
+        .sort_values("kind", ignore_index=True)
+    )
     return pa.table(
         {
-            "kind": pa.array([r[0] for r in rows], pa.string()),
-            "n": pa.array([r[1] for r in rows], pa.int64()),
-            "width_sum": pa.array([r[2] for r in rows], pa.int64()),
-            "emb_dim": pa.array([r[3] for r in rows], pa.int64()),
-            "frames_sampled": pa.array([r[4] for r in rows], pa.int64()),
+            "kind": pa.array(fold["kind"], pa.string()),
+            "n": pa.array(fold["n"], pa.int64()),
+            "width_sum": pa.array(fold["width_sum"], pa.int64()),
+            "emb_dim": pa.array(fold["emb_dim"], pa.int64()),
+            "frames_sampled": pa.array(fold["frames_sampled"], pa.int64()),
         }
     )
 
@@ -14210,11 +14198,57 @@ CURATION_DRIVER_CUT_ROWS = 2_000_000
 CURATION_DRIVER_FLAGS_BYTES = 256 << 20
 
 
-def curation_funnel(sf_dir: str, flags_path: str | None = None):
+def _load_benchmark_table(path: str):
+    """Load a user-supplied benchmark file for decontamination as a Ray
+    Dataset of (doc_id, text) rows: parquet (any table with a ``text``
+    column; a missing ``doc_id`` gets ordinals) or plain text, one
+    benchmark entry per line.  Eval sets are small by nature, so the
+    text-file branch reads driver-side; parquet streams through
+    ``read_parquet`` with column pruning."""
+    import ray.data as rd
+
+    if path.endswith(".parquet"):
+        import pyarrow.parquet as _pq
+
+        schema_names = _pq.ParquetFile(path).schema_arrow.names
+        if "text" not in schema_names:
+            raise ValueError(f"benchmark parquet {path} has no 'text' column")
+        cols = ["doc_id", "text"] if "doc_id" in schema_names else ["text"]
+        ds = rd.read_parquet(path, columns=cols)
+        if "doc_id" not in schema_names:
+            # the id only names rows inside the gram explode; ordinals per
+            # block are fine (grams are deduped into one frozenset anyway)
+            ds = ds.map_batches(
+                lambda t: t.append_column(
+                    "doc_id", pa.array(np.arange(len(t)), pa.int64())
+                ),
+                batch_format="pyarrow",
+            )
+        return ds
+    with open(path, "r", encoding="utf-8", errors="replace") as f:
+        lines = [ln.rstrip("\n") for ln in f if ln.strip()]
+    return rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(np.arange(len(lines)), pa.int64()),
+                "text": pa.array(lines, pa.string()),
+            }
+        )
+    )
+
+
+def curation_funnel(
+    sf_dir: str,
+    flags_path: str | None = None,
+    benchmark_path: str | None = None,
+):
     """END-TO-END training-data curation funnel — exact dedup (min-id
     winner per content hash) -> Gopher quality gate -> benchmark
-    decontamination (broadcast 5-gram set; the benchmark half is
-    ``doc_id % 19 == 0``) -> quality-ordered 30% token-budget selection.
+    decontamination (broadcast 5-gram set; the benchmark set is either a
+    user-supplied file via ``benchmark_path`` — parquet with a ``text``
+    column, or plain text one-entry-per-line — or the synthetic
+    ``doc_id % 19 == 0`` half used by the SQL oracle) -> quality-ordered
+    30% token-budget selection.
     Emits per-stage surviving (n_docs, n_tokens) — the funnel audit
     every curation run reports.
 
@@ -14280,11 +14314,15 @@ def curation_funnel(sf_dir: str, flags_path: str | None = None):
             }
         )
 
-    def is_bench(t: pa.Table) -> pa.Table:
-        ids = t["doc_id"].to_numpy(zero_copy_only=False)
-        return t.filter(pa.array(ids % DECONTAM_BENCH_MOD == 0))
+    if benchmark_path is not None:
+        bench = _load_benchmark_table(benchmark_path)
+    else:
 
-    bench = docs.map_batches(is_bench, batch_format="pyarrow")
+        def is_bench(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            return t.filter(pa.array(ids % DECONTAM_BENCH_MOD == 0))
+
+        bench = docs.map_batches(is_bench, batch_format="pyarrow")
     gram_ref = benchmark_gram_refs(bench, n=5)
 
     # the single text-bearing pass: signals + flags, then text is gone

@@ -452,6 +452,47 @@ def chunk_wav(payload: bytes, window_ms: int = 250, hop_ms: int = 125) -> list:
     return out
 
 
+class MediaSummaryStage:
+    """Fused decode -> features -> frame-sample stage: ONE pass over each
+    payload batch composing the three reusable stages
+    (``MediaDecodeStage`` / ``MediaFeatureStage`` / ``FrameSampleStage``)
+    and emitting tiny per-kind PARTIAL summary rows
+    (kind, n, width_sum, emb_dim, frames_sampled) — the map-side
+    pre-aggregation shape: at corpus scale the payload bytes are read
+    once and only a handful of counter rows per batch leave the task.
+    The driver folds the partials by kind (sum of n/width_sum/frames,
+    max emb_dim)."""
+
+    def __init__(self, use_real: bool = True, every: int = 2, bins: int = 64):
+        self.decode = MediaDecodeStage(use_real=use_real)
+        self.features = MediaFeatureStage(bins=bins)
+        self.frames = FrameSampleStage(every=every, use_real=use_real)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        decoded = self.decode(batch)
+        emb_dim = self.features.bins
+        frames = self.frames(batch)
+        n_frames = len(frames)
+        kinds = decoded["kind"].to_pylist()
+        widths = decoded["width"].to_numpy(zero_copy_only=False)
+        agg = {}
+        for k, w in zip(kinds, widths):
+            n, ws = agg.get(k, (0, 0))
+            agg[k] = (n + 1, ws + int(w))
+        ks = sorted(agg)
+        return pa.table(
+            {
+                "kind": pa.array(ks, pa.string()),
+                "n": pa.array([agg[k][0] for k in ks], pa.int64()),
+                "width_sum": pa.array([agg[k][1] for k in ks], pa.int64()),
+                "emb_dim": pa.array([emb_dim] * len(ks), pa.int64()),
+                "frames_sampled": pa.array(
+                    [n_frames if k == "video" else 0 for k in ks], pa.int64()
+                ),
+            }
+        )
+
+
 class AudioWindowStage:
     """flat-map-style stage: one audio row -> one row per analysis
     window (the frame-sampling analog for audio) — real PCM decode +

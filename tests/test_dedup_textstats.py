@@ -745,6 +745,61 @@ def test_multimodal_pipeline(ray_session):
         MediaDecodeStage(use_real=True)(tbl.slice(2, 1))  # opaque video bytes
 
 
+def test_media_pipeline_fused_equals_composition(ray_session):
+    """media_pipeline executes its dataset ONCE through the fused
+    MediaSummaryStage; its summary must equal the same numbers derived
+    by running the three component stages separately (the pre-fusion
+    shape) — per-kind counts, decoded width sums, embedding dim, and
+    total sampled frames."""
+    import ray.data as rd
+
+    from distributedcodesearchengine_ray.pipelines.queries import media_pipeline
+    from distributedcodesearchengine_ray.stages.multimodal import (
+        FrameSampleStage,
+        MediaDecodeStage,
+        MediaFeatureStage,
+        gen_media_table,
+    )
+
+    got = media_pipeline("/root/testdata/sf0.001").to_pandas().set_index("kind")
+
+    # rebuild the exact media table media_pipeline synthesizes
+    base = gen_media_table(120, seed=42, real_formats=True)
+    kinds = base["kind"].to_pylist()
+    keep = pa.array([k in ("image", "audio") for k in kinds])
+    base = base.filter(keep)
+    imgs = [p for p, k in zip(base["payload"].to_pylist(),
+                              base["kind"].to_pylist()) if k == "image"][:12]
+    vids = [b"".join(imgs[i::4]) for i in range(4)]
+    vid_tbl = pa.table({
+        "media_id": pa.array([1_000_000 + i for i in range(len(vids))], pa.int64()),
+        "kind": pa.array(["video"] * len(vids), pa.string()),
+        "payload": pa.array(vids, pa.binary()),
+    })
+    media = pa.concat_tables([base.select(["media_id", "kind", "payload"]), vid_tbl])
+    ds = rd.from_arrow(media)
+
+    decoded = ds.map_batches(
+        MediaDecodeStage, fn_constructor_kwargs={"use_real": True},
+        batch_format="pyarrow", concurrency=(1, 2),
+    ).to_pandas()
+    feats = ds.map_batches(
+        MediaFeatureStage, batch_format="pyarrow", concurrency=(1, 2)
+    ).to_pandas()
+    frames = ds.map_batches(
+        FrameSampleStage, fn_constructor_kwargs={"every": 2, "use_real": True},
+        batch_format="pyarrow", concurrency=(1, 2),
+    ).to_pandas()
+
+    assert sorted(got.index) == sorted(decoded["kind"].unique())
+    for kind, grp in decoded.groupby("kind"):
+        row = got.loc[kind]
+        assert int(row["n"]) == len(grp)
+        assert int(row["width_sum"]) == int(grp["width"].sum())
+        assert int(row["emb_dim"]) == len(feats["embedding"].iloc[0])
+        assert int(row["frames_sampled"]) == (len(frames) if kind == "video" else 0)
+
+
 def test_multimodal_real_decode(ray_session):
     """The REAL decode path: P6 PPM and PCM WAV payloads parsed for true
     dimensions/sample counts (no codec libraries involved)."""

@@ -180,6 +180,51 @@ def test_cli_curate_end_to_end(tmp_path_factory):
     assert flags == stages["all"]["n_docs"]
 
 
+def test_cli_curate_file_fed_benchmark(tmp_path_factory):
+    """`cli curate --benchmark PATH`: the decontamination stage flags
+    documents sharing 5-grams with a USER-SUPPLIED benchmark file (plain
+    text, one entry per line) instead of the synthetic doc_id %% 19
+    half — the stage is usable as shipped.  The benchmark lines are real
+    document texts, so contamination must flag at least those docs."""
+    import glob
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    t = pq.read_table(src, columns=["doc_id", "text"])
+    texts = t["text"].to_pylist()
+    # two real document texts as benchmark entries -> their docs (and any
+    # 5-gram-sharing near-dups) must be flagged contaminated
+    bench_lines = [texts[3], texts[7]]
+    bench_path = str(tmp_path_factory.mktemp("bench") / "benchmark.txt")
+    with open(bench_path, "w") as f:
+        f.write("\n".join(ln.replace("\n", " ") for ln in bench_lines) + "\n")
+
+    out_dir = str(tmp_path_factory.mktemp("curate_bench_out"))
+    out = subprocess.run(
+        [sys.executable, "-m", "distributedcodesearchengine_ray.cli", "curate",
+         src, "--out", out_dir, "--benchmark", bench_path],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    summary = json.loads(out.stdout.strip().splitlines()[-1])
+    stages = summary["stages"]
+    assert stages["decontam"]["n_docs"] <= stages["gopher"]["n_docs"]
+    flags = pa.concat_tables([
+        pq.read_table(f, columns=["doc_id", "contaminated"])
+        for f in glob.glob(os.path.join(out_dir, "flags", "*.parquet"))
+    ]).to_pandas().set_index("doc_id")
+    # the benchmark docs themselves contain their own grams
+    assert int(flags["contaminated"].sum()) >= 2
+    assert int(flags.loc[3, "contaminated"]) == 1
+    assert int(flags.loc[7, "contaminated"]) == 1
+    # and far fewer docs are contaminated than with the synthetic
+    # 1-in-19 benchmark half (the file-fed set is 2 docs, not ~5%)
+    assert int(flags["contaminated"].sum()) < len(flags) // 4
+
+
 def test_cli_version():
     out = subprocess.run(
         [sys.executable, "-m", "distributedcodesearchengine_ray.cli", "version"],

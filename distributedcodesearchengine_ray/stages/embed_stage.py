@@ -65,6 +65,85 @@ class MockEmbedStage:
         return out.append_column("embedding", emb_col)
 
 
+def mean_pool(token_embeddings: np.ndarray, attention_mask: np.ndarray,
+              normalize: bool = True) -> np.ndarray:
+    """Attention-mask mean pooling over token embeddings — the exact math
+    of the reference's transformers fallback (ref
+    embeddings/generator.py:163-199: ``sum(emb * mask_expanded, 1) /
+    clamp(mask_sum, min=1e-9)`` then optional L2 normalize), expressed in
+    numpy (each torch op maps 1:1: unsqueeze/expand -> broadcasting,
+    torch.clamp -> np.maximum, F.normalize -> divide by row norm)."""
+    emb = np.asarray(token_embeddings, dtype=np.float32)  # (B, T, H)
+    mask = np.asarray(attention_mask, dtype=np.float32)[..., None]  # (B, T, 1)
+    summed = (emb * mask).sum(axis=1)  # (B, H)
+    counts = np.maximum(mask.sum(axis=1), 1e-9)  # (B, 1)
+    pooled = summed / counts
+    if normalize:
+        norms = np.linalg.norm(pooled, axis=1, keepdims=True)
+        pooled = pooled / np.maximum(norms, 1e-12)
+    return pooled.astype(np.float32)
+
+
+class TransformersFallbackModel:
+    """The reference's raw-transformers fallback (ref
+    embeddings/generator.py:103-123 load, :163-199 encode) wrapped in the
+    two-method sentence-transformers surface so
+    ``SentenceTransformerEmbedStage`` can hold either interchangeably:
+    tokenize (padding / truncation / max_length=512) -> forward ->
+    attention-mask mean pooling -> optional L2 normalize.
+
+    ``tokenizer`` / ``model`` are injectable (any pair where
+    ``tokenizer(texts, ...)`` yields ``input_ids`` / ``attention_mask``
+    and ``model(**encoded)`` yields an object with
+    ``last_hidden_state``), so the pooling path executes for real in
+    torch-free environments; with genuine HuggingFace objects the
+    forward pass runs under ``torch.no_grad()`` and tensors convert via
+    ``.detach().cpu().numpy()``."""
+
+    def __init__(self, tokenizer, model, hidden_size: int | None = None):
+        self.tokenizer = tokenizer
+        self.model = model
+        self._hidden = int(
+            hidden_size
+            if hidden_size is not None
+            else model.config.hidden_size
+        )
+
+    def get_sentence_embedding_dimension(self) -> int:
+        return self._hidden
+
+    @staticmethod
+    def _to_numpy(x):
+        if hasattr(x, "detach"):  # torch tensor
+            return x.detach().cpu().numpy()
+        return np.asarray(x)
+
+    def encode(self, texts, convert_to_numpy=True, normalize_embeddings=True,
+               show_progress_bar=False):
+        import contextlib
+
+        try:
+            import torch
+
+            grad_ctx = torch.no_grad()
+            encoded = self.tokenizer(
+                list(texts), padding=True, truncation=True, max_length=512,
+                return_tensors="pt",
+            )
+        except ImportError:
+            grad_ctx = contextlib.nullcontext()
+            encoded = self.tokenizer(
+                list(texts), padding=True, truncation=True, max_length=512
+            )
+        with grad_ctx:
+            outputs = self.model(**encoded)
+        return mean_pool(
+            self._to_numpy(outputs.last_hidden_state),
+            self._to_numpy(encoded["attention_mask"]),
+            normalize=normalize_embeddings,
+        )
+
+
 class SentenceTransformerEmbedStage(MockEmbedStage):
     """ST1: the REAL transformer embedder as a Ray actor-pool stage.
 
@@ -103,13 +182,29 @@ class SentenceTransformerEmbedStage(MockEmbedStage):
 
     @staticmethod
     def _load_model(model_name: str, device):
+        # mirror the reference's two-tier load (generator.py:93-130):
+        # sentence-transformers first, raw transformers + mean pooling
+        # as the fallback, RuntimeError with the install hint when the
+        # ML stack is absent entirely
         try:
             from sentence_transformers import SentenceTransformer
+
+            try:
+                return SentenceTransformer(model_name, device=device)
+            except Exception:
+                pass
+            from transformers import AutoModel, AutoTokenizer
+
+            tok = AutoTokenizer.from_pretrained(model_name)
+            mdl = AutoModel.from_pretrained(model_name)
+            import torch
+
+            dev = device or ("cuda" if torch.cuda.is_available() else "cpu")
+            return TransformersFallbackModel(tok, mdl.to(dev).eval())
         except ImportError as e:
             raise RuntimeError(
                 "Please install: pip install sentence-transformers transformers torch"
             ) from e
-        return SentenceTransformer(model_name, device=device)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = self._texts(batch)

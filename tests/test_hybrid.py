@@ -390,6 +390,103 @@ def test_sentence_transformer_stage_stub_zero_vector_path():
     assert emb.shape == (2, 6) and not emb.any()
 
 
+class _FakeHFTokenizer:
+    """Minimal HF-tokenizer stand-in: whitespace split -> word-hash ids,
+    right-padded, with the attention mask — enough to drive the
+    transformers-fallback path for real without torch."""
+
+    def __call__(self, texts, padding=True, truncation=True, max_length=512):
+        import numpy as np
+
+        toks = [t.split()[:max_length] for t in texts]
+        T = max((len(t) for t in toks), default=1) or 1
+        ids = np.zeros((len(texts), T), dtype=np.int64)
+        mask = np.zeros((len(texts), T), dtype=np.int64)
+        for i, words in enumerate(toks):
+            for j, w in enumerate(words):
+                ids[i, j] = 1 + (hash(w) % 97)
+                mask[i, j] = 1
+        return {"input_ids": ids, "attention_mask": mask}
+
+
+class _FakeHFModel:
+    """last_hidden_state[b, t, h] = input_ids[b, t] * (h + 1) — linear in
+    the ids so the expected pooled vector is hand-computable."""
+
+    def __init__(self, hidden: int = 5):
+        self.hidden = hidden
+
+    def __call__(self, input_ids=None, attention_mask=None):
+        import types
+
+        import numpy as np
+
+        scale = np.arange(1, self.hidden + 1, dtype=np.float32)
+        hs = input_ids[..., None].astype(np.float32) * scale
+        return types.SimpleNamespace(last_hidden_state=hs)
+
+
+def test_transformers_fallback_mean_pooling_executes():
+    """The reference's raw-transformers fallback path (ref
+    embeddings/generator.py:163-199) EXECUTED end to end with fake
+    tokenizer/model objects: attention-mask mean pooling + L2 normalize
+    verified against an independent hand computation on a ragged batch,
+    and the stage produces the MockEmbedStage schema through the same
+    DI seam."""
+    import numpy as np
+    import pyarrow as pa
+
+    from distributedcodesearchengine_ray.stages.embed_stage import (
+        MockEmbedStage,
+        SentenceTransformerEmbedStage,
+        TransformersFallbackModel,
+        mean_pool,
+    )
+
+    # --- pooling math, independently recomputed on a ragged batch
+    rng = np.random.default_rng(7)
+    emb = rng.normal(size=(3, 4, 5)).astype(np.float32)
+    mask = np.array([[1, 1, 1, 0], [1, 0, 0, 0], [1, 1, 1, 1]], dtype=np.int64)
+    got = mean_pool(emb, mask, normalize=False)
+    for b in range(3):
+        keep = emb[b][mask[b] == 1]
+        np.testing.assert_allclose(got[b], keep.mean(axis=0), rtol=1e-6)
+    got_n = mean_pool(emb, mask, normalize=True)
+    np.testing.assert_allclose(np.linalg.norm(got_n, axis=1), 1.0, rtol=1e-6)
+
+    # --- the wrapped fallback model drives the full encode path
+    model = TransformersFallbackModel(_FakeHFTokenizer(), _FakeHFModel(5),
+                                      hidden_size=5)
+    assert model.get_sentence_embedding_dimension() == 5
+    texts = ["alpha beta gamma", "alpha", "one two three four five"]
+    out = model.encode(texts, normalize_embeddings=False)
+    assert out.shape == (3, 5) and out.dtype == np.float32
+    # expected: mean of ids over real tokens, scaled by (h+1) per dim
+    tok = _FakeHFTokenizer()(texts)
+    for b in range(3):
+        ids = tok["input_ids"][b][tok["attention_mask"][b] == 1]
+        exp = ids.mean() * np.arange(1, 6, dtype=np.float32)
+        np.testing.assert_allclose(out[b], exp, rtol=1e-5)
+    # normalized variant is the same direction, unit length
+    out_n = model.encode(texts, normalize_embeddings=True)
+    np.testing.assert_allclose(np.linalg.norm(out_n, axis=1), 1.0, rtol=1e-6)
+
+    # --- stage end to end via the DI seam: schema parity with the mock
+    stage = SentenceTransformerEmbedStage(model=model)
+    tbl = pa.table(
+        {"doc_id": [0, 1], "name": ["parse_json", "send_request"],
+         "entity_type": ["function"] * 2, "signature": ["a", "b"],
+         "parameters": [["x"], []], "docstring": ["", ""],
+         "return_type": ["", ""], "parent_class": ["", ""],
+         "lang": ["python", "go"]}
+    )
+    out_tbl = stage(tbl)
+    assert out_tbl.column_names == MockEmbedStage(dim=5)(tbl).column_names
+    embs = np.asarray(out_tbl["embedding"].to_pylist(), dtype=np.float32)
+    assert embs.shape == (2, 5)
+    np.testing.assert_allclose(np.linalg.norm(embs, axis=1), 1.0, rtol=1e-6)
+
+
 def test_sentence_transformer_stage_real(ray_session):
     """Exercised only where the ML stack exists (skipped in this container):
     the real stage must produce the same schema as MockEmbedStage."""

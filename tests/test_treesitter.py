@@ -153,17 +153,43 @@ def test_golden_regex_exact(lang):
     assert ents == g["entities"]
 
 
+_TS_PARSERS = {
+    "python": treesitter_parse.parse_python_ts,
+    "javascript": treesitter_parse.parse_javascript_ts,
+    "typescript": treesitter_parse.parse_javascript_ts,
+    "go": treesitter_parse.parse_go_ts,
+    "rust": treesitter_parse.parse_rust_ts,
+}
+
+
 @pytest.mark.parametrize("lang", ["python", "javascript", "go", "rust", "typescript"])
-def test_golden_treesitter_core(lang):
+def test_golden_treesitter_core(lang, monkeypatch):
     """The tree-sitter branch produces the same core entity inventory as
-    the golden (name/type/parent per entity, in order).  Runs only where
-    the grammars are installed; the regex twin above keeps the contract
-    executable here."""
-    if not treesitter_parse.available():
-        pytest.skip("tree-sitter grammars not installed")
+    the golden (name/type/parent per entity, in order) — EXECUTED in
+    every environment: with the real grammars where installed, else
+    against the fake-grammar stand-ins in tests/fake_treesitter.py
+    (CPython ast converted to tree-sitter shapes for Python; bounded
+    mini-parsers emitting the published node shapes for js/go/rust).
+    The per-file regex fallback is disabled for the duration so a
+    walker crash cannot silently pass via the fallback."""
     g = _golden()[lang]
-    ents = parse_content(
-        g["source"], g["file_path"], "golden-repo", lang,
-        parsers=treesitter_parse.make_parsers(),
-    )
+    if treesitter_parse.available():
+        restore = lambda: None  # noqa: E731
+    else:
+        from tests import fake_treesitter
+
+        restore = fake_treesitter.install()
+    try:
+        for fb in ("_regex_py", "_regex_js", "_regex_go", "_regex_rust"):
+            monkeypatch.setattr(
+                treesitter_parse, fb,
+                lambda *a, **k: (_ for _ in ()).throw(
+                    AssertionError("AST walker fell back to regex")),
+            )
+        ents = parse_content(
+            g["source"], g["file_path"], "golden-repo", lang,
+            parsers=_TS_PARSERS,
+        )
+    finally:
+        restore()
     assert _core(ents) == _core(g["entities"])

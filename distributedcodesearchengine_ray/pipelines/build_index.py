@@ -178,6 +178,16 @@ def _extract_entity_docs(
     # staging (the partition builder recomputes it vectorized) to cut the
     # bytes moving through the coalesce + hive write
     ents = ents.drop_columns(["doc_text"])
+    if extra_parsers is None:
+        # file_path / repo_name are byte-identical to path / repo for the
+        # built-in parsers — don't stage them twice; the builder re-adds
+        # the aliases.  (source_code stays VERBATIM per entity: the
+        # measured column breakdown — BASELINE.md round 5 — shows
+        # overlapping entity slices dedupe inside the parquet compression
+        # window, so verbatim is the smallest of the three candidate
+        # text stagings: 25.3 MB vs 47.2 content-once vs 34.4
+        # raw-byte-adaptive at 200k files.)
+        ents = ents.drop_columns(["file_path", "repo_name"])
     # language column of the entity (parser-assigned), keep corpus lang name
     ents = ents.rename_columns(
         [c if c != "language" else "lang" for c in ents.column_names]
@@ -372,6 +382,10 @@ class _PartitionBuilder:
                 ),
             )
         tbl = tbl.take(pc.sort_indices(tbl["skey"]))
+        if "file_path" not in tbl.column_names and "path" in tbl.column_names:
+            # staging drops the alias columns (byte-identical twins)
+            tbl = tbl.append_column("file_path", tbl["path"])
+            tbl = tbl.append_column("repo_name", tbl["repo"])
         if "doc_text" not in tbl.column_names:  # entity mode: recompute
             tbl = tbl.append_column("doc_text", _entity_doc_text(tbl))
         doc_ids = base + np.arange(n, dtype=np.int64)

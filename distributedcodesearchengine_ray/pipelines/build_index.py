@@ -63,11 +63,14 @@ from ..stages.parse import parse_batch
 BLOCK = 128  # postings per block-max block
 LEX_BUCKETS = 16  # hash buckets of the global lexicon (term -> bucket file)
 # below this many corpus rows the boundary sample runs single-process on the
-# driver (three pruned key columns, ~24 B/row -> <50 MB): the distributed
-# pipeline's ~1 s fixed executor overhead dwarfs the 0.1 s of actual work.
-# The sampled set is hash-defined, so both paths produce identical
-# boundaries; the streaming path runs above the threshold.
-SMALL_SAMPLE_DRIVER_ROWS = 2_000_000
+# driver (three pruned key columns, ~24 B/row): the distributed pipeline's
+# ~1 s fixed executor overhead dwarfs the actual work there.  The driver
+# path costs ~3 s/M rows (skey build + siphash are the bulk), so past a few
+# hundred thousand rows it becomes a SERIAL floor while the cluster idles —
+# measured at 2M files: 6.1 s driver-side (fixed at every CPU count) vs
+# 1.5 s @16 / 4.0 s @4 distributed, identical sample set either way
+# (hash-mod filter is order-independent).  The crossover sits near 300k.
+SMALL_SAMPLE_DRIVER_ROWS = 300_000
 
 DOCMETA_EXTRA_ENTITY = [
     "name", "entity_type", "file_path", "repo_name", "start_line", "end_line",
@@ -593,11 +596,21 @@ def build_index(
                 if f.endswith(".parquet")
             ]
         )
-        for f in files:
+        # footer reads are independent I/O — thread them (the serial loop
+        # was ~1.3 s of driver floor at 64 shards)
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _shard_md(f):
             md = pq.ParquetFile(f).metadata
-            n_files += md.num_rows
-            for rg in range(md.num_row_groups):
-                est_bytes += md.row_group(rg).total_byte_size
+            return md.num_rows, sum(
+                md.row_group(rg).total_byte_size
+                for rg in range(md.num_row_groups)
+            )
+
+        with ThreadPoolExecutor(max_workers=min(16, max(1, len(files)))) as ex:
+            for nr, nb in ex.map(_shard_md, files):
+                n_files += nr
+                est_bytes += nb
     else:
         keys_src = corpus
         n_files = corpus.count()
@@ -622,12 +635,12 @@ def build_index(
 
     if corpus_path is not None and n_files <= SMALL_SAMPLE_DRIVER_ROWS:
         # driver shortcut (same pattern as dedup's SMALL_BANDS_DRIVER_ROWS):
-        # below ~2M rows the three key columns fit trivially in driver
-        # memory and a single-process sample takes ~0.1 s, where the
-        # distributed pipeline pays ~1 s of fixed executor overhead.  The
-        # sampled SET is identical either way (hash-mod filter, order-
-        # independent), so this changes wall-clock only; above the
-        # threshold the streaming path below runs.
+        # small corpora sample faster single-process than paying the
+        # distributed executor's fixed overhead; large corpora sample
+        # distributed (the driver path is a serial floor — see the
+        # constant's note).  The sampled SET is identical either way
+        # (hash-mod filter, order-independent), so this changes
+        # wall-clock only.
         import pyarrow.dataset as pads
 
         key_tbl = pads.dataset(files, format="parquet").to_table(
@@ -752,14 +765,28 @@ def build_index(
             _json.dump({"build_id": build_id}, f)
     _mark("extract_partition_write")
 
-    # per-partition doc counts: parquet METADATA only (no data read)
-    counts_vec = np.zeros(P, dtype=np.int64)
+    # per-partition doc counts: parquet METADATA only (no data read);
+    # footer reads threaded — the serial loop grows with partitions x
+    # fragments and was part of the fixed driver floor
+    from concurrent.futures import ThreadPoolExecutor
+
+    frag_jobs = []
     for p in range(P):
         sub = os.path.join(staged_parts, f"part_id={p}")
         if os.path.isdir(sub):
-            for f in os.listdir(sub):
-                if f.endswith(".parquet"):
-                    counts_vec[p] += pq.ParquetFile(os.path.join(sub, f)).metadata.num_rows
+            frag_jobs.extend(
+                (p, os.path.join(sub, f))
+                for f in os.listdir(sub)
+                if f.endswith(".parquet")
+            )
+    counts_vec = np.zeros(P, dtype=np.int64)
+    if frag_jobs:
+        with ThreadPoolExecutor(max_workers=min(16, len(frag_jobs))) as ex:
+            for p, nr in ex.map(
+                lambda job: (job[0], pq.ParquetFile(job[1]).metadata.num_rows),
+                frag_jobs,
+            ):
+                counts_vec[p] += nr
     n_docs = int(counts_vec.sum())
     if n_docs == 0:
         raise ValueError("corpus produced zero documents after extraction")

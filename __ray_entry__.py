@@ -205,6 +205,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_moving_sum": Q.user_moving_sum,  # bounded-frame moving window (ROWS 3 PRECEDING)
         "user_event_gaps": Q.user_event_gaps,  # LAG inter-arrival gaps, integer seconds
         "basket_pairs": Q.basket_pairs,  # market-basket top co-occurring part pairs
+        "frequent_itemsets": Q.frequent_itemsets,  # ES frequent_item_sets over (user, day) baskets
         "user_set_ops": Q.user_set_ops,  # UNION/INTERSECT/EXCEPT via membership bitmask
         "event_type_sample": Q.event_type_sample,  # per-group deterministic md5 sample
         "token_quantiles_by_lang": Q.token_quantiles_by_lang,  # grouped exact quantiles

@@ -9461,6 +9461,79 @@ def wau_mau(sf_dir: str):
 
 BASKET_TOP_N = 10
 
+# ES frequent_item_sets defaults: minimum_support 0.1 (as an integer-exact
+# ratio), set sizes 1..3 over the per-(user, day) event-type baskets
+FIS_SUPPORT_NUM = 1
+FIS_SUPPORT_DEN = 10
+FIS_MAX_SIZE = 3
+
+
+def frequent_itemsets(sf_dir: str):
+    """ES ``frequent_item_sets`` aggregation (8.4+): itemsets of event
+    types (size 1..3) whose SUPPORT — the share of (user, day) baskets
+    containing every item — is at least ``minimum_support`` = 10%,
+    integer-exact (``support * 10 >= n_baskets``).
+
+    Scale shape: per-batch distinct (basket, type) rows cut the exchange
+    to the distinct pairs; ONE basket-keyed groupby emits each basket's
+    subsets (the universe of event types is small, so <= C(k,1..3) tiny
+    rows per basket); a map-side fold collapses them to a bounded
+    (itemset -> count) histogram per block and the driver sums partials
+    — itemset space is bounded by the type universe, never corpus-sized.
+    Oracle: the classic 1/2/3-way distinct self-joins with the same
+    integer threshold."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+
+    def distinct_pairs(t: pa.Table) -> pa.Table:
+        tus = t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        day = tus // 86_400_000_000
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bkey = (uid << np.int64(20)) | day.astype(np.int64)
+        df = pd.DataFrame({"bkey": bkey, "event_type": t["event_type"].to_numpy(zero_copy_only=False)})
+        df = df.drop_duplicates(ignore_index=True)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def perbasket(df: pd.DataFrame) -> pd.DataFrame:
+        from itertools import combinations
+
+        types = sorted(set(df["event_type"]))
+        items, size = ["__baskets__"], [0]
+        for k in range(1, FIS_MAX_SIZE + 1):
+            for combo in combinations(types, k):
+                items.append("+".join(combo))
+                size.append(k)
+        return pd.DataFrame({
+            "items": items,
+            "set_size": np.asarray(size, np.int64),
+            "n": np.ones(len(items), np.int64),
+        })
+
+    def fold(t: pa.Table) -> pa.Table:
+        g = t.to_pandas().groupby(["items", "set_size"], as_index=False)["n"].sum()
+        g["n"] = g["n"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    hist = (
+        ds.map_batches(distinct_pairs, batch_format="pyarrow")
+        .groupby("bkey")
+        .map_groups(perbasket, batch_format="pandas")
+        .map_batches(fold, batch_format="pyarrow", batch_size=65536)
+        .to_pandas()
+        .groupby(["items", "set_size"], as_index=False)["n"].sum()
+    )
+    n_baskets = int(hist.loc[hist["items"] == "__baskets__", "n"].sum())
+    out = hist[
+        (hist["items"] != "__baskets__")
+        & (hist["n"].to_numpy() * FIS_SUPPORT_DEN >= FIS_SUPPORT_NUM * n_baskets)
+    ].sort_values(["n", "items"], ascending=[False, True], ignore_index=True)
+    return pa.table(
+        {
+            "items": pa.array(out["items"], pa.string()),
+            "set_size": pa.array(out["set_size"].to_numpy(np.int64)),
+            "support": pa.array(out["n"].to_numpy(np.int64)),
+        }
+    )
+
 
 def basket_pairs(sf_dir: str):
     """Market-basket affinity: the top co-occurring part pairs across
@@ -15584,6 +15657,34 @@ def build_oracle_sql() -> Dict[str, str]:
                    GROUP BY 1, 2)
             SELECT a AS part_a, b AS part_b, n FROM pp
             ORDER BY n DESC, a, b LIMIT {BASKET_TOP_N}
+        """,
+        "frequent_itemsets": f"""
+            WITH b AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d,
+                              event_type FROM events),
+            nb AS (SELECT count(*) AS n FROM
+                   (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events)),
+            s1 AS (SELECT event_type AS items, 1 AS set_size,
+                          count(*) AS sup FROM b GROUP BY 1),
+            s2 AS (SELECT a.event_type || '+' || c.event_type AS items,
+                          2 AS set_size, count(*) AS sup
+                   FROM b a JOIN b c ON a.user_id = c.user_id AND a.d = c.d
+                                    AND a.event_type < c.event_type
+                   GROUP BY 1),
+            s3 AS (SELECT a.event_type || '+' || c.event_type || '+'
+                          || e.event_type AS items, 3 AS set_size,
+                          count(*) AS sup
+                   FROM b a JOIN b c ON a.user_id = c.user_id AND a.d = c.d
+                                    AND a.event_type < c.event_type
+                        JOIN b e ON a.user_id = e.user_id AND a.d = e.d
+                                AND c.event_type < e.event_type
+                   GROUP BY 1),
+            u AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2
+                  UNION ALL SELECT * FROM s3)
+            SELECT items, CAST(set_size AS BIGINT) AS set_size,
+                   CAST(sup AS BIGINT) AS support
+            FROM u, nb
+            WHERE sup * {FIS_SUPPORT_DEN} >= {FIS_SUPPORT_NUM} * nb.n
+            ORDER BY support DESC, items ASC
         """,
         "lang_id_confusion": f"""
             WITH pred AS ({_lang_id_sql().strip().rstrip()})

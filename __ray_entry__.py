@@ -154,6 +154,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "alpha_mix_sample": Q.alpha_mix_sample,  # mT5 temperature-sampled language mixture, exact integer targets
         "knn_mmr": Q.knn_mmr,  # MMR diversified rerank, rows-only (pytest full-numpy gate)
         "hybrid_rrf": Q.hybrid_rrf,  # J1/K3 weighted-RRF fusion, full-SQL oracle
+        "hybrid_linear": Q.hybrid_linear,  # ES linear retriever: min-max-normalized weighted fusion
         "label_centroids": Q.label_centroids,
         "kmeans_clusters": Q.kmeans_clusters,  # iterative Lloyd's, unrolled-SQL oracle
         "semantic_dedup": Q.semantic_dedup_q,  # SemDeDup: kmeans + within-cluster cosine, full-SQL oracle

@@ -4293,6 +4293,66 @@ def hybrid_rrf(sf_dir: str, limit: int = 20):
     )
 
 
+HYBRID_LIN_W_BM = 0.7
+HYBRID_LIN_W_SEM = 0.3
+
+
+def hybrid_linear(sf_dir: str, limit: int = 20):
+    """ES 8.16+ ``linear`` retriever: weighted sum of MIN-MAX-NORMALIZED
+    scores from two retrievers — the BM25 top-20 window (weight 0.7) and
+    the cosine-knn top-20 window for query vec_id=0 (weight 0.3); a doc
+    absent from a window contributes 0 from it, and a degenerate window
+    (max == min) normalizes its members to 1.0.  Both sides normalize
+    from the SAME integer micro scores, so the double expression trees —
+    ``(micro - mn) / (mx - mn)`` then ``0.7*b + 0.3*s`` — are
+    bit-identical between engine and oracle (the knn_radius micro
+    rule).  Distinct from hybrid_rrf: rank-free score interpolation
+    (ES linear) vs reciprocal-rank fusion (ES rrf)."""
+    from ..stages.annsearch import vector_topk
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    qdf = emb.filter(expr="vec_id == 0").to_pandas()
+    qs = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
+    sem_tbl = vector_topk(
+        emb, qs, k=limit, id_column="vec_id", normalize=True, dtype=np.float64
+    ).to_pandas()
+    sem_ids = sem_tbl["vec_id"].to_numpy(np.int64)
+    sem_micro = np.asarray(_micro(sem_tbl["score"].to_numpy()), np.int64)
+
+    bm_tbl = bm25_topk(sf_dir, limit=limit).to_pandas()
+    bm_ids = bm_tbl["doc_id"].to_numpy(np.int64)
+    bm_micro = bm_tbl["score_micro"].to_numpy(np.int64)
+
+    def norm(micro: np.ndarray) -> np.ndarray:
+        mn, mx = int(micro.min()), int(micro.max())
+        if mx == mn:
+            return np.ones(len(micro), np.float64)
+        return (micro - mn).astype(np.float64) / np.float64(mx - mn)
+
+    bnorm = dict(zip(bm_ids.tolist(), norm(bm_micro).tolist()))
+    snorm = dict(zip(sem_ids.tolist(), norm(sem_micro).tolist()))
+    ids = sorted(set(bm_ids.tolist()) | set(sem_ids.tolist()))
+    fused = np.array(
+        [
+            HYBRID_LIN_W_BM * bnorm.get(i, 0.0) + HYBRID_LIN_W_SEM * snorm.get(i, 0.0)
+            for i in ids
+        ],
+        np.float64,
+    )
+    return pa.table(
+        {
+            "doc_id": pa.array(np.asarray(ids, np.int64)),
+            "fused_micro": pa.array(_micro(fused)),
+            "in_bm25": pa.array(
+                np.asarray([1 if i in bnorm else 0 for i in ids], np.int64)
+            ),
+            "in_knn": pa.array(
+                np.asarray([1 if i in snorm else 0 for i in ids], np.int64)
+            ),
+        }
+    )
+
+
 def knn_cosine_filtered(sf_dir: str, label: int = 3):
     """Pre-filtered vector search (Qdrant filter semantics,
     vector_store.py:229-253): restrict the corpus to one label BEFORE the
@@ -16162,6 +16222,43 @@ def build_oracle_sql() -> Dict[str, str]:
                    CAST(floor(sem_raw * 1000000 + 0.5) AS BIGINT) AS sem_micro,
                    bm_micro AS bm25_micro
             FROM fused ORDER BY doc_id
+        """,
+        "hybrid_linear": f"""
+            WITH bm AS ({bm25_sql(BM25_QUERY, limit=20)}),
+            sem0 AS (
+              SELECT e.vec_id AS doc_id,
+                     list_cosine_similarity(e.embedding::DOUBLE[], q.qe) AS score
+              FROM embeddings e
+              CROSS JOIN (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0) q),
+            sem AS (
+              SELECT doc_id,
+                     CAST(floor(score * 1000000 + 0.5) AS BIGINT) AS sem_micro
+              FROM sem0 ORDER BY score DESC, doc_id ASC LIMIT 20),
+            bstat AS (SELECT min(score_micro) AS mn, max(score_micro) AS mx FROM bm),
+            sstat AS (SELECT min(sem_micro) AS mn, max(sem_micro) AS mx FROM sem),
+            ids AS (SELECT doc_id FROM bm UNION SELECT doc_id FROM sem),
+            f AS (
+              SELECT ids.doc_id,
+                     {HYBRID_LIN_W_BM} * COALESCE(
+                       CASE WHEN (SELECT mx FROM bstat) = (SELECT mn FROM bstat) THEN 1.0
+                            ELSE CAST(bm.score_micro - (SELECT mn FROM bstat) AS DOUBLE)
+                                 / CAST((SELECT mx FROM bstat) - (SELECT mn FROM bstat) AS DOUBLE)
+                       END, 0)
+                     + {HYBRID_LIN_W_SEM} * COALESCE(
+                       CASE WHEN (SELECT mx FROM sstat) = (SELECT mn FROM sstat) THEN 1.0
+                            ELSE CAST(sem.sem_micro - (SELECT mn FROM sstat) AS DOUBLE)
+                                 / CAST((SELECT mx FROM sstat) - (SELECT mn FROM sstat) AS DOUBLE)
+                       END, 0) AS fscore,
+                     CASE WHEN bm.doc_id IS NULL THEN 0 ELSE 1 END AS in_bm25,
+                     CASE WHEN sem.doc_id IS NULL THEN 0 ELSE 1 END AS in_knn
+              FROM ids
+              LEFT JOIN bm ON bm.doc_id = ids.doc_id
+              LEFT JOIN sem ON sem.doc_id = ids.doc_id)
+            SELECT doc_id,
+                   CAST(floor(fscore * 1000000 + 0.5) AS BIGINT) AS fused_micro,
+                   CAST(in_bm25 AS BIGINT) AS in_bm25,
+                   CAST(in_knn AS BIGINT) AS in_knn
+            FROM f ORDER BY doc_id
         """,
         "redact_props": _redact_sql(),
         "props_k_by_type": r"""

@@ -9534,50 +9534,96 @@ def frequent_itemsets(sf_dir: str):
     containing every item — is at least ``minimum_support`` = 10%,
     integer-exact (``support * 10 >= n_baskets``).
 
-    Scale shape: per-batch distinct (basket, type) rows cut the exchange
-    to the distinct pairs; ONE basket-keyed groupby emits each basket's
-    subsets (the universe of event types is small, so <= C(k,1..3) tiny
-    rows per basket); a map-side fold collapses them to a bounded
-    (itemset -> count) histogram per block and the driver sums partials
-    — itemset space is bounded by the type universe, never corpus-sized.
+    Scale shape — fully vectorized, NO per-basket Python: (0) the type
+    universe (tiny by nature) comes from a single-column per-block
+    distinct + driver union and broadcasts by closure; (1) one
+    int64-keyed groupby over ``(bkey << 5) | type_id`` dedupes the
+    (basket, type) pairs globally; (2) a second int64-keyed groupby
+    sums the now-distinct type BITS per basket — sum of distinct
+    powers of two == the basket's bitmask OR; (3) each mask block
+    counts ``(mask & m) == m`` for the <= C(T,1..3) itemset masks with
+    numpy and emits a bounded per-block histogram the driver sums.
+    Both exchanges move slim integer rows (<= baskets x types); the
+    itemset space is bounded by the type universe, never corpus-sized.
     Oracle: the classic 1/2/3-way distinct self-joins with the same
     integer threshold."""
+    from itertools import combinations
+
+    from ray.data.aggregate import Count, Sum
+
+    # pass 0: the type universe (pruned single-column read, tiny union)
+    tset = set()
+    for part in (
+        _read(sf_dir, "events", columns=["event_type"])
+        .map_batches(
+            lambda t: pa.table({"t": pcc.unique(t["event_type"])}),
+            batch_format="pyarrow",
+        )
+        .to_pandas()["t"]
+    ):
+        tset.add(part)
+    types = sorted(tset)
+    tid = {t: i for i, t in enumerate(types)}
+    T = len(types)
+    if T >= 32:  # bkey packing below reserves 5 bits for the type id
+        raise ValueError(f"event_type universe too large for itemset mining ({T})")
+
     ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_type"])
 
-    def distinct_pairs(t: pa.Table) -> pa.Table:
+    def pair_keys(t: pa.Table) -> pa.Table:
         tus = t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
         day = tus // 86_400_000_000
         uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         bkey = (uid << np.int64(20)) | day.astype(np.int64)
-        df = pd.DataFrame({"bkey": bkey, "event_type": t["event_type"].to_numpy(zero_copy_only=False)})
-        df = df.drop_duplicates(ignore_index=True)
-        return pa.Table.from_pandas(df, preserve_index=False)
+        tids = np.array(
+            [tid[x] for x in t["event_type"].to_pylist()], np.int64
+        )
+        key = (bkey << np.int64(5)) | tids
+        # per-block pre-distinct cuts the exchange to the block's
+        # distinct pairs before the global dedupe groupby
+        return pa.table({"key": pa.array(np.unique(key))})
 
-    def perbasket(df: pd.DataFrame) -> pd.DataFrame:
-        from itertools import combinations
+    def key_to_bit(t: pa.Table) -> pa.Table:
+        key = t["key"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bkey": pa.array(key >> np.int64(5)),
+                "bit": pa.array(
+                    np.int64(1) << (key & np.int64(31)).astype(np.int64)
+                ),
+            }
+        )
 
-        types = sorted(set(df["event_type"]))
-        items, size = ["__baskets__"], [0]
-        for k in range(1, FIS_MAX_SIZE + 1):
-            for combo in combinations(types, k):
-                items.append("+".join(combo))
-                size.append(k)
-        return pd.DataFrame({
-            "items": items,
-            "set_size": np.asarray(size, np.int64),
-            "n": np.ones(len(items), np.int64),
-        })
+    # itemset masks (bounded by the type universe)
+    masks, names, sizes = [], [], []
+    for k in range(1, FIS_MAX_SIZE + 1):
+        for combo in combinations(range(T), k):
+            masks.append(sum(1 << i for i in combo))
+            names.append("+".join(types[i] for i in combo))
+            sizes.append(k)
+    mask_arr = np.array(masks, np.int64)
 
-    def fold(t: pa.Table) -> pa.Table:
-        g = t.to_pandas().groupby(["items", "set_size"], as_index=False)["n"].sum()
-        g["n"] = g["n"].astype(np.int64)
-        return pa.Table.from_pandas(g, preserve_index=False)
+    def block_hist(t: pa.Table) -> pa.Table:
+        m = t["mask"].to_numpy(zero_copy_only=False)
+        # (blocks x itemsets) boolean reduce — vectorized across the
+        # whole block, one row out per itemset plus the basket counter
+        sup = ((m[None, :] & mask_arr[:, None]) == mask_arr[:, None]).sum(axis=1)
+        return pa.table(
+            {
+                "items": pa.array(["__baskets__"] + names, pa.string()),
+                "set_size": pa.array(np.concatenate(([0], np.asarray(sizes, np.int64)))),
+                "n": pa.array(np.concatenate(([np.int64(len(m))], sup.astype(np.int64)))),
+            }
+        )
 
     hist = (
-        ds.map_batches(distinct_pairs, batch_format="pyarrow")
+        ds.map_batches(pair_keys, batch_format="pyarrow")
+        .groupby("key")
+        .aggregate(Count())  # global pair dedupe: one slim int exchange
+        .map_batches(key_to_bit, batch_format="pyarrow")
         .groupby("bkey")
-        .map_groups(perbasket, batch_format="pandas")
-        .map_batches(fold, batch_format="pyarrow", batch_size=65536)
+        .aggregate(Sum("bit", alias_name="mask"))  # distinct bits -> OR
+        .map_batches(block_hist, batch_format="pyarrow")
         .to_pandas()
         .groupby(["items", "set_size"], as_index=False)["n"].sum()
     )

@@ -12554,6 +12554,72 @@ def scd2_intervals(sf_dir: str):
     return ds.groupby("user_id").map_groups(pergroup, batch_format="pandas")
 
 
+HOLT_ALPHA = 0.5  # dyadic literals: both sides' doubles match bit for bit
+HOLT_BETA = 0.25
+
+
+def holt_daily_revenue(sf_dir: str):
+    """Holt DOUBLE-exponential smoothing (ES ``moving_fn: holt``'s
+    level+trend recursion, alpha=0.5 beta=0.25) of the daily revenue
+    series — the trend-aware forecasting primitive single EWMA lacks.
+    Distributed part: the bounded day-axis cents fold (map-side
+    partials, one tiny groupby); the driver replays the recursion
+    ``s_t = a*x_t + (1-a)*(s_{t-1}+b_{t-1})``,
+    ``b_t = B*(s_t - s_{t-1}) + (1-B)*b_{t-1}`` with
+    ``s_1 = x_1, b_1 = x_2 - x_1``; dyadic coefficients keep the
+    doubles identical to the oracle's recursive CTE."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = pcc.strftime(t["o_orderdate"], format="%Y-%m-%d")
+        cents = np.floor(
+            t["o_totalprice"].to_numpy(zero_copy_only=False) * 100 + 0.5
+        ).astype(np.int64)
+        g = (
+            pd.DataFrame({"day": day.to_pandas(), "rev": cents})
+            .groupby("day", as_index=False)["rev"].sum()
+        )
+        g["rev"] = g["rev"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    days = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Sum("rev", alias_name="rev"))
+        .to_pandas()
+        .sort_values("day", ignore_index=True)
+    )
+    xs = [float(x) for x in days["rev"].tolist()]
+    levels, trends = [], []
+    s = b = 0.0
+    for i, x in enumerate(xs):
+        if i == 0:
+            s = x
+            b = (xs[1] - x) if len(xs) > 1 else 0.0
+        else:
+            s_new = HOLT_ALPHA * x + (1.0 - HOLT_ALPHA) * (s + b)
+            b = HOLT_BETA * (s_new - s) + (1.0 - HOLT_BETA) * b
+            s = s_new
+        levels.append(s)
+        trends.append(b)
+    return pa.table(
+        {
+            "day": pa.array(days["day"].tolist(), pa.string()),
+            "rev": pa.array(days["rev"].to_numpy(np.int64)),
+            "level_micro": pa.array(
+                [int(math.floor(v * 1e6 + 0.5)) for v in levels], pa.int64()
+            ),
+            "trend_micro": pa.array(
+                [int(math.floor(v * 1e6 + 0.5)) for v in trends], pa.int64()
+            ),
+        }
+    )
+
+
 def ewma_daily_orders(sf_dir: str):
     """Exponential smoothing (EWMA, alpha=0.5) of the daily order-count
     series — ES ``moving_fn: ewma``'s recursive form, the forecasting
@@ -18193,6 +18259,34 @@ def build_oracle_sql() -> Dict[str, str]:
             SELECT q_id, rank, vec_id,
                    CAST(floor(dist * 1000000 + 0.5) AS BIGINT) AS dist_micro
             FROM ranked WHERE rank < 10 ORDER BY q_id, rank
+        """,
+        "holt_daily_revenue": f"""
+            WITH RECURSIVE days AS (
+              SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+                     CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                          AS BIGINT) AS rev
+              FROM orders GROUP BY 1),
+            ord AS (SELECT day, rev,
+                           row_number() OVER (ORDER BY day) AS i FROM days),
+            walk AS (
+              SELECT i, day, rev,
+                     CAST(rev AS DOUBLE) AS s,
+                     COALESCE((SELECT CAST(o2.rev AS DOUBLE) FROM ord o2
+                               WHERE o2.i = 2), CAST(rev AS DOUBLE))
+                       - CAST(rev AS DOUBLE) AS b
+              FROM ord WHERE i = 1
+              UNION ALL
+              SELECT o.i, o.day, o.rev,
+                     {HOLT_ALPHA} * CAST(o.rev AS DOUBLE)
+                       + {1.0 - HOLT_ALPHA} * (w.s + w.b),
+                     {HOLT_BETA} * (({HOLT_ALPHA} * CAST(o.rev AS DOUBLE)
+                       + {1.0 - HOLT_ALPHA} * (w.s + w.b)) - w.s)
+                       + {1.0 - HOLT_BETA} * w.b
+              FROM walk w JOIN ord o ON o.i = w.i + 1)
+            SELECT day, rev,
+                   CAST(floor(s * 1000000 + 0.5) AS BIGINT) AS level_micro,
+                   CAST(floor(b * 1000000 + 0.5) AS BIGINT) AS trend_micro
+            FROM walk ORDER BY day
         """,
         "ewma_daily_orders": """
             WITH RECURSIVE days AS (

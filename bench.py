@@ -162,6 +162,9 @@ PIPELINES = (
     ("span_containing", "span_containing_q"),
     ("geo_bounds_centroid", "geo_bounds_centroid"),
     ("knn_radius", "knn_radius"),
+    ("frequent_itemsets", "frequent_itemsets"),
+    ("hybrid_linear", "hybrid_linear"),
+    ("holt_daily_revenue", "holt_daily_revenue"),
     ("orders_top_with_ties", "orders_top_with_ties"),
     ("orders_date_range_agg", "orders_date_range_agg"),
     ("weekly_event_rate", "weekly_event_rate"),

@@ -178,6 +178,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mann_kendall_daily_revenue": Q.mann_kendall_daily_revenue,  # MK trend test, tie-corrected
         "ewma_daily_orders": Q.ewma_daily_orders,  # exponential smoothing, recursive-CTE oracle
         "holt_daily_revenue": Q.holt_daily_revenue,  # Holt level+trend smoothing, recursive-CTE oracle
+        "daily_revenue_normalize": Q.daily_revenue_normalize,  # ES normalize pipeline agg (percent_of_sum + rescale_0_1)
         "zorder_events": Q.zorder_events,  # Z-order/Morton clustering keys (layout primitive)
         "geo_distance_rings": Q.geo_distance_rings,  # ES geo_distance rings (hash-derived coords)
         "moving_percentiles_daily": Q.moving_percentiles_daily,  # ES moving_percentiles (trailing-7d p50/p90)

@@ -165,6 +165,7 @@ PIPELINES = (
     ("frequent_itemsets", "frequent_itemsets"),
     ("hybrid_linear", "hybrid_linear"),
     ("holt_daily_revenue", "holt_daily_revenue"),
+    ("daily_revenue_normalize", "daily_revenue_normalize"),
     ("orders_top_with_ties", "orders_top_with_ties"),
     ("orders_date_range_agg", "orders_date_range_agg"),
     ("weekly_event_rate", "weekly_event_rate"),

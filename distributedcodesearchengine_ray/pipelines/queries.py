@@ -12554,6 +12554,61 @@ def scd2_intervals(sf_dir: str):
     return ds.groupby("user_id").map_groups(pergroup, batch_format="pandas")
 
 
+def daily_revenue_normalize(sf_dir: str):
+    """ES ``normalize`` pipeline aggregation over the daily-revenue
+    bucket axis: ``percent_of_sum`` and ``rescale_0_1`` per day —
+    distributed part is the bounded day-axis cents fold (map-side
+    partials, one tiny groupby); the driver derives both normalizations
+    from the SAME integer cents (rev/total and (rev-mn)/(mx-mn) as
+    double divisions of exact ints), so the micro-rounded doubles match
+    the SQL window oracle bit for bit."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = pcc.strftime(t["o_orderdate"], format="%Y-%m-%d")
+        cents = np.floor(
+            t["o_totalprice"].to_numpy(zero_copy_only=False) * 100 + 0.5
+        ).astype(np.int64)
+        g = (
+            pd.DataFrame({"day": day.to_pandas(), "rev": cents})
+            .groupby("day", as_index=False)["rev"].sum()
+        )
+        g["rev"] = g["rev"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    days = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Sum("rev", alias_name="rev"))
+        .to_pandas()
+        .sort_values("day", ignore_index=True)
+    )
+    rev = days["rev"].to_numpy(np.int64)
+    total = int(rev.sum())
+    mn, mx = int(rev.min()), int(rev.max())
+    pct = rev.astype(np.float64) / np.float64(total)
+    if mx == mn:
+        resc = np.ones(len(rev), np.float64)
+    else:
+        resc = (rev - mn).astype(np.float64) / np.float64(mx - mn)
+    return pa.table(
+        {
+            "day": pa.array(days["day"].tolist(), pa.string()),
+            "rev": pa.array(rev),
+            "pct_micro": pa.array(
+                [int(math.floor(v * 1e6 + 0.5)) for v in pct], pa.int64()
+            ),
+            "rescale_micro": pa.array(
+                [int(math.floor(v * 1e6 + 0.5)) for v in resc], pa.int64()
+            ),
+        }
+    )
+
+
 HOLT_ALPHA = 0.5  # dyadic literals: both sides' doubles match bit for bit
 HOLT_BETA = 0.25
 
@@ -18259,6 +18314,26 @@ def build_oracle_sql() -> Dict[str, str]:
             SELECT q_id, rank, vec_id,
                    CAST(floor(dist * 1000000 + 0.5) AS BIGINT) AS dist_micro
             FROM ranked WHERE rank < 10 ORDER BY q_id, rank
+        """,
+        "daily_revenue_normalize": """
+            WITH days AS (
+              SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+                     CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                          AS BIGINT) AS rev
+              FROM orders GROUP BY 1),
+            st AS (SELECT CAST(sum(rev) AS BIGINT) AS total,
+                          min(rev) AS mn, max(rev) AS mx FROM days)
+            SELECT day, rev,
+                   CAST(floor(CAST(rev AS DOUBLE)
+                              / CAST((SELECT total FROM st) AS DOUBLE)
+                              * 1000000 + 0.5) AS BIGINT) AS pct_micro,
+                   CAST(floor(CASE WHEN (SELECT mx FROM st) = (SELECT mn FROM st)
+                                   THEN 1.0
+                                   ELSE CAST(rev - (SELECT mn FROM st) AS DOUBLE)
+                                        / CAST((SELECT mx FROM st)
+                                               - (SELECT mn FROM st) AS DOUBLE)
+                              END * 1000000 + 0.5) AS BIGINT) AS rescale_micro
+            FROM days ORDER BY day
         """,
         "holt_daily_revenue": f"""
             WITH RECURSIVE days AS (
